@@ -1,0 +1,54 @@
+"""CDC merge-upsert demo queries (K3/J1/J2/P5) in oracle-checkable form.
+
+A deterministic synthetic change batch is derived from the customer snapshot
+(disjoint key classes, so the latest-per-key dedup is exercised separately in
+tests, and the oracle SQL stays a straightforward anti-join + union):
+
+  updates: c_custkey % 10 == 0 and % 17 != 0  -> acctbal + 100
+  inserts: keys shifted by +1_000_000 for c_custkey % 13 == 0
+  deletes: c_custkey % 17 == 0                -> IsDeleted = true
+
+The merged result is exactly the reference's post-merge target state
+(query_poll_table.py:107-152): updated rows replaced, inserts added,
+deleted keys gone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsf_spark.operators.merge import merge_upsert
+from pgsf_spark.tables import load_table
+
+
+def _change_batch(c: DataFrame) -> DataFrame:
+    updates = (
+        c.filter((F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 17 != 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("IsDeleted", F.lit(False))
+    )
+    inserts = (
+        c.filter(F.col("c_custkey") % 13 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_name", F.concat(F.lit("NEW "), F.col("c_name")))
+        .withColumn("IsDeleted", F.lit(False))
+    )
+    deletes = c.filter(F.col("c_custkey") % 17 == 0).withColumn("IsDeleted", F.lit(True))
+    return updates.unionByName(inserts).unionByName(deletes).withColumn("SystemModstamp", F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+
+
+def q_merge_upsert_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge target state after applying the synthetic change batch."""
+    c = load_table(spark, sf_dir, "customer")
+    target = c.withColumn("SystemModstamp", F.lit("2023-01-01 00:00:00").cast("timestamp_ntz"))
+    changes = _change_batch(c)
+    merged = merge_upsert(target, changes, pk="c_custkey", ts_field="SystemModstamp")
+    return merged.select("c_custkey", "c_name", F.col("c_nationkey").cast("int").alias("c_nationkey"), F.round("c_acctbal", 2).alias("acctbal"))
+
+
+def q_soft_delete_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 soft-delete routing: how many keys each merge action touches."""
+    c = load_table(spark, sf_dir, "customer")
+    ch = _change_batch(c)
+    return ch.groupBy("IsDeleted").agg(F.count(F.lit(1)).alias("n"))

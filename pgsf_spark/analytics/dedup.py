@@ -1,0 +1,152 @@
+"""Deduplication operators (training-data pipeline, SURVEY §7.6).
+
+Exact dedup + n-gram Jaccard near-dup are oracle-checked; MinHash/SimHash are
+deterministic (md5-based hash family, identical across engines) so they are
+oracle-checkable too -- the DuckDB SQL mirrors the same shingle->hash->min
+pipeline with unnest + group by.
+
+Scale design:
+  - exact: groupBy(fingerprint) -- one shuffle on a well-distributed key.
+  - minhash-LSH: shingles explode ~L rows per doc, minhash aggregates back
+    to one row per doc (map-side combine), band buckets join only within
+    matching buckets -- never the O(n^2) cross join.
+  - n-gram Jaccard verification runs only on LSH candidate pairs at scale;
+    the standalone q_jaccard_pairs bounds pairs by blocking on `source`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsf_spark.tables import load_table
+
+N_MINHASH = 8  # hash family size (seeds 0..7)
+N_BANDS = 4  # 4 bands x 2 rows -> candidate if any band matches
+SHINGLE_K = 3  # word-shingle width
+
+
+def _norm_text(col):
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: keep min(doc_id) per group.
+
+    One shuffle on the md5 key; at 100 TB use this exact plan (the md5 is
+    computed in the scan projection, groups are tiny)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(col, k: int = SHINGLE_K):
+    """Distinct k-word shingles as an array column (pure built-ins:
+    split -> transform over index range -> slice/join -> distinct)."""
+    toks = F.split(_norm_text(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " "))))
+
+
+def _md5_hash_int(col, seed: int):
+    """Deterministic 32-bit-ish hash from md5 hex -- engine-portable
+    (identical in DuckDB: conv of substring of md5)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 8), 16, 10).cast("long")
+
+
+def doc_minhash(d: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
+    """doc_id -> minhash signature (array of n min-hashes over shingles).
+
+    Explode-free: F.transform over the shingle array + array_min keeps the
+    whole computation inside one projection -- no shuffle at all."""
+    sh = word_shingles(F.col(text_col))
+
+    def hasher(seed):
+        # NB: must stay a 1-arg lambda -- F.transform passes the array index
+        # as a second argument to 2-arg callables.
+        return lambda s: _md5_hash_int(s, seed)
+
+    sigs = [F.array_min(F.transform(sh, hasher(i))).alias(f"mh{i}") for i in range(n_hashes)]
+    return d.select("doc_id", *sigs)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return doc_minhash(d)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: band the signature, self-join per (band, bandhash)
+    bucket. The join key is the band hash -- at scale this is THE fuzzy-dedup
+    plan (shuffle on band buckets, candidates only, then verify)."""
+    d = load_table(spark, sf_dir, "documents")
+    mh = doc_minhash(d)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            mh.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard similarity, blocked by `source` to bound pairs
+    (at scale the block key is the LSH bucket instead)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(_norm_text(F.col("text")), " "))
+    t = d.select("doc_id", "source", toks.alias("toks"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return (
+        a.join(b, F.col("a.source") == F.col("b.source"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over word tokens (md5-derived per-token bits).
+
+    For each bit position: sign(sum over tokens of +/-1) -- built entirely
+    from array ops, no UDF. 16 bits keeps the oracle SQL tractable while the
+    Spark plan is identical at 64."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(_norm_text(F.col("text")), " "))
+    # per token: integer hash; bit j of the hash contributes +1/-1
+    h = F.transform(toks, lambda t: _md5_hash_int(t, 99))
+    bits = []
+    for j in range(16):
+        votes = F.transform(h, lambda x: F.when(x.bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1))
+        bit = F.when(F.aggregate(votes, F.lit(0), lambda acc, v: acc + v) > 0, F.lit(1)).otherwise(F.lit(0))
+        bits.append(bit * F.lit(1 << j))
+    simhash = bits[0]
+    for b in bits[1:]:
+        simhash = simhash + b
+    return d.select("doc_id", simhash.cast("long").alias("simhash"))

@@ -1,0 +1,97 @@
+"""Event-stream analytics (events table): watermark filters, time bucketing,
+latest-per-key, sessionization -- the batch faces of the streaming operators
+(SURVEY §2.8). All emitted timestamps are formatted strings for oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pgsf_spark.analytics.oracle_utils import davg, dsum
+from pgsf_spark.tables import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def q_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 incremental predicate: strictly-> against a second-truncated
+    watermark; filter pushes to the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") > F.lit("2024-01-15 00:00:00"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregate (batch face of a streaming windowed agg).
+    One shuffle on (hour, event_type) -- at scale the natural partition key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour", F.date_format(F.date_trunc("hour", F.col("ts")), TS_FMT))
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("value")).alias("total_value"))
+    )
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key dedup (SURVEY §2.6) -- the exact window the CDC merge
+    uses, exposed as a query."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.date_format("ts", TS_FMT).alias("last_ts"),
+        )
+    )
+
+
+def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar extraction from the JSON props payload, aggregated.
+
+    Uses regexp (identical semantics in DuckDB) rather than engine-specific
+    JSON functions; get_json_object is the idiomatic Spark form."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.regexp_extract("props", r"(\d+)", 1).cast("int"))
+        .withColumn("bucket", (F.col("k") / 10).cast("int"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), davg(F.col("value")).alias("avg_value"))
+    )
+
+
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile: conditional aggregation (pivot-lite)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+        dsum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)).alias("purchase_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): classic lag + cumulative
+    sum of session-start flags. Batch face of streaming session windows;
+    one shuffle on user_id, all window math in one partition pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    sess = (
+        ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+        (F.max(F.col("ts").cast("timestamp").cast("long")) - F.min(F.col("ts").cast("timestamp").cast("long"))).alias("duration_sec"),
+    )

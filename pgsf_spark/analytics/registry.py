@@ -1,0 +1,384 @@
+"""Query registry: name -> (Spark callable, DuckDB oracle SQL).
+
+This is the single source of truth consumed by __spark_entry__.py
+(queries() / oracle_sql()) and by tests/bench.
+
+Oracle-parity rules (see oracle_utils):
+  - identical aliases in Spark and SQL;
+  - double sums/avgs via exact decimal accumulation;
+  - dot products written as explicit left-to-right sums on both sides so the
+    doubles are bit-identical;
+  - timestamps emitted as formatted strings.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pgsf_spark.analytics import cdc_demo, dedup, events, relational, similarity, text
+from pgsf_spark.analytics.oracle_utils import sql_davg, sql_dsum
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> non-SQL-expressible, rows-only check
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments
+# ---------------------------------------------------------------------------
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+def _hash_sql(expr: str, seed: int) -> str:
+    """Portable 32-bit hash: first 8 md5 hex chars as int (= Spark
+    conv(substring(md5(..),1,8),16,10))."""
+    return f"('0x' || substr(md5('s{seed}:' || {expr}), 1, 8))::BIGINT"
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Explicit left-to-right dot product (bit-identical to F.aggregate's
+    sequential fold)."""
+    return "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1)) + ")"
+
+
+def _minhash_cte() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(t) >= 3
+       THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+       ELSE [array_to_string(t, ' ')] END AS s
+  FROM toks),
+mh AS (SELECT doc_id,
+  {", ".join(f"list_min([{_hash_sql('x', i)} for x in s]) AS mh{i}" for i in range(dedup.N_MINHASH))}
+  FROM sh)
+"""
+
+
+def _simhash_sql() -> str:
+    terms = []
+    for j in range(16):
+        bit = 1 << j
+        votes = f"list_sum([CASE WHEN (x & {bit}) > 0 THEN 1 ELSE -1 END for x in hs])"
+        terms.append(f"CASE WHEN {votes} > 0 THEN {bit} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),
+h AS (SELECT doc_id, [{_hash_sql('x', 99)} for x in t] AS hs FROM toks)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM h
+"""
+
+
+def _lsh_bucket_sql() -> str:
+    # Deterministic hyperplane weights: md5('p7:<plane>:<i>') -> [-1, 1]
+    parts = []
+    for p in range(8):
+        terms = []
+        for i in range(64):
+            w = f"(('0x' || substr(md5('p7:{p}:{i}'), 1, 8))::BIGINT / 4294967295.0 * 2.0 - 1.0)"
+            terms.append(f"v[{i + 1}]*{w}")
+        dot = "(" + " + ".join(terms) + ")"
+        parts.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
+    bucket = " + ".join(parts)
+    return f"""
+WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)
+SELECT bucket, COUNT(*) AS n FROM (SELECT ({bucket}) AS bucket FROM e) GROUP BY bucket
+"""
+
+
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
+
+QUERIES: dict[str, QuerySpec] = {
+    # -- relational / star schema ------------------------------------------
+    "pricing_summary": QuerySpec(
+        relational.q_pricing_summary,
+        f"""SELECT l_returnflag, l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+    ),
+    "revenue_by_nation": QuerySpec(
+        relational.q_revenue_by_nation,
+        f"""SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name""",
+    ),
+    "region_volume": QuerySpec(
+        relational.q_region_volume,
+        f"""SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' GROUP BY n_name""",
+    ),
+    "forecast_revenue": QuerySpec(
+        relational.q_forecast_revenue,
+        f"""SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""",
+    ),
+    "order_priority": QuerySpec(
+        relational.q_order_priority,
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderkey IN (SELECT l_orderkey FROM lineitem)
+GROUP BY o_orderpriority""",
+    ),
+    "top_orders": QuerySpec(
+        relational.q_top_orders,
+        """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+FROM orders ORDER BY total DESC, o_orderkey LIMIT 25""",
+    ),
+    "top_orders_per_customer": QuerySpec(
+        relational.q_top_orders_per_customer,
+        """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS total, CAST(rn AS INT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3""",
+    ),
+    "customer_order_stats": QuerySpec(
+        relational.q_customer_order_stats,
+        f"""SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders,
+  COALESCE({sql_dsum('o_totalprice')}, 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment""",
+    ),
+    "rollup_order_status": QuerySpec(
+        relational.q_rollup_order_status,
+        f"""SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+  COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    ),
+    "distinct_segments": QuerySpec(
+        relational.q_distinct_segments, "SELECT DISTINCT c_mktsegment FROM customer"
+    ),
+    "customers_without_orders": QuerySpec(
+        relational.q_customers_without_orders,
+        "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders",
+    ),
+    "count_orders": QuerySpec(relational.q_count_orders, "SELECT COUNT(*) AS n FROM orders"),
+    "snapshot_projection": QuerySpec(
+        relational.q_snapshot_projection,
+        "SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal FROM customer",
+    ),
+    "avg_acctbal_by_nation": QuerySpec(
+        relational.q_avg_acctbal_by_nation,
+        f"""SELECT n_name, {sql_davg('c_acctbal')} AS avg_bal, COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""",
+    ),
+    "part_type_shares": QuerySpec(
+        relational.q_part_type_shares,
+        f"""SELECT p_type, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue, COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_type""",
+    ),
+    # -- CDC / pgsf-core surface -------------------------------------------
+    "merge_upsert_customer": QuerySpec(
+        cdc_demo.q_merge_upsert_customer,
+        """WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0),
+inserts AS (
+  SELECT c_custkey + 1000000 AS c_custkey, 'NEW ' || c_name AS c_name, c_nationkey, c_acctbal
+  FROM customer WHERE c_custkey % 13 = 0),
+deletes AS (SELECT c_custkey FROM customer WHERE c_custkey % 17 = 0),
+changed_keys AS (
+  SELECT c_custkey FROM updates UNION SELECT c_custkey FROM inserts
+  UNION SELECT c_custkey FROM deletes),
+kept AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+  WHERE c_custkey NOT IN (SELECT c_custkey FROM changed_keys)),
+merged AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM updates UNION ALL SELECT * FROM inserts)
+SELECT c_custkey, c_name, CAST(c_nationkey AS INT) AS c_nationkey, ROUND(c_acctbal, 2) AS acctbal
+FROM merged""",
+    ),
+    "soft_delete_split": QuerySpec(
+        cdc_demo.q_soft_delete_split,
+        """WITH ch AS (
+  SELECT FALSE AS d FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 17 <> 0
+  UNION ALL SELECT FALSE FROM customer WHERE c_custkey % 13 = 0
+  UNION ALL SELECT TRUE FROM customer WHERE c_custkey % 17 = 0)
+SELECT d AS "IsDeleted", COUNT(*) AS n FROM ch GROUP BY d""",
+    ),
+    # -- events --------------------------------------------------------------
+    "watermark_filter": QuerySpec(
+        events.q_watermark_filter,
+        f"""SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} AS total_value
+FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00' GROUP BY event_type""",
+    ),
+    "events_hourly": QuerySpec(
+        events.q_events_hourly,
+        f"""SELECT strftime(date_trunc('hour', ts), '{_TS_FMT_SQL}') AS hour, event_type,
+  COUNT(*) AS n, {sql_dsum('value')} AS total_value
+FROM events GROUP BY hour, event_type""",
+    ),
+    "latest_event_per_user": QuerySpec(
+        events.q_latest_event_per_user,
+        f"""SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+  strftime(ts, '{_TS_FMT_SQL}') AS last_ts
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""",
+    ),
+    "event_props_extract": QuerySpec(
+        events.q_event_props_extract,
+        f"""WITH e AS (SELECT CAST(regexp_extract(props, '(\\d+)', 1) AS INT) AS k, value FROM events)
+SELECT CAST(FLOOR(k / 10) AS INT) AS bucket, COUNT(*) AS n, {sql_davg('value')} AS avg_value
+FROM e GROUP BY bucket""",
+    ),
+    "user_activity": QuerySpec(
+        events.q_user_activity,
+        f"""SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+  {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
+FROM events GROUP BY user_id""",
+    ),
+    "sessionize": QuerySpec(
+        events.q_sessionize,
+        f"""WITH e AS (SELECT user_id, event_id, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec FROM events),
+flags AS (SELECT *,
+  CASE WHEN tsec - LAG(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR tsec - LAG(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+       THEN 1 ELSE 0 END AS new_session
+  FROM e),
+sess AS (SELECT *,
+  CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flags)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+  strftime(MIN(ts), '{_TS_FMT_SQL}') AS session_start,
+  MAX(tsec) - MIN(tsec) AS duration_sec
+FROM sess GROUP BY user_id, session_id""",
+    ),
+    # -- text ----------------------------------------------------------------
+    "token_stats": QuerySpec(
+        text.q_token_stats,
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+  ROUND(len(list_distinct(toks)) / len(toks), 4) AS distinct_ratio
+FROM t""",
+    ),
+    "quality_score": QuerySpec(
+        text.q_quality_score,
+        """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+SELECT doc_id, CAST(length(text) AS INT) AS n_chars_actual, CAST(len(toks) AS INT) AS n_tokens,
+  ROUND(length(regexp_replace(text, '\\s+', '', 'g')) / len(toks), 4) AS mean_word_len,
+  ROUND(len(list_filter(toks, x -> length(x) <= 3)) / len(toks), 4) AS short_token_ratio,
+  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digits
+FROM t""",
+    ),
+    "lang_id": QuerySpec(
+        text.q_lang_id,
+        """WITH t AS (SELECT doc_id, lang,
+  list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+  len(list_intersect(toks, ['the','and','of','to','in'])) AS s_en,
+  len(list_intersect(toks, ['le','la','les','et','des'])) AS s_fr,
+  len(list_intersect(toks, ['der','die','das','und','nicht'])) AS s_de,
+  len(list_intersect(toks, ['el','los','las','y','del'])) AS s_es
+  FROM t)
+SELECT lang,
+  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+       WHEN s_es > 0 THEN 'es' ELSE 'und' END AS lang_guess,
+  COUNT(*) AS n
+FROM s GROUP BY lang, lang_guess""",
+    ),
+    "doc_fingerprint": QuerySpec(
+        text.q_doc_fingerprint,
+        """WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM documents)
+SELECT doc_id, md5(norm) AS fingerprint, substr(md5(norm), 1, 2) AS shard FROM t""",
+    ),
+    "docs_by_source": QuerySpec(
+        text.q_docs_by_source,
+        """SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 2) AS avg_chars
+FROM documents GROUP BY source, lang""",
+    ),
+    # -- dedup ---------------------------------------------------------------
+    "dedup_exact": QuerySpec(
+        dedup.q_dedup_exact,
+        f"""WITH t AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies FROM t GROUP BY fp""",
+    ),
+    "jaccard_pairs": QuerySpec(
+        dedup.q_jaccard_pairs,
+        f"""WITH t AS (SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM documents)
+SELECT * FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    ROUND(len(list_intersect(a.toks, b.toks)) / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.2""",
+    ),
+    "minhash_signatures": QuerySpec(
+        dedup.q_minhash_signatures,
+        _minhash_cte()
+        + f"SELECT doc_id, {', '.join(f'mh{i}' for i in range(dedup.N_MINHASH))} FROM mh",
+    ),
+    "minhash_lsh_pairs": QuerySpec(
+        dedup.q_minhash_lsh_pairs,
+        _minhash_cte()
+        + f""",
+banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, md5(CAST(mh{2 * b} AS VARCHAR) || ',' || CAST(mh{2 * b + 1} AS VARCHAR)) AS bucket FROM mh"
+      for b in range(dedup.N_BANDS)
+  )})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    ),
+    "simhash": QuerySpec(dedup.q_simhash, _simhash_sql()),
+    # -- similarity ----------------------------------------------------------
+    "cosine_topk": QuerySpec(
+        similarity.q_cosine_topk,
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+  ROUND({_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+FROM e, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10""",
+    ),
+    "embedding_norms": QuerySpec(
+        similarity.q_embedding_norms,
+        f"""WITH e AS (SELECT vec_id, label, embedding, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)
+SELECT vec_id, CAST(label AS INT) AS label,
+  ROUND(sqrt({_dot_sql('v', 'v')}), 4) AS l2_norm, CAST(len(embedding) AS INT) AS dim
+FROM e""",
+    ),
+    "label_centroid_distance": QuerySpec(
+        similarity.q_label_centroid_distance,
+        f"""WITH e AS (SELECT vec_id, CAST(label AS INT) AS label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+pos AS (SELECT label, i, v[CAST(i AS INT)] AS x FROM e, range(1, 65) r(i)),
+cent AS (
+  SELECT label, list(cx ORDER BY i) AS cv FROM (
+    SELECT label, i, CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x) AS cx
+    FROM pos GROUP BY label, i)
+  GROUP BY label),
+j AS (
+  SELECT e.label,
+    {_dot_sql('v', 'cv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('cv', 'cv')})) AS cos
+  FROM e JOIN cent ON e.label = cent.label)
+SELECT label, COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,12))) AS DOUBLE) / COUNT(cos), 4) AS avg_cos_to_centroid
+FROM j GROUP BY label""",
+    ),
+    "lsh_buckets": QuerySpec(similarity.q_lsh_buckets, _lsh_bucket_sql()),
+}

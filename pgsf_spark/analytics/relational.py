@@ -1,0 +1,211 @@
+"""Relational analytics over the replicated star schema (SURVEY §7.6).
+
+Every query here is a (spark, sf_dir) -> DataFrame callable with a matching
+DuckDB oracle SQL string in ``registry.py``. Conventions for oracle
+hash-parity:
+  - every computed column aliased identically in Spark and SQL;
+  - float aggregates rounded in-query (sum-order variation at 60k rows is
+    ~1e-12 relative -- rounding to 2dp makes the hash stable);
+  - timestamps grouped/emitted as formatted strings, never raw.
+
+Scale notes per query in docstrings: these run on ~600k rows locally but the
+plan shapes (broadcast dims, partial aggs, single shuffle per agg/join key)
+are what survive at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pgsf_spark.analytics.oracle_utils import davg, dsum
+from pgsf_spark.tables import load_table
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: one shuffle on a 6-value group key; partial
+    aggregation map-side; scan prunes to 7 of 11 columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ orders ⋈ lineitem, revenue per nation.
+
+    nation (25 rows) broadcasts; customer (150k @ sf1) broadcasts under AQE
+    at small SF and shuffles at scale -- either way lineitem shuffles at
+    most once (on l_orderkey) and the agg key is 25 values."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier volume in ASIA (c_nationkey =
+    s_nationkey equi-constraint rides the join)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+global agg, zero shuffles of data
+    (partials only); all three predicates push to the parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority counts for 1996 orders that have at least one lineitem
+    (semi join -- TPC-H Q4 shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.filter((F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01")))
+        .join(li.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tie-break: global sort is a single
+    reduce of per-partition top-k (TakeOrderedAndProject), no full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
+        .orderBy(F.col("total").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: one shuffle on o_custkey, rank within partition."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rn")
+    )
+
+
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order stats incl. customers with no orders (left join)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+def q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (status, priority) with NULL grouping keys coalesced
+    to 'ALL' so the oracle hash is unambiguous."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment").distinct()
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op / anti-join: EXCEPT == left_anti on the key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.select("c_custkey").exceptAll(o.select(F.col("o_custkey").alias("c_custkey"))).distinct()
+
+
+def q_count_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT()-only query (S4/A2): answered from parquet footers."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_snapshot_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 sync-field projection: ReadSchema prunes to 3 columns at the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+
+
+def q_avg_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(davg(F.col("c_acctbal")).alias("avg_bal"), F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_part_type_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join lineitem->part, revenue share of 'PROMO'-like types (Q14 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,122 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+Brute-force cosine top-k is the exact baseline (one pass, no shuffle until
+the final top-k reduce). The scale path buckets vectors with a random-
+hyperplane LSH (deterministic md5-seeded planes) so candidate generation
+joins only within buckets -- same pattern as MinHash-LSH for text.
+
+Dot products use F.aggregate over F.zip_with (JVM, no Python): element
+order is preserved, so double-precision sums are bit-identical to DuckDB's
+list_dot_product on the same data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsf_spark.tables import load_table
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _to_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id=0 (brute force).
+
+    The query vector is broadcast (crossJoin of a 1-row DF); the scan is a
+    single projection pass; top-k is TakeOrderedAndProject -- the right
+    brute-force plan at any scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    dot = _dot(F.col("v"), F.col("qv"))
+    norm = F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(dot / norm, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + label stats -- sanity/statistics pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = _to_double(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        F.round(F.sqrt(_dot(v, v)), 4).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+def q_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean intra-label cosine-to-centroid: per-label centroid via
+    element-wise array aggregation (posexplode + groupBy), then one
+    broadcast join back. The centroid agg shuffles dim*labels rows only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", F.col("label").cast("int").alias("label"), _to_double(F.col("embedding")).alias("v"))
+    pos = emb.select("label", F.posexplode("v").alias("i", "x"))
+    cent = (
+        pos.groupBy("label", "i")
+        # exact decimal accumulation -> order-independent (oracle_utils)
+        .agg((F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("x")).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p.cx).alias("cv"))
+    )
+    j = emb.join(F.broadcast(cent), "label")
+    cos = _dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(cos.cast("decimal(18,12)")).cast("double") / F.count(cos), 4).alias(
+            "avg_cos_to_centroid"
+        ),
+    )
+
+
+def hyperplane_lsh_bucket(v, n_planes: int = 8, dim: int = 64, seed: int = 7):
+    """Deterministic random-hyperplane LSH bucket id (sign pattern).
+
+    Plane weights come from md5(seed, plane, i) -> uniform in [-1, 1] --
+    fully reproducible across engines and runs (no RNG state)."""
+    bits = []
+    for p in range(n_planes):
+        w = F.array(
+            *[
+                (
+                    F.conv(F.substring(F.md5(F.lit(f"p{seed}:{p}:{i}")), 1, 8), 16, 10).cast("long")
+                    / F.lit(float(0xFFFFFFFF))
+                    * 2.0
+                    - 1.0
+                )
+                for i in range(dim)
+            ]
+        )
+        bits.append(F.when(_dot(v, w) >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket histogram for the hyperplane LSH -- the candidate-generation
+    stage of ANN at scale (join within buckets instead of O(n^2))."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    return (
+        emb.select(hyperplane_lsh_bucket(F.col("v")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

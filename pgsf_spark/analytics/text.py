@@ -1,0 +1,104 @@
+"""Text-analysis operators over the documents table (training-data pipeline).
+
+All pure pyspark.sql.functions -- JVM-side, whole-stage-codegen'd, no Python
+in the hot path. Each has an exact DuckDB oracle (registry.py).
+
+At 100 TB the documents table is hash-partitioned by doc_id; every operator
+here is embarrassingly parallel (no shuffle except final aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsf_spark.tables import load_table
+
+# Tiny per-language stopword markers for the n-gram/stopword-ratio heuristic
+# language id. Deterministic and cheap: count marker-token hits per language,
+# argmax with a fixed precedence order.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "es": ("el", "los", "las", "y", "del"),
+}
+
+
+def _tokens(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + distinct-token ratio per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 4).alias("distinct_ratio"),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc quality heuristics: length, mean word length, short-token ratio,
+    digit ratio -- the standard cheap pre-filters for LLM corpus cleaning."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    short = F.size(F.filter(toks, lambda t: F.length(t) <= 3))
+    digits = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        n_tok.alias("n_tokens"),
+        F.round(F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_tok, 4).alias("mean_word_len"),
+        F.round(short / n_tok, 4).alias("short_token_ratio"),
+        digits.alias("n_digits"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID vs the labeled lang column; emits the
+    confusion pair (guess, label) with counts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens(F.lower(F.col("text"))))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in marks]))).alias(f"score_{lang}")
+        for lang, marks in LANG_MARKERS.items()
+    ]
+    scored = d.select("doc_id", "lang", *scores)
+    # argmax with fixed precedence (en > fr > de > es), 'und' when all zero
+    guess = F.lit("und")
+    best = F.lit(0)
+    for lang in LANG_MARKERS:  # later langs win only with strictly higher score
+        cond = F.col(f"score_{lang}") > best
+        guess = F.when(cond, F.lit(lang)).otherwise(guess)
+        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
+    return (
+        scored.withColumn("lang_guess", guess)
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the normalized text (exact-dup key)
+    + a cheap 8-hex prefix bucket usable for sharded dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 2).alias("shard"),
+    )
+
+
+def q_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )

@@ -1,0 +1,76 @@
+"""Merge upsert -- the heart of incremental sync (K3/J1/J2 in SURVEY §2).
+
+Reference semantics (/root/reference/query_poll_table.py:107-152):
+  1. stage changes into tmp_T
+  2. INSERT INTO T SELECT ... FROM tmp_T [WHERE NOT IsDeleted]
+     ON CONFLICT (pk) DO UPDATE SET (cols) = (EXCLUDED.cols)
+  3. DELETE FROM T WHERE pk IN (SELECT pk FROM tmp_T WHERE IsDeleted)
+  -- all inside one transaction.
+
+PG applies conflicts row-at-a-time in file order, so duplicate PKs within a
+batch resolve to the LAST occurrence; Spark merges set-at-once, so we dedup
+to the latest change per key first (SURVEY §2.6): order by the CDC timestamp
+desc, ties broken by file order desc when available.
+
+This is the no-Delta join-rewrite (SURVEY §7.4):
+  merged = target ANTI-JOIN change_keys  UNION  latest_changes(not deleted)
+
+Scale notes:
+  - One shuffle on pk for the anti-join; the union adds none.
+  - At 100 TB the target should be bucketed/partitioned by pk so the
+    anti-join co-locates; with AQE a small change batch broadcasts.
+  - Deletes ride the same anti-join: keys with IsDeleted simply aren't
+    re-inserted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(changes: DataFrame, pk: str, ts_field: str, order_col: str | None = None) -> DataFrame:
+    """Keep the last change per key (PG ON CONFLICT sequential semantics).
+
+    Order: CDC timestamp desc, then file order desc if present (PG keeps the
+    last occurrence in file order on timestamp ties -- SURVEY §2.6).
+    """
+    order = [F.col(ts_field).desc()]
+    if order_col and order_col in changes.columns:
+        order.append(F.col(order_col).desc())
+    w = Window.partitionBy(pk).orderBy(*order)
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    pk: str,
+    ts_field: str,
+    order_col: str | None = None,
+    isdeleted_col: str | None = "IsDeleted",
+) -> DataFrame:
+    """Apply a change batch to a target: upsert + soft-delete propagation.
+
+    Returns the merged DataFrame (caller persists it atomically via
+    TableStore). Soft-delete is conditional on the IsDeleted column being
+    part of the sync set (query_poll_table.py:139-145): without it, rows are
+    only ever upserted.
+    """
+    target_cols = target.columns
+    latest = latest_per_key(changes, pk, ts_field, order_col=order_col)
+
+    # Every changed key leaves the old target version (update or delete).
+    change_keys = latest.select(pk)
+    kept = target.join(change_keys, on=pk, how="left_anti")
+
+    if isdeleted_col and isdeleted_col in latest.columns:
+        incoming = latest.filter(~F.coalesce(F.col(isdeleted_col), F.lit(False)))
+    else:
+        incoming = latest
+    incoming = incoming.select(*target_cols)
+    return kept.unionByName(incoming)

@@ -1,0 +1,84 @@
+"""Atomic parquet-backed table storage (the replica target, K1/K2 role).
+
+The reference's target is PostgreSQL with transactional COPY/MERGE
+(csv_to_postgres.py:48-97, query_poll_table.py:175-198). Without Delta in
+this environment, atomic publish is done the classic way: write the new
+version to a fresh versioned directory, then flip a pointer file -- readers
+always see a complete version, writer crashes leave only garbage dirs
+(GC'd like the reference's 7-day job cleanup, delete_old_jobs_data.sh).
+
+This mirrors what Delta's transaction log does in miniature, scoped to the
+single-writer-per-table model the reference also uses (the __sync
+ready->running claim guarantees one writer, synctable.py:63-73).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_CURRENT")
+
+    def current_version_path(self, table: str) -> str | None:
+        ptr = self._pointer(table)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            v = json.load(f)["version_dir"]
+        return os.path.join(self._tdir(table), v)
+
+    def exists(self, table: str) -> bool:
+        return self.current_version_path(table) is not None
+
+    def write(self, df: DataFrame, table: str, buckets: int | None = None, bucket_col: str | None = None) -> str:
+        """Write a new version and atomically flip the pointer.
+
+        ``buckets``/``bucket_col``: repartition by the merge key before
+        writing so the stored layout is key-clustered -- the next merge's
+        anti-join then shuffles the (small) change batch, not the table.
+        """
+        tdir = self._tdir(table)
+        os.makedirs(tdir, exist_ok=True)
+        version = f"v{int(time.time() * 1000)}_{os.getpid()}"
+        path = os.path.join(tdir, version)
+        if buckets and bucket_col:
+            df = df.repartition(buckets, bucket_col)
+        df.write.mode("overwrite").parquet(path)
+        tmp_ptr = self._pointer(table) + ".tmp"
+        with open(tmp_ptr, "w") as f:
+            json.dump({"version_dir": version, "written_at": time.time()}, f)
+        os.replace(tmp_ptr, self._pointer(table))  # atomic on POSIX
+        return path
+
+    def read(self, table: str) -> DataFrame:
+        path = self.current_version_path(table)
+        if path is None:
+            raise FileNotFoundError(f"table {table!r} has no published version under {self.root}")
+        return self.spark.read.parquet(path)
+
+    def vacuum(self, table: str, keep: int = 2) -> list[str]:
+        """Drop all but the newest ``keep`` versions (job GC, C7)."""
+        tdir = self._tdir(table)
+        cur = self.current_version_path(table)
+        versions = sorted(
+            d for d in os.listdir(tdir) if d.startswith("v") and os.path.isdir(os.path.join(tdir, d))
+        )
+        victims = [v for v in versions[:-keep] if os.path.join(tdir, v) != cur]
+        for v in victims:
+            shutil.rmtree(os.path.join(tdir, v), ignore_errors=True)
+        return victims

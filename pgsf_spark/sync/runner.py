@@ -1,0 +1,108 @@
+"""Sync runner: snapshot load + incremental sync + scheduler loop.
+
+Reference flow parity:
+  - snapshot load (§3.1): query_bulk -> download -> createtable ->
+    csv_to_postgres -> seed __sync  ==> one Spark job: scan -> overwrite
+    write -> seed watermark from extract-start time (C6).
+  - incremental sync (§3.2): query_poll_table.sync_table ==> claim ->
+    incremental scan (P4) -> latest-per-key dedup -> merge upsert (K3) ->
+    atomic publish -> advance watermark to max(ts) of merged table (A1) ->
+    release. Exactly-once effect (C3) comes from atomic publish + the
+    idempotent-by-key merge.
+  - scheduler (C2): the `sync` cron script's due-table fan-out; here a
+    thread pool over due tables (per-table concurrency like the reference's
+    one-process-per-table `&` loop, sync:14-20).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from pgsf_spark.operators.merge import merge_upsert
+from pgsf_spark.operators.table_store import TableStore
+from pgsf_spark.sources.entity import EntitySource
+from pgsf_spark.sync.state import READY, ClaimError, SyncState
+
+
+def _utcnow() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class SyncRunner:
+    def __init__(self, source: EntitySource, store: TableStore, state: SyncState):
+        self.source = source
+        self.store = store
+        self.state = state
+
+    def snapshot_load(
+        self,
+        table: str,
+        fields: list[str] | None = None,
+        pk: str = "Id",
+        ts_field: str = "SystemModstamp",
+        refresh_minutes: int = 10,
+        buckets: int | None = None,
+    ) -> int:
+        """Full refresh: extract snapshot -> overwrite target -> seed watermark.
+
+        Watermark seeds from extract-START time, not max(ts): anything
+        modified during the extract is re-read by the first poll -- safe and
+        faithful to the reference (csv_to_postgres.py:94 uses the job's
+        systemModstamp, i.e. job creation time).
+        """
+        started = _utcnow()
+        df = self.source.load(table, fields=fields, include_deleted=True)
+        self.store.write(df, table, buckets=buckets, bucket_col=pk if buckets else None)
+        n = self.store.read(table).count()
+        self.state.insert(table, syncuntil=started, refresh_minutes=refresh_minutes)
+        return n
+
+    def sync_table(self, table: str, pk: str = "Id", ts_field: str = "SystemModstamp") -> dict:
+        """One incremental sync cycle for one table (query_poll_table.py:155-204)."""
+        row = self.state.claim(table)  # guarded ready->running
+        try:
+            wm = row.syncuntil_dt()
+            if wm is None:
+                raise ClaimError(f"{table}: no watermark -- bulk-load first (query_poll_table.py:69-73)")
+            changes = self.source.incremental(table, ts_field, wm)
+            target = self.store.read(table)
+            merged = merge_upsert(target, changes, pk=pk, ts_field=ts_field, order_col="_file_order")
+            self.store.write(merged, table)
+            # Advance watermark to max(ts) of the *target* after merge
+            # (synctable.py:45-54), only after a successful publish.
+            new_df = self.store.read(table)
+            max_ts = new_df.agg(F.max(ts_field).alias("m")).first()["m"]
+            n = new_df.count()
+            self.state.release(table, READY, syncuntil=max_ts or wm)
+            return {"table": table, "rows": n, "watermark": (max_ts or wm).isoformat()}
+        except ClaimError:
+            raise
+        except Exception:
+            # On failure: back to ready without advancing the watermark
+            # (query_poll_table.py:199-204); the next cycle retries.
+            self.state.release(table, READY, touch_refresh=False)
+            raise
+
+    def run_due(self, max_workers: int = 8, pks: dict[str, str] | None = None, ts_fields: dict[str, str] | None = None) -> list[dict]:
+        """One scheduler tick: claim+sync every due table concurrently."""
+        due = self.state.due_tables()
+        results: list[dict] = []
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            futs = {
+                ex.submit(
+                    self.sync_table,
+                    t,
+                    (pks or {}).get(t, "Id"),
+                    (ts_fields or {}).get(t, "SystemModstamp"),
+                ): t
+                for t in due
+            }
+            for fut, t in futs.items():
+                try:
+                    results.append(fut.result())
+                except ClaimError:
+                    pass  # raced by another runner -- fine, it's the lock working
+        return results

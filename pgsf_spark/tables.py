@@ -1,0 +1,47 @@
+"""Canonical loader for the test-data star schema.
+
+Single place that knows the physical quirks of the driver-generated parquet
+(TESTDATA.md) and hides them from every query:
+  - ``events.ts`` is parquet TIMESTAMP(NANOS) -- Spark reads it as a long
+    (nanosAsLong) and we convert to TIMESTAMP_NTZ at microsecond precision,
+    matching what DuckDB sees (micros, naive).
+  - other timestamp columns (ms precision) arrive as TIMESTAMP_NTZ already.
+
+All engine queries load via ``load_table``/``register_views`` so a future
+format change is one edit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos since epoch -> naive microsecond timestamp (what DuckDB sees)
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
