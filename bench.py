@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Measured per query: full execution wall-clock (plan + run + collect).
+Session startup is excluded (it is constant overhead, not query cost);
+a warmup pass materializes the JVM + parquet footers first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pgsf_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family (scan+agg, multi-join, window,
+# sessionization, dedup-LSH, similarity, text, CDC merge).
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "region_volume",
+    "top_orders_per_customer",
+    "sessionize",
+    "merge_upsert_customer",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "quality_score",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("pgsf_spark_bench")
+    from pgsf_spark.analytics.registry import QUERIES
+
+    # Warmup: touch every table once so JVM/codegen/footer costs don't land
+    # on the first measured query.
+    from pgsf_spark.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count() if name != "cosine_topk" else len(df.collect())
+        times[name] = round(time.time() - t0, 3)
+        _ = n
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -59,20 +59,44 @@ def _md5_hash_int(col, seed: int):
     return F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), col)), 1, 8), 16, 10).cast("long")
 
 
+# Arithmetic hash family over one md5 base hash per shingle:
+#   base  = first 7 md5 hex chars as int (< 2^28)
+#   h_i   = (A_i * base + B_i) mod P        (P = 2^31 - 1)
+# One md5 per shingle instead of one per (shingle, seed) -- 8x fewer digests,
+# same minhash guarantees; trivially mirrored in the DuckDB oracle.
+MINHASH_P = 2147483647
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    return 1000003 * (i + 1) + 12345, 777767777 * (i + 1) + 1
+
+
 def doc_minhash(d: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH) -> DataFrame:
     """doc_id -> minhash signature (array of n min-hashes over shingles).
 
     Explode-free: F.transform over the shingle array + array_min keeps the
     whole computation inside one projection -- no shuffle at all."""
+    # Small single-file inputs arrive as one partition; shingling+hashing is
+    # CPU-bound per row, so spread it across cores first. At real scale the
+    # table is already many splits and this coalesces to a no-op shuffle of
+    # (doc_id, text) only.
+    d = d.select("doc_id", text_col).repartition(d.sparkSession.sparkContext.defaultParallelism)
     sh = word_shingles(F.col(text_col))
+    base = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    )
+    cols = [F.col(text_col), base.alias("__mh_base")]
+    d2 = d.select("doc_id", *cols)
+    def lin(a, b):
+        # single-arg lambda on purpose: F.transform feeds the array index to
+        # 2-arg callables
+        return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P
 
-    def hasher(seed):
-        # NB: must stay a 1-arg lambda -- F.transform passes the array index
-        # as a second argument to 2-arg callables.
-        return lambda s: _md5_hash_int(s, seed)
-
-    sigs = [F.array_min(F.transform(sh, hasher(i))).alias(f"mh{i}") for i in range(n_hashes)]
-    return d.select("doc_id", *sigs)
+    sigs = []
+    for i in range(n_hashes):
+        a, b = minhash_coeffs(i)
+        sigs.append(F.array_min(F.transform(F.col("__mh_base"), lin(a, b))).alias(f"mh{i}"))
+    return d2.select("doc_id", *sigs)
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,24 +111,28 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     mh = doc_minhash(d)
     rows_per_band = N_MINHASH // N_BANDS
-    bands = []
+    band_structs = []
     for b in range(N_BANDS):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            mh.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
-            )
+        cols = [F.col(f"mh{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bucket"))
         )
-    banded = bands[0]
-    for x in bands[1:]:
-        banded = banded.unionByName(x)
-    a, b_ = banded.alias("a"), banded.alias("b")
+    # One pass over the signatures (explode, not union -- a union would
+    # recompute the signature subtree once per band), then pairs are
+    # generated inside each bucket: shuffle is on (band, bucket) only and
+    # the candidate set never goes through an O(n^2) self-join.
+    banded = mh.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", "bb.band", "bb.bucket"
+    )
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     pairs = (
-        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
     return pairs
@@ -138,6 +166,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from array ops, no UDF. 16 bits keeps the oracle SQL tractable while the
     Spark plan is identical at 64."""
     d = load_table(spark, sf_dir, "documents")
+    d = d.select("doc_id", "text").repartition(d.sparkSession.sparkContext.defaultParallelism)
     toks = F.array_distinct(F.split(_norm_text(F.col("text")), " "))
     # per token: integer hash; bit j of the hash contributes +1/-1
     h = F.transform(toks, lambda t: _md5_hash_int(t, 99))

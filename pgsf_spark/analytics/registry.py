@@ -49,6 +49,10 @@ def _dot_sql(a: str, b: str, dim: int = 64) -> str:
 
 
 def _minhash_cte() -> str:
+    sig_cols = []
+    for i in range(dedup.N_MINHASH):
+        a, b = dedup.minhash_coeffs(i)
+        sig_cols.append(f"list_min([({a} * h + {b}) % {dedup.MINHASH_P} for h in hb]) AS mh{i}")
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (SELECT doc_id,
@@ -56,9 +60,8 @@ sh AS (SELECT doc_id,
        THEN list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
        ELSE [array_to_string(t, ' ')] END AS s
   FROM toks),
-mh AS (SELECT doc_id,
-  {", ".join(f"list_min([{_hash_sql('x', i)} for x in s]) AS mh{i}" for i in range(dedup.N_MINHASH))}
-  FROM sh)
+hb AS (SELECT doc_id, [('0x' || substr(md5(x), 1, 7))::BIGINT for x in s] AS hb FROM sh),
+mh AS (SELECT doc_id, {", ".join(sig_cols)} FROM hb)
 """
 
 
@@ -77,13 +80,11 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM h
 
 
 def _lsh_bucket_sql() -> str:
-    # Deterministic hyperplane weights: md5('p7:<plane>:<i>') -> [-1, 1]
+    # Same driver-side deterministic weights as similarity.plane_weights,
+    # embedded as double literals (repr round-trips exactly in both engines).
     parts = []
-    for p in range(8):
-        terms = []
-        for i in range(64):
-            w = f"(('0x' || substr(md5('p7:{p}:{i}'), 1, 8))::BIGINT / 4294967295.0 * 2.0 - 1.0)"
-            terms.append(f"v[{i + 1}]*{w}")
+    for p, row in enumerate(similarity.plane_weights()):
+        terms = [f"v[{i + 1}]*({x!r})" for i, x in enumerate(row)]
         dot = "(" + " + ".join(terms) + ")"
         parts.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
     bucket = " + ".join(parts)

@@ -85,24 +85,27 @@ def q_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplane_lsh_bucket(v, n_planes: int = 8, dim: int = 64, seed: int = 7):
-    """Deterministic random-hyperplane LSH bucket id (sign pattern).
+def plane_weights(n_planes: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    """Deterministic hyperplane weights: md5(seed,plane,i) -> [-1, 1].
 
-    Plane weights come from md5(seed, plane, i) -> uniform in [-1, 1] --
-    fully reproducible across engines and runs (no RNG state)."""
+    Computed driver-side (no RNG state, reproducible across runs and
+    engines); embedded as literals in both the Spark plan and the oracle."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"p{seed}:{p}:{i}".encode()).hexdigest()[:8], 16) / 0xFFFFFFFF * 2.0 - 1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def hyperplane_lsh_bucket(v, n_planes: int = 8, dim: int = 64, seed: int = 7):
+    """Random-hyperplane LSH bucket id (sign pattern over n_planes dots)."""
     bits = []
-    for p in range(n_planes):
-        w = F.array(
-            *[
-                (
-                    F.conv(F.substring(F.md5(F.lit(f"p{seed}:{p}:{i}")), 1, 8), 16, 10).cast("long")
-                    / F.lit(float(0xFFFFFFFF))
-                    * 2.0
-                    - 1.0
-                )
-                for i in range(dim)
-            ]
-        )
+    for p, row in enumerate(plane_weights(n_planes, dim, seed)):
+        w = F.array(*[F.lit(x) for x in row])
         bits.append(F.when(_dot(v, w) >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
     bucket = bits[0]
     for b in bits[1:]:
@@ -114,6 +117,7 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket histogram for the hyperplane LSH -- the candidate-generation
     stage of ANN at scale (join within buckets instead of O(n^2))."""
     e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
     emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
     return (
         emb.select(hyperplane_lsh_bucket(F.col("v")).alias("bucket"))

@@ -12,6 +12,11 @@ Spark's csv reader/writer covers the quoting dialect natively; the t/f and
 datetime renderings are applied as column expressions (vectorized, JVM-side)
 rather than the reference's per-row Python loop (query_poll_table.py:88-101)
 -- see SURVEY §2.9.
+
+Known deviation: the reference quotes every string value unconditionally
+(_csv_quote); Spark quotes minimally (only when the value needs it). Under
+PG COPY with FORCE_NULL the two encodings parse identically, so round-trip
+semantics are preserved.
 """
 
 from __future__ import annotations

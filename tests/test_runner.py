@@ -1,0 +1,135 @@
+"""End-to-end replication tests: snapshot load -> incremental sync cycles
+(§3.1/§3.2 flows) against a synthetic entity with CDC system columns
+(FIXTURES.md §1-2)."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgsf_spark.operators.table_store import TableStore
+from pgsf_spark.sources.entity import EntitySource
+from pgsf_spark.sync.runner import SyncRunner
+from pgsf_spark.sync.state import SyncState
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    snapshot = spark.createDataFrame(
+        [
+            ("c1", "alice", 10.0, T0, False),
+            ("c2", "bob", 20.0, T0, False),
+            ("c3", "carol", 30.0, T0, False),
+        ],
+        "Id string, name string, bal double, SystemModstamp timestamp, IsDeleted boolean",
+    )
+    snapshot.write.parquet(str(src_dir / "customer.parquet"))
+    source = EntitySource(spark, str(src_dir))
+    store = TableStore(spark, str(tmp_path / "store"))
+    state = SyncState(str(tmp_path / "sync.json"))
+    return spark, source, store, state, src_dir
+
+
+def write_source(spark, src_dir, rows):
+    df = spark.createDataFrame(
+        rows, "Id string, name string, bal double, SystemModstamp timestamp, IsDeleted boolean"
+    )
+    df.write.mode("overwrite").parquet(str(src_dir / "customer.parquet"))
+
+
+class TestSnapshotLoad:
+    def test_snapshot_seeds_watermark(self, env):
+        spark, source, store, state, _ = env
+        runner = SyncRunner(source, store, state)
+        n = runner.snapshot_load("customer")
+        assert n == 3
+        row = state.get("customer")
+        assert row is not None and row.status == "ready"
+        # watermark seeded from extract-start (C6), i.e. >= test start
+        assert row.syncuntil_dt() is not None
+
+    def test_replica_readable(self, env):
+        spark, source, store, state, _ = env
+        SyncRunner(source, store, state).snapshot_load("customer")
+        assert {r["Id"] for r in store.read("customer").collect()} == {"c1", "c2", "c3"}
+
+
+class TestIncrementalSync:
+    def test_full_cycle(self, env):
+        spark, source, store, state, src_dir = env
+        runner = SyncRunner(source, store, state)
+        runner.snapshot_load("customer")
+        # rewind watermark to T0 so the next poll picks up our changes
+        state.release("customer", syncuntil=T0, touch_refresh=False)
+
+        t1 = T0 + timedelta(hours=1)
+        write_source(
+            spark,
+            src_dir,
+            [
+                ("c1", "alice", 10.0, T0, False),  # unchanged (ts <= wm: not re-read)
+                ("c2", "bob2", 25.0, t1, False),  # update
+                ("c3", "carol", 30.0, t1, True),  # soft delete
+                ("c4", "dave", 40.0, t1, False),  # insert
+            ],
+        )
+        res = runner.sync_table("customer")
+        got = {r["Id"]: (r["name"], r["bal"]) for r in store.read("customer").collect()}
+        assert got == {"c1": ("alice", 10.0), "c2": ("bob2", 25.0), "c4": ("dave", 40.0)}
+        # watermark advanced to max(ts) of merged target (A1)
+        assert state.get("customer").syncuntil_dt() == t1
+        assert res["rows"] == 3
+
+    def test_strictly_greater_watermark(self, env):
+        # P4: rows with ts == watermark are NOT re-read
+        spark, source, store, state, src_dir = env
+        runner = SyncRunner(source, store, state)
+        runner.snapshot_load("customer")
+        state.release("customer", syncuntil=T0, touch_refresh=False)
+        write_source(spark, src_dir, [("c1", "CHANGED", 99.0, T0, False)])  # ts == wm
+        runner.sync_table("customer")
+        got = {r["Id"]: r["name"] for r in store.read("customer").collect()}
+        assert got["c1"] == "alice"  # boundary row skipped, faithful to reference
+
+    def test_resync_idempotent(self, env):
+        spark, source, store, state, src_dir = env
+        runner = SyncRunner(source, store, state)
+        runner.snapshot_load("customer")
+        state.release("customer", syncuntil=T0, touch_refresh=False)
+        t1 = T0 + timedelta(hours=1)
+        write_source(spark, src_dir, [("c2", "bob2", 25.0, t1, False)])
+        runner.sync_table("customer")
+        first = sorted(map(tuple, store.read("customer").collect()))
+        # rewind watermark and sync again -- same batch re-delivered (C3)
+        state.release("customer", syncuntil=T0, touch_refresh=False)
+        runner.sync_table("customer")
+        second = sorted(map(tuple, store.read("customer").collect()))
+        assert first == second
+
+    def test_failure_releases_claim(self, env, monkeypatch):
+        spark, source, store, state, src_dir = env
+        runner = SyncRunner(source, store, state)
+        runner.snapshot_load("customer")
+
+        def boom(*a, **k):
+            raise RuntimeError("extract failed")
+
+        monkeypatch.setattr(source, "incremental", boom)
+        with pytest.raises(RuntimeError):
+            runner.sync_table("customer")
+        assert state.get("customer").status == "ready"  # back to ready, wm unchanged
+
+    def test_store_versions_gc(self, env):
+        spark, source, store, state, src_dir = env
+        runner = SyncRunner(source, store, state)
+        runner.snapshot_load("customer")
+        for _ in range(3):
+            state.release("customer", syncuntil=T0, touch_refresh=False)
+            runner.sync_table("customer")
+        victims = store.vacuum("customer", keep=2)
+        assert len(victims) >= 1
+        assert store.read("customer").count() == 3  # current version intact

@@ -1,0 +1,111 @@
+"""Entity source + pgsf CSV dialect tests (S3/S4/S9, P1/P3/P6, F1/F2/F5)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgsf_spark.sources.csv_io import read_pgsf_csv, write_pgsf_csv
+from pgsf_spark.sources.entity import EntitySource
+
+from tests.conftest import SF_DIR
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def source(spark):
+    return EntitySource(spark, SF_DIR)
+
+
+class TestEntitySource:
+    def test_projection_pushdown(self, spark, source):
+        df = source.load("customer", fields=["c_custkey", "c_name"])
+        assert df.columns == ["c_custkey", "c_name"]
+        # column pruning must reach the parquet scan (SURVEY §4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReadSchema: struct<c_custkey:bigint,c_name:string>" in plan
+
+    def test_filter_pushdown(self, spark, source):
+        df = source.load("customer", where="c_custkey < 10")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(c_custkey), LessThan(c_custkey,10)]" in plan
+        assert df.count() == df.filter("c_custkey < 10").count()
+
+    def test_limit(self, source):
+        assert source.load("orders", limit=7).count() == 7
+
+    def test_count_only(self, source):
+        assert source.count("orders") == 1500
+
+    def test_include_deleted_soft_delete_filter(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [("a", False), ("b", True)], "Id string, IsDeleted boolean"
+        )
+        df.write.parquet(str(tmp_path / "t.parquet"))
+        src = EntitySource(spark, str(tmp_path))
+        assert src.load("t").count() == 1  # REST `query` hides deleted
+        assert src.load("t", include_deleted=True).count() == 2  # queryAll
+
+    def test_incremental_strictly_greater_second_truncation(self, spark, tmp_path):
+        # P4: watermark truncated to seconds; strictly >
+        rows = [
+            ("a", datetime(2024, 1, 1, 0, 0, 10)),
+            ("b", datetime(2024, 1, 1, 0, 0, 11)),
+        ]
+        spark.createDataFrame(rows, "Id string, SystemModstamp timestamp").write.parquet(
+            str(tmp_path / "t.parquet")
+        )
+        src = EntitySource(spark, str(tmp_path))
+        # watermark 00:00:10.900 -> truncates to 00:00:10 -> both the .10 row
+        # (==) excluded, the .11 row included
+        got = {r["Id"] for r in src.incremental("t", "SystemModstamp", datetime(2024, 1, 1, 0, 0, 10, 900000)).collect()}
+        assert got == {"b"}
+
+
+class TestCsvDialect:
+    def test_round_trip_fidelity(self, spark, tmp_path):
+        # FIXTURES.md §5: quotes, commas, newlines, t/f, NULL vs empty, NUL strip
+        df = spark.createDataFrame(
+            [
+                ("a", 'say "hi", ok', True, datetime(2019, 11, 18, 15, 28, 14), 1.5),
+                ("b", "line1\nline2", False, None, None),
+                ("c", "nul\x00byte", None, datetime(2024, 1, 1), 0.0),
+                ("d", None, True, datetime(2024, 6, 30, 23, 59, 59), -2.25),
+            ],
+            "Id string, txt string, flag boolean, ts timestamp, num double",
+        )
+        path = str(tmp_path / "out_csv")
+        write_pgsf_csv(df, path)
+        back = read_pgsf_csv(spark, path, df.schema)
+        got = {r["Id"]: r for r in back.collect()}
+        assert got["a"]["txt"] == 'say "hi", ok'
+        assert got["b"]["txt"] == "line1\nline2"
+        assert got["c"]["txt"] == "nulbyte"  # NUL stripped (F1)
+        assert got["d"]["txt"] is None  # empty == NULL (FORCE_NULL)
+        assert got["a"]["flag"] is True and got["b"]["flag"] is False and got["c"]["flag"] is None
+        assert got["a"]["ts"] == datetime(2019, 11, 18, 15, 28, 14)
+        assert got["b"]["ts"] is None
+        assert got["d"]["num"] == -2.25
+
+    def test_boolean_rendered_t_f(self, spark, tmp_path):
+        # the landed file must literally contain t/f (query_poll_table.py:46-47)
+        df = spark.createDataFrame([("a", True), ("b", False)], "Id string, flag boolean")
+        path = str(tmp_path / "bool_csv")
+        write_pgsf_csv(df, path)
+        import glob
+
+        # NB: Spark quotes minimally (RFC4180); under COPY+FORCE_NULL this is
+        # semantically identical to the reference's always-quoted strings.
+        text = "".join(open(f).read() for f in glob.glob(path + "/part-*")).replace("\r", "")
+        assert "a,t\n" in text and "b,f\n" in text
+
+    def test_datetime_rendered_ms_z(self, spark, tmp_path):
+        # 2019-11-18T15:28:14.000Z rendering (query_poll_table.py:44-45)
+        df = spark.createDataFrame([("a", datetime(2019, 11, 18, 15, 28, 14))], "Id string, ts timestamp")
+        path = str(tmp_path / "dt_csv")
+        write_pgsf_csv(df, path)
+        import glob
+
+        text = "".join(open(f).read() for f in glob.glob(path + "/part-*"))
+        assert "2019-11-18T15:28:14.000Z" in text
