@@ -1,0 +1,120 @@
+"""Structured Streaming incremental merge + windowed aggregation tests
+(C1/C2/C3/C5 semantics via availableNow catch-up triggers)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from pgsf_spark.operators.table_store import TableStore
+from pgsf_spark.streaming.incremental import start_incremental_merge, windowed_event_counts
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+T1 = datetime(2024, 1, 1, 1, 0, 0)
+
+SCHEMA = StructType(
+    [
+        StructField("Id", StringType()),
+        StructField("name", StringType()),
+        StructField("bal", DoubleType()),
+        StructField("SystemModstamp", TimestampType()),
+        StructField("IsDeleted", BooleanType()),
+    ]
+)
+
+
+class TestStreamingMerge:
+    def test_feed_merges_into_store(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "store"))
+        snapshot = spark.createDataFrame(
+            [("c1", "alice", 10.0, T0, False), ("c2", "bob", 20.0, T0, False)], SCHEMA
+        )
+        store.write(snapshot, "customer")
+
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        batch = spark.createDataFrame(
+            [("c2", "bob2", 25.0, T1, False), ("c1", "alice", 10.0, T1, True), ("c3", "carol", 30.0, T1, False)],
+            SCHEMA,
+        )
+        batch.coalesce(1).write.mode("append").parquet(str(feed))
+
+        q = start_incremental_merge(
+            spark, str(feed), SCHEMA, store, "customer", "Id", "SystemModstamp",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        got = {r["Id"]: (r["name"], r["bal"]) for r in store.read("customer").collect()}
+        assert got == {"c2": ("bob2", 25.0), "c3": ("carol", 30.0)}
+
+    def test_restart_processes_only_new_files(self, spark, tmp_path):
+        # checkpoint == watermark (C1): a restarted query must not re-apply
+        # already-consumed files, and must pick up new ones.
+        store = TableStore(spark, str(tmp_path / "store"))
+        store.write(spark.createDataFrame([("c1", "alice", 10.0, T0, False)], SCHEMA), "customer")
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+
+        spark.createDataFrame([("c2", "bob", 20.0, T1, False)], SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+        q = start_incremental_merge(
+            spark, str(feed), SCHEMA, store, "customer", "Id", "SystemModstamp", ckpt
+        )
+        q.awaitTermination(120)
+        assert store.read("customer").count() == 2
+
+        spark.createDataFrame([("c3", "carol", 30.0, T1, False)], SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+        q2 = start_incremental_merge(
+            spark, str(feed), SCHEMA, store, "customer", "Id", "SystemModstamp", ckpt
+        )
+        q2.awaitTermination(120)
+        got = {r["Id"] for r in store.read("customer").collect()}
+        assert got == {"c1", "c2", "c3"}
+
+
+class TestWindowedCounts:
+    def test_batch_equivalence(self, spark):
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 10), "click", 1.0),
+            (2, datetime(2024, 1, 1, 0, 50), "click", 2.0),
+            (3, datetime(2024, 1, 1, 1, 10), "view", 3.0),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+        out = {(r["window_start"], r["event_type"]): r["n"] for r in windowed_event_counts(df).collect()}
+        assert out == {("2024-01-01 00:00:00", "click"): 2, ("2024-01-01 01:00:00", "view"): 1}
+
+    def test_streaming_with_watermark(self, spark, tmp_path):
+        feed = tmp_path / "ev"
+        feed.mkdir()
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 10), "click", 1.0),
+            (2, datetime(2024, 1, 1, 0, 20), "click", 2.0),
+        ]
+        schema = "event_id long, ts timestamp, event_type string, value double"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(feed))
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(str(feed))
+        agg = windowed_event_counts(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("wincounts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["window_start"]: r["n"] for r in spark.sql("SELECT * FROM wincounts").collect()}
+        assert got == {"2024-01-01 00:00:00": 2}
