@@ -1,0 +1,179 @@
+"""Advanced relational + temporal operators (extended layer, SURVEY §7.6).
+
+Operators Spark has no single primitive for (as-of join) are composed from
+window functions -- the composition is the 100 TB plan (one shuffle on the
+key, no range-explosion). Each query keeps a DuckDB oracle in the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pgsf_spark.analytics.oracle_utils import dsum
+from pgsf_spark.tables import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def q_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the most recent click at-or-before it
+    by the same user.
+
+    Spark lacks ASOF JOIN; the scalable composition is a tagged union + a
+    running `last(click_ts, ignorenulls)` window: ONE shuffle on user_id,
+    no range cross-product. (A DuckDB ASOF JOIN is the oracle.)"""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    # clicks sort before purchases at identical ts => ts >= click_ts matches
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.when(F.col("event_type") == "click", 0).otherwise(1), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", TS_FMT).alias("purchase_ts"),
+            F.date_format("last_click_ts", TS_FMT).alias("click_ts"),
+            (F.col("ts").cast("timestamp").cast("long") - F.col("last_click_ts").cast("timestamp").cast("long")).alias(
+                "gap_sec"
+            ),
+        )
+    )
+
+
+def q_clicks_30min_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks in the 30 minutes before each purchase (same user).
+
+    Equi-join on user_id + range predicate -- the shuffle key is user_id, the
+    range filter rides the join; with AQE the skewed-user case splits."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+    j = p.join(
+        c,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("cts") < F.col("pts")),
+        "left",
+    )
+    return j.groupBy("purchase_id", F.col("pu").alias("user_id")).agg(
+        F.count("cts").alias("n_clicks_before")
+    )
+
+
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of order value per market segment (linear
+    interpolation -- same algorithm as DuckDB quantile_cont)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(pct.alias("p"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "c_mktsegment",
+            F.round(F.col("p")[0], 4).alias("p25"),
+            F.round(F.col("p")[1], 4).alias("p50"),
+            F.round(F.col("p")[2], 4).alias("p75"),
+            "n_orders",
+        )
+    )
+
+
+def q_cube_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (segment, nation): all four grouping combinations."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("c_mktsegment", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum(F.col("c_acctbal")).alias("total_bal"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (each order vs its customer's own average)
+    -- decorrelated into a window average, the scalable rewrite."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_exact = F.sum(F.col("o_totalprice").cast("decimal(27,4)")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    return (
+        o.withColumn("cust_avg", avg_exact)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+    )
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-20 (explode -> count -> top-k with
+    deterministic tie-break). The explode fan-out aggregates map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: LSH-bucket candidates for vec 0, exact cosine top-5
+    among them. At 100 TB the bucket equi-join replaces the O(n) scan of
+    brute force; here both sides derive from the same deterministic bucket
+    function so results are reproducible."""
+    from pgsf_spark.analytics.similarity import _dot, _to_double, hyperplane_lsh_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v")).withColumn(
+        "bucket", hyperplane_lsh_bucket(F.col("v"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    dot = _dot(F.col("v"), F.col("qv"))
+    norm = F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    return (
+        emb.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(dot / norm, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+def q_soql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ad-hoc SOQL surface (S3/P3) exposed as a gate query: the
+    translator parses the query and produces the DataFrame plan."""
+    from pgsf_spark.soql import run_soql
+
+    return run_soql(
+        lambda t: load_table(spark, sf_dir, t),
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_nationkey = 7",
+    )

@@ -18,7 +18,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pgsf_spark.analytics import cdc_demo, dedup, events, relational, similarity, text
+from pgsf_spark.analytics import advanced, cdc_demo, dedup, events, relational, similarity, text
 from pgsf_spark.analytics.oracle_utils import sql_davg, sql_dsum
 
 
@@ -79,7 +79,7 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM h
 """
 
 
-def _lsh_bucket_sql() -> str:
+def _bucket_expr_sql() -> str:
     # Same driver-side deterministic weights as similarity.plane_weights,
     # embedded as double literals (repr round-trips exactly in both engines).
     parts = []
@@ -87,7 +87,11 @@ def _lsh_bucket_sql() -> str:
         terms = [f"v[{i + 1}]*({x!r})" for i, x in enumerate(row)]
         dot = "(" + " + ".join(terms) + ")"
         parts.append(f"CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END")
-    bucket = " + ".join(parts)
+    return " + ".join(parts)
+
+
+def _lsh_bucket_sql() -> str:
+    bucket = _bucket_expr_sql()
     return f"""
 WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)
 SELECT bucket, COUNT(*) AS n FROM (SELECT ({bucket}) AS bucket FROM e) GROUP BY bucket
@@ -382,4 +386,67 @@ SELECT label, COUNT(*) AS n,
 FROM j GROUP BY label""",
     ),
     "lsh_buckets": QuerySpec(similarity.q_lsh_buckets, _lsh_bucket_sql()),
+    # -- advanced relational / temporal --------------------------------------
+    "asof_click_before_purchase": QuerySpec(
+        advanced.q_asof_click_before_purchase,
+        f"""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id,
+  strftime(p.ts, '{_TS_FMT_SQL}') AS purchase_ts,
+  strftime(c.ts, '{_TS_FMT_SQL}') AS click_ts,
+  CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS gap_sec
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    ),
+    "clicks_30min_before_purchase": QuerySpec(
+        advanced.q_clicks_30min_before_purchase,
+        """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click')
+SELECT purchase_id, user_id, COUNT(cts) AS n_clicks_before
+FROM p LEFT JOIN c ON user_id = cu AND cts >= pts - INTERVAL 30 MINUTE AND cts < pts
+GROUP BY purchase_id, user_id""",
+    ),
+    "order_value_percentiles": QuerySpec(
+        advanced.q_order_value_percentiles,
+        """SELECT c_mktsegment,
+  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment""",
+    ),
+    "cube_segment_nation": QuerySpec(
+        advanced.q_cube_segment_nation,
+        f"""SELECT COALESCE(c_mktsegment, 'ALL') AS segment, COALESCE(n_name, 'ALL') AS nation,
+  COUNT(*) AS n_customers, {sql_dsum('c_acctbal')} AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (c_mktsegment, n_name)""",
+    ),
+    "orders_above_customer_avg": QuerySpec(
+        advanced.q_orders_above_customer_avg,
+        """WITH w AS (SELECT o_custkey, o_totalprice,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+    / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders)
+SELECT o_custkey, COUNT(*) AS n_above_avg FROM w WHERE o_totalprice > cust_avg GROUP BY o_custkey""",
+    ),
+    "top_tokens": QuerySpec(
+        advanced.q_top_tokens,
+        """SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    ),
+    "ann_lsh_topk": QuerySpec(
+        advanced.q_ann_lsh_topk,
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({_bucket_expr_sql()}) AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id,
+  ROUND({_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+FROM b, q WHERE bucket = qbucket AND vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 5""",
+    ),
+    "soql_projection": QuerySpec(
+        advanced.q_soql_surface,
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_nationkey = 7",
+    ),
 }
