@@ -168,6 +168,29 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: customers ordering in both 1995 and 1996."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def year(y):
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01")) & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+        ).select(F.col("o_custkey").alias("c_custkey"))
+
+    return year(1995).intersect(year(1996))
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HyperLogLog++). No cross-engine oracle exists
+    for sketch internals -- registered as a rows-only check; the exact
+    companion column bounds the error for the reader."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
 def q_soql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ad-hoc SOQL surface (S3/P3) exposed as a gate query: the
     translator parses the query and produces the DataFrame plan."""

@@ -445,6 +445,17 @@ SELECT vec_id,
 FROM b, q WHERE bucket = qbucket AND vec_id <> 0
 ORDER BY cosine DESC, vec_id LIMIT 5""",
     ),
+    "repeat_customers": QuerySpec(
+        advanced.q_repeat_customers,
+        """SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""",
+    ),
+    # rows-only: HLL sketch values are engine-specific (driver records the
+    # weaker check by design)
+    "approx_distinct_users": QuerySpec(advanced.q_approx_distinct_users, None),
     "soql_projection": QuerySpec(
         advanced.q_soql_surface,
         "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_nationkey = 7",
