@@ -32,7 +32,22 @@ TABLES = (
 )
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Defensive runtime conf for sessions we didn't build (the round driver
+    creates its own): nanos parquet reading + UTC so TIMESTAMP_NTZ casts are
+    stable. Both are runtime-settable; ignore engines that refuse."""
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos since epoch -> naive microsecond timestamp (what DuckDB sees)
