@@ -168,6 +168,38 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: 5-row trailing moving average of event value per user
+    (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + lead/lag deltas."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-4, 0)
+    mov = F.sum(F.col("value").cast("decimal(27,6)")).over(frame).cast("double") / F.count(
+        F.lit(1)
+    ).over(frame)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(mov, 4).alias("moving_avg_5"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+def q_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over aggregate: each event type's share of total events
+    (two-level aggregation, no self-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return counts.select(
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("share"),
+        F.rank().over(Window.orderBy(F.col("n").desc(), F.col("event_type"))).alias("rnk"),
+    )
+
+
 def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set intersection: customers ordering in both 1995 and 1996."""
     o = load_table(spark, sf_dir, "orders")

@@ -445,6 +445,23 @@ SELECT vec_id,
 FROM b, q WHERE bucket = qbucket AND vec_id <> 0
 ORDER BY cosine DESC, vec_id LIMIT 5""",
     ),
+    "moving_avg_value": QuerySpec(
+        advanced.q_moving_avg_value,
+        """SELECT event_id, user_id,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w5 AS DOUBLE) / COUNT(*) OVER w5, 4) AS moving_avg_5,
+  ROUND(value - LAG(value) OVER w, 4) AS delta_prev,
+  LEAD(event_type) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w5 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    ),
+    "event_type_share": QuerySpec(
+        advanced.q_event_type_share,
+        """WITH counts AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+SELECT event_type, n, ROUND(n / SUM(n) OVER (), 6) AS share,
+  CAST(RANK() OVER (ORDER BY n DESC, event_type) AS INT) AS rnk
+FROM counts""",
+    ),
     "repeat_customers": QuerySpec(
         advanced.q_repeat_customers,
         """SELECT o_custkey AS c_custkey FROM orders

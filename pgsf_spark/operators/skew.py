@@ -1,0 +1,54 @@
+"""Skew mitigation: salted joins and salted aggregation.
+
+AQE's skew-join splitting handles sort-merge skew automatically
+(spark.sql.adaptive.skewJoin.enabled, on in session.py); these helpers cover
+the cases AQE can't: hot-key *broadcast-ineligible* joins and high-cardinality
+aggregations with a few monster keys.
+
+Pattern (standard): replicate the small side R times, salt the big side with
+hash(row) % R, join on (key, salt). The shuffle spreads each hot key over R
+partitions; correctness is unchanged because every big-side row still meets
+its full key group exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join big⋈small on a skewed key, salted into ``salt_buckets``.
+
+    ``small`` is exploded x salt_buckets (keep it genuinely small); ``big``
+    gets a deterministic per-row salt. Result columns = big ∪ small minus
+    the helper columns.
+    """
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    # deterministic salt: stable under retries (no rand() -- task retries
+    # must not re-shuffle rows into different buckets mid-query)
+    salted_big = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets)).cast("int")
+    )
+    out = salted_big.join(salted_small, on=[on, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
+    """Two-phase count for skewed group keys: partial count on (key, salt),
+    final sum on key. Map-side combine already does this for counts -- the
+    helper exists for plug-in use with agg functions that don't combine
+    (e.g. collect_list) and as the documented pattern."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)).cast("int")
+    )
+    partial = salted.groupBy(key, "__salt").agg(F.count(F.lit(1)).alias("__partial"))
+    return partial.groupBy(key).agg(F.sum("__partial").alias("n"))

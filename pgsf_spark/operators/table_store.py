@@ -45,7 +45,14 @@ class TableStore:
     def exists(self, table: str) -> bool:
         return self.current_version_path(table) is not None
 
-    def write(self, df: DataFrame, table: str, buckets: int | None = None, bucket_col: str | None = None) -> str:
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        buckets: int | None = None,
+        bucket_col: str | None = None,
+        manifest: dict | None = None,
+    ) -> str:
         """Write a new version and atomically flip the pointer.
 
         ``buckets``/``bucket_col``: repartition by the merge key before
@@ -59,6 +66,20 @@ class TableStore:
         if buckets and bucket_col:
             df = df.repartition(buckets, bucket_col)
         df.write.mode("overwrite").parquet(path)
+        # K5 job-artifact persistence (status.json/batches.json analogue,
+        # download.py:86-92): a manifest per published version for
+        # lineage/debugging.
+        with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+            json.dump(
+                {
+                    "table": table,
+                    "version": version,
+                    "written_at": time.time(),
+                    "schema": df.schema.jsonValue(),
+                    **(manifest or {}),
+                },
+                f,
+            )
         tmp_ptr = self._pointer(table) + ".tmp"
         with open(tmp_ptr, "w") as f:
             json.dump({"version_dir": version, "written_at": time.time()}, f)

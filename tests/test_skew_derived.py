@@ -1,0 +1,68 @@
+"""Salted-join skew mitigation + derived-column tests, plus hypothesis
+property tests for the upload chunker."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pgsf_spark.operators.derived import FormulaError, apply_derived
+from pgsf_spark.operators.skew import salted_count, salted_join
+from pgsf_spark.operators.upload import chunk_rows
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join(self, spark):
+        # 1 hot key (90% of rows) + long tail
+        big = spark.createDataFrame(
+            [(("hot" if i % 10 else f"k{i}"), i) for i in range(1000)], "k string, v int"
+        )
+        small = spark.createDataFrame([("hot", 1), ("k10", 2), ("k20", 3)], "k string, w int")
+        plain = big.join(small, "k").select("k", "v", "w")
+        salted = salted_join(big, small, "k").select("k", "v", "w")
+        assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    def test_left_join_preserved(self, spark):
+        big = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+        small = spark.createDataFrame([("a", 10)], "k string, w int")
+        out = {r["k"]: r["w"] for r in salted_join(big, small, "k", how="left").collect()}
+        assert out == {"a": 10, "b": None}
+
+    def test_salted_count_matches(self, spark):
+        df = spark.createDataFrame([(("hot" if i % 5 else f"k{i}"),) for i in range(500)], "k string")
+        plain = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+        salted = {r["k"]: r["n"] for r in salted_count(df, "k").collect()}
+        assert plain == salted
+
+
+class TestDerived:
+    def test_formula_columns(self, spark):
+        df = spark.createDataFrame([(10.0, 0.1)], "price double, disc double")
+        out = apply_derived(df, {"net": "price * (1 - disc)", "net2": "net * 2"}).first()
+        assert out["net"] == 9.0 and out["net2"] == 18.0  # chained formulas
+
+    def test_fails_loudly(self, spark):
+        df = spark.createDataFrame([(1,)], "a int")
+        with pytest.raises(FormulaError):
+            apply_derived(df, {"bad": "nonexistent_col + 1"})
+
+
+class TestChunkerProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n_rows=st.integers(0, 200),
+        max_records=st.integers(1, 50),
+        max_bytes=st.integers(50, 500),
+    )
+    def test_caps_and_completeness(self, n_rows, max_records, max_bytes):
+        rows = [{"Id": f"id{i}", "v": i} for i in range(n_rows)]
+        chunks = list(chunk_rows(rows, ["Id", "v"], max_bytes=max_bytes, max_records=max_records))
+        # completeness: every record lands exactly once, in order
+        data_lines = [ln for c in chunks for ln in c.splitlines()[1:]]
+        assert data_lines == [f"id{i},{i}" for i in range(n_rows)]
+        for c in chunks:
+            body = c.splitlines()[1:]
+            assert len(body) <= max_records
+            # byte cap holds unless a single record alone exceeds it
+            if len(body) > 1:
+                assert len(c.encode()) <= max_bytes + max(len(line) + 1 for line in body)
