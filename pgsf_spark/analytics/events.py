@@ -68,6 +68,22 @@ def q_event_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction with the engines' native JSON functions
+    (get_json_object here, json_extract_string in the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.round(F.sum("k") / F.count("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user activity profile: conditional aggregation (pivot-lite)."""
     ev = load_table(spark, sf_dir, "events")

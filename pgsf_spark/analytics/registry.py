@@ -247,6 +247,14 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
 SELECT CAST(FLOOR(k / 10) AS INT) AS bucket, COUNT(*) AS n, {sql_davg('value')} AS avg_value
 FROM e GROUP BY bucket""",
     ),
+    "json_props_stats": QuerySpec(
+        events.q_json_props_stats,
+        """WITH e AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+SELECT event_type, COUNT(k) AS n,
+  ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k,
+  MAX(k) AS max_k
+FROM e GROUP BY event_type""",
+    ),
     "user_activity": QuerySpec(
         events.q_user_activity,
         f"""SELECT user_id, COUNT(*) AS n_events,
