@@ -35,6 +35,24 @@ class SchemaError(ValueError):
     pass
 
 
+def merge_field_definitions(fields: list[dict[str, Any]], fielddefs: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    """J3/S2: enrich describe fields with FieldDefinition metadata by name
+    (the reference merges IsIndexed this way -- tabledesc.py:63-77).
+
+    Driver-side dict join: the field list is catalog metadata (hundreds of
+    rows), never data. Unknown names in fielddefs are ignored, matching the
+    reference's defensive merge."""
+    by_name = {d.get("QualifiedApiName", d.get("name")): d for d in fielddefs}
+    out = []
+    for f in fields:
+        fd = by_name.get(f["name"])
+        merged = dict(f)
+        if fd and "IsIndexed" in fd:
+            merged["IsIndexed"] = fd["IsIndexed"]
+        out.append(merged)
+    return out
+
+
 def generate_mapping_rows(fields: list[dict[str, Any]], minimal: bool = False) -> list[dict[str, str]]:
     """Generate default mapping rows from a describe field list.
 

@@ -78,6 +78,24 @@ class EntitySource:
         is answered from footer metadata."""
         return self.load(table, where=where, include_deleted=include_deleted).count()
 
+    def updated_ids(self, table: str, start, end, pk: str = "Id", ts_field: str = "SystemModstamp") -> DataFrame:
+        """S5: ids modified in a window (REST `updated/?start=&end=`,
+        simple_salesforce api.py:735-754). Window is [start, end] inclusive
+        like the endpoint; returns the id column only."""
+        df = self.load(table, include_deleted=True)
+        return df.filter((F.col(ts_field) >= F.lit(start)) & (F.col(ts_field) <= F.lit(end))).select(pk)
+
+    def deleted_ids(self, table: str, start, end, pk: str = "Id", ts_field: str = "SystemModstamp") -> DataFrame:
+        """S6: ids soft-deleted in a window (REST `deleted/?start=&end=`,
+        api.py:715-733). The reference itself uses IsDeleted+queryAll
+        instead; both surfaces are exposed."""
+        df = self.load(table, include_deleted=True)
+        return (
+            df.filter(F.coalesce(F.col("IsDeleted"), F.lit(False)))
+            .filter((F.col(ts_field) >= F.lit(start)) & (F.col(ts_field) <= F.lit(end)))
+            .select(pk)
+        )
+
     def incremental(
         self,
         table: str,

@@ -179,3 +179,19 @@ class TestTableDesc:
     def test_schema_order_follows_mapping(self):
         td = TableDesc("Customer", DESCRIBE_CUSTOMER)
         assert td.spark_schema().fieldNames()[: len(td.sync_fields)] == td.sync_fields
+
+
+class TestFieldDefinitionMerge:
+    def test_isindexed_merged_by_name(self):
+        # J3/S2 enrichment join (tabledesc.py:63-77)
+        from pgsf_spark.schema.mapping import merge_field_definitions
+
+        fields = [f("Email", "email"), f("Name", "string")]
+        fielddefs = [
+            {"QualifiedApiName": "Email", "IsIndexed": True},
+            {"QualifiedApiName": "Ghost__c", "IsIndexed": True},  # unknown: ignored
+        ]
+        merged = merge_field_definitions(fields, fielddefs)
+        by = {m["name"]: m for m in merged}
+        assert by["Email"]["IsIndexed"] is True
+        assert "IsIndexed" not in by["Name"]

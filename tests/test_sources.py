@@ -109,3 +109,23 @@ class TestCsvDialect:
 
         text = "".join(open(f).read() for f in glob.glob(path + "/part-*"))
         assert "2019-11-18T15:28:14.000Z" in text
+
+
+class TestCdcIdScans:
+    def test_updated_and_deleted_ids(self, spark, tmp_path):
+        from datetime import datetime
+
+        rows = [
+            ("a", datetime(2024, 1, 1), False),
+            ("b", datetime(2024, 1, 2), False),
+            ("c", datetime(2024, 1, 3), True),
+            ("d", datetime(2024, 1, 9), True),
+        ]
+        spark.createDataFrame(rows, "Id string, SystemModstamp timestamp, IsDeleted boolean").write.parquet(
+            str(tmp_path / "t.parquet")
+        )
+        src = EntitySource(spark, str(tmp_path))
+        upd = {r["Id"] for r in src.updated_ids("t", datetime(2024, 1, 2), datetime(2024, 1, 5)).collect()}
+        assert upd == {"b", "c"}  # window inclusive, deleted rows included
+        dele = {r["Id"] for r in src.deleted_ids("t", datetime(2024, 1, 1), datetime(2024, 1, 5)).collect()}
+        assert dele == {"c"}
