@@ -1,0 +1,66 @@
+"""Table profiling: per-column statistics in one pass (data-quality gate).
+
+One aggregate job computes null count / distinct count / min / max per
+column, then unpivots to a (column, stat...) long format. Single shuffle,
+no per-column scans -- the standard profiling shape at scale (distinct
+counts per column are exact here; swap in approx_count_distinct at 100 TB,
+noted below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsf_spark.tables import load_table
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column profile: n_null, n_distinct, min/max (as strings).
+
+    Exact distinct counts require one expand per column (Spark rewrites
+    multi-distinct via expand) -- fine to ~dozens of columns; at very wide
+    tables or 100 TB use approx_count_distinct instead (1 pass, no expand).
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    # unpivot driver-side column *names* only (metadata, not data)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__nulls").cast("long").alias("n_null"),
+            F.col(f"{c}__distinct").cast("long").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile(load_table(spark, sf_dir, "customer"))
+
+
+def q_name_min_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity operator: each supplier's nearest other supplier
+    name by Levenshtein distance (classic DP edit distance -- identical in
+    both engines). Self-join is bounded by the small dim table; for large
+    tables block by a prefix/LSH key first."""
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("ka"), F.col("s_name").alias("na"))
+    b = s.select(F.col("s_suppkey").alias("kb"), F.col("s_name").alias("nb"))
+    return (
+        a.join(b, F.col("ka") != F.col("kb"))
+        .select("ka", F.levenshtein("na", "nb").alias("d"))
+        .groupBy(F.col("ka").alias("s_suppkey"))
+        .agg(F.min("d").alias("min_edit_distance"))
+    )

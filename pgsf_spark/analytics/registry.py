@@ -18,7 +18,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pgsf_spark.analytics import advanced, cdc_demo, dedup, events, relational, similarity, text
+from pgsf_spark.analytics import advanced, cdc_demo, dedup, events, profiling, relational, similarity, text
 from pgsf_spark.analytics.oracle_utils import sql_davg, sql_dsum
 
 
@@ -481,6 +481,24 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP
     # rows-only: HLL sketch values are engine-specific (driver records the
     # weaker check by design)
     "approx_distinct_users": QuerySpec(advanced.q_approx_distinct_users, None),
+    "profile_customer": QuerySpec(
+        profiling.q_profile_customer,
+        "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS "column",
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  COUNT(DISTINCT {c}) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_value, CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM customer"""
+            for c in ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+        ),
+    ),
+    "name_min_edit_distance": QuerySpec(
+        profiling.q_name_min_edit_distance,
+        """WITH a AS (SELECT s_suppkey AS ka, s_name AS na FROM supplier),
+b AS (SELECT s_suppkey AS kb, s_name AS nb FROM supplier)
+SELECT ka AS s_suppkey, MIN(levenshtein(na, nb)) AS min_edit_distance
+FROM a JOIN b ON ka <> kb GROUP BY ka""",
+    ),
     "soql_projection": QuerySpec(
         advanced.q_soql_surface,
         "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_nationkey = 7",
