@@ -1,0 +1,86 @@
+"""CLI: the reference's command-line workflow, one subcommand each.
+
+  python -m pgsf_spark describe  <table>     (≡ ./tabledesc.py)
+  python -m pgsf_spark ddl       <table>     (≡ ./createtable.py --dry-run)
+  python -m pgsf_spark bulk-load <table>     (≡ query_bulk + download + csv_to_postgres)
+  python -m pgsf_spark sync      <table>     (≡ ./query_poll_table.py)
+  python -m pgsf_spark sync-due              (≡ the cron `sync` tick)
+  python -m pgsf_spark soql      "<query>"   (≡ ./query.py)
+  python -m pgsf_spark abort     <table>     (≡ ./abort_refresh.py)
+  python -m pgsf_spark recover               (≡ onreboot)
+  python -m pgsf_spark state                 (show the __sync table)
+
+Source/work dirs via --source-dir / --workdir (or PGSF_SPARK_SOURCE_DIR /
+PGSF_SPARK_WORKDIR).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="pgsf_spark")
+    p.add_argument("--source-dir", default=os.environ.get("PGSF_SPARK_SOURCE_DIR", "."))
+    p.add_argument("--workdir", default=os.environ.get("PGSF_SPARK_WORKDIR", "./pgsf_work"))
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("describe", "ddl", "bulk-load", "sync", "abort"):
+        sp = sub.add_parser(name)
+        sp.add_argument("table")
+    sq = sub.add_parser("soql")
+    sq.add_argument("query")
+    sq.add_argument("--include-deleted", action="store_true")
+    sq.add_argument("--count", action="store_true")
+    sub.add_parser("sync-due")
+    sub.add_parser("recover")
+    sub.add_parser("state")
+    args = p.parse_args(argv)
+
+    from pgsf_spark.engine import Engine
+    from pgsf_spark.session import get_spark
+
+    spark = get_spark("pgsf_spark_cli")
+    eng = Engine(spark, args.source_dir, args.workdir)
+
+    if args.cmd == "describe":
+        td = eng.describe_table(args.table)
+        from pgsf_spark.schema.mapping import write_mapping_csv
+
+        print(write_mapping_csv(td.mapping), end="")
+    elif args.cmd == "ddl":
+        for stmt in eng.create_table_sql(args.table):
+            print(stmt + ";")
+    elif args.cmd == "bulk-load":
+        n = eng.bulk_load(args.table)
+        print(json.dumps({"table": args.table, "rows": n, "status": "loaded"}))
+    elif args.cmd == "sync":
+        print(json.dumps(eng.sync(args.table)))
+    elif args.cmd == "sync-due":
+        print(json.dumps(eng.sync_due()))
+    elif args.cmd == "soql":
+        out = eng.soql(args.query, include_deleted=args.include_deleted)
+        if isinstance(out, int):
+            print(out)
+        else:
+            # one JSON object per row, like ./query.py (query.py:96-97)
+            for row in out.toLocalIterator():
+                print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "abort":
+        eng.abort(args.table)
+        print(json.dumps({"table": args.table, "status": "error"}))
+    elif args.cmd == "recover":
+        print(json.dumps({"recovered": eng.recover()}))
+    elif args.cmd == "state":
+        from dataclasses import asdict
+
+        for row in eng.state.all():
+            print(json.dumps(asdict(row)))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

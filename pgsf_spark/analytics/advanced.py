@@ -223,6 +223,27 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/K2 dialect fidelity as a gate query: write customer through the
+    pgsf CSV dialect, read it back, aggregate -- the oracle aggregates the
+    parquet directly, so any lossy rendering (NULLs, quoting, numerics)
+    breaks the hash."""
+    import os
+
+    from pgsf_spark.sources.csv_io import read_pgsf_csv, write_pgsf_csv
+
+    c = load_table(spark, sf_dir, "customer")
+    path = f"/tmp/pgsf_csv_gate_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_pgsf_csv(c, path)
+    back = read_pgsf_csv(spark, path, c.schema)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("c_acctbal")).alias("total_bal"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+        F.min("c_name").alias("first_name"),
+    )
+
+
 def q_soql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ad-hoc SOQL surface (S3/P3) exposed as a gate query: the
     translator parses the query and produces the DataFrame plan."""

@@ -481,6 +481,28 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP
     # rows-only: HLL sketch values are engine-specific (driver records the
     # weaker check by design)
     "approx_distinct_users": QuerySpec(advanced.q_approx_distinct_users, None),
+    "pii_scan": QuerySpec(
+        text.q_pii_scan,
+        f"""SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN regexp_matches(text, '{text.PII_PATTERNS["email"]}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+  CAST(SUM(CASE WHEN regexp_matches(text, '{text.PII_PATTERNS["phone"]}') THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+  CAST(SUM(CASE WHEN regexp_matches(text, '{text.PII_PATTERNS["ssn_like"]}') THEN 1 ELSE 0 END) AS BIGINT) AS n_ssn_like
+FROM documents GROUP BY source""",
+    ),
+    "doc_chunks": QuerySpec(
+        text.q_doc_chunks,
+        """WITH t AS (SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n FROM documents),
+s AS (SELECT doc_id, n, unnest(range(0, n, 48)) AS start FROM t)
+SELECT doc_id, CAST(start // 48 AS INT) AS chunk_idx,
+  CAST(LEAST(64, n - start) AS INT) AS chunk_tokens
+FROM s""",
+    ),
+    "csv_roundtrip": QuerySpec(
+        advanced.q_csv_roundtrip,
+        f"""SELECT COUNT(*) AS n, {sql_dsum('c_acctbal')} AS total_bal,
+  COUNT(DISTINCT c_mktsegment) AS n_segments, MIN(c_name) AS first_name
+FROM customer""",
+    ),
     "profile_customer": QuerySpec(
         profiling.q_profile_customer,
         "\nUNION ALL\n".join(

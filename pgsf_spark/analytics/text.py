@@ -95,6 +95,63 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "ssn_like": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pre-filter for corpus cleaning: per-source counts of documents
+    matching email/phone/SSN-shaped patterns. Pure regexp projections --
+    scan-parallel, no shuffle except the final small agg."""
+    d = load_table(spark, sf_dir, "documents")
+    flags = [
+        (F.col("text").rlike(pat)).cast("int").alias(f"has_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return (
+        d.select("source", *flags)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.sum(f"has_{name}").alias(f"n_{name}") for name in PII_PATTERNS],
+        )
+    )
+
+
+def scrub_pii(col, replacement: str = "[REDACTED]"):
+    """Redaction transform (the apply side of q_pii_scan)."""
+    out = col
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking for training: 64-token chunks, stride 48
+    (16-token overlap). Emits (doc_id, chunk_idx, chunk_tokens) -- the chunk
+    layout, not the text, to keep the oracle compact.
+
+    posexplode over a computed index range: fan-out is columnar, no UDF;
+    at 100 TB this is the map-side of the tokenize->chunk->shuffle-by-chunk
+    pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # chunk starts: 0, 48, 96, ... while start < n
+    starts = F.sequence(F.lit(0), F.greatest(F.col("n") - 1, F.lit(0)), F.lit(48))
+    return (
+        d.select("doc_id", F.size(toks).alias("n"))
+        .select("doc_id", "n", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.least(F.lit(64), F.col("n") - F.col("start")).alias("chunk_tokens"),
+        )
+    )
+
+
 def q_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("source", "lang").agg(

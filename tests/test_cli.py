@@ -1,0 +1,49 @@
+"""CLI workflow test: drives python -m pgsf_spark main() end-to-end
+(describe -> ddl -> bulk-load -> sync -> soql -> state)."""
+
+from datetime import datetime
+
+import pytest
+
+
+@pytest.fixture()
+def cli_env(spark, tmp_path, monkeypatch, capsys):
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("c1", "alice", 10.0, datetime(2024, 1, 1), False)],
+        "Id string, name string, bal double, SystemModstamp timestamp, IsDeleted boolean",
+    ).write.parquet(str(src / "customer.parquet"))
+
+    # reuse the test session instead of letting the CLI build local[32]
+    import pgsf_spark.session as sess
+
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    def run(*argv):
+        from pgsf_spark.__main__ import main
+
+        rc = main(["--source-dir", str(src), "--workdir", str(tmp_path / "work"), *argv])
+        out = capsys.readouterr().out
+        return rc, out
+
+    return run
+
+
+class TestCli:
+    def test_full_workflow(self, cli_env):
+        run = cli_env
+        rc, out = run("describe", "customer")
+        assert rc == 0 and out.startswith('"FieldName","Import","Indexed","Note"')
+        rc, out = run("ddl", "customer")
+        assert "CREATE TABLE" in out
+        rc, out = run("bulk-load", "customer")
+        assert '"rows": 1' in out
+        rc, out = run("soql", "SELECT name FROM customer")
+        assert '"name": "alice"' in out
+        rc, out = run("state")
+        assert '"status": "ready"' in out
+        rc, out = run("abort", "customer")
+        rc, out = run("recover")
+        assert out.strip().endswith("[]}")  # error-status rows stay paused (only running recovers)
