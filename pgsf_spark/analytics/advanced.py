@@ -223,6 +223,29 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_keys_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: each customer's order keys as a sorted array
+    (collect_list is unordered by contract -- sort_array makes it
+    deterministic and oracle-comparable)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey") < 50)
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value (bucket = floor(v / 50k)) --
+    the width_bucket pattern with map-side combine."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9/K2 dialect fidelity as a gate query: write customer through the
     pgsf CSV dialect, read it back, aggregate -- the oracle aggregates the

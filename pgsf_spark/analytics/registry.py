@@ -481,6 +481,16 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP
     # rows-only: HLL sketch values are engine-specific (driver records the
     # weaker check by design)
     "approx_distinct_users": QuerySpec(advanced.q_approx_distinct_users, None),
+    "order_keys_per_customer": QuerySpec(
+        advanced.q_order_keys_per_customer,
+        """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys, COUNT(*) AS n
+FROM orders WHERE o_custkey < 50 GROUP BY o_custkey""",
+    ),
+    "price_histogram": QuerySpec(
+        advanced.q_price_histogram,
+        """SELECT CAST(FLOOR(o_totalprice / 50000) AS INT) AS bucket, COUNT(*) AS n
+FROM orders GROUP BY bucket""",
+    ),
     "pii_scan": QuerySpec(
         text.q_pii_scan,
         f"""SELECT source, COUNT(*) AS n_docs,
