@@ -50,6 +50,28 @@ def q_profile_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(load_table(spark, sf_dir, "customer"))
 
 
+def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation computed from exact decimal moments.
+
+    Built-in corr() accumulates doubles (order-dependent, engine-divergent);
+    assembling it from decimal Σx, Σy, Σxy, Σx², Σy² keeps the result
+    bit-identical across engines and cluster sizes -- the same trick
+    oracle_utils uses for sums, applied to second moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def s(col_expr, dec="decimal(38,6)"):
+        return F.sum(col_expr.cast(dec)).cast("double")
+
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count(F.lit(1)).cast("double")
+    num = n * s(x * y) - s(x) * s(y)
+    den = F.sqrt(n * s(x * x) - s(x) * s(x)) * F.sqrt(n * s(y * y) - s(y) * s(y))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(num / den, 6).alias("corr_qty_price"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_name_min_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-similarity operator: each supplier's nearest other supplier
     name by Levenshtein distance (classic DP edit distance -- identical in

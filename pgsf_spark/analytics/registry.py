@@ -524,6 +524,18 @@ FROM customer"""
             for c in ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
         ),
     ),
+    "price_quantity_corr": QuerySpec(
+        profiling.q_price_quantity_corr,
+        """SELECT l_returnflag,
+  ROUND((COUNT(*)::DOUBLE * CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+       - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE))
+    / (sqrt(COUNT(*)::DOUBLE * CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE))
+     * sqrt(COUNT(*)::DOUBLE * CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+          - CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE))), 6) AS corr_qty_price,
+  COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag""",
+    ),
     "name_min_edit_distance": QuerySpec(
         profiling.q_name_min_edit_distance,
         """WITH a AS (SELECT s_suppkey AS ka, s_name AS na FROM supplier),

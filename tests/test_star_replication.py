@@ -56,3 +56,13 @@ class TestStarReplication:
     def test_all_states_ready(self, star_engine):
         for t in STAR_KEYS:
             assert star_engine.state.get(t).status == "ready"
+
+    def test_concurrent_scheduler_tick_syncs_all(self, star_engine):
+        # the cron tick fans out one sync per due table concurrently
+        # (sync:14-20); all seven star tables sync in one tick
+        for t in STAR_KEYS:
+            star_engine.state.release(t, "ready", touch_refresh=False)
+        results = star_engine.sync_due(max_workers=4)
+        assert {r["table"] for r in results} == set(STAR_KEYS)
+        for t in STAR_KEYS:
+            assert star_engine.state.get(t).status == "ready"
