@@ -51,6 +51,7 @@ class TableStore:
         table: str,
         buckets: int | None = None,
         bucket_col: str | None = None,
+        partition_by: list[str] | None = None,
         manifest: dict | None = None,
     ) -> str:
         """Write a new version and atomically flip the pointer.
@@ -65,7 +66,13 @@ class TableStore:
         path = os.path.join(tdir, version)
         if buckets and bucket_col:
             df = df.repartition(buckets, bucket_col)
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            # hive-style directory partitioning: filters on these columns
+            # prune whole directories at plan time (the 100 TB must-have for
+            # time-partitioned event/fact tables)
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         # K5 job-artifact persistence (status.json/batches.json analogue,
         # download.py:86-92): a manifest per published version for
         # lineage/debugging.

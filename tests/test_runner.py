@@ -133,3 +133,33 @@ class TestIncrementalSync:
         victims = store.vacuum("customer", keep=2)
         assert len(victims) >= 1
         assert store.read("customer").count() == 3  # current version intact
+
+
+class TestPartitionedStore:
+    def test_partition_pruning(self, spark, tmp_store):
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        rows = [(i, datetime(2024, 1, 1 + i % 3), float(i)) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, d timestamp, v double").withColumn(
+            "day", F.date_format("d", "yyyy-MM-dd")
+        )
+        tmp_store.write(df, "events_p", partition_by=["day"])
+        got = tmp_store.read("events_p").filter(F.col("day") == "2024-01-02")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # the day filter must prune directories, not scan-and-filter
+        assert "PartitionFilters: [isnotnull(day" in plan
+        assert got.count() == 100
+
+    def test_partitioned_roundtrip_schema(self, spark, tmp_store):
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(1, datetime(2024, 1, 1), 1.0)], "id long, d timestamp, v double"
+        ).withColumn("day", F.date_format("d", "yyyy-MM-dd"))
+        tmp_store.write(df, "t_p", partition_by=["day"])
+        back = tmp_store.read("t_p")
+        assert set(back.columns) == {"id", "d", "v", "day"}

@@ -118,3 +118,31 @@ class TestWindowedCounts:
         q.awaitTermination(120)
         got = {r["window_start"]: r["n"] for r in spark.sql("SELECT * FROM wincounts").collect()}
         assert got == {"2024-01-01 00:00:00": 2}
+
+
+class TestStreamingDedup:
+    def test_drop_duplicates_with_watermark(self, spark, tmp_path):
+        # re-delivered event ids within the watermark window are dropped
+        from datetime import datetime
+
+        feed = tmp_path / "dupfeed"
+        feed.mkdir()
+        schema = "event_id long, ts timestamp, value double"
+        rows = [
+            (1, datetime(2024, 1, 1, 0, 0), 1.0),
+            (1, datetime(2024, 1, 1, 0, 0), 1.0),  # duplicate delivery
+            (2, datetime(2024, 1, 1, 0, 5), 2.0),
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(feed))
+        stream = spark.readStream.schema(spark.createDataFrame([], schema).schema).parquet(str(feed))
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect())
+        assert got == [1, 2]
