@@ -77,10 +77,6 @@ class Engine:
         """Infer a describe-shaped field list from the physical source schema
         (the parquet analogue of the REST describe call)."""
         df = self.source.load(table, include_deleted=True)
-        type_map = {
-            "string": "string",
-            "bigint": "string",  # surrogate ids arrive as longs; keep faithful below
-        }
         out = []
         for f in df.schema.fields:
             t = f.dataType.simpleString()
@@ -98,7 +94,6 @@ class Engine:
             if sf_type is None:
                 sf_type = "anyType"
             out.append({"name": f.name, "type": sf_type, "nillable": f.nullable})
-        _ = type_map
         return out
 
     def set_mapping(self, table: str, mapping_rows: list[dict]) -> None:

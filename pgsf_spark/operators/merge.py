@@ -60,17 +60,27 @@ def merge_upsert(
     TableStore). Soft-delete is conditional on the IsDeleted column being
     part of the sync set (query_poll_table.py:139-145): without it, rows are
     only ever upserted.
+
+    Within-batch semantics match the reference exactly: the upsert pass
+    applies non-deleted rows in order (last occurrence wins), then the
+    delete pass removes EVERY key that has any IsDeleted row in the batch
+    (`DELETE ... WHERE pk IN (SELECT pk FROM tmp WHERE IsDeleted)`,
+    query_poll_table.py:139-152) -- so a delete wins over a same-batch
+    update regardless of row order.
     """
     target_cols = target.columns
-    latest = latest_per_key(changes, pk, ts_field, order_col=order_col)
+    if isdeleted_col and isdeleted_col in changes.columns:
+        dead = F.coalesce(F.col(isdeleted_col), F.lit(False))
+        alive = changes.filter(~dead)
+        dead_keys = changes.filter(dead).select(pk).distinct()
+        latest = latest_per_key(alive, pk, ts_field, order_col=order_col)
+        incoming = latest.join(dead_keys, on=pk, how="left_anti").select(*target_cols)
+        change_keys = changes.select(pk).distinct()
+    else:
+        latest = latest_per_key(changes, pk, ts_field, order_col=order_col)
+        incoming = latest.select(*target_cols)
+        change_keys = latest.select(pk)
 
     # Every changed key leaves the old target version (update or delete).
-    change_keys = latest.select(pk)
     kept = target.join(change_keys, on=pk, how="left_anti")
-
-    if isdeleted_col and isdeleted_col in latest.columns:
-        incoming = latest.filter(~F.coalesce(F.col(isdeleted_col), F.lit(False)))
-    else:
-        incoming = latest
-    incoming = incoming.select(*target_cols)
     return kept.unionByName(incoming)
