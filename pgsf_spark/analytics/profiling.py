@@ -72,6 +72,24 @@ def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev from exact decimal moments (same rationale as the
+    correlation query: built-in stddev accumulates doubles and diverges
+    across engines/partitionings)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def s(col_expr):
+        return F.sum(col_expr.cast("decimal(38,6)")).cast("double")
+
+    x = F.col("o_totalprice")
+    n = F.count(F.lit(1)).cast("double")
+    var = (s(x * x) - s(x) * s(x) / n) / (n - 1)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.round(F.sqrt(var), 4).alias("stddev_price"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_name_min_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-similarity operator: each supplier's nearest other supplier
     name by Levenshtein distance (classic DP edit distance -- identical in

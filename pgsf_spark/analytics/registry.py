@@ -320,6 +320,15 @@ FROM s GROUP BY lang, lang_guess""",
         """WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM documents)
 SELECT doc_id, md5(norm) AS fingerprint, substr(md5(norm), 1, 2) AS shard FROM t""",
     ),
+    "token_stats_pandas": QuerySpec(
+        text.q_token_stats_pandas,
+        # identical oracle to token_stats: the pandas path must agree exactly
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+  ROUND(len(list_distinct(toks)) / len(toks), 4) AS distinct_ratio
+FROM t""",
+    ),
     "docs_by_source": QuerySpec(
         text.q_docs_by_source,
         """SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -523,6 +532,16 @@ FROM customer""",
 FROM customer"""
             for c in ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
         ),
+    ),
+    "value_stddev": QuerySpec(
+        profiling.q_value_stddev,
+        """SELECT o_orderstatus,
+  ROUND(sqrt((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+            - CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+              * CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)::DOUBLE)
+           / (COUNT(*)::DOUBLE - 1)), 4) AS stddev_price,
+  COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus""",
     ),
     "price_quantity_corr": QuerySpec(
         profiling.q_price_quantity_corr,

@@ -9,6 +9,8 @@ here is embarrassingly parallel (no shuffle except final aggregates).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf string type hints resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -149,6 +151,33 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_idx",
             F.least(F.lit(64), F.col("n") - F.col("start")).alias("chunk_tokens"),
         )
+    )
+
+
+def q_token_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_token_stats re-implemented on the Pandas-UDF path (Arrow batches).
+
+    Exists to prove the engine's Python escape hatch produces results
+    identical to the JVM expressions -- same oracle as token_stats. Use the
+    JVM version in production; this is the pattern for logic Spark
+    expressions genuinely can't say."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.strip().str.split(r"\s+").str.len().astype("int32")
+
+    @pandas_udf("int")
+    def n_distinct_tokens(texts: pd.Series) -> pd.Series:
+        return texts.str.strip().str.split(r"\s+").map(lambda t: len(set(t))).astype("int32")
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    return d.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens"),
+        n_distinct_tokens("text").alias("n_distinct_tokens"),
+        F.round(n_distinct_tokens("text") / n_tokens("text"), 4).alias("distinct_ratio"),
     )
 
 
