@@ -490,6 +490,12 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP
     # rows-only: HLL sketch values are engine-specific (driver records the
     # weaker check by design)
     "approx_distinct_users": QuerySpec(advanced.q_approx_distinct_users, None),
+    "grouping_sets_status_priority": QuerySpec(
+        advanced.q_grouping_sets,
+        """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+  COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    ),
     "order_keys_per_customer": QuerySpec(
         advanced.q_order_keys_per_customer,
         """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys, COUNT(*) AS n

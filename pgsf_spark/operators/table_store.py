@@ -99,6 +99,17 @@ class TableStore:
             raise FileNotFoundError(f"table {table!r} has no published version under {self.root}")
         return self.spark.read.parquet(path)
 
+    def compact(self, table: str, target_partitions: int | None = None) -> str:
+        """Rewrite the current version into fewer, larger files.
+
+        Frequent small merges accumulate small part-files (the classic
+        100 TB operational problem); compaction is just publishing a new
+        coalesced version through the same atomic pointer flip -- readers
+        never see a partial state. Returns the new version path."""
+        df = self.read(table)
+        n = target_partitions or max(1, df.rdd.getNumPartitions() // 8)
+        return self.write(df.coalesce(n), table, manifest={"compacted": True})
+
     def vacuum(self, table: str, keep: int = 2) -> list[str]:
         """Drop all but the newest ``keep`` versions (job GC, C7)."""
         tdir = self._tdir(table)

@@ -1,0 +1,49 @@
+"""Plan-regression suite: the physical plans of the gate queries must keep
+the properties PERF.md documents -- no cartesian products anywhere, joins on
+small dims broadcast, filters/projections pushed to the scans.
+
+These tests only PLAN (executedPlan on sf0.001), so the whole sweep is
+cheap; a future change that silently degrades a plan fails here, not in the
+benchmark."""
+
+import pytest
+
+from pgsf_spark.analytics.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# cosine_topk intentionally crossJoins a broadcast 1-row query vector --
+# that's a BroadcastNestedLoopJoin, not a data-sized cartesian product.
+CARTESIAN_OK = {"cosine_topk", "ann_lsh_topk"}
+
+
+def plan_of(spark, name):
+    df = QUERIES[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestNoCartesian:
+    @pytest.mark.parametrize("name", sorted(n for n in QUERIES if n not in CARTESIAN_OK))
+    def test_no_cartesian_product(self, spark, name):
+        assert "CartesianProduct" not in plan_of(spark, name)
+
+
+class TestKeyPlans:
+    def test_star_joins_broadcast(self, spark):
+        plan = plan_of(spark, "revenue_by_nation")
+        assert plan.count("BroadcastHashJoin") >= 1
+        assert "SortMergeJoin" not in plan or plan.count("Exchange hashpartitioning") <= 3
+
+    def test_q6_scan_only(self, spark):
+        plan = plan_of(spark, "forecast_revenue")
+        assert "Exchange hashpartitioning" not in plan  # partial agg only
+        assert "PushedFilters" in plan
+
+    def test_pricing_summary_pushdown(self, spark):
+        plan = plan_of(spark, "pricing_summary")
+        assert "LessThanOrEqual(l_shipdate" in plan  # predicate at the scan
+        assert "l_orderkey" not in plan.split("ReadSchema")[1][:200]  # pruned
+
+    def test_merge_anti_join_broadcast(self, spark):
+        plan = plan_of(spark, "merge_upsert_customer")
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -163,3 +163,18 @@ class TestPartitionedStore:
         tmp_store.write(df, "t_p", partition_by=["day"])
         back = tmp_store.read("t_p")
         assert set(back.columns) == {"id", "d", "v", "day"}
+
+
+class TestCompaction:
+    def test_compact_preserves_data(self, spark, tmp_store):
+        df = spark.createDataFrame([(i, float(i)) for i in range(100)], "id long, v double").repartition(16)
+        tmp_store.write(df, "frag")
+        import glob
+        import os
+
+        before = len(glob.glob(os.path.join(tmp_store.current_version_path("frag"), "part-*")))
+        tmp_store.compact("frag", target_partitions=2)
+        after_path = tmp_store.current_version_path("frag")
+        after = len(glob.glob(os.path.join(after_path, "part-*")))
+        assert after < before and after <= 2
+        assert tmp_store.read("frag").count() == 100
