@@ -188,6 +188,33 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
         f"""SELECT n_name, {sql_davg('c_acctbal')} AS avg_bal, COUNT(*) AS n_customers
 FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""",
     ),
+    "nation_trade_volume": QuerySpec(
+        relational.q_nation_trade_volume,
+        f"""SELECT cust_nation, supp_nation, CAST(ship_year AS INT) AS ship_year,
+  {sql_dsum('volume_raw')} AS volume
+FROM (
+  SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+         year(l_shipdate) AS ship_year,
+         l_extendedprice * (1 - l_discount) AS volume_raw
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE n1.n_name <> n2.n_name
+    AND n1.n_name IN ('NATION_1', 'NATION_2') AND n2.n_name IN ('NATION_1', 'NATION_2'))
+GROUP BY cust_nation, supp_nation, ship_year""",
+    ),
+    "profit_by_nation_year": QuerySpec(
+        relational.q_profit_by_nation_year,
+        f"""SELECT n_name, CAST(year(l_shipdate) AS INT) AS ship_year,
+  {sql_dsum('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1')} AS profit,
+  COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type IN ('PROMO', 'ECONOMY')
+GROUP BY n_name, ship_year""",
+    ),
     "part_type_shares": QuerySpec(
         relational.q_part_type_shares,
         f"""SELECT p_type, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue, COUNT(*) AS n

@@ -199,6 +199,51 @@ def q_avg_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between customer-nation and
+    supplier-nation pairs by ship year. Two independent broadcast joins to
+    the 25-row nation dim under different aliases; lineitem still shuffles
+    at most once (for the final agg)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("ck"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("sk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2") & F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+    )
+
+
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit proxy (revenue minus a part-cost term) by
+    supplier nation and year, filtered to one part type family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col("p_retailprice") * F.col(
+        "l_quantity"
+    ) * 0.1
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .filter(F.col("p_type").isin("PROMO", "ECONOMY"))
+        .groupBy("n_name", F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(dsum(amount).alias("profit"), F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_part_type_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join lineitem->part, revenue share of 'PROMO'-like types (Q14 shape)."""
     li = load_table(spark, sf_dir, "lineitem")

@@ -93,11 +93,52 @@ class TableStore:
         os.replace(tmp_ptr, self._pointer(table))  # atomic on POSIX
         return path
 
-    def read(self, table: str) -> DataFrame:
+    def versions(self, table: str) -> list[str]:
+        """Published version directories, oldest first (time travel index)."""
+        tdir = self._tdir(table)
+        if not os.path.isdir(tdir):
+            return []
+        return sorted(d for d in os.listdir(tdir) if d.startswith("v") and os.path.isdir(os.path.join(tdir, d)))
+
+    def read(self, table: str, version: str | None = None) -> DataFrame:
+        """Read the current version, or any retained one (time travel --
+        what Delta's VERSION AS OF does, backed by the version directories
+        that vacuum() retains)."""
+        if version is not None:
+            path = os.path.join(self._tdir(table), version)
+            if not os.path.isdir(path):
+                raise FileNotFoundError(f"{table}@{version} not found (vacuumed?)")
+            return self.spark.read.parquet(path)
         path = self.current_version_path(table)
         if path is None:
             raise FileNotFoundError(f"table {table!r} has no published version under {self.root}")
         return self.spark.read.parquet(path)
+
+    def table_changes(self, table: str, from_version: str, to_version: str, pk: str) -> DataFrame:
+        """Change feed between two retained versions (Delta CDF analogue;
+        the outbound face of the S5/S6 id feeds).
+
+        Full outer join on pk; rows tagged insert/update/delete. One shuffle
+        on pk (or none, if both versions were written bucketed)."""
+        from pyspark.sql import functions as F
+
+        old = self.read(table, from_version)
+        new = self.read(table, to_version)
+        cols = [c for c in new.columns if c != pk]
+        o = old.select(pk, F.lit(True).alias("__in_old"), *[F.col(c).alias(f"__old_{c}") for c in cols])
+        n = new.select(pk, F.lit(True).alias("__in_new"), *cols)
+        j = o.join(n, on=pk, how="full_outer")
+        row_changed = F.lit(False)
+        for c in cols:
+            row_changed = row_changed | ~F.col(c).eqNullSafe(F.col(f"__old_{c}"))
+        tagged = j.withColumn(
+            "_change_type",
+            F.when(F.col("__in_old").isNull(), F.lit("insert"))
+            .when(F.col("__in_new").isNull(), F.lit("delete"))
+            .when(row_changed, F.lit("update"))
+            .otherwise(F.lit(None)),
+        ).filter(F.col("_change_type").isNotNull())
+        return tagged.select(pk, "_change_type", *cols)
 
     def compact(self, table: str, target_partitions: int | None = None) -> str:
         """Rewrite the current version into fewer, larger files.

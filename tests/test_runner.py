@@ -178,3 +178,23 @@ class TestCompaction:
         after = len(glob.glob(os.path.join(after_path, "part-*")))
         assert after < before and after <= 2
         assert tmp_store.read("frag").count() == 100
+
+
+class TestTimeTravelAndChanges:
+    def test_time_travel_reads_old_version(self, spark, tmp_store):
+        v1 = spark.createDataFrame([(1, "a")], "id long, s string")
+        tmp_store.write(v1, "tt")
+        ver1 = tmp_store.versions("tt")[-1]
+        v2 = spark.createDataFrame([(1, "b"), (2, "c")], "id long, s string")
+        tmp_store.write(v2, "tt")
+        assert tmp_store.read("tt").count() == 2  # current
+        old = tmp_store.read("tt", version=ver1).collect()
+        assert [(r["id"], r["s"]) for r in old] == [(1, "a")]
+
+    def test_table_changes_classifies(self, spark, tmp_store):
+        tmp_store.write(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, s string"), "cf")
+        v1 = tmp_store.versions("cf")[-1]
+        tmp_store.write(spark.createDataFrame([(1, "a"), (2, "B"), (4, "d")], "id long, s string"), "cf")
+        v2 = tmp_store.versions("cf")[-1]
+        ch = {r["id"]: r["_change_type"] for r in tmp_store.table_changes("cf", v1, v2, "id").collect()}
+        assert ch == {2: "update", 3: "delete", 4: "insert"}  # id 1 unchanged -> absent
