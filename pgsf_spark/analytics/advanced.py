@@ -223,6 +223,37 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_quartiles_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile(4) and percent_rank over order value per
+    segment (deterministic tie-break by order key so tile boundaries match
+    across engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+    )
+
+
+def q_events_by_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar extraction: month / day-of-month / hour-of-day breakdown."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.month("ts").alias("m"),
+            F.dayofmonth("ts").alias("dom"),
+            F.hour("ts").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through the engine's SQL surface (distinct
     from rollup/cube: an arbitrary set list)."""

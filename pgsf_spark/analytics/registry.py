@@ -347,6 +347,22 @@ FROM s GROUP BY lang, lang_guess""",
         """WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM documents)
 SELECT doc_id, md5(norm) AS fingerprint, substr(md5(norm), 1, 2) AS shard FROM t""",
     ),
+    "top_tfidf_term": QuerySpec(
+        text.q_top_tfidf_term,
+        """WITH tokens AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, n_tok, token, COUNT(*) AS c FROM tokens GROUP BY doc_id, n_tok, token),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         (tf.c / tf.n_tok) * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / dfreq.df) AS tfidf
+  FROM tf JOIN dfreq ON tf.token = dfreq.token)
+SELECT doc_id, token AS top_term, ROUND(tfidf, 6) AS tfidf
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) = 1""",
+    ),
     "token_stats_pandas": QuerySpec(
         text.q_token_stats_pandas,
         # identical oracle to token_stats: the pandas path must agree exactly
@@ -517,6 +533,20 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP
     # rows-only: HLL sketch values are engine-specific (driver records the
     # weaker check by design)
     "approx_distinct_users": QuerySpec(advanced.q_approx_distinct_users, None),
+    "order_quartiles_rank": QuerySpec(
+        advanced.q_order_quartiles_rank,
+        """SELECT o_orderkey, c_mktsegment,
+  CAST(NTILE(4) OVER w AS INT) AS quartile,
+  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM orders JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey)""",
+    ),
+    "events_by_calendar": QuerySpec(
+        advanced.q_events_by_calendar,
+        """SELECT CAST(month(ts) AS INT) AS m, CAST(dayofmonth(ts) AS INT) AS dom,
+  CAST(hour(ts) AS INT) AS h, COUNT(*) AS n
+FROM events GROUP BY m, dom, h""",
+    ),
     "grouping_sets_status_priority": QuerySpec(
         advanced.q_grouping_sets,
         """SELECT COALESCE(o_orderstatus, 'ALL') AS status,

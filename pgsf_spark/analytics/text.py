@@ -154,6 +154,30 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_tfidf_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's highest-TF-IDF term: the classic corpus-keyword
+    operator. Term frequencies explode map-side and aggregate by (doc,
+    token); document frequencies reuse that aggregate (one extra shuffle on
+    token); the final top-1 is a window over the doc key."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tokens = d.select("doc_id", F.size(toks).alias("n_tok"), F.explode(toks).alias("token"))
+    tf = tokens.groupBy("doc_id", "n_tok", "token").agg(F.count(F.lit(1)).alias("c"))
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()  # tiny scalar; at scale use a broadcast subquery
+    scored = tf.join(df_, "token").withColumn(
+        "tfidf", (F.col("c") / F.col("n_tok")) * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_term"), F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
 def q_token_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_token_stats re-implemented on the Pandas-UDF path (Arrow batches).
 

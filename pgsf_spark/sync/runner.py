@@ -55,7 +55,13 @@ class SyncRunner:
         """
         started = _utcnow()
         df = self.source.load(table, fields=fields, include_deleted=True)
-        self.store.write(df, table, buckets=buckets, bucket_col=pk if buckets else None)
+        self.store.write(
+            df,
+            table,
+            buckets=buckets,
+            bucket_col=pk if buckets else None,
+            manifest={"op": "snapshot", "extract_started": started.isoformat()},
+        )
         n = self.store.read(table).count()
         self.state.insert(table, syncuntil=started, refresh_minutes=refresh_minutes)
         return n
@@ -70,7 +76,7 @@ class SyncRunner:
             changes = self.source.incremental(table, ts_field, wm)
             target = self.store.read(table)
             merged = merge_upsert(target, changes, pk=pk, ts_field=ts_field, order_col="_file_order")
-            self.store.write(merged, table)
+            self.store.write(merged, table, manifest={"op": "merge", "watermark": wm.isoformat()})
             # Advance watermark to max(ts) of the *target* after merge
             # (synctable.py:45-54), only after a successful publish.
             new_df = self.store.read(table)
