@@ -446,6 +446,26 @@ SELECT label, COUNT(*) AS n,
 FROM j GROUP BY label""",
     ),
     "lsh_buckets": QuerySpec(similarity.q_lsh_buckets, _lsh_bucket_sql()),
+    "embedding_near_dup": QuerySpec(
+        similarity.q_embedding_near_dup,
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({_bucket_expr_sql()}) AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS ka, b2.vec_id AS kb,
+    ROUND({_dot_sql('a.v', 'b2.v')} / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b2.v', 'b2.v')})), 4) AS cosine
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT kb AS dup_vec_id, MIN(ka) AS canonical_vec_id, ROUND(MAX(cosine), 4) AS max_cosine
+FROM pairs WHERE cosine >= 0.35 GROUP BY kb""",
+    ),
+    "bpe_token_count": QuerySpec(
+        text.q_bpe_token_count,
+        f"""WITH t AS (SELECT doc_id, trim(lower(text)) AS norm FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(norm, '\\s+')) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(norm, '{text.BPE_ISH_PATTERN}')) AS INT) AS bpe_tokens,
+  ROUND(len(regexp_extract_all(norm, '{text.BPE_ISH_PATTERN}')) / len(regexp_split_to_array(norm, '\\s+')), 4) AS subword_ratio
+FROM t""",
+    ),
     # -- advanced relational / temporal --------------------------------------
     "asof_click_before_purchase": QuerySpec(
         advanced.q_asof_click_before_purchase,

@@ -113,6 +113,33 @@ def hyperplane_lsh_bucket(v, n_planes: int = 8, dim: int = 64, seed: int = 7):
     return bucket
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: candidate pairs share an
+    LSH bucket, survivors have cosine >= 0.35; each duplicate maps to its
+    lowest-id canonical. The 100 TB plan: bucket equi-join for candidates
+    (never O(n^2)), exact cosine only on candidates."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v")).withColumn(
+        "bucket", hyperplane_lsh_bucket(F.col("v"))
+    )
+    a = emb.select(F.col("vec_id").alias("ka"), F.col("v").alias("va"), "bucket")
+    b = emb.select(F.col("vec_id").alias("kb"), F.col("v").alias("vb"), "bucket")
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+    )
+    # canonical = min neighbor id per duplicate
+    return pairs.groupBy(F.col("kb").alias("dup_vec_id")).agg(
+        F.min("ka").alias("canonical_vec_id"), F.round(F.max("cosine"), 4).alias("max_cosine")
+    )
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket histogram for the hyperplane LSH -- the candidate-generation
     stage of ANN at scale (join within buckets instead of O(n^2))."""

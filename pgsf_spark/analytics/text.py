@@ -154,6 +154,29 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# "BPE-ish" segmentation: lowercase runs, digit runs, and single
+# non-alphanumeric marks -- the regex approximation of subword tokenizers'
+# pre-tokenization pass (identical RE2/Java semantics for this pattern).
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace vs BPE-ish regex (both per doc).
+
+    regexp_extract_all keeps everything columnar; the ratio column shows
+    the subword blow-up factor a trainer would see."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    ws = F.size(F.split(norm, r"\s+"))
+    bpe = F.size(F.regexp_extract_all(norm, F.lit(BPE_ISH_PATTERN), 0))
+    return d.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(bpe / ws, 4).alias("subword_ratio"),
+    )
+
+
 def q_top_tfidf_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each document's highest-TF-IDF term: the classic corpus-keyword
     operator. Term frequencies explode map-side and aggregate by (doc,
