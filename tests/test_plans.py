@@ -28,6 +28,18 @@ class TestNoCartesian:
         assert "CartesianProduct" not in plan_of(spark, name)
 
 
+# the pandas variants are the only sanctioned Python (Arrow-batched)
+PYTHON_OK = {"token_stats_pandas"}
+
+
+class TestNoPythonInHotPath:
+    @pytest.mark.parametrize("name", sorted(n for n in QUERIES if n not in PYTHON_OK))
+    def test_no_python_eval(self, spark, name):
+        # row-at-a-time Python UDFs (BatchEvalPython) must never appear;
+        # whole-stage JVM execution is the contract (SURVEY §2.9)
+        assert "BatchEvalPython" not in plan_of(spark, name)
+
+
 class TestKeyPlans:
     def test_star_joins_broadcast(self, spark):
         plan = plan_of(spark, "revenue_by_nation")
