@@ -198,3 +198,34 @@ class TestTimeTravelAndChanges:
         v2 = tmp_store.versions("cf")[-1]
         ch = {r["id"]: r["_change_type"] for r in tmp_store.table_changes("cf", v1, v2, "id").collect()}
         assert ch == {2: "update", 3: "delete", 4: "insert"}  # id 1 unchanged -> absent
+
+
+class TestSoakAndErrors:
+    def test_twenty_sync_cycles_stay_consistent(self, env):
+        spark, source, store, state, src_dir = env
+        runner = SyncRunner(source, store, state)
+        runner.snapshot_load("customer")
+        for i in range(20):
+            state.release("customer", syncuntil=T0, touch_refresh=False)
+            runner.sync_table("customer")
+            if i % 5 == 4:
+                store.vacuum("customer", keep=3)
+        assert store.read("customer").count() == 3
+        assert len(store.versions("customer")) <= 3 + 5  # bounded by vacuum cadence
+        assert state.get("customer").status == "ready"
+
+    def test_missing_table_raises(self, tmp_store):
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            tmp_store.read("nope")
+
+    def test_sync_unknown_table_claims_error(self, env):
+        from pgsf_spark.sync.state import ClaimError
+
+        spark, source, store, state, src_dir = env
+        runner = SyncRunner(source, store, state)
+        import pytest as _pytest
+
+        with _pytest.raises(ClaimError):
+            runner.sync_table("ghost")
