@@ -446,6 +446,27 @@ SELECT label, COUNT(*) AS n,
 FROM j GROUP BY label""",
     ),
     "lsh_buckets": QuerySpec(similarity.q_lsh_buckets, _lsh_bucket_sql()),
+    "ivf_topk": QuerySpec(
+        similarity.q_ivf_topk,
+        f"""WITH e AS (SELECT vec_id, CAST(label AS INT) AS label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+pos AS (SELECT label, i, v[CAST(i AS INT)] AS x FROM e, range(1, 65) r(i)),
+cent AS (
+  SELECT label, list(cx ORDER BY i) AS cv FROM (
+    SELECT label, i, CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x) AS cx
+    FROM pos GROUP BY label, i)
+  GROUP BY label),
+assigned AS (
+  SELECT vec_id, v, label AS cluster FROM (
+    SELECT e.vec_id, e.v, cent.label,
+      {_dot_sql('e.v', 'cent.cv')} / (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('cent.cv', 'cent.cv')})) AS cos_c
+    FROM e CROSS JOIN cent)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, label) = 1),
+q AS (SELECT v AS qv, cluster AS qcluster FROM assigned WHERE vec_id = 0)
+SELECT vec_id,
+  ROUND({_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+FROM assigned, q WHERE cluster = qcluster AND vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 5""",
+    ),
     "embedding_near_dup": QuerySpec(
         similarity.q_embedding_near_dup,
         f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),

@@ -113,6 +113,59 @@ def hyperplane_lsh_bucket(v, n_planes: int = 8, dim: int = 64, seed: int = 7):
     return bucket
 
 
+def _label_centroids(e: DataFrame) -> DataFrame:
+    """label -> centroid vector (exact decimal component means)."""
+    emb = e.select(F.col("label").cast("int").alias("label"), _to_double(F.col("embedding")).alias("v"))
+    pos = emb.select("label", F.posexplode("v").alias("i", "x"))
+    return (
+        pos.groupBy("label", "i")
+        .agg((F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("x")).alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p.cx).alias("cv"))
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid (coarse
+    quantizer = the 10 label centroids, deterministic -- no RNG), then
+    search only the query's cluster with exact cosine.
+
+    The assign step is a broadcast join against the tiny centroid table +
+    a per-vector top-1 window; the search step touches ~1/nlist of the
+    data -- the textbook IVF cost model, expressed as two joins."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    cent = _label_centroids(e)
+    cos_c = _dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("label"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", cos_c)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("label").alias("cluster"))
+    )
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("cluster").alias("qcluster")
+    )
+    cos_q = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        assigned.join(F.broadcast(q), F.col("cluster") == F.col("qcluster"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos_q, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: candidate pairs share an
     LSH bucket, survivors have cosine >= 0.35; each duplicate maps to its
