@@ -95,6 +95,19 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type, count per user (explicit value
+    list, so the output schema is fixed -- the only sane pivot at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): classic lag + cumulative
     sum of session-start flags. Batch face of streaming session windows;
