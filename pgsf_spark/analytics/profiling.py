@@ -72,6 +72,36 @@ def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMV_K = 64
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch, oracle-exact.
+
+    KMV: hash every key to (0,1], keep the k smallest distinct hashes; the
+    estimate is (k-1)/h_k where h_k is the k-th minimum. Because the hash is
+    md5-derived (not engine RNG), the sketch -- and therefore the estimate
+    -- is bit-identical in DuckDB, unlike HLL (approx_distinct_users, which
+    can only be rows-only checked). Mergeable at scale: per-partition k-min
+    sets union and re-truncate, which is exactly what the global top-k sort
+    below does."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(0x100000000))
+    )
+    hashes = ev.select(F.col("user_id")).distinct().select(h.alias("h")).orderBy("h").limit(KMV_K)
+    agg = hashes.agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k"))
+    exact = ev.agg(F.count_distinct("user_id").alias("exact"))
+    return agg.crossJoin(exact).select(
+        F.when(F.col("k") < KMV_K, F.col("k").cast("double"))
+        .otherwise(F.round((F.col("k") - 1) / F.col("hk"), 4))
+        .alias("kmv_estimate"),
+        F.col("exact").alias("exact_users"),
+    )
+
+
 def q_value_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample stddev from exact decimal moments (same rationale as the
     correlation query: built-in stddev accumulates doubles and diverges

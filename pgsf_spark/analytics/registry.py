@@ -647,6 +647,19 @@ FROM customer"""
             for c in ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
         ),
     ),
+    "kmv_distinct_users": QuerySpec(
+        profiling.q_kmv_distinct_users,
+        f"""WITH hashes AS (
+  SELECT ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT::DOUBLE / 4294967296.0 AS h
+  FROM (SELECT DISTINCT user_id FROM events)
+  ORDER BY h LIMIT {profiling.KMV_K}),
+agg AS (SELECT MAX(h) AS hk, COUNT(*) AS k FROM hashes),
+exact AS (SELECT COUNT(DISTINCT user_id) AS exact FROM events)
+SELECT CASE WHEN k < {profiling.KMV_K} THEN CAST(k AS DOUBLE)
+            ELSE ROUND((k - 1) / hk, 4) END AS kmv_estimate,
+  exact AS exact_users
+FROM agg, exact""",
+    ),
     "value_stddev": QuerySpec(
         profiling.q_value_stddev,
         """SELECT o_orderstatus,
