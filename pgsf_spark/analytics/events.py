@@ -95,6 +95,39 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h length, 1h slide): every event lands in two
+    windows. F.window generates the assignment without a join; the oracle
+    unnests the two candidate starts per event."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), TS_FMT).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-min gap): sessions merge while
+    events arrive within the gap. Oracle reproduces it with the lag +
+    cumulative-sum rewrite, proving the native operator and the manual
+    composition (q_sessionize) agree."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), TS_FMT).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one column per event type, count per user (explicit value
     list, so the output schema is fixed -- the only sane pivot at scale)."""

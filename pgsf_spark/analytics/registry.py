@@ -290,6 +290,27 @@ FROM e GROUP BY event_type""",
   {sql_dsum("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END")} AS purchase_value
 FROM events GROUP BY user_id""",
     ),
+    "events_sliding_2h": QuerySpec(
+        events.q_events_sliding_2h,
+        f"""WITH assigned AS (
+  SELECT event_type,
+    unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart
+  FROM events)
+SELECT strftime(wstart, '{_TS_FMT_SQL}') AS window_start, event_type, COUNT(*) AS n
+FROM assigned GROUP BY wstart, event_type""",
+    ),
+    "session_window_native": QuerySpec(
+        events.q_session_window_native,
+        f"""WITH e AS (SELECT user_id, event_id, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec FROM events),
+flags AS (SELECT *,
+  CASE WHEN tsec - LAG(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         OR tsec - LAG(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800
+       THEN 1 ELSE 0 END AS new_session
+  FROM e),
+sess AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM flags)
+SELECT user_id, strftime(MIN(ts), '{_TS_FMT_SQL}') AS session_start, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid""",
+    ),
     "user_event_pivot": QuerySpec(
         events.q_user_event_pivot,
         """SELECT user_id,
