@@ -277,7 +277,12 @@ def q_order_keys_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.filter(F.col("o_custkey") < 50)
         .groupBy("o_custkey")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("orderkeys"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            # joined to a string: array cells stringify differently across
+            # comparison harnesses (numpy vs list), strings never do
+            F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias("orderkeys"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
 

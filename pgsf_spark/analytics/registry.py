@@ -627,7 +627,8 @@ FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
     ),
     "order_keys_per_customer": QuerySpec(
         advanced.q_order_keys_per_customer,
-        """SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys, COUNT(*) AS n
+        """SELECT o_custkey,
+  array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys, COUNT(*) AS n
 FROM orders WHERE o_custkey < 50 GROUP BY o_custkey""",
     ),
     "price_histogram": QuerySpec(
