@@ -98,6 +98,15 @@ SELECT bucket, COUNT(*) AS n FROM (SELECT ({bucket}) AS bucket FROM e) GROUP BY 
 """
 
 
+def _lsh_banded_sql() -> str:
+    return f""",
+banded AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, md5(CAST(mh{2 * b} AS VARCHAR) || ',' || CAST(mh{2 * b + 1} AS VARCHAR)) AS bucket FROM mh"
+      for b in range(dedup.N_BANDS)
+  )})"""
+
+
 _TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
 
 QUERIES: dict[str, QuerySpec] = {
@@ -432,14 +441,36 @@ WHERE jaccard >= 0.2""",
     "minhash_lsh_pairs": QuerySpec(
         dedup.q_minhash_lsh_pairs,
         _minhash_cte()
-        + f""",
-banded AS (
-  {" UNION ALL ".join(
-      f"SELECT doc_id, {b} AS band, md5(CAST(mh{2 * b} AS VARCHAR) || ',' || CAST(mh{2 * b + 1} AS VARCHAR)) AS bucket FROM mh"
-      for b in range(dedup.N_BANDS)
-  )})
+        + _lsh_banded_sql()
+        + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""",
+    ),
+    "lsh_bucket_stats": QuerySpec(
+        dedup.q_lsh_bucket_stats,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + f"""
+SELECT band, COUNT(*) AS n_buckets, MAX(bsize) AS max_bucket_size,
+  CAST(SUM(CASE WHEN bsize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_candidate_buckets,
+  CAST(SUM(CASE WHEN bsize > {dedup.MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized
+FROM (SELECT band, bucket, COUNT(*) AS bsize FROM banded GROUP BY band, bucket)
+GROUP BY band""",
+    ),
+    "lsh_jaccard_verified": QuerySpec(
+        dedup.q_lsh_jaccard_verified,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + f""",
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+    ROUND(len(list_intersect(ta.toks, tb.toks)) / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+  FROM pairs JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id)
+WHERE jaccard >= {dedup.JACCARD_T}""",
     ),
     "simhash": QuerySpec(dedup.q_simhash, _simhash_sql()),
     # -- similarity ----------------------------------------------------------
@@ -715,4 +746,47 @@ FROM a JOIN b ON ka <> kb GROUP BY ka""",
         advanced.q_soql_surface,
         "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_nationkey = 7",
     ),
+}
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation. The correctness driver verifies the first 50
+# entries in dict order; round 1 covered the original first 50, leaving 23
+# queries without a hard driver-green row (VERDICT r1 "top next"). Round 2
+# puts those 23 plus this round's new gates at the front; queries pushed past
+# the window this round all have a green CORRECTNESS_r01.json row. Rotate in
+# later rounds until every name has appeared green.
+# ---------------------------------------------------------------------------
+_ROUND2_FRONT = [
+    # the 23 never-driver-checked queries from round 1
+    "order_value_percentiles",
+    "cube_segment_nation",
+    "orders_above_customer_avg",
+    "top_tokens",
+    "ann_lsh_topk",
+    "moving_avg_value",
+    "event_type_share",
+    "repeat_customers",
+    "approx_distinct_users",
+    "order_quartiles_rank",
+    "events_by_calendar",
+    "grouping_sets_status_priority",
+    "order_keys_per_customer",
+    "price_histogram",
+    "pii_scan",
+    "doc_chunks",
+    "csv_roundtrip",
+    "profile_customer",
+    "kmv_distinct_users",
+    "value_stddev",
+    "price_quantity_corr",
+    "name_min_edit_distance",
+    "soql_projection",
+    # new round-2 gates
+    "lsh_jaccard_verified",
+    "lsh_bucket_stats",
+]
+assert set(_ROUND2_FRONT) <= set(QUERIES), set(_ROUND2_FRONT) - set(QUERIES)
+QUERIES = {
+    name: QUERIES[name]
+    for name in (*_ROUND2_FRONT, *(n for n in QUERIES if n not in set(_ROUND2_FRONT)))
 }

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pgsf_spark.tables import load_table
+from pgsf_spark.tables import load_table, spread
 
 
 def _dot(a, b):
@@ -137,7 +137,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "embeddings")
-    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    e = spread(e)  # no-op (no Exchange) when the scan is already wide
     emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
     cent = _label_centroids(e)
     cos_c = _dot(F.col("v"), F.col("cv")) / (
@@ -172,7 +172,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest-id canonical. The 100 TB plan: bucket equi-join for candidates
     (never O(n^2)), exact cosine only on candidates."""
     e = load_table(spark, sf_dir, "embeddings")
-    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    e = spread(e)  # no-op (no Exchange) when the scan is already wide
     emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v")).withColumn(
         "bucket", hyperplane_lsh_bucket(F.col("v"))
     )
@@ -197,7 +197,7 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket histogram for the hyperplane LSH -- the candidate-generation
     stage of ANN at scale (join within buckets instead of O(n^2))."""
     e = load_table(spark, sf_dir, "embeddings")
-    e = e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+    e = spread(e)  # no-op (no Exchange) when the scan is already wide
     emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
     return (
         emb.select(hyperplane_lsh_bucket(F.col("v")).alias("bucket"))

@@ -21,6 +21,27 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Internal hive-partition column for pk-hash bucketing of replica tables.
+# NOT underscore-prefixed: Hadoop path filters hide `_*` directories, which
+# would make the partition dirs invisible to the reader.
+PGSF_BUCKET = "pgsf_bucket"
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Carry a partition directory into a new version without rewriting:
+    hardlink every file (same inode -> byte-identical by construction, O(1)
+    per file); falls back to copy across devices."""
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
 
 class TableStore:
     def __init__(self, spark: SparkSession, root: str):

@@ -60,3 +60,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     for t in tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input arrives under-parallel.
+
+    Single-file test tables land as 1 partition, which serializes CPU-heavy
+    per-row work (minhash, simhash, hyperplane dots); spreading them across
+    cores first is a big local win. But an unconditional ``repartition`` is a
+    full shuffle of the corpus at 100 TB where the scan already has far more
+    splits than ``defaultParallelism`` -- so this is a no-op (no Exchange in
+    the plan at all) whenever the input is already at least ``min_partitions``
+    wide. Planning-time check only; no job runs.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -1,0 +1,93 @@
+"""Scale-design guards for the dedup/similarity operators (VERDICT r1):
+
+- ``spread`` must be a planning-time no-op (zero Exchange) when the input is
+  already as wide as the target -- an unconditional repartition would be a
+  full corpus shuffle at 100 TB.
+- ``lsh_candidate_pairs`` must survive an adversarial corpus where thousands
+  of identical documents land in one LSH bucket: the hot-bucket cap chunks
+  the bucket so no task generates an unbounded O(b^2) pair set, and the
+  diagnostics query reports the oversized bucket.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgsf_spark.analytics import dedup
+from pgsf_spark.tables import spread
+
+
+class TestSpread:
+    def test_spread_noop_when_wide(self, spark):
+        par = spark.sparkContext.defaultParallelism
+        df = spark.range(0, 10_000, numPartitions=par)
+        out = spread(df)
+        assert out is df  # no new plan node at all
+        assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+    def test_spread_repartitions_narrow_input(self, spark):
+        df = spark.range(0, 1000, numPartitions=1)
+        out = spread(df)
+        assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+    def test_query_plan_has_no_exchange_for_wide_input(self, spark, tmp_path):
+        # a multi-partition parquet documents table must plan without any
+        # Exchange in the signature stage (the scan is already parallel)
+        par = spark.sparkContext.defaultParallelism
+        docs = spark.range(0, 2000, numPartitions=par).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("alpha beta gamma delta epsilon zeta "), F.col("id").cast("string")).alias("text"),
+        )
+        sig = dedup.doc_minhash(docs)
+        assert "Exchange" not in sig._jdf.queryExecution().executedPlan().toString()
+
+
+class TestHotBucketCap:
+    @pytest.fixture()
+    def identical_docs(self, spark):
+        # 5000 identical documents -> every band hashes to ONE bucket
+        return spark.range(0, 5000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the quick brown fox jumps over the lazy dog again and again").alias("text"),
+        )
+
+    def test_adversarial_identical_corpus_completes(self, spark, identical_docs):
+        pairs = dedup.lsh_candidate_pairs(dedup.lsh_banded(identical_docs), max_bucket=256)
+        n = pairs.count()
+        # chunked: pairs only inside each sorted 256-chunk; the 5000-id bucket
+        # yields ceil(5000/256)=20 chunks -> bounded work per task
+        expected_full_chunks = 5000 // 256
+        rem = 5000 % 256
+        expected = expected_full_chunks * (256 * 255) // 2 + (rem * (rem - 1)) // 2
+        assert n == expected
+
+    def test_oversized_bucket_reported(self, spark, identical_docs):
+        stats = dedup.lsh_banded(identical_docs).groupBy("band", "bucket").count()
+        sizes = [r["count"] for r in stats.collect()]
+        assert sizes == [5000] * dedup.N_BANDS  # truly degenerate
+        # the gate query's n_oversized column is the observable for the cap
+        # (uses MAX_BUCKET=512; 5000 > 512)
+        banded = dedup.lsh_banded(identical_docs)
+        agg = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsize"))
+            .groupBy("band")
+            .agg(F.sum(F.when(F.col("bsize") > dedup.MAX_BUCKET, 1).otherwise(0)).alias("n_oversized"))
+        )
+        assert all(r["n_oversized"] == 1 for r in agg.collect())
+
+    def test_small_buckets_unchanged_by_cap(self, spark):
+        # distinct docs -> no bucket exceeds the cap -> identical results
+        # with or without chunking (cap is exact below MAX_BUCKET)
+        docs = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("w"), (F.col("id") % 7).cast("string"),
+                F.lit(" x"), (F.col("id") % 11).cast("string"),
+                F.lit(" y"), (F.col("id") % 13).cast("string"),
+                F.lit(" z"), F.col("id").cast("string"),
+            ).alias("text"),
+        )
+        banded = dedup.lsh_banded(docs)
+        capped = {tuple(r) for r in dedup.lsh_candidate_pairs(banded, max_bucket=512).collect()}
+        uncapped = {tuple(r) for r in dedup.lsh_candidate_pairs(banded, max_bucket=10**9).collect()}
+        assert capped == uncapped
