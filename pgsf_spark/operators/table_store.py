@@ -94,17 +94,24 @@ class TableStore:
             # time-partitioned event/fact tables)
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        meta = dict(manifest or {})
+        if partition_by:
+            meta.setdefault("partition_by", partition_by)
+        self._publish(table, version, path, df.schema.jsonValue(), meta)
+        return path
+
+    def _publish(self, table: str, version: str, path: str, schema_json, manifest: dict) -> None:
         # K5 job-artifact persistence (status.json/batches.json analogue,
         # download.py:86-92): a manifest per published version for
-        # lineage/debugging.
+        # lineage/debugging; then the atomic pointer flip.
         with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
             json.dump(
                 {
                     "table": table,
                     "version": version,
                     "written_at": time.time(),
-                    "schema": df.schema.jsonValue(),
-                    **(manifest or {}),
+                    "schema": schema_json,
+                    **manifest,
                 },
                 f,
             )
@@ -112,6 +119,68 @@ class TableStore:
         with open(tmp_ptr, "w") as f:
             json.dump({"version_dir": version, "written_at": time.time()}, f)
         os.replace(tmp_ptr, self._pointer(table))  # atomic on POSIX
+
+    def manifest(self, table: str, version: str | None = None) -> dict:
+        path = (
+            os.path.join(self._tdir(table), version)
+            if version
+            else self.current_version_path(table)
+        )
+        if path is None:
+            raise FileNotFoundError(f"table {table!r} has no published version")
+        with open(os.path.join(path, "_MANIFEST.json")) as f:
+            return json.load(f)
+
+    def partition_info(self, table: str) -> dict | None:
+        """Partitioning of the current version: {'partition_by': [...],
+        'partition_buckets': n} or None for flat tables."""
+        if not self.exists(table):
+            return None
+        m = self.manifest(table)
+        if not m.get("partition_by"):
+            return None
+        return {
+            "partition_by": m["partition_by"],
+            "partition_buckets": m.get("partition_buckets"),
+        }
+
+    def write_partial(
+        self,
+        df_changed: DataFrame,
+        table: str,
+        partition_col: str,
+        changed_values: list,
+        manifest: dict | None = None,
+    ) -> str:
+        """Partition-pruned publish: write ONLY the partitions in
+        ``changed_values`` (``df_changed`` must contain exactly those rows);
+        every other partition directory of the current version is carried
+        into the new version by hardlink -- byte-identical, O(files) driver
+        metadata work, zero Spark IO.
+
+        This is the scale fix for the full-table-rewrite merge publish
+        (VERDICT r1): a 10-minute sync tick rewrites O(changed buckets), not
+        O(table). A changed bucket whose rows were all deleted simply writes
+        no directory -- the bucket becomes empty, which is correct.
+        """
+        prev = self.current_version_path(table)
+        if prev is None:
+            raise FileNotFoundError(f"write_partial: {table!r} has no published version")
+        prev_manifest = self.manifest(table)
+        tdir = self._tdir(table)
+        version = f"v{int(time.time() * 1000)}_{os.getpid()}"
+        path = os.path.join(tdir, version)
+        df_changed.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        changed_dirs = {f"{partition_col}={v}" for v in changed_values}
+        for d in os.listdir(prev):
+            if d.startswith(f"{partition_col}=") and d not in changed_dirs:
+                _link_tree(os.path.join(prev, d), os.path.join(path, d))
+        meta = dict(manifest or {})
+        meta.setdefault("partition_by", prev_manifest.get("partition_by") or [partition_col])
+        if prev_manifest.get("partition_buckets") is not None:
+            meta.setdefault("partition_buckets", prev_manifest["partition_buckets"])
+        meta["rewritten_partitions"] = sorted(str(v) for v in changed_values)
+        self._publish(table, version, path, df_changed.schema.jsonValue(), meta)
         return path
 
     def versions(self, table: str) -> list[str]:
@@ -121,19 +190,27 @@ class TableStore:
             return []
         return sorted(d for d in os.listdir(tdir) if d.startswith("v") and os.path.isdir(os.path.join(tdir, d)))
 
-    def read(self, table: str, version: str | None = None) -> DataFrame:
+    def read(self, table: str, version: str | None = None, keep_internal: bool = False) -> DataFrame:
         """Read the current version, or any retained one (time travel --
         what Delta's VERSION AS OF does, backed by the version directories
-        that vacuum() retains)."""
+        that vacuum() retains).
+
+        The internal pk-hash partition column (PGSF_BUCKET) is dropped by
+        default -- it is derivable layout metadata, not data; the sync path
+        reads with ``keep_internal=True`` so its bucket filters prune
+        partition directories at plan time."""
         if version is not None:
             path = os.path.join(self._tdir(table), version)
             if not os.path.isdir(path):
                 raise FileNotFoundError(f"{table}@{version} not found (vacuumed?)")
-            return self.spark.read.parquet(path)
-        path = self.current_version_path(table)
-        if path is None:
-            raise FileNotFoundError(f"table {table!r} has no published version under {self.root}")
-        return self.spark.read.parquet(path)
+        else:
+            path = self.current_version_path(table)
+            if path is None:
+                raise FileNotFoundError(f"table {table!r} has no published version under {self.root}")
+        df = self.spark.read.parquet(path)
+        if not keep_internal and PGSF_BUCKET in df.columns:
+            df = df.drop(PGSF_BUCKET)
+        return df
 
     def table_changes(self, table: str, from_version: str, to_version: str, pk: str) -> DataFrame:
         """Change feed between two retained versions (Delta CDF analogue;
@@ -168,9 +245,18 @@ class TableStore:
         100 TB operational problem); compaction is just publishing a new
         coalesced version through the same atomic pointer flip -- readers
         never see a partial state. Returns the new version path."""
-        df = self.read(table)
+        df = self.read(table, keep_internal=True)
+        info = self.partition_info(table)
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 8)
-        return self.write(df.coalesce(n), table, manifest={"compacted": True})
+        meta = {"compacted": True}
+        if info and info.get("partition_buckets") is not None:
+            meta["partition_buckets"] = info["partition_buckets"]
+        return self.write(
+            df.coalesce(n),
+            table,
+            partition_by=(info or {}).get("partition_by"),
+            manifest=meta,
+        )
 
     def vacuum(self, table: str, keep: int = 2) -> list[str]:
         """Drop all but the newest ``keep`` versions (job GC, C7)."""

@@ -22,13 +22,22 @@ from datetime import datetime, timezone
 from pyspark.sql import functions as F
 
 from pgsf_spark.operators.merge import merge_upsert
-from pgsf_spark.operators.table_store import TableStore
+from pgsf_spark.operators.table_store import PGSF_BUCKET, TableStore
 from pgsf_spark.sources.entity import EntitySource
 from pgsf_spark.sync.state import READY, ClaimError, SyncState
+
+DEFAULT_PARTITION_BUCKETS = 16
 
 
 def _utcnow() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def pk_bucket(pk: str, n_buckets: int):
+    """Deterministic pk-hash partition value. Hash of the STRING form so the
+    bucket survives pk type changes; xxhash64 is stable across Spark versions
+    and task retries."""
+    return F.pmod(F.xxhash64(F.col(pk).cast("string")), F.lit(n_buckets)).cast("int")
 
 
 class SyncRunner:
@@ -45,6 +54,7 @@ class SyncRunner:
         ts_field: str = "SystemModstamp",
         refresh_minutes: int = 10,
         buckets: int | None = None,
+        partition_buckets: int | None = DEFAULT_PARTITION_BUCKETS,
     ) -> int:
         """Full refresh: extract snapshot -> overwrite target -> seed watermark.
 
@@ -52,15 +62,29 @@ class SyncRunner:
         modified during the extract is re-read by the first poll -- safe and
         faithful to the reference (csv_to_postgres.py:94 uses the job's
         systemModstamp, i.e. job creation time).
+
+        The replica is hive-partitioned by a pk-hash bucket (default): each
+        incremental merge then rewrites only the partitions containing
+        changed keys (sync_table + TableStore.write_partial) instead of the
+        whole table -- the reference's touch-only-changed-rows economics
+        (query_poll_table.py:107-152). ``partition_buckets=None`` keeps the
+        flat layout.
         """
         started = _utcnow()
         df = self.source.load(table, fields=fields, include_deleted=True)
+        manifest: dict = {"op": "snapshot", "extract_started": started.isoformat()}
+        partition_by = None
+        if partition_buckets:
+            df = df.withColumn(PGSF_BUCKET, pk_bucket(pk, partition_buckets))
+            partition_by = [PGSF_BUCKET]
+            manifest["partition_buckets"] = partition_buckets
         self.store.write(
             df,
             table,
             buckets=buckets,
             bucket_col=pk if buckets else None,
-            manifest={"op": "snapshot", "extract_started": started.isoformat()},
+            partition_by=partition_by,
+            manifest=manifest,
         )
         n = self.store.read(table).count()
         self.state.insert(table, syncuntil=started, refresh_minutes=refresh_minutes)
@@ -74,9 +98,40 @@ class SyncRunner:
             if wm is None:
                 raise ClaimError(f"{table}: no watermark -- bulk-load first (query_poll_table.py:69-73)")
             changes = self.source.incremental(table, ts_field, wm)
-            target = self.store.read(table)
-            merged = merge_upsert(target, changes, pk=pk, ts_field=ts_field, order_col="_file_order")
-            self.store.write(merged, table, manifest={"op": "merge", "watermark": wm.isoformat()})
+            info = self.store.partition_info(table)
+            if info and info.get("partition_buckets") and info["partition_by"] == [PGSF_BUCKET]:
+                # Partition-pruned merge: only buckets containing changed
+                # keys are read (directory pruning on the partition filter)
+                # and rewritten; everything else is hardlink-carried by
+                # write_partial. Cost per tick: O(changes + changed buckets).
+                nb = info["partition_buckets"]
+                changes = changes.withColumn(PGSF_BUCKET, pk_bucket(pk, nb))
+                changed_buckets = [
+                    r[0] for r in changes.select(PGSF_BUCKET).distinct().collect()
+                ]
+                if changed_buckets:
+                    target = self.store.read(table, keep_internal=True).filter(
+                        F.col(PGSF_BUCKET).isin(changed_buckets)
+                    )
+                    merged = merge_upsert(
+                        target, changes, pk=pk, ts_field=ts_field, order_col="_file_order"
+                    )
+                else:
+                    # empty batch: publish a hardlink-only version (every
+                    # tick publishes, like the reference's per-tick
+                    # transaction; zero partitions rewritten)
+                    merged = self.store.read(table, keep_internal=True).limit(0)
+                self.store.write_partial(
+                    merged,
+                    table,
+                    PGSF_BUCKET,
+                    changed_buckets,
+                    manifest={"op": "merge", "watermark": wm.isoformat()},
+                )
+            else:
+                target = self.store.read(table)
+                merged = merge_upsert(target, changes, pk=pk, ts_field=ts_field, order_col="_file_order")
+                self.store.write(merged, table, manifest={"op": "merge", "watermark": wm.isoformat()})
             # Advance watermark to max(ts) of the *target* after merge
             # (synctable.py:45-54), only after a successful publish.
             new_df = self.store.read(table)
