@@ -6,12 +6,11 @@ Arrow-batched Pandas UDFs over ``mapInPandas`` so each executor processes
 whole record batches (the only sane shape at 100 TB: media bytes never hit
 the driver, work is partition-parallel, Python cost is amortized per batch).
 
-The actual codec calls are STUBBED (image/audio libraries are not in this
-environment): ``decode_image_meta`` parses real magic bytes + dimensions for
-PNG/JPEG-shaped payloads and raises NotImplementedError for codecs that
-would need a library. The Spark-side plumbing -- schema, batching, UDF
-signatures, partitioning -- is real and tested with deterministic synthetic
-payloads.
+Pixel-level codec calls are STUBBED (image/audio libraries are not in this
+environment), but metadata decode is real: ``decode_image_meta`` parses PNG
+IHDR and walks JPEG SOF markers for true dimensions with no library. The
+Spark-side plumbing -- schema, batching, UDF signatures, partitioning -- is
+real and tested with deterministic synthetic payloads.
 """
 
 from __future__ import annotations
@@ -51,18 +50,65 @@ def make_synthetic_png(width: int, height: int) -> bytes:
     return sig + ihdr + b"\x00" * 16
 
 
-def decode_image_meta(content: bytes) -> tuple[str, int, int]:
-    """Parse (format, width, height) from magic bytes.
+def make_synthetic_jpeg(width: int, height: int) -> bytes:
+    """Deterministic JPEG-shaped payload: SOI, an APP0 segment, a baseline
+    SOF0 frame header carrying the dimensions, EOI -- the real marker
+    structure a codec would emit."""
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    # SOF0: len(8+3*ncomp=17 for 3 components), precision, height, width, ncomp
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    return soi + app0 + sof0 + b"\xff\xd9"
 
-    PNG is parsed for real (IHDR); other formats would need codec libraries
-    -- stubbed loudly per the environment contract."""
+
+# SOF markers carry frame dimensions: C0-CF except DHT (C4), JPG (C8), DAC (CC)
+_JPEG_SOF_MARKERS = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_dimensions(content: bytes) -> tuple[int, int]:
+    """Scan JPEG marker segments for the SOF frame header and return
+    (width, height). Pure byte-walk, no image library: each marker is
+    0xFF <code> <u16 length incl. itself>; SOFn payload is
+    precision(1) height(2) width(2). Raises ValueError on truncated or
+    SOF-less streams."""
+    i = 2  # past SOI
+    n = len(content)
+    while i + 4 <= n:
+        if content[i] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {i}")
+        marker = content[i + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone RST/TEM
+            i += 2
+            continue
+        seglen = struct.unpack(">H", content[i + 2 : i + 4])[0]
+        if marker in _JPEG_SOF_MARKERS:
+            if i + 9 > n:
+                raise ValueError("truncated SOF segment")
+            height, width = struct.unpack(">HH", content[i + 5 : i + 9])
+            return (width, height)
+        i += 2 + seglen
+    raise ValueError("no SOF marker found")
+
+
+def decode_image_meta(content: bytes) -> tuple[str, int, int]:
+    """Parse (format, width, height) from the payload bytes.
+
+    PNG (IHDR) and JPEG (SOF marker walk, jpeg_dimensions) are parsed for
+    real -- no image library needed for dimensions; formats needing a codec
+    report 'unknown'."""
     if content is None or len(content) < 8:
         return ("unknown", -1, -1)
     if content[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack(">II", content[16:24])
         return ("png", w, h)
     if content[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG dimension parsing requires an image library (not in this environment)")
+        try:
+            w, h = jpeg_dimensions(content)
+            return ("jpeg", w, h)
+        except ValueError:
+            return ("jpeg", -1, -1)
     return ("unknown", -1, -1)
 
 
@@ -86,10 +132,7 @@ def extract_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame
         for pdf in batches:
             fmts, ws, hs, sizes = [], [], [], []
             for content in pdf[content_col]:
-                try:
-                    fmt, w, h = decode_image_meta(bytes(content) if content is not None else None)
-                except NotImplementedError:
-                    fmt, w, h = ("jpeg-stub", -1, -1)
+                fmt, w, h = decode_image_meta(bytes(content) if content is not None else None)
                 fmts.append(fmt)
                 ws.append(w)
                 hs.append(h)

@@ -90,7 +90,10 @@ class Engine:
             if t in ("timestamp", "timestamp_ntz"):
                 sf_type = "datetime"
             if t == "bigint":
-                sf_type = "int"  # reference has no long; int is the dispatch row
+                # preserve 64-bit width for inferred schemas (ADVICE r1: the
+                # old int mapping narrowed bigint -> IntegerType and DDL from
+                # it would overflow real long values)
+                sf_type = "long"
             if sf_type is None:
                 sf_type = "anyType"
             out.append({"name": f.name, "type": sf_type, "nillable": f.nullable})
@@ -127,7 +130,15 @@ class Engine:
         return self.runner.run_due(max_workers=max_workers, pks=pks, ts_fields=tss)
 
     def abort(self, table: str) -> None:
+        """Abort a running sync: mark error AND cancel the table's running
+        Spark jobs (abort_refresh.py:49-68 kills the OS process; the Spark
+        analogue is cancelling the tagged job group -- tasks are interrupted,
+        no partial version is ever published because the pointer flip only
+        happens after a successful write)."""
+        from pgsf_spark.sync.runner import sync_job_group
+
         self.state.abort(table)
+        self.spark.sparkContext.cancelJobGroup(sync_job_group(table))
 
     def recover(self) -> list[str]:
         return self.state.recover_stuck()

@@ -9,9 +9,17 @@ the atomic TableStore flip. Cost per refresh is O(new events + touched
 buckets), not O(history) -- the property that makes hourly rollups over
 years of events viable at 100 TB.
 
-Late data is handled naturally: a late event touches an old bucket, so that
-bucket is recomputed from the source for its full range (correct, not
-approximate), while every untouched bucket is carried over unscanned.
+Late-data contract (ADVICE r1): ``ts_col`` must be an INGESTION-MONOTONIC
+modstamp (the reference's SystemModstamp CDC semantics), not an arbitrary
+event time. Touched buckets are detected from rows with ts > watermark; an
+event that *arrives* late but carries ts <= watermark is invisible to that
+detection and its bucket would silently diverge until a sibling event lands
+in the same bucket. With a modstamp, arrival order and ts order agree, so a
+"late" row always has ts > watermark, its (event-time-derived) bucket is
+marked touched, and the full-range recompute of that bucket is exact. For
+sources that can rewrite history without touching the modstamp, drive
+refresh() from an arrival-side signal instead (e.g. TableStore
+table_changes between versions).
 """
 
 from __future__ import annotations

@@ -45,7 +45,9 @@ def get_create_table_sql(
             notes.append("unique")
         if f.metadata.get("maxlength"):
             notes.append(f"maxlength={f.metadata['maxlength']}")
-        comment = f" COMMENT '{'; '.join(notes)}'" if notes else ""
+        # escape embedded quotes (pg.escape_str, createtable.py:38-45): a
+        # default like "O'Brien" must not break the emitted DDL
+        comment = " COMMENT '{}'".format("; ".join(notes).replace("'", "''")) if notes else ""
         cols.append(f"  `{f.name}` {spark_ddl_type(f.dataType)}{null}{comment}")
     loc = f"\nLOCATION '{location}'" if location else ""
     stmts = [

@@ -29,7 +29,16 @@ def salted_join(
     ``small`` is exploded x salt_buckets (keep it genuinely small); ``big``
     gets a deterministic per-row salt. Result columns = big ∪ small minus
     the helper columns.
+
+    Only join types where every output row is driven by a big-side match are
+    allowed: for right/full outer, an unmatched small-side row would surface
+    once per salt replica (ADVICE r1) -- rejected with ValueError.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side rows "
+            "would be duplicated once per salt bucket (use AQE skew join for outer joins)"
+        )
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

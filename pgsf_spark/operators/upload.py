@@ -85,3 +85,67 @@ def upload_dataframe(
                         raise
 
     df.foreachPartition(handle_partition)
+
+
+def parse_batch_result(result_csv: str) -> list[dict]:
+    """Parse a bulk-batch result CSV into per-record outcomes.
+
+    The service answers each uploaded batch with one row per record:
+    ``Id,Success,Created,Error`` (salesforce_bulk.py:498-546 --
+    get_batch_results parses the same shape into UploadResult tuples).
+    Booleans arrive as the API's literal 'true'/'false'.
+    """
+    rows = list(csv.reader(io.StringIO(result_csv)))
+    if not rows:
+        return []
+    header = [h.strip().lower() for h in rows[0]]
+    out = []
+    for raw in rows[1:]:
+        if not raw:
+            continue
+        rec = dict(zip(header, raw))
+        out.append(
+            {
+                "id": rec.get("id") or None,
+                "success": rec.get("success", "").strip().lower() == "true",
+                "created": rec.get("created", "").strip().lower() == "true",
+                "error": rec.get("error") or None,
+            }
+        )
+    return out
+
+
+def upload_dataframe_with_results(
+    df: DataFrame,
+    poster: Callable[[str], str],
+    max_bytes: int = DEFAULT_MAX_UPLOAD_SIZE,
+    max_records: int = DEFAULT_MAX_UPLOAD_RECORDS,
+    max_retries: int = 3,
+) -> DataFrame:
+    """Upload and surface per-record outcomes as a DataFrame.
+
+    ``poster(chunk_csv) -> result_csv``: posts one chunk and returns the
+    service's result CSV for that batch. The outcomes stay distributed
+    (mapPartitions -- no driver collect): downstream code can count failures,
+    join errors back to source rows by id, or quarantine rejects, like the
+    reference's per-batch result parsing (salesforce_bulk.py:498-546).
+    Output schema: id string, success boolean, created boolean, error string.
+    """
+    columns = df.columns
+
+    def handle_partition(rows):
+        for chunk in chunk_rows(rows, columns, max_bytes, max_records):
+            result_csv = None
+            for attempt in range(max_retries):
+                try:
+                    result_csv = poster(chunk)
+                    break
+                except ConnectionError:
+                    if attempt == max_retries - 1:
+                        raise
+            for rec in parse_batch_result(result_csv or ""):
+                yield (rec["id"], rec["success"], rec["created"], rec["error"])
+
+    return df.rdd.mapPartitions(handle_partition).toDF(
+        "id string, success boolean, created boolean, error string"
+    )

@@ -19,6 +19,7 @@ from pyspark.sql.types import (
     DecimalType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -78,6 +79,11 @@ def sf_type_to_spark(field: dict[str, Any]) -> DataType:
         # faithful mapping. Values that need 64 bits should be declared long
         # upstream.
         return IntegerType()
+    if t == "long":
+        # not a reference describe type -- emitted by Engine._infer_fields for
+        # parquet bigint columns so inferred schemas keep their 64-bit width
+        # instead of narrowing to int (ADVICE r1)
+        return LongType()
     if t == "date":
         return DateType()
     if t == "datetime":

@@ -33,6 +33,13 @@ def _utcnow() -> datetime:
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
 
+def sync_job_group(table: str) -> str:
+    """Job-group id tagging all Spark jobs of one table's sync; abort cancels
+    the group (parity with abort_refresh.py:49-68, which kills the refresh
+    process -- here the running Spark jobs are the process)."""
+    return f"pgsf-sync-{table}"
+
+
 def pk_bucket(pk: str, n_buckets: int):
     """Deterministic pk-hash partition value. Hash of the STRING form so the
     bucket survives pk type changes; xxhash64 is stable across Spark versions
@@ -71,6 +78,8 @@ class SyncRunner:
         flat layout.
         """
         started = _utcnow()
+        sc = self.source.spark.sparkContext
+        sc.setJobGroup(sync_job_group(table), f"pgsf snapshot load: {table}", interruptOnCancel=True)
         df = self.source.load(table, fields=fields, include_deleted=True)
         manifest: dict = {"op": "snapshot", "extract_started": started.isoformat()}
         partition_by = None
@@ -93,6 +102,12 @@ class SyncRunner:
     def sync_table(self, table: str, pk: str = "Id", ts_field: str = "SystemModstamp") -> dict:
         """One incremental sync cycle for one table (query_poll_table.py:155-204)."""
         row = self.state.claim(table)  # guarded ready->running
+        # Tag every Spark job of this sync so Engine.abort can cancel the
+        # actual running work, not just flip the status row. Thread-local:
+        # run_due's pool threads tag their own table's jobs independently.
+        self.source.spark.sparkContext.setJobGroup(
+            sync_job_group(table), f"pgsf incremental sync: {table}", interruptOnCancel=True
+        )
         try:
             wm = row.syncuntil_dt()
             if wm is None:
@@ -148,7 +163,12 @@ class SyncRunner:
             raise
 
     def run_due(self, max_workers: int = 8, pks: dict[str, str] | None = None, ts_fields: dict[str, str] | None = None) -> list[dict]:
-        """One scheduler tick: claim+sync every due table concurrently."""
+        """One scheduler tick: claim+sync every due table concurrently.
+
+        Per-table failure isolation (ADVICE r1): one table's exception is
+        recorded in its result row and never aborts the tick -- the reference
+        runs one process per table (sync:14-20), so failures are independent
+        there too. sync_table itself already released the claim on error."""
         due = self.state.due_tables()
         results: list[dict] = []
         with ThreadPoolExecutor(max_workers=max_workers) as ex:
@@ -166,4 +186,6 @@ class SyncRunner:
                     results.append(fut.result())
                 except ClaimError:
                     pass  # raced by another runner -- fine, it's the lock working
+                except Exception as e:  # noqa: BLE001 -- isolate per-table failures
+                    results.append({"table": t, "error": f"{type(e).__name__}: {e}"})
         return results

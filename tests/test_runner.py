@@ -229,3 +229,21 @@ class TestSoakAndErrors:
 
         with _pytest.raises(ClaimError):
             runner.sync_table("ghost")
+
+
+class TestRunDueIsolation:
+    def test_one_table_failure_does_not_abort_tick(self, env, monkeypatch):
+        # ADVICE r1: a failing table must yield an error row, not kill the
+        # tick for tables that succeeded (reference: one process per table)
+        spark, source, store, state, src_dir = env
+        runner = SyncRunner(source, store, state)
+        runner.snapshot_load("customer")
+        # second table that will fail (no parquet for it in the source)
+        state.insert("ghost", syncuntil=T0)
+        state.release("customer", syncuntil=T0, touch_refresh=False)
+        results = runner.run_due()
+        by_table = {r["table"]: r for r in results}
+        assert "rows" in by_table["customer"] and "error" not in by_table["customer"]
+        assert "error" in by_table["ghost"]
+        # failed table's claim was released (retryable next tick)
+        assert state.get("ghost").status == "ready"

@@ -66,3 +66,20 @@ class TestChunkerProperties:
             # byte cap holds unless a single record alone exceeds it
             if len(body) > 1:
                 assert len(c.encode()) <= max_bytes + max(len(line) + 1 for line in body)
+
+
+class TestSaltedJoinGuards:
+    def test_outer_joins_rejected(self, spark):
+        big = spark.createDataFrame([(1, "a")], "k int, v string")
+        small = spark.createDataFrame([(1, "x")], "k int, w string")
+        import pytest as _pytest
+
+        for how in ("right", "full", "full_outer", "right_outer"):
+            with _pytest.raises(ValueError, match="salted_join does not support"):
+                salted_join(big, small, "k", how=how)
+
+    def test_left_anti_correct(self, spark):
+        big = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        small = spark.createDataFrame([(1, "x")], "k int, w string")
+        out = salted_join(big, small, "k", how="left_anti").collect()
+        assert [(r["k"], r["v"]) for r in out] == [(2, "b")]

@@ -3,7 +3,12 @@
 import pytest
 
 from pgsf_spark.operators.ddl import check_unique, get_create_table_sql
-from pgsf_spark.operators.upload import chunk_rows, upload_dataframe
+from pgsf_spark.operators.upload import (
+    chunk_rows,
+    parse_batch_result,
+    upload_dataframe,
+    upload_dataframe_with_results,
+)
 from pgsf_spark.schema.mapping import TableDesc
 
 from tests.test_schema import DESCRIBE_CUSTOMER
@@ -57,6 +62,78 @@ class TestChunking:
         assert total == 50
 
 
+RESULT_CSV = (
+    '"Id","Success","Created","Error"\n'
+    '"001xx0001","true","true",""\n'
+    '"001xx0002","true","false",""\n'
+    '"","false","false","REQUIRED_FIELD_MISSING:Required fields are missing: [Name]:Name --"\n'
+)
+
+
+class TestUploadResults:
+    def test_parse_batch_result(self):
+        # shape per salesforce_bulk.py:498-546 (Id, Success, Created, Error)
+        recs = parse_batch_result(RESULT_CSV)
+        assert recs == [
+            {"id": "001xx0001", "success": True, "created": True, "error": None},
+            {"id": "001xx0002", "success": True, "created": False, "error": None},
+            {
+                "id": None,
+                "success": False,
+                "created": False,
+                "error": "REQUIRED_FIELD_MISSING:Required fields are missing: [Name]:Name --",
+            },
+        ]
+
+    def test_parse_empty(self):
+        assert parse_batch_result("") == []
+        assert parse_batch_result('"Id","Success","Created","Error"\n') == []
+
+    def test_upload_with_results_surfaces_per_record_outcomes(self, spark):
+        df = spark.createDataFrame(
+            [(f"id{i}", i) for i in range(30)], "Id string, v int"
+        ).coalesce(1)
+
+        def poster(chunk):
+            # echo a result row per uploaded record; every 7th rejected
+            lines = chunk.splitlines()[1:]
+            out = ['"Id","Success","Created","Error"']
+            for ln in lines:
+                rid = ln.split(",")[0]
+                if int(rid[2:]) % 7 == 0:
+                    out.append(f'"","false","false","DUPLICATE_VALUE:{rid}"')
+                else:
+                    out.append(f'"{rid}","true","true",""')
+            return "\n".join(out) + "\n"
+
+        res = upload_dataframe_with_results(df, poster, max_records=10).collect()
+        assert len(res) == 30
+        failed = [r for r in res if not r["success"]]
+        assert len(failed) == 5  # id0, id7, id14, id21, id28
+        assert all(r["error"].startswith("DUPLICATE_VALUE") for r in failed)
+        ok = {r["id"] for r in res if r["success"]}
+        assert "id1" in ok and "id7" not in ok
+
+    def test_upload_with_results_retries_connection_errors(self, spark):
+        df = spark.createDataFrame([("a", 1)], "Id string, v int").coalesce(1)
+        import os
+        import tempfile
+
+        marker = os.path.join(tempfile.mkdtemp(), "attempts")
+
+        def flaky_poster(chunk, _marker=marker):
+            import os as _os
+
+            n = len(_os.listdir(_os.path.dirname(_marker)))
+            open(f"{_marker}{n}", "w").close()
+            if n == 0:
+                raise ConnectionError("transient")
+            return '"Id","Success","Created","Error"\n"a","true","true",""\n'
+
+        res = upload_dataframe_with_results(df, flaky_poster).collect()
+        assert [(r["id"], r["success"]) for r in res] == [("a", True)]
+
+
 class TestDdl:
     def test_create_table_sql(self):
         td = TableDesc("Customer", DESCRIBE_CUSTOMER)
@@ -84,3 +161,21 @@ class TestDdl:
         df = spark.createDataFrame([("a",), ("a",), ("b",)], "Id string")
         dupes = check_unique(df, ["Id"]).collect()
         assert len(dupes) == 1 and dupes[0]["Id"] == "a"
+
+
+class TestDdlEscaping:
+    def test_comment_quote_escaped(self):
+        td = TableDesc(
+            "T",
+            [
+                {
+                    "name": "Name",
+                    "type": "string",
+                    "nillable": True,
+                    "defaultValue": "O'Brien",
+                }
+            ],
+        )
+        ddl = get_create_table_sql(td)[0]
+        assert "O''Brien" in ddl  # doubled, valid SQL
+        assert "COMMENT 'default=\"O'Brien\"'" not in ddl
