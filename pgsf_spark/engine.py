@@ -150,6 +150,18 @@ class Engine:
     def soql(self, soql: str, include_deleted: bool = False):
         return run_soql(self.store.read, soql, include_deleted=include_deleted)
 
+    def soql_all(self, soql: str):
+        """queryAll: soft-deleted rows included (api.py:395-425)."""
+        from pgsf_spark.soql import run_soql_all
+
+        return run_soql_all(self.store.read, soql)
+
+    def sosl(self, sosl: str, include_deleted: bool = False):
+        """SOSL-subset search over the replicas: {table: matches}."""
+        from pgsf_spark.soql import run_sosl
+
+        return run_sosl(self.store.read, sosl, include_deleted=include_deleted)
+
     def sql(self, query: str) -> DataFrame:
         """Full Spark SQL over the replicated tables (the whole point of
         replication: ad-hoc analytics on the local copy)."""

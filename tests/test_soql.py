@@ -61,3 +61,82 @@ class TestRun:
 
         assert run_soql(load, "SELECT Id FROM t").count() == 1
         assert run_soql(load, "SELECT Id FROM t", include_deleted=True).count() == 2
+
+
+class TestSosl:
+    @staticmethod
+    def _tables(spark):
+        customer = spark.createDataFrame(
+            [
+                ("c1", "Alice Smith", 10.0, False),
+                ("c2", "Bob Smithers", 20.0, False),
+                ("c3", "Carol Jones", 30.0, False),
+                ("c4", "Dan Smith", 40.0, True),  # soft-deleted
+            ],
+            "Id string, Name string, bal double, IsDeleted boolean",
+        )
+        notes = spark.createDataFrame(
+            [("n1", "call smith tomorrow"), ("n2", "unrelated")],
+            "Id string, Body string",
+        )
+        return {"customer": customer, "notes": notes}
+
+    def test_find_all_fields_multi_table(self, spark):
+        from pgsf_spark.soql import run_sosl
+
+        tables = self._tables(spark)
+        res = run_sosl(tables.__getitem__, "FIND {Smith} IN ALL FIELDS RETURNING customer(Id, Name), notes(Id)")
+        assert {r["Id"] for r in res["customer"].collect()} == {"c1", "c2"}  # c4 deleted
+        assert [r["Id"] for r in res["notes"].collect()] == ["n1"]  # case-insensitive
+
+    def test_name_fields_scope_and_where(self, spark):
+        from pgsf_spark.soql import run_sosl
+
+        tables = self._tables(spark)
+        res = run_sosl(
+            tables.__getitem__,
+            "FIND {smith} IN NAME FIELDS RETURNING customer(Id WHERE bal > 15)",
+        )
+        assert {r["Id"] for r in res["customer"].collect()} == {"c2"}
+
+    def test_include_deleted(self, spark):
+        from pgsf_spark.soql import run_sosl
+
+        tables = self._tables(spark)
+        res = run_sosl(
+            tables.__getitem__,
+            "FIND {Smith} RETURNING customer(Id)",
+            include_deleted=True,
+        )
+        assert {r["Id"] for r in res["customer"].collect()} == {"c1", "c2", "c4"}
+
+    def test_requires_returning(self, spark):
+        from pgsf_spark.soql import SoqlError, run_sosl
+
+        with pytest.raises(SoqlError):
+            run_sosl(lambda t: None, "FIND {x}")
+
+    def test_bad_shape(self, spark):
+        from pgsf_spark.soql import SoqlError, SoslQuery
+
+        with pytest.raises(SoqlError):
+            SoslQuery.parse("SEEK {x} RETURNING t")
+
+
+class TestQueryAllAndPaging:
+    def test_soql_all_includes_deleted(self, spark):
+        from pgsf_spark.soql import run_soql, run_soql_all
+
+        df = spark.createDataFrame(
+            [("a", False), ("b", True)], "Id string, IsDeleted boolean"
+        )
+        assert run_soql(lambda t: df, "SELECT COUNT() FROM t") == 1
+        assert run_soql_all(lambda t: df, "SELECT COUNT() FROM t") == 2
+
+    def test_query_pages(self, spark):
+        from pgsf_spark.soql import query_pages
+
+        df = spark.range(0, 25).selectExpr("CAST(id AS STRING) AS Id")
+        pages = list(query_pages(df, page_size=10))
+        assert [len(p) for p in pages] == [10, 10, 5]
+        assert {r["Id"] for p in pages for r in p} == {str(i) for i in range(25)}
