@@ -508,6 +508,18 @@ SELECT label, COUNT(*) AS n,
 FROM j GROUP BY label""",
     ),
     "lsh_buckets": QuerySpec(similarity.q_lsh_buckets, _lsh_bucket_sql()),
+    "ann_multiprobe_topk": QuerySpec(
+        similarity.q_ann_multiprobe_topk,
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({_bucket_expr_sql()}) AS bucket FROM e),
+q AS (SELECT v AS qv, unnest([bucket, {", ".join(f"xor(bucket, {1 << p})" for p in range(8))}]) AS probe
+      FROM b WHERE vec_id = 0)
+SELECT vec_id,
+  ROUND({_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+FROM b JOIN q ON b.bucket = q.probe
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 5""",
+    ),
     "ivf_topk": QuerySpec(
         similarity.q_ivf_topk,
         f"""WITH e AS (SELECT vec_id, CAST(label AS INT) AS label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -784,6 +796,7 @@ _ROUND2_FRONT = [
     # new round-2 gates
     "lsh_jaccard_verified",
     "lsh_bucket_stats",
+    "ann_multiprobe_topk",
 ]
 assert set(_ROUND2_FRONT) <= set(QUERIES), set(_ROUND2_FRONT) - set(QUERIES)
 QUERIES = {

@@ -87,6 +87,12 @@ class TableStore:
         path = os.path.join(tdir, version)
         if buckets and bucket_col:
             df = df.repartition(buckets, bucket_col)
+        elif partition_by:
+            # co-locate each hive partition's rows in one task: without this,
+            # every task writes a file into every partition dir (tasks x
+            # partitions small files -- measured 3x slower snapshot at 2M
+            # rows/64 buckets); with it, one file per partition.
+            df = df.repartition(*partition_by)
         writer = df.write.mode("overwrite")
         if partition_by:
             # hive-style directory partitioning: filters on these columns
@@ -170,7 +176,9 @@ class TableStore:
         tdir = self._tdir(table)
         version = f"v{int(time.time() * 1000)}_{os.getpid()}"
         path = os.path.join(tdir, version)
-        df_changed.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        df_changed.repartition(partition_col).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(path)
         changed_dirs = {f"{partition_col}={v}" for v in changed_values}
         for d in os.listdir(prev):
             if d.startswith(f"{partition_col}=") and d not in changed_dirs:
