@@ -232,6 +232,56 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node's
+    label converges to the smallest doc_id in its component (union-find,
+    data-parallel form). Each iteration is one join + one groupBy -- shuffles
+    scale with |edges|, and the iteration count is the graph diameter (near-dup
+    clusters are tiny and dense, so 2-4 iterations in practice; the classic
+    large-star/small-star optimization halves diameters if ever needed).
+
+    ``edges`` must have columns (doc_a, doc_b); treated as undirected.
+    localCheckpoint() cuts the lineage per iteration so plans stay flat.
+    """
+    # materialize the edge list once: without this, every iteration would
+    # recompute the upstream candidate-generation subtree (minhash + LSH)
+    both = edges.select("doc_a", "doc_b").union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        both.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        neigh = both.join(
+            labels.withColumnRenamed("doc_id", "doc_b"), on="doc_b"
+        ).select(F.col("doc_a").alias("doc_id"), "cluster")
+        labels = (
+            labels.union(neigh).groupBy("doc_id").agg(F.min("cluster").alias("cluster"))
+        ).localCheckpoint()
+        # labels only ever decrease, so an unchanged sum == fixpoint (one
+        # cheap agg over the just-materialized checkpoint, no join)
+        cur_sum = labels.agg(F.sum("cluster")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: LSH candidate pairs -> connected
+    components -> every clustered doc labeled with its canonical (minimum)
+    doc_id. This is the last stage of the production fuzzy-dedup pipeline:
+    keep cluster == doc_id rows, drop the rest. Docs with no candidate pair
+    are implicit singletons (not in the output)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(lsh_banded(d))
+    return connected_components(pairs).orderBy("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash over word tokens (md5-derived per-token bits).
 

@@ -18,7 +18,17 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pgsf_spark.analytics import advanced, cdc_demo, dedup, events, profiling, relational, similarity, text
+from pgsf_spark.analytics import (
+    advanced,
+    cdc_demo,
+    dedup,
+    events,
+    profiling,
+    relational,
+    sampling,
+    similarity,
+    text,
+)
 from pgsf_spark.analytics.oracle_utils import sql_davg, sql_dsum
 
 
@@ -473,6 +483,50 @@ SELECT * FROM (
 WHERE jaccard >= {dedup.JACCARD_T}""",
     ),
     "simhash": QuerySpec(dedup.q_simhash, _simhash_sql()),
+    "dedup_clusters": QuerySpec(
+        dedup.q_dedup_clusters,
+        _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + _lsh_banded_sql()
+        + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+walk(doc, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.reach FROM edges e JOIN walk w ON e.b = w.doc)
+SELECT doc AS doc_id, MIN(reach) AS cluster FROM walk GROUP BY doc""",
+    ),
+    "dataset_split": QuerySpec(
+        sampling.q_dataset_split,
+        f"""WITH s AS (SELECT doc_id, n_chars,
+  ('0x' || substr(md5('{sampling.SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS slot
+  FROM documents)
+SELECT CASE WHEN slot < {sampling.TRAIN_PCT} THEN 'train'
+            WHEN slot < {sampling.TRAIN_PCT + sampling.VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split""",
+    ),
+    "split_assignment": QuerySpec(
+        sampling.q_split_assignment,
+        f"""WITH s AS (SELECT doc_id,
+  ('0x' || substr(md5('{sampling.SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS slot
+  FROM documents)
+SELECT doc_id, CASE WHEN slot < {sampling.TRAIN_PCT} THEN 'train'
+                    WHEN slot < {sampling.TRAIN_PCT + sampling.VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+FROM s""",
+    ),
+    "sample_per_source": QuerySpec(
+        sampling.q_sample_per_source,
+        """WITH s AS (SELECT source, doc_id,
+  (('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100) * 10000000 + doc_id AS ord
+  FROM documents)
+SELECT source, doc_id FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY ord ASC) <= 3""",
+    ),
     # -- similarity ----------------------------------------------------------
     "cosine_topk": QuerySpec(
         similarity.q_cosine_topk,
@@ -797,6 +851,10 @@ _ROUND2_FRONT = [
     "lsh_jaccard_verified",
     "lsh_bucket_stats",
     "ann_multiprobe_topk",
+    "dedup_clusters",
+    "dataset_split",
+    "split_assignment",
+    "sample_per_source",
 ]
 assert set(_ROUND2_FRONT) <= set(QUERIES), set(_ROUND2_FRONT) - set(QUERIES)
 QUERIES = {

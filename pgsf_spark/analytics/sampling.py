@@ -1,0 +1,85 @@
+"""Deterministic sampling & dataset-split operators (training-data pipeline).
+
+A 100 TB corpus is never split or sampled with rand(): task retries would
+resample rows and splits would leak across runs. Everything here derives
+from a content-stable md5 hash of the key, so results are reproducible
+across runs, engines (DuckDB oracle uses the identical arithmetic), and
+cluster sizes -- and no shuffle is needed for the assignment itself (pure
+projection); only per-group sampling shuffles, on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgsf_spark.tables import load_table
+
+SPLIT_SEED = "split"
+TRAIN_PCT, VAL_PCT = 80, 10  # remaining 10% = test
+
+
+def _hash_pct(col, seed: str):
+    """0..99 hash slot from md5 (engine-portable; same formula as the
+    registry's _hash_sql)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return h % 100
+
+
+def assign_split(df: DataFrame, key: str, seed: str = SPLIT_SEED) -> DataFrame:
+    """Add a ``split`` column: train/val/test by hash slot (80/10/10).
+
+    Pure projection -- no shuffle, no state; a row's split is a function of
+    its key alone, so late-arriving data lands in stable splits and the
+    assignment survives repartitioning/retries."""
+    slot = _hash_pct(F.col(key), seed)
+    return df.withColumn(
+        "split",
+        F.when(slot < TRAIN_PCT, F.lit("train"))
+        .when(slot < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split document counts + char volume: the sanity report every
+    training run starts with."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        assign_split(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+    )
+
+
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document split assignment (the actual training-manifest join key)."""
+    d = load_table(spark, sf_dir, "documents")
+    return assign_split(d, "doc_id").select("doc_id", "split")
+
+
+def sample_per_group(
+    df: DataFrame, group_col: str, key_col: str, n: int, seed: str = "sample"
+) -> DataFrame:
+    """Deterministic n-per-group sample: rank by md5(key) inside each group,
+    keep the first n. One shuffle on the group key; equivalent to a seeded
+    reservoir sample but stable under retries and incremental reruns."""
+    order = _hash_pct(F.col(key_col), seed) * 10_000_000 + F.col(key_col).cast("long")
+    w = Window.partitionBy(group_col).orderBy(order.asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 deterministic sample docs per source (corpus inspection / eval-set
+    drawing at fixed per-domain quota)."""
+    d = load_table(spark, sf_dir, "documents")
+    return sample_per_group(d, "source", "doc_id", 3).select("source", "doc_id")

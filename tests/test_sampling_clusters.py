@@ -1,0 +1,79 @@
+"""Deterministic sampling/split operators + connected-components dedup
+clustering (training-data pipeline, round 2)."""
+
+from pyspark.sql import functions as F
+
+from pgsf_spark.analytics.dedup import connected_components
+from pgsf_spark.analytics.sampling import assign_split, sample_per_group
+
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (triangle)
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "doc_a long, doc_b long",
+        )
+        got = {r["doc_id"]: r["cluster"] for r in connected_components(edges).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_long_chain_converges(self, spark):
+        # a 30-node path needs multiple propagation rounds
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+        )
+        got = connected_components(edges)
+        assert {r["cluster"] for r in got.collect()} == {0}
+        assert got.count() == 31
+
+    def test_direction_irrelevant(self, spark):
+        a = spark.createDataFrame([(5, 9)], "doc_a long, doc_b long")
+        b = spark.createDataFrame([(9, 5)], "doc_a long, doc_b long")
+        ra = sorted(map(tuple, connected_components(a).collect()))
+        rb = sorted(map(tuple, connected_components(b).collect()))
+        assert ra == rb == [(5, 5), (9, 5)]
+
+
+class TestAssignSplit:
+    def test_deterministic_and_total(self, spark):
+        df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+        s1 = assign_split(df, "k")
+        s2 = assign_split(df, "k")
+        assert s1.filter(F.col("split").isNull()).count() == 0
+        # same assignment on recompute (no rand())
+        joined = s1.alias("a").join(s2.alias("b"), "k")
+        assert joined.filter(F.col("a.split") != F.col("b.split")).count() == 0
+
+    def test_proportions_near_80_10_10(self, spark):
+        df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+        counts = dict(
+            (r["split"], r["count"]) for r in assign_split(df, "k").groupBy("split").count().collect()
+        )
+        assert abs(counts["train"] - 8000) < 300
+        assert abs(counts["val"] - 1000) < 150
+        assert abs(counts["test"] - 1000) < 150
+
+    def test_no_shuffle_in_plan(self, spark):
+        df = spark.range(0, 100, numPartitions=4).withColumnRenamed("id", "k")
+        plan = assign_split(df, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure projection
+
+
+class TestSamplePerGroup:
+    def test_exactly_n_per_group(self, spark):
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 7).alias("g"), F.col("id").alias("k")
+        )
+        out = sample_per_group(df, "g", "k", 5)
+        sizes = [r["count"] for r in out.groupBy("g").count().collect()]
+        assert sizes == [5] * 7
+
+    def test_deterministic(self, spark):
+        df = spark.range(0, 500).select((F.col("id") % 3).alias("g"), F.col("id").alias("k"))
+        a = sorted(map(tuple, sample_per_group(df, "g", "k", 4).collect()))
+        b = sorted(map(tuple, sample_per_group(df, "g", "k", 4).collect()))
+        assert a == b
+
+    def test_small_group_returns_all(self, spark):
+        df = spark.createDataFrame([(1, 100), (1, 101)], "g int, k long")
+        assert sample_per_group(df, "g", "k", 10).count() == 2
