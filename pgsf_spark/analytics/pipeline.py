@@ -1,0 +1,85 @@
+"""Composed training-data pipeline: the stages every LLM corpus build runs,
+wired end-to-end as ONE declarative plan (filter -> dedup -> split) so
+Catalyst fuses the projections and the whole manifest is 2 shuffles
+(fingerprint groupBy + the dedup join) regardless of corpus size.
+
+Stage semantics are the individually-gated operators (quality_score,
+dedup_exact, dataset_split); this module composes them, which is the actual
+deliverable of a pipeline engine -- a user runs ONE query to get the
+training manifest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsf_spark.analytics.sampling import assign_split
+from pgsf_spark.tables import load_table
+
+# quality thresholds (standard cheap pre-filters; tuned so the synthetic
+# corpus is actually discriminated -- ~most kept, tail dropped)
+MIN_TOKENS = 12
+MAX_SHORT_RATIO = 0.4
+MAX_DIGIT_RATIO = 0.3
+
+
+def _norm_text(col):
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc keep/drop decision with the FIRST failing rule as the reason
+    (audit trail: corpus reports need 'why was this dropped', not a bool)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.size(toks)
+    short_ratio = F.size(F.filter(toks, lambda t: F.length(t) <= 3)) / n_tok
+    digit_ratio = F.length(F.regexp_replace(F.col(text_col), r"[^0-9]", "")) / F.length(text_col)
+    reason = (
+        F.when(n_tok < MIN_TOKENS, F.lit("too_few_tokens"))
+        .when(short_ratio > MAX_SHORT_RATIO, F.lit("too_many_short_tokens"))
+        .when(digit_ratio > MAX_DIGIT_RATIO, F.lit("too_many_digits"))
+        .otherwise(F.lit(None))
+    )
+    return df.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate report: per-doc keep flag + first failing rule."""
+    d = load_table(spark, sf_dir, "documents")
+    return quality_flags(d).select(
+        "doc_id", "keep", F.coalesce("drop_reason", F.lit("kept")).alias("drop_reason")
+    )
+
+
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus build: quality-filter -> exact-dedup (keep the
+    min doc_id per content fingerprint) -> deterministic train/val/test
+    split. Output is the manifest a training job consumes.
+
+    Plan shape: one scan computes quality + fingerprint in the same
+    projection; one groupBy(fingerprint) picks canonicals (map-side partial
+    agg); one join back restricts to canonicals (broadcast at small scale,
+    co-shuffled at 100 TB); split assignment is a free projection."""
+    d = load_table(spark, sf_dir, "documents")
+    flagged = quality_flags(d).filter(F.col("keep"))
+    fp = flagged.withColumn("fp", F.md5(_norm_text(F.col("text"))))
+    canonical = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = fp.select("doc_id", "source", "lang", "n_chars", "fp").join(
+        canonical, on=["fp", "doc_id"], how="left_semi"
+    )
+    return assign_split(kept, "doc_id").select(
+        "doc_id", "source", "lang", "n_chars", "split"
+    )
+
+
+def q_manifest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-build report: docs and chars per (split, lang) after filtering
+    and dedup -- the table that goes in the dataset card."""
+    m = q_training_manifest(spark, sf_dir)
+    return m.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )

@@ -23,6 +23,7 @@ from pgsf_spark.analytics import (
     cdc_demo,
     dedup,
     events,
+    pipeline,
     profiling,
     relational,
     sampling,
@@ -519,6 +520,55 @@ SELECT doc_id, CASE WHEN slot < {sampling.TRAIN_PCT} THEN 'train'
                     ELSE 'test' END AS split
 FROM s""",
     ),
+    "quality_filter": QuerySpec(
+        pipeline.q_quality_filter,
+        f"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+f AS (SELECT doc_id,
+  CASE WHEN len(toks) < {pipeline.MIN_TOKENS} THEN 'too_few_tokens'
+       WHEN len(list_filter(toks, x -> length(x) <= 3)) / len(toks) > {pipeline.MAX_SHORT_RATIO} THEN 'too_many_short_tokens'
+       WHEN length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) > {pipeline.MAX_DIGIT_RATIO} THEN 'too_many_digits'
+       ELSE NULL END AS r
+  FROM t)
+SELECT doc_id, r IS NULL AS keep, COALESCE(r, 'kept') AS drop_reason FROM f""",
+    ),
+    "training_manifest": QuerySpec(
+        pipeline.q_training_manifest,
+        f"""WITH t AS (SELECT doc_id, source, lang, n_chars, text,
+  regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+q AS (SELECT doc_id, source, lang, n_chars, text FROM t
+  WHERE NOT (len(toks) < {pipeline.MIN_TOKENS}
+    OR len(list_filter(toks, x -> length(x) <= 3)) / len(toks) > {pipeline.MAX_SHORT_RATIO}
+    OR length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) > {pipeline.MAX_DIGIT_RATIO})),
+fps AS (SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM q),
+canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+kept AS (SELECT f.doc_id, f.source, f.lang, f.n_chars
+  FROM fps f JOIN canon c ON f.fp = c.fp AND f.doc_id = c.doc_id),
+s AS (SELECT *, ('0x' || substr(md5('{sampling.SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS slot FROM kept)
+SELECT doc_id, source, lang, n_chars,
+  CASE WHEN slot < {sampling.TRAIN_PCT} THEN 'train'
+       WHEN slot < {sampling.TRAIN_PCT + sampling.VAL_PCT} THEN 'val'
+       ELSE 'test' END AS split
+FROM s""",
+    ),
+    "manifest_summary": QuerySpec(
+        pipeline.q_manifest_summary,
+        f"""WITH t AS (SELECT doc_id, source, lang, n_chars, text,
+  regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+q AS (SELECT doc_id, lang, n_chars, text FROM t
+  WHERE NOT (len(toks) < {pipeline.MIN_TOKENS}
+    OR len(list_filter(toks, x -> length(x) <= 3)) / len(toks) > {pipeline.MAX_SHORT_RATIO}
+    OR length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) > {pipeline.MAX_DIGIT_RATIO})),
+fps AS (SELECT *, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp FROM q),
+canon AS (SELECT fp, MIN(doc_id) AS doc_id FROM fps GROUP BY fp),
+kept AS (SELECT f.doc_id, f.lang, f.n_chars
+  FROM fps f JOIN canon c ON f.fp = c.fp AND f.doc_id = c.doc_id),
+s AS (SELECT *, ('0x' || substr(md5('{sampling.SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS slot FROM kept)
+SELECT CASE WHEN slot < {sampling.TRAIN_PCT} THEN 'train'
+            WHEN slot < {sampling.TRAIN_PCT + sampling.VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+  lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split, lang""",
+    ),
     "sample_per_source": QuerySpec(
         sampling.q_sample_per_source,
         """WITH s AS (SELECT source, doc_id,
@@ -855,6 +905,9 @@ _ROUND2_FRONT = [
     "dataset_split",
     "split_assignment",
     "sample_per_source",
+    "quality_filter",
+    "training_manifest",
+    "manifest_summary",
 ]
 assert set(_ROUND2_FRONT) <= set(QUERIES), set(_ROUND2_FRONT) - set(QUERIES)
 QUERIES = {
