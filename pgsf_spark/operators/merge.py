@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+class SchemaDriftError(ValueError):
+    """Raised in strict mode when the change batch's columns differ from the
+    target's (the reference's unhandled 'a column disappeared' TODO,
+    query_poll_table.py sync_table error path)."""
+
+
 def latest_per_key(changes: DataFrame, pk: str, ts_field: str, order_col: str | None = None) -> DataFrame:
     """Keep the last change per key (PG ON CONFLICT sequential semantics).
 
@@ -53,6 +59,7 @@ def merge_upsert(
     ts_field: str,
     order_col: str | None = None,
     isdeleted_col: str | None = "IsDeleted",
+    schema_evolution: str = "add",
 ) -> DataFrame:
     """Apply a change batch to a target: upsert + soft-delete propagation.
 
@@ -67,7 +74,34 @@ def merge_upsert(
     (`DELETE ... WHERE pk IN (SELECT pk FROM tmp WHERE IsDeleted)`,
     query_poll_table.py:139-152) -- so a delete wins over a same-batch
     update regardless of row order.
+
+    ``schema_evolution`` handles source schema drift (the reference's open
+    TODO -- it just crashes):
+      - 'add' (default): new source columns are appended to the target
+        (existing rows null); columns the source dropped stay in the target
+        and updated rows carry null there.
+      - 'ignore': new source columns are dropped; dropped columns null out
+        on updated rows.
+      - 'strict': raise SchemaDriftError on any difference.
     """
+    for req in (pk, ts_field):
+        if req not in changes.columns:
+            raise SchemaDriftError(f"change batch missing required column {req!r}")
+    helper_cols = {order_col, isdeleted_col} - {None}
+    new_cols = [c for c in changes.columns if c not in target.columns and c not in helper_cols]
+    dropped_cols = [c for c in target.columns if c not in changes.columns]
+    if schema_evolution == "strict" and (new_cols or dropped_cols):
+        raise SchemaDriftError(
+            f"schema drift: new columns {new_cols}, dropped columns {dropped_cols}"
+        )
+    if new_cols and schema_evolution == "add":
+        ctypes = dict(changes.dtypes)
+        for c in new_cols:
+            target = target.withColumn(c, F.lit(None).cast(ctypes[c]))
+    if dropped_cols:
+        ttypes = dict(target.dtypes)
+        for c in dropped_cols:
+            changes = changes.withColumn(c, F.lit(None).cast(ttypes[c]))
     target_cols = target.columns
     if isdeleted_col and isdeleted_col in changes.columns:
         dead = F.coalesce(F.col(isdeleted_col), F.lit(False))

@@ -215,10 +215,28 @@ class TableStore:
             path = self.current_version_path(table)
             if path is None:
                 raise FileNotFoundError(f"table {table!r} has no published version under {self.root}")
-        df = self.spark.read.parquet(path)
+        reader = self.spark.read
+        # Read with the manifest's recorded schema when available: after a
+        # schema-evolving merge, hardlink-carried partitions still hold the
+        # OLD file schema; the explicit schema makes the parquet reader
+        # null-fill the added columns there (no mergeSchema footer sweep).
+        schema = self._manifest_schema(path)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(path)
         if not keep_internal and PGSF_BUCKET in df.columns:
             df = df.drop(PGSF_BUCKET)
         return df
+
+    def _manifest_schema(self, version_path: str):
+        from pyspark.sql.types import StructType
+
+        mpath = os.path.join(version_path, "_MANIFEST.json")
+        try:
+            with open(mpath) as f:
+                return StructType.fromJson(json.load(f)["schema"])
+        except Exception:
+            return None  # pre-manifest or foreign directory: infer normally
 
     def table_changes(self, table: str, from_version: str, to_version: str, pk: str) -> DataFrame:
         """Change feed between two retained versions (Delta CDF analogue;

@@ -153,3 +153,74 @@ class TestPartitionedMergePublish:
             "partition_buckets": 8,
         }
         assert store.read("customer").count() == 40
+
+
+class TestSchemaEvolution:
+    def test_merge_adds_new_column(self, spark):
+        from pgsf_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame([("c1", "a", 1.0)], "Id string, name string, bal double")
+        changes = spark.createDataFrame(
+            [("c2", "b", 2.0, "gold", datetime(2024, 1, 2), False)],
+            "Id string, name string, bal double, tier string, SystemModstamp timestamp, IsDeleted boolean",
+        )
+        # target has no ts col -> give it one for the merge signature
+        target = target.withColumn("SystemModstamp", F.lit(T0).cast("timestamp"))
+        merged = merge_upsert(target, changes, pk="Id", ts_field="SystemModstamp")
+        got = {r["Id"]: r["tier"] for r in merged.collect()}
+        assert got == {"c1": None, "c2": "gold"}
+
+    def test_merge_dropped_column_nulls_updates_only(self, spark):
+        from pgsf_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame(
+            [("c1", "a", 1.0, T0), ("c2", "b", 2.0, T0)],
+            "Id string, name string, bal double, SystemModstamp timestamp",
+        )
+        changes = spark.createDataFrame(
+            [("c2", "b2", datetime(2024, 1, 2), False)],
+            "Id string, name string, SystemModstamp timestamp, IsDeleted boolean",
+        )  # 'bal' disappeared upstream
+        merged = merge_upsert(target, changes, pk="Id", ts_field="SystemModstamp")
+        got = {r["Id"]: (r["name"], r["bal"]) for r in merged.collect()}
+        assert got == {"c1": ("a", 1.0), "c2": ("b2", None)}
+
+    def test_strict_mode_raises(self, spark):
+        from pgsf_spark.operators.merge import SchemaDriftError, merge_upsert
+
+        target = spark.createDataFrame([("c1", 1.0, T0)], "Id string, bal double, SystemModstamp timestamp")
+        changes = spark.createDataFrame(
+            [("c1", 1.0, "x", datetime(2024, 1, 2))],
+            "Id string, bal double, extra string, SystemModstamp timestamp",
+        )
+        with pytest.raises(SchemaDriftError):
+            merge_upsert(target, changes, pk="Id", ts_field="SystemModstamp", schema_evolution="strict")
+
+    def test_missing_pk_always_raises(self, spark):
+        from pgsf_spark.operators.merge import SchemaDriftError, merge_upsert
+
+        target = spark.createDataFrame([("c1", T0)], "Id string, SystemModstamp timestamp")
+        changes = spark.createDataFrame([(datetime(2024, 1, 2),)], "SystemModstamp timestamp")
+        with pytest.raises(SchemaDriftError):
+            merge_upsert(target, changes, pk="Id", ts_field="SystemModstamp")
+
+    def test_partitioned_sync_with_evolved_schema(self, env):
+        # source gains a column mid-sync: changed partitions carry it, the
+        # hardlinked old partitions null-fill via the manifest schema read
+        spark, source, store, state, src_dir = env
+        runner = SyncRunner(source, store, state)
+        runner.snapshot_load("customer", partition_buckets=8)
+        state.release("customer", syncuntil=T0, touch_refresh=False)
+        t1 = T0 + timedelta(hours=1)
+        evolved = spark.createDataFrame(
+            [("c1", "CHANGED", 99.0, t1, False, "gold")],
+            SCHEMA + ", tier string",
+        )
+        evolved.write.mode("overwrite").parquet(str(src_dir / "customer.parquet"))
+        runner.sync_table("customer")
+        back = store.read("customer")
+        assert "tier" in back.columns
+        got = {r["Id"]: r["tier"] for r in back.collect()}
+        assert got["c1"] == "gold"
+        assert got["c2"] is None  # hardlinked partition, null-filled
+        assert len(got) == 40
