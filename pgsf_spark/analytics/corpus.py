@@ -1,0 +1,140 @@
+"""Corpus-level quality & contamination operators (training-data pipeline).
+
+The Gopher/CCNet-family filters a production LLM corpus build runs after the
+cheap per-doc heuristics (text.py) and before dedup (dedup.py):
+
+  - repetition stats     per-doc n-gram repetition (Gopher Table A1 style:
+                         top-2-gram fraction, duplicate-2-gram fraction)
+  - boilerplate n-grams  corpus-frequency filter (CCNet-style): n-grams
+                         occurring in >= K distinct docs are boilerplate;
+                         score each doc by its boilerplate fraction
+  - contamination        benchmark-overlap check: fraction of a candidate
+                         doc's n-grams that appear in a held-out benchmark
+                         set (here: doc_id % 50 == 0 as the deterministic
+                         stand-in for the eval suite)
+
+All pure pyspark.sql.functions -- JVM-side, no Python in the hot path.
+
+Scale notes (100 TB corpus):
+  - explode(n-grams) multiplies rows by ~tokens/doc, but the groupBy keys
+    include doc_id (or gram), so map-side partial aggregation bounds shuffle
+    volume by the distinct-key count, not the exploded row count.
+  - the benchmark gram set is genuinely small (an eval suite, not the
+    corpus) -> broadcast join, no shuffle of the corpus side.
+  - the boilerplate gram table is corpus-derived (can be big) -> shuffle
+    hash join on gram; AQE converts it to broadcast when it's actually tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsf_spark.tables import load_table
+
+
+def _toks(col):
+    return F.split(F.trim(col), r"\s+")
+
+
+def ngram_array(toks, n: int):
+    """Array of space-joined word n-grams (non-distinct), [] when the doc is
+    shorter than n tokens. NB: sequence(1, 0) in Spark is the DESCENDING
+    [1, 0], so the short-doc case must be guarded explicitly."""
+    size = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), size - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filter inputs: for each doc, the fraction of
+    2-grams taken by the single most frequent 2-gram and the fraction that
+    are non-unique. High values = looping/boilerplate text.
+
+    Plan: explode 2-grams -> partial-agg count on (doc_id, gram) -> final
+    agg on doc_id. Two keyed shuffles, both bounded by distinct keys."""
+    grams = ngram_array(_toks(F.col(text_col)), 2)
+    per_gram = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("n").alias("n_2grams"),
+        F.round(F.max("n") / F.sum("n"), 4).alias("top_2gram_frac"),
+        F.round(F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))) / F.sum("n"), 4).alias(
+            "dup_2gram_frac"
+        ),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+BOILERPLATE_MIN_DOCS = 5
+BOILERPLATE_N = 3
+
+
+def boilerplate_scores(
+    d: DataFrame, text_col: str = "text", min_docs: int = BOILERPLATE_MIN_DOCS
+) -> DataFrame:
+    """CCNet-style corpus-frequency filter: a 3-gram present in >= min_docs
+    distinct docs is boilerplate; score each doc by the fraction of its
+    distinct 3-grams that are boilerplate.
+
+    The gram->doc-frequency table is computed once from the same exploded
+    relation and joined back on gram (shuffle join; AQE broadcasts it when
+    small). Per-doc grams are deduped first so doc frequency = COUNT(*)."""
+    grams = F.array_distinct(ngram_array(_toks(F.col(text_col)), BOILERPLATE_N))
+    exploded = d.select("doc_id", F.explode(grams).alias("gram"))
+    docfreq = (
+        exploded.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("gram")
+    )
+    marked = exploded.join(docfreq.withColumn("__bp", F.lit(1)), on="gram", how="left")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_3grams"),
+        F.count("__bp").alias("n_boilerplate"),
+        F.round(F.count("__bp") / F.count(F.lit(1)), 4).alias("boilerplate_frac"),
+    )
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boilerplate_scores(load_table(spark, sf_dir, "documents"))
+
+
+CONTAM_N = 4
+BENCH_MOD = 50
+
+
+def contamination_scores(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination check: the held-out set is doc_id % 50 == 0
+    (stand-in for an eval suite); every other doc is scored by the fraction
+    of its distinct 4-grams that appear anywhere in the benchmark.
+
+    The benchmark gram set is small by construction -> explicit broadcast;
+    the corpus side never shuffles (scan -> explode -> broadcast-join ->
+    partial agg on doc_id)."""
+    grams = F.array_distinct(ngram_array(_toks(F.col(text_col)), CONTAM_N))
+    with_grams = d.select("doc_id", F.explode(grams).alias("gram"))
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = with_grams.filter(is_bench).select("gram").distinct()
+    cand = with_grams.filter(~is_bench)
+    marked = cand.join(
+        F.broadcast(bench.withColumn("__hit", F.lit(1))), on="gram", how="left"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_4grams"),
+        F.count("__hit").alias("n_contaminated"),
+        F.round(F.count("__hit") / F.count(F.lit(1)), 4).alias("contamination_frac"),
+    )
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contamination_scores(load_table(spark, sf_dir, "documents"))

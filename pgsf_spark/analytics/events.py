@@ -157,3 +157,56 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
         (F.max(F.col("ts").cast("timestamp").cast("long")) - F.min(F.col("ts").cast("timestamp").cast("long"))).alias("duration_sec"),
     )
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: a user counts for
+    stage k only if the stage-k event happens strictly AFTER their stage-k-1
+    entry time (min qualifying ts, the standard product-analytics funnel).
+
+    Plan: three conditional min-aggregations chained by user_id joins -- all
+    shuffles share the user_id key, so at scale one partitioning is reused
+    (exchange reuse) rather than re-shuffling the events table each step."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.lit("1_view").alias("stage"), F.count(F.lit(1)).alias("users"))
+        .unionByName(c.agg(F.lit("2_view_click").alias("stage"), F.count(F.lit(1)).alias("users")))
+        .unionByName(p.agg(F.lit("3_view_click_purchase").alias("stage"), F.count(F.lit(1)).alias("users")))
+    )
+
+
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-activity week, counted in
+    each later week they were active. Offsets are exact multiples of 7 days
+    (both ends Monday-truncated), so integer-div-7 is lossless.
+
+    Two shuffles (user_id for the cohort min, then cohort/offset agg); the
+    distinct-activity relation dedups map-side before either."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("CAST(datediff(week, cohort_week) DIV 7 AS INT)").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("users"))
+    )

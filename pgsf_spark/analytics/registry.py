@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pgsf_spark.analytics import (
     advanced,
     cdc_demo,
+    corpus,
     dedup,
     events,
     pipeline,
@@ -862,6 +863,60 @@ FROM a JOIN b ON ka <> kb GROUP BY ka""",
         advanced.q_soql_surface,
         "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_nationkey = 7",
     ),
+    # --- corpus-level quality / contamination (corpus.py) ---
+    "repetition_stats": QuerySpec(
+        corpus.q_repetition_stats,
+        r"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+g AS (SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS gram FROM t),
+c AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_2grams,
+  ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 4) AS top_2gram_frac,
+  ROUND(CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) / SUM(n), 4) AS dup_2gram_frac
+FROM c GROUP BY doc_id""",
+    ),
+    "boilerplate_ngrams": QuerySpec(
+        corpus.q_boilerplate_ngrams,
+        r"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)])) AS gram FROM t),
+bp AS (SELECT gram FROM (SELECT gram, COUNT(*) AS ndocs FROM g GROUP BY gram) WHERE ndocs >= 5)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_3grams,
+  CAST(COUNT(bp.gram) AS BIGINT) AS n_boilerplate,
+  ROUND(CAST(COUNT(bp.gram) AS DOUBLE) / COUNT(*), 4) AS boilerplate_frac
+FROM g LEFT JOIN bp USING (gram) GROUP BY doc_id""",
+    ),
+    "benchmark_contamination": QuerySpec(
+        corpus.q_benchmark_contamination,
+        r"""WITH t AS (SELECT doc_id, list_distinct([array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+3], ' ')
+       for i in range(1, len(regexp_split_to_array(trim(text), '\s+')) - 2)]) AS grams FROM documents),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM t WHERE doc_id % 50 = 0),
+cand AS (SELECT doc_id, unnest(grams) AS gram FROM t WHERE doc_id % 50 != 0)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_4grams,
+  CAST(COUNT(b.gram) AS BIGINT) AS n_contaminated,
+  ROUND(CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*), 4) AS contamination_frac
+FROM cand c LEFT JOIN bench b USING (gram) GROUP BY doc_id""",
+    ),
+    # --- product-analytics funnels / retention (events.py) ---
+    "event_funnel": QuerySpec(
+        events.q_event_funnel,
+        """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS users FROM v
+UNION ALL SELECT '2_view_click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL SELECT '3_view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM p""",
+    ),
+    "weekly_retention": QuerySpec(
+        events.q_weekly_retention,
+        """WITH active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+cohort AS (SELECT user_id, MIN(week) AS cw FROM active GROUP BY user_id)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+  CAST(date_diff('day', cw, week) // 7 AS INT) AS week_offset,
+  CAST(COUNT(*) AS BIGINT) AS users
+FROM active JOIN cohort USING (user_id)
+GROUP BY 1, 2""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -908,6 +963,11 @@ _ROUND2_FRONT = [
     "quality_filter",
     "training_manifest",
     "manifest_summary",
+    "repetition_stats",
+    "boilerplate_ngrams",
+    "benchmark_contamination",
+    "event_funnel",
+    "weekly_retention",
 ]
 assert set(_ROUND2_FRONT) <= set(QUERIES), set(_ROUND2_FRONT) - set(QUERIES)
 QUERIES = {
