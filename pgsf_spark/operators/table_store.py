@@ -14,6 +14,7 @@ ready->running claim guarantees one writer, synctable.py:63-73).
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
@@ -43,10 +44,38 @@ def _link_tree(src: str, dst: str) -> None:
                 shutil.copy2(s, d)
 
 
+_STATS_NAME = "_STATS.json"
+# Delta collects stats on the first 32 columns by default; same cap here.
+_STATS_MAX_COLS = 32
+
+
+def _stat_jsonable(v):
+    """Footer min/max -> JSON value whose ordering survives the round trip.
+    Timestamps/dates as ISO strings (ISO order == time order); unsupported
+    types (bytes, decimals, nested) -> None = no stats for that column."""
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max is useless for range pruning
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:  # normalize to UTC-naive so ISO order holds
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return None
+
+
 class TableStore:
-    def __init__(self, spark: SparkSession, root: str):
+    """``collect_stats``: per-file column min/max gathered from parquet
+    footers at publish time (Delta-style data skipping). Driver-side
+    O(files) footer reads -- metadata work, no data IO; at 100 TB this is
+    the same economics as Delta's add-file stats."""
+
+    def __init__(self, spark: SparkSession, root: str, collect_stats: bool = True):
         self.spark = spark
         self.root = root
+        self.collect_stats = collect_stats
         os.makedirs(root, exist_ok=True)
 
     def _tdir(self, table: str) -> str:
@@ -106,10 +135,139 @@ class TableStore:
         self._publish(table, version, path, df.schema.jsonValue(), meta)
         return path
 
+    def _write_file_stats(self, path: str) -> None:
+        """Per-file column min/max from parquet footers -> _STATS.json.
+
+        Runs over the whole version dir, so hardlink-carried partitions from
+        write_partial are covered too (their footers are identical inodes --
+        the read is a few KB each). Columns beyond _STATS_MAX_COLS, nested
+        paths, and types with no order-preserving JSON form are skipped --
+        missing stats mean "never prune this file on that column"."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict] = {}
+        for root_, _dirs, files in os.walk(path):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(root_, fn)
+                try:
+                    md = pq.ParquetFile(fp).metadata
+                except Exception:
+                    continue
+                per_col: dict[str, list] = {}
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    for ci in range(min(row_group.num_columns, _STATS_MAX_COLS)):
+                        col = row_group.column(ci)
+                        name = col.path_in_schema
+                        if "." in name:
+                            continue  # nested: no file-level range semantics
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            per_col[name] = None  # one opaque row group poisons the file
+                            continue
+                        mn, mx = _stat_jsonable(st.min), _stat_jsonable(st.max)
+                        if mn is None or mx is None or per_col.get(name, ()) is None:
+                            per_col[name] = None
+                            continue
+                        if name in per_col:
+                            per_col[name] = [min(per_col[name][0], mn), max(per_col[name][1], mx)]
+                        else:
+                            per_col[name] = [mn, mx]
+                stats[os.path.relpath(fp, path)] = {
+                    k: v for k, v in per_col.items() if v is not None
+                }
+        with open(os.path.join(path, _STATS_NAME), "w") as f:
+            json.dump(stats, f)
+
+    def file_stats(self, table: str, version: str | None = None) -> dict | None:
+        path = (
+            os.path.join(self._tdir(table), version) if version else self.current_version_path(table)
+        )
+        if path is None:
+            return None
+        try:
+            with open(os.path.join(path, _STATS_NAME)) as f:
+                return json.load(f)
+        except OSError:
+            return None
+
+    def read_pruned(
+        self,
+        table: str,
+        col: str,
+        lo=None,
+        hi=None,
+        version: str | None = None,
+        keep_internal: bool = False,
+    ) -> DataFrame:
+        """Range read with file-level data skipping: only files whose footer
+        [min, max] for ``col`` overlaps [lo, hi] enter the scan, then the
+        exact filter is applied on top (result == read().filter(range), but
+        the plan never opens the skipped files).
+
+        This is what makes point/range lookups on a 100 TB replica cheap
+        when the layout is ordered or bucketed on ``col`` (write with
+        repartitionByRange + sortWithinPartitions, or the pk-bucket layout):
+        scan cost is O(overlapping files), not O(table). Falls back to the
+        plain filtered read when stats are absent."""
+
+        from pyspark.sql import functions as F
+
+        def _range_filter(df: DataFrame) -> DataFrame:
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+            return df
+
+        stats = self.file_stats(table, version)
+        if stats is None:
+            return _range_filter(self.read(table, version, keep_internal))
+        path = (
+            os.path.join(self._tdir(table), version) if version else self.current_version_path(table)
+        )
+        cmp_lo = _stat_jsonable(lo) if lo is not None else None
+        cmp_hi = _stat_jsonable(hi) if hi is not None else None
+
+        def _keep(file_stats: dict) -> bool:
+            rng = file_stats.get(col)
+            if rng is None:
+                return True  # no stats -> cannot prune
+            mn, mx = rng
+            try:
+                if cmp_hi is not None and mn > cmp_hi:
+                    return False
+                if cmp_lo is not None and mx < cmp_lo:
+                    return False
+            except TypeError:
+                return True  # incomparable types: never wrong, just unpruned
+            return True
+
+        kept = [f for f, s in stats.items() if _keep(s)]
+        if len(kept) == len(stats):
+            return _range_filter(self.read(table, version, keep_internal))
+        schema = self._manifest_schema(path)
+        if not kept:
+            if schema is None:
+                return _range_filter(self.read(table, version, keep_internal)).limit(0)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            reader = self.spark.read.option("basePath", path)
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(*[os.path.join(path, f) for f in kept])
+        if not keep_internal and PGSF_BUCKET in df.columns:
+            df = df.drop(PGSF_BUCKET)
+        return _range_filter(df)
+
     def _publish(self, table: str, version: str, path: str, schema_json, manifest: dict) -> None:
         # K5 job-artifact persistence (status.json/batches.json analogue,
         # download.py:86-92): a manifest per published version for
         # lineage/debugging; then the atomic pointer flip.
+        if self.collect_stats:
+            self._write_file_stats(path)
         with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
             json.dump(
                 {
