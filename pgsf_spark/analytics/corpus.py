@@ -138,3 +138,23 @@ def contamination_scores(d: DataFrame, text_col: str = "text") -> DataFrame:
 
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson token diversity per doc: 1 - sum(c_i^2)/N^2 over the
+    token histogram -- the no-logarithm cousin of token entropy (logs are
+    not correctly-rounded IEEE ops, so an entropy oracle could drift by an
+    ulp across engines; sum-of-squares stays in exact integer arithmetic
+    until one final division). Low diversity = degenerate/looping text."""
+    d = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        d.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c")), 4
+        ).alias("token_diversity"),
+    )

@@ -11,7 +11,7 @@ training manifest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pgsf_spark.analytics.sampling import assign_split
@@ -82,4 +82,35 @@ def q_manifest_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+    )
+
+
+PACK_CAP_CHARS = 4096
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-boundary sequence packing: docs are laid out in doc_id order
+    within each source and grouped into training sequences of ~PACK_CAP
+    chars (a doc starts sequence floor(prefix_before / cap)).
+
+    Packing is per-source ON PURPOSE: a single global running sum would be
+    one sequential window partition at 100 TB; per-shard packing keeps every
+    shard's window independent (shuffle on source only) -- which is also how
+    production packers shard (per input file / split)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    prefix_before = F.coalesce(
+        F.sum(F.col("n_chars").cast("bigint")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    packed = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (prefix_before / PACK_CAP_CHARS).cast("bigint").alias("seq_id"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
     )

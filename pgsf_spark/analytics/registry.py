@@ -895,6 +895,36 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_4grams,
   ROUND(CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*), 4) AS contamination_frac
 FROM cand c LEFT JOIN bench b USING (gram) GROUP BY doc_id""",
     ),
+    "token_diversity": QuerySpec(
+        corpus.q_token_diversity,
+        r"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+c AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+  ROUND(1.0 - CAST(SUM(c * c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)), 4) AS token_diversity
+FROM c GROUP BY doc_id""",
+    ),
+    # --- mixture sampling / sequence packing (sampling.py, pipeline.py) ---
+    "temperature_sample": QuerySpec(
+        sampling.q_temperature_sample,
+        """WITH ranked AS (
+  SELECT doc_id, source,
+    ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+    COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents)
+SELECT doc_id, source FROM ranked WHERE rk <= CEIL(SQRT(n_src))""",
+    ),
+    "sequence_pack": QuerySpec(
+        pipeline.q_sequence_pack,
+        """WITH p AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+    COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+  FROM documents)
+SELECT source, CAST(pb // 4096 AS BIGINT) AS seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS first_doc
+FROM p GROUP BY 1, 2""",
+    ),
     # --- product-analytics funnels / retention (events.py) ---
     "event_funnel": QuerySpec(
         events.q_event_funnel,
@@ -968,6 +998,9 @@ _ROUND2_FRONT = [
     "benchmark_contamination",
     "event_funnel",
     "weekly_retention",
+    "token_diversity",
+    "temperature_sample",
+    "sequence_pack",
 ]
 assert set(_ROUND2_FRONT) <= set(QUERIES), set(_ROUND2_FRONT) - set(QUERIES)
 QUERIES = {

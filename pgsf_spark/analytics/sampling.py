@@ -83,3 +83,25 @@ def q_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     drawing at fixed per-domain quota)."""
     d = load_table(spark, sf_dir, "documents")
     return sample_per_group(d, "source", "doc_id", 3).select("source", "doc_id")
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (alpha = 0.5): each source is
+    downsampled to ceil(sqrt(n_source)) docs -- the multilingual-training
+    trick that flattens a skewed source mixture without zeroing the tail.
+
+    alpha = 0.5 specifically because sqrt is correctly rounded in IEEE 754,
+    so Spark and any oracle engine agree bit-for-bit; arbitrary pow(n, a)
+    would not. Selection is the deterministic hash-rank (no rand(), stable
+    under retries); the only shuffle is the per-source window."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    ranked = d.select("doc_id", "source").withColumn("rk", F.row_number().over(w))
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    return (
+        ranked.join(counts, "source")
+        .filter(F.col("rk") <= F.ceil(F.sqrt(F.col("n_src"))))
+        .select("doc_id", "source")
+    )
