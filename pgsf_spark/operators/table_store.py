@@ -422,21 +422,38 @@ class TableStore:
         ).filter(F.col("_change_type").isNotNull())
         return tagged.select(pk, "_change_type", *cols)
 
-    def compact(self, table: str, target_partitions: int | None = None) -> str:
+    def compact(
+        self,
+        table: str,
+        target_partitions: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> str:
         """Rewrite the current version into fewer, larger files.
 
         Frequent small merges accumulate small part-files (the classic
         100 TB operational problem); compaction is just publishing a new
         coalesced version through the same atomic pointer flip -- readers
-        never see a partial state. Returns the new version path."""
+        never see a partial state. Returns the new version path.
+
+        ``zorder_by``: cluster the rewrite along the Z-curve of these
+        columns (operators/clustering.py) so subsequent ``read_pruned``
+        calls skip files on ANY of them -- the OPTIMIZE ... ZORDER BY
+        maintenance op, run here where the data is being rewritten anyway."""
         df = self.read(table, keep_internal=True)
         info = self.partition_info(table)
         n = target_partitions or max(1, df.rdd.getNumPartitions() // 8)
         meta = {"compacted": True}
         if info and info.get("partition_buckets") is not None:
             meta["partition_buckets"] = info["partition_buckets"]
+        if zorder_by:
+            from pgsf_spark.operators.clustering import zorder
+
+            df = zorder(df, zorder_by, num_files=n)
+            meta["zorder_by"] = zorder_by
+        else:
+            df = df.coalesce(n)
         return self.write(
-            df.coalesce(n),
+            df,
             table,
             partition_by=(info or {}).get("partition_by"),
             manifest=meta,

@@ -63,3 +63,20 @@ class TestZorderSkipping:
         store.write(zorder(df, ["a", "b"], num_files=8), "t")
         assert store.read("t").count() == 1000
         assert sorted(r["id"] for r in store.read("t").select("id").collect()) == list(range(1000))
+
+
+class TestCompactZorder:
+    def test_compact_with_zorder_clusters_and_prunes(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "store"))
+        n = 32
+        grid = spark.range(n * n).select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        ).repartition(8)
+        store.write(grid, "t")
+        store.compact("t", target_partitions=8, zorder_by=["x", "y"])
+        assert store.manifest("t")["zorder_by"] == ["x", "y"]
+        total = len(store.read("t").inputFiles())
+        pруned = store.read_pruned("t", "y", lo=0, hi=3)
+        assert pруned.count() == 4 * n
+        assert len(pруned.inputFiles()) < total
