@@ -213,13 +213,22 @@ def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct (HyperLogLog++). No cross-engine oracle exists
-    for sketch internals -- registered as a rows-only check; the exact
-    companion column bounds the error for the reader."""
+    """Approximate distinct (HyperLogLog++), reshaped to an engine-portable
+    assertion so a cross-engine oracle exists: the sketch estimate itself is
+    engine-specific, but the *claim* "estimate within 10% of exact" is not.
+    Spark computes |HLL(rsd=0.02) - exact| / exact <= 0.10; DuckDB asserts the
+    same claim from its own exact count (TRUE). HLL++ is deterministic for a
+    fixed input, so the boolean is stable across runs; rsd=0.02 puts 10%
+    tolerance at 5 sigma. At 100 TB the exact count_distinct companion would
+    be dropped and only the sketch kept -- here it doubles as the gate."""
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(F.approx_count_distinct("user_id", 0.02) - F.count_distinct("user_id"))
+            / F.count_distinct("user_id")
+            <= F.lit(0.10)
+        ).alias("approx_within_10pct"),
     )
 
 

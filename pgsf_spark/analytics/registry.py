@@ -750,9 +750,14 @@ INTERSECT
 SELECT o_custkey FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'""",
     ),
-    # rows-only: HLL sketch values are engine-specific (driver records the
-    # weaker check by design)
-    "approx_distinct_users": QuerySpec(advanced.q_approx_distinct_users, None),
+    # HLL sketch values are engine-specific, but the within-tolerance claim
+    # is portable: DuckDB asserts the same boolean from its exact count.
+    "approx_distinct_users": QuerySpec(
+        advanced.q_approx_distinct_users,
+        """SELECT COUNT(DISTINCT user_id) AS exact_users,
+  TRUE AS approx_within_10pct
+FROM events""",
+    ),
     "order_quartiles_rank": QuerySpec(
         advanced.q_order_quartiles_rank,
         """SELECT o_orderkey, c_mktsegment,
