@@ -73,3 +73,38 @@ def zorder(
     z = df.withColumn("__z", interleave_bits(scaled, bits))
     n = num_files or df.rdd.getNumPartitions()
     return z.repartitionByRange(n, "__z").sortWithinPartitions("__z").drop("__z")
+
+
+def zorder_within(
+    df: DataFrame,
+    cols: list[str],
+    partition_by: list[str],
+    bits: int = DEFAULT_BITS,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Z-cluster INSIDE each hive partition of a partitioned table.
+
+    zorder()'s global repartitionByRange lays rows out by z-value alone; a
+    later repartition by the hive partition columns (needed for dir-aligned
+    writes) would reshuffle and destroy that order. Here ONE range shuffle
+    is keyed by (partition cols, z): each task covers a contiguous slice of
+    one partition's z-curve, so every directory gets ~num_files/n_dirs files
+    each spanning a compact z-range -- which is what per-file min/max
+    pruning inside a partition needs. Scaling anchors stay global so
+    z-values are comparable across partitions."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    rng = df.agg(*aggs).first()
+    scaled = [
+        scale_to_int(F.col(c), F.lit(rng[f"__lo_{c}"]), F.lit(rng[f"__hi_{c}"]), bits)
+        for c in cols
+    ]
+    z = df.withColumn("__z", interleave_bits(scaled, bits))
+    n = num_files or df.rdd.getNumPartitions()
+    keys = [F.col(p) for p in partition_by] + [F.col("__z")]
+    return (
+        z.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*partition_by, "__z")
+        .drop("__z")
+    )

@@ -49,6 +49,41 @@ _STATS_NAME = "_STATS.json"
 _STATS_MAX_COLS = 32
 
 
+def _footer_stats(fp: str) -> dict:
+    """Column min/max for one parquet file, from its footer only (a few KB
+    of IO). Runs EXECUTOR-side (see _write_file_stats): module-level so it
+    pickles cleanly into Spark tasks. Nested paths, columns past the cap,
+    and types with no order-preserving JSON form are skipped -- a missing
+    stat means "never prune this file on that column"."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(fp).metadata
+    except Exception:
+        return {}
+    per_col: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(min(row_group.num_columns, _STATS_MAX_COLS)):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested: no file-level range semantics
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                per_col[name] = None  # one opaque row group poisons the file
+                continue
+            mn, mx = _stat_jsonable(st.min), _stat_jsonable(st.max)
+            if mn is None or mx is None or per_col.get(name, ()) is None:
+                per_col[name] = None
+                continue
+            if name in per_col:
+                per_col[name] = [min(per_col[name][0], mn), max(per_col[name][1], mx)]
+            else:
+                per_col[name] = [mn, mx]
+    return {k: v for k, v in per_col.items() if v is not None}
+
+
 def _stat_jsonable(v):
     """Footer min/max -> JSON value whose ordering survives the round trip.
     Timestamps/dates as ISO strings (ISO order == time order); unsupported
@@ -103,18 +138,25 @@ class TableStore:
         bucket_col: str | None = None,
         partition_by: list[str] | None = None,
         manifest: dict | None = None,
+        layout_ready: bool = False,
     ) -> str:
         """Write a new version and atomically flip the pointer.
 
         ``buckets``/``bucket_col``: repartition by the merge key before
         writing so the stored layout is key-clustered -- the next merge's
         anti-join then shuffles the (small) change batch, not the table.
+
+        ``layout_ready``: the caller already arranged the physical layout
+        (e.g. compact()'s z-ordering) -- skip the default repartition, which
+        would reshuffle and silently destroy that clustering.
         """
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
         version = f"v{int(time.time() * 1000)}_{os.getpid()}"
         path = os.path.join(tdir, version)
-        if buckets and bucket_col:
+        if layout_ready:
+            pass
+        elif buckets and bucket_col:
             df = df.repartition(buckets, bucket_col)
         elif partition_by:
             # co-locate each hive partition's rows in one task: without this,
@@ -138,46 +180,29 @@ class TableStore:
     def _write_file_stats(self, path: str) -> None:
         """Per-file column min/max from parquet footers -> _STATS.json.
 
-        Runs over the whole version dir, so hardlink-carried partitions from
-        write_partial are covered too (their footers are identical inodes --
-        the read is a few KB each). Columns beyond _STATS_MAX_COLS, nested
-        paths, and types with no order-preserving JSON form are skipped --
-        missing stats mean "never prune this file on that column"."""
-        import pyarrow.parquet as pq
-
+        The footer reads run as a Spark job over the file list (RDD map --
+        the legitimate per-partition-imperative case: O(files) metadata IO,
+        no row data), so publish-time stats cost is parallel across the
+        cluster, not a sequential driver walk. At 100 TB (~800k files at
+        128 MB) the driver only lists names and writes the JSON; Delta
+        collects stats executor-side at write for the same reason. Covers
+        the whole version dir, so hardlink-carried partitions from
+        write_partial are included (their footers are identical inodes)."""
+        files: list[str] = []
+        for root_, _dirs, fns in os.walk(path):
+            for fn in fns:
+                if fn.endswith(".parquet"):
+                    files.append(os.path.join(root_, fn))
         stats: dict[str, dict] = {}
-        for root_, _dirs, files in os.walk(path):
-            for fn in files:
-                if not fn.endswith(".parquet"):
-                    continue
-                fp = os.path.join(root_, fn)
-                try:
-                    md = pq.ParquetFile(fp).metadata
-                except Exception:
-                    continue
-                per_col: dict[str, list] = {}
-                for rg in range(md.num_row_groups):
-                    row_group = md.row_group(rg)
-                    for ci in range(min(row_group.num_columns, _STATS_MAX_COLS)):
-                        col = row_group.column(ci)
-                        name = col.path_in_schema
-                        if "." in name:
-                            continue  # nested: no file-level range semantics
-                        st = col.statistics
-                        if st is None or not st.has_min_max:
-                            per_col[name] = None  # one opaque row group poisons the file
-                            continue
-                        mn, mx = _stat_jsonable(st.min), _stat_jsonable(st.max)
-                        if mn is None or mx is None or per_col.get(name, ()) is None:
-                            per_col[name] = None
-                            continue
-                        if name in per_col:
-                            per_col[name] = [min(per_col[name][0], mn), max(per_col[name][1], mx)]
-                        else:
-                            per_col[name] = [mn, mx]
-                stats[os.path.relpath(fp, path)] = {
-                    k: v for k, v in per_col.items() if v is not None
-                }
+        if files:
+            sc = self.spark.sparkContext
+            slices = max(1, min(len(files), sc.defaultParallelism))
+            pairs = (
+                sc.parallelize(sorted(files), slices)
+                .map(lambda fp: (fp, _footer_stats(fp)))
+                .collect()
+            )
+            stats = {os.path.relpath(fp, path): s for fp, s in pairs}
         with open(os.path.join(path, _STATS_NAME), "w") as f:
             json.dump(stats, f)
 
@@ -228,8 +253,8 @@ class TableStore:
         path = (
             os.path.join(self._tdir(table), version) if version else self.current_version_path(table)
         )
-        cmp_lo = _stat_jsonable(lo) if lo is not None else None
-        cmp_hi = _stat_jsonable(hi) if hi is not None else None
+        cmp_lo = self._bound_for_stats(lo) if lo is not None else None
+        cmp_hi = self._bound_for_stats(hi) if hi is not None else None
 
         def _keep(file_stats: dict) -> bool:
             rng = file_stats.get(col)
@@ -261,6 +286,24 @@ class TableStore:
         if not keep_internal and PGSF_BUCKET in df.columns:
             df = df.drop(PGSF_BUCKET)
         return _range_filter(df)
+
+    def _bound_for_stats(self, v):
+        """Pruning bound -> the JSON-comparable form matching _STATS.json.
+
+        Stats store timestamps as UTC-naive ISO strings, but ``F.lit(naive
+        datetime)`` in the row filter means wall time in the SESSION timezone
+        -- so a naive bound must be localized to the session zone and
+        converted to UTC before comparing against stats, or a non-UTC session
+        would prune files the row filter still wants (silent row loss)."""
+        if isinstance(v, _dt.datetime) and v.tzinfo is None:
+            tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+            try:
+                from zoneinfo import ZoneInfo
+
+                v = v.replace(tzinfo=ZoneInfo(tz))
+            except Exception:
+                return _stat_jsonable(v)  # unknown zone: compare as-is
+        return _stat_jsonable(v)
 
     def _publish(self, table: str, version: str, path: str, schema_json, manifest: dict) -> None:
         # K5 job-artifact persistence (status.json/batches.json analogue,
@@ -337,9 +380,26 @@ class TableStore:
         df_changed.repartition(partition_col).write.mode("overwrite").partitionBy(
             partition_col
         ).parquet(path)
-        changed_dirs = {f"{partition_col}={v}" for v in changed_values}
+        # Trust the dirs Spark ACTUALLY wrote, not names re-derived from raw
+        # Python values (Spark URL-encodes/formats partition values in dir
+        # names; a mismatch would both rewrite and hardlink-carry the same
+        # partition = duplicate rows). The declared set is still checked: a
+        # written dir outside it means df_changed held rows the caller did
+        # not account for (e.g. a non-deterministic source re-evaluated) --
+        # fail loudly rather than publish duplicates.
+        written_dirs = {
+            d for d in os.listdir(path) if d.startswith(f"{partition_col}=")
+        }
+        declared_dirs = {f"{partition_col}={v}" for v in changed_values}
+        if not written_dirs <= declared_dirs:
+            shutil.rmtree(path, ignore_errors=True)
+            raise ValueError(
+                f"write_partial: rows landed in partitions {sorted(written_dirs - declared_dirs)} "
+                f"not listed in changed_values -- refusing to publish (would duplicate keys)"
+            )
+        skip = written_dirs | declared_dirs
         for d in os.listdir(prev):
-            if d.startswith(f"{partition_col}=") and d not in changed_dirs:
+            if d.startswith(f"{partition_col}=") and d not in skip:
                 _link_tree(os.path.join(prev, d), os.path.join(path, d))
         meta = dict(manifest or {})
         meta.setdefault("partition_by", prev_manifest.get("partition_by") or [partition_col])
@@ -445,28 +505,64 @@ class TableStore:
         meta = {"compacted": True}
         if info and info.get("partition_buckets") is not None:
             meta["partition_buckets"] = info["partition_buckets"]
+        partition_by = (info or {}).get("partition_by")
         if zorder_by:
-            from pgsf_spark.operators.clustering import zorder
+            from pgsf_spark.operators.clustering import zorder, zorder_within
 
-            df = zorder(df, zorder_by, num_files=n)
+            # Partitioned tables need the partition-first layout: write()'s
+            # default repartition(*partition_by) after a global z-shuffle
+            # would destroy the clustering (stats stay wide, read_pruned
+            # skips nothing) -- so build the final layout here and tell
+            # write() to keep its hands off it.
+            if partition_by:
+                df = zorder_within(df, zorder_by, partition_by, num_files=n)
+            else:
+                df = zorder(df, zorder_by, num_files=n)
             meta["zorder_by"] = zorder_by
         else:
             df = df.coalesce(n)
         return self.write(
             df,
             table,
-            partition_by=(info or {}).get("partition_by"),
+            partition_by=partition_by,
             manifest=meta,
+            layout_ready=bool(zorder_by),
         )
 
-    def vacuum(self, table: str, keep: int = 2) -> list[str]:
-        """Drop all but the newest ``keep`` versions (job GC, C7)."""
+    def vacuum(
+        self,
+        table: str,
+        keep: int = 2,
+        ttl_seconds: float | None = None,
+        now: float | None = None,
+    ) -> list[str]:
+        """Drop old versions (job GC, C7).
+
+        ``keep``: always retain the newest N versions (count-based floor).
+        ``ttl_seconds``: additionally retain ANY version younger than this
+        (age from the manifest's ``written_at``) -- the reference's
+        retention model (delete_old_jobs_data.sh:6-11 keeps 7 days by
+        mtime). With both set, a version is deleted only when it is outside
+        the newest ``keep`` AND older than the TTL. ``now`` injects the
+        clock for tests (epoch seconds)."""
         tdir = self._tdir(table)
         cur = self.current_version_path(table)
         versions = sorted(
             d for d in os.listdir(tdir) if d.startswith("v") and os.path.isdir(os.path.join(tdir, d))
         )
-        victims = [v for v in versions[:-keep] if os.path.join(tdir, v) != cur]
+        candidates = versions[:-keep] if keep else versions
+        victims = [v for v in candidates if os.path.join(tdir, v) != cur]
+        if ttl_seconds is not None:
+            t_now = time.time() if now is None else now
+
+            def _written_at(v: str) -> float:
+                try:
+                    with open(os.path.join(tdir, v, "_MANIFEST.json")) as f:
+                        return float(json.load(f)["written_at"])
+                except Exception:
+                    return os.path.getmtime(os.path.join(tdir, v))
+
+            victims = [v for v in victims if t_now - _written_at(v) > ttl_seconds]
         for v in victims:
             shutil.rmtree(os.path.join(tdir, v), ignore_errors=True)
         return victims

@@ -48,10 +48,47 @@ def pk_bucket(pk: str, n_buckets: int):
 
 
 class SyncRunner:
-    def __init__(self, source: EntitySource, store: TableStore, state: SyncState):
+    """``maintenance_every``: run compaction + GC on a table after every N
+    successful merges (the reference runs its 7-day job GC from cron,
+    delete_old_jobs_data.sh; here maintenance piggybacks on the sync loop
+    so small merge files and dead versions never accumulate unboundedly).
+    ``vacuum_keep``/``vacuum_ttl_seconds`` are passed to TableStore.vacuum."""
+
+    def __init__(
+        self,
+        source: EntitySource,
+        store: TableStore,
+        state: SyncState,
+        maintenance_every: int | None = None,
+        vacuum_keep: int = 2,
+        vacuum_ttl_seconds: float | None = None,
+    ):
         self.source = source
         self.store = store
         self.state = state
+        self.maintenance_every = maintenance_every
+        self.vacuum_keep = vacuum_keep
+        self.vacuum_ttl_seconds = vacuum_ttl_seconds
+        self._merges_since_maintenance: dict[str, int] = {}
+
+    def maintenance(self, table: str) -> dict:
+        """Compact the current version and GC old ones; returns a summary."""
+        self.store.compact(table)
+        victims = self.store.vacuum(
+            table, keep=self.vacuum_keep, ttl_seconds=self.vacuum_ttl_seconds
+        )
+        return {"table": table, "compacted": True, "vacuumed": victims}
+
+    def _maybe_maintain(self, table: str) -> bool:
+        if not self.maintenance_every:
+            return False
+        n = self._merges_since_maintenance.get(table, 0) + 1
+        if n < self.maintenance_every:
+            self._merges_since_maintenance[table] = n
+            return False
+        self._merges_since_maintenance[table] = 0
+        self.maintenance(table)
+        return True
 
     def snapshot_load(
         self,
@@ -120,7 +157,15 @@ class SyncRunner:
                 # and rewritten; everything else is hardlink-carried by
                 # write_partial. Cost per tick: O(changes + changed buckets).
                 nb = info["partition_buckets"]
-                changes = changes.withColumn(PGSF_BUCKET, pk_bucket(pk, nb))
+                # Materialize the change batch ONCE before deriving buckets:
+                # the bucket list and the written rows must come from the
+                # same evaluation -- a source whose re-evaluation can yield
+                # new rows (any live CDC source) would otherwise write rows
+                # into bucket dirs absent from changed_buckets, and
+                # write_partial would hardlink the old files into those same
+                # dirs (duplicate keys). localCheckpoint pins the batch
+                # (small: one tick's changes) executor-side.
+                changes = changes.withColumn(PGSF_BUCKET, pk_bucket(pk, nb)).localCheckpoint()
                 changed_buckets = [
                     r[0] for r in changes.select(PGSF_BUCKET).distinct().collect()
                 ]
@@ -152,8 +197,12 @@ class SyncRunner:
             new_df = self.store.read(table)
             max_ts = new_df.agg(F.max(ts_field).alias("m")).first()["m"]
             n = new_df.count()
+            maintained = self._maybe_maintain(table)
             self.state.release(table, READY, syncuntil=max_ts or wm)
-            return {"table": table, "rows": n, "watermark": (max_ts or wm).isoformat()}
+            out = {"table": table, "rows": n, "watermark": (max_ts or wm).isoformat()}
+            if maintained:
+                out["maintenance"] = True
+            return out
         except ClaimError:
             raise
         except Exception:

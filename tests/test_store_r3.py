@@ -1,0 +1,204 @@
+"""Round-3 TableStore hardening: executor-side stats collection, z-order on
+partitioned tables, timezone-correct pruning bounds, write_partial partition
+validation, TTL vacuum, and the sync-loop maintenance hook."""
+
+import json
+import os
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgsf_spark.operators.table_store import _STATS_NAME, PGSF_BUCKET, TableStore
+from pgsf_spark.sources.entity import EntitySource
+from pgsf_spark.sync.runner import SyncRunner
+from pgsf_spark.sync.state import SyncState
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return TableStore(spark, str(tmp_path / "store"))
+
+
+class TestDistributedStats:
+    def test_stats_computed_off_driver(self, spark, store, monkeypatch):
+        """Publishing must not open parquet footers in the DRIVER process:
+        the footer reads run inside Spark tasks (separate pyspark worker
+        processes), so poisoning pyarrow.parquet.ParquetFile here must not
+        break stats collection -- and would have broken the old sequential
+        driver walk."""
+        import pyarrow.parquet as pq
+
+        def _boom(*a, **k):
+            raise AssertionError("driver-side footer read during publish")
+
+        monkeypatch.setattr(pq, "ParquetFile", _boom)
+        df = spark.range(400).select(F.col("id"), (F.col("id") % 7).alias("k"))
+        store.write(df.repartitionByRange(8, "id"), "t")
+        stats = store.file_stats("t")
+        assert stats is not None and len(stats) == 8
+        lows = sorted(s["id"][0] for s in stats.values())
+        assert lows[0] == 0 and all(a < b for a, b in zip(lows, lows[1:]))
+
+    def test_unreadable_footer_keeps_file_unpruned(self, spark, store):
+        """A file whose footer can't be parsed must still appear in stats
+        (with no columns) so read_pruned NEVER drops it from the scan."""
+        df = spark.range(100)
+        path = store.write(df.repartitionByRange(4, "id"), "t")
+        stats_path = os.path.join(path, _STATS_NAME)
+        with open(stats_path) as f:
+            stats = json.load(f)
+        victim = sorted(stats)[0]
+        stats[victim] = {}  # simulate opaque footer: present, no stats
+        with open(stats_path, "w") as f:
+            json.dump(stats, f)
+        got = store.read_pruned("t", "id", lo=0, hi=99)
+        assert got.count() == 100  # nothing silently dropped
+
+
+class TestZorderPartitioned:
+    def test_compact_zorder_survives_partitioning(self, spark, tmp_path):
+        """ADVICE r2: write()'s partition repartition used to reshuffle after
+        zorder(), destroying the clustering -- per-file stats stayed wide and
+        read_pruned skipped nothing. With the partition-first z layout, range
+        reads on a z column must skip files inside partition dirs."""
+        store = TableStore(spark, str(tmp_path / "zp"))
+        n = 64
+        grid = spark.range(n * n).select(
+            (F.col("id") % 4).alias("part"),
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        )
+        # many small input partitions so compact() has real work
+        store.write(grid.repartition(16), "zt", partition_by=["part"])
+        store.compact("zt", target_partitions=16, zorder_by=["x", "y"])
+        assert store.manifest("zt").get("zorder_by") == ["x", "y"]
+        total = len(store.read("zt").inputFiles())
+        pruned = store.read_pruned("zt", "x", lo=0, hi=3)
+        full = store.read("zt").filter((F.col("x") >= 0) & (F.col("x") <= 3))
+        assert sorted(r["y"] for r in pruned.collect()) == sorted(
+            r["y"] for r in full.collect()
+        )
+        # partition dirs are preserved AND files within them are z-clustered
+        assert store.partition_info("zt")["partition_by"] == ["part"]
+        assert 0 < len(pruned.inputFiles()) < total
+
+    def test_flat_zorder_unchanged(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "zf"))
+        n = 32
+        grid = spark.range(n * n).select(
+            (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+        )
+        store.write(grid.repartition(8), "zt")
+        store.compact("zt", target_partitions=8, zorder_by=["x", "y"])
+        pruned = store.read_pruned("zt", "x", lo=0, hi=3)
+        assert 0 < len(pruned.inputFiles()) < len(store.read("zt").inputFiles())
+
+
+class TestTimezoneBounds:
+    def test_naive_bounds_in_non_utc_session(self, spark, store):
+        """ADVICE r2: stats store UTC-naive min/max but F.lit(naive) means
+        session-local wall time. In a non-UTC session a naive bound must be
+        shifted to UTC before pruning, or matching rows silently vanish."""
+        df = spark.range(240).select(
+            F.col("id"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(hours=F.col("id"))
+            ).alias("ts"),
+        )
+        store.write(df.repartitionByRange(8, "id"), "t")
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            lo, hi = datetime(2024, 1, 3, 0, 0), datetime(2024, 1, 4, 0, 0)
+            pruned = store.read_pruned("t", "ts", lo=lo, hi=hi)
+            full = store.read("t").filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+            assert sorted(r["id"] for r in pruned.collect()) == sorted(
+                r["id"] for r in full.collect()
+            )
+            assert pruned.count() == 25
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+class TestWritePartialGuard:
+    def test_undeclared_partition_refused(self, spark, store):
+        """Rows landing in a bucket dir NOT listed in changed_values would be
+        both rewritten and hardlink-carried (duplicate keys) -- must refuse."""
+        base = spark.range(100).select(
+            F.col("id"), (F.col("id") % 4).cast("int").alias(PGSF_BUCKET)
+        )
+        store.write(base, "t", partition_by=[PGSF_BUCKET])
+        changed = base.filter(F.col(PGSF_BUCKET).isin([0, 1]))
+        with pytest.raises(ValueError, match="not listed in changed_values"):
+            store.write_partial(changed, "t", PGSF_BUCKET, [0])  # bucket 1 undeclared
+        # failed publish must not have flipped the pointer or left the dir
+        assert store.read("t").count() == 100
+        assert len(store.versions("t")) == 1
+
+    def test_declared_superset_ok(self, spark, store):
+        """A declared-but-empty bucket (all rows deleted) writes no dir and
+        must NOT be hardlink-carried: it simply becomes empty."""
+        base = spark.range(100).select(
+            F.col("id"), (F.col("id") % 4).cast("int").alias(PGSF_BUCKET)
+        )
+        store.write(base, "t", partition_by=[PGSF_BUCKET])
+        changed = base.filter(F.col(PGSF_BUCKET) == 0)
+        store.write_partial(changed, "t", PGSF_BUCKET, [0, 1])  # 1: all deleted
+        got = store.read("t", keep_internal=True)
+        assert got.filter(F.col(PGSF_BUCKET) == 1).count() == 0
+        assert got.count() == 75  # buckets 0 (rewritten), 2, 3 (carried)
+
+
+class TestVacuumTtl:
+    def test_ttl_retains_young_versions(self, spark, store):
+        for i in range(4):
+            store.write(spark.range(10 + i), "t")
+        assert len(store.versions("t")) == 4
+        t_now = time.time()
+        # all versions were written "just now": nothing is older than 1h
+        assert store.vacuum("t", keep=1, ttl_seconds=3600, now=t_now) == []
+        assert len(store.versions("t")) == 4
+        # jump the clock 2h: everything outside keep=1 is past TTL
+        victims = store.vacuum("t", keep=1, ttl_seconds=3600, now=t_now + 7200)
+        assert len(victims) == 3
+        assert len(store.versions("t")) == 1
+        assert store.read("t").count() == 13  # newest survives
+
+    def test_count_only_unchanged(self, spark, store):
+        for i in range(3):
+            store.write(spark.range(5), "t")
+        assert len(store.vacuum("t", keep=2)) == 1
+
+
+class TestMaintenanceHook:
+    def _env(self, spark, tmp_path):
+        src_dir = tmp_path / "src"
+        src_dir.mkdir()
+        rows = [(f"c{i}", float(i), T0, False) for i in range(20)]
+        spark.createDataFrame(
+            rows, "Id string, bal double, SystemModstamp timestamp, IsDeleted boolean"
+        ).write.parquet(str(src_dir / "customer.parquet"))
+        source = EntitySource(spark, str(src_dir))
+        store = TableStore(spark, str(tmp_path / "store"))
+        state = SyncState(str(tmp_path / "sync.json"))
+        return source, store, state, src_dir
+
+    def test_compaction_and_gc_after_n_merges(self, spark, tmp_path):
+        source, store, state, src_dir = self._env(spark, tmp_path)
+        runner = SyncRunner(
+            source, store, state, maintenance_every=2, vacuum_keep=2
+        )
+        runner.snapshot_load("customer", refresh_minutes=0)
+        r1 = runner.sync_table("customer")
+        assert "maintenance" not in r1
+        r2 = runner.sync_table("customer")
+        assert r2.get("maintenance") is True
+        # maintenance published a compacted version and vacuumed old ones
+        assert store.manifest("customer").get("compacted") is True
+        assert len(store.versions("customer")) <= 2
+        assert store.read("customer").count() == 20
