@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 from pgsf_spark.operators.merge import latest_per_key
 
@@ -31,6 +32,98 @@ from pgsf_spark.operators.merge import latest_per_key
 def escape_ident(name: str) -> str:
     """PostgreSQL identifier quoting (pg.escape_name semantics)."""
     return '"' + name.replace('"', '""') + '"'
+
+
+def pg_literal(value) -> str:
+    """Render a Python value as a PostgreSQL literal (DEFAULT clauses).
+    Reference: createtable.py:38-45 (postgres_const) + pg.escape_str."""
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return str(value)
+    if isinstance(value, str):
+        return "'" + value.replace("'", "''") + "'"
+    raise TypeError(f"no PostgreSQL literal form for {type(value).__name__}")
+
+
+def pg_type(field: T.StructField) -> str:
+    """Spark StructField -> PostgreSQL column type.
+
+    The inverse of the describe->Spark mapping (schema/sftypes.py), matching
+    the reference's PG dispatch (createtable.py:13-35): strings carry their
+    catalog length back out as VARCHAR(n) (metadata ``maxlength``; TEXT when
+    unbounded -- picklist/anyType in the reference), DecimalType -> NUMERIC,
+    double -> DOUBLE PRECISION.
+    """
+    dt = field.dataType
+    if isinstance(dt, T.StringType):
+        n = field.metadata.get("maxlength") if field.metadata else None
+        return f"VARCHAR({int(n)})" if n else "TEXT"
+    if isinstance(dt, T.IntegerType) or isinstance(dt, T.ShortType):
+        return "INTEGER"
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP"
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.DecimalType):
+        return f"NUMERIC({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.DoubleType):
+        return "DOUBLE PRECISION"
+    if isinstance(dt, T.FloatType):
+        return "REAL"
+    if isinstance(dt, T.BinaryType):
+        return "BYTEA"
+    raise TypeError(f'"{dt.simpleString()}" NOT IMPLEMENTED (column {field.name})')
+
+
+def pg_create_table_sql(
+    schema: T.StructType,
+    table: str,
+    pk: str | None = "Id",
+    grant_to: str | None = None,
+) -> list[str]:
+    """CREATE TABLE + CREATE INDEX + GRANT statements for a fresh PG target.
+
+    Faithful to get_pgsql_create (createtable.py:87-127): the pk column gets
+    PRIMARY KEY (and no redundant NOT NULL/index); other columns get
+    NOT NULL from nullability, DEFAULT/UNIQUE from catalog metadata; catalog
+    ``indexed`` fields get a ``<table>_<col>_idx`` CREATE INDEX; optional
+    GRANT SELECT. Column order follows the schema (the curated projection)."""
+    coldefs = []
+    for f in schema.fields:
+        d = f" {escape_ident(f.name)} {pg_type(f)}"
+        meta = f.metadata or {}
+        if pk is not None and f.name == pk:
+            d += " PRIMARY KEY"
+        else:
+            if not f.nullable:
+                d += " NOT NULL"
+            if meta.get("default") not in (None, ""):
+                d += " DEFAULT " + pg_literal(meta["default"])
+            if meta.get("unique"):
+                d += " UNIQUE"
+        coldefs.append(d)
+    stmts = [
+        "CREATE TABLE {} (\n{}\n);".format(escape_ident(table), ",\n".join(coldefs))
+    ]
+    for f in schema.fields:
+        if f.name == pk:
+            continue  # primary key already indexed
+        if (f.metadata or {}).get("indexed"):
+            stmts.append(
+                "CREATE INDEX {} ON {} ({});".format(
+                    escape_ident(f"{table}_{f.name}_idx"),
+                    escape_ident(table),
+                    escape_ident(f.name),
+                )
+            )
+    if grant_to is not None:
+        stmts.append(f"GRANT SELECT ON {escape_ident(table)} TO {grant_to};")
+    return stmts
 
 
 def staging_table_name(table: str) -> str:
@@ -136,20 +229,45 @@ class JdbcPostgresSink:
             conn.close()
 
     # -- load paths ----------------------------------------------------------
-    def full_load(self, df: DataFrame, table: str, truncate_first: bool = True) -> None:
-        """Full refresh (csv_to_postgres.py:48-97): TRUNCATE (DDL preserved),
-        then executor-parallel JDBC append -- the cluster-parallel COPY."""
+    # NOTE on naming: df.write.jdbc always receives escape_ident(name) so the
+    # writer and the generated SQL resolve the SAME relation -- unquoted,
+    # PostgreSQL would fold 'tmp_Account' to 'tmp_account' while the merge
+    # statements target "tmp_Account" (every Salesforce object is mixed-case).
+
+    def create_target(
+        self, schema, table: str, pk: str | None = "Id", grant_to: str | None = None
+    ) -> list[str]:
+        """Create a fresh PG target from the Spark schema (createtable.py
+        parity: VARCHAR(n)/NUMERIC/PK/indexes/GRANT). Returns the DDL run."""
+        stmts = pg_create_table_sql(schema, table, pk=pk, grant_to=grant_to)
+        self.run_sql(stmts)
+        return stmts
+
+    def full_load(
+        self,
+        df: DataFrame,
+        table: str,
+        truncate_first: bool = True,
+        create: bool = False,
+        pk: str | None = "Id",
+        grant_to: str | None = None,
+    ) -> None:
+        """Full refresh (csv_to_postgres.py:48-97): optionally CREATE the
+        target first (createtable.py flow), then TRUNCATE (DDL preserved) +
+        executor-parallel JDBC append -- the cluster-parallel COPY."""
+        if create:
+            self.create_target(df.schema, table, pk=pk, grant_to=grant_to)
         if truncate_first:
             self.run_sql(full_load_sql(table))
-            df.write.jdbc(self.url, table, mode="append", properties=self.properties)
+            df.write.jdbc(self.url, escape_ident(table), mode="append", properties=self.properties)
         else:
-            df.write.jdbc(self.url, table, mode="overwrite", properties=self.properties)
+            df.write.jdbc(self.url, escape_ident(table), mode="overwrite", properties=self.properties)
 
     def stage_changes(self, changes: DataFrame, table: str) -> str:
         """Land the change batch in the staging table (the COPY into tmp_T).
         mode='overwrite' recreates the staging table from the batch schema."""
         tmp = staging_table_name(table)
-        changes.write.jdbc(self.url, tmp, mode="overwrite", properties=self.properties)
+        changes.write.jdbc(self.url, escape_ident(tmp), mode="overwrite", properties=self.properties)
         return tmp
 
     def staged_merge(

@@ -109,6 +109,10 @@ def _field_metadata(field: dict[str, Any]) -> dict[str, Any]:
     (tabledesc.py:176-193).
     """
     meta: dict[str, Any] = {}
+    # picklist/multipicklist/anyType sizes are "not reliable"
+    # (createtable.py:23-24 maps them to TEXT, discarding length) -- dropping
+    # the metadata here keeps the PG round-trip (jdbc_sink.pg_type) faithful.
+    skip_len = str(field.get("type", "")).lower() in _TEXT_TYPES
     for key, out in (
         ("length", "maxlength"),
         ("unique", "unique"),
@@ -117,6 +121,8 @@ def _field_metadata(field: dict[str, Any]) -> dict[str, Any]:
         ("IsIndexed", "indexed"),
         ("compoundFieldName", "compoundFieldName"),
     ):
+        if out == "maxlength" and skip_len:
+            continue
         v = field.get(key)
         if v not in (None, "", 0, False):
             meta[out] = v

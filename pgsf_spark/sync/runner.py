@@ -21,6 +21,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
+from pgsf_spark.operators.jdbc_sink import JdbcPostgresSink
 from pgsf_spark.operators.merge import merge_upsert
 from pgsf_spark.operators.table_store import PGSF_BUCKET, TableStore
 from pgsf_spark.sources.entity import EntitySource
@@ -72,7 +73,10 @@ class SyncRunner:
         self._merges_since_maintenance: dict[str, int] = {}
 
     def maintenance(self, table: str) -> dict:
-        """Compact the current version and GC old ones; returns a summary."""
+        """Compact the current version and GC old ones; returns a summary.
+        A JDBC target handles its own storage maintenance (PG autovacuum)."""
+        if isinstance(self.store, JdbcPostgresSink):
+            return {"table": table, "compacted": False, "vacuumed": []}
         self.store.compact(table)
         victims = self.store.vacuum(
             table, keep=self.vacuum_keep, ttl_seconds=self.vacuum_ttl_seconds
@@ -118,6 +122,14 @@ class SyncRunner:
         sc = self.source.spark.sparkContext
         sc.setJobGroup(sync_job_group(table), f"pgsf snapshot load: {table}", interruptOnCancel=True)
         df = self.source.load(table, fields=fields, include_deleted=True)
+        if isinstance(self.store, JdbcPostgresSink):
+            # Live-PG target: CREATE (createtable.py flow) happens via
+            # full_load(create=True) explicitly, not implicitly here --
+            # snapshot semantics are TRUNCATE + parallel append.
+            self.store.full_load(df, table, pk=pk)
+            n = df.count()
+            self.state.insert(table, syncuntil=started, refresh_minutes=refresh_minutes)
+            return n
         manifest: dict = {"op": "snapshot", "extract_started": started.isoformat()}
         partition_by = None
         if partition_buckets:
@@ -150,6 +162,24 @@ class SyncRunner:
             if wm is None:
                 raise ClaimError(f"{table}: no watermark -- bulk-load first (query_poll_table.py:69-73)")
             changes = self.source.incremental(table, ts_field, wm)
+            if isinstance(self.store, JdbcPostgresSink):
+                # Route through the reference's staged-merge transaction
+                # (query_poll_table.py:107-152): dedup Spark-side, COPY into
+                # tmp_T over JDBC, upsert+delete server-side. Watermark
+                # advances to max(ts) of the applied batch (the target's
+                # post-merge max, synctable.py:45-54, equals it when rows
+                # were applied; unchanged wm otherwise).
+                changes = changes.localCheckpoint()
+                n = changes.count()
+                self.store.staged_merge(changes, table, pk=pk, ts_field=ts_field)
+                mx = changes.agg(F.max(ts_field).alias("m")).first()["m"]
+                new_wm = mx if mx is not None and mx > wm else wm
+                maintained = self._maybe_maintain(table)
+                self.state.release(table, READY, syncuntil=new_wm)
+                out = {"table": table, "rows": n, "watermark": new_wm.isoformat()}
+                if maintained:
+                    out["maintenance"] = True
+                return out
             info = self.store.partition_info(table)
             if info and info.get("partition_buckets") and info["partition_by"] == [PGSF_BUCKET]:
                 # Partition-pruned merge: only buckets containing changed
