@@ -122,15 +122,43 @@ def q_value_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_name_min_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-similarity operator: each supplier's nearest other supplier
-    name by Levenshtein distance (classic DP edit distance -- identical in
-    both engines). Self-join is bounded by the small dim table; for large
-    tables block by a prefix/LSH key first."""
+    name by Levenshtein distance, BLOCKED so the self-join is an equi-join.
+
+    Blocking key = deletion neighborhood (the SymSpell idea): every string
+    emits itself plus each delete-one-character variant; two strings within
+    edit distance 1 (sub/ins/del) are GUARANTEED to share a variant, so the
+    candidate join on the variant key is exact for radius 1 (generalize to
+    radius k with k deletions). This replaces the r2 all-pairs
+    BroadcastNestedLoopJoin: candidate pairs are found by a hash equi-join
+    whose block sizes are bounded by the variant fan-in, not O(n^2) -- the
+    registry's scale template for string similarity. Output: suppliers with
+    at least one radius-1 neighbor and their exact min distance."""
     s = load_table(spark, sf_dir, "supplier")
-    a = s.select(F.col("s_suppkey").alias("ka"), F.col("s_name").alias("na"))
-    b = s.select(F.col("s_suppkey").alias("kb"), F.col("s_name").alias("nb"))
+    # sequence(0, len) inclusive: i == len yields the original string
+    # (substr past the end is empty), covering the insert/delete pairing.
+    variants = s.select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_name").alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.length("s_name")),
+                lambda i: F.concat(
+                    F.col("s_name").substr(F.lit(1), i),
+                    F.col("s_name").substr(i + F.lit(2), F.length("s_name")),
+                ),
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(F.col("k").alias("ka"), F.col("n").alias("na"), "variant")
+    b = variants.select(F.col("k").alias("kb"), F.col("n").alias("nb"), "variant")
+    pairs = (
+        a.join(b, on="variant")
+        .filter(F.col("ka") != F.col("kb"))
+        .select("ka", "na", "nb")
+        .distinct()
+    )
     return (
-        a.join(b, F.col("ka") != F.col("kb"))
-        .select("ka", F.levenshtein("na", "nb").alias("d"))
+        pairs.select("ka", F.levenshtein("na", "nb").alias("d"))
         .groupBy(F.col("ka").alias("s_suppkey"))
         .agg(F.min("d").alias("min_edit_distance"))
     )

@@ -859,10 +859,19 @@ FROM lineitem GROUP BY l_returnflag""",
     ),
     "name_min_edit_distance": QuerySpec(
         profiling.q_name_min_edit_distance,
-        """WITH a AS (SELECT s_suppkey AS ka, s_name AS na FROM supplier),
-b AS (SELECT s_suppkey AS kb, s_name AS nb FROM supplier)
+        # deletion-neighborhood blocking mirrored in SQL: i == length yields
+        # the original string, matching Spark's sequence(0, len) inclusive
+        """WITH v AS (
+  SELECT s_suppkey AS k, s_name AS n,
+    substr(s_name, 1, i) || substr(s_name, i + 2, length(s_name)) AS variant
+  FROM (SELECT s_suppkey, s_name, UNNEST(range(0, length(s_name) + 1)) AS i FROM supplier)
+),
+pairs AS (
+  SELECT DISTINCT a.k AS ka, a.n AS na, b.n AS nb
+  FROM v a JOIN v b ON a.variant = b.variant AND a.k <> b.k
+)
 SELECT ka AS s_suppkey, MIN(levenshtein(na, nb)) AS min_edit_distance
-FROM a JOIN b ON ka <> kb GROUP BY ka""",
+FROM pairs GROUP BY ka""",
     ),
     "soql_projection": QuerySpec(
         advanced.q_soql_surface,

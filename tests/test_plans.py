@@ -59,3 +59,10 @@ class TestKeyPlans:
     def test_merge_anti_join_broadcast(self, spark):
         plan = plan_of(spark, "merge_upsert_customer")
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_edit_distance_blocked_equi_join(self, spark):
+        # VERDICT r2: the string-similarity template must not be an all-pairs
+        # nested loop -- deletion-neighborhood blocking makes it an equi-join
+        plan = plan_of(spark, "name_min_edit_distance")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
