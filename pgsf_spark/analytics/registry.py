@@ -613,6 +613,24 @@ SELECT label, COUNT(*) AS n,
 FROM j GROUP BY label""",
     ),
     "lsh_buckets": QuerySpec(similarity.q_lsh_buckets, _lsh_bucket_sql()),
+    "ann_recall_at_5": QuerySpec(
+        similarity.q_ann_recall_at_5,
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({_bucket_expr_sql()}) AS bucket FROM e),
+q AS (SELECT v AS qv, unnest([bucket, {", ".join(f"xor(bucket, {1 << p})" for p in range(8))}]) AS probe
+      FROM b WHERE vec_id = 0),
+ann AS (SELECT vec_id,
+  ROUND({_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+  FROM b JOIN q ON b.bucket = q.probe WHERE vec_id <> 0
+  ORDER BY cosine DESC, vec_id LIMIT 5),
+q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+exact5 AS (SELECT vec_id,
+  ROUND({_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+  FROM e, q0 WHERE vec_id <> 0
+  ORDER BY cosine DESC, vec_id LIMIT 5)
+SELECT CAST(COUNT(*) AS INT) AS n_hits, COUNT(*) / 5.0 AS recall_at_5
+FROM ann JOIN exact5 USING (vec_id)""",
+    ),
     "ann_multiprobe_topk": QuerySpec(
         similarity.q_ann_multiprobe_topk,
         f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -1017,7 +1035,62 @@ _ROUND2_FRONT = [
     "sequence_pack",
 ]
 assert set(_ROUND2_FRONT) <= set(QUERIES), set(_ROUND2_FRONT) - set(QUERIES)
+
+# Round 3: the union of r01+r02 driver rows covers all 91 prior queries, so
+# the front now holds (a) queries whose SEMANTICS changed this round or that
+# are new (must re-verify), then (b) the 41 whose only green row is r01 --
+# the stalest evidence -- so their hashes get re-confirmed; the 2026 r02
+# green set rotates to the back.
+_ROUND3_FRONT = [
+    # changed / new this round
+    "approx_distinct_users",  # reshaped: now oracle-checkable
+    "name_min_edit_distance",  # reblocked: deletion-neighborhood join
+    "ann_recall_at_5",  # new recall gate
+    # r01-only green (stalest driver evidence first)
+    "distinct_segments",
+    "customers_without_orders",
+    "count_orders",
+    "snapshot_projection",
+    "avg_acctbal_by_nation",
+    "nation_trade_volume",
+    "profit_by_nation_year",
+    "part_type_shares",
+    "merge_upsert_customer",
+    "soft_delete_split",
+    "watermark_filter",
+    "events_hourly",
+    "latest_event_per_user",
+    "event_props_extract",
+    "json_props_stats",
+    "user_activity",
+    "events_sliding_2h",
+    "session_window_native",
+    "user_event_pivot",
+    "sessionize",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "top_tfidf_term",
+    "token_stats_pandas",
+    "docs_by_source",
+    "dedup_exact",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "cosine_topk",
+    "embedding_norms",
+    "label_centroid_distance",
+    "lsh_buckets",
+    "ivf_topk",
+    "embedding_near_dup",
+    "bpe_token_count",
+    "asof_click_before_purchase",
+    "clicks_30min_before_purchase",
+]
+assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 QUERIES = {
     name: QUERIES[name]
-    for name in (*_ROUND2_FRONT, *(n for n in QUERIES if n not in set(_ROUND2_FRONT)))
+    for name in (*_ROUND3_FRONT, *(n for n in QUERIES if n not in set(_ROUND3_FRONT)))
 }

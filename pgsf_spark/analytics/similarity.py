@@ -225,6 +225,22 @@ def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the ANN stack: recall@5 of multi-probe LSH against
+    the brute-force exact top-5 on the same data. Both sides are
+    deterministic (literal plane weights, sequential-fold dots, fixed
+    tie-breaks), so the recall NUMBER itself is a cross-engine assertion --
+    this turns "the ANN is probably fine" into a hash-checked row. At scale
+    this is the standard offline quality gate run per index build: sample
+    queries, compare against exact top-k on the sample."""
+    ann = q_ann_multiprobe_topk(spark, sf_dir).select("vec_id")
+    exact5 = q_cosine_topk(spark, sf_dir).limit(5).select("vec_id")
+    return ann.join(exact5, "vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hits"),
+        (F.count(F.lit(1)) / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket histogram for the hyperplane LSH -- the candidate-generation
     stage of ANN at scale (join within buckets instead of O(n^2))."""
