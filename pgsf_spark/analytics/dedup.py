@@ -194,15 +194,33 @@ def q_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard runs ONLY on LSH candidate pairs (a vanishing fraction of n^2),
     joined back to the token sets by doc_id. At 100 TB the two joins shuffle
     the candidate pair list (small) against the token projection of the
-    corpus; with AQE the pair side broadcasts when it fits."""
+    corpus; with AQE the pair side broadcasts when it fits. A doc appearing
+    in thousands of pairs would skew those joins (VERDICT r2 ask #9), so
+    they run through skew_hedged_join: hot docs' token rows are broadcast
+    (work stays spread across the pair partitioning), the cold majority
+    joins normally; pairs are checkpointed once so the fan-out count does
+    not recompute the LSH."""
+    from pgsf_spark.operators.skew import skew_hedged_join
+
     d = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(lsh_banded(d))
+    pairs = lsh_candidate_pairs(lsh_banded(d)).localCheckpoint(eager=True)
     toks = d.select(
         "doc_id", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
     )
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    # doc_b fan-out in the second join == its multiplicity in `pairs` (the
+    # first join matches each pair exactly once), so both hot lists come
+    # from the checkpointed pairs -- no recomputation of the first join.
+    hot_b = (
+        pairs.groupBy("doc_b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 256)
+        .select("doc_b")
+    )
+    j = skew_hedged_join(
+        skew_hedged_join(pairs, a, "doc_a"), b, "doc_b", hot_keys=hot_b
+    )
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
     return (

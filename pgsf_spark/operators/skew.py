@@ -51,6 +51,50 @@ def salted_join(
     return out.drop("__salt")
 
 
+def skew_hedged_join(
+    big: DataFrame,
+    dim: DataFrame,
+    on: str,
+    hot_threshold: int = 256,
+    how: str = "inner",
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Join ``big`` (join key repeated -- e.g. candidate pairs keyed by doc)
+    against ``dim`` (key unique -- e.g. a per-doc feature table) with hot
+    keys hedged out of the shuffle.
+
+    salted_join's replicate-the-small-side pattern is wrong here: ``dim`` is
+    the whole corpus, and exploding it R times is an R x corpus shuffle.
+    Instead, split by observed fan-out: keys with more than ``hot_threshold``
+    big-side rows (a doc in thousands of candidate pairs) take the broadcast
+    path -- their few dim rows are broadcast, so the hot key's work stays
+    spread across big's partitioning and no shuffled partition concentrates
+    it. The cold majority joins normally (AQE skew-split still backstops
+    it). Exact for inner/left-semi shapes: the hot/cold key sets partition
+    the big side, so the union reconstructs the plain join.
+
+    ``big`` is scanned twice (fan-out count + join) -- callers should
+    localCheckpoint a big that is expensive to recompute, or pass
+    ``hot_keys`` (a 1-column DF of keys) computed from a cheaper equivalent
+    source (e.g. the raw pair list before upstream joins that preserve
+    multiplicity)."""
+    if how != "inner":
+        raise ValueError("skew_hedged_join supports inner joins (the verify-join shape)")
+    if hot_keys is None:
+        hot_keys = (
+            big.groupBy(on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > hot_threshold)
+            .select(on)
+        )
+    big_cold = big.join(F.broadcast(hot_keys), on, "left_anti")
+    big_hot = big.join(F.broadcast(hot_keys), on, "left_semi")
+    dim_hot = dim.join(F.broadcast(hot_keys), on, "left_semi")
+    cold = big_cold.join(dim, on, how)
+    hot = big_hot.join(F.broadcast(dim_hot), on, how)
+    return cold.unionByName(hot)
+
+
 def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
     """Two-phase count for skewed group keys: partial count on (key, salt),
     final sum on key. Map-side combine already does this for counts -- the

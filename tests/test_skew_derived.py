@@ -35,6 +35,77 @@ class TestSaltedJoin:
         assert plain == salted
 
 
+class TestSkewHedgedJoin:
+    """VERDICT r2 ask #9: a doc in thousands of candidate pairs must not
+    concentrate the verify join in one shuffled partition."""
+
+    def _data(self, spark):
+        from pyspark.sql import functions as F
+
+        # adversarial: one hot doc in 2000 pairs, 50 cold docs in ~5 each
+        hot = spark.range(2000).select(
+            F.lit("hotdoc").alias("doc_a"), F.concat(F.lit("p"), F.col("id")).alias("payload")
+        )
+        cold = spark.range(250).select(
+            F.concat(F.lit("d"), (F.col("id") % 50)).alias("doc_a"),
+            F.concat(F.lit("c"), F.col("id")).alias("payload"),
+        )
+        big = hot.unionByName(cold)
+        dim = spark.range(51).select(
+            F.when(F.col("id") == 50, F.lit("hotdoc"))
+            .otherwise(F.concat(F.lit("d"), F.col("id")))
+            .alias("doc_a"),
+            (F.col("id") * 10).alias("feature"),
+        )
+        return big, dim
+
+    def test_matches_plain_join_with_hot_key(self, spark):
+        from pgsf_spark.operators.skew import skew_hedged_join
+
+        big, dim = self._data(spark)
+        got = skew_hedged_join(big, dim, "doc_a", hot_threshold=100)
+        want = big.join(dim, "doc_a")
+        assert got.count() == want.count() == 2250
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_hot_path_broadcasts_dim_rows(self, spark):
+        from pgsf_spark.operators.skew import skew_hedged_join
+
+        big, dim = self._data(spark)
+        plan = skew_hedged_join(
+            big, dim, "doc_a", hot_threshold=100
+        )._jdf.queryExecution().executedPlan().toString()
+        # the hot branch joins against an explicitly broadcast dim subset
+        assert plan.count("BroadcastHashJoin") >= 2  # semi/anti splits + hot join
+        assert "CartesianProduct" not in plan
+
+    def test_no_hot_keys_degenerates_to_plain(self, spark):
+        from pgsf_spark.operators.skew import skew_hedged_join
+
+        big, dim = self._data(spark)
+        got = skew_hedged_join(big, dim, "doc_a", hot_threshold=10_000)
+        assert got.count() == 2250
+
+    def test_precomputed_hot_keys(self, spark):
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.operators.skew import skew_hedged_join
+
+        big, dim = self._data(spark)
+        hot = spark.createDataFrame([("hotdoc",)], "doc_a string")
+        got = skew_hedged_join(big, dim, "doc_a", hot_keys=hot)
+        assert got.count() == 2250
+
+    def test_outer_join_rejected(self, spark):
+        import pytest as _pytest
+
+        from pgsf_spark.operators.skew import skew_hedged_join
+
+        big, dim = self._data(spark)
+        with _pytest.raises(ValueError, match="inner"):
+            skew_hedged_join(big, dim, "doc_a", how="left")
+
+
 class TestDerived:
     def test_formula_columns(self, spark):
         df = spark.createDataFrame([(10.0, 0.1)], "price double, disc double")
