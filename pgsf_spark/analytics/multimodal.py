@@ -6,16 +6,19 @@ Arrow-batched Pandas UDFs over ``mapInPandas`` so each executor processes
 whole record batches (the only sane shape at 100 TB: media bytes never hit
 the driver, work is partition-parallel, Python cost is amortized per batch).
 
-Pixel-level codec calls are STUBBED (image/audio libraries are not in this
-environment), but metadata decode is real: ``decode_image_meta`` parses PNG
-IHDR and walks JPEG SOF markers for true dimensions with no library. The
-Spark-side plumbing -- schema, batching, UDF signatures, partitioning -- is
-real and tested with deterministic synthetic payloads.
+PNG is decoded/encoded FOR REAL with zero image libraries (zlib is stdlib):
+chunk walk, IDAT inflate, per-scanline unfiltering incl. Paeth, nearest-
+neighbor resample, re-encode with CRCs -- so ``resize_images`` produces
+actual pixel output executor-side. JPEG metadata decode is real (SOF marker
+walk); JPEG PIXEL decode stays out of scope (an entropy decoder without a
+codec library is not honest engineering) -- non-PNG payloads pass through
+``resize_images`` unchanged, flagged in ``meta_format``.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -43,11 +46,136 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# colortype -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+_PNG_COLORTYPE = {1: 0, 3: 2, 4: 6}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: bytes, width: int, height: int, channels: int = 3) -> bytes:
+    """Minimal REAL PNG encoder: 8-bit gray/RGB/RGBA, filter 0 scanlines,
+    one zlib IDAT, correct CRCs. Any standards-compliant viewer decodes the
+    output; round-trips through :func:`decode_png`."""
+    if channels not in _PNG_COLORTYPE:
+        raise ValueError(f"unsupported channel count {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, _PNG_COLORTYPE[channels], 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(pixels[y * stride : (y + 1) * stride]) for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes) -> tuple[int, int, int, bytearray]:
+    """Real PNG pixel decode, stdlib only: chunk walk, concatenated-IDAT
+    inflate, scanline unfiltering for all 5 filter types (None/Sub/Up/
+    Average/Paeth). Supports 8-bit gray/RGB/RGBA, non-interlaced -- the
+    shapes synthetic pipelines and most web PNGs use. Returns
+    (width, height, channels, pixels) with pixels row-major packed."""
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, n = 8, len(content)
+    width = height = None
+    idat = bytearray()
+    channels = 0
+    while i + 8 <= n:
+        (length,) = struct.unpack(">I", content[i : i + 4])
+        tag = content[i + 4 : i + 8]
+        data = content[i + 8 : i + 8 + length]
+        if tag == b"IHDR":
+            width, height, depth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or colortype not in _PNG_CHANNELS or interlace:
+                raise ValueError(
+                    f"unsupported PNG shape (depth={depth}, colortype={colortype}, interlace={interlace})"
+                )
+            channels = _PNG_CHANNELS[colortype]
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + length  # len + tag + data + crc
+    if width is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT does not match dimensions")
+    out = bytearray(stride * height)
+    prev = bytearray(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - channels] if x >= channels else 0
+                ul = prev[x - channels] if x >= channels else 0
+                line[x] = (line[x] + _paeth(left, prev[x], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return (width, height, channels, out)
+
+
+def resample_nearest(
+    pixels, width: int, height: int, channels: int, target_w: int, target_h: int
+) -> bytearray:
+    """Nearest-neighbor resample of a packed row-major pixel buffer."""
+    out = bytearray(target_w * target_h * channels)
+    for ty in range(target_h):
+        sy = ty * height // target_h
+        src_row = sy * width
+        dst_row = ty * target_w
+        for tx in range(target_w):
+            si = (src_row + tx * width // target_w) * channels
+            di = (dst_row + tx) * channels
+            out[di : di + channels] = pixels[si : si + channels]
+    return out
+
+
 def make_synthetic_png(width: int, height: int) -> bytes:
-    """Deterministic PNG-header-shaped payload (real IHDR layout)."""
-    sig = b"\x89PNG\r\n\x1a\n"
-    ihdr = struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
-    return sig + ihdr + b"\x00" * 16
+    """Deterministic REAL PNG: gradient-patterned RGB pixels, valid IDAT and
+    CRCs -- decodable by decode_png and any standard viewer."""
+    stride = width * 3
+    pattern = bytes(range(256)) * (stride // 256 + 2)
+    pixels = b"".join(pattern[y % 256 : y % 256 + stride] for y in range(height))
+    return encode_png(pixels, width, height, 3)
 
 
 def make_synthetic_jpeg(width: int, height: int) -> bytes:
@@ -147,19 +275,52 @@ def extract_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame
     return df.mapInPandas(run, out_schema)
 
 
-def resize_stub(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize plumbing: recomputes metadata, keeps bytes opaque.
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, content_col: str = "content"
+) -> DataFrame:
+    """REAL pixel resize, executor-side: decode PNG -> nearest-neighbor
+    resample -> re-encode PNG, all inside one mapInPandas pass (bytes never
+    leave the executors; one Arrow batch at a time; no shuffle -- the
+    production plan shape for media preprocessing at 100 TB).
 
-    A real implementation swaps the identity transform for a codec call
-    inside the same mapInPandas body; the plan shape (no shuffle, columnar
-    in/out) is already the production one."""
+    Non-PNG payloads (JPEG needs an entropy decoder = codec library, out of
+    scope here) pass through byte-identical with meta untouched; the caller
+    can route on ``meta_format``. Undecodable/corrupt PNGs also pass
+    through rather than failing the batch."""
     out_schema = df.schema
+    has_meta = "meta_width" in df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            contents, ws, hs, nb = [], [], [], []
+            for idx, content in enumerate(pdf[content_col]):
+                raw = bytes(content) if content is not None else None
+                if raw is not None and raw[:8] == _PNG_SIG:
+                    try:
+                        w, h, ch, px = decode_png(raw)
+                        resized = resample_nearest(px, w, h, ch, target_w, target_h)
+                        raw = encode_png(bytes(resized), target_w, target_h, ch)
+                        contents.append(raw)
+                        ws.append(target_w)
+                        hs.append(target_h)
+                        nb.append(len(raw))
+                        continue
+                    except ValueError:
+                        pass  # unsupported/corrupt PNG: fall through untouched
+                contents.append(raw)
+                if has_meta:
+                    ws.append(pdf["meta_width"].iloc[idx])
+                    hs.append(pdf["meta_height"].iloc[idx])
+                else:
+                    ws.append(None)
+                    hs.append(None)
+                nb.append(len(raw) if raw is not None else 0)
             out = pdf.copy()
-            out["meta_width"] = pd.array([target_w] * len(pdf), dtype="int32")
-            out["meta_height"] = pd.array([target_h] * len(pdf), dtype="int32")
+            out[content_col] = contents
+            if has_meta:
+                out["meta_width"] = pd.array(ws, dtype="int32")
+                out["meta_height"] = pd.array(hs, dtype="int32")
+                out["meta_bytes"] = pd.array(nb, dtype="int64")
             yield out
 
     return df.mapInPandas(run, out_schema)
