@@ -320,3 +320,73 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bits[1:]:
         simhash = simhash + b
     return d.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+SIMHASH_BANDS = 4  # 16-bit signature -> 4 bands of 4 bits
+SIMHASH_MAX_HAMMING = 3  # pigeonhole: d <= bands-1 guarantees a shared band
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup summary via pigeonhole banding -- the EXACT
+    candidate guarantee the MinHash-LSH path doesn't have: split the 16-bit
+    signature into 4 bands; any pair with Hamming distance <= 3 differs in
+    at most 3 bands, so it MUST agree on at least one (pigeonhole) and is
+    found by the band equi-join. Verification is bit_count(xor) on the
+    candidates only; per-doc aggregation (neighbor count + min-id canonical)
+    bounds the output at one row per doc with a near-dup. This is Google's
+    simhash-dedup table layout (Manku et al., WWW'07); at 100 TB the
+    signature is 64-bit with 16-bit bands (65k-way blocking) -- 16/4 here
+    only keeps the cross-engine oracle SQL tractable, the plan shape is
+    identical."""
+    sh = q_simhash(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * 4).bitwiseAND(F.lit(0xF)).alias("v"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sh.select("doc_id", "simhash", F.explode(bands).alias("bb")).select(
+        "doc_id", "simhash", "bb.band", "bb.v"
+    )
+    a = banded.select(F.col("doc_id"), F.col("simhash").alias("sig_a"), "band", "v")
+    b = banded.select(F.col("doc_id").alias("nbr"), F.col("simhash").alias("sig_b"), "band", "v")
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    near = (
+        a.join(b, on=["band", "v"])
+        .filter(F.col("doc_id") != F.col("nbr"))
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select("doc_id", "nbr")
+        .distinct()
+    )
+    return near.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_near_dups"),
+        F.least(F.col("doc_id"), F.min("nbr")).alias("canonical"),
+    )
+
+
+CONTAINMENT_T = 0.5  # min-side containment threshold (quote/inclusion dup)
+
+
+def q_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: CONTAINMENT |A intersect B| / min(|A|, |B|) on
+    LSH candidate pairs -- catches a short doc quoted inside a long one,
+    which symmetric Jaccard dilutes below threshold. Same scale shape as
+    lsh_jaccard_verified: candidates from the banded equi-join, exact set
+    arithmetic only on candidates."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(lsh_banded(d))
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    smaller = F.least(F.size("toks_a"), F.size("toks_b"))
+    return (
+        j.select("doc_a", "doc_b", F.round(inter / smaller, 4).alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_T)
+    )

@@ -91,6 +91,31 @@ SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM h
 """
 
 
+def _simhash_near_dup_sql() -> str:
+    """Pigeonhole-banded SimHash near-dup mirrored in SQL (same 16-bit
+    signature CTE as _simhash_sql, then the 4x4-bit band equi-join)."""
+    terms = []
+    for j in range(16):
+        bit = 1 << j
+        votes = f"list_sum([CASE WHEN (x & {bit}) > 0 THEN 1 ELSE -1 END for x in hs])"
+        terms.append(f"CASE WHEN {votes} > 0 THEN {bit} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+WITH toks AS (SELECT doc_id, list_distinct({_TOKS}) AS t FROM documents),
+h AS (SELECT doc_id, [{_hash_sql('x', 99)} for x in t] AS hs FROM toks),
+sig AS (SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM h),
+banded AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 4)) & 15 AS v
+  FROM sig CROSS JOIN (SELECT UNNEST(range({dedup.SIMHASH_BANDS})) AS b) bands),
+near AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS nbr
+  FROM banded a JOIN banded b ON a.b = b.b AND a.v = b.v AND a.doc_id <> b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_MAX_HAMMING})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near_dups,
+  LEAST(doc_id, MIN(nbr)) AS canonical
+FROM near GROUP BY doc_id"""
+
+
 def _bucket_expr_sql() -> str:
     # Same driver-side deterministic weights as similarity.plane_weights,
     # embedded as double literals (repr round-trips exactly in both engines).
@@ -485,6 +510,22 @@ SELECT * FROM (
 WHERE jaccard >= {dedup.JACCARD_T}""",
     ),
     "simhash": QuerySpec(dedup.q_simhash, _simhash_sql()),
+    "simhash_near_dup": QuerySpec(dedup.q_simhash_near_dup, _simhash_near_dup_sql()),
+    "lsh_containment": QuerySpec(
+        dedup.q_lsh_containment,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + f""",
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+    ROUND(len(list_intersect(ta.toks, tb.toks)) / least(len(ta.toks), len(tb.toks)), 4) AS containment
+  FROM pairs JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id)
+WHERE containment >= {dedup.CONTAINMENT_T}""",
+    ),
     "dedup_clusters": QuerySpec(
         dedup.q_dedup_clusters,
         _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
@@ -1046,6 +1087,8 @@ _ROUND3_FRONT = [
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate
+    "simhash_near_dup",  # new: pigeonhole-banded Hamming dedup
+    "lsh_containment",  # new: asymmetric containment dedup
     # r01-only green (stalest driver evidence first)
     "distinct_segments",
     "customers_without_orders",
