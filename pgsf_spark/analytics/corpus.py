@@ -140,6 +140,85 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_scores(load_table(spark, sf_dir, "documents"))
 
 
+NOVELTY_N = 5
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-duplication score: the fraction of each doc's distinct
+    5-grams whose FIRST corpus occurrence (minimum doc_id, the ingestion
+    order) is this doc. novelty 1.0 = all-new text; ~0 = the doc restates
+    earlier material. This is the streaming-dedup view of n-gram overlap --
+    what a dedup pass computes against the corpus-so-far before admitting a
+    document. Plan: explode distinct grams -> min(doc_id) per gram (one
+    keyed shuffle, map-side combined) -> join back on gram -> per-doc agg;
+    both shuffles bounded by distinct keys, never O(n^2)."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(ngram_array(_toks(F.col("text")), NOVELTY_N))
+    exploded = d.select("doc_id", F.explode(grams).alias("gram"))
+    first_seen = exploded.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        exploded.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )
+
+
+def q_length_trim_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source length winsorization inputs: the exact p5/p95 token-count
+    order statistics (rank = ceil(q*n), no interpolation -- portable across
+    engines unlike percentile_cont) plus how many docs fall outside them.
+    A corpus build drops or truncates the tails per source; computing the
+    thresholds is one window over (source, token count) -- at 100 TB this is
+    a sort within each source partition, the same cost class as any
+    per-source ranking, and the output is one row per source."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    t = d.select("doc_id", "source", n_tok.alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    ranked = t.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    pick = lambda q: F.max(  # noqa: E731 -- rank ceil(q*n) is the exact order statistic
+        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("n_tokens"))
+    )
+    stats = ranked.groupBy("source").agg(
+        pick(0.05).alias("p5_tokens"),
+        pick(0.95).alias("p95_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    out = (
+        t.join(F.broadcast(stats), "source")
+        .groupBy("source")
+        .agg(
+            F.first("p5_tokens").alias("p5_tokens"),
+            F.first("p95_tokens").alias("p95_tokens"),
+            F.first("n_docs").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_tokens") < F.col("p5_tokens"))
+                    | (F.col("n_tokens") > F.col("p95_tokens")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_trimmed"),
+        )
+    )
+    return out
+
+
 def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini-Simpson token diversity per doc: 1 - sum(c_i^2)/N^2 over the
     token histogram -- the no-logarithm cousin of token entropy (logs are

@@ -976,6 +976,33 @@ SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
   ROUND(1.0 - CAST(SUM(c * c) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)), 4) AS token_diversity
 FROM c GROUP BY doc_id""",
     ),
+    "ngram_novelty": QuerySpec(
+        corpus.q_ngram_novelty,
+        r"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ') for i in range(1, len(toks) - 3)])) AS gram FROM t),
+fs AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS novelty
+FROM g JOIN fs USING (gram) GROUP BY doc_id""",
+    ),
+    "length_trim_thresholds": QuerySpec(
+        corpus.q_length_trim_thresholds,
+        r"""WITH t AS (SELECT doc_id, source,
+  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens FROM documents),
+ranked AS (SELECT source, n_tokens,
+  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+  COUNT(*) OVER (PARTITION BY source) AS n FROM t),
+stats AS (SELECT source,
+  MAX(CASE WHEN rn = CEIL(0.05 * n) THEN n_tokens END) AS p5_tokens,
+  MAX(CASE WHEN rn = CEIL(0.95 * n) THEN n_tokens END) AS p95_tokens,
+  CAST(MAX(n) AS BIGINT) AS n_docs
+  FROM ranked GROUP BY source)
+SELECT t.source, MAX(p5_tokens) AS p5_tokens, MAX(p95_tokens) AS p95_tokens,
+  MAX(n_docs) AS n_docs,
+  CAST(SUM(CASE WHEN n_tokens < p5_tokens OR n_tokens > p95_tokens THEN 1 ELSE 0 END) AS BIGINT) AS n_trimmed
+FROM t JOIN stats ON t.source = stats.source GROUP BY t.source""",
+    ),
     # --- mixture sampling / sequence packing (sampling.py, pipeline.py) ---
     "temperature_sample": QuerySpec(
         sampling.q_temperature_sample,
@@ -1089,6 +1116,8 @@ _ROUND3_FRONT = [
     "ann_recall_at_5",  # new recall gate
     "simhash_near_dup",  # new: pigeonhole-banded Hamming dedup
     "lsh_containment",  # new: asymmetric containment dedup
+    "length_trim_thresholds",  # new: per-source winsorization stats
+    "ngram_novelty",  # new: first-occurrence dedup rate
     # r01-only green (stalest driver evidence first)
     "distinct_segments",
     "customers_without_orders",
