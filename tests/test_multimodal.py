@@ -155,6 +155,52 @@ class TestPngCodec:
             decode_png(bad)
 
 
+class TestWavAudio:
+    """Real WAV parse + PCM features (stdlib struct only)."""
+
+    def test_roundtrip_and_chunk_walk(self):
+        from pgsf_spark.analytics.multimodal import decode_wav, make_synthetic_wav
+
+        wav = make_synthetic_wav(1600, sample_rate=16000)
+        rate, ch, n_frames, samples = decode_wav(wav)
+        assert (rate, ch, n_frames) == (16000, 1, 1600)
+        assert samples[0] == -10000 and samples[1] == -10000 + 37
+        # tolerate an extra LIST chunk before data (real-world WAVs have it)
+        extra = wav[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + wav[12:]
+        assert decode_wav(extra)[2] == 1600
+
+    def test_rejects_non_pcm16(self):
+        from pgsf_spark.analytics.multimodal import decode_wav, make_synthetic_wav
+
+        wav = bytearray(make_synthetic_wav(10))
+        wav[20] = 3  # audio_fmt = IEEE float
+        with pytest.raises(ValueError, match="unsupported WAV"):
+            decode_wav(bytes(wav))
+        with pytest.raises(ValueError, match="RIFF"):
+            decode_wav(b"nope")
+
+    def test_extract_audio_features(self, spark):
+        from pgsf_spark.analytics.multimodal import (
+            extract_audio_features,
+            make_synthetic_wav,
+        )
+
+        rows = [
+            (1, "audio", make_synthetic_wav(16000), None, None, None, None),
+            (2, "audio", b"\x00" * 100, None, None, None, None),
+            (3, "audio", None, None, None, None, None),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = {r["media_id"]: r for r in extract_audio_features(df).collect()}
+        assert out[1]["audio_format"] == "wav"
+        assert out[1]["sample_rate"] == 16000
+        assert out[1]["duration_sec"] == 1.0
+        assert out[1]["rms"] > 0
+        assert 0 < out[1]["zero_crossing_rate"] < 1
+        assert out[2]["audio_format"] == "unknown"
+        assert out[3]["audio_format"] is None
+
+
 class TestMapInPandas:
     def test_extract_media_meta(self, media_df):
         out = {r["media_id"]: r for r in extract_media_meta(media_df).collect()}
