@@ -155,10 +155,15 @@ def lsh_candidate_pairs(banded: DataFrame, max_bucket: int = MAX_BUCKET) -> Data
     # spread hot-bucket chunks across tasks: the exchange moves one array row
     # per chunk (~= the groupBy's own volume), not the generated pairs
     chunked = chunked.repartition("band", "bucket", "chunk")
+    # upper triangle directly: pair doc i only with ids[i+1:] (the arrays are
+    # sorted) -- emits b(b-1)/2 rows instead of exploding the full b^2 cross
+    # product and filtering half away
     return (
-        chunked.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        chunked.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
+        .select(
+            "doc_a",
+            F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc_b"),
+        )
         .distinct()
     )
 
