@@ -160,6 +160,37 @@ QUERIES: dict[str, QuerySpec] = {
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
     ),
+    "shipping_priority": QuerySpec(
+        relational.q_shipping_priority,
+        f"""WITH r AS (
+  SELECT o_orderkey, o_orderdate AS od, o_orderpriority,
+    {sql_dsum('l_extendedprice * (1 - l_discount)')} AS rev_exact
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    AND c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2, 3)
+SELECT o_orderkey, strftime(od, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+  ROUND(rev_exact, 4) AS revenue
+FROM r ORDER BY rev_exact DESC, o_orderkey LIMIT 10""",
+    ),
+    "returned_item_losses": QuerySpec(
+        relational.q_returned_item_losses,
+        f"""WITH r AS (
+  SELECT c_custkey, c_name, n_name,
+    {sql_dsum('l_extendedprice * (1 - l_discount)')} AS rev_exact,
+    COUNT(*) AS n_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2, 3)
+SELECT c_custkey, c_name, n_name, ROUND(rev_exact, 4) AS lost_revenue, n_items
+FROM r ORDER BY rev_exact DESC, c_custkey LIMIT 20""",
+    ),
     "revenue_by_nation": QuerySpec(
         relational.q_revenue_by_nation,
         f"""SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
@@ -1118,6 +1149,8 @@ _ROUND3_FRONT = [
     "lsh_containment",  # new: asymmetric containment dedup
     "length_trim_thresholds",  # new: per-source winsorization stats
     "ngram_novelty",  # new: first-occurrence dedup rate
+    "shipping_priority",  # new: TPC-H Q3 shape
+    "returned_item_losses",  # new: TPC-H Q10 shape
     # r01-only green (stalest driver evidence first)
     "distinct_segments",
     "customers_without_orders",
