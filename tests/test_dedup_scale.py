@@ -91,3 +91,33 @@ class TestHotBucketCap:
         capped = {tuple(r) for r in dedup.lsh_candidate_pairs(banded, max_bucket=512).collect()}
         uncapped = {tuple(r) for r in dedup.lsh_candidate_pairs(banded, max_bucket=10**9).collect()}
         assert capped == uncapped
+
+
+class TestDeletionNeighborhoodProperty:
+    """The blocking guarantee behind q_name_min_edit_distance: ANY two
+    strings within Levenshtein distance 1 share a delete-one variant
+    (SymSpell pigeonhole), so the variant equi-join finds every such pair."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _variants(s: str) -> set:
+        return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(alphabet="ab#01", min_size=1, max_size=12),
+        st.integers(min_value=0, max_value=11),
+        st.sampled_from(["sub", "ins", "del"]),
+        st.sampled_from("ab#01"),
+    )
+    def test_distance_one_pairs_share_variant(self, s, pos, op, ch):
+        pos = pos % len(s) if op != "ins" else pos % (len(s) + 1)
+        if op == "sub":
+            t = s[:pos] + ch + s[pos + 1 :]
+        elif op == "ins":
+            t = s[:pos] + ch + s[pos:]
+        else:
+            t = s[:pos] + s[pos + 1 :]
+        assert self._variants(s) & self._variants(t)

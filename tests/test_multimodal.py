@@ -155,6 +155,43 @@ class TestPngCodec:
             decode_png(bad)
 
 
+class TestCodecProperties:
+    """Hypothesis properties for the stdlib codecs."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.sampled_from([1, 3, 4]),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def test_png_roundtrip_any_shape(self, w, h, channels, seed):
+        from pgsf_spark.analytics.multimodal import decode_png, encode_png
+
+        n = w * h * channels
+        pixels = bytes((seed * 2654435761 + i * 97) % 256 for i in range(n))
+        got = decode_png(encode_png(pixels, w, h, channels))
+        assert got[:3] == (w, h, channels)
+        assert bytes(got[3]) == pixels
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2000),
+        st.sampled_from([8000, 16000, 44100]),
+        st.sampled_from([1, 2]),
+    )
+    def test_wav_roundtrip_any_shape(self, n_samples, rate, channels):
+        from pgsf_spark.analytics.multimodal import decode_wav, make_synthetic_wav
+
+        wav = make_synthetic_wav(n_samples, sample_rate=rate, channels=channels)
+        got_rate, got_ch, got_frames, samples = decode_wav(wav)
+        assert (got_rate, got_ch, got_frames) == (rate, channels, n_samples)
+        assert len(samples) == n_samples * channels
+
+
 class TestWavAudio:
     """Real WAV parse + PCM features (stdlib struct only)."""
 
