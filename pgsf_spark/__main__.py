@@ -9,6 +9,9 @@
   python -m pgsf_spark abort     <table>     (≡ ./abort_refresh.py)
   python -m pgsf_spark recover               (≡ onreboot)
   python -m pgsf_spark state                 (show the __sync table)
+  python -m pgsf_spark gc <table> [--keep N] [--ttl-days D]
+                                             (≡ ./delete_old_jobs_data.sh;
+                                              compact + vacuum old versions)
 
 Source/work dirs via --source-dir / --workdir (or PGSF_SPARK_SOURCE_DIR /
 PGSF_SPARK_WORKDIR).
@@ -37,6 +40,12 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("sync-due")
     sub.add_parser("recover")
     sub.add_parser("state")
+    gc = sub.add_parser("gc")
+    gc.add_argument("table")
+    gc.add_argument("--keep", type=int, default=2)
+    # the reference retains 7 days (delete_old_jobs_data.sh:6-11)
+    gc.add_argument("--ttl-days", type=float, default=7.0)
+    gc.add_argument("--no-compact", action="store_true")
     args = p.parse_args(argv)
 
     from pgsf_spark.engine import Engine
@@ -78,6 +87,17 @@ def main(argv: list[str] | None = None) -> int:
 
         for row in eng.state.all():
             print(json.dumps(asdict(row)))
+    elif args.cmd == "gc":
+        if not args.no_compact:
+            eng.store.compact(args.table)
+        victims = eng.store.vacuum(
+            args.table, keep=args.keep, ttl_seconds=args.ttl_days * 86400
+        )
+        print(
+            json.dumps(
+                {"table": args.table, "compacted": not args.no_compact, "vacuumed": victims}
+            )
+        )
     spark.stop()
     return 0
 

@@ -47,3 +47,11 @@ class TestCli:
         rc, out = run("abort", "customer")
         rc, out = run("recover")
         assert out.strip().endswith("[]}")  # error-status rows stay paused (only running recovers)
+        rc, out = run("gc", "customer", "--keep", "1", "--ttl-days", "0")
+        assert rc == 0
+        import json as _json
+
+        gc_out = _json.loads(out.strip().splitlines()[-1])
+        assert gc_out["compacted"] is True
+        # compact published a new version; keep=1 + ttl 0 leaves only it
+        assert isinstance(gc_out["vacuumed"], list)
