@@ -114,3 +114,34 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination gate: verified near-duplicate pairs
+    (MinHash-LSH candidates -> exact Jaccard >= threshold) whose two docs
+    landed in DIFFERENT dataset splits -- i.e. eval examples leaking into
+    train. The composition every training-data pipeline must run before
+    shipping a split.
+
+    Scale shape: the pair list is the (small) output of the LSH+verify
+    pipeline; the two split-assignment joins shuffle pairs against an
+    md5-slot projection of the corpus keyed by doc_id (AQE broadcasts the
+    pair side when it fits). Output is a <=9-row summary, never the pairs."""
+    from pgsf_spark.analytics.dedup import q_lsh_jaccard_verified
+    from pgsf_spark.analytics.oracle_utils import davg
+
+    d = load_table(spark, sf_dir, "documents")
+    splits = assign_split(d.select("doc_id"), "doc_id").select("doc_id", "split")
+    pairs = q_lsh_jaccard_verified(spark, sf_dir)
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            davg(F.col("jaccard"), ndigits=4).alias("avg_jaccard"),
+            F.max(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)).alias("is_leak"),
+        )
+    )

@@ -191,6 +191,29 @@ FROM r ORDER BY rev_exact DESC, o_orderkey LIMIT 10""",
 SELECT c_custkey, c_name, n_name, ROUND(rev_exact, 4) AS lost_revenue, n_items
 FROM r ORDER BY rev_exact DESC, c_custkey LIMIT 20""",
     ),
+    "promo_revenue": QuerySpec(
+        relational.q_promo_revenue,
+        f"""WITH r AS (
+  SELECT {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo_exact,
+    {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_exact
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00')
+SELECT ROUND(promo_exact * 100.0 / total_exact, 6) AS promo_pct,
+  ROUND(promo_exact, 4) AS promo_rev, ROUND(total_exact, 4) AS total_rev
+FROM r""",
+    ),
+    "large_volume_customers": QuerySpec(
+        relational.q_large_volume_customers,
+        f"""WITH big AS (
+  SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING {sql_dsum('l_quantity')} > 300)
+SELECT c_custkey, c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  ROUND(o_totalprice, 2) AS o_totalprice, ROUND(sum_qty, 2) AS sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey LIMIT 50""",
+    ),
     "revenue_by_nation": QuerySpec(
         relational.q_revenue_by_nation,
         f"""SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
@@ -756,6 +779,15 @@ SELECT doc_id,
   ROUND(len(regexp_extract_all(norm, '{text.BPE_ISH_PATTERN}')) / len(regexp_split_to_array(norm, '\\s+')), 4) AS subword_ratio
 FROM t""",
     ),
+    "bpe_merge_pairs": QuerySpec(
+        text.q_bpe_merge_pairs,
+        """WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),
+p AS (
+  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM (SELECT w, unnest(range(1, length(w))) AS i FROM w WHERE length(w) >= 2))
+SELECT pair, COUNT(*) AS n FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+    ),
     # -- advanced relational / temporal --------------------------------------
     "asof_click_before_purchase": QuerySpec(
         advanced.q_asof_click_before_purchase,
@@ -1056,6 +1088,33 @@ SELECT source, CAST(pb // 4096 AS BIGINT) AS seq_id, CAST(COUNT(*) AS BIGINT) AS
   CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS first_doc
 FROM p GROUP BY 1, 2""",
     ),
+    "split_leakage": QuerySpec(
+        pipeline.q_split_leakage,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + f""",
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+v AS (SELECT * FROM (
+  SELECT doc_a, doc_b,
+    ROUND(len(list_intersect(ta.toks, tb.toks)) / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+  FROM pairs JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id)
+  WHERE jaccard >= {dedup.JACCARD_T}),
+s AS (SELECT doc_id,
+  CASE WHEN slot < {sampling.TRAIN_PCT} THEN 'train'
+       WHEN slot < {sampling.TRAIN_PCT + sampling.VAL_PCT} THEN 'val'
+       ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+    ('0x' || substr(md5('{sampling.SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS slot
+    FROM documents))
+SELECT sa.split AS split_a, sb.split AS split_b, COUNT(*) AS n_pairs,
+  {sql_davg('jaccard', ndigits=4)} AS avg_jaccard,
+  MAX(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS is_leak
+FROM v JOIN s sa ON v.doc_a = sa.doc_id JOIN s sb ON v.doc_b = sb.doc_id
+GROUP BY 1, 2""",
+    ),
     # --- product-analytics funnels / retention (events.py) ---
     "event_funnel": QuerySpec(
         events.q_event_funnel,
@@ -1142,6 +1201,10 @@ assert set(_ROUND2_FRONT) <= set(QUERIES), set(_ROUND2_FRONT) - set(QUERIES)
 # green set rotates to the back.
 _ROUND3_FRONT = [
     # changed / new this round
+    "promo_revenue",  # new: TPC-H Q14 shape
+    "large_volume_customers",  # new: TPC-H Q18 shape
+    "bpe_merge_pairs",  # new: BPE vocab-induction merge step
+    "split_leakage",  # new: cross-split near-dup contamination gate
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate

@@ -312,3 +312,61 @@ def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from promo parts in one month.
+
+    part broadcasts (dimension), lineitem never shuffles -- the conditional
+    aggregate folds into a single map-side partial + one 1-row exchange.
+    At 100 TB this is a pure scan+broadcast plan; the shipdate filter prunes
+    row groups via parquet min/max."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))).alias("promo_rev"),
+            dsum(rev).alias("total_rev"),
+        )
+        .select(
+            F.round(F.col("promo_rev") * 100.0 / F.col("total_rev"), 6).alias("promo_pct"),
+            F.round("promo_rev", 4).alias("promo_rev"),
+            F.round("total_rev", 4).alias("total_rev"),
+        )
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single orders exceed 300 units.
+
+    The HAVING pre-aggregate runs on lineitem alone (one shuffle on
+    l_orderkey, map-side partials), shrinking the fact side to the few
+    qualifying orders BEFORE any join -- the joins against orders/customer
+    are then broadcast-size at every scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )

@@ -235,3 +235,30 @@ def q_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE vocabulary-induction step: global frequency of adjacent
+    character pairs inside words, top 20 -- the merge-candidate table a BPE
+    trainer computes each round (Sennrich et al. 2016).
+
+    All columnar: words explode map-side, the pair fan-out is a transform
+    over an index sequence (no Python), and the count aggregates with
+    map-side partials on a key space bounded by |alphabet|^2 -- the final
+    top-20 is TakeOrderedAndProject. At 100 TB this is one scan + one
+    tiny-key shuffle, the same plan a vocab trainer wants."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
