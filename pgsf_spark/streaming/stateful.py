@@ -17,6 +17,7 @@ from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -60,4 +61,99 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- session-gap aggregation with event-time timeout ------------------------
+
+SESSION_GAP_SECONDS = 1800.0
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", DoubleType()),  # epoch seconds
+        StructField("session_end", DoubleType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+# (start, last, n, total) of the OPEN session
+SESSION_STATE = StructType(
+    [
+        StructField("start", DoubleType()),
+        StructField("last", DoubleType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def _close(key: Tuple[Any, ...], start: float, last: float, n: int, total: float) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "session_start": [start],
+            "session_end": [last],
+            "n_events": [n],
+            "total_value": [total],
+        }
+    )
+
+
+def _update_sessions(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    gap = SESSION_GAP_SECONDS
+    if state.hasTimedOut:
+        # watermark passed last_ts + gap with no new events: the open
+        # session is complete; emit it and drop the state (bounded memory).
+        start, last, n, total = state.get
+        state.remove()
+        yield _close(key, start, last, n, total)
+        return
+    rows = pd.concat(list(pdfs)).sort_values("ts_sec")
+    if state.exists:
+        start, last, n, total = state.get
+    else:
+        start = last = float(rows.iloc[0]["ts_sec"])
+        n, total = 0, 0.0
+    for _, r in rows.iterrows():
+        ts, v = float(r["ts_sec"]), float(r["value"])
+        if ts - last > gap:
+            yield _close(key, start, last, n, total)
+            start, n, total = ts, 0, 0.0
+        last = ts
+        n += 1
+        total += v
+    state.update((start, last, n, total))
+    # event-time timeout: fires when the watermark passes this instant
+    state.setTimeoutTimestamp(int((last + gap) * 1000))
+
+
+def session_gap_stream(events: DataFrame, ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Custom session-window aggregation: per-user sessions split on
+    SESSION_GAP_SECONDS of inactivity, closed either by a later event (gap
+    observed in-stream) or by the event-time timeout when the watermark
+    passes last_event + gap (applyInPandasWithState, EventTimeTimeout).
+
+    This is the custom-stateful-operator shape the built-in
+    ``session_window`` can't express once per-session logic grows (e.g.
+    value caps, session splits on attribute change): state is one tiny
+    tuple per OPEN session, partitioned by user_id (one shuffle per batch),
+    and closed sessions leave the store -- memory is bounded by concurrently
+    open sessions, not history. Batch equivalent: q_sessionize
+    (analytics/events.py), verified against the DuckDB oracle."""
+    prepared = events.select(
+        "user_id",
+        F.col(ts_col).cast("double").alias("ts_sec"),
+        "value",
+        ts_col,
+    ).withWatermark(ts_col, watermark)
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -146,3 +146,51 @@ class TestStreamingDedup:
         q.awaitTermination(120)
         got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_stream").collect())
         assert got == [1, 2]
+
+
+class TestStreamStaticEnrich:
+    def test_enriched_window_counts(self, spark, tmp_path):
+        from pgsf_spark.streaming.enrich import enriched_window_counts
+
+        feed = tmp_path / "efeed"
+        feed.mkdir()
+        eschema = "user_id long, ts timestamp, value double"
+        spark.createDataFrame(
+            [(1, T0, 1.0), (2, T0, 2.0), (1, T1, 3.0)], eschema
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+
+        dim = spark.createDataFrame(
+            [(1, "GOLD"), (2, "SILVER")], "user_id long, segment string"
+        )
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], eschema).schema
+        ).parquet(str(feed))
+        q = (
+            enriched_window_counts(stream, dim, on="user_id", attr="segment")
+            .writeStream.format("memory")
+            .queryName("enriched")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["window_start"], r["segment"]): r["n"]
+            for r in spark.sql("SELECT * FROM enriched").collect()
+        }
+        assert got == {
+            ("2024-01-01 00:00:00", "GOLD"): 1,
+            ("2024-01-01 00:00:00", "SILVER"): 1,
+            ("2024-01-01 01:00:00", "GOLD"): 1,
+        }
+
+    def test_batch_parity(self, spark):
+        from pgsf_spark.streaming.enrich import stream_static_enrich
+
+        ev = spark.createDataFrame([(1, 5.0), (3, 1.0)], "user_id long, value double")
+        dim = spark.createDataFrame([(1, "GOLD")], "user_id long, segment string")
+        rows = {
+            (r["user_id"], r["segment"])
+            for r in stream_static_enrich(ev, dim, "user_id", ["segment"]).collect()
+        }
+        assert rows == {(1, "GOLD"), (3, None)}
