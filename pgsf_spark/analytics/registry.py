@@ -60,6 +60,42 @@ def _dot_sql(a: str, b: str, dim: int = 64) -> str:
     return "(" + " + ".join(f"{a}[{i}]*{b}[{i}]" for i in range(1, dim + 1)) + ")"
 
 
+def _sqdist_sql(a: str, b: str, dim: int = 64) -> str:
+    """Squared L2 distance, left-to-right fold (parity with _sqdist)."""
+    return "(" + " + ".join(f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, dim + 1)) + ")"
+
+
+def _kmeans_sql() -> str:
+    k, iters = similarity.KMEANS_K, similarity.KMEANS_ITERS
+    assign = """
+a{n} AS (
+  SELECT vec_id, v, cluster, d FROM (
+    SELECT e.vec_id, e.v, c.cluster, {dist} AS d
+    FROM e CROSS JOIN c{prev} c)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1)"""
+    recompute = """
+c{n} AS (
+  SELECT cluster, list(cx ORDER BY i) AS cv FROM (
+    SELECT cluster, i, CAST(SUM(CAST(v[CAST(i AS INT)] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS cx
+    FROM a{n}, range(1, 65) r(i) GROUP BY cluster, i)
+  GROUP BY cluster)"""
+    parts = [
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e WHERE vec_id < {k})"""
+    ]
+    dist = _sqdist_sql("e.v", "c.cv")
+    for it in range(1, iters + 1):
+        parts.append(assign.format(n=it, prev=it - 1, dist=dist))
+        if it < iters:
+            parts.append(recompute.format(n=it))
+    return (
+        ",".join(parts)
+        + f"""
+SELECT cluster, COUNT(*) AS n_vectors, {sql_davg('sqrt(d)', ndigits=4)} AS avg_dist
+FROM a{iters} GROUP BY cluster"""
+    )
+
+
 def _minhash_cte() -> str:
     sig_cols = []
     for i in range(dedup.N_MINHASH):
@@ -759,6 +795,7 @@ SELECT vec_id,
 FROM assigned, q WHERE cluster = qcluster AND vec_id <> 0
 ORDER BY cosine DESC, vec_id LIMIT 5""",
     ),
+    "kmeans_clusters": QuerySpec(similarity.q_kmeans_clusters, _kmeans_sql()),
     "embedding_near_dup": QuerySpec(
         similarity.q_embedding_near_dup,
         f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -1205,6 +1242,7 @@ _ROUND3_FRONT = [
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step
     "split_leakage",  # new: cross-split near-dup contamination gate
+    "kmeans_clusters",  # new: distributed Lloyd iterations
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate

@@ -252,3 +252,73 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- iterative k-means (Lloyd) ----------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2  # assignment rounds; centroids recompute between rounds
+
+
+def _sqdist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _assign_nearest(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k-row centroid table,
+    argmin by (distance, cluster) -- ties break to the lowest cluster id."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("d", _sqdist(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cluster", "d")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame) -> DataFrame:
+    """cluster -> exact decimal component means (same parity discipline as
+    _label_centroids; order-independent, so bit-identical at any
+    partitioning)."""
+    pos = assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+    return (
+        pos.groupBy("cluster", "i")
+        .agg((F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count("x")).alias("cx"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("p"))
+        .select("cluster", F.transform("p", lambda q: q.cx).alias("cv"))
+    )
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means, KMEANS_ITERS assignment rounds from a
+    deterministic seed (centroids = vectors 0..k-1), reporting per-cluster
+    size and mean distance.
+
+    The iterative-algorithm shape on Spark: each round is one broadcast
+    crossJoin against a k-row centroid table (no shuffle of the vectors)
+    plus one posexplode aggregation keyed by (cluster, dim) -- k*dim = 512
+    groups -- to rebuild centroids. Nothing ever collects to the driver;
+    at 100 TB each round is a scan + a tiny-key shuffle, and rounds chain
+    as one declarative plan. Empty clusters drop out naturally (their
+    centroid row vanishes), matching the SQL oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    assigned = _assign_nearest(emb, cent)
+    for _ in range(KMEANS_ITERS - 1):
+        cent = _recompute_centroids(assigned)
+        assigned = _assign_nearest(emb, cent)
+    from pgsf_spark.analytics.oracle_utils import davg
+
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        davg(F.sqrt(F.col("d")), ndigits=4).alias("avg_dist"),
+    )
