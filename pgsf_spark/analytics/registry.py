@@ -250,6 +250,16 @@ FROM big JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY sum_qty DESC, o_orderkey LIMIT 50""",
     ),
+    "idle_rich_customers": QuerySpec(
+        relational.q_idle_rich_customers,
+        f"""WITH a AS (SELECT {sql_davg('c_acctbal')} AS a FROM customer WHERE c_acctbal > 0.0)
+SELECT CAST(c_nationkey AS INT) AS c_nationkey, COUNT(*) AS n_customers,
+  ROUND({sql_dsum('c_acctbal')}, 2) AS total_bal
+FROM customer, a
+WHERE c_acctbal > a AND c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY 1""",
+    ),
     "revenue_by_nation": QuerySpec(
         relational.q_revenue_by_nation,
         f"""SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
@@ -796,6 +806,31 @@ FROM assigned, q WHERE cluster = qcluster AND vec_id <> 0
 ORDER BY cosine DESC, vec_id LIMIT 5""",
     ),
     "kmeans_clusters": QuerySpec(similarity.q_kmeans_clusters, _kmeans_sql()),
+    "sq_recall_at_5": QuerySpec(
+        similarity.q_sq_recall_at_5,
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+pos AS (SELECT i, v[CAST(i AS INT)] AS x FROM e, range(1, 65) r(i)),
+rng AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his
+  FROM (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM pos GROUP BY i)),
+qz AS (SELECT vec_id,
+  [CAST(round((v[CAST(i AS INT)] - los[CAST(i AS INT)]) / (his[CAST(i AS INT)] - los[CAST(i AS INT)]) * 255.0, 0) AS BIGINT)
+   for i in range(1, 65)] AS qv
+  FROM e, rng),
+qq AS (SELECT qv AS qq FROM qz WHERE vec_id = 0),
+approx5 AS (SELECT vec_id FROM (
+    SELECT vec_id,
+      CAST({_dot_sql('qv', 'qq')} AS DOUBLE) / (sqrt(CAST({_dot_sql('qv', 'qv')} AS DOUBLE)) * sqrt(CAST({_dot_sql('qq', 'qq')} AS DOUBLE))) AS qcos
+    FROM qz, qq WHERE vec_id <> 0)
+  ORDER BY qcos DESC, vec_id LIMIT 5),
+q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+exact5 AS (SELECT vec_id FROM (
+    SELECT vec_id,
+      ROUND({_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+    FROM e, q0 WHERE vec_id <> 0)
+  ORDER BY cosine DESC, vec_id LIMIT 5)
+SELECT CAST(COUNT(*) AS INT) AS n_hits, COUNT(*) / 5.0 AS recall_at_5
+FROM approx5 JOIN exact5 USING (vec_id)""",
+    ),
     "embedding_near_dup": QuerySpec(
         similarity.q_embedding_near_dup,
         f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -824,6 +859,18 @@ p AS (
   SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
   FROM (SELECT w, unnest(range(1, length(w))) AS i FROM w WHERE length(w) >= 2))
 SELECT pair, COUNT(*) AS n FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""",
+    ),
+    "winnow_fingerprints": QuerySpec(
+        text.q_winnow_fingerprints,
+        f"""WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+g AS (SELECT doc_id, [substr(norm, CAST(i AS INT), {text.WINNOW_K}) for i in range(1, greatest(length(norm) - {text.WINNOW_K - 1}, 1) + 1)] AS grams FROM n),
+h AS (SELECT doc_id, len(grams) AS n_grams,
+  [('0x' || substr(md5(x), 1, 8))::BIGINT for x in grams] AS hashes FROM g),
+s AS (SELECT doc_id, n_grams,
+  [list_min(hashes[CAST(j AS INT):CAST(j + {text.WINNOW_W - 1} AS INT)]) for j in range(1, greatest(len(hashes) - {text.WINNOW_W - 1}, 1) + 1)] AS sel FROM h)
+SELECT doc_id, CAST(n_grams AS INT) AS n_grams, CAST(len(sel) AS INT) AS n_windows,
+  CAST(len(list_distinct(sel)) AS INT) AS n_fingerprints, list_min(sel) AS min_fp
+FROM s""",
     ),
     # -- advanced relational / temporal --------------------------------------
     "asof_click_before_purchase": QuerySpec(
@@ -1243,6 +1290,9 @@ _ROUND3_FRONT = [
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step
     "split_leakage",  # new: cross-split near-dup contamination gate
     "kmeans_clusters",  # new: distributed Lloyd iterations
+    "idle_rich_customers",  # new: TPC-H Q22 shape
+    "winnow_fingerprints",  # new: MOSS winnowing selection
+    "sq_recall_at_5",  # new: int8 scalar-quantization quality gate
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate

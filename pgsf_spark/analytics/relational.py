@@ -370,3 +370,29 @@ def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
         .limit(50)
     )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-nation count/balance of above-average-balance
+    customers who never placed an order.
+
+    Three classic pieces in one plan: a scalar subquery (global avg over
+    positive balances -- a 1-row broadcast), a left-anti join against recent
+    orders (the dormancy test; at scale an anti shuffle join on o_custkey
+    whose right side pre-filters on the pushed-down date), and a small-key
+    aggregate. Catalyst folds the scalar into the filter, so the customer
+    scan prunes on the parquet side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(davg(F.col("c_acctbal")).alias("a"))
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a"), "inner")
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.groupBy(F.col("c_nationkey").cast("int").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+        .select("c_nationkey", "n_customers", F.round("total_bal", 2).alias("total_bal"))
+    )

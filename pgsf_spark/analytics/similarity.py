@@ -322,3 +322,59 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         davg(F.sqrt(F.col("d")), ndigits=4).alias("avg_dist"),
     )
+
+
+# --- int8 scalar quantization ------------------------------------------------
+
+
+def _sq_quantized(emb: DataFrame) -> DataFrame:
+    """Per-dim min/max scalar quantization to 0..255 ints.
+
+    The range table is an exact (min/max only -- no float-sum ordering)
+    posexplode aggregate of dim rows, broadcast back; quantized vectors are
+    integer arrays, so every downstream dot product is EXACT integer math --
+    the property that makes SQ indexes byte-stable across engines and
+    re-shards. At 100 TB this is the 4x memory cut (float32 -> uint8) that
+    lets an ANN index fit executor RAM."""
+    pos = emb.select(F.posexplode("v").alias("i", "x"))
+    rng = (
+        pos.groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "lo", "hi"))).alias("p"))
+        .select(
+            F.transform("p", lambda q: q.lo).alias("los"),
+            F.transform("p", lambda q: q.hi).alias("his"),
+        )
+    )
+    qz = F.expr(
+        "transform(v, (x, i) -> cast(round((x - los[i]) / (his[i] - los[i]) * 255.0, 0) as long))"
+    )
+    return emb.crossJoin(F.broadcast(rng)).select("vec_id", qz.alias("qv"))
+
+
+def q_sq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for int8 scalar quantization: recall@5 of quantized
+    cosine against exact float cosine for query vec 0. Quantized scores are
+    ratios of exact integer dot products (deterministic to the bit), so the
+    recall number is a hash-checked cross-engine assertion, like
+    ann_recall_at_5."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    qz = _sq_quantized(emb)
+    q = qz.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qq"))
+    dq = _dot(F.col("qv"), F.col("qq"))
+    nq = F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("qq"), F.col("qq")))
+    approx5 = (
+        qz.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", (dq / nq).alias("qcos"))
+        .orderBy(F.col("qcos").desc(), F.col("vec_id"))
+        .limit(5)
+        .select("vec_id")
+    )
+    exact5 = q_cosine_topk(spark, sf_dir).limit(5).select("vec_id")
+    return approx5.join(exact5, "vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hits"),
+        (F.count(F.lit(1)) / F.lit(5.0)).alias("recall_at_5"),
+    )

@@ -262,3 +262,47 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) -----
+
+WINNOW_K = 5  # char-gram length
+WINNOW_W = 4  # window of consecutive gram hashes
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection per document: hash all K-char grams,
+    keep the minimum hash of every W-length window -- the position-robust
+    subset the MOSS plagiarism detector stores. Guarantees any shared
+    substring of length >= K+W-1 yields a shared fingerprint.
+
+    Entirely array-native (no explode until nothing remains to explode):
+    grams, hashes, and window minima are transform/slice chains inside one
+    projection, so per-doc cost is linear and the plan is a pure scan --
+    at 100 TB the fingerprint index build is shuffle-free until the final
+    (small) per-doc summary."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    k, w = WINNOW_K, WINNOW_W
+    grams = F.expr(
+        f"transform(sequence(1, greatest(char_length(norm) - {k - 1}, 1)), i -> substring(norm, i, {k}))"
+    )
+    hashes = F.expr(
+        "transform(grams, g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as long))"
+    )
+    sel = F.expr(
+        f"transform(sequence(1, greatest(size(hashes) - {w - 1}, 1)), j -> array_min(slice(hashes, j, {w})))"
+    )
+    return (
+        d.select("doc_id", norm.alias("norm"))
+        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", F.size("grams").alias("n_grams"), hashes.alias("hashes"))
+        .select("doc_id", "n_grams", sel.alias("sel"))
+        .select(
+            "doc_id",
+            "n_grams",
+            F.size("sel").alias("n_windows"),
+            F.size(F.array_distinct("sel")).alias("n_fingerprints"),
+            F.array_min("sel").alias("min_fp"),
+        )
+    )
