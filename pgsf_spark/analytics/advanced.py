@@ -336,3 +336,26 @@ def q_soql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t: load_table(spark, sf_dir, t),
         "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_nationkey = 7",
     )
+
+
+def q_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles, reshaped to an engine-portable assertion
+    (same pattern as q_approx_distinct_users): Spark's approx_percentile
+    (KLL-style, mergeable -- the 100 TB path where an exact global sort is
+    off the table) must land within 2% relative of the exact percentile,
+    which both engines can verify from the exact value. accuracy=10000
+    bounds rank error at 0.01%, so 2% value tolerance is conservative."""
+    o = load_table(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    approx = F.expr("approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)")
+    gates = F.zip_with(
+        approx, exact, lambda a, e: (F.abs(a - e) / e <= F.lit(0.02)).cast("int")
+    )
+    return o.agg(
+        F.round(F.element_at(exact, 1), 2).alias("exact_p50"),
+        F.round(F.element_at(exact, 2), 2).alias("exact_p90"),
+        F.round(F.element_at(exact, 3), 2).alias("exact_p99"),
+        (F.aggregate(gates, F.lit(0), lambda acc, x: acc + x) == F.lit(3)).alias(
+            "approx_within_2pct"
+        ),
+    )

@@ -662,6 +662,17 @@ SELECT doc_id, CASE WHEN slot < {sampling.TRAIN_PCT} THEN 'train'
                     ELSE 'test' END AS split
 FROM s""",
     ),
+    "weighted_sample": QuerySpec(
+        sampling.q_weighted_sample,
+        """WITH p AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+    ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents),
+picked AS (SELECT * FROM p ORDER BY priority, doc_id LIMIT 100)
+SELECT source, COUNT(*) AS n_sampled, CAST(SUM(CAST(w AS BIGINT)) AS BIGINT) AS weight_mass,
+  MIN(doc_id) AS first_doc
+FROM picked GROUP BY source""",
+    ),
     "quality_filter": QuerySpec(
         pipeline.q_quality_filter,
         f"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
@@ -963,6 +974,14 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP
         """SELECT COUNT(DISTINCT user_id) AS exact_users,
   TRUE AS approx_within_10pct
 FROM events""",
+    ),
+    "approx_percentile_gate": QuerySpec(
+        advanced.q_approx_percentile_gate,
+        """SELECT ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+  ROUND(quantile_cont(o_totalprice, 0.9), 2) AS exact_p90,
+  ROUND(quantile_cont(o_totalprice, 0.99), 2) AS exact_p99,
+  TRUE AS approx_within_2pct
+FROM orders""",
     ),
     "order_quartiles_rank": QuerySpec(
         advanced.q_order_quartiles_rank,
@@ -1293,6 +1312,8 @@ _ROUND3_FRONT = [
     "idle_rich_customers",  # new: TPC-H Q22 shape
     "winnow_fingerprints",  # new: MOSS winnowing selection
     "sq_recall_at_5",  # new: int8 scalar-quantization quality gate
+    "approx_percentile_gate",  # new: KLL sketch within-tolerance assertion
+    "weighted_sample",  # new: hash-priority weighted sampling
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate

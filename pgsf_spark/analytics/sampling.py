@@ -105,3 +105,29 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.ceil(F.sqrt(F.col("n_src"))))
         .select("doc_id", "source")
     )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling: priority = hash(doc_id) / weight,
+    take the 100 lowest priorities (longer docs -- weight = n_chars -- are
+    proportionally more likely to make the cut). The hash-priority trick is
+    the distributed form of weighted reservoir sampling (Efraimidis &
+    Spirakis order-sampling with a u/w priority key): no rand() state, so
+    the sample is retry-stable and identical on any partitioning; the only
+    cross-partition step is the top-k reduce (TakeOrderedAndProject).
+
+    Output is the per-source composition of the sample plus its weight
+    mass -- the rebalancing report a mixture tuner reads."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double")
+    picked = (
+        d.select("doc_id", "source", F.col("n_chars").cast("double").alias("w"))
+        .withColumn("priority", u / F.col("w"))
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )
+    return picked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("w").cast("bigint")).alias("weight_mass"),
+        F.min("doc_id").alias("first_doc"),
+    )
