@@ -250,6 +250,47 @@ FROM big JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY sum_qty DESC, o_orderkey LIMIT 50""",
     ),
+    "market_share": QuerySpec(
+        relational.q_market_share,
+        f"""WITH r AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+    {sql_dsum("CASE WHEN sn.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS nation_exact,
+    {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_exact
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+  GROUP BY 1)
+SELECT o_year, ROUND(nation_exact / total_exact, 6) AS mkt_share,
+  ROUND(total_exact, 4) AS total_rev
+FROM r""",
+    ),
+    "top_supplier_revenue": QuerySpec(
+        relational.q_top_supplier_revenue,
+        f"""WITH rev AS (
+  SELECT l_suppkey, {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY 1),
+mx AS (SELECT MAX(total_rev) AS mx FROM rev)
+SELECT s_suppkey, s_name, ROUND(total_rev, 4) AS total_rev
+FROM rev, mx JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = mx""",
+    ),
+    "small_order_revenue": QuerySpec(
+        relational.q_small_order_revenue,
+        f"""WITH brand AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#1'),
+a AS (SELECT l_partkey AS ap_key, {sql_davg('l_quantity')} AS avg_qty FROM brand GROUP BY 1)
+SELECT ROUND({sql_dsum('l_extendedprice')} / 7.0, 4) AS avg_yearly, COUNT(*) AS n_small
+FROM brand JOIN a ON l_partkey = ap_key
+WHERE l_quantity < 0.2 * avg_qty""",
+    ),
     "idle_rich_customers": QuerySpec(
         relational.q_idle_rich_customers,
         f"""WITH a AS (SELECT {sql_davg('c_acctbal')} AS a FROM customer WHERE c_acctbal > 0.0)
@@ -1314,6 +1355,9 @@ _ROUND3_FRONT = [
     "sq_recall_at_5",  # new: int8 scalar-quantization quality gate
     "approx_percentile_gate",  # new: KLL sketch within-tolerance assertion
     "weighted_sample",  # new: hash-priority weighted sampling
+    "market_share",  # new: TPC-H Q8 shape
+    "top_supplier_revenue",  # new: TPC-H Q15 shape
+    "small_order_revenue",  # new: TPC-H Q17 shape
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate

@@ -396,3 +396,85 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_nationkey", "n_customers", F.round("total_bal", 2).alias("total_bal"))
     )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of AMERICA's PROMO-part revenue by
+    order year. Dims (part, supplier, nation, region) all broadcast; the
+    lineitem->orders join is the only data shuffle; the share is a
+    conditional aggregate over the same rows (no second pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "AMERICA")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0.0))).alias("nation_rev"),
+            dsum(rev).alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+            F.round("total_rev", 4).alias("total_rev"),
+        )
+    )
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum 1997-H1 revenue.
+    The revenue view aggregates lineitem once on l_suppkey; the scalar max
+    broadcasts back over the tiny aggregate (never over lineitem)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-07-01")))
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("mx"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_rev", 4).alias("total_rev"))
+    )
+
+
+def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost by only shipping
+    below-20%-of-average quantities of Brand#1 parts. The per-part average
+    is a second aggregate over the SAME filtered join (self-referential
+    correlated subquery decorrelated into a groupBy + re-join on
+    l_partkey -- exactly what a 100 TB plan wants: both sides shrink to the
+    brand's parts before any wide work)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    brand = li.join(
+        F.broadcast(p.filter(F.col("p_brand") == "Brand#1").select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avg_qty = brand.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        davg(F.col("l_quantity")).alias("avg_qty")
+    )
+    return (
+        brand.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(dsum(F.col("l_extendedprice")) / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
