@@ -210,3 +210,34 @@ def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("users"))
     )
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the 10 most common 3-step event-type
+    paths across users (lead-window trigrams over each user's timeline).
+
+    One shuffle on user_id for the window; trigram assembly is two leads in
+    the same window frame (no self-joins); the count aggregates on a key
+    space bounded by |event_types|^3. The top-10 is
+    TakeOrderedAndProject. Event-order ties broken by event_id so the
+    sequence -- and therefore the hash -- is engine-deterministic."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    path = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+    )
+    return (
+        path.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

@@ -162,3 +162,37 @@ def q_name_min_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ka").alias("s_suppkey"))
         .agg(F.min("d").alias("min_edit_distance"))
     )
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profiling per event type: median/MAD (median absolute
+    deviation) with a 3-MAD fence -- the outlier detector that survives the
+    heavy tails that break mean/stddev fences.
+
+    Exact medians here (percentile is an exact interpolated rank; two
+    shuffles on the small event_type key + one broadcast join back); at
+    100 TB swap percentile for approx_percentile and this becomes the
+    mergeable-sketch plan with the same output columns (the
+    approx_percentile_gate query is the accuracy evidence for that swap).
+    Median and MAD are rounded to 6dp BEFORE the fence comparison so the
+    boundary is the same number in every engine."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    d = ev.select("event_type", "value").join(F.broadcast(med), "event_type")
+    mad = d.groupBy("event_type", "med").agg(
+        F.round(F.expr("percentile(abs(value - med), 0.5)"), 6).alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad.select("event_type", "mad")), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

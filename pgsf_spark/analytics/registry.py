@@ -1016,6 +1016,15 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP
   TRUE AS approx_within_10pct
 FROM events""",
     ),
+    "value_outliers": QuerySpec(
+        profiling.q_value_outliers,
+        """WITH m AS (SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS med FROM events GROUP BY 1),
+d AS (SELECT e.event_type, e.value, m.med FROM events e JOIN m USING (event_type)),
+md AS (SELECT event_type, med, ROUND(quantile_cont(abs(value - med), 0.5), 6) AS mad FROM d GROUP BY 1, 2)
+SELECT d.event_type, md.med, md.mad, COUNT(*) AS n,
+  CAST(SUM(CASE WHEN abs(d.value - md.med) > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN md USING (event_type) GROUP BY 1, 2, 3""",
+    ),
     "approx_percentile_gate": QuerySpec(
         advanced.q_approx_percentile_gate,
         """SELECT ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
@@ -1260,6 +1269,17 @@ FROM v JOIN s sa ON v.doc_a = sa.doc_id JOIN s sb ON v.doc_b = sb.doc_id
 GROUP BY 1, 2""",
     ),
     # --- product-analytics funnels / retention (events.py) ---
+    "event_trigrams": QuerySpec(
+        events.q_event_trigrams,
+        """WITH p AS (
+  SELECT event_type AS e1,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+FROM p WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
+    ),
     "event_funnel": QuerySpec(
         events.q_event_funnel,
         """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
@@ -1358,6 +1378,8 @@ _ROUND3_FRONT = [
     "market_share",  # new: TPC-H Q8 shape
     "top_supplier_revenue",  # new: TPC-H Q15 shape
     "small_order_revenue",  # new: TPC-H Q17 shape
+    "value_outliers",  # new: median/MAD robust fence
+    "event_trigrams",  # new: behavioral path mining
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate
