@@ -395,3 +395,71 @@ def q_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select("doc_a", "doc_b", F.round(inter / smaller, 4).alias("containment"))
         .filter(F.col("containment") >= CONTAINMENT_T)
     )
+
+
+# --- prefix-filtered set-similarity join (PPJoin-lite) ----------------------
+
+PREFIX_T = 0.5  # Jaccard threshold for the prefix-filter join
+
+
+def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via prefix filtering (the PPJoin family,
+    Xiao et al. 2008): order each doc's tokens by global rarity; two docs
+    with Jaccard >= t MUST share a token in their first
+    len - ceil(t*len) + 1 rarest tokens, so blocking on prefix tokens finds
+    EVERY qualifying pair -- the exact-recall complement to MinHash-LSH
+    (which trades recall for smaller blocks). Output is the per-source
+    verified-pair summary.
+
+    Scale shape: the doc-frequency table (|vocab| rows) broadcasts; the
+    candidate block is a token equi-join on the rarest tokens only, and the
+    quadratic Jaccard verify runs on candidates, never on the corpus. On a
+    natural corpus prefix tokens are near-unique, so blocks are tiny; this
+    31-word synthetic vocabulary is the worst case and the plan STILL never
+    goes cartesian (plan-asserted with every other registry query)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
+    )
+    tok = toks.select("doc_id", F.explode("toks").alias("token"))
+    df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(F.broadcast(df_), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "token"))), lambda s: s.token
+            ).alias("rtoks")
+        )
+    )
+    pre = ranked.select(
+        "doc_id",
+        F.expr(
+            f"slice(rtoks, 1, cast(size(rtoks) - ceil({PREFIX_T} * size(rtoks)) + 1 as int))"
+        ).alias("prefix"),
+    )
+    pa = pre.select(F.col("doc_id").alias("doc_a"), F.explode("prefix").alias("token"))
+    pb = pre.select(F.col("doc_id").alias("doc_b"), F.explode("prefix").alias("token"))
+    cand = (
+        pa.join(pb, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("source", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= PREFIX_T)
+    )
+    from pgsf_spark.analytics.oracle_utils import davg
+
+    return verified.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        davg(F.col("jaccard"), ndigits=4).alias("avg_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
+    )

@@ -667,6 +667,26 @@ SELECT * FROM (
   FROM pairs JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id)
 WHERE containment >= {dedup.CONTAINMENT_T}""",
     ),
+    "prefix_filter_pairs": QuerySpec(
+        dedup.q_prefix_filter_pairs,
+        f"""WITH t AS (SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+ranked AS (SELECT doc_id, list(token ORDER BY df, token) AS rtoks
+           FROM tok JOIN df USING (token) GROUP BY doc_id),
+pre AS (SELECT doc_id,
+  rtoks[1:CAST(len(rtoks) - ceil({dedup.PREFIX_T} * len(rtoks)) + 1 AS INT)] AS prefix FROM ranked),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM (SELECT doc_id, unnest(prefix) AS token FROM pre) a
+  JOIN (SELECT doc_id, unnest(prefix) AS token FROM pre) b USING (token)
+  WHERE a.doc_id < b.doc_id),
+v AS (SELECT ta.source AS source,
+    ROUND(len(list_intersect(ta.toks, tb.toks)) / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+  FROM cand JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id)
+SELECT source, COUNT(*) AS n_pairs, {sql_davg('jaccard', ndigits=4)} AS avg_jaccard,
+  MAX(jaccard) AS max_jaccard
+FROM v WHERE jaccard >= {dedup.PREFIX_T} GROUP BY source""",
+    ),
     "dedup_clusters": QuerySpec(
         dedup.q_dedup_clusters,
         _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
@@ -1380,6 +1400,7 @@ _ROUND3_FRONT = [
     "small_order_revenue",  # new: TPC-H Q17 shape
     "value_outliers",  # new: median/MAD robust fence
     "event_trigrams",  # new: behavioral path mining
+    "prefix_filter_pairs",  # new: PPJoin exact-recall similarity join
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate
