@@ -359,3 +359,26 @@ def q_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_within_2pct"
         ),
     )
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL dialect fidelity as a gate query (the JSONL twin of
+    csv_roundtrip): write documents through the JSONL sink, read it back
+    with an explicit schema, aggregate content fingerprints -- the oracle
+    aggregates the parquet directly, so any lossy escaping (quotes,
+    unicode, NULLs) or type drift breaks the hash."""
+    import os
+
+    from pgsf_spark.sources.jsonl_io import read_jsonl, write_jsonl
+
+    d = load_table(spark, sf_dir, "documents")
+    path = f"/tmp/pgsf_jsonl_gate_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_jsonl(d, path)
+    back = read_jsonl(spark, path, d.schema)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.min(F.md5("text")).alias("content_fp"),
+        F.sum(F.length("text")).cast("bigint").alias("total_len"),
+    )

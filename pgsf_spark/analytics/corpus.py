@@ -237,3 +237,39 @@ def q_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c")), 4
         ).alias("token_diversity"),
     )
+
+
+def q_chars_tokens_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source least-squares fit of token count vs char count -- the
+    per-group model-fitting shape (closed-form OLS from sufficient
+    statistics). The five sums accumulate in exact DECIMAL (one partial-agg
+    shuffle on the source key, order-independent at any partitioning), so
+    slope/intercept are bit-identical across engines and cluster sizes --
+    the same sufficient-statistics trick that makes distributed GLM
+    training deterministic. No applyInPandas needed: the closed form stays
+    in whole-stage codegen."""
+    from pgsf_spark.analytics.oracle_utils import dsum
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("double").alias("y"),
+    )
+    s = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -1106,6 +1106,26 @@ FROM s""",
   COUNT(DISTINCT c_mktsegment) AS n_segments, MIN(c_name) AS first_name
 FROM customer""",
     ),
+    "jsonl_roundtrip": QuerySpec(
+        advanced.q_jsonl_roundtrip,
+        """SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  COUNT(DISTINCT lang) AS n_langs, MIN(md5(text)) AS content_fp,
+  CAST(SUM(length(text)) AS BIGINT) AS total_len
+FROM documents""",
+    ),
+    "chars_tokens_ols": QuerySpec(
+        corpus.q_chars_tokens_ols,
+        f"""WITH b AS (SELECT source, CAST(n_chars AS DOUBLE) AS x,
+  CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS y FROM documents),
+s AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+  {sql_dsum('x')} AS sx, {sql_dsum('y')} AS sy,
+  {sql_dsum('x * y')} AS sxy, {sql_dsum('x * x')} AS sxx
+  FROM b GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+FROM s""",
+    ),
     "profile_customer": QuerySpec(
         profiling.q_profile_customer,
         "\nUNION ALL\n".join(
@@ -1401,6 +1421,8 @@ _ROUND3_FRONT = [
     "value_outliers",  # new: median/MAD robust fence
     "event_trigrams",  # new: behavioral path mining
     "prefix_filter_pairs",  # new: PPJoin exact-recall similarity join
+    "jsonl_roundtrip",  # new: JSONL sink/source fidelity gate
+    "chars_tokens_ols",  # new: per-group closed-form OLS
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate
