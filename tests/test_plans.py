@@ -66,3 +66,35 @@ class TestKeyPlans:
         plan = plan_of(spark, "name_min_edit_distance")
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_kmeans_broadcasts_centroids(self, spark):
+        # each Lloyd round must crossJoin a BROADCAST centroid table (k rows)
+        # -- the vectors themselves never shuffle for assignment
+        plan = plan_of(spark, "kmeans_clusters")
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q18_preaggregates_before_join(self, spark):
+        # the HAVING pre-agg must reduce lineitem BEFORE any join: the
+        # aggregate on l_orderkey appears below the first join in the plan
+        plan = plan_of(spark, "large_volume_customers")
+        first_join = min(
+            i for i in (plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin")) if i >= 0
+        )
+        agg_pos = plan.find("hashpartitioning(l_orderkey")
+        # executedPlan prints root-first, so the pre-agg exchange appearing
+        # AFTER the topmost join in the text means it sits BELOW the join in
+        # the tree (runs first) -- lineitem reduces before anything joins
+        assert agg_pos >= 0 and agg_pos > first_join
+
+    def test_prefix_filter_token_equi_join(self, spark):
+        # candidate generation must be a token equi-join, never all-pairs
+        plan = plan_of(spark, "prefix_filter_pairs")
+        assert "CartesianProduct" not in plan
+        assert "hashpartitioning(token" in plan or "BroadcastHashJoin" in plan
+
+    def test_q6_promo_broadcast(self, spark):
+        # Q14: part is a broadcast dim; lineitem must not shuffle for the join
+        plan = plan_of(spark, "promo_revenue")
+        assert "BroadcastHashJoin" in plan
+        assert "hashpartitioning(l_orderkey" not in plan
