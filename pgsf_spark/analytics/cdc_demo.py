@@ -52,3 +52,60 @@ def q_soft_delete_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     ch = _change_batch(c)
     return ch.groupBy("IsDeleted").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_continuous_agg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, end-to-end, as an oracle gate: build
+    the hourly rollup from the FIRST HALF of events (bootstrap), then
+    refresh() with the full feed -- only buckets touched by the second half
+    recompute; untouched rows carry over through the TableStore flip. The
+    oracle is a plain full aggregation of all events, so the hash proves
+    incremental-refresh == full-recompute (the invariant that makes
+    O(new data) refreshes trustworthy at 100 TB).
+
+    Runs in a throwaway store; the result is localCheckpointed so the
+    returned DataFrame outlives the cleanup."""
+    import shutil
+    import tempfile
+
+    from pgsf_spark.operators.continuous_agg import ContinuousAggregate
+    from pgsf_spark.operators.table_store import TableStore
+    from pgsf_spark.sync.state import SyncState
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutover = (lo + (hi - lo) / 2).replace(microsecond=0)
+    phase = {"full": False}
+
+    def source_fn() -> DataFrame:
+        return ev if phase["full"] else ev.filter(F.col("ts") <= F.lit(cutover))
+
+    tmp = tempfile.mkdtemp(prefix="pgsf_ca_gate_")
+    try:
+        ca = ContinuousAggregate(
+            spark,
+            TableStore(spark, f"{tmp}/store"),
+            SyncState(f"{tmp}/sync.json"),
+            "hourly_gate",
+            source_fn=source_fn,
+            ts_col="ts",
+            bucket="hour",
+            group_cols=("event_type",),
+            aggs={"n": "count(1)", "total": "CAST(sum(CAST(value AS DECIMAL(27,4))) AS DOUBLE)"},
+        )
+        ca.bootstrap(initial_watermark=cutover)
+        phase["full"] = True
+        ca.refresh()
+        out = (
+            ca.read()
+            .select(
+                F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+                "event_type",
+                "n",
+                F.round("total", 4).alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

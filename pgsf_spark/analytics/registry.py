@@ -1106,6 +1106,13 @@ FROM s""",
   COUNT(DISTINCT c_mktsegment) AS n_segments, MIN(c_name) AS first_name
 FROM customer""",
     ),
+    "continuous_agg_gate": QuerySpec(
+        cdc_demo.q_continuous_agg_gate,
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+  event_type, COUNT(*) AS n,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE), 4) AS total
+FROM events GROUP BY 1, 2""",
+    ),
     "jsonl_roundtrip": QuerySpec(
         advanced.q_jsonl_roundtrip,
         """SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -1423,6 +1430,7 @@ _ROUND3_FRONT = [
     "prefix_filter_pairs",  # new: PPJoin exact-recall similarity join
     "jsonl_roundtrip",  # new: JSONL sink/source fidelity gate
     "chars_tokens_ols",  # new: per-group closed-form OLS
+    "continuous_agg_gate",  # new: incremental refresh == full recompute
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate
