@@ -382,3 +382,24 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("text")).alias("content_fp"),
         F.sum(F.length("text")).cast("bigint").alias("total_len"),
     )
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source fidelity gate (the third columnar dialect after
+    parquet and the CSV/JSONL text dialects): write orders to ORC, read it
+    back, aggregate -- the oracle aggregates the parquet directly. ORC is
+    in-box for Spark (native vectorized reader), so the only cost of
+    supporting it is this gate staying green; timestamps exercise the
+    ORC-vs-parquet epoch handling."""
+    import os
+
+    o = load_table(spark, sf_dir, "orders")
+    path = f"/tmp/pgsf_orc_gate_{os.path.basename(os.path.normpath(sf_dir))}"
+    o.write.mode("overwrite").orc(path)
+    back = spark.read.schema(o.schema).orc(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("o_totalprice")).alias("total"),
+        F.count_distinct("o_orderstatus").alias("n_status"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+    )

@@ -1113,6 +1113,13 @@ FROM customer""",
   ROUND(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE), 4) AS total
 FROM events GROUP BY 1, 2""",
     ),
+    "orc_roundtrip": QuerySpec(
+        advanced.q_orc_roundtrip,
+        f"""SELECT COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total,
+  COUNT(DISTINCT o_orderstatus) AS n_status,
+  strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+FROM orders""",
+    ),
     "jsonl_roundtrip": QuerySpec(
         advanced.q_jsonl_roundtrip,
         """SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -1431,6 +1438,7 @@ _ROUND3_FRONT = [
     "jsonl_roundtrip",  # new: JSONL sink/source fidelity gate
     "chars_tokens_ols",  # new: per-group closed-form OLS
     "continuous_agg_gate",  # new: incremental refresh == full recompute
+    "orc_roundtrip",  # new: ORC sink/source fidelity gate
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate
