@@ -9,6 +9,7 @@
   python -m pgsf_spark abort     <table>     (≡ ./abort_refresh.py)
   python -m pgsf_spark recover               (≡ onreboot)
   python -m pgsf_spark state                 (show the __sync table)
+  python -m pgsf_spark verify [--sf-dir D] [q ...] (oracle correctness sweep)
   python -m pgsf_spark gc <table> [--keep N] [--ttl-days D]
                                              (≡ ./delete_old_jobs_data.sh;
                                               compact + vacuum old versions)
@@ -46,7 +47,20 @@ def main(argv: list[str] | None = None) -> int:
     # the reference retains 7 days (delete_old_jobs_data.sh:6-11)
     gc.add_argument("--ttl-days", type=float, default=7.0)
     gc.add_argument("--no-compact", action="store_true")
+    vf = sub.add_parser("verify")
+    vf.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    vf.add_argument("queries", nargs="*")
     args = p.parse_args(argv)
+
+    if args.cmd == "verify":
+        # correctness tool: registry queries vs their DuckDB oracles
+        from pgsf_spark.session import get_spark
+        from pgsf_spark.verify import verify_queries
+
+        results = verify_queries(get_spark("pgsf_spark_verify"), args.sf_dir, only=args.queries)
+        n_fail = sum(1 for v in results.values() if not v)
+        print(json.dumps({"pass": len(results) - n_fail, "fail": n_fail}))
+        return 1 if n_fail else 0
 
     from pgsf_spark.engine import Engine
     from pgsf_spark.session import get_spark

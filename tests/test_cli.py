@@ -55,3 +55,15 @@ class TestCli:
         assert gc_out["compacted"] is True
         # compact published a new version; keep=1 + ttl 0 leaves only it
         assert isinstance(gc_out["vacuumed"], list)
+
+
+class TestVerifySubcommand:
+    def test_verify_named_queries(self, capsys):
+        import json
+
+        from pgsf_spark.__main__ import main
+
+        rc = main(["verify", "--sf-dir", "/root/testdata/sf0.001", "count_orders", "top_orders"])
+        out = capsys.readouterr().out.strip().splitlines()
+        assert rc == 0
+        assert json.loads(out[-1]) == {"pass": 2, "fail": 0}

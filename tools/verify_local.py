@@ -3,99 +3,28 @@ DuckDB, compare row count + column names + order-insensitive value hash.
 
 Usage: python tools/verify_local.py [sf_dir] [query ...]
 
-This approximates the round driver's CORRECTNESS check so mismatches are
-caught before the round ends. Values are normalized (floats via repr of
-float64, everything else via str) and rows sorted, so it is at least as
-strict as any reasonable hash comparison.
+Thin wrapper over pgsf_spark.verify (the same comparison the CLI's
+``verify`` subcommand runs); approximates the round driver's CORRECTNESS
+check so mismatches are caught before the round ends.
 """
 
 from __future__ import annotations
 
 import sys
-import time
-
-import duckdb
 
 sys.path.insert(0, "/root/repo")
 
 from pgsf_spark.session import get_spark  # noqa: E402
-from pgsf_spark.tables import TABLES  # noqa: E402
-
-
-def norm_cell(v):
-    import math
-
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
-        return "true" if v else "false"
-    return str(v)
-
-
-def table_sig(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    scols = [cols[i] for i in order]
-    srows = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
-    return scols, srows
+from pgsf_spark.verify import verify_queries  # noqa: E402
 
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-
-    import __spark_entry__ as entrymod
-
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-
     spark = get_spark("verify_local")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-
-    n_pass = n_fail = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
-            n_fail += 1
-            continue
-        if name not in oracles:
-            print(f"OK?  {name}: rows-only ({len(srows)} rows, {time.time() - t0:.1f}s)")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
-        sc, sr = table_sig(scols, srows)
-        dc, dr = table_sig(dcols, drows)
-        if sc != dc:
-            print(f"FAIL {name}: columns {sc} != {dc}")
-            n_fail += 1
-        elif len(sr) != len(dr):
-            print(f"FAIL {name}: rowcount {len(sr)} != {len(dr)}")
-            n_fail += 1
-        elif sr != dr:
-            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
-            print(f"FAIL {name}: values differ, first diffs: {diffs}")
-            n_fail += 1
-        else:
-            print(f"PASS {name} ({len(sr)} rows, {time.time() - t0:.1f}s)")
-            n_pass += 1
+    results = verify_queries(spark, sf_dir, only=only)
+    n_pass = sum(1 for v in results.values() if v)
+    n_fail = len(results) - n_pass
     print(f"\n{n_pass} pass, {n_fail} fail")
     spark.stop()
     return 1 if n_fail else 0
