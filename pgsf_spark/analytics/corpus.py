@@ -273,3 +273,33 @@ def q_chars_tokens_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture concentration report: Herfindahl-Hirschman index of the
+    source distribution (sum of squared shares) and its reciprocal, the
+    'effective number of sources' -- the one-line diagnostic a mixture
+    tuner checks before/after temperature rebalancing (q_temperature_sample
+    is the knob; this is the dial).
+
+    Two tiny aggregates: per-source counts (one shuffle on the source key)
+    then a 1-row fold over |sources| rows with high-precision decimal
+    accumulation (shares^2 are ~1e-4; DECIMAL(18,12) keeps them exact)."""
+    from pgsf_spark.analytics.oracle_utils import dsum
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("n_total"))
+    share = F.col("n") / F.col("n_total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_sources"),
+            F.round(dsum(share * share, "decimal(18,12)"), 6).alias("hhi"),
+        )
+        .select(
+            "n_sources",
+            "hhi",
+            F.round(1.0 / F.col("hhi"), 4).alias("effective_sources"),
+        )
+    )

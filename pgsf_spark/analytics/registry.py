@@ -1127,6 +1127,15 @@ FROM orders""",
   CAST(SUM(length(text)) AS BIGINT) AS total_len
 FROM documents""",
     ),
+    "source_concentration": QuerySpec(
+        corpus.q_source_concentration,
+        """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT SUM(n) AS n_total FROM c),
+h AS (SELECT CAST(COUNT(*) AS INT) AS n_sources,
+  ROUND(CAST(SUM(CAST((c.n / n_total) * (c.n / n_total) AS DECIMAL(18,12))) AS DOUBLE), 6) AS hhi
+  FROM c, t)
+SELECT n_sources, hhi, ROUND(1.0 / hhi, 4) AS effective_sources FROM h""",
+    ),
     "chars_tokens_ols": QuerySpec(
         corpus.q_chars_tokens_ols,
         f"""WITH b AS (SELECT source, CAST(n_chars AS DOUBLE) AS x,
@@ -1439,6 +1448,7 @@ _ROUND3_FRONT = [
     "chars_tokens_ols",  # new: per-group closed-form OLS
     "continuous_agg_gate",  # new: incremental refresh == full recompute
     "orc_roundtrip",  # new: ORC sink/source fidelity gate
+    "source_concentration",  # new: HHI mixture diagnostic
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate
