@@ -291,6 +291,48 @@ SELECT ROUND({sql_dsum('l_extendedprice')} / 7.0, 4) AS avg_yearly, COUNT(*) AS 
 FROM brand JOIN a ON l_partkey = ap_key
 WHERE l_quantity < 0.2 * avg_qty""",
     ),
+    "volume_shipping": QuerySpec(
+        relational.q_volume_shipping,
+        f"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  ROUND({sql_dsum('l_extendedprice * (1 - l_discount)')}, 4) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3""",
+    ),
+    "customer_distribution": QuerySpec(
+        relational.q_customer_distribution,
+        """WITH pc AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    ),
+    "late_shipments": QuerySpec(
+        relational.q_late_shipments,
+        """SELECT CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND date_diff('day', o_orderdate, l_shipdate) > 90""",
+    ),
+    "discounted_part_revenue": QuerySpec(
+        relational.q_discounted_part_revenue,
+        f"""SELECT ROUND({sql_dsum('l_extendedprice * (1 - l_discount)')}, 4) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
+    ),
     "idle_rich_customers": QuerySpec(
         relational.q_idle_rich_customers,
         f"""WITH a AS (SELECT {sql_davg('c_acctbal')} AS a FROM customer WHERE c_acctbal > 0.0)
@@ -1449,6 +1491,10 @@ _ROUND3_FRONT = [
     "continuous_agg_gate",  # new: incremental refresh == full recompute
     "orc_roundtrip",  # new: ORC sink/source fidelity gate
     "source_concentration",  # new: HHI mixture diagnostic
+    "volume_shipping",  # new: TPC-H Q7 shape
+    "customer_distribution",  # new: TPC-H Q13 shape
+    "late_shipments",  # new: TPC-H Q12 spirit
+    "discounted_part_revenue",  # new: TPC-H Q19 spirit
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate

@@ -478,3 +478,96 @@ def q_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_small"),
         )
     )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between NATION_1 and NATION_2
+    by ship year. Both nation dims broadcast; the supplier/customer joins
+    carry the two nation names through the lineitem->orders shuffle (the
+    only wide exchange); the OR'd nation-pair filter collapses to two
+    broadcast-joined lookups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            F.round("revenue", 4).alias("revenue"), "n_items",
+        )
+    )
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly k orders (k
+    including 0 via the left join). Two aggregations: per-customer counts
+    (shuffle on o_custkey), then the tiny histogram on the count value."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 spirit (no l_shipmode in the trimmed schema): count
+    critical- vs normal-priority orders among lineitems shipped more than
+    90 days after the order date in 1997. The join carries only the
+    priority and the two dates; the date arithmetic stays in the scan
+    projection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 90)
+        )
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+def q_discounted_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 spirit: revenue from three OR'd (brand, quantity-range,
+    size-range) clauses -- the disjunctive-predicate shape. part broadcasts;
+    the disjunction is evaluated post-join but each arm's part-side
+    predicate prunes the broadcast build side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    arm1 = (F.col("p_brand") == "Brand#1") & (F.col("l_quantity").between(1, 11)) & (F.col("p_size").between(1, 5))
+    arm2 = (F.col("p_brand") == "Brand#2") & (F.col("l_quantity").between(10, 20)) & (F.col("p_size").between(1, 10))
+    arm3 = (F.col("p_brand") == "Brand#3") & (F.col("l_quantity").between(20, 30)) & (F.col("p_size").between(1, 15))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(arm1 | arm2 | arm3)
+        .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .select(F.round("revenue", 4).alias("revenue"), "n_items")
+    )
