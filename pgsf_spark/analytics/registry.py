@@ -333,6 +333,20 @@ WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 
    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
     ),
+    "promo_part_suppliers": QuerySpec(
+        relational.q_promo_part_suppliers,
+        f"""WITH shipped AS (
+  SELECT l_suppkey, {sql_dsum('l_quantity')} AS promo_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY 1 HAVING {sql_dsum('l_quantity')} > 400)
+SELECT s_suppkey, s_name, n_name, ROUND(promo_qty, 2) AS promo_qty
+FROM supplier JOIN shipped ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_suppkey""",
+    ),
     "idle_rich_customers": QuerySpec(
         relational.q_idle_rich_customers,
         f"""WITH a AS (SELECT {sql_davg('c_acctbal')} AS a FROM customer WHERE c_acctbal > 0.0)
@@ -1495,6 +1509,7 @@ _ROUND3_FRONT = [
     "customer_distribution",  # new: TPC-H Q13 shape
     "late_shipments",  # new: TPC-H Q12 spirit
     "discounted_part_revenue",  # new: TPC-H Q19 spirit
+    "promo_part_suppliers",  # new: TPC-H Q20 spirit
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate

@@ -571,3 +571,29 @@ def q_discounted_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         .select(F.round("revenue", 4).alias("revenue"), "n_items")
     )
+
+
+def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 spirit (no partsupp table): suppliers who shipped more
+    than 400 units of PROMO parts during 1997 -- the nested semi-join
+    chain (part filter -> lineitem aggregate -> supplier semi-join). The
+    part dim broadcasts into the lineitem scan, the per-supplier aggregate
+    shuffles once on l_suppkey, and supplier joins the (tiny) qualifying
+    set -- at scale the whole subquery side stays broadcast-size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01")))
+        .join(F.broadcast(p.filter(F.col("p_type") == "PROMO").select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("promo_qty"))
+        .filter(F.col("promo_qty") > 400)
+    )
+    return (
+        s.join(shipped, s.s_suppkey == shipped.l_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name", F.round("promo_qty", 2).alias("promo_qty"))
+        .orderBy("s_suppkey")
+    )

@@ -33,3 +33,25 @@ class TestJsonlRoundtrip:
         assert landed.count() == 2
         assert landed.filter(F.col("text").isNull()).count() == 1
         assert dict(landed.dtypes)["doc_id"] == "bigint"
+
+
+class TestJsonlMalformed:
+    def test_malformed_lines_become_null_rows(self, spark, tmp_path):
+        import os
+
+        src = tmp_path / "mixed"
+        src.mkdir()
+        with open(src / "part-00000.json", "w") as f:
+            f.write('{"doc_id": 1, "text": "good", "lang": "en"}\n')
+            f.write("this is not json\n")
+            f.write('{"doc_id": 2, "text": "also good", "lang": "de"}\n')
+        schema = spark.createDataFrame([], "doc_id long, text string, lang string").schema
+        back = spark.read.schema(schema).json(str(src))
+        rows = back.collect()
+        # permissive mode: the bad line surfaces as an all-null row, the
+        # good rows parse -- callers count nulls in a required column to
+        # detect corruption instead of losing the whole scan
+        assert len(rows) == 3
+        good = {r["doc_id"] for r in rows if r["doc_id"] is not None}
+        assert good == {1, 2}
+        assert sum(1 for r in rows if r["doc_id"] is None) == 1
