@@ -463,3 +463,47 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(F.col("jaccard"), ndigits=4).alias("avg_jaccard"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+# --- PageRank over the near-duplicate graph ---------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 2
+
+
+def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link analysis on the dedup graph: PR_ITERS power-iteration rounds of
+    PageRank over the MinHash-LSH candidate-pair graph, top 10 docs --
+    which documents sit at the center of near-duplicate clusters (the ones
+    to canonicalize first, and a template for any iterative graph metric).
+
+    Scale shape: each round is one join of the rank vector against the
+    edge list (shuffle on doc_id, the same partitioning every round) plus a
+    contribution aggregate. Contributions accumulate in exact DECIMAL so
+    ranks are order-independent -- the property that lets the oracle unroll
+    the same rounds as SQL CTEs and hash-match. Dangling nodes don't exist
+    here (every node in the pair graph has degree >= 1)."""
+    pairs = lsh_candidate_pairs(lsh_banded(load_table(spark, sf_dir, "documents"))).localCheckpoint(
+        eager=True
+    )
+    edges = pairs.select("doc_a", "doc_b").union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.count()  # tiny scalar (node count), same literal in the oracle
+    base = (1.0 - PR_DAMPING) / n_nodes
+    rank = deg.select("doc_a", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(rank.withColumnRenamed("doc_a", "doc_b").withColumnRenamed("pr", "pr_b"), "doc_b")
+            .join(deg.withColumnRenamed("doc_a", "doc_b").withColumnRenamed("deg", "deg_b"), "doc_b")
+            .select("doc_a", (F.col("pr_b") / F.col("deg_b")).alias("c"))
+        )
+        rank = contrib.groupBy("doc_a").agg(
+            (F.lit(base) + F.lit(PR_DAMPING) * F.sum(F.col("c").cast("decimal(27,18)")).cast("double")).alias("pr")
+        )
+    return (
+        rank.select("doc_a", F.round("pr", 8).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "doc_a")
+        .limit(10)
+    )

@@ -743,6 +743,30 @@ SELECT source, COUNT(*) AS n_pairs, {sql_davg('jaccard', ndigits=4)} AS avg_jacc
   MAX(jaccard) AS max_jaccard
 FROM v WHERE jaccard >= {dedup.PREFIX_T} GROUP BY source""",
     ),
+    "pagerank_neardup": QuerySpec(
+        dedup.q_pagerank_neardup,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + f""",
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+deg AS (SELECT doc_a, COUNT(*) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT doc_a, 1.0 / n AS pr FROM deg, nn),
+"""
+        + ",\n".join(
+            f"""r{i} AS (
+  SELECT e.doc_a, (1 - {dedup.PR_DAMPING}) / n + {dedup.PR_DAMPING} * CAST(SUM(CAST(rb.pr / db.deg AS DECIMAL(27,18))) AS DOUBLE) AS pr
+  FROM edges e JOIN r{i - 1} rb ON e.doc_b = rb.doc_a JOIN deg db ON e.doc_b = db.doc_a, nn
+  GROUP BY e.doc_a, n)"""
+            for i in range(1, dedup.PR_ITERS + 1)
+        )
+        + f"""
+SELECT doc_a, ROUND(pr, 8) AS pagerank FROM r{dedup.PR_ITERS}
+ORDER BY pagerank DESC, doc_a LIMIT 10""",
+    ),
     "dedup_clusters": QuerySpec(
         dedup.q_dedup_clusters,
         _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
@@ -1510,6 +1534,7 @@ _ROUND3_FRONT = [
     "late_shipments",  # new: TPC-H Q12 spirit
     "discounted_part_revenue",  # new: TPC-H Q19 spirit
     "promo_part_suppliers",  # new: TPC-H Q20 spirit
+    "pagerank_neardup",  # new: iterative link analysis, rounds unrolled in SQL
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate
