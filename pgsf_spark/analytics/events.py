@@ -241,3 +241,33 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+DEBOUNCE_SECONDS = 300
+
+
+def q_debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: collapse repeats of the same (user, event_type) arriving
+    within DEBOUNCE_SECONDS of the previously KEPT event -- the classic
+    client-retry / double-click cleanup pass.
+
+    Approximated as lag-debounce (gap to the previous RAW event), which is
+    exact whenever bursts are shorter than the window -- this keeps the
+    operator one window pass (shuffle on user_id only) instead of an
+    iterative chain; the true running-anchor form is session_gap_stream's
+    state logic (streaming/stateful.py). Reports kept/dropped per type."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))  # exact integer microseconds
+    gap = ep - F.lag(ep).over(w)
+    flagged = ev.select(
+        "event_type",
+        F.when(gap.isNull() | (gap > DEBOUNCE_SECONDS * 1_000_000), 1).otherwise(0).alias("keep"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("keep")).cast("bigint").alias("n_debounced"),
+    )

@@ -1423,6 +1423,18 @@ SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
 FROM p WHERE e3 IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
     ),
+    "debounced_events": QuerySpec(
+        events.q_debounced_events,
+        f"""WITH f AS (
+  SELECT event_type,
+    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) > {events.DEBOUNCE_SECONDS * 1_000_000}
+         THEN 1 ELSE 0 END AS keep
+  FROM events)
+SELECT event_type, COUNT(*) AS n_raw, CAST(SUM(keep) AS BIGINT) AS n_kept,
+  CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_debounced
+FROM f GROUP BY 1""",
+    ),
     "event_funnel": QuerySpec(
         events.q_event_funnel,
         """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id),
@@ -1535,6 +1547,7 @@ _ROUND3_FRONT = [
     "discounted_part_revenue",  # new: TPC-H Q19 spirit
     "promo_part_suppliers",  # new: TPC-H Q20 spirit
     "pagerank_neardup",  # new: iterative link analysis, rounds unrolled in SQL
+    "debounced_events",  # new: lag-window retry/double-click cleanup
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate
