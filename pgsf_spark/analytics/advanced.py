@@ -403,3 +403,32 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderstatus").alias("n_status"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
     )
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order value -- the optimizer-stats
+    shape (equal COUNT per bucket, data-driven boundaries) next to
+    price_histogram's equi-WIDTH buckets. Boundaries are exact interpolated
+    deciles rounded to 6dp in both engines, so bucket membership is the
+    same comparison everywhere; assignment is a fold over the 9-element
+    broadcast boundary array (no join, no second shuffle of orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = [round(x / 10.0, 1) for x in range(1, 10)]
+    bounds = o.agg(
+        F.expr(
+            "transform(percentile(o_totalprice, array({})), b -> round(b, 6))".format(
+                ", ".join(str(q) for q in qs)
+            )
+        ).alias("bounds")
+    )
+    bucket = F.expr("aggregate(bounds, 0, (acc, b) -> acc + if(o_totalprice > b, 1, 0))")
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -1133,6 +1133,13 @@ FROM d JOIN md USING (event_type) GROUP BY 1, 2, 3""",
   TRUE AS approx_within_2pct
 FROM orders""",
     ),
+    "equidepth_histogram": QuerySpec(
+        advanced.q_equidepth_histogram,
+        f"""WITH b AS (SELECT [{", ".join(f"ROUND(quantile_cont(o_totalprice, {x / 10.0:.1f}), 6)" for x in range(1, 10))}] AS bounds FROM orders)
+SELECT CAST(list_sum([CASE WHEN o_totalprice > e THEN 1 ELSE 0 END for e in bounds]) AS INT) AS bucket,
+  COUNT(*) AS n, ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+FROM orders, b GROUP BY 1""",
+    ),
     "order_quartiles_rank": QuerySpec(
         advanced.q_order_quartiles_rank,
         """SELECT o_orderkey, c_mktsegment,
@@ -1548,6 +1555,7 @@ _ROUND3_FRONT = [
     "promo_part_suppliers",  # new: TPC-H Q20 spirit
     "pagerank_neardup",  # new: iterative link analysis, rounds unrolled in SQL
     "debounced_events",  # new: lag-window retry/double-click cleanup
+    "equidepth_histogram",  # new: optimizer-stats equi-depth buckets
     "approx_distinct_users",  # reshaped: now oracle-checkable
     "name_min_edit_distance",  # reblocked: deletion-neighborhood join
     "ann_recall_at_5",  # new recall gate
