@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pgsf_spark.tables import load_table, spread
 
@@ -506,4 +507,32 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank.select("doc_a", F.round("pr", 8).alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "doc_a")
         .limit(10)
+    )
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: the finishing step of fuzzy dedup.
+    Every near-dup cluster keeps its best member (longest text, ties to the
+    smallest doc_id); the rest are dropped and their char mass accounted.
+
+    Plan: clusters (tiny -- only docs with a candidate pair) broadcast-join
+    back to documents, then ONE shuffle on `cluster` does both the
+    row_number ranking and the per-cluster rollup (same partitioning, no
+    second exchange). At 100 TB the cluster map stays a fraction of the
+    corpus, so the fact table is touched once with a broadcast hash join.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    labels = q_dedup_clusters(spark, sf_dir)
+    j = d.join(F.broadcast(labels), "doc_id")
+    w = Window.partitionBy("cluster").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("canonical_doc"),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias("canonical_chars"),
+            (F.sum("n_chars") - F.max(F.when(F.col("rk") == 1, F.col("n_chars")))).alias("chars_dropped"),
+        )
+        .orderBy("cluster")
     )

@@ -1463,6 +1463,101 @@ SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
 FROM active JOIN cohort USING (user_id)
 GROUP BY 1, 2""",
     ),
+    "min_cost_supplier": QuerySpec(
+        relational.q_min_cost_supplier,
+        """WITH eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+pk AS (SELECT p_partkey, p_name FROM part
+  WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 15),
+cost AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+    MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem JOIN pk ON l_partkey = p_partkey JOIN eur ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3, 4, 5, 6)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal, unit_cost
+FROM cost
+QUALIFY unit_cost = MIN(unit_cost) OVER (PARTITION BY p_partkey)""",
+    ),
+    "important_parts": QuerySpec(
+        relational.q_important_parts,
+        """WITH pp AS (
+  SELECT l_partkey,
+    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS dvalue
+  FROM lineitem GROUP BY 1),
+t AS (SELECT SUM(dvalue) AS dtotal, COUNT(*) AS n_parts FROM pp)
+SELECT l_partkey, ROUND(CAST(dvalue AS DOUBLE), 4) AS part_value
+FROM pp, t
+WHERE CAST(dvalue AS DOUBLE) > CAST(dtotal AS DOUBLE) / n_parts * 1.5""",
+    ),
+    "supplier_part_counts": QuerySpec(
+        relational.q_supplier_part_counts,
+        """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (SELECT * FROM pairs WHERE l_suppkey NOT IN (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+SELECT p_brand, CAST((p_size // 10) * 10 AS INT) AS size_band,
+  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM ok JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand, size_band""",
+    ),
+    "waiting_suppliers": QuerySpec(
+        relational.q_waiting_suppliers,
+        """WITH po AS (
+  SELECT l_orderkey,
+    COUNT(DISTINCT l_suppkey) AS n_supp,
+    COUNT(DISTINCT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+      THEN l_suppkey END) AS n_late_supp,
+    MIN(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+      THEN l_suppkey END) AS late_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM po JOIN supplier ON late_supp = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_supp > 1 AND n_late_supp = 1 AND n_name = 'NATION_1'
+GROUP BY 1 ORDER BY numwait DESC, s_name""",
+    ),
+    "dedup_canonical": QuerySpec(
+        dedup.q_dedup_canonical,
+        _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + _lsh_banded_sql()
+        + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+walk(doc, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.reach FROM edges e JOIN walk w ON e.b = w.doc),
+labels AS (SELECT doc AS doc_id, MIN(reach) AS cluster FROM walk GROUP BY doc),
+m AS (
+  SELECT l.cluster, d.doc_id, d.n_chars,
+    ROW_NUMBER() OVER (PARTITION BY l.cluster
+      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+  FROM documents d JOIN labels l ON d.doc_id = l.doc_id)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+  MAX(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+  MAX(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+  CAST(SUM(n_chars) - MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS chars_dropped
+FROM m GROUP BY cluster ORDER BY cluster""",
+    ),
+    "embedding_dim_stats": QuerySpec(
+        similarity.q_embedding_dim_stats,
+        """WITH x AS (
+  SELECT CAST(t.range AS INT) AS dim, CAST(embedding[t.range] AS DOUBLE) AS v
+  FROM embeddings, range(1, 65) t)
+SELECT dim,
+  ROUND(CAST(SUM(CAST(v AS DECIMAL(27,8))) AS DOUBLE) / COUNT(v), 6) AS mean_val,
+  ROUND(MIN(v), 6) AS min_val,
+  ROUND(MAX(v), 6) AS max_val,
+  CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+FROM x GROUP BY dim ORDER BY dim""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1527,6 +1622,12 @@ assert set(_ROUND2_FRONT) <= set(QUERIES), set(_ROUND2_FRONT) - set(QUERIES)
 # green set rotates to the back.
 _ROUND3_FRONT = [
     # changed / new this round
+    "min_cost_supplier",  # new: TPC-H Q2 spirit (correlated min)
+    "important_parts",  # new: TPC-H Q11 spirit (scalar-subquery threshold)
+    "supplier_part_counts",  # new: TPC-H Q16 spirit (anti-join + count distinct)
+    "waiting_suppliers",  # new: TPC-H Q21 spirit (quantifiers as one aggregate)
+    "dedup_canonical",  # new: canonical-doc selection per near-dup cluster
+    "embedding_dim_stats",  # new: per-dimension vector profile
     "promo_revenue",  # new: TPC-H Q14 shape
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step

@@ -597,3 +597,135 @@ def q_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "n_name", F.round("promo_qty", 2).alias("promo_qty"))
         .orderBy("s_suppkey")
     )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 spirit (no partsupp table: unit cost is derived from
+    lineitem as min(extendedprice/quantity) per (part, supplier)). For
+    every STANDARD part sized 10-15 find the EUROPE supplier with the
+    lowest unit cost -- the correlated-min shape.
+
+    Plan: the per-(part,supplier) aggregate shuffles once on the compound
+    key; the correlated MIN is a window over l_partkey (AQE coalesces the
+    re-partition); part/supplier/nation/region all broadcast. At 100 TB
+    the only wide exchanges are the two keyed aggregates over lineitem --
+    there is no join back onto the fact table.
+
+    Reference: the survey's query-shape inventory (SURVEY §2.6 joins /
+    correlated aggregates); cites /root/reference semantics only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    pk = p.filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 15)
+    ).select("p_partkey", "p_name", "p_size")
+    eur = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        # raw IEEE division + MIN: no accumulation, so the double is
+        # bit-identical in any engine -- rounding here would only create
+        # half-tie divergence
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("best_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            "s_acctbal", "unit_cost",
+        )
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 spirit: parts whose lineitem revenue exceeds 1.5x the
+    mean per-part revenue -- the scalar-subquery-threshold shape (the
+    mean-based cut is scale-invariant where Q11's fixed fraction is not).
+    One keyed aggregate over lineitem; the scalar reuses the per-part
+    aggregate (a tiny second agg, NOT a second fact scan) and broadcasts
+    back as a 1-row cross join. Decimal accumulation keeps both sums
+    order-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.groupBy("l_partkey").agg(F.sum(rev.cast("decimal(27,4)")).alias("dvalue"))
+    )
+    total = per_part.agg(
+        F.sum("dvalue").alias("dtotal"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("dvalue").cast("double")
+            > F.col("dtotal").cast("double") / F.col("n_parts") * 1.5
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("dvalue").cast("double"), 4).alias("part_value"),
+        )
+    )
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 spirit: how many distinct suppliers ship each (brand,
+    size-band) of non-PROMO parts, excluding blacklisted suppliers
+    (negative account balance stands in for the reference's complaints
+    filter). The supplier-part relation is derived as distinct
+    (l_partkey, l_suppkey) -- one compound-key shuffle; the blacklist is a
+    broadcast anti-join; part broadcasts; the final count-distinct
+    re-shuffles on the tiny (brand, band) key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    band = (F.floor(F.col("p_size") / 10) * 10).cast("int")
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p.filter(F.col("p_type") != "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", band.alias("size_band"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "size_band")
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 spirit: NATION_1 suppliers who were the SOLE late shipper
+    on a multi-supplier order (late = shipped >60 days after the order
+    date). The classic formulation is EXISTS + NOT EXISTS self-joins on
+    lineitem; here both quantifiers collapse into ONE aggregate over
+    l_orderkey (count distinct suppliers / late suppliers + min late
+    supplier), which is strictly better at scale: a single shuffle on the
+    join key replaces two self-joins of the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    per_order = (
+        li.join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    nat = s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_1")), s.s_nationkey == n.n_nationkey)
+    return (
+        per_order.join(F.broadcast(nat.select("s_suppkey", "s_name")), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

@@ -378,3 +378,31 @@ def q_sq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_hits"),
         (F.count(F.lit(1)) / F.lit(5.0)).alias("recall_at_5"),
     )
+
+
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution stats over the embedding column -- the
+    feature-health profile a training pipeline runs before normalizing or
+    quantizing vectors (dead dimensions, scale drift).
+
+    Plan: posexplode fans each vector into 64 (dim, value) rows, then one
+    shuffle on the 64-value dim key with map-side partial aggregation --
+    the classic narrow profile. Means accumulate in DECIMAL(27,8) so the
+    result is order-exact at any partitioning; min/max are exact picks.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    dec = "decimal(27,8)"
+    return (
+        x.groupBy("dim")
+        .agg(
+            F.round(F.sum(F.col("v").cast(dec)).cast("double") / F.count("v"), 6).alias("mean_val"),
+            F.round(F.min("v"), 6).alias("min_val"),
+            F.round(F.max("v"), 6).alias("max_val"),
+            F.sum((F.col("v") > 0).cast("bigint")).alias("n_positive"),
+        )
+        .orderBy("dim")
+    )
