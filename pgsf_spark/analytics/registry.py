@@ -1558,6 +1558,23 @@ SELECT dim,
   CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
 FROM x GROUP BY dim ORDER BY dim""",
     ),
+    "vocab_coverage": QuerySpec(
+        text.q_vocab_coverage,
+        f"""WITH t AS (
+  SELECT doc_id, source, unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS n FROM t GROUP BY 1),
+v AS (SELECT token FROM c ORDER BY n DESC, token LIMIT 1000),
+pd AS (
+  SELECT doc_id, source, COUNT(*) AS total,
+    CAST(SUM(CASE WHEN token IN (SELECT token FROM v) THEN 1 ELSE 0 END) AS BIGINT) AS covered
+  FROM t GROUP BY 1, 2),
+r AS (SELECT doc_id, source, total, covered, covered / total AS cov FROM pd)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(CAST(cov AS DECIMAL(27,8))) AS DOUBLE) / COUNT(cov), 6) AS mean_coverage,
+  MIN(cov) AS min_coverage,
+  CAST(SUM(total) - SUM(covered) AS BIGINT) AS oov_tokens
+FROM r GROUP BY source ORDER BY source""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1628,6 +1645,7 @@ _ROUND3_FRONT = [
     "waiting_suppliers",  # new: TPC-H Q21 spirit (quantifiers as one aggregate)
     "dedup_canonical",  # new: canonical-doc selection per near-dup cluster
     "embedding_dim_stats",  # new: per-dimension vector profile
+    "vocab_coverage",  # new: OOV rate vs corpus-global top-K vocab
     "promo_revenue",  # new: TPC-H Q14 shape
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step

@@ -306,3 +306,51 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min("sel").alias("min_fp"),
         )
     )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-health diagnostic: coverage of each source's text by the
+    corpus-global top-1000 token vocabulary (the out-of-vocabulary rate a
+    fixed-vocab tokenizer would see per source).
+
+    Plan: one explode->count shuffle builds token frequencies; the top-K
+    cut is a tiny TakeOrdered; the vocab then BROADCASTS back over the
+    exploded corpus (the big side never reshuffles for the membership
+    test), and two keyed aggregates (doc, then source) roll up. At 100 TB
+    the vocab stays K rows regardless of corpus size -- the canonical
+    small-dim broadcast pattern. Ratios stay raw doubles (bit-identical
+    across engines); only the decimal-accumulated mean is rounded.
+    """
+    from pgsf_spark.analytics.dedup import _norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(1000)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.coalesce(F.sum("in_vocab"), F.lit(0)).cast("bigint").alias("covered"),
+        )
+        .withColumn("cov", F.col("covered") / F.col("total"))
+    )
+    dec = "decimal(27,8)"
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum(F.col("cov").cast(dec)).cast("double") / F.count("cov"), 6).alias("mean_coverage"),
+            F.min("cov").alias("min_coverage"),
+            (F.sum("total") - F.sum("covered")).alias("oov_tokens"),
+        )
+        .orderBy("source")
+    )
