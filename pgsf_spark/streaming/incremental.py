@@ -87,3 +87,31 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once-ify an at-least-once feed: drop re-deliveries of the
+    same key(s) arriving within the watermark horizon.
+
+    Streaming face uses ``dropDuplicatesWithinWatermark`` -- state holds one
+    entry per key and is EVICTED once the event time passes the watermark,
+    so state size is bounded by (arrival rate x horizon), not by stream
+    lifetime: the property that makes ingest dedup viable on an unbounded
+    100 TB feed. (Plain ``dropDuplicates`` on a stream never evicts.)
+    Batch face degrades to per-key min-arrival dedup for oracle parity.
+    """
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

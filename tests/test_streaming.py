@@ -194,3 +194,46 @@ class TestStreamStaticEnrich:
             for r in stream_static_enrich(ev, dim, "user_id", ["segment"]).collect()
         }
         assert rows == {(1, "GOLD"), (3, None)}
+
+
+class TestStreamDedup:
+    def test_duplicates_dropped_across_batches(self, spark, tmp_path):
+        from pgsf_spark.streaming.incremental import stream_dedup
+
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        eschema = "event_id long, ts timestamp, value double"
+        # same event_id delivered twice (at-least-once feed), in two files
+        spark.createDataFrame(
+            [(1, T0, 1.0), (2, T0, 2.0)], eschema
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+        spark.createDataFrame(
+            [(2, T0, 2.0), (3, T1, 3.0)], eschema
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], eschema).schema
+        ).parquet(str(feed))
+        q = (
+            stream_dedup(stream, keys=("event_id",))
+            .writeStream.format("memory")
+            .queryName("deduped")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            r["event_id"] for r in spark.sql("SELECT * FROM deduped").collect()
+        )
+        assert got == [1, 2, 3]
+
+    def test_batch_parity(self, spark):
+        from pgsf_spark.streaming.incremental import stream_dedup
+
+        ev = spark.createDataFrame(
+            [(1, T0, 1.0), (1, T1, 9.0), (2, T0, 2.0)],
+            "event_id long, ts timestamp, value double",
+        )
+        rows = {(r["event_id"], r["value"]) for r in stream_dedup(ev).collect()}
+        assert rows == {(1, 1.0), (2, 2.0)}
