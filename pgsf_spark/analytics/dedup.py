@@ -536,3 +536,44 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch dedup: the production shape where a NEW ingest batch is
+    deduplicated against the already-accepted corpus, not just within
+    itself. Docs with doc_id < 400 stand in for the historical corpus; the
+    rest are the incoming batch. An incoming doc is dropped if its
+    fingerprint exists in history (anti-join) or appeared earlier in the
+    batch (keep min doc_id per fingerprint).
+
+    Plan: history projects to a FINGERPRINT-ONLY table (at 100 TB that is
+    the persisted dedup index, a few % of corpus bytes); the membership
+    test is an equi-join on the md5 key and the in-batch pass is one keyed
+    aggregate -- two shuffles total on the same key, no full-corpus scan
+    per batch. Output: per-source admission accounting.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(_norm_text(F.col("text")))
+    hist = d.filter(F.col("doc_id") < 400).select(fp.alias("fp")).distinct()
+    batch = d.filter(F.col("doc_id") >= 400).select("doc_id", "source", fp.alias("fp"))
+    fresh = batch.join(hist, "fp", "left_anti")
+    first = fresh.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    admitted = fresh.join(first, (fresh.fp == first.fp) & (fresh.doc_id == first.keep_id)).select(
+        "doc_id", "source"
+    )
+    return (
+        batch.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+        .join(
+            admitted.groupBy("source").agg(F.count(F.lit(1)).alias("n_admitted")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce("n_admitted", F.lit(0)).cast("bigint").alias("n_admitted"),
+            (F.col("n_batch") - F.coalesce("n_admitted", F.lit(0))).cast("bigint").alias("n_rejected"),
+        )
+        .orderBy("source")
+    )

@@ -1575,6 +1575,22 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(total) - SUM(covered) AS BIGINT) AS oov_tokens
 FROM r GROUP BY source ORDER BY source""",
     ),
+    "incremental_dedup": QuerySpec(
+        dedup.q_incremental_dedup,
+        f"""WITH f AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),
+hist AS (SELECT DISTINCT fp FROM f WHERE doc_id < 400),
+batch AS (SELECT doc_id, source, fp FROM f WHERE doc_id >= 400),
+fresh AS (SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM hist)),
+fst AS (SELECT fp, MIN(doc_id) AS keep_id FROM fresh GROUP BY 1),
+adm AS (SELECT b.doc_id, b.source FROM fresh b
+  JOIN fst ON b.fp = fst.fp AND b.doc_id = fst.keep_id),
+nb AS (SELECT source, COUNT(*) AS n_batch FROM batch GROUP BY 1),
+na AS (SELECT source, COUNT(*) AS n_admitted FROM adm GROUP BY 1)
+SELECT nb.source, nb.n_batch,
+  CAST(COALESCE(na.n_admitted, 0) AS BIGINT) AS n_admitted,
+  CAST(nb.n_batch - COALESCE(na.n_admitted, 0) AS BIGINT) AS n_rejected
+FROM nb LEFT JOIN na ON nb.source = na.source ORDER BY nb.source""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1646,6 +1662,7 @@ _ROUND3_FRONT = [
     "dedup_canonical",  # new: canonical-doc selection per near-dup cluster
     "embedding_dim_stats",  # new: per-dimension vector profile
     "vocab_coverage",  # new: OOV rate vs corpus-global top-K vocab
+    "incremental_dedup",  # new: cross-batch dedup vs historical fingerprints
     "promo_revenue",  # new: TPC-H Q14 shape
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step
