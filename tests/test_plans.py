@@ -98,3 +98,39 @@ class TestKeyPlans:
         plan = plan_of(spark, "promo_revenue")
         assert "BroadcastHashJoin" in plan
         assert "hashpartitioning(l_orderkey" not in plan
+
+
+class TestRound3NewPlans:
+    def test_q21_single_fact_aggregate(self, spark):
+        # the EXISTS/NOT-EXISTS quantifiers must be ONE aggregate on the
+        # join key -- no lineitem self-join anywhere in the plan
+        plan = plan_of(spark, "waiting_suppliers")
+        assert plan.count("hashpartitioning(l_orderkey") <= 2
+        assert "CartesianProduct" not in plan
+
+    def test_q2_broadcast_dims(self, spark):
+        # part/supplier/nation/region side must broadcast into lineitem
+        plan = plan_of(spark, "min_cost_supplier")
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+
+    def test_q11_no_second_fact_scan(self, spark):
+        # the grand-total scalar must reuse the per-part aggregate: exactly
+        # one scan of lineitem in the whole plan
+        plan = plan_of(spark, "important_parts")
+        assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 2
+
+    def test_vocab_membership_broadcast(self, spark):
+        # the top-K vocab joins back as a broadcast -- the exploded corpus
+        # side must not shuffle for the membership test
+        plan = plan_of(spark, "vocab_coverage")
+        assert "BroadcastHashJoin" in plan
+        # the only token shuffle is the vocab-frequency aggregate; the
+        # membership join over the exploded corpus must not add another
+        assert plan.count("Exchange hashpartitioning(token") <= 1
+
+    def test_incremental_dedup_fp_joins(self, spark):
+        # history membership + in-batch first-wins are both fp equi-joins
+        plan = plan_of(spark, "incremental_dedup")
+        assert "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
