@@ -13,6 +13,10 @@
   python -m pgsf_spark gc <table> [--keep N] [--ttl-days D]
                                              (≡ ./delete_old_jobs_data.sh;
                                               compact + vacuum old versions)
+  python -m pgsf_spark corpus-build [--sf-dir D] [--table T]
+                                             (materialize the filter->dedup->
+                                              split training manifest into the
+                                              store, partitioned by split)
 
 Source/work dirs via --source-dir / --workdir (or PGSF_SPARK_SOURCE_DIR /
 PGSF_SPARK_WORKDIR).
@@ -50,6 +54,9 @@ def main(argv: list[str] | None = None) -> int:
     vf = sub.add_parser("verify")
     vf.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     vf.add_argument("queries", nargs="*")
+    cb = sub.add_parser("corpus-build")
+    cb.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    cb.add_argument("--table", default="training_manifest")
     args = p.parse_args(argv)
 
     if args.cmd == "verify":
@@ -61,6 +68,29 @@ def main(argv: list[str] | None = None) -> int:
         n_fail = sum(1 for v in results.values() if not v)
         print(json.dumps({"pass": len(results) - n_fail, "fail": n_fail}))
         return 1 if n_fail else 0
+
+    if args.cmd == "corpus-build":
+        # materialize the composed filter->dedup->split manifest into the
+        # versioned store, hive-partitioned by split for downstream readers
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.analytics.pipeline import q_training_manifest
+        from pgsf_spark.operators.table_store import TableStore
+        from pgsf_spark.session import get_spark
+
+        spark = get_spark("pgsf_spark_corpus")
+        store = TableStore(spark, args.workdir)
+        df = q_training_manifest(spark, args.sf_dir)
+        version = store.write(df, args.table, partition_by=["split"])
+        out = store.read(args.table)
+        counts = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        print(json.dumps({"table": args.table, "version": version,
+                          "rows": sum(counts.values()), "splits": counts}))
+        spark.stop()
+        return 0
 
     from pgsf_spark.engine import Engine
     from pgsf_spark.session import get_spark

@@ -67,3 +67,22 @@ class TestVerifySubcommand:
         out = capsys.readouterr().out.strip().splitlines()
         assert rc == 0
         assert json.loads(out[-1]) == {"pass": 2, "fail": 0}
+
+
+class TestCorpusBuildCli:
+    def test_corpus_build_materializes_manifest(self, cli_env, tmp_path):
+        import json
+
+        run = cli_env
+        rc, out = run("corpus-build", "--sf-dir", "/root/testdata/sf0.001")
+        assert rc == 0
+        res = json.loads(out.strip().splitlines()[-1])
+        assert res["table"] == "training_manifest"
+        assert res["rows"] > 0
+        assert set(res["splits"]) == {"train", "val", "test"}
+        assert sum(res["splits"].values()) == res["rows"]
+        # split-partitioned layout on disk (partition pruning for readers)
+        store_dir = tmp_path / "work" / "tables" / "training_manifest"
+        if store_dir.exists():
+            hive_dirs = list(store_dir.rglob("split=*"))
+            assert hive_dirs, "expected hive split=... partition dirs"
