@@ -196,3 +196,75 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA: union / intersection / Jaccard estimates
+    between two user segments (viewers vs purchasers), with the exact
+    intersection alongside -- the mergeable-sketch operation an audience-
+    overlap or cross-corpus-dedup report runs without ever materializing
+    the full sets.
+
+    KMV theory: keep the k smallest md5-derived hashes per segment; the
+    union sketch is the k smallest of the combined sketches (this is the
+    sketch MERGE -- associative, so per-partition sketches combine
+    losslessly at any cluster size); rho = fraction of union-sketch hashes
+    present in both sides estimates Jaccard; intersection = rho x union
+    estimate. Hashes are md5-derived (not engine RNG), so every number
+    here is bit-identical in DuckDB -- a sketch pipeline that is still
+    hash-exact oracle-checkable. Segments with < k keys degrade to exact
+    sets (the CASE guard), so the estimates are exact at tiny scale.
+
+    Plan: two distinct-aggregates + tiny top-k sorts (k=64 rows); all
+    joins are on 64-row sketches. The events table is scanned once and
+    everything downstream is sketch-sized.
+    """
+    K = KMV_K
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(0x100000000))
+    )
+    seg = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+        .select("event_type", h.alias("h"))
+    )
+    a = seg.filter(F.col("event_type") == "view").select("h").orderBy("h").limit(K)
+    b = seg.filter(F.col("event_type") == "purchase").select("h").orderBy("h").limit(K)
+    u = a.union(b).distinct().orderBy("h").limit(K)
+
+    def est(df):
+        return df.agg(F.count(F.lit(1)).alias("k"), F.max("h").alias("hk")).select(
+            F.when(F.col("k") < K, F.col("k").cast("double"))
+            .otherwise(F.round((F.col("k") - 1) / F.col("hk"), 4))
+            .alias("e"),
+            "k",
+        )
+
+    ea = est(a).select(F.col("e").alias("est_view"))
+    eb = est(b).select(F.col("e").alias("est_purchase"))
+    eu = est(u).select(F.col("e").alias("est_union"), F.col("k").alias("ku"))
+    rho_cnt = (
+        u.join(a, "h", "left_semi").join(b, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        seg.groupBy("h")
+        .agg(F.count_distinct("event_type").alias("n_types"))
+        .filter(F.col("n_types") == 2)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    return (
+        ea.crossJoin(eb).crossJoin(eu).crossJoin(rho_cnt).crossJoin(exact)
+        .select(
+            "est_view",
+            "est_purchase",
+            "est_union",
+            F.round(F.col("c") / F.col("ku"), 4).alias("jaccard_est"),
+            F.round(F.col("c") / F.col("ku") * F.col("est_union"), 4).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )

@@ -1591,6 +1591,32 @@ SELECT nb.source, nb.n_batch,
   CAST(nb.n_batch - COALESCE(na.n_admitted, 0) AS BIGINT) AS n_rejected
 FROM nb LEFT JOIN na ON nb.source = na.source ORDER BY nb.source""",
     ),
+    "kmv_set_algebra": QuerySpec(
+        profiling.q_kmv_set_algebra,
+        f"""WITH seg AS (
+  SELECT DISTINCT event_type,
+    ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT::DOUBLE / 4294967296.0 AS h
+  FROM events WHERE event_type IN ('view', 'purchase')),
+ah AS (SELECT h FROM seg WHERE event_type = 'view' ORDER BY h LIMIT {profiling.KMV_K}),
+bh AS (SELECT h FROM seg WHERE event_type = 'purchase' ORDER BY h LIMIT {profiling.KMV_K}),
+uh AS (SELECT h FROM (SELECT h FROM ah UNION SELECT h FROM bh) ORDER BY h LIMIT {profiling.KMV_K}),
+ea AS (SELECT CASE WHEN COUNT(*) < {profiling.KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE ROUND((COUNT(*) - 1) / MAX(h), 4) END AS est_view FROM ah),
+eb AS (SELECT CASE WHEN COUNT(*) < {profiling.KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE ROUND((COUNT(*) - 1) / MAX(h), 4) END AS est_purchase FROM bh),
+eu AS (SELECT CASE WHEN COUNT(*) < {profiling.KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE ROUND((COUNT(*) - 1) / MAX(h), 4) END AS est_union,
+  COUNT(*) AS ku FROM uh),
+rho AS (SELECT COUNT(*) AS c FROM uh
+  WHERE h IN (SELECT h FROM ah) AND h IN (SELECT h FROM bh)),
+ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
+  SELECT h FROM seg GROUP BY h HAVING COUNT(DISTINCT event_type) = 2))
+SELECT est_view, est_purchase, est_union,
+  ROUND(c / ku, 4) AS jaccard_est,
+  ROUND(c / ku * est_union, 4) AS est_intersection,
+  exact_intersection
+FROM ea, eb, eu, rho, ex""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1663,6 +1689,7 @@ _ROUND3_FRONT = [
     "embedding_dim_stats",  # new: per-dimension vector profile
     "vocab_coverage",  # new: OOV rate vs corpus-global top-K vocab
     "incremental_dedup",  # new: cross-batch dedup vs historical fingerprints
+    "kmv_set_algebra",  # new: mergeable-sketch union/intersection/Jaccard
     "promo_revenue",  # new: TPC-H Q14 shape
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step
