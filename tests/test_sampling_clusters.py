@@ -77,3 +77,47 @@ class TestSamplePerGroup:
     def test_small_group_returns_all(self, spark):
         df = spark.createDataFrame([(1, 100), (1, 101)], "g int, k long")
         assert sample_per_group(df, "g", "k", 10).count() == 2
+
+
+class TestConnectedComponentsProperty:
+    """Randomized equivalence vs a reference union-find: the min-label
+    fixpoint must produce exactly the partition a sequential union-find
+    does, for any edge list."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    edges_st = st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(pairs=edges_st)
+    def test_matches_union_find(self, spark, pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for n in parent:
+            root = find(n)
+            expected.setdefault(root, set()).add(n)
+        # min-label form: every node labeled with its component minimum
+        want = {n: min(c) for c in expected.values() for n in c}
+
+        edges = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in pairs], "doc_a long, doc_b long"
+        )
+        got = {r["doc_id"]: r["cluster"] for r in connected_components(edges).collect()}
+        assert got == want
