@@ -1617,6 +1617,21 @@ SELECT est_view, est_purchase, est_union,
   exact_intersection
 FROM ea, eb, eu, rho, ex""",
     ),
+    "neyman_allocation": QuerySpec(
+        sampling.q_neyman_allocation,
+        """WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+    sqrt((CAST(SUM(CAST(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+        - CAST(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)
+          * CAST(SUM(CAST(CAST(n_chars AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)::DOUBLE)
+       / (COUNT(*)::DOUBLE - 1)) AS sd
+  FROM documents GROUP BY source HAVING COUNT(*) > 1),
+w AS (SELECT source, n_docs, sd, n_docs::DOUBLE * sd AS w FROM per),
+t AS (SELECT CAST(SUM(CAST(w AS DECIMAL(27,4))) AS DOUBLE) AS wtot FROM w)
+SELECT source, n_docs, ROUND(sd, 4) AS stddev_chars,
+  CAST(FLOOR(1000.0 * w / wtot) AS BIGINT) AS alloc_n
+FROM w, t ORDER BY source""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1690,6 +1705,7 @@ _ROUND3_FRONT = [
     "vocab_coverage",  # new: OOV rate vs corpus-global top-K vocab
     "incremental_dedup",  # new: cross-batch dedup vs historical fingerprints
     "kmv_set_algebra",  # new: mergeable-sketch union/intersection/Jaccard
+    "neyman_allocation",  # new: variance-optimal stratified sample sizing
     "promo_revenue",  # new: TPC-H Q14 shape
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step

@@ -131,3 +131,48 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w").cast("bigint")).alias("weight_mass"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: for a fixed budget of
+    1000 docs, allocate to each source proportionally to N_h * S_h (stratum
+    size x stddev of n_chars) -- the allocation that minimizes the variance
+    of the stratified length estimator. The principled version of ad-hoc
+    per-source quotas for corpus mixing.
+
+    Plan: one groupBy(source) computes exact decimal moments (count, sum,
+    sum-of-squares -- mergeable partials, one shuffle bounded by the number
+    of sources); the normalizing constant is a scalar agg over the tiny
+    stratum table, broadcast back. Stddev comes from the moments via IEEE
+    sqrt (deterministic in every engine); the weight total accumulates in
+    decimal so allocation is partition-order-independent; floor (not round)
+    for the integer allocation to avoid half-tie divergence.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("double")
+
+    def s(e):
+        return F.sum(e.cast("decimal(38,6)")).cast("double")
+
+    n = F.count(F.lit(1)).cast("double")
+    var = (s(x * x) - s(x) * s(x) / n) / (n - 1)
+    per = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sqrt(var).alias("sd"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .withColumn("w", F.col("n_docs").cast("double") * F.col("sd"))
+    )
+    tot = per.agg(F.sum(F.col("w").cast("decimal(27,4)")).cast("double").alias("wtot"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round("sd", 4).alias("stddev_chars"),
+            F.floor(F.lit(1000.0) * F.col("w") / F.col("wtot")).cast("bigint").alias("alloc_n"),
+        )
+        .orderBy("source")
+    )
