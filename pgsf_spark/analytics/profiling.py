@@ -263,8 +263,12 @@ def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_view",
             "est_purchase",
             "est_union",
-            F.round(F.col("c") / F.col("ku"), 4).alias("jaccard_est"),
-            F.round(F.col("c") / F.col("ku") * F.col("est_union"), 4).alias("est_intersection"),
+            # ku == 0 only when both segments are empty (fresh deployment):
+            # emit NULL instead of tripping ANSI divide-by-zero
+            F.when(F.col("ku") > 0, F.round(F.col("c") / F.col("ku"), 4)).alias("jaccard_est"),
+            F.when(
+                F.col("ku") > 0, F.round(F.col("c") / F.col("ku") * F.col("est_union"), 4)
+            ).alias("est_intersection"),
             "exact_intersection",
         )
     )

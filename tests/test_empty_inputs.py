@@ -1,0 +1,57 @@
+"""Degenerate-input resilience: every registry query family must survive
+EMPTY source tables without raising (a fresh deployment, a filtered-out
+partition, a source that produced no rows this tick). Results may be 0 rows
+or all-null scalars -- the contract is no exception and a stable schema."""
+
+import pytest
+from pyspark.sql.types import StructType
+
+from pgsf_spark.analytics.registry import QUERIES
+from pgsf_spark.tables import TABLES
+
+# one representative per family (keeps the sweep fast; plans differ only by
+# constants within a family)
+REPRESENTATIVE = [
+    "pricing_summary",  # scan-agg
+    "revenue_by_nation",  # star join
+    "min_cost_supplier",  # correlated min + window
+    "waiting_suppliers",  # quantifier-as-aggregate
+    "important_parts",  # scalar-subquery threshold
+    "top_orders_per_customer",  # window rank
+    "dedup_exact",  # fingerprint groupBy
+    "minhash_lsh_pairs",  # LSH candidate generation
+    "dedup_canonical",  # clusters + canonical selection
+    "incremental_dedup",  # cross-batch anti-join
+    "vocab_coverage",  # top-K broadcast membership
+    "cosine_topk",  # brute-force ANN
+    "embedding_dim_stats",  # posexplode profile
+    "kmv_set_algebra",  # sketch algebra
+    "neyman_allocation",  # stratified moments
+    "sessionize",  # event-time windows
+    "event_funnel",  # chained conditional aggs
+    "training_manifest",  # composed pipeline
+    "quality_filter",  # projection gate
+    "temperature_sample",  # hash-ranked sampling
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """A sf dir whose tables all have the right schema and ZERO rows."""
+    root = tmp_path_factory.mktemp("sf_empty")
+    real = "/root/testdata/sf0.001"
+    from pgsf_spark.tables import load_table
+
+    for t in TABLES:
+        df = load_table(spark, real, t).limit(0)
+        df.write.mode("overwrite").parquet(str(root / f"{t}.parquet"))
+    return str(root)
+
+
+class TestEmptyInputs:
+    @pytest.mark.parametrize("name", REPRESENTATIVE)
+    def test_runs_on_empty_tables(self, spark, empty_sf_dir, name):
+        df = QUERIES[name].fn(spark, empty_sf_dir)
+        assert isinstance(df.schema, StructType) and len(df.schema) > 0
+        rows = df.collect()  # must not raise
+        assert isinstance(rows, list)
