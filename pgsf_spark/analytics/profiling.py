@@ -272,3 +272,58 @@ def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.709  # standard alpha_64 constant
+
+
+def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog reimplemented ENGINE-PORTABLY, so even the sketch is
+    hash-exact against the oracle (unlike approx_count_distinct, whose HLL
+    is engine-internal and only tolerance-checkable).
+
+    Construction, chosen so every step is bit-identical in any engine:
+      - 32-bit md5-derived hash; low p bits pick the register, the
+        remaining 26 bits feed rho = 1-based position of the first set bit
+        (computed via bin/lpad/strpos STRING ops -- no log2);
+      - register value M_j = max(rho); the HLL sum adds 2^-M_j, which is
+        an EXACT double (reciprocal of a power of two), and 64 terms
+        spanning 2^-27..1 fit in 33 < 53 mantissa bits, so the double sum
+        is exact in ANY accumulation order -- no decimal crutch needed;
+      - raw estimate alpha * m^2 / S emitted UNROUNDED (pure IEEE ops on
+        identical inputs; the small-range ln() correction is deliberately
+        omitted -- ln is libm-dependent and would break parity).
+
+    Mergeable at scale: registers combine by max() -- the groupBy below IS
+    the merge, and a 100 TB corpus reduces to 64 rows after one shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    bucket = (h % HLL_M).alias("bucket")
+    rest = F.floor(h / HLL_M).cast("long")
+    bits = F.lpad(F.bin(rest), 26, "0")
+    rho = F.when(rest == 0, F.lit(27)).otherwise(F.instr(bits, "1")).alias("rho")
+    regs = (
+        ev.select(bucket, rho)
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    # PySpark's shiftleft wrapper wants an int literal; the SQL function
+    # takes a column -- go through expr
+    s_present = F.sum(F.lit(1.0) / F.expr("cast(shiftleft(1L, m) as double)"))
+    agg = regs.agg(
+        s_present.alias("s_present"), F.count(F.lit(1)).alias("n_present")
+    ).select(
+        (F.col("s_present") + (F.lit(HLL_M) - F.col("n_present")).cast("double")).alias("s"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("bigint").alias("empty_buckets"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    return agg.crossJoin(exact).select(
+        "exact_users",
+        (F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("s")).alias("hll_estimate"),
+        "empty_buckets",
+    )

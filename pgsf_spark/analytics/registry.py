@@ -1632,6 +1632,25 @@ SELECT source, n_docs, ROUND(sd, 4) AS stddev_chars,
   CAST(FLOOR(1000.0 * w / wtot) AS BIGINT) AS alloc_n
 FROM w, t ORDER BY source""",
     ),
+    "hll_portable": QuerySpec(
+        profiling.q_hll_portable,
+        f"""WITH h AS (
+  SELECT ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events),
+br AS (SELECT h % {profiling.HLL_M} AS bucket,
+  CAST(h // {profiling.HLL_M} AS BIGINT) AS rest FROM h),
+rr AS (SELECT bucket,
+  CASE WHEN rest = 0 THEN 27
+       ELSE strpos(lpad(bin(rest), 26, '0'), '1') END AS rho FROM br),
+regs AS (SELECT bucket, MAX(rho) AS m FROM rr GROUP BY 1),
+agg AS (SELECT SUM(1.0 / CAST((1::BIGINT << m) AS DOUBLE)) AS s_present,
+  COUNT(*) AS n_present FROM regs),
+ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users FROM events)
+SELECT exact_users,
+  {profiling.HLL_ALPHA} * {float(profiling.HLL_M * profiling.HLL_M)} / (s_present + CAST({profiling.HLL_M} - n_present AS DOUBLE)) AS hll_estimate,
+  CAST({profiling.HLL_M} - n_present AS BIGINT) AS empty_buckets
+FROM agg, ex""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1706,6 +1725,7 @@ _ROUND3_FRONT = [
     "incremental_dedup",  # new: cross-batch dedup vs historical fingerprints
     "kmv_set_algebra",  # new: mergeable-sketch union/intersection/Jaccard
     "neyman_allocation",  # new: variance-optimal stratified sample sizing
+    "hll_portable",  # new: engine-portable HLL, sketch itself hash-exact
     "promo_revenue",  # new: TPC-H Q14 shape
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step
