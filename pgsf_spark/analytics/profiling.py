@@ -327,3 +327,73 @@ def q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("s")).alias("hll_estimate"),
         "empty_buckets",
     )
+
+
+BF_BITS = 4096  # filter size m
+BF_WORD = 32  # bits per packed word (masks stay positive in a BIGINT)
+BF_K = 4  # hash functions
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable BLOOM FILTER membership: build a 4096-bit filter
+    over the viewer set, probe it with the purchaser set, and report
+    observed false positives against the exact answer. Completes the
+    portable-sketch family (KMV cardinality/set algebra, HLL) with the
+    membership sketch -- and like them, every number is hash-exact in the
+    oracle because the construction is md5 + integer bit ops only.
+
+    Distributed shape: the filter is (word_index -> bit_or(mask)) -- ONE
+    groupBy over k rows per element, and bit_or is the merge operator, so
+    per-partition partial filters combine losslessly (exactly how you build
+    a 100 TB-side bloom: mergeable partial aggregates, 128 result rows).
+    The probe joins the tiny packed-word table broadcast; at scale this is
+    the classic bloom-semi-join that prunes a shuffle side early.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def positions(col):
+        hs = []
+        for i in range(BF_K):
+            h = F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), col.cast("string"))), 1, 8), 16, 10
+            ).cast("long")
+            hs.append((h % BF_BITS).cast("int"))
+        return F.array(*hs)
+
+    # build over a PROPER SUBSET of users (every 3rd viewer) so the probe
+    # set contains genuine non-members and the observed false-positive
+    # count is a meaningful, nonzero-capable signal
+    a = (
+        ev.filter((F.col("event_type") == "view") & (F.col("user_id") % 3 == 0))
+        .select("user_id")
+        .distinct()
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    bloom = (
+        a.select(F.explode(positions(F.col("user_id"))).alias("p"))
+        .select(F.floor(F.col("p") / BF_WORD).cast("int").alias("word"), (F.col("p") % BF_WORD).alias("bit"))
+        .select("word", F.expr(f"shiftleft(1L, bit)").alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("w"))
+    )
+    probe = (
+        b.select("user_id", F.explode(positions(F.col("user_id"))).alias("p"))
+        .select("user_id", F.floor(F.col("p") / BF_WORD).cast("int").alias("word"), (F.col("p") % BF_WORD).alias("bit"))
+        .join(F.broadcast(bloom), "word", "left")
+        .select("user_id", F.coalesce(F.expr("shiftright(w, bit) & 1"), F.lit(0)).alias("hit"))
+        .groupBy("user_id")
+        .agg(F.min("hit").alias("all_hit"))
+    )
+    flagged = probe.agg(
+        F.count(F.lit(1)).alias("n_tested"),
+        F.sum("all_hit").cast("bigint").alias("n_bloom_positive"),
+    )
+    true_members = b.join(a, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_members")
+    )
+    return flagged.crossJoin(true_members).select(
+        "n_tested",
+        "n_bloom_positive",
+        "n_true_members",
+        (F.col("n_bloom_positive") - F.col("n_true_members")).alias("n_false_positives"),
+    )

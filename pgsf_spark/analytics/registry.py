@@ -1651,6 +1651,33 @@ SELECT exact_users,
   CAST({profiling.HLL_M} - n_present AS BIGINT) AS empty_buckets
 FROM agg, ex""",
     ),
+    "bloom_membership": QuerySpec(
+        profiling.q_bloom_membership,
+        f"""WITH a AS (SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'view' AND user_id % 3 = 0),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+apos AS ({" UNION ALL ".join(
+    f"SELECT user_id, ('0x' || substr(md5('bf{i}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {profiling.BF_BITS} AS p FROM a"
+    for i in range(profiling.BF_K))}),
+bloom AS (SELECT CAST(p // {profiling.BF_WORD} AS INT) AS word,
+  bit_or(1::BIGINT << CAST(p % {profiling.BF_WORD} AS INT)) AS w
+  FROM apos GROUP BY 1),
+bpos AS ({" UNION ALL ".join(
+    f"SELECT user_id, ('0x' || substr(md5('bf{i}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % {profiling.BF_BITS} AS p FROM b"
+    for i in range(profiling.BF_K))}),
+probe AS (
+  SELECT bpos.user_id,
+    MIN(COALESCE((bloom.w >> CAST(bpos.p % {profiling.BF_WORD} AS INT)) & 1, 0)) AS all_hit
+  FROM bpos LEFT JOIN bloom ON CAST(bpos.p // {profiling.BF_WORD} AS INT) = bloom.word
+  GROUP BY 1),
+flagged AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tested,
+  CAST(SUM(all_hit) AS BIGINT) AS n_bloom_positive FROM probe),
+tm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_members
+  FROM b WHERE user_id IN (SELECT user_id FROM a))
+SELECT n_tested, n_bloom_positive, n_true_members,
+  n_bloom_positive - n_true_members AS n_false_positives
+FROM flagged, tm""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1726,6 +1753,7 @@ _ROUND3_FRONT = [
     "kmv_set_algebra",  # new: mergeable-sketch union/intersection/Jaccard
     "neyman_allocation",  # new: variance-optimal stratified sample sizing
     "hll_portable",  # new: engine-portable HLL, sketch itself hash-exact
+    "bloom_membership",  # new: portable bloom filter build + probe
     "promo_revenue",  # new: TPC-H Q14 shape
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step
