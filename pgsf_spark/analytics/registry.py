@@ -1678,6 +1678,25 @@ SELECT n_tested, n_bloom_positive, n_true_members,
   n_bloom_positive - n_true_members AS n_false_positives
 FROM flagged, tm""",
     ),
+    "cms_token_counts": QuerySpec(
+        text.q_cms_token_counts,
+        f"""WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+cells AS ({" UNION ALL ".join(
+    f"SELECT token, {i} AS row, CAST(('0x' || substr(md5('cms{i}:' || token), 1, 8))::BIGINT % {text.CMS_W} AS INT) AS col FROM tok"
+    for i in range(text.CMS_D))}),
+sketch AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+top AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count FROM tok
+  GROUP BY 1 ORDER BY exact_count DESC, token LIMIT 10),
+probes AS ({" UNION ALL ".join(
+    f"SELECT token, exact_count, {i} AS row, CAST(('0x' || substr(md5('cms{i}:' || token), 1, 8))::BIGINT % {text.CMS_W} AS INT) AS col FROM top"
+    for i in range(text.CMS_D))})
+SELECT p.token, p.exact_count,
+  MIN(COALESCE(s.cnt, 0)) AS cms_estimate,
+  MIN(COALESCE(s.cnt, 0)) - p.exact_count AS overestimate
+FROM probes p LEFT JOIN sketch s ON p.row = s.row AND p.col = s.col
+GROUP BY p.token, p.exact_count
+ORDER BY p.exact_count DESC, p.token""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1754,6 +1773,7 @@ _ROUND3_FRONT = [
     "neyman_allocation",  # new: variance-optimal stratified sample sizing
     "hll_portable",  # new: engine-portable HLL, sketch itself hash-exact
     "bloom_membership",  # new: portable bloom filter build + probe
+    "cms_token_counts",  # new: portable count-min frequency sketch
     "promo_revenue",  # new: TPC-H Q14 shape
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step

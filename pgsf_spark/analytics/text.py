@@ -354,3 +354,67 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable COUNT-MIN SKETCH: estimate token frequencies from a
+    4x256 counter matrix and report estimate vs exact for the top-10
+    tokens (CMS guarantees estimate >= exact; the overestimate column
+    shows collision inflation). Completes the portable-sketch family with
+    the frequency sketch -- md5 + integer ops only, so hash-exact in the
+    oracle like the HLL/KMV/Bloom siblings.
+
+    Distributed shape: the sketch is groupBy(row, col) -> COUNT -- 1024
+    result rows from one shuffle, and counter matrices MERGE by cell-wise
+    addition (the partial aggregates Spark already computes map-side), so
+    a 100 TB corpus reduces to the same 1024 rows. Probes join the sketch
+    BROADCAST: frequency estimation for any number of keys without
+    re-scanning the corpus.
+    """
+    from pgsf_spark.analytics.dedup import _norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"))
+
+    def cells(col):
+        out = []
+        for i in range(CMS_D):
+            h = F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), col)), 1, 8), 16, 10
+            ).cast("long")
+            out.append(
+                F.struct(F.lit(i).alias("row"), (h % CMS_W).cast("int").alias("col"))
+            )
+        return F.array(*out)
+
+    sketch = (
+        tok.select(F.explode(cells(F.col("token"))).alias("c"))
+        .select("c.row", "c.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "token")
+        .limit(10)
+    )
+    probes = top.select(
+        "token", "exact_count", F.explode(cells(F.col("token"))).alias("p")
+    ).select("token", "exact_count", "p.row", "p.col")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy("token", "exact_count")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.col("exact_count").desc(), "token")
+    )
