@@ -577,3 +577,52 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate candidate graph: triangles
+    indicate dup CLUSTERS (mutually-similar triples) vs chains of pairwise
+    borderline matches -- a one-number structural health check on the LSH
+    graph, plus the wedge count that normalizes it (global clustering
+    coefficient = 3*triangles/wedges).
+
+    Scale shape: the classic degree-ordered triangle join. Every edge is
+    oriented from the (degree, id)-smaller endpoint to the larger, so each
+    wedge is generated exactly once at its lowest-degree apex -- the
+    standard trick that bounds the wedge explosion by sum(min-degree) and
+    tames hub vertices (a hub's edges mostly point INTO it, so it apexes
+    few wedges). Wedges then semi-join the canonical edge list to close.
+    Three shuffles total (degrees, wedge self-join key, closing join), all
+    on vertex/edge keys -- never a cartesian.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(lsh_banded(d)).localCheckpoint()
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .union(pairs.select(F.col("doc_b").alias("doc")))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("doc").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("doc").alias("doc_b"), F.col("deg").alias("deg_b"))
+    e = pairs.join(da, "doc_a").join(db, "doc_b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+    )
+    w1 = oriented.select(F.col("src"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src"), F.col("dst").alias("y"))
+    wedges = (
+        w1.join(w2, "src")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.least("x", "y").alias("doc_a"), F.greatest("x", "y").alias("doc_b")
+        )
+    )
+    closed = wedges.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    n_tri = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_wed = wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
+    return n_tri.crossJoin(n_wed).select("n_triangles", "n_wedges")

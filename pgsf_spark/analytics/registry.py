@@ -1697,6 +1697,29 @@ FROM probes p LEFT JOIN sketch s ON p.row = s.row AND p.col = s.col
 GROUP BY p.token, p.exact_count
 ORDER BY p.exact_count DESC, p.token""",
     ),
+    "neardup_triangles": QuerySpec(
+        dedup.q_neardup_triangles,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+deg AS (SELECT doc, COUNT(*) AS deg FROM (
+  SELECT doc_a AS doc FROM pairs UNION ALL SELECT doc_b FROM pairs) GROUP BY 1),
+e AS (SELECT doc_a, doc_b, da.deg AS deg_a, db.deg AS deg_b
+  FROM pairs JOIN deg da ON doc_a = da.doc JOIN deg db ON doc_b = db.doc),
+oriented AS (SELECT
+  CASE WHEN deg_a < deg_b OR (deg_a = deg_b AND doc_a < doc_b) THEN doc_a ELSE doc_b END AS src,
+  CASE WHEN deg_a < deg_b OR (deg_a = deg_b AND doc_a < doc_b) THEN doc_b ELSE doc_a END AS dst
+  FROM e),
+wedges AS (SELECT w1.dst AS doc_a, w2.dst AS doc_b
+  FROM oriented w1 JOIN oriented w2 ON w1.src = w2.src AND w1.dst < w2.dst),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.doc_a = w.doc_a AND p.doc_b = w.doc_b)),
+wed AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges FROM wedges)
+SELECT n_triangles, n_wedges FROM tri, wed""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1774,6 +1797,7 @@ _ROUND3_FRONT = [
     "hll_portable",  # new: engine-portable HLL, sketch itself hash-exact
     "bloom_membership",  # new: portable bloom filter build + probe
     "cms_token_counts",  # new: portable count-min frequency sketch
+    "neardup_triangles",  # new: degree-ordered triangle census
     "promo_revenue",  # new: TPC-H Q14 shape
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step
