@@ -626,3 +626,44 @@ def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tri = closed.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     n_wed = wedges.agg(F.count(F.lit(1)).cast("bigint").alias("n_wedges"))
     return n_tri.crossJoin(n_wed).select("n_triangles", "n_wedges")
+
+
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the dedup stack: on every LSH candidate
+    pair, the MinHash-ESTIMATED Jaccard (fraction of agreeing signature
+    components -- the unbiased estimator the banding decision implicitly
+    uses) next to the EXACT shingle-set Jaccard, with the signed error.
+    This is the number that justifies the (bands, rows) choice: if the
+    estimate were systematically off, the LSH recall/precision reasoning
+    collapses.
+
+    Plan: the pair list (checkpointed once) joins the signature projection
+    twice and the shingle projection twice -- all equi-joins on doc_id
+    against corpus-sized projections, the same shape as the verified
+    Jaccard path. est = matches/8 is an exact dyadic rational; the exact
+    Jaccard is one int/int division -- both bit-identical cross-engine, so
+    no rounding anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(lsh_banded(d)).localCheckpoint(eager=True)
+    mh = doc_minhash(d)
+    ma = mh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)])
+    mb = mh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)])
+    sh = d.select("doc_id", word_shingles(F.col("text")).alias("s"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_MINHASH)
+    )
+    exact = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    return (
+        pairs.join(ma, "doc_a").join(mb, "doc_b").join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / F.lit(float(N_MINHASH))).alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            (matches / F.lit(float(N_MINHASH)) - exact).alias("est_error"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

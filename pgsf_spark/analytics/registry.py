@@ -1720,6 +1720,27 @@ tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM wedges w
 wed AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges FROM wedges)
 SELECT n_triangles, n_wedges FROM tri, wed""",
     ),
+    "minhash_jaccard_estimate": QuerySpec(
+        dedup.q_minhash_jaccard_estimate,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + f""",
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+    ({" + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(dedup.N_MINHASH))}) / {float(dedup.N_MINHASH)} AS est_jaccard
+  FROM pairs p JOIN mh a ON p.doc_a = a.doc_id JOIN mh b ON p.doc_b = b.doc_id),
+ex AS (
+  SELECT p.doc_a, p.doc_b,
+    len(list_intersect(sa.s, sb.s)) / len(list_distinct(sa.s || sb.s)) AS exact_jaccard
+  FROM pairs p JOIN sh sa ON p.doc_a = sa.doc_id JOIN sh sb ON p.doc_b = sb.doc_id)
+SELECT e.doc_a, e.doc_b, e.est_jaccard, x.exact_jaccard,
+  e.est_jaccard - x.exact_jaccard AS est_error
+FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+ORDER BY e.doc_a, e.doc_b""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1798,6 +1819,7 @@ _ROUND3_FRONT = [
     "bloom_membership",  # new: portable bloom filter build + probe
     "cms_token_counts",  # new: portable count-min frequency sketch
     "neardup_triangles",  # new: degree-ordered triangle census
+    "minhash_jaccard_estimate",  # new: sketch-accuracy audit on LSH pairs
     "promo_revenue",  # new: TPC-H Q14 shape
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step
