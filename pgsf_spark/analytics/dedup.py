@@ -515,15 +515,17 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every near-dup cluster keeps its best member (longest text, ties to the
     smallest doc_id); the rest are dropped and their char mass accounted.
 
-    Plan: clusters (tiny -- only docs with a candidate pair) broadcast-join
-    back to documents, then ONE shuffle on `cluster` does both the
+    Plan: clusters (only docs with a candidate pair) equi-join back to
+    documents on doc_id, then ONE shuffle on `cluster` does both the
     row_number ranking and the per-cluster rollup (same partitioning, no
-    second exchange). At 100 TB the cluster map stays a fraction of the
-    corpus, so the fact table is touched once with a broadcast hash join.
+    second exchange). The cluster map is usually a small fraction of the
+    corpus, but on a duplicate-HEAVY corpus it is not -- so the join is
+    deliberately NOT forced broadcast: AQE broadcasts when the map is
+    small and falls back to a doc_id shuffle join when it is not.
     """
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     labels = q_dedup_clusters(spark, sf_dir)
-    j = d.join(F.broadcast(labels), "doc_id")
+    j = d.join(labels, "doc_id")
     w = Window.partitionBy("cluster").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
     return (
         j.withColumn("rk", F.row_number().over(w))
