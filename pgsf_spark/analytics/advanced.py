@@ -432,3 +432,37 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+def q_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width dialect fidelity gate (the flat-file twin of
+    csv/jsonl_roundtrip): write supplier through the fixed-width sink
+    (doubles carried as integer cents so the text form is lossless and
+    rounding-mode-free), read it back, aggregate -- the oracle aggregates
+    the parquet directly with the same cents formula, so any padding,
+    trimming, or offset error breaks the hash."""
+    import os
+
+    from pgsf_spark.sources.fixedwidth_io import FwField, read_fixed_width, write_fixed_width
+
+    s = load_table(spark, sf_dir, "supplier")
+    cents = F.floor(F.col("s_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+    flat = s.select(
+        "s_suppkey", "s_name", "s_nationkey", cents.alias("bal_cents")
+    )
+    fields = [
+        FwField("s_suppkey", 10, "bigint", "right"),
+        FwField("s_name", 30, "string", "left"),
+        FwField("s_nationkey", 5, "int", "right"),
+        FwField("bal_cents", 14, "bigint", "right"),
+    ]
+    path = f"/tmp/pgsf_fw_gate_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_fixed_width(flat, fields, path)
+    back = read_fixed_width(spark, path, fields)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s_suppkey").cast("bigint").alias("key_sum"),
+        F.count_distinct("s_nationkey").alias("n_nations"),
+        F.min("s_name").alias("first_name"),
+        F.sum("bal_cents").cast("bigint").alias("total_cents"),
+    )

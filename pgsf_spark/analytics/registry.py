@@ -1741,6 +1741,15 @@ SELECT e.doc_a, e.doc_b, e.est_jaccard, x.exact_jaccard,
 FROM est e JOIN ex x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
 ORDER BY e.doc_a, e.doc_b""",
     ),
+    "fixedwidth_roundtrip": QuerySpec(
+        advanced.q_fixedwidth_roundtrip,
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(s_suppkey) AS BIGINT) AS key_sum,
+  COUNT(DISTINCT s_nationkey) AS n_nations,
+  MIN(s_name) AS first_name,
+  CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+FROM supplier""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1820,6 +1829,7 @@ _ROUND3_FRONT = [
     "cms_token_counts",  # new: portable count-min frequency sketch
     "neardup_triangles",  # new: degree-ordered triangle census
     "minhash_jaccard_estimate",  # new: sketch-accuracy audit on LSH pairs
+    "fixedwidth_roundtrip",  # new: fixed-width flat-file dialect gate
     "promo_revenue",  # new: TPC-H Q14 shape
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step

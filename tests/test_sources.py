@@ -129,3 +129,34 @@ class TestCdcIdScans:
         assert upd == {"b", "c"}  # window inclusive, deleted rows included
         dele = {r["Id"] for r in src.deleted_ids("t", datetime(2024, 1, 1), datetime(2024, 1, 5)).collect()}
         assert dele == {"c"}
+
+
+class TestFixedWidth:
+    def test_roundtrip_and_alignment(self, spark, tmp_path):
+        from pgsf_spark.sources.fixedwidth_io import FwField, read_fixed_width, write_fixed_width
+
+        df = spark.createDataFrame(
+            [(1, "alice", -250), (42, "bob", 9)], "k long, name string, cents long"
+        )
+        fields = [
+            FwField("k", 6, "bigint", "right"),
+            FwField("name", 10, "string", "left"),
+            FwField("cents", 8, "bigint", "right"),
+        ]
+        p = str(tmp_path / "fw")
+        write_fixed_width(df, fields, p)
+        # raw layout: right-aligned numerics, left-aligned text, fixed offsets
+        lines = {r["value"] for r in spark.read.text(p).collect()}
+        assert "     1" + "alice     " + "    -250" in lines
+        assert "    42" + "bob       " + "       9" in lines
+        back = {(r["k"], r["name"], r["cents"]) for r in read_fixed_width(spark, p, fields).collect()}
+        assert back == {(1, "alice", -250), (42, "bob", 9)}
+
+    def test_overflow_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from pgsf_spark.sources.fixedwidth_io import FwField, write_fixed_width
+
+        df = spark.createDataFrame([("toolongvalue",)], "name string")
+        with _pytest.raises(Exception, match="fixed-width overflow"):
+            write_fixed_width(df, [FwField("name", 4)], str(tmp_path / "fw2"))
