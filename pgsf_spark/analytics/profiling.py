@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pgsf_spark.tables import load_table
 
@@ -396,4 +397,48 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bloom_positive",
         "n_true_members",
         (F.col("n_bloom_positive") - F.col("n_true_members")).alias("n_false_positives"),
+    )
+
+
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) comparing the document-length
+    distributions of src0 vs src1 -- the nonparametric two-sample test a
+    corpus pipeline runs to detect distribution drift between sources
+    without assuming normality. Emitted as the exact U statistic plus its
+    null mean (n1*n2/2), so the consumer reads effect direction directly;
+    the p-value needs only a normal lookup on the z-score.
+
+    Portability: U is PURE RANK ARITHMETIC -- tied ranks are midranks
+    (cum_less + (ties+1)/2, an exact dyadic rational), every sum fits a
+    double exactly at any realistic n -- so the whole statistic is
+    hash-exact cross-engine with no rounding anywhere.
+
+    Plan: one groupBy on the value key compresses the sample to distinct
+    values (the rank table), one window ordered by value forms cumulative
+    counts, one scalar agg finishes -- the big side is touched once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    two = d.filter(F.col("source").isin("src0", "src1"))
+    by_val = two.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum((F.col("source") == "src0").cast("bigint")).alias("c_a"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_val.withColumn(
+        "cum_less", F.coalesce(F.sum("c_all").over(w), F.lit(0))
+    ).withColumn(
+        "avg_rank", F.col("cum_less") + (F.col("c_all") + 1) / 2.0
+    )
+    return ranked.agg(
+        F.sum("c_a").cast("bigint").alias("n1"),
+        (F.sum("c_all") - F.sum("c_a")).cast("bigint").alias("n2"),
+        F.sum(F.col("c_a") * F.col("avg_rank")).alias("rank_sum_src0"),
+    ).select(
+        "n1",
+        "n2",
+        "rank_sum_src0",
+        (
+            F.col("rank_sum_src0") - (F.col("n1") * (F.col("n1") + 1)) / 2.0
+        ).alias("u_statistic"),
+        (F.col("n1") * F.col("n2") / 2.0).alias("u_null_mean"),
     )

@@ -1750,6 +1750,25 @@ ORDER BY e.doc_a, e.doc_b""",
   CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM supplier""",
     ),
+    "mann_whitney_u": QuerySpec(
+        profiling.q_mann_whitney_u,
+        """WITH two AS (SELECT source, n_chars FROM documents WHERE source IN ('src0', 'src1')),
+by_val AS (SELECT n_chars, COUNT(*) AS c_all,
+  CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c_a
+  FROM two GROUP BY 1),
+ranked AS (SELECT n_chars, c_all, c_a,
+  COALESCE(SUM(c_all) OVER (ORDER BY n_chars
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_less
+  FROM by_val),
+agg AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n1,
+  CAST(SUM(c_all) - SUM(c_a) AS BIGINT) AS n2,
+  SUM(c_a * (cum_less + (c_all + 1) / 2.0)) AS rank_sum_src0
+  FROM ranked)
+SELECT n1, n2, rank_sum_src0,
+  rank_sum_src0 - (n1 * (n1 + 1)) / 2.0 AS u_statistic,
+  n1 * n2 / 2.0 AS u_null_mean
+FROM agg""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1830,6 +1849,7 @@ _ROUND3_FRONT = [
     "neardup_triangles",  # new: degree-ordered triangle census
     "minhash_jaccard_estimate",  # new: sketch-accuracy audit on LSH pairs
     "fixedwidth_roundtrip",  # new: fixed-width flat-file dialect gate
+    "mann_whitney_u",  # new: nonparametric two-sample drift test
     "promo_revenue",  # new: TPC-H Q14 shape
     "large_volume_customers",  # new: TPC-H Q18 shape
     "bpe_merge_pairs",  # new: BPE vocab-induction merge step
