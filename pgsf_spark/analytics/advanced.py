@@ -440,7 +440,9 @@ def q_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doubles carried as integer cents so the text form is lossless and
     rounding-mode-free), read it back, aggregate -- the oracle aggregates
     the parquet directly with the same cents formula, so any padding,
-    trimming, or offset error breaks the hash."""
+    trimming, or offset error breaks the hash. The scratch path carries the
+    PID so concurrent runs (verify sweep + bench, pytest-xdist) never race
+    on mode('overwrite') vs a reader."""
     import os
 
     from pgsf_spark.sources.fixedwidth_io import FwField, read_fixed_width, write_fixed_width
@@ -456,7 +458,9 @@ def q_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FwField("s_nationkey", 5, "int", "right"),
         FwField("bal_cents", 14, "bigint", "right"),
     ]
-    path = f"/tmp/pgsf_fw_gate_{os.path.basename(os.path.normpath(sf_dir))}"
+    path = (
+        f"/tmp/pgsf_fw_gate_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}"
+    )
     write_fixed_width(flat, fields, path)
     back = read_fixed_width(spark, path, fields)
     return back.agg(

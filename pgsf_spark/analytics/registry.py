@@ -1612,8 +1612,8 @@ rho AS (SELECT COUNT(*) AS c FROM uh
 ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection FROM (
   SELECT h FROM seg GROUP BY h HAVING COUNT(DISTINCT event_type) = 2))
 SELECT est_view, est_purchase, est_union,
-  ROUND(c / ku, 4) AS jaccard_est,
-  ROUND(c / ku * est_union, 4) AS est_intersection,
+  CASE WHEN ku > 0 THEN ROUND(c / ku, 4) END AS jaccard_est,
+  CASE WHEN ku > 0 THEN ROUND(c / ku * est_union, 4) END AS est_intersection,
   exact_intersection
 FROM ea, eb, eu, rho, ex""",
     ),

@@ -103,13 +103,23 @@ def stream_dedup(
     so state size is bounded by (arrival rate x horizon), not by stream
     lifetime: the property that makes ingest dedup viable on an unbounded
     100 TB feed. (Plain ``dropDuplicates`` on a stream never evicts.)
-    Batch face degrades to per-key min-arrival dedup for oracle parity.
+    Batch face degrades to per-key min-arrival dedup for oracle parity; the
+    window orders by (ts, then every non-key column) so same-timestamp
+    duplicates pick a deterministic winner across runs and partitionings.
     """
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    from pyspark.sql.types import MapType
+
+    unorderable = {f.name for f in events.schema.fields if isinstance(f.dataType, MapType)}
+    tiebreak = [
+        c for c in events.columns if c not in keys and c != ts_col and c not in unorderable
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc_nulls_first() for c in tiebreak]
+    )
     return (
         events.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -160,3 +160,34 @@ class TestFixedWidth:
         df = spark.createDataFrame([("toolongvalue",)], "name string")
         with _pytest.raises(Exception, match="fixed-width overflow"):
             write_fixed_width(df, [FwField("name", 4)], str(tmp_path / "fw2"))
+
+    def test_null_roundtrip(self, spark, tmp_path):
+        # NULL encodes as all-spaces and reads back as NULL; the rest of the
+        # record survives (ADVICE r3: concat() previously nulled the line)
+        from pgsf_spark.sources.fixedwidth_io import FwField, read_fixed_width, write_fixed_width
+
+        df = spark.createDataFrame(
+            [(1, None, None), (2, "bob", 7)], "k long, name string, cents long"
+        )
+        fields = [
+            FwField("k", 4, "bigint", "right"),
+            FwField("name", 6, "string", "left"),
+            FwField("cents", 6, "bigint", "right"),
+        ]
+        p = str(tmp_path / "fwn")
+        write_fixed_width(df, fields, p)
+        lines = {r["value"] for r in spark.read.text(p).collect()}
+        assert "   1" + "      " + "      " in lines
+        back = {tuple(r) for r in read_fixed_width(spark, p, fields).collect()}
+        assert back == {(1, None, None), (2, "bob", 7)}
+
+    def test_alignment_side_spaces_survive(self, spark, tmp_path):
+        # only the padding side is trimmed on read: leading spaces of a
+        # left-aligned value are significant and roundtrip intact
+        from pgsf_spark.sources.fixedwidth_io import FwField, read_fixed_width, write_fixed_width
+
+        df = spark.createDataFrame([("  ind",)], "name string")
+        fields = [FwField("name", 8, "string", "left")]
+        p = str(tmp_path / "fws")
+        write_fixed_width(df, fields, p)
+        assert [r["name"] for r in read_fixed_width(spark, p, fields).collect()] == ["  ind"]
