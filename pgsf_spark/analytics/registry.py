@@ -1932,7 +1932,67 @@ _ROUND3_FRONT = [
     "clicks_30min_before_purchase",
 ]
 assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
+
+# Round 4: r3's front list had 55 entries for a 50-slot window, so its last 5
+# never got a driver row in ANY round -- they go first, unconditionally. Then
+# this round's new/reshaped gates, then the 41 whose only green row is r01
+# (three rounds stale). Exactly 50 entries -- the overflow mistake is the one
+# thing this list exists to prevent.
+_ROUND4_FRONT = [
+    # never driver-gated (r3 window overflow) -- highest priority
+    "lsh_containment",
+    "length_trim_thresholds",
+    "ngram_novelty",
+    "shipping_priority",
+    "returned_item_losses",
+    # new / reshaped this round (uncommented as each lands)
+    "lsh_bucket_stats",  # reshaped: + recovered_pairs (cross-chunk recovery)
+    # r01-only green (stalest driver evidence)
+    "distinct_segments",
+    "customers_without_orders",
+    "count_orders",
+    "snapshot_projection",
+    "avg_acctbal_by_nation",
+    "nation_trade_volume",
+    "profit_by_nation_year",
+    "part_type_shares",
+    "merge_upsert_customer",
+    "soft_delete_split",
+    "watermark_filter",
+    "events_hourly",
+    "latest_event_per_user",
+    "event_props_extract",
+    "json_props_stats",
+    "user_activity",
+    "events_sliding_2h",
+    "session_window_native",
+    "user_event_pivot",
+    "sessionize",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "top_tfidf_term",
+    "token_stats_pandas",
+    "docs_by_source",
+    "dedup_exact",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "cosine_topk",
+    "embedding_norms",
+    "label_centroid_distance",
+    "lsh_buckets",
+    "ivf_topk",
+    "embedding_near_dup",
+    "bpe_token_count",
+    "asof_click_before_purchase",
+    "clicks_30min_before_purchase",
+]
+assert len(_ROUND4_FRONT) <= 50, len(_ROUND4_FRONT)
+assert set(_ROUND4_FRONT) <= set(QUERIES), set(_ROUND4_FRONT) - set(QUERIES)
 QUERIES = {
     name: QUERIES[name]
-    for name in (*_ROUND3_FRONT, *(n for n in QUERIES if n not in set(_ROUND3_FRONT)))
+    for name in (*_ROUND4_FRONT, *(n for n in QUERIES if n not in set(_ROUND4_FRONT)))
 }
