@@ -26,6 +26,22 @@ class TestConnectedComponents:
         assert {r["cluster"] for r in got.collect()} == {0}
         assert got.count() == 31
 
+    def test_path_graph_logarithmic_rounds(self, spark):
+        # the 100 TB risk case: a chain-shaped near-dup graph (serially
+        # correlated crawls). Diameter 9,999 -- min-label propagation would
+        # need ~10k rounds; large-star/small-star must converge in O(log n).
+        import math
+
+        n = 10_000
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+        )
+        stats = {}
+        got = connected_components(edges, stats=stats)
+        assert stats["rounds"] <= math.ceil(math.log2(n)) + 4
+        assert {r["cluster"] for r in got.collect()} == {0}
+        assert got.count() == n
+
     def test_direction_irrelevant(self, spark):
         a = spark.createDataFrame([(5, 9)], "doc_a long, doc_b long")
         b = spark.createDataFrame([(9, 5)], "doc_a long, doc_b long")
