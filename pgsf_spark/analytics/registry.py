@@ -687,7 +687,8 @@ FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc
         + f"""
 SELECT band, COUNT(*) AS n_buckets, MAX(bsize) AS max_bucket_size,
   CAST(SUM(CASE WHEN bsize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_candidate_buckets,
-  CAST(SUM(CASE WHEN bsize > {dedup.MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized
+  CAST(SUM(CASE WHEN bsize > {dedup.MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS n_oversized,
+  CAST(SUM(CAST(CEIL(bsize / {dedup.MAX_BUCKET}.0) AS BIGINT) - 1) AS BIGINT) AS recovered_pairs
 FROM (SELECT band, bucket, COUNT(*) AS bsize FROM banded GROUP BY band, bucket)
 GROUP BY band""",
     ),

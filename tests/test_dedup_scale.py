@@ -53,12 +53,45 @@ class TestHotBucketCap:
     def test_adversarial_identical_corpus_completes(self, spark, identical_docs):
         pairs = dedup.lsh_candidate_pairs(dedup.lsh_banded(identical_docs), max_bucket=256)
         n = pairs.count()
-        # chunked: pairs only inside each sorted 256-chunk; the 5000-id bucket
-        # yields ceil(5000/256)=20 chunks -> bounded work per task
+        # chunked: in-chunk pairs inside each sorted 256-chunk plus the
+        # representative chain re-linking the ceil(5000/256)=20 chunks
+        n_chunks = -(-5000 // 256)
         expected_full_chunks = 5000 // 256
         rem = 5000 % 256
-        expected = expected_full_chunks * (256 * 255) // 2 + (rem * (rem - 1)) // 2
+        expected = (
+            expected_full_chunks * (256 * 255) // 2
+            + (rem * (rem - 1)) // 2
+            + (n_chunks - 1)
+        )
         assert n == expected
+
+    def test_cross_chunk_duplicates_now_pair(self, spark):
+        # VERDICT r3 ask #3 done-criterion: a 2,000-doc identical-text corpus
+        # (4 chunks at MAX_BUCKET=512) must come out as ONE connected
+        # component -- before recovery, chunks were mutually unreachable
+        docs = spark.range(0, 2000).select(
+            F.col("id").alias("doc_id"),
+            F.lit("pack my box with five dozen liquor jugs every single day").alias("text"),
+        )
+        pairs = dedup.lsh_candidate_pairs(dedup.lsh_banded(docs)).localCheckpoint()
+        # chain edges cross chunk boundaries: docs 0,512,1024,1536 are the
+        # chunk representatives, linked consecutively
+        got = {tuple(r) for r in pairs.collect()}
+        assert {(0, 512), (512, 1024), (1024, 1536)} <= got
+        labels = dedup.connected_components(pairs)
+        assert labels.count() == 2000
+        assert {r["cluster"] for r in labels.collect()} == {0}
+
+    def test_size_one_tail_chunk_keeps_its_doc(self, spark):
+        # a 513-doc bucket (cap 512) leaves a 1-doc tail chunk: that doc
+        # must still pair via the representative chain, not vanish
+        docs = spark.range(0, 513).select(
+            F.col("id").alias("doc_id"),
+            F.lit("sphinx of black quartz judge my vow forever and ever amen").alias("text"),
+        )
+        pairs = dedup.lsh_candidate_pairs(dedup.lsh_banded(docs))
+        assert pairs.filter((F.col("doc_a") == 0) & (F.col("doc_b") == 512)).count() == 1
+        assert dedup.connected_components(pairs).count() == 513
 
     def test_oversized_bucket_reported(self, spark, identical_docs):
         stats = dedup.lsh_banded(identical_docs).groupBy("band", "bucket").count()
