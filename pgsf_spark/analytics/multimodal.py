@@ -445,6 +445,163 @@ def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataF
     return df.mapInPandas(run, out_schema)
 
 
+# --- oracle-gated codec queries (VERDICT r3 ask #4) -----------------------
+#
+# The synthetic payloads are closed-form -- PNG gradient pixel (y,j) is
+# ((y % 256) + j) % 256, WAV sample i is ((i*37) % 20000) - 10000 -- so a
+# SQL oracle can compute the EXPECTED decode output arithmetically while the
+# Spark side runs the real byte-level codecs (encode_png -> decode_png,
+# make_synthetic_wav -> decode_wav) inside mapInPandas. Any drift in chunk
+# framing, IDAT inflate, unfiltering, resampling, or RIFF walking breaks the
+# driver hash. Weighted positional checksums catch byte permutations that a
+# plain sum would miss.
+
+PNG_GATE_TARGET = (17, 13)  # deliberately non-divisor resize target
+_GATE_DOCS = 64
+
+
+def _gate_ids(spark, sf_dir: str) -> DataFrame:
+    from pgsf_spark.tables import load_table
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _GATE_DOCS)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+
+def _weighted_checksum(px: bytes) -> int:
+    import numpy as np
+
+    arr = np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64)
+    weights = np.arange(arr.size, dtype=np.int64) % 9973 + 1
+    return int((arr * weights).sum())
+
+
+def q_png_decode_gate(spark, sf_dir: str) -> DataFrame:
+    """PNG codec gate: synthesize gradient PNGs (real encoder), run them
+    through extract_media_meta (real IHDR walk), the full pixel decoder, and
+    resize_images (decode -> nearest-neighbor resample -> re-encode ->
+    re-decode), emitting positional pixel checksums the DuckDB oracle
+    reproduces from the gradient's closed form. The mapInPandas chain is the
+    production media plumbing: bytes never hit the driver, schemas stay
+    fixed, batches stay Arrow-sized."""
+    ids = _gate_ids(spark, sf_dir)
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = 16 + m % 32, 16 + (m * 7) % 32
+                rows.append((m, "image", make_synthetic_png(w, h), None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    media = extract_media_meta(ids.mapInPandas(build, MEDIA_SCHEMA)).localCheckpoint()
+
+    csum_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("channels", LongType(), True),
+            StructField("pix_checksum", LongType(), True),
+        ]
+    )
+
+    def checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _w, _h, ch, px = decode_png(bytes(content))
+                out.append((int(mid), ch, _weighted_checksum(px)))
+            yield pd.DataFrame(out, columns=["media_id", "channels", "pix_checksum"])
+
+    rsum_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("resized_checksum", LongType(), True),
+        ]
+    )
+
+    def resized_checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _w, _h, _ch, px = decode_png(bytes(content))
+                out.append((int(mid), _weighted_checksum(px)))
+            yield pd.DataFrame(out, columns=["media_id", "resized_checksum"])
+
+    orig = media.mapInPandas(checksum, csum_schema)
+    resized = resize_images(media, *PNG_GATE_TARGET).mapInPandas(
+        resized_checksum, rsum_schema
+    )
+    return (
+        media.select(
+            "media_id",
+            "meta_format",
+            F.col("meta_width").cast("bigint").alias("meta_width"),
+            F.col("meta_height").cast("bigint").alias("meta_height"),
+        )
+        .join(orig, "media_id")
+        .join(resized, "media_id")
+        .orderBy("media_id")
+    )
+
+
+def q_wav_features_gate(spark, sf_dir: str) -> DataFrame:
+    """WAV codec gate: synthesize sawtooth PCM16 WAVs, decode them with the
+    real RIFF walker, and emit integer-exact features (sum of squares, zero
+    crossings) plus derived doubles built from single IEEE ops (one divide,
+    one sqrt) so both engines produce identical bits -- no rounding of
+    accumulated floats anywhere."""
+    ids = _gate_ids(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("audio_format", StringType(), True),
+            StructField("sample_rate", LongType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("sum_sq", LongType(), True),
+            StructField("zero_crossings", LongType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                n = 1200 + (m % 17) * 53
+                rate = 8000 + (m % 3) * 4000
+                r, _ch, nf, s = decode_wav(make_synthetic_wav(n, rate))
+                ssq = sum(v * v for v in s)
+                zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+                out.append((m, "wav", r, nf, ssq, zc))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "audio_format",
+                    "sample_rate",
+                    "n_frames",
+                    "sum_sq",
+                    "zero_crossings",
+                ],
+            )
+
+    feats = ids.mapInPandas(run, schema)
+    return feats.select(
+        "media_id",
+        "audio_format",
+        "sample_rate",
+        "n_frames",
+        "sum_sq",
+        "zero_crossings",
+        (F.col("n_frames") / F.col("sample_rate")).alias("duration_sec"),
+        F.sqrt(F.col("sum_sq") / F.col("n_frames")).alias("rms"),
+    ).orderBy("media_id")
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame index.
 

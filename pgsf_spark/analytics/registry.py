@@ -24,6 +24,7 @@ from pgsf_spark.analytics import (
     corpus,
     dedup,
     events,
+    multimodal,
     pipeline,
     profiling,
     relational,
@@ -1770,6 +1771,53 @@ SELECT n1, n2, rank_sum_src0,
   n1 * n2 / 2.0 AS u_null_mean
 FROM agg""",
     ),
+    "png_decode_gate": QuerySpec(
+        multimodal.q_png_decode_gate,
+        f"""WITH ids AS (
+  SELECT doc_id AS media_id, 16 + (doc_id % 32) AS w, 16 + ((doc_id*7) % 32) AS h
+  FROM documents WHERE doc_id < {multimodal._GATE_DOCS}),
+orig AS (
+  SELECT media_id,
+    CAST(SUM(((((i.range // (w*3)) % 256) + (i.range % (w*3))) % 256)
+             * ((i.range % 9973) + 1)) AS BIGINT) AS pix_checksum
+  FROM ids, range(0, 6627) i WHERE i.range < w*h*3 GROUP BY media_id),
+res AS (
+  SELECT media_id,
+    CAST(SUM((((((i.range // 3) // {multimodal.PNG_GATE_TARGET[0]}) * h // {multimodal.PNG_GATE_TARGET[1]}) % 256
+               + (((i.range // 3) % {multimodal.PNG_GATE_TARGET[0]}) * w // {multimodal.PNG_GATE_TARGET[0]}) * 3
+               + (i.range % 3)) % 256)
+             * ((i.range % 9973) + 1)) AS BIGINT) AS resized_checksum
+  FROM ids, range(0, {multimodal.PNG_GATE_TARGET[0] * multimodal.PNG_GATE_TARGET[1] * 3}) i
+  GROUP BY media_id)
+SELECT ids.media_id, 'png' AS meta_format,
+  CAST(w AS BIGINT) AS meta_width, CAST(h AS BIGINT) AS meta_height,
+  CAST(3 AS BIGINT) AS channels, orig.pix_checksum, res.resized_checksum
+FROM ids JOIN orig USING (media_id) JOIN res USING (media_id)
+ORDER BY ids.media_id""",
+    ),
+    "wav_features_gate": QuerySpec(
+        multimodal.q_wav_features_gate,
+        f"""WITH ids AS (
+  SELECT doc_id AS media_id, 1200 + (doc_id % 17) * 53 AS n, 8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents WHERE doc_id < {multimodal._GATE_DOCS}),
+s AS (
+  SELECT media_id, CAST(SUM(v*v) AS BIGINT) AS sum_sq FROM (
+    SELECT media_id, ((i.range*37) % 20000) - 10000 AS v
+    FROM ids, range(0, 2048) i WHERE i.range < n)
+  GROUP BY media_id),
+z AS (
+  SELECT media_id, CAST(SUM(CASE WHEN (a < 0) != (b < 0) THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings FROM (
+    SELECT media_id, ((i.range*37) % 20000) - 10000 AS a,
+      (((i.range+1)*37) % 20000) - 10000 AS b
+    FROM ids, range(0, 2048) i WHERE i.range < n - 1)
+  GROUP BY media_id)
+SELECT ids.media_id, 'wav' AS audio_format, CAST(rate AS BIGINT) AS sample_rate,
+  CAST(n AS BIGINT) AS n_frames, sum_sq, zero_crossings,
+  CAST(n AS BIGINT) / CAST(rate AS BIGINT) AS duration_sec,
+  sqrt(sum_sq / CAST(n AS BIGINT)) AS rms
+FROM ids JOIN s USING (media_id) JOIN z USING (media_id)
+ORDER BY ids.media_id""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -1946,8 +1994,10 @@ _ROUND4_FRONT = [
     "ngram_novelty",
     "shipping_priority",
     "returned_item_losses",
-    # new / reshaped this round (uncommented as each lands)
+    # new / reshaped this round
     "lsh_bucket_stats",  # reshaped: + recovered_pairs (cross-chunk recovery)
+    "png_decode_gate",  # new: real PNG decode/resize vs closed-form oracle
+    "wav_features_gate",  # new: real WAV decode vs closed-form oracle
     # r01-only green (stalest driver evidence)
     "distinct_segments",
     "customers_without_orders",
