@@ -55,6 +55,41 @@ def _hash_sql(expr: str, seed: int) -> str:
     return f"('0x' || substr(md5('s{seed}:' || {expr}), 1, 8))::BIGINT"
 
 
+def _bpe_rounds_sql() -> str:
+    """Unrolled BPE trainer oracle: one (count, argmax, re-segment) CTE
+    triple per merge round, mirroring q_bpe_vocab_rounds -- same pipe-
+    delimited symbol encoding, same boundary-safe replace(), same
+    (n DESC, sa, sb) tie order."""
+    max_pairs = text.BPE_MAX_WORD + 8
+    parts = [
+        f"""WITH w0 AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents)
+  WHERE length(word) BETWEEN 2 AND {text.BPE_MAX_WORD} GROUP BY word),
+r0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS repr, freq FROM w0)"""
+    ]
+    for k in range(1, text.BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+c{k} AS (
+  SELECT syms[i.range] AS sa, syms[i.range + 1] AS sb, SUM(freq) AS n
+  FROM (SELECT string_split(trim(repr, '|'), '||') AS syms, freq FROM r{k - 1}),
+       range(1, {max_pairs}) i
+  WHERE i.range <= len(syms) - 1
+  GROUP BY 1, 2),
+m{k} AS MATERIALIZED (SELECT sa, sb, CAST(n AS BIGINT) AS n FROM c{k} ORDER BY n DESC, sa, sb LIMIT 1),
+r{k} AS MATERIALIZED (SELECT replace(repr,
+    '|' || (SELECT sa FROM m{k}) || '||' || (SELECT sb FROM m{k}) || '|',
+    '|' || (SELECT sa FROM m{k}) || (SELECT sb FROM m{k}) || '|') AS repr, freq FROM r{k - 1})"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {k} AS round, sa || ' ' || sb AS pair, n FROM m{k}"
+        for k in range(1, text.BPE_ROUNDS + 1)
+    )
+    parts.append(f"\n{sel}\nORDER BY round")
+    return "".join(parts)
+
+
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
     """Explicit left-to-right dot product (bit-identical to F.aggregate's
     sequential fold)."""
@@ -1771,6 +1806,7 @@ SELECT n1, n2, rank_sum_src0,
   n1 * n2 / 2.0 AS u_null_mean
 FROM agg""",
     ),
+    "bpe_vocab_rounds": QuerySpec(text.q_bpe_vocab_rounds, _bpe_rounds_sql()),
     "png_decode_gate": QuerySpec(
         multimodal.q_png_decode_gate,
         f"""WITH ids AS (
@@ -1998,6 +2034,7 @@ _ROUND4_FRONT = [
     "lsh_bucket_stats",  # reshaped: + recovered_pairs (cross-chunk recovery)
     "png_decode_gate",  # new: real PNG decode/resize vs closed-form oracle
     "wav_features_gate",  # new: real WAV decode vs closed-form oracle
+    "bpe_vocab_rounds",  # new: iterative BPE vocab induction (rounds unrolled)
     # r01-only green (stalest driver evidence)
     "distinct_segments",
     "customers_without_orders",

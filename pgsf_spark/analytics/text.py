@@ -264,6 +264,87 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ROUNDS = 8  # merge rounds unrolled in the oracle SQL
+BPE_MAX_WORD = 24  # bound symbol count so the oracle's pair fan-out is fixed
+
+
+def q_bpe_vocab_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE vocabulary induction (Sennrich et al. 2016), the full
+    trainer loop -- not just one merge step (q_bpe_merge_pairs): each round
+    counts adjacent-symbol pairs over the distinct-word table (weighted by
+    corpus frequency), picks the argmax merge, and re-segments every word.
+    Output is the learned merge table (round, pair, n) for BPE_ROUNDS
+    rounds -- the artifact a tokenizer trainer persists.
+
+    Spark-first mechanics, no driver collect anywhere: words are rendered
+    as pipe-delimited symbol strings ("|h||e||y|"), so re-segmentation is
+    ONE builtin string replace per round -- "|a||b|" -> "|ab|" is boundary-
+    safe (a symbol can never match across "||" separators) and replace()'s
+    left-to-right non-overlapping scan is exactly BPE's leftmost-first
+    merge order, with identical semantics in DuckDB for the oracle. The
+    winning pair stays a 1-row DataFrame crossJoined via broadcast into the
+    re-segmentation (the kmeans/pagerank iterative-template pattern), and
+    the word table is localCheckpointed per round to keep plans flat. At
+    100 TB the heavy groupBy runs over DISTINCT WORDS (vocab-sized, not
+    corpus-sized) with map-side partial aggregation -- the standard trainer
+    trick; the corpus is scanned exactly once to build frequencies."""
+    from pgsf_spark.analytics.dedup import _norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"))
+        .filter(F.length("w").between(2, BPE_MAX_WORD))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # "hey" -> "|h||e||y|": every symbol wrapped in pipes
+    reprs = words.select(
+        F.regexp_replace("w", "(.)", r"|$1|").alias("repr"), "freq"
+    ).localCheckpoint()
+
+    merges = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        syms = F.split(F.expr("trim(BOTH '|' FROM repr)"), r"\|\|")
+        pairs = (
+            reprs.select(syms.alias("syms"), "freq")
+            .filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) as sa, element_at(syms, i + 1) as sb))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .select("p.sa", "p.sb", "freq")
+        )
+        winner = (
+            pairs.groupBy("sa", "sb")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), "sa", "sb")
+            .limit(1)
+        ).localCheckpoint()
+        merges.append(
+            winner.select(
+                F.lit(rnd).alias("round"),
+                F.concat_ws(" ", "sa", "sb").alias("pair"),
+                "n",
+            )
+        )
+        search = F.concat(F.lit("|"), F.col("sa"), F.lit("||"), F.col("sb"), F.lit("|"))
+        repl = F.concat(F.lit("|"), F.col("sa"), F.col("sb"), F.lit("|"))
+        reprs = (
+            reprs.crossJoin(F.broadcast(winner))
+            .select(F.replace("repr", search, repl).alias("repr"), "freq")
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out.orderBy("round")
+
+
 # --- winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) -----
 
 WINNOW_K = 5  # char-gram length
