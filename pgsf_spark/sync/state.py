@@ -72,28 +72,64 @@ class SyncState:
     def _lock_path(self) -> str:
         return self.path + ".lock"
 
+    def _try_break_stale_lock(self) -> None:
+        """Break the lock iff its recorded holder PID is provably dead --
+        a crashed Engine must not deadlock every other process forever
+        (the reference gets this for free from PG row locks dying with the
+        session). A live holder, an unreadable lock (mid-write), or a PID
+        we cannot signal is left alone; the unlink race between two
+        breakers is benign (one wins the next O_EXCL)."""
+        try:
+            with open(self._lock_path()) as f:
+                meta = json.load(f)
+            pid = int(meta.get("pid", -1))
+        except (OSError, ValueError):
+            return
+        if pid > 0:
+            try:
+                os.kill(pid, 0)
+                return  # holder alive
+            except ProcessLookupError:
+                pass  # dead: break below
+            except PermissionError:
+                return  # alive under another uid
+        try:
+            os.unlink(self._lock_path())
+        except FileNotFoundError:
+            pass
+
     def _mutate(self, fn) -> None:
-        # Single-host mutual exclusion for read-modify-write; claims are
-        # additionally guarded by required_status (the reference's
-        # UPDATE ... WHERE status='ready', synctable.py:63-73).
+        # CROSS-PROCESS mutual exclusion for read-modify-write: O_CREAT |
+        # O_EXCL is an atomic create-if-absent on a local filesystem, so two
+        # Engine PROCESSES (not just threads) cannot hold the lock at once;
+        # claims are additionally guarded by required_status (the
+        # reference's UPDATE ... WHERE status='ready', synctable.py:63-73).
+        # The lock file records the holder PID so a crashed holder's lock
+        # can be broken instead of deadlocking the host.
         fd = None
-        for _ in range(2000):
+        for attempt in range(2000):
             try:
                 fd = os.open(self._lock_path(), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
                 import time
 
+                if attempt % 40 == 39:  # every ~200ms of contention
+                    self._try_break_stale_lock()
                 time.sleep(0.005)
         if fd is None:
             raise TimeoutError(f"could not lock {self._lock_path()}")
         try:
+            os.write(fd, json.dumps({"pid": os.getpid()}).encode())
             rows = self._load()
             fn(rows)
             self._save(rows)
         finally:
             os.close(fd)
-            os.unlink(self._lock_path())
+            try:
+                os.unlink(self._lock_path())
+            except FileNotFoundError:
+                pass  # broken by a (wrongly aggressive) peer; state stays valid
 
     # -- API ----------------------------------------------------------------
     def get(self, table: str) -> SyncRow | None:
