@@ -202,3 +202,58 @@ class TestMaintenanceHook:
         assert store.manifest("customer").get("compacted") is True
         assert len(store.versions("customer")) <= 2
         assert store.read("customer").count() == 20
+
+
+class TestParallelCarry:
+    """VERDICT r3 ask #7: the partial-publish hardlink carry and the stats
+    tree listing are thread-pooled so driver metadata time on a many-file
+    version is bounded by syscall latency, not file count x latency."""
+
+    def _synthetic_version(self, tmp_path, n_dirs=300, files_per_dir=20):
+        prev = tmp_path / "prev"
+        for d in range(n_dirs):
+            pdir = prev / f"pgsf_bucket={d}"
+            pdir.mkdir(parents=True)
+            for i in range(files_per_dir):
+                (pdir / f"part-{i:05d}.parquet").write_bytes(b"x" * 16)
+        return prev
+
+    def test_many_file_carry_is_fast_and_inode_identical(self, tmp_path):
+        import os
+        import time
+
+        from pgsf_spark.operators.table_store import _carry_dirs
+
+        prev = self._synthetic_version(tmp_path)  # 6,000 files
+        new = tmp_path / "new"
+        new.mkdir()
+        dirs = sorted(os.listdir(prev))
+        t0 = time.monotonic()
+        _carry_dirs(str(prev), str(new), dirs)
+        elapsed = time.monotonic() - t0
+        # generous wall bound: even cold, 6k links across 16 threads is
+        # well under this; a per-file sequential stall would blow it
+        assert elapsed < 10.0, f"carry took {elapsed:.1f}s"
+        for d in dirs[:: len(dirs) // 10]:
+            for fn in os.listdir(prev / d):
+                assert (
+                    os.stat(prev / d / fn).st_ino == os.stat(new / d / fn).st_ino
+                )
+        n_new = sum(len(fns) for _, _, fns in os.walk(new))
+        assert n_new == 6000
+
+    def test_parallel_listing_matches_walk(self, tmp_path):
+        import os
+
+        from pgsf_spark.operators.table_store import _list_parquet_files
+
+        prev = self._synthetic_version(tmp_path, n_dirs=40, files_per_dir=7)
+        (prev / "pgsf_bucket=0" / "_STATS.json").write_text("{}")  # non-parquet skipped
+        got = sorted(_list_parquet_files(str(prev)))
+        want = sorted(
+            os.path.join(r, fn)
+            for r, _, fns in os.walk(prev)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
+        assert got == want and len(want) == 280
