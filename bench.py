@@ -21,7 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pgsf_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family (scan+agg, multi-join, window,
-# sessionization, dedup-LSH, similarity, text, CDC merge).
+# sessionization, dedup-LSH, similarity, text, CDC merge), plus the round-3
+# iterative/similarity templates (kmeans, pagerank, PPJoin, verified
+# LSH-Jaccard) so their trend is tracked like the original ten.
 HEADLINE = [
     "pricing_summary",
     "revenue_by_nation",
@@ -33,6 +35,10 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "cosine_topk",
     "quality_score",
+    "kmeans_clusters",
+    "pagerank_neardup",
+    "prefix_filter_pairs",
+    "lsh_jaccard_verified",
 ]
 
 
@@ -58,12 +64,16 @@ def main():
         times[name] = round(time.time() - t0, 3)
         _ = n
     total = round(sum(times.values()), 3)
+    # the original round-1 headline ten, so the cross-round trend number
+    # stays comparable after the round-4 additions to HEADLINE
+    orig10 = round(sum(times[q] for q in HEADLINE[:10]), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "original10_total": orig10,
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

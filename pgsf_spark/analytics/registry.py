@@ -2035,6 +2035,7 @@ _ROUND4_FRONT = [
     "png_decode_gate",  # new: real PNG decode/resize vs closed-form oracle
     "wav_features_gate",  # new: real WAV decode vs closed-form oracle
     "bpe_vocab_rounds",  # new: iterative BPE vocab induction (rounds unrolled)
+    "prefix_filter_pairs",  # reshaped: selective threshold + bitmask verify
     # r01-only green (stalest driver evidence)
     "distinct_segments",
     "customers_without_orders",
@@ -2061,7 +2062,9 @@ _ROUND4_FRONT = [
     "lang_id",
     "doc_fingerprint",
     "top_tfidf_term",
-    "token_stats_pandas",
+    # token_stats_pandas (r01-green, semantics unchanged, twin of
+    # token_stats which IS in this window) yields its slot to the reshaped
+    # prefix_filter_pairs; rotate it first in round 5
     "docs_by_source",
     "dedup_exact",
     "jaccard_pairs",
