@@ -836,3 +836,56 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- k-core decomposition of the near-dup graph -----------------------------
+
+KCORE_K = 2  # minimum in-core degree (2-core = the cycle-carrying subgraph;
+# the sparse sf0.01 near-dup graph has no 3-core, and an identically-zero
+# gate result would prove nothing)
+KCORE_ROUNDS = 4  # fixed peel rounds, unrolled identically in the oracle
+
+
+def q_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop nodes with degree
+    < K, re-count, repeat -- after KCORE_ROUNDS rounds the surviving
+    subgraph approximates (and on this corpus equals) the K-core, the
+    "dense center" of the near-dup graph. Cores locate template/boilerplate
+    families that pairwise metrics miss: a 500-doc mutual-similarity blob
+    is one 499-core, not 125k independent pairs. Round count is FIXED and
+    mirrored in the oracle, so both faces compute the identical peel depth
+    whether or not the peel has converged (on near-dup graphs 3-4 rounds
+    reach the fixpoint; degeneracy ordering would need sequential peel).
+
+    Scale shape per round: one degree aggregate + two semi-join filters,
+    all keyed on doc id -- shuffle volume O(|edges|) like the
+    connected-components rounds; the edge list only ever shrinks."""
+    pairs = lsh_candidate_pairs(
+        lsh_banded(load_table(spark, sf_dir, "documents"))
+    ).localCheckpoint(eager=True)
+    e = pairs
+    for _ in range(KCORE_ROUNDS):
+        sym = e.union(
+            e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        keep = (
+            sym.groupBy("doc_a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("doc_a")
+        )
+        e = (
+            e.join(keep, "doc_a")
+            .join(keep.withColumnRenamed("doc_a", "doc_b"), "doc_b")
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+    sym = e.union(
+        e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = sym.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core_nodes"),
+        F.expr("cast(coalesce(sum(deg), 0) div 2 as bigint)").alias("n_core_edges"),
+        F.coalesce(F.max("deg"), F.lit(0)).cast("bigint").alias("max_core_degree"),
+    )

@@ -442,3 +442,53 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("u_statistic"),
         (F.col("n1") * F.col("n2") / 2.0).alias("u_null_mean"),
     )
+
+
+def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint suite (the Deequ/great-expectations shape,
+    re-expressed as one declarative report): completeness, uniqueness,
+    accepted-values, range, and referential-integrity checks over the
+    orders/lineitem pair, emitted as a single row of violation counts a
+    pipeline gate can assert on.
+
+    Scale shape: every single-table constraint folds into ONE aggregate
+    pass over orders (count/count_distinct/conditional sums share the
+    scan -- Deequ's own design); the referential check is a left-anti
+    count of lineitem order keys against orders, an equi-join Spark
+    plans as broadcast or shuffled hash by size. Nothing quadratic, no
+    second scan per constraint -- adding a constraint costs one more
+    aggregate expression, not one more job."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    single = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).cast("bigint").alias("null_custkey"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).cast("bigint").alias("dup_orderkeys"),
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_status"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).cast("bigint").alias("nonpos_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).cast("bigint").alias("null_orderdate"),
+    )
+    orphans = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .join(o.select(F.col("o_orderkey").alias("k")), "k", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("orphan_lineitems"))
+    )
+    return single.crossJoin(orphans).select(
+        "n_orders",
+        "null_custkey",
+        "dup_orderkeys",
+        "bad_status",
+        "nonpos_price",
+        "null_orderdate",
+        "orphan_lineitems",
+        (
+            (F.col("null_custkey") == 0)
+            & (F.col("dup_orderkeys") == 0)
+            & (F.col("bad_status") == 0)
+            & (F.col("nonpos_price") == 0)
+            & (F.col("null_orderdate") == 0)
+            & (F.col("orphan_lineitems") == 0)
+        ).alias("all_constraints_pass"),
+    )

@@ -55,11 +55,11 @@ def _hash_sql(expr: str, seed: int) -> str:
     return f"('0x' || substr(md5('s{seed}:' || {expr}), 1, 8))::BIGINT"
 
 
-def _bpe_rounds_sql() -> str:
-    """Unrolled BPE trainer oracle: one (count, argmax, re-segment) CTE
-    triple per merge round, mirroring q_bpe_vocab_rounds -- same pipe-
-    delimited symbol encoding, same boundary-safe replace(), same
-    (n DESC, sa, sb) tie order."""
+def _bpe_cte_sql() -> str:
+    """Unrolled BPE trainer CTE chain: one (count, argmax, re-segment)
+    triple per merge round, mirroring _bpe_train -- same pipe-delimited
+    symbol encoding, same boundary-safe replace(), same (n DESC, sa, sb)
+    tie order. Shared by the trainer and apply oracles."""
     max_pairs = text.BPE_MAX_WORD + 8
     parts = [
         f"""WITH w0 AS (
@@ -82,12 +82,26 @@ r{k} AS MATERIALIZED (SELECT replace(repr,
     '|' || (SELECT sa FROM m{k}) || '||' || (SELECT sb FROM m{k}) || '|',
     '|' || (SELECT sa FROM m{k}) || (SELECT sb FROM m{k}) || '|') AS repr, freq FROM r{k - 1})"""
         )
+    return "".join(parts)
+
+
+def _bpe_rounds_sql() -> str:
     sel = "\nUNION ALL\n".join(
         f"SELECT {k} AS round, sa || ' ' || sb AS pair, n FROM m{k}"
         for k in range(1, text.BPE_ROUNDS + 1)
     )
-    parts.append(f"\n{sel}\nORDER BY round")
-    return "".join(parts)
+    return _bpe_cte_sql() + f"\n{sel}\nORDER BY round"
+
+
+def _bpe_apply_sql() -> str:
+    n = text.BPE_ROUNDS
+    return (
+        _bpe_cte_sql()
+        + f"""
+SELECT sym AS token, CAST(SUM(freq) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(trim(repr, '|'), '||')) AS sym, freq FROM r{n})
+GROUP BY sym ORDER BY n DESC, token LIMIT 20"""
+    )
 
 
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
@@ -1807,6 +1821,57 @@ SELECT n1, n2, rank_sum_src0,
 FROM agg""",
     ),
     "bpe_vocab_rounds": QuerySpec(text.q_bpe_vocab_rounds, _bpe_rounds_sql()),
+    "bpe_apply_segment": QuerySpec(text.q_bpe_apply_segment, _bpe_apply_sql()),
+    "kcore_summary": QuerySpec(
+        dedup.q_kcore_summary,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + f""",
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+        + "".join(
+            f""",
+d{k} AS MATERIALIZED (
+  SELECT doc_a AS node, COUNT(*) AS deg FROM (
+    SELECT doc_a, doc_b FROM e{k - 1} UNION ALL SELECT doc_b, doc_a FROM e{k - 1})
+  GROUP BY 1),
+k{k} AS MATERIALIZED (SELECT node FROM d{k} WHERE deg >= {dedup.KCORE_K}),
+e{k} AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM e{k - 1}
+  WHERE doc_a IN (SELECT node FROM k{k}) AND doc_b IN (SELECT node FROM k{k}))"""
+            for k in range(1, dedup.KCORE_ROUNDS + 1)
+        )
+        + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+  CAST(COALESCE(SUM(deg), 0) // 2 AS BIGINT) AS n_core_edges,
+  CAST(COALESCE(MAX(deg), 0) AS BIGINT) AS max_core_degree
+FROM (
+  SELECT doc_a AS node, COUNT(*) AS deg FROM (
+    SELECT doc_a, doc_b FROM e{dedup.KCORE_ROUNDS}
+    UNION ALL SELECT doc_b, doc_a FROM e{dedup.KCORE_ROUNDS})
+  GROUP BY 1)""",
+    ),
+    "dq_constraint_report": QuerySpec(
+        profiling.q_dq_constraint_report,
+        """WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_orderkeys,
+    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate
+  FROM orders),
+r AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS orphan_lineitems
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+SELECT n_orders, null_custkey, dup_orderkeys, bad_status, nonpos_price,
+  null_orderdate, orphan_lineitems,
+  (null_custkey = 0 AND dup_orderkeys = 0 AND bad_status = 0
+   AND nonpos_price = 0 AND null_orderdate = 0 AND orphan_lineitems = 0)
+  AS all_constraints_pass
+FROM s, r""",
+    ),
     "png_decode_gate": QuerySpec(
         multimodal.q_png_decode_gate,
         f"""WITH ids AS (
@@ -2023,6 +2088,11 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # this round's new/reshaped gates, then the 41 whose only green row is r01
 # (three rounds stale). Exactly 50 entries -- the overflow mistake is the one
 # thing this list exists to prevent.
+#
+# ROUND 5 FRONT MUST START WITH (no driver row yet; window was already full
+# when they landed late in round 4): token_stats_pandas (gave its r4 slot to
+# the reshaped prefix_filter_pairs), dq_constraint_report, bpe_apply_segment,
+# kcore_summary. All four pass verify_local at sf0.01.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

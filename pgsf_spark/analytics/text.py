@@ -288,6 +288,16 @@ def q_bpe_vocab_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the heavy groupBy runs over DISTINCT WORDS (vocab-sized, not
     corpus-sized) with map-side partial aggregation -- the standard trainer
     trick; the corpus is scanned exactly once to build frequencies."""
+    merges, _reprs = _bpe_train(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.union(m)
+    return out.orderBy("round")
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer loop: returns (per-round merge DataFrames, the
+    final re-segmented word table). See q_bpe_vocab_rounds for mechanics."""
     from pgsf_spark.analytics.dedup import _norm_text
 
     d = load_table(spark, sf_dir, "documents")
@@ -339,10 +349,28 @@ def q_bpe_vocab_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.replace("repr", search, repl).alias("repr"), "freq")
             .localCheckpoint()
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.union(m)
-    return out.orderBy("round")
+    return merges, reprs
+
+
+def q_bpe_apply_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLICATION half: segment the corpus with the learned
+    BPE merge table and report the top-20 resulting tokens by corpus
+    frequency -- train (q_bpe_vocab_rounds) and apply together are the full
+    tokenizer lifecycle a training-data pipeline runs.
+
+    Application cost at 100 TB: the merge table is tiny (BPE_ROUNDS rows,
+    broadcast); segmentation applies it to the DISTINCT-WORD table, and the
+    corpus-level token histogram is word-frequency-weighted -- the corpus
+    itself is never re-scanned after the frequency pass."""
+    _merges, reprs = _bpe_train(spark, sf_dir)
+    syms = F.split(F.expr("trim(BOTH '|' FROM repr)"), r"\|\|")
+    return (
+        reprs.select(F.explode(syms).alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
 
 
 # --- winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm) -----

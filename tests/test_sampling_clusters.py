@@ -137,3 +137,29 @@ class TestConnectedComponentsProperty:
         )
         got = {r["doc_id"]: r["cluster"] for r in connected_components(edges).collect()}
         assert got == want
+
+
+class TestKcorePeel:
+    def test_known_graph_peels_to_triangle(self, spark):
+        # triangle {1,2,3} + pendant chain 3-4-5: the chain peels away in
+        # two rounds, leaving exactly the 2-core triangle
+        from pgsf_spark.analytics import dedup
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+        )
+        e = edges
+        for _ in range(dedup.KCORE_ROUNDS):
+            sym = e.union(e.selectExpr("doc_b as doc_a", "doc_a as doc_b"))
+            from pyspark.sql import functions as F
+
+            keep = (
+                sym.groupBy("doc_a").count().filter(F.col("count") >= dedup.KCORE_K).select("doc_a")
+            )
+            e = (
+                e.join(keep, "doc_a")
+                .join(keep.withColumnRenamed("doc_a", "doc_b"), "doc_b")
+                .select("doc_a", "doc_b")
+            )
+        got = sorted(map(tuple, e.collect()))
+        assert got == [(1, 2), (1, 3), (2, 3)]
