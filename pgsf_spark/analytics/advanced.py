@@ -470,3 +470,32 @@ def q_fixedwidth_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("s_name").alias("first_name"),
         F.sum("bal_cents").cast("bigint").alias("total_cents"),
     )
+
+
+def q_bloom_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered join correctness gate: BUILDING-segment order
+    revenue computed through operators/bloomjoin.bloom_semi_join must equal
+    the plain join exactly (the bloom only prunes bytes moved; false
+    positives die in the exact join). The oracle IS the plain join -- any
+    bloom bit error, hash drift, or dropped true positive breaks the hash.
+
+    Scale shape: the dimension's packed filter (~8 KB) rides the scan as a
+    pure projection filter, so at 100 TB the orders shuffle under the join
+    carries only probable BUILDING customers (~1/5 of rows here) instead of
+    the whole fact table."""
+    from pgsf_spark.operators.bloomjoin import bloom_semi_join
+    from pgsf_spark.analytics.oracle_utils import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    )
+    j = bloom_semi_join(o, c, "o_custkey")
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.round(dsum(F.col("o_totalprice")), 2).alias("total_revenue"),
+        F.count_distinct("c_nationkey").cast("bigint").alias("n_nations"),
+    )

@@ -1822,6 +1822,15 @@ FROM agg""",
     ),
     "bpe_vocab_rounds": QuerySpec(text.q_bpe_vocab_rounds, _bpe_rounds_sql()),
     "bpe_apply_segment": QuerySpec(text.q_bpe_apply_segment, _bpe_apply_sql()),
+    "bloom_join_gate": QuerySpec(
+        advanced.q_bloom_join_gate,
+        f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+  ROUND({sql_dsum('o_totalprice')}, 2) AS total_revenue,
+  CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'""",
+    ),
     "kcore_summary": QuerySpec(
         dedup.q_kcore_summary,
         _minhash_cte()
@@ -2092,7 +2101,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # ROUND 5 FRONT MUST START WITH (no driver row yet; window was already full
 # when they landed late in round 4): token_stats_pandas (gave its r4 slot to
 # the reshaped prefix_filter_pairs), dq_constraint_report, bpe_apply_segment,
-# kcore_summary. All four pass verify_local at sf0.01.
+# kcore_summary, bloom_join_gate. All five pass verify_local at sf0.01.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

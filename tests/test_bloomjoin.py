@@ -1,0 +1,58 @@
+"""Bloom-prefiltered join: exactness vs the plain join, shuffle-free
+prefilter plan, and actual pruning on a selective dimension."""
+
+from pyspark.sql import functions as F
+
+from pgsf_spark.operators.bloomjoin import (
+    bloom_filter_build,
+    bloom_prefilter,
+    bloom_semi_join,
+)
+
+
+class TestBloomJoin:
+    def test_exact_vs_plain_join(self, spark):
+        big = spark.range(0, 20_000).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+        )
+        small = spark.range(0, 20_000, 13).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        got = sorted(map(tuple, bloom_semi_join(big, small, "k").collect()))
+        want = sorted(map(tuple, big.join(small, "k").collect()))
+        assert got == want and len(want) == len(range(0, 20_000, 13))
+
+    def test_prefilter_is_pure_projection(self, spark):
+        # the membership test must be a filter above the scan: no Exchange,
+        # no Join in the big side's plan (the 8KB filter rides as a literal)
+        big = spark.range(0, 1000).select(F.col("id").alias("k"))
+        bloom = bloom_filter_build(
+            spark.range(0, 100).select(F.col("id").alias("k")), "k"
+        )
+        plan = (
+            bloom_prefilter(big, bloom, "k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
+    def test_prunes_most_nonmembers(self, spark):
+        # 1% member density: the prefilter must drop the vast majority of
+        # the big side (bloom FP rate at 64k bits / 100 keys is tiny)
+        big = spark.range(0, 50_000).select(F.col("id").alias("k"))
+        small = spark.range(0, 500).select((F.col("id") * 100).alias("k"))
+        bloom = bloom_filter_build(small, "k")
+        kept = bloom_prefilter(big, bloom, "k").count()
+        assert kept >= 500  # never drops a true member
+        assert kept < 2_000  # prunes >96% of non-members
+
+    def test_no_false_negatives_property(self, spark):
+        # every small-side key must survive the prefilter regardless of key
+        # distribution (negative keys, clusters, duplicates)
+        keys = [(-(10**9),), (0,), (1,), (1,), (999_983,), (2**40,)]
+        small = spark.createDataFrame(keys, "k long").distinct()
+        bloom = bloom_filter_build(small, "k")
+        kept = {r["k"] for r in bloom_prefilter(small, bloom, "k").collect()}
+        assert kept == {k for (k,) in keys}
