@@ -115,6 +115,55 @@ def _sqdist_sql(a: str, b: str, dim: int = 64) -> str:
     return "(" + " + ".join(f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, dim + 1)) + ")"
 
 
+def _pq_sub_sql(a: str, b: str, m: int) -> str:
+    """Subspace-m squared distance, left-to-right fold (parity with the
+    Spark _sqdist over slices)."""
+    lo = m * similarity.PQ_SUB + 1
+    return (
+        "("
+        + " + ".join(
+            f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])"
+            for i in range(lo, lo + similarity.PQ_SUB)
+        )
+        + ")"
+    )
+
+
+def _pq_sql() -> str:
+    cases_vc = " ".join(
+        f"WHEN {m} THEN {_pq_sub_sql('e.v', 'c.v', m)}" for m in range(similarity.PQ_M)
+    )
+    cases_qc = " ".join(
+        f"WHEN {m} THEN {_pq_sub_sql('q.qv', 'c.v', m)}" for m in range(similarity.PQ_M)
+    )
+    mm = ", ".join(f"({m})" for m in range(similarity.PQ_M))
+    return f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+cwq AS MATERIALIZED (SELECT vec_id AS k, v FROM e WHERE vec_id < {similarity.PQ_K}),
+mm AS (SELECT * FROM (VALUES {mm}) t(m)),
+dists AS MATERIALIZED (
+  SELECT e.vec_id, mm.m, c.k, CASE mm.m {cases_vc} END AS d
+  FROM e, cwq c, mm),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, k, d FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) = 1),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+dq AS MATERIALIZED (
+  SELECT mm.m, c.k, CASE mm.m {cases_qc} END AS d
+  FROM qv q, cwq c, mm),
+approx AS (
+  SELECT codes.vec_id, CAST(SUM(CAST(dq.d AS DECIMAL(25,12))) AS DOUBLE) AS ad
+  FROM codes JOIN dq ON codes.m = dq.m AND codes.k = dq.k
+  WHERE codes.vec_id <> 0 GROUP BY 1),
+approx5 AS (SELECT vec_id FROM approx ORDER BY ad, vec_id LIMIT 5),
+exact5 AS (SELECT vec_id FROM (
+    SELECT e.vec_id, {_sqdist_sql('e.v', 'q.qv')} AS d FROM e, qv q WHERE e.vec_id <> 0)
+  ORDER BY d, vec_id LIMIT 5),
+hits AS (SELECT CAST(COUNT(*) AS INT) AS n_hits FROM approx5 JOIN exact5 USING (vec_id)),
+tot AS (SELECT CAST(SUM(qd) AS DOUBLE) AS total_quant_err FROM (
+  SELECT vec_id, SUM(CAST(d AS DECIMAL(25,12))) AS qd FROM codes GROUP BY 1))
+SELECT n_hits, n_hits / 5.0 AS recall_at_5, total_quant_err FROM hits, tot"""
+
+
 def _kmeans_sql() -> str:
     k, iters = similarity.KMEANS_K, similarity.KMEANS_ITERS
     assign = """
@@ -1822,6 +1871,7 @@ FROM agg""",
     ),
     "bpe_vocab_rounds": QuerySpec(text.q_bpe_vocab_rounds, _bpe_rounds_sql()),
     "bpe_apply_segment": QuerySpec(text.q_bpe_apply_segment, _bpe_apply_sql()),
+    "pq_recall_at_5": QuerySpec(similarity.q_pq_recall_at_5, _pq_sql()),
     "bloom_join_gate": QuerySpec(
         advanced.q_bloom_join_gate,
         f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2101,7 +2151,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # ROUND 5 FRONT MUST START WITH (no driver row yet; window was already full
 # when they landed late in round 4): token_stats_pandas (gave its r4 slot to
 # the reshaped prefix_filter_pairs), dq_constraint_report, bpe_apply_segment,
-# kcore_summary, bloom_join_gate. All five pass verify_local at sf0.01.
+# kcore_summary, bloom_join_gate, pq_recall_at_5. All six pass verify_local at sf0.01.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

@@ -406,3 +406,92 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- product quantization (PQ) ----------------------------------------------
+
+PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+PQ_SUB = 8  # dims per subspace
+PQ_K = 8  # codewords per subspace (seeded from vectors 0..PQ_K-1)
+
+
+def q_pq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization ANN gate (Jegou et al. 2011): split each 64-dim
+    vector into 8 subvectors, encode each against an 8-codeword subspace
+    codebook (64 bits/vector -- a 32x compression over float32), then
+    answer vec-0's top-5 by ASYMMETRIC DISTANCE COMPUTATION: the query's 64
+    query-to-codeword distances are tabulated once and each candidate's
+    approximate distance is 8 table lookups. Reports recall@5 vs the exact
+    scan plus the corpus-wide quantization error.
+
+    Codebooks here are SEEDED (subvectors of vectors 0..7, embedded as an
+    ~4 KB literal like the hyperplane planes and the bloom filter) --
+    codebook TRAINING plugs in via the q_kmeans_clusters template per
+    subspace; this gate pins the encode/ADC mechanics that training would
+    reuse. Scale shape: encoding and ADC are pure projections (no shuffle,
+    no join -- the codebook rides in the closure); top-5 is
+    TakeOrderedAndProject. Float parity: every subspace distance is a
+    left-to-right fold, and all cross-row sums go through DECIMAL casts,
+    so results are bit-identical across engines and partitionings."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    cw = [list(r["v"]) for r in emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()]
+    dec = "decimal(25,12)"
+
+    df = emb.withColumn("__cw", F.lit(cw)).crossJoin(
+        F.broadcast(emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv")))
+    )
+    quant_terms = []
+    adc_terms = []
+    for m in range(PQ_M):
+        off = m * PQ_SUB + 1
+        sub = F.slice(F.col("v"), off, PQ_SUB)
+        qsub = F.slice(F.col("qv"), off, PQ_SUB)
+        dists_m = F.array(
+            *[
+                _sqdist(sub, F.slice(F.element_at(F.col("__cw"), k + 1), off, PQ_SUB))
+                for k in range(PQ_K)
+            ]
+        )
+        # argmin, ties to the lowest code id: array_position returns the
+        # FIRST index holding the minimum
+        code_m = F.array_position(dists_m, F.array_min(dists_m)).cast("int")
+        dq_m = F.array(
+            *[
+                _sqdist(qsub, F.slice(F.element_at(F.col("__cw"), k + 1), off, PQ_SUB))
+                for k in range(PQ_K)
+            ]
+        )
+        quant_terms.append(F.array_min(dists_m).cast(dec))
+        adc_terms.append(F.element_at(dq_m, code_m).cast(dec))
+    row_quant = quant_terms[0]
+    row_adc = adc_terms[0]
+    for t in quant_terms[1:]:
+        row_quant = row_quant + t
+    for t in adc_terms[1:]:
+        row_adc = row_adc + t
+    scored = df.select(
+        "vec_id", row_quant.alias("qe"), row_adc.cast("double").alias("approx_d")
+    ).localCheckpoint()
+    approx5 = (
+        scored.filter(F.col("vec_id") != 0)
+        .orderBy("approx_d", "vec_id")
+        .limit(5)
+        .select("vec_id")
+    )
+    q0 = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    exact5 = (
+        emb.crossJoin(F.broadcast(q0))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", _sqdist(F.col("v"), F.col("qv")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .select("vec_id")
+    )
+    hits = approx5.join(exact5, "vec_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_hits")
+    )
+    tot = scored.agg(F.sum("qe").cast("double").alias("total_quant_err"))
+    return hits.crossJoin(tot).select(
+        "n_hits", (F.col("n_hits") / 5.0).alias("recall_at_5"), "total_quant_err"
+    )
