@@ -436,6 +436,15 @@ def q_pq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
     cw = [list(r["v"]) for r in emb.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()]
+    if not cw:
+        # empty corpus -> no seed vectors -> no codebook; mirror the
+        # oracle's degenerate answer (0 hits, recall 0, NULL error) instead
+        # of building element_at() over an empty literal
+        return spark.createDataFrame([(0,)], "n_hits int").select(
+            "n_hits",
+            (F.col("n_hits") / 5.0).alias("recall_at_5"),
+            F.lit(None).cast("double").alias("total_quant_err"),
+        )
     dec = "decimal(25,12)"
 
     df = emb.withColumn("__cw", F.lit(cw)).crossJoin(

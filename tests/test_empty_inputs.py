@@ -32,6 +32,13 @@ REPRESENTATIVE = [
     "training_manifest",  # composed pipeline
     "quality_filter",  # projection gate
     "temperature_sample",  # hash-ranked sampling
+    # round-4 additions
+    "bpe_vocab_rounds",  # iterative trainer loop (empty -> empty merge table)
+    "kcore_summary",  # iterative peel (empty -> zero-core row)
+    "dq_constraint_report",  # single-pass constraint aggregates
+    "bloom_join_gate",  # bloom build over zero keys + prefiltered join
+    "pq_recall_at_5",  # codebook literal from zero seed vectors
+    "prefix_filter_pairs",  # bitmask-vocab branch with empty vocab
 ]
 
 
