@@ -1872,6 +1872,33 @@ FROM agg""",
     "bpe_vocab_rounds": QuerySpec(text.q_bpe_vocab_rounds, _bpe_rounds_sql()),
     "bpe_apply_segment": QuerySpec(text.q_bpe_apply_segment, _bpe_apply_sql()),
     "pq_recall_at_5": QuerySpec(similarity.q_pq_recall_at_5, _pq_sql()),
+    "bootstrap_ci": QuerySpec(
+        sampling.q_bootstrap_ci,
+        f"""WITH reps AS (
+  SELECT o_orderkey, o_totalprice, rb.range AS b
+  FROM orders, range(0, {sampling.BOOT_B}) rb),
+wts AS (
+  SELECT b, o_totalprice,
+    CASE {' '.join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(sampling.BOOT_POIS_CDF))}
+      ELSE {len(sampling.BOOT_POIS_CDF)} END AS w
+  FROM (SELECT b, o_totalprice,
+      ('0x' || substr(md5('boot' || CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        / 4294967296.0 AS u
+    FROM reps)),
+means AS (
+  SELECT b,
+    CAST(SUM(CAST(w * o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+      / CAST(SUM(w) AS BIGINT) AS m
+  FROM wts GROUP BY b),
+ranked AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS rn FROM means),
+ci AS (
+  SELECT CAST(COUNT(*) AS INT) AS n_replicas,
+    MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+    MAX(CASE WHEN rn = {sampling.BOOT_B - 1} THEN m END) AS ci_hi
+  FROM ranked),
+pt AS (SELECT {sql_davg('o_totalprice', ndigits=4)} AS point_mean FROM orders)
+SELECT n_replicas, point_mean, ci_lo, ci_hi FROM ci, pt""",
+    ),
     "bloom_join_gate": QuerySpec(
         advanced.q_bloom_join_gate,
         f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -2151,7 +2178,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # ROUND 5 FRONT MUST START WITH (no driver row yet; window was already full
 # when they landed late in round 4): token_stats_pandas (gave its r4 slot to
 # the reshaped prefix_filter_pairs), dq_constraint_report, bpe_apply_segment,
-# kcore_summary, bloom_join_gate, pq_recall_at_5. All six pass verify_local at sf0.01.
+# kcore_summary, bloom_join_gate, pq_recall_at_5, bootstrap_ci. All seven pass
+# verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

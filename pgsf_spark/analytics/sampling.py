@@ -176,3 +176,80 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- deterministic Poisson bootstrap ----------------------------------------
+
+BOOT_B = 32  # bootstrap replicas
+# Poisson(1) CDF thresholds: a uniform u maps to weight = #thresholds <= u.
+# Literal values are identical strings in the Spark and DuckDB faces, so the
+# parsed doubles -- and therefore every replica -- are bit-identical.
+BOOT_POIS_CDF = [
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238463",
+    "0.9963401531726563",
+    "0.9994058151824183",
+    "0.999916758850712",
+    "0.9999897508033253",
+]
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap (Chamandy et al., Google 2012 -- the
+    resampling scheme that works on data too large to index): each row
+    joins every replica b with weight ~ Poisson(1) derived from
+    md5(b, key), so replicas are deterministic, engine-portable, and need
+    NO global row count or shuffle of the fact table. Reports the point
+    mean of o_totalprice with an order-statistic bootstrap interval
+    (2nd/31st of 32 replica means ~ 94% CI).
+
+    Scale shape: the B-way explode aggregates map-side to B keys, so the
+    shuffle carries B rows per task regardless of corpus size; replica
+    means use exact decimal sums (order-independent), and the final
+    order-statistics run over a B-row table."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    reps = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.array(*[F.lit(b) for b in range(BOOT_B)])).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("boot"), F.col("b").cast("string"), F.lit(":"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(len(BOOT_POIS_CDF))
+    for k in range(len(BOOT_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < float(BOOT_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum("w").cast("bigint").alias("sw"),
+            F.sum((F.col("w") * F.col("o_totalprice")).cast("decimal(27,4)"))
+            .cast("double")
+            .alias("swx"),
+        )
+        .select("b", (F.col("swx") / F.col("sw")).alias("m"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = means.withColumn("rn", F.row_number().over(Window.orderBy("m", "b")))
+    ci = ranked.agg(
+        F.count(F.lit(1)).cast("int").alias("n_replicas"),
+        F.max(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == BOOT_B - 1, F.col("m"))).alias("ci_hi"),
+    )
+    from pgsf_spark.analytics.oracle_utils import davg
+
+    point = o.agg(davg(F.col("o_totalprice"), ndigits=4).alias("point_mean"))
+    return ci.crossJoin(point).select("n_replicas", "point_mean", "ci_lo", "ci_hi")
