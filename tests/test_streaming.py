@@ -237,3 +237,63 @@ class TestStreamDedup:
         )
         rows = {(r["event_id"], r["value"]) for r in stream_dedup(ev).collect()}
         assert rows == {(1, 1.0), (2, 2.0)}
+
+
+class TestStreamStreamIntervalJoin:
+    def test_joins_within_window_across_batches(self, spark, tmp_path):
+        from datetime import datetime
+
+        from pgsf_spark.streaming.interval_join import click_purchase_interval_join
+
+        t = lambda m: datetime(2024, 1, 1, 0, m, 0)
+        eschema = "user_id long, event_id long, ts timestamp"
+        cdir, pdir = tmp_path / "clicks", tmp_path / "purchases"
+        cdir.mkdir()
+        pdir.mkdir()
+        # clicks: u1 at :00 and :40, u2 at :05; purchases: u1 at :20 (joins
+        # the :00 click), u1 at :45 (joins the :40 click), u2 at :50 (its
+        # :05 click is outside the 30-minute window -> no row)
+        spark.createDataFrame(
+            [(1, 101, t(0)), (2, 102, t(5))], eschema
+        ).coalesce(1).write.mode("append").parquet(str(cdir))
+        spark.createDataFrame([(1, 103, t(40))], eschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(cdir))
+        spark.createDataFrame(
+            [(1, 201, t(20)), (1, 202, t(45)), (2, 203, t(50))], eschema
+        ).coalesce(1).write.mode("append").parquet(str(pdir))
+
+        schema = spark.createDataFrame([], eschema).schema
+        cs = spark.readStream.schema(schema).parquet(str(cdir))
+        ps = spark.readStream.schema(schema).parquet(str(pdir))
+        q = (
+            click_purchase_interval_join(cs, ps)
+            .writeStream.format("memory")
+            .queryName("ssij")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM ssij").collect()
+        }
+        assert got == {(201, 101), (202, 103)}
+
+    def test_batch_face_matches_oracle_twin(self, spark):
+        # the same predicate on static frames must reproduce the oracle-
+        # gated batch twin's pairing on a small known input
+        from datetime import datetime
+
+        from pgsf_spark.streaming.interval_join import click_purchase_interval_join
+
+        t = lambda m: datetime(2024, 1, 1, 0, m, 0)
+        eschema = "user_id long, event_id long, ts timestamp"
+        clicks = spark.createDataFrame([(7, 1, t(0)), (7, 2, t(29))], eschema)
+        purchases = spark.createDataFrame([(7, 9, t(30))], eschema)
+        got = {
+            (r["purchase_id"], r["click_id"])
+            for r in click_purchase_interval_join(clicks, purchases).collect()
+        }
+        assert got == {(9, 1), (9, 2)}  # :00 click exactly at the window edge
