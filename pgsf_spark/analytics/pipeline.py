@@ -145,3 +145,45 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)).alias("is_leak"),
         )
     )
+
+
+# --- feature hashing (the hashing trick) ------------------------------------
+
+FH_DIM = 64  # hashed feature-space dimensionality
+
+
+def q_feature_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing for categorical ML features (Weinberger et al. 2009):
+    each (column, value) pair maps to bucket = h(col:value) mod FH_DIM with
+    a +/-1 sign from an independent hash bit, so feature vectors need NO
+    vocabulary pass, no fit step, and no dictionary broadcast -- the
+    property that makes the hashing trick the default featurizer at
+    100 TB (stateless, single projection, collision noise cancels in
+    expectation via the sign). Output is the corpus-level aggregate
+    feature vector (nonzero dims only) -- the X^T 1 moment a downstream
+    trainer or drift monitor consumes.
+
+    Plan: explode 2 rows per doc -> groupBy over at most FH_DIM keys with
+    map-side partials. md5-derived buckets and signs are hash-exact in the
+    oracle."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def feat(col_name: str):
+        tagged = F.concat(F.lit(col_name + ":"), F.col(col_name).cast("string"))
+        h = F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10).cast("long")
+        sign_bit = F.conv(F.substring(F.md5(F.concat(F.lit("sg:"), tagged)), 1, 8), 16, 10).cast("long")
+        return F.struct(
+            (h % FH_DIM).cast("int").alias("dim"),
+            F.when(sign_bit % 2 == 0, 1).otherwise(-1).alias("sign"),
+        )
+
+    feats = d.select(F.explode(F.array(feat("source"), feat("lang"))).alias("f"))
+    return (
+        feats.select("f.dim", "f.sign")
+        .groupBy("dim")
+        .agg(
+            F.sum("sign").cast("bigint").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        )
+        .orderBy("dim")
+    )

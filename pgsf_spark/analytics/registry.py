@@ -1872,6 +1872,18 @@ FROM agg""",
     "bpe_vocab_rounds": QuerySpec(text.q_bpe_vocab_rounds, _bpe_rounds_sql()),
     "bpe_apply_segment": QuerySpec(text.q_bpe_apply_segment, _bpe_apply_sql()),
     "pq_recall_at_5": QuerySpec(similarity.q_pq_recall_at_5, _pq_sql()),
+    "feature_hash_agg": QuerySpec(
+        pipeline.q_feature_hash_agg,
+        f"""WITH f AS (
+  SELECT ('0x' || substr(md5(tag), 1, 8))::BIGINT % {pipeline.FH_DIM} AS dim,
+    CASE WHEN ('0x' || substr(md5('sg:' || tag), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sign
+  FROM (
+    SELECT unnest(['source:' || CAST(source AS VARCHAR), 'lang:' || CAST(lang AS VARCHAR)]) AS tag
+    FROM documents))
+SELECT CAST(dim AS INT) AS dim, CAST(SUM(sign) AS BIGINT) AS total,
+  CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM f GROUP BY dim ORDER BY dim""",
+    ),
     "bootstrap_ci": QuerySpec(
         sampling.q_bootstrap_ci,
         f"""WITH reps AS (
@@ -2178,8 +2190,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # ROUND 5 FRONT MUST START WITH (no driver row yet; window was already full
 # when they landed late in round 4): token_stats_pandas (gave its r4 slot to
 # the reshaped prefix_filter_pairs), dq_constraint_report, bpe_apply_segment,
-# kcore_summary, bloom_join_gate, pq_recall_at_5, bootstrap_ci. All seven pass
-# verify_local at sf0.01 and sf0.001.
+# kcore_summary, bloom_join_gate, pq_recall_at_5, bootstrap_ci,
+# feature_hash_agg. All eight pass verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",
