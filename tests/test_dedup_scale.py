@@ -154,3 +154,40 @@ class TestDeletionNeighborhoodProperty:
         else:
             t = s[:pos] + s[pos + 1 :]
         assert self._variants(s) & self._variants(t)
+
+
+class TestPigeonholeSubmaskBanding:
+    """Exact-recall guarantee of the small-vocab candidate path in
+    q_prefix_filter_pairs: every pair with jaccard >= PREFIX_T must appear,
+    including pairs differing in exactly delta_max tokens (the pigeonhole
+    bound's edge)."""
+
+    def test_matches_bruteforce_on_tiny_vocab(self, spark, tmp_path):
+        import itertools
+
+        from pgsf_spark.analytics.dedup import PREFIX_T, q_prefix_filter_pairs
+
+        vocab = [f"w{i}" for i in range(12)]
+        rng_docs = []
+        # deterministic subset family incl. near-identical pairs at the edge
+        for i in range(60):
+            drop = {i % 12, (i * 5 + 1) % 12} if i % 3 else {i % 12}
+            toks = [w for j, w in enumerate(vocab) if j not in drop]
+            rng_docs.append((i, " ".join(toks), "en", f"s{i % 4}", len(toks)))
+        spark.createDataFrame(
+            rng_docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+        sets = {i: frozenset(t.split()) for i, t, *_ in rng_docs}
+        srcs = {i: s for i, _, _, s, _ in rng_docs}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if round(j, 4) >= PREFIX_T:
+                src = srcs[a]
+                want[src] = want.get(src, 0) + 1
+        got = {
+            r["source"]: r["n_pairs"]
+            for r in q_prefix_filter_pairs(spark, str(tmp_path)).collect()
+        }
+        assert got == want and sum(want.values()) > 0
