@@ -499,3 +499,65 @@ def q_bloom_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dsum(F.col("o_totalprice")), 2).alias("total_revenue"),
         F.count_distinct("c_nationkey").cast("bigint").alias("n_nations"),
     )
+
+
+def q_snapshot_diff_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation-diff gate: mutate the customer table deterministically
+    (md5-selected ~2% deletes, ~5% balance bumps, ~3% segment moves, ~1%
+    synthetic inserts), run operators/diff.snapshot_diff old-vs-new, and
+    report status counts plus per-column change attribution. The oracle
+    rebuilds the identical mutation closed-form and diffs with a full
+    outer join -- any marker, null-safety, or attribution bug in the diff
+    operator breaks the hash.
+
+    Scale shape: one full-outer join on the key (the diff), aggregates
+    over a 4-value status space and a column-count space."""
+    from pgsf_spark.operators.diff import snapshot_diff
+
+    c = load_table(spark, sf_dir, "customer")
+
+    def u(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag + ":"), F.col("c_custkey").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        )
+
+    kept = c.filter(u("del") >= 0.02)
+    mutated = kept.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.when(u("mod") < 0.05, F.col("c_acctbal") + 10.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(u("seg") < 0.03, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    added = c.filter(u("add") < 0.01).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    new = mutated.unionByName(added)
+    d = snapshot_diff(c.drop("c_comment") if "c_comment" in c.columns else c, new, "c_custkey")
+    return d.agg(
+        F.sum((F.col("status") == "added").cast("int")).cast("bigint").alias("n_added"),
+        F.sum((F.col("status") == "removed").cast("int")).cast("bigint").alias("n_removed"),
+        F.sum((F.col("status") == "changed").cast("int")).cast("bigint").alias("n_changed"),
+        F.sum((F.col("status") == "unchanged").cast("int")).cast("bigint").alias("n_unchanged"),
+        F.sum(F.array_contains("changed_cols", "c_acctbal").cast("int"))
+        .cast("bigint")
+        .alias("n_changed_acctbal"),
+        F.sum(F.array_contains("changed_cols", "c_mktsegment").cast("int"))
+        .cast("bigint")
+        .alias("n_changed_mktsegment"),
+    )

@@ -1872,6 +1872,39 @@ FROM agg""",
     "bpe_vocab_rounds": QuerySpec(text.q_bpe_vocab_rounds, _bpe_rounds_sql()),
     "bpe_apply_segment": QuerySpec(text.q_bpe_apply_segment, _bpe_apply_sql()),
     "pq_recall_at_5": QuerySpec(similarity.q_pq_recall_at_5, _pq_sql()),
+    "snapshot_diff_gate": QuerySpec(
+        advanced.q_snapshot_diff_gate,
+        """WITH um AS (
+  SELECT *,
+    ('0x' || substr(md5('del:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS udel,
+    ('0x' || substr(md5('mod:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS umod,
+    ('0x' || substr(md5('seg:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS useg,
+    ('0x' || substr(md5('add:' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0 AS uadd
+  FROM customer),
+nw AS (
+  SELECT c_custkey, c_name, c_nationkey,
+    CASE WHEN umod < 0.05 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal,
+    CASE WHEN useg < 0.03 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+  FROM um WHERE udel >= 0.02
+  UNION ALL
+  SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM um WHERE uadd < 0.01),
+j AS (
+  SELECT o.c_custkey IS NOT NULL AS in_old, n.c_custkey IS NOT NULL AS in_new,
+    (o.c_name IS DISTINCT FROM n.c_name) AS ch1,
+    (o.c_nationkey IS DISTINCT FROM n.c_nationkey) AS ch2,
+    (o.c_acctbal IS DISTINCT FROM n.c_acctbal) AS ch3,
+    (o.c_mktsegment IS DISTINCT FROM n.c_mktsegment) AS ch4
+  FROM customer o FULL OUTER JOIN nw n ON o.c_custkey = n.c_custkey)
+SELECT
+  CAST(SUM(CASE WHEN NOT in_old THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(SUM(CASE WHEN NOT in_new THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(SUM(CASE WHEN in_old AND in_new AND (ch1 OR ch2 OR ch3 OR ch4) THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(SUM(CASE WHEN in_old AND in_new AND NOT (ch1 OR ch2 OR ch3 OR ch4) THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+  CAST(SUM(CASE WHEN in_old AND in_new AND ch3 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed_acctbal,
+  CAST(SUM(CASE WHEN in_old AND in_new AND ch4 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed_mktsegment
+FROM j""",
+    ),
     "feature_hash_agg": QuerySpec(
         pipeline.q_feature_hash_agg,
         f"""WITH f AS (
@@ -2191,7 +2224,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # when they landed late in round 4): token_stats_pandas (gave its r4 slot to
 # the reshaped prefix_filter_pairs), dq_constraint_report, bpe_apply_segment,
 # kcore_summary, bloom_join_gate, pq_recall_at_5, bootstrap_ci,
-# feature_hash_agg. All eight pass verify_local at sf0.01 and sf0.001.
+# feature_hash_agg, snapshot_diff_gate. All nine pass verify_local at sf0.01
+# and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

@@ -56,3 +56,39 @@ class TestBloomJoin:
         bloom = bloom_filter_build(small, "k")
         kept = {r["k"] for r in bloom_prefilter(small, bloom, "k").collect()}
         assert kept == {k for (k,) in keys}
+
+
+class TestSnapshotDiff:
+    def test_statuses_and_attribution(self, spark):
+        from pgsf_spark.operators.diff import diff_column_counts, snapshot_diff
+
+        old = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+            "k long, name string, bal double",
+        )
+        new = spark.createDataFrame(
+            # 1 unchanged; 2 bal changed; 3 NULL->value change; 4 removed; 5 added
+            [(1, "a", 10.0), (2, "b", 25.0), (3, "c", 3.0), (5, "e", 50.0)],
+            "k long, name string, bal double",
+        )
+        d = snapshot_diff(old, new, "k")
+        got = {r["k"]: (r["status"], sorted(r["changed_cols"])) for r in d.collect()}
+        assert got == {
+            1: ("unchanged", []),
+            2: ("changed", ["bal"]),
+            3: ("changed", ["bal"]),
+            4: ("removed", []),
+            5: ("added", []),
+        }
+        counts = {r["col"]: r["n_changed"] for r in diff_column_counts(d).collect()}
+        assert counts == {"bal": 2}
+
+    def test_all_null_row_still_diffs_by_presence(self, spark):
+        # presence markers, not column nullability: a row that is all-NULL
+        # except the key must read as present on both sides and unchanged
+        from pgsf_spark.operators.diff import snapshot_diff
+
+        old = spark.createDataFrame([(1, None)], "k long, v string")
+        new = spark.createDataFrame([(1, None)], "k long, v string")
+        d = snapshot_diff(old, new, "k").collect()
+        assert [(r["k"], r["status"]) for r in d] == [(1, "unchanged")]
