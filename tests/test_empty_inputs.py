@@ -39,6 +39,9 @@ REPRESENTATIVE = [
     "bloom_join_gate",  # bloom build over zero keys + prefiltered join
     "pq_recall_at_5",  # codebook literal from zero seed vectors
     "prefix_filter_pairs",  # bitmask-vocab branch with empty vocab
+    "bootstrap_ci",  # replica means over zero rows
+    "feature_hash_agg",  # hashed features of an empty corpus
+    "snapshot_diff_gate",  # full-outer diff of two empty sides
 ]
 
 
