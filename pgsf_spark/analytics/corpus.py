@@ -303,3 +303,46 @@ def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 / F.col("hhi"), 4).alias("effective_sources"),
         )
     )
+
+
+def q_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF (BERTopic's c-TF-IDF): the terms that
+    *distinguish* each source, treating all documents of a source as one
+    class document. score = (count(t in s) / tokens(s)) * ln(1 + A / f(t)),
+    A = mean tokens per class, f(t) = corpus frequency of t. This is the
+    topic-labeling half of semantic clustering: cluster (or group), then
+    name the cluster by its signature terms.
+
+    Plan: one (source, token) partial-agg shuffle over the exploded corpus;
+    class totals and corpus term frequencies are tiny rollups of that
+    aggregate, broadcast back; top-3 per class is a window over |classes|
+    keys. Nothing rescans the corpus."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tokens = d.select("source", F.explode(toks).alias("token"))
+    cts = tokens.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    tot_s = cts.groupBy("source").agg(F.sum("c").alias("tot"))
+    f_t = cts.groupBy("token").agg(F.sum("c").alias("ft"))
+    a = tot_s.agg((F.sum("tot") / F.count(F.lit(1))).alias("a"))
+    scored = (
+        cts.join(F.broadcast(tot_s), "source")
+        .join(F.broadcast(f_t), "token")
+        .crossJoin(F.broadcast(a))
+        .withColumn(
+            "ctfidf",
+            (F.col("c") / F.col("tot")) * F.log(F.lit(1.0) + F.col("a") / F.col("ft")),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("ctfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "source",
+            F.col("rk").cast("int").alias("rk"),
+            F.col("token").alias("term"),
+            F.round("ctfidf", 8).alias("ctfidf"),
+        )
+    )

@@ -271,3 +271,37 @@ def q_debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("keep").cast("bigint").alias("n_kept"),
         (F.count(F.lit(1)) - F.sum("keep")).cast("bigint").alias("n_debounced"),
     )
+
+
+DECAY_ANCHOR = "2024-03-01"  # scoring as-of date (after the corpus max ts)
+DECAY_HALF_LIFE_DAYS = 7
+
+
+def q_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user.
+
+    score = sum(value * 0.5^weeks_ago) -- the standard recency-weighted
+    counter (leaderboards, freshness-weighted sampling priors for
+    training-data curation). The decay exponent is an exact integer
+    (floor(days/half_life)) and the weight is 1.0 / (1 << k): a bit shift
+    and a power-of-two division, both bit-exact in every engine -- no
+    libm pow, so the per-row weight is engine-portable and the per-user
+    sum accumulates in DECIMAL (oracle_utils contract), making the
+    aggregate partitioning-independent. One keyed shuffle with map-side
+    partials; the anchor date is a literal, so at 100 TB this composes
+    with a watermark filter that prunes fully-decayed partitions at the
+    scan."""
+    ev = load_table(spark, sf_dir, "events")
+    days_ago = F.datediff(F.lit(DECAY_ANCHOR).cast("date"), F.col("ts").cast("date"))
+    weeks_ago = F.floor(days_ago / F.lit(DECAY_HALF_LIFE_DAYS)).cast("int")
+    ev = ev.withColumn("_weeks_ago", weeks_ago)
+    weight = F.lit(1.0) / F.expr("shiftleft(1, _weeks_ago)")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(dsum(F.col("value") * weight, "decimal(27,12)"), 6).alias("decayed_score"),
+            F.round(dsum(F.col("value")), 2).alias("raw_score"),
+        )
+        .orderBy("user_id")
+    )

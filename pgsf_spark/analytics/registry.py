@@ -24,10 +24,12 @@ from pgsf_spark.analytics import (
     corpus,
     dedup,
     events,
+    layout,
     multimodal,
     pipeline,
     profiling,
     relational,
+    retrieval,
     sampling,
     similarity,
     text,
@@ -102,6 +104,36 @@ SELECT sym AS token, CAST(SUM(freq) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(trim(repr, '|'), '||')) AS sym, freq FROM r{n})
 GROUP BY sym ORDER BY n DESC, token LIMIT 20"""
     )
+
+
+def _z_sql(px: str, py: str, bits: int = 8) -> str:
+    """Morton bit-interleave, same explicit shifted-term sum as layout.zvalue."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({px} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({py} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bm25_scored_sql() -> str:
+    """CTE chain ending in `scored(doc_id, contrib)` -- mirrors
+    retrieval._bm25_scored term by term (same association order)."""
+    terms = ", ".join(f"'{t}'" for t in retrieval.QUERY_TERMS)
+    k1, b = retrieval.BM25_K1, retrieval.BM25_B
+    return f"""WITH d AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents),
+tok AS (SELECT doc_id, n_tok, unnest(toks) AS term FROM d),
+tf AS (SELECT doc_id, n_tok, term, COUNT(*) AS tf FROM tok
+       WHERE term IN ({terms}) GROUP BY doc_id, n_tok, term),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tot_tok FROM d),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+    ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      * (tf.tf * {k1 + 1.0!r}) / (tf.tf + {k1!r} * ({1.0 - b!r} + {b!r} * tf.n_tok / (CAST(stats.tot_tok AS DOUBLE) / stats.n_docs))) AS contrib
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)"""
 
 
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
@@ -2050,6 +2082,97 @@ SELECT ids.media_id, 'wav' AS audio_format, CAST(rate AS BIGINT) AS sample_rate,
 FROM ids JOIN s USING (media_id) JOIN z USING (media_id)
 ORDER BY ids.media_id""",
     ),
+    # -- retrieval ranking (round 4, late) -----------------------------------
+    "bm25_topk": QuerySpec(
+        retrieval.q_bm25_topk,
+        _bm25_scored_sql()
+        + """
+SELECT doc_id, ROUND(CAST(SUM(CAST(contrib AS DECIMAL(27,12))) AS DOUBLE), 6) AS bm25,
+       CAST(COUNT(*) AS INT) AS n_terms
+FROM scored GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15""",
+    ),
+    "hybrid_rrf_topk": QuerySpec(
+        retrieval.q_hybrid_rrf_topk,
+        _bm25_scored_sql()
+        + f""",
+bm AS (SELECT doc_id, CAST(SUM(CAST(contrib AS DECIMAL(27,12))) AS DOUBLE) AS bm25
+       FROM scored GROUP BY doc_id),
+lexr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+         FROM bm WHERE doc_id <> {retrieval.QUERY_VEC_ID}
+         ORDER BY bm25 DESC, doc_id LIMIT {retrieval.LEG_TOPN}),
+e AS (SELECT vec_id AS doc_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE doc_id = {retrieval.QUERY_VEC_ID}),
+cosd AS (SELECT doc_id,
+    {_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})) AS cosine
+  FROM e, q WHERE doc_id <> {retrieval.QUERY_VEC_ID}),
+vecr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INT) AS vec_rank
+         FROM cosd ORDER BY cosine DESC, doc_id LIMIT {retrieval.LEG_TOPN})
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+  ROUND(COALESCE(1.0 / ({retrieval.RRF_K} + l.lex_rank), 0.0)
+        + COALESCE(1.0 / ({retrieval.RRF_K} + v.vec_rank), 0.0), 8) AS rrf
+FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 15""",
+    ),
+    "zorder_skipping_gate": QuerySpec(
+        layout.q_zorder_skipping_gate,
+        f"""WITH base AS (
+  SELECT LEAST(255, CAST(FLOOR(o_totalprice / {layout.PRICE_STEP}) AS INT)) AS px,
+         LEAST(255, CAST(FLOOR(date_diff('day', DATE '{layout.EPOCH}', CAST(o_orderdate AS DATE)) / {layout.DAY_STEP}) AS INT)) AS py
+  FROM orders),
+keyed AS (
+  SELECT px, py, {_z_sql('px', 'py')} >> 10 AS fid_z,
+         LEAST({layout.N_FILES - 1}, CAST(FLOOR(py / 4) AS INT)) AS fid_lin,
+         CAST((px BETWEEN {layout.PX_LO} AND {layout.PX_HI}
+              AND py BETWEEN {layout.PY_LO} AND {layout.PY_HI}) AS INT) AS hit
+  FROM base),
+both_layouts AS (
+  SELECT 'zorder' AS layout, fid_z AS fid, px, py, hit FROM keyed
+  UNION ALL
+  SELECT 'linear' AS layout, fid_lin AS fid, px, py, hit FROM keyed),
+stats AS (
+  SELECT layout, fid, COUNT(*) AS n_rows, CAST(SUM(hit) AS BIGINT) AS n_hits,
+         MIN(px) AS min_px, MAX(px) AS max_px, MIN(py) AS min_py, MAX(py) AS max_py
+  FROM both_layouts GROUP BY layout, fid),
+g AS (
+  SELECT layout, n_rows, n_hits,
+    CAST((min_px <= {layout.PX_HI} AND max_px >= {layout.PX_LO}
+         AND min_py <= {layout.PY_HI} AND max_py >= {layout.PY_LO}) AS INT) AS scanned
+  FROM stats)
+SELECT layout, CAST(COUNT(*) AS BIGINT) AS files_total,
+  CAST(SUM(scanned) AS BIGINT) AS files_scanned,
+  CAST(SUM(scanned * n_rows) AS BIGINT) AS rows_scanned,
+  CAST(SUM(n_hits) AS BIGINT) AS rows_matched,
+  ROUND(100.0 * (1.0 - CAST(SUM(scanned * n_rows) AS DOUBLE) / CAST(SUM(n_rows) AS DOUBLE)), 2) AS pruned_pct
+FROM g GROUP BY layout ORDER BY layout""",
+    ),
+    "decayed_user_score": QuerySpec(
+        events.q_decayed_user_score,
+        f"""WITH w AS (
+  SELECT user_id, value,
+    CAST(FLOOR(date_diff('day', CAST(ts AS DATE), DATE '{events.DECAY_ANCHOR}') / {events.DECAY_HALF_LIFE_DAYS}) AS INT) AS weeks_ago
+  FROM events)
+SELECT user_id, COUNT(*) AS n_events,
+  ROUND(CAST(SUM(CAST(value * (1.0 / (1 << weeks_ago)) AS DECIMAL(27,12))) AS DOUBLE), 6) AS decayed_score,
+  ROUND({sql_dsum('value')}, 2) AS raw_score
+FROM w GROUP BY user_id ORDER BY user_id""",
+    ),
+    "source_signature_terms": QuerySpec(
+        corpus.q_source_signature_terms,
+        """WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token FROM documents),
+cts AS (SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token),
+tot_s AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM cts GROUP BY source),
+f_t AS (SELECT token, CAST(SUM(c) AS BIGINT) AS ft FROM cts GROUP BY token),
+a AS (SELECT CAST(SUM(tot) AS DOUBLE) / COUNT(*) AS a FROM tot_s),
+scored AS (
+  SELECT cts.source, cts.token,
+    (cts.c / tot_s.tot) * ln(1.0 + a.a / f_t.ft) AS ctfidf
+  FROM cts JOIN tot_s USING (source) JOIN f_t USING (token) CROSS JOIN a)
+SELECT source, CAST(rk AS INT) AS rk, token AS term, ROUND(ctfidf, 8) AS ctfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY ctfidf DESC, token) AS rk
+      FROM scored)
+WHERE rk <= 3""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -2224,8 +2347,9 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # when they landed late in round 4): token_stats_pandas (gave its r4 slot to
 # the reshaped prefix_filter_pairs), dq_constraint_report, bpe_apply_segment,
 # kcore_summary, bloom_join_gate, pq_recall_at_5, bootstrap_ci,
-# feature_hash_agg, snapshot_diff_gate. All nine pass verify_local at sf0.01
-# and sf0.001.
+# feature_hash_agg, snapshot_diff_gate, bm25_topk, hybrid_rrf_topk,
+# zorder_skipping_gate, decayed_user_score, source_signature_terms. All
+# fourteen pass verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

@@ -42,6 +42,12 @@ REPRESENTATIVE = [
     "bootstrap_ci",  # replica means over zero rows
     "feature_hash_agg",  # hashed features of an empty corpus
     "snapshot_diff_gate",  # full-outer diff of two empty sides
+    # round-4 late additions
+    "bm25_topk",  # idf/avgdl stats over zero docs
+    "hybrid_rrf_topk",  # full-outer fusion of two empty rank lists
+    "zorder_skipping_gate",  # min/max stats over zero files
+    "decayed_user_score",  # decay weights over zero events
+    "source_signature_terms",  # class tf-idf with zero classes
 ]
 
 
