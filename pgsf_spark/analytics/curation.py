@@ -1,0 +1,243 @@
+"""Model-based corpus curation: the three classic data-selection scorers.
+
+Large-scale LLM pipelines select training documents with (1) a *quality
+classifier* (GPT-3/LLaMA-style logistic regression over surface
+features), (2) a *language-model perplexity filter* (CCNet-style: score
+each document under a smoothed n-gram LM trained on the corpus), and
+(3) *DSIR importance weights* (Xie et al. 2023: log-likelihood ratio of
+a target distribution vs the raw distribution over hashed/unigram
+features). All three are implemented here as pure DataFrame programs --
+training included -- with no driver-side math and no libm dependence in
+the classifier (softsign link: only +,*,/,abs, all exactly-rounded IEEE
+ops, so results are bit-identical in any engine).
+
+Scale design:
+- The classifier's gradient-descent rounds chain declaratively like
+  q_kmeans_clusters: each round is one corpus scan producing FOUR
+  decimal-exact sums (the gradient), crossJoined back as a 1-row
+  broadcast. T rounds = T scans, no collect, no Python loop state.
+- The bigram LM is two keyed count aggregates (bigram, unigram) joined
+  back to the exploded corpus; the count tables are vocabulary-sized, so
+  the join broadcasts here and shuffle-joins at 100 TB -- either way the
+  corpus is scanned twice total (count + score).
+- DSIR is the same shape with two unigram tables (target, raw); the
+  per-token log-ratio depends only on the token, so it is joined in as a
+  precomputed column -- the ln() runs once per VOCABULARY entry, not per
+  corpus token. Per-token terms are rounded to DECIMAL(18,9) before the
+  per-document sum, so a sub-ulp libm difference between engines cannot
+  flip the accumulated double.
+
+Reference scope: the reference engine has no model-based curation (its
+analytics stop at SOQL aggregates, `/root/reference/query.py`); these
+operators are part of the extended 100-TB training-data brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsf_spark.analytics.oracle_utils import dsum
+from pgsf_spark.tables import load_table
+
+# --- logistic-family quality classifier -------------------------------------
+
+CLF_STEPS = 4  # full-batch gradient rounds (unrolled in the oracle)
+CLF_LR = 4.0  # learning rate on the MEAN gradient
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distillation setup: the label is the rule-based quality gate's keep
+    flag (pipeline.quality_flags -- the expensive/authoritative judge), the
+    features are cheap surface statistics NOT used verbatim by the rules
+    (scaled token count, distinct-token ratio, scaled chars-per-token).
+    Training a linear model to imitate a rule/LLM judge is the standard
+    way production pipelines make corpus filtering cheap at 100 TB."""
+    from pgsf_spark.analytics.pipeline import quality_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return quality_flags(d).select(
+        "doc_id",
+        F.col("keep").cast("int").alias("y"),
+        (F.size(toks) / F.lit(100.0)).alias("x1"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("x2"),
+        (F.col("n_chars") / F.size(toks) / F.lit(10.0)).alias("x3"),
+    )
+
+
+def _softsign(z: Column) -> Column:
+    """Algebraic sigmoid 0.5*(1 + z/(1+|z|)): same S-shape as the logistic
+    link but built only from exactly-rounded IEEE ops -- the per-row score
+    is bit-identical in every engine, which libm exp() does not guarantee."""
+    return F.lit(0.5) * (F.lit(1.0) + z / (F.lit(1.0) + F.abs(z)))
+
+
+def _z(w) -> Column:
+    return (
+        F.col(w + "0")
+        + F.col(w + "1") * F.col("x1")
+        + F.col(w + "2") * F.col("x2")
+        + F.col(w + "3") * F.col("x3")
+    )
+
+
+def _gd_step(feat: DataFrame, w: DataFrame) -> DataFrame:
+    """One full-batch gradient round: w += LR * mean((y - s) * x)."""
+    err = F.col("y") - _softsign(_z("w"))
+    g = feat.crossJoin(F.broadcast(w)).agg(
+        *[
+            (dsum(err * xj, "decimal(27,15)") / F.count(F.lit(1))).alias(f"g{j}")
+            for j, xj in enumerate([F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")])
+        ]
+    )
+    return w.crossJoin(F.broadcast(g)).select(
+        *[(F.col(f"w{j}") + F.lit(CLF_LR) * F.col(f"g{j}")).alias(f"w{j}") for j in range(4)]
+    )
+
+
+def q_quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the quality classifier IN the engine and report weights,
+    training accuracy, and AUC (midrank form, exact) as one row.
+
+    The AUC midranks reuse the Mann-Whitney construction
+    (profiling.q_mann_whitney_u): rank + (ties-1)/2 from one sort-shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    feat = _features(spark, sf_dir)
+    w = feat.sparkSession.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(4)]
+    )
+    for _ in range(CLF_STEPS):
+        w = _gd_step(feat, w)
+
+    scored = feat.crossJoin(F.broadcast(w)).select(
+        "doc_id", "y", _softsign(_z("w")).alias("s"), *[f"w{j}" for j in range(4)]
+    )
+    # exact midranks: rank() + (count(same score) - 1)/2
+    rk = F.rank().over(Window.orderBy("s")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("s")) - F.lit(1)
+    ) / F.lit(2.0)
+    ranked = scored.withColumn("midrank", rk)
+    return ranked.agg(
+        *[F.round(F.max(f"w{j}"), 6).alias(f"w{j}") for j in range(4)],
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+        F.round(
+            F.sum(((F.col("s") >= 0.5).cast("int") == F.col("y")).cast("int"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("train_acc"),
+        F.round(
+            (
+                F.sum(F.when(F.col("y") == 1, F.col("midrank")).otherwise(F.lit(0.0)))
+                - F.sum("y") * (F.sum("y") + F.lit(1)) / F.lit(2.0)
+            )
+            / (F.sum("y") * (F.count(F.lit(1)) - F.sum("y"))),
+            6,
+        ).alias("auc"),
+    )
+
+
+# --- bigram-LM perplexity filter --------------------------------------------
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document negative log-likelihood under an add-one-smoothed
+    bigram LM trained on the corpus itself -- the CCNet quality filter
+    (low nll = looks like the corpus; high nll = outlier/noise).
+
+    nll(d) = -(1/m) * sum_i ln( (c2(w_{i-1}, w_i) + 1) / (c1(w_{i-1}) + V) )
+
+    Count tables come from one exploded-pair aggregate; scoring joins them
+    back on the bigram key. Per-bigram log terms are rounded into
+    DECIMAL(18,9) before the per-doc sum (sub-ulp ln() differences between
+    engines cannot flip the result)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select("doc_id", toks.alias("t"))
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.struct(
+                        F.col("t")[i].alias("w1"), F.col("t")[i + 1].alias("w2")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uni = t.select(F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+
+    term = -F.log((F.col("c2") + F.lit(1)) / (F.col("c1") + F.col("v")))
+    return (
+        pairs.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1.withColumnRenamed("w", "w1")), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                dsum(term, "decimal(18,9)") / F.count(F.lit(1)), 6
+            ).alias("nll"),
+        )
+    )
+
+
+# --- DSIR importance weights ------------------------------------------------
+
+DSIR_TARGET_LANG = "en"  # the distribution we want more of
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling) log-weights:
+    logw(d) = sum over tokens of ln( p_target(w) / p_raw(w) ), with
+    add-one-smoothed unigram models of the target slice vs the whole
+    corpus. Documents resembling the target get positive weight and are
+    favored when resampling the corpus.
+
+    The ratio depends only on the token, so ln() is evaluated per
+    VOCABULARY entry in the count table (broadcast here, shuffle join at
+    scale), then summed per document in DECIMAL(18,9)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select("doc_id", "lang", toks.alias("t"))
+    uni = t.select("lang", F.explode("t").alias("w"))
+    raw = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        uni.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = raw.agg(
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    ).crossJoin(uni.filter(F.col("lang") == DSIR_TARGET_LANG).agg(F.count(F.lit(1)).alias("nt")))
+
+    # per-vocabulary-entry log ratio (missing target count -> 0)
+    ratio = F.log(
+        ((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)) * (F.col("nr") + F.col("v")))
+        / ((F.col("cr") + F.lit(1)) * (F.col("nt") + F.col("v")))
+    )
+    vocab = (
+        raw.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select("w", ratio.alias("lr"))
+    )
+    return (
+        t.select("doc_id", "lang", F.explode("t").alias("w"))
+        .join(F.broadcast(vocab), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(dsum(F.col("lr"), "decimal(18,9)"), 6).alias("log_weight"),
+        )
+    )

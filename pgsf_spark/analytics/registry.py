@@ -22,6 +22,7 @@ from pgsf_spark.analytics import (
     advanced,
     cdc_demo,
     corpus,
+    curation,
     dedup,
     events,
     layout,
@@ -103,6 +104,70 @@ def _bpe_apply_sql() -> str:
 SELECT sym AS token, CAST(SUM(freq) AS BIGINT) AS n
 FROM (SELECT unnest(string_split(trim(repr, '|'), '||')) AS sym, freq FROM r{n})
 GROUP BY sym ORDER BY n DESC, token LIMIT 20"""
+    )
+
+
+def _clf_sql() -> str:
+    """Unrolled gradient-descent oracle for the quality classifier --
+    same round-chaining as _kmeans_sql, with the softsign link written in
+    the exact association order of curation._softsign/_z."""
+    lr = curation.CLF_LR
+    xs = ["1.0", "x1", "x2", "x3"]
+    sig = "0.5 * (1.0 + z / (1.0 + abs(z)))"
+    step = """
+s{n} AS (
+  SELECT f.*, {sig} AS s FROM (
+    SELECT f.*, w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS z
+    FROM f CROSS JOIN w{prev} w) f),
+g{n} AS (
+  SELECT {gsums} FROM s{n}),
+w{n} AS (
+  SELECT {wupd} FROM w{prev} CROSS JOIN g{n})"""
+    parts = [
+        f"""WITH f AS (
+  SELECT doc_id,
+    CAST(NOT (nr < {pipeline.MIN_TOKENS}
+              OR shortr / nr > {pipeline.MAX_SHORT_RATIO!r}
+              OR dig / ln2 > {pipeline.MAX_DIGIT_RATIO!r}) AS INT) AS y,
+    len(toks) / 100.0 AS x1,
+    len(list_distinct(toks)) / len(toks) AS x2,
+    (n_chars / len(toks)) / 10.0 AS x3
+  FROM (SELECT doc_id, n_chars,
+        regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+        len(regexp_split_to_array(trim(text), '\\s+')) AS nr,
+        len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                        tk -> length(tk) <= 3)) AS shortr,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS dig,
+        length(text) AS ln2
+        FROM documents)),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    ]
+    for n in range(1, curation.CLF_STEPS + 1):
+        gsums = ", ".join(
+            f"CAST(SUM(CAST((y - s) * {x} AS DECIMAL(27,15))) AS DOUBLE) / COUNT(*) AS g{j}"
+            for j, x in enumerate(xs)
+        )
+        wupd = ", ".join(f"w{j} + {lr!r} * g{j} AS w{j}" for j in range(4))
+        parts.append(step.format(n=n, prev=n - 1, sig=sig, gsums=gsums, wupd=wupd))
+    t = curation.CLF_STEPS
+    return (
+        ",".join(parts)
+        + f""",
+scored AS (
+  SELECT f.*, {sig} AS s FROM (
+    SELECT f.doc_id, f.y, w.w0, w.w1, w.w2, w.w3,
+           w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 AS z
+    FROM f CROSS JOIN w{t} w) f),
+ranked AS (
+  SELECT *, RANK() OVER (ORDER BY s) + (COUNT(*) OVER (PARTITION BY s) - 1) / 2.0 AS midrank
+  FROM scored)
+SELECT ROUND(MAX(w0), 6) AS w0, ROUND(MAX(w1), 6) AS w1,
+  ROUND(MAX(w2), 6) AS w2, ROUND(MAX(w3), 6) AS w3,
+  CAST(SUM(y) AS BIGINT) AS n_pos, CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+  ROUND(SUM(CAST((CAST(s >= 0.5 AS INT) = y) AS INT)) / COUNT(*), 4) AS train_acc,
+  ROUND((SUM(CASE WHEN y = 1 THEN midrank ELSE 0.0 END) - SUM(y) * (SUM(y) + 1) / 2.0)
+        / (SUM(y) * (COUNT(*) - SUM(y))), 6) AS auc
+FROM ranked"""
     )
 
 
@@ -2173,6 +2238,47 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY ctfidf DESC, tok
       FROM scored)
 WHERE rk <= 3""",
     ),
+    # -- model-based curation (round 4, late) --------------------------------
+    "quality_classifier_gate": QuerySpec(curation.q_quality_classifier_gate, _clf_sql()),
+    "doc_perplexity": QuerySpec(
+        curation.q_doc_perplexity,
+        """WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+pairs AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+    SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]} for i in range(1, len(t))]) AS p
+    FROM t)),
+c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+uni AS (SELECT unnest(t) AS w FROM t),
+c1 AS (SELECT w, COUNT(*) AS c1 FROM uni GROUP BY w),
+vt AS (SELECT COUNT(*) AS v FROM c1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+  ROUND(CAST(SUM(CAST(-ln((c2.c2 + 1) / (c1.c1 + vt.v)) AS DECIMAL(18,9))) AS DOUBLE)
+        / COUNT(*), 6) AS nll
+FROM pairs
+JOIN c2 USING (w1, w2)
+JOIN c1 ON pairs.w1 = c1.w
+CROSS JOIN vt
+GROUP BY doc_id""",
+    ),
+    "dsir_weights": QuerySpec(
+        curation.q_dsir_weights,
+        f"""WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+uni AS (SELECT doc_id, lang, unnest(t) AS w FROM t),
+raw AS (SELECT w, COUNT(*) AS cr FROM uni GROUP BY w),
+tgt AS (SELECT w, COUNT(*) AS ct FROM uni WHERE lang = '{curation.DSIR_TARGET_LANG}' GROUP BY w),
+tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, COUNT(*) AS v FROM raw),
+ntt AS (SELECT COUNT(*) AS nt FROM uni WHERE lang = '{curation.DSIR_TARGET_LANG}'),
+vocab AS (
+  SELECT raw.w,
+    ln(((COALESCE(ct, 0) + 1) * (nr + v)) / ((cr + 1) * (nt + v))) AS lr
+  FROM raw LEFT JOIN tgt ON raw.w = tgt.w CROSS JOIN tot CROSS JOIN ntt)
+SELECT doc_id, lang, COUNT(*) AS n_tokens,
+  ROUND(CAST(SUM(CAST(lr AS DECIMAL(18,9))) AS DOUBLE), 6) AS log_weight
+FROM uni JOIN vocab ON uni.w = vocab.w
+GROUP BY doc_id, lang""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -2348,8 +2454,9 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # the reshaped prefix_filter_pairs), dq_constraint_report, bpe_apply_segment,
 # kcore_summary, bloom_join_gate, pq_recall_at_5, bootstrap_ci,
 # feature_hash_agg, snapshot_diff_gate, bm25_topk, hybrid_rrf_topk,
-# zorder_skipping_gate, decayed_user_score, source_signature_terms. All
-# fourteen pass verify_local at sf0.01 and sf0.001.
+# zorder_skipping_gate, decayed_user_score, source_signature_terms,
+# quality_classifier_gate, doc_perplexity, dsir_weights. All seventeen pass
+# verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

@@ -48,6 +48,9 @@ REPRESENTATIVE = [
     "zorder_skipping_gate",  # min/max stats over zero files
     "decayed_user_score",  # decay weights over zero events
     "source_signature_terms",  # class tf-idf with zero classes
+    "quality_classifier_gate",  # gradient sums over zero docs -> null weights
+    "doc_perplexity",  # bigram LM over an empty corpus
+    "dsir_weights",  # likelihood ratios with zero-count models
 ]
 
 
