@@ -1,0 +1,106 @@
+"""Privacy / governance audits: k-anonymity and seeded-DP noisy release.
+
+Training-data pipelines ship aggregate reports about corpora that contain
+user data; before release two standard checks run: (1) a *k-anonymity
+audit* -- does any quasi-identifier combination isolate fewer than k
+records -- and (2) *differentially-private noisy counts* for the
+released aggregates. Both are plain keyed aggregates (one shuffle on the
+quasi-identifier/release key) and both are exactly reproducible:
+
+- the audit is integer counting;
+- the DP noise is Laplace via inverse-CDF over an md5-derived uniform
+  (the same deterministic-randomness device as the sampling/bootstrap
+  operators, dedup.py:_md5_hash_int): noise is a pure per-key expression,
+  so the released table is stable across retries/partitionings and the
+  DuckDB oracle reproduces it bit-for-bit. A production release would
+  swap the seed for a secret drawn once; the MECHANISM (sensitivity-1
+  count + Laplace(1/eps)) is the real thing.
+
+Reference scope: the reference engine has no privacy tooling
+(`/root/reference/query.py` stops at SOQL aggregates); this is part of
+the extended data-governance brief for a 100 TB corpus engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsf_spark.tables import load_table
+
+K_ANON = 5  # the audit threshold
+DP_EPS = 0.5  # epsilon for the count release
+DP_SEED = "dp-r4"  # release-batch seed; secret in production
+ACCTBAL_BUCKET = 1000  # quasi-identifier coarsening step
+
+
+def _quasi(df: DataFrame) -> DataFrame:
+    """Quasi-identifier projection: nation x segment x coarsened balance.
+    Coarsening (bucketing the continuous column) is itself the first
+    k-anonymity lever; the audit below measures whether it was enough."""
+    return df.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET).cast("int").alias("bal_bucket"),
+    )
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-equivalence-class audit rollup: how many quasi-identifier
+    classes exist, how many fall below k, and how many records they
+    expose. One row -- the go/no-go a release gate consumes.
+
+    Two aggregates: groupBy(quasi-ids) then a single-row rollup; at 100 TB
+    the first is an ordinary partial-agg shuffle on the class key."""
+    classes = _quasi(load_table(spark, sf_dir, "customer")).groupBy(
+        "nation", "segment", "bal_bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("n").alias("min_class_size"),
+        F.sum((F.col("n") < K_ANON).cast("int")).alias("classes_below_k"),
+        F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(F.lit(0))).alias(
+            "records_at_risk"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(F.lit(0)))
+            / F.sum("n")
+            * 100,
+            4,
+        ).alias("at_risk_pct"),
+    )
+
+
+def q_dp_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-noised per-segment customer counts (sensitivity-1 counting
+    query, eps = DP_EPS), plus the true count so the gate exposes the
+    noise that was actually added. Inverse-CDF Laplace:
+
+        u ~ Uniform(0,1) from md5(seed, segment); centered at 0.5;
+        noise = -(1/eps) * sign(u-0.5) * ln(1 - 2|u-0.5|)
+
+    The ln() runs once per released key (|segments| rows), not per record,
+    so engine libm parity is a per-key concern, guarded by rounding the
+    release to 4 decimals."""
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(DP_SEED + ":"), F.col("segment"))), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    c = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / DP_EPS)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+    return seg.select(
+        "segment",
+        "true_count",
+        F.round(noise, 4).alias("noise"),
+        F.round(F.col("true_count") + noise, 4).alias("released_count"),
+    ).orderBy("segment")

@@ -28,6 +28,7 @@ from pgsf_spark.analytics import (
     layout,
     multimodal,
     pipeline,
+    privacy,
     profiling,
     relational,
     retrieval,
@@ -2238,6 +2239,33 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY ctfidf DESC, tok
       FROM scored)
 WHERE rk <= 3""",
     ),
+    # -- privacy / governance audits (round 4, late) -------------------------
+    "k_anonymity_audit": QuerySpec(
+        privacy.q_k_anonymity_audit,
+        f"""WITH q AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(FLOOR(c_acctbal / {privacy.ACCTBAL_BUCKET}) AS INT) AS bal_bucket
+  FROM customer),
+cls AS (SELECT nation, segment, bal_bucket, COUNT(*) AS n FROM q GROUP BY 1, 2, 3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes, CAST(MIN(n) AS BIGINT) AS min_class_size,
+  CAST(SUM(CAST(n < {privacy.K_ANON} AS INT)) AS BIGINT) AS classes_below_k,
+  CAST(SUM(CASE WHEN n < {privacy.K_ANON} THEN n ELSE 0 END) AS BIGINT) AS records_at_risk,
+  ROUND(CAST(SUM(CASE WHEN n < {privacy.K_ANON} THEN n ELSE 0 END) AS DOUBLE)
+        / SUM(n) * 100, 4) AS at_risk_pct
+FROM cls""",
+    ),
+    "dp_segment_counts": QuerySpec(
+        privacy.q_dp_segment_counts,
+        f"""WITH seg AS (
+  SELECT c_mktsegment AS segment, COUNT(*) AS true_count FROM customer GROUP BY 1),
+n AS (SELECT segment, true_count,
+  ('0x' || substr(md5('{privacy.DP_SEED}:' || segment), 1, 8))::BIGINT / 4294967296.0 - 0.5 AS c
+  FROM seg)
+SELECT segment, true_count,
+  ROUND({-1.0 / privacy.DP_EPS!r} * sign(c) * ln(1.0 - 2.0 * abs(c)), 4) AS noise,
+  ROUND(true_count + {-1.0 / privacy.DP_EPS!r} * sign(c) * ln(1.0 - 2.0 * abs(c)), 4) AS released_count
+FROM n ORDER BY segment""",
+    ),
     # -- model-based curation (round 4, late) --------------------------------
     "quality_classifier_gate": QuerySpec(curation.q_quality_classifier_gate, _clf_sql()),
     "doc_perplexity": QuerySpec(
@@ -2278,6 +2306,35 @@ SELECT doc_id, lang, COUNT(*) AS n_tokens,
   ROUND(CAST(SUM(CAST(lr AS DECIMAL(18,9))) AS DOUBLE), 6) AS log_weight
 FROM uni JOIN vocab ON uni.w = vocab.w
 GROUP BY doc_id, lang""",
+    ),
+    "ann_ndcg_gate": QuerySpec(
+        similarity.q_ann_ndcg_gate,
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({_bucket_expr_sql()}) AS bucket FROM e),
+q AS (SELECT v AS qv, unnest([bucket, {", ".join(f"xor(bucket, {1 << p})" for p in range(8))}]) AS probe
+      FROM b WHERE vec_id = 0),
+ann AS (SELECT vec_id,
+  ROUND({_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+  FROM b JOIN q ON b.bucket = q.probe WHERE vec_id <> 0
+  ORDER BY cosine DESC, vec_id LIMIT {similarity.NDCG_K}),
+anni AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS i FROM ann),
+q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+exact AS (SELECT vec_id,
+  ROUND({_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})), 4) AS cosine
+  FROM e, q0 WHERE vec_id <> 0
+  ORDER BY cosine DESC, vec_id LIMIT {similarity.NDCG_K}),
+exr AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS r FROM exact),
+g AS (
+  SELECT CAST(r IS NOT NULL AS INT) AS hit,
+    COALESCE({similarity.NDCG_K + 1} - r, 0)
+      * ([{", ".join(repr(d) for d in similarity._ndcg_discounts())}])[i] AS g
+  FROM anni LEFT JOIN exr USING (vec_id))
+SELECT CAST(SUM(hit) AS INT) AS n_hits,
+  ROUND(CAST(SUM(CAST(g AS DECIMAL(18,12))) AS DOUBLE), 6) AS dcg,
+  ROUND({sum((similarity.NDCG_K + 1 - r) * similarity._ndcg_discounts()[r - 1] for r in range(1, similarity.NDCG_K + 1))!r}, 6) AS idcg,
+  ROUND(CAST(SUM(CAST(g AS DECIMAL(18,12))) AS DOUBLE)
+        / {sum((similarity.NDCG_K + 1 - r) * similarity._ndcg_discounts()[r - 1] for r in range(1, similarity.NDCG_K + 1))!r}, 6) AS ndcg
+FROM g""",
     ),
 }
 
@@ -2455,8 +2512,9 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # kcore_summary, bloom_join_gate, pq_recall_at_5, bootstrap_ci,
 # feature_hash_agg, snapshot_diff_gate, bm25_topk, hybrid_rrf_topk,
 # zorder_skipping_gate, decayed_user_score, source_signature_terms,
-# quality_classifier_gate, doc_perplexity, dsir_weights. All seventeen pass
-# verify_local at sf0.01 and sf0.001.
+# quality_classifier_gate, doc_perplexity, dsir_weights, k_anonymity_audit,
+# dp_segment_counts, ann_ndcg_gate. All twenty pass verify_local at sf0.01
+# and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

@@ -504,3 +504,49 @@ def q_pq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.crossJoin(tot).select(
         "n_hits", (F.col("n_hits") / 5.0).alias("recall_at_5"), "total_quant_err"
     )
+
+
+NDCG_K = 5  # evaluates the multiprobe ANN list against the exact top-5
+
+
+def _ndcg_discounts() -> list[float]:
+    """1/log2(i+1) per position, computed ONCE in Python and injected as
+    literals on both engines -- the gate needs no runtime libm at all."""
+    import math
+
+    return [1.0 / math.log2(i + 1) for i in range(1, NDCG_K + 1)]
+
+
+def q_ann_ndcg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking quality of the ANN list: nDCG@5 of multi-probe LSH
+    against the exact cosine ranking (relevance = 6 - exact_rank, 0 for
+    docs outside the exact top-5). recall@5 says WHETHER the right docs
+    surface; nDCG says whether they surface in the right ORDER -- the
+    second number an index build gates on. Both lists and the positional
+    discounts are deterministic, so the score is a hash-exact row."""
+    from pyspark.sql.window import Window
+
+    disc = _ndcg_discounts()
+    idcg = sum((NDCG_K + 1 - r) * disc[r - 1] for r in range(1, NDCG_K + 1))
+    ann = q_ann_multiprobe_topk(spark, sf_dir).select(
+        "vec_id",
+        F.row_number().over(Window.orderBy(F.col("cosine").desc(), "vec_id")).alias("i"),
+    )
+    exact = q_cosine_topk(spark, sf_dir).limit(NDCG_K).select(
+        "vec_id",
+        F.row_number().over(Window.orderBy(F.col("cosine").desc(), "vec_id")).alias("r"),
+    )
+    disc_col = F.element_at(F.array(*[F.lit(d) for d in disc]), F.col("i"))
+    rel = F.coalesce(F.lit(NDCG_K + 1) - F.col("r"), F.lit(0))
+    from pgsf_spark.analytics.oracle_utils import dsum
+
+    return (
+        ann.join(exact, "vec_id", "left")
+        .select((rel * disc_col).alias("g"), F.col("r").isNotNull().cast("int").alias("hit"))
+        .agg(
+            F.sum("hit").cast("int").alias("n_hits"),
+            F.round(dsum(F.col("g"), "decimal(18,12)"), 6).alias("dcg"),
+            F.round(F.lit(idcg), 6).alias("idcg"),
+            F.round(dsum(F.col("g"), "decimal(18,12)") / F.lit(idcg), 6).alias("ndcg"),
+        )
+    )

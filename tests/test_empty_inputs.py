@@ -51,6 +51,9 @@ REPRESENTATIVE = [
     "quality_classifier_gate",  # gradient sums over zero docs -> null weights
     "doc_perplexity",  # bigram LM over an empty corpus
     "dsir_weights",  # likelihood ratios with zero-count models
+    "k_anonymity_audit",  # class rollup over zero records
+    "dp_segment_counts",  # noisy release of zero segments
+    "ann_ndcg_gate",  # ranking eval with empty ANN and exact lists
 ]
 
 
