@@ -157,3 +157,72 @@ def session_gap_stream(events: DataFrame, ts_col: str = "ts", watermark: str = "
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --- online exponentially-decayed counter ------------------------------------
+
+DECAY_HALF_LIFE_SECONDS = 7 * 86400.0  # matches events.DECAY_HALF_LIFE_DAYS
+
+DECAY_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("decayed_score", DoubleType()),
+        StructField("last_ts", DoubleType()),  # epoch seconds of the anchor
+    ]
+)
+
+DECAY_STATE = StructType(
+    [
+        StructField("score", DoubleType()),
+        StructField("last", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _update_decay(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold events into a decayed running score anchored at the newest
+    event seen so far:  score(T) = sum_i value_i * 0.5^((T - t_i)/HL).
+
+    Out-of-order events are exact, not approximated: an event older than
+    the anchor joins with ITS OWN decay factor and leaves the anchor
+    alone, so the final score is independent of arrival order (the
+    property the test asserts against the batch recomputation)."""
+    score, last, n = state.get if state.exists else (0.0, None, 0)
+    for pdf in pdfs:
+        ts = pdf["ts"].astype("datetime64[us]").astype("int64") / 1e6
+        for t, v in zip(ts, pdf["value"].astype(float)):
+            n += 1
+            if last is None:
+                score, last = float(v), float(t)
+            elif t >= last:
+                score = score * 0.5 ** ((t - last) / DECAY_HALF_LIFE_SECONDS) + float(v)
+                last = float(t)
+            else:
+                score += float(v) * 0.5 ** ((last - t) / DECAY_HALF_LIFE_SECONDS)
+    state.update((score, last, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "decayed_score": [score], "last_ts": [last]}
+    )
+
+
+def decayed_counter_stream(events: DataFrame) -> DataFrame:
+    """Per-user online decayed engagement counter (update mode).
+
+    The streaming twin of events.q_decayed_user_score: the batch query
+    anchors decay at a fixed release date; the stream anchors at each
+    user's newest event and re-emits the refreshed score every
+    micro-batch. State is one (score, anchor, n) triple per user --
+    constant-size, no event history -- so the state store stays bounded
+    forever; the per-batch shuffle is the groupBy(user_id) that routes
+    events to their state partition."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_decay,
+        outputStructType=DECAY_OUTPUT,
+        stateStructType=DECAY_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

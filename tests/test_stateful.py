@@ -172,3 +172,86 @@ class TestSessionGapStream:
         assert (r["n_events"], r["total_value"]) == (2, 3.0)
         assert r["session_start"] == t(1, 0).timestamp()
         assert r["session_end"] == t(1, 20).timestamp()
+
+
+class TestDecayedCounterStream:
+    def _run(self, spark, feed, name):
+        from pgsf_spark.streaming.stateful import decayed_counter_stream
+
+        schema = "user_id long, ts timestamp, value double"
+        stream = (
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        q = (
+            decayed_counter_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        # update mode re-emits per batch; the newest row per user wins
+        return {
+            r["user_id"]: r
+            for r in spark.sql(
+                f"SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+                f"ORDER BY n_events DESC) rn FROM {name}) WHERE rn = 1"
+            ).collect()
+        }
+
+    def test_matches_batch_recomputation(self, spark, tmp_path):
+        import math
+        from datetime import datetime
+
+        from pgsf_spark.streaming.stateful import DECAY_HALF_LIFE_SECONDS
+
+        feed = tmp_path / "dfeed"
+        feed.mkdir()
+        schema = "user_id long, ts timestamp, value double"
+
+        def t(d, h=0):
+            return datetime(2024, 1, d, h)
+
+        b1 = [(1, t(1), 8.0), (1, t(8), 4.0), (2, t(1), 1.0)]
+        b2 = [(1, t(15), 2.0), (2, t(2, 12), 3.0)]
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(str(feed))
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(str(feed))
+
+        got = self._run(spark, feed, "decay1")
+        events = b1 + b2
+        for uid in (1, 2):
+            evs = [(ts.timestamp(), v) for u, ts, v in events if u == uid]
+            anchor = max(ts for ts, _ in evs)
+            expect = sum(v * 0.5 ** ((anchor - ts) / DECAY_HALF_LIFE_SECONDS) for ts, v in evs)
+            assert math.isclose(got[uid]["decayed_score"], expect, rel_tol=1e-9)
+            assert got[uid]["last_ts"] == anchor
+            assert got[uid]["n_events"] == len(evs)
+        # user 1: 8 halved after 7d, halved again, plus intermediate -> sanity
+        assert got[1]["decayed_score"] < 8.0 + 4.0 + 2.0
+
+    def test_out_of_order_event_is_exact(self, spark, tmp_path):
+        import math
+        from datetime import datetime
+
+        from pgsf_spark.streaming.stateful import DECAY_HALF_LIFE_SECONDS
+
+        feed = tmp_path / "ofeed"
+        feed.mkdir()
+        schema = "user_id long, ts timestamp, value double"
+        late = datetime(2024, 1, 3)
+        head = datetime(2024, 1, 10)
+        # batch 1 carries the NEWER event; batch 2 delivers an older one
+        spark.createDataFrame([(5, head, 6.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+        spark.createDataFrame([(5, late, 2.0)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+
+        got = self._run(spark, feed, "decay2")
+        expect = 6.0 + 2.0 * 0.5 ** ((head.timestamp() - late.timestamp()) / DECAY_HALF_LIFE_SECONDS)
+        assert math.isclose(got[5]["decayed_score"], expect, rel_tol=1e-12)
+        assert got[5]["last_ts"] == head.timestamp()  # late event left the anchor alone
