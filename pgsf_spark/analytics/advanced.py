@@ -561,3 +561,36 @@ def q_snapshot_diff_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_changed_mktsegment"),
     )
+
+
+def q_bucketed_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join gate: orders and customer are persisted
+    as catalog tables bucketed 16 ways on the SAME key
+    (operators/bucketed.py), then joined on that key and rolled up per
+    market segment. With both sides pre-bucketed the join plan needs no
+    exchange on either side (asserted in test_bucketed.py with broadcast
+    disabled); this gate proves the layout changes the PLAN and not the
+    ANSWER -- the oracle runs the plain parquet join. At 100 TB this is
+    the difference between re-shuffling the fact table on every merge and
+    shuffling nothing. Table names carry the sf tag + PID so concurrent
+    runs (verify sweep, bench, xdist) never collide."""
+    import os
+
+    from pgsf_spark.operators.bucketed import bucketed_join, write_bucketed
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir)).replace('.', '_')}_{os.getpid()}"
+    t_orders, t_cust = f"bk_gate_orders_{tag}", f"bk_gate_customer_{tag}"
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    write_bucketed(o, t_orders, "custkey", n_buckets=16, sort_cols=["custkey"])
+    write_bucketed(c, t_cust, "custkey", n_buckets=16, sort_cols=["custkey"])
+    j = bucketed_join(spark, t_orders, t_cust, "custkey")
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct("custkey").alias("n_customers"),
+        F.round(dsum(F.col("o_totalprice")), 2).alias("revenue"),
+    )

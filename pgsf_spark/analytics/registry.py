@@ -2239,6 +2239,14 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY ctfidf DESC, tok
       FROM scored)
 WHERE rk <= 3""",
     ),
+    "bucketed_join_gate": QuerySpec(
+        advanced.q_bucketed_join_gate,
+        f"""SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+  ROUND({sql_dsum('o_totalprice')}, 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""",
+    ),
     # -- privacy / governance audits (round 4, late) -------------------------
     "k_anonymity_audit": QuerySpec(
         privacy.q_k_anonymity_audit,
@@ -2513,8 +2521,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # feature_hash_agg, snapshot_diff_gate, bm25_topk, hybrid_rrf_topk,
 # zorder_skipping_gate, decayed_user_score, source_signature_terms,
 # quality_classifier_gate, doc_perplexity, dsir_weights, k_anonymity_audit,
-# dp_segment_counts, ann_ndcg_gate. All twenty pass verify_local at sf0.01
-# and sf0.001.
+# dp_segment_counts, ann_ndcg_gate, bucketed_join_gate. All twenty-one pass
+# verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

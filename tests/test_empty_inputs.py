@@ -54,6 +54,7 @@ REPRESENTATIVE = [
     "k_anonymity_audit",  # class rollup over zero records
     "dp_segment_counts",  # noisy release of zero segments
     "ann_ndcg_gate",  # ranking eval with empty ANN and exact lists
+    "bucketed_join_gate",  # bucketed catalog write + join of zero rows
 ]
 
 
