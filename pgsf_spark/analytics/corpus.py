@@ -346,3 +346,97 @@ def q_source_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ctfidf", 8).alias("ctfidf"),
         )
     )
+
+
+PASSAGE_K = 5
+PASSAGE_MIN_DOCS = 2
+PASSAGE_TOP = 20
+
+
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated passages at fixed width K: the substring-level
+    duplication signal behind Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better" (exact-substring dedup) -- finds K-token
+    spans that appear in multiple documents, restricted to RIGHT-CLOSED
+    spans (no (K+1)-token extension has the same occurrence count, the
+    closed-n-gram trick), so runs of duplicated text surface once as their
+    widest fixed-K representative rather than once per offset.
+
+    Plan: one explode of positional K-grams and one of (K+1)-grams, each
+    partial-agg shuffled on the gram key; closedness is a left anti join of
+    the K-table against the (K+1)-table keyed on (K-prefix, count). At
+    100 TB both relations aggregate before any join (shuffle bounded by
+    distinct grams, not corpus size) and the top-N is
+    TakeOrderedAndProject. A true suffix-automaton maximal-match pass is
+    deliberately out of scope -- fixed-K closed spans are the
+    shuffle-bounded approximation that composes with the LSH dedup stack."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.lower(F.trim(F.col("text"))))
+    gk = d.select("doc_id", F.explode(ngram_array(toks, PASSAGE_K)).alias("gram"))
+    gk1 = d.select(F.explode(ngram_array(toks, PASSAGE_K + 1)).alias("gram1"))
+    # a (K+1)-gram's K-prefix: drop everything after the K-th space
+    pref = F.substring_index(F.col("gram1"), " ", PASSAGE_K)
+    counts_k = gk.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    counts_k1 = (
+        gk1.select(pref.alias("gram"), F.col("gram1"))
+        .groupBy("gram", "gram1")
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .select("gram", F.col("n1").alias("n_occ"))
+        .distinct()
+    )
+    closed = counts_k.join(counts_k1, ["gram", "n_occ"], "left_anti")
+    return (
+        closed.filter(F.col("n_docs") >= PASSAGE_MIN_DOCS)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "gram")
+        .limit(PASSAGE_TOP)
+        .select("gram", "n_docs", "n_occ")
+    )
+
+
+LIFT_MIN_PAIR = 5
+LIFT_TOP = 20
+
+
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via lift (the exp of PMI, kept rational): for each
+    adjacent token pair, lift = P(a,b) / (P(a) P(b)) = n_ab * N_tok^2 /
+    (N_big * n_a * n_b) -- the corpus-analysis pass that finds multi-word
+    expressions worth protecting from tokenizer splits.
+
+    All factors are exact BIGINT counts and the score is ONE IEEE division
+    (no libm log, so the value is bit-identical across engines -- rank by
+    lift and take log offline if PMI units are wanted). Plan: one exploded
+    bigram shuffle keyed on the pair, one token shuffle keyed on the token;
+    unigram totals broadcast back onto the pair aggregate; top-N is
+    TakeOrderedAndProject. Shuffles are bounded by distinct keys."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks(F.lower(F.trim(F.col("text"))))
+    tokens = d.select(F.explode(toks).alias("token"))
+    uni = tokens.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    tok_total = uni.agg(F.sum("n_tok").alias("n_tok_total"))
+    bigrams = d.select(F.explode(ngram_array(toks, 2)).alias("pair"))
+    big_counts = bigrams.groupBy("pair").agg(F.count(F.lit(1)).alias("n_ab"))
+    big_total = big_counts.agg(F.sum("n_ab").alias("n_big_total"))
+    pairs = (
+        big_counts.filter(F.col("n_ab") >= LIFT_MIN_PAIR)
+        .withColumn("a", F.substring_index("pair", " ", 1))
+        .withColumn("b", F.substring_index("pair", " ", -1))
+    )
+    ua = uni.select(F.col("token").alias("a"), F.col("n_tok").alias("n_a"))
+    ub = uni.select(F.col("token").alias("b"), F.col("n_tok").alias("n_b"))
+    lift = (
+        F.col("n_ab") * F.col("n_tok_total") * F.col("n_tok_total")
+        / (F.col("n_big_total") * F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pairs.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tok_total))
+        .crossJoin(F.broadcast(big_total))
+        .select("pair", "n_ab", "n_a", "n_b", F.round(lift, 4).alias("lift"))
+        .orderBy(F.col("lift").desc(), "pair")
+        .limit(LIFT_TOP)
+    )

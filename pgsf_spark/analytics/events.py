@@ -273,6 +273,96 @@ def q_debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event timeline:
+    P(next = e2 | current = e1), the model behind next-action prediction and
+    synthetic-session generation.
+
+    One shuffle on user_id for the lead window; the (e1, e2) count then
+    aggregates on a key space bounded by |event_types|^2, so the second
+    exchange moves a handful of rows no matter the corpus size. The row
+    probability divides two exact BIGINT counts (single IEEE division +
+    round -- engine-portable). Ties in event order broken by event_id, so
+    the transition sequence is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+        )
+        .filter(F.col("e2").isNotNull())
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wtot = Window.partitionBy("e1")
+    return pairs.select(
+        "e1",
+        "e2",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wtot), 6).alias("prob"),
+    )
+
+
+def q_hourly_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-spine gap filling with linear interpolation: the resampling pass
+    every time-series feature pipeline needs before a model sees the data.
+
+    Builds the complete hourly spine between the corpus min and max hour
+    (sequence + explode from a single agg row), left-joins the observed
+    hourly purchase totals, and fills missing hours by linear interpolation
+    between the nearest observed neighbors (flat extrapolation at the
+    edges). The unpartitioned windows are over the SPINE -- one row per
+    hour, bounded by the time range rather than the data volume -- so the
+    single-task window is over a dimension-sized relation even at 100 TB of
+    raw events; the heavy relation is reduced by a keyed partial-agg
+    shuffle first. Interpolation arithmetic is integer epoch-hours plus one
+    IEEE divide, rounded -- portable."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.round(dsum(F.col("value")), 4).alias("v"))
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"))
+    )
+    eh = (F.unix_seconds(F.col("h")) / 3600).cast("long")
+    joined = spine.join(hourly, "h", "left").withColumn("eh", eh)
+    wprev = Window.orderBy("eh").rowsBetween(Window.unboundedPreceding, 0)
+    wnext = Window.orderBy("eh").rowsBetween(0, Window.unboundedFollowing)
+    obs_eh = F.when(F.col("v").isNotNull(), F.col("eh"))
+    filled = (
+        joined.withColumn("pv", F.last("v", ignorenulls=True).over(wprev))
+        .withColumn("ph", F.last(obs_eh, ignorenulls=True).over(wprev))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wnext))
+        .withColumn("nh", F.first(obs_eh, ignorenulls=True).over(wnext))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.round(
+                F.col("pv")
+                + (F.col("nv") - F.col("pv"))
+                * (F.col("eh") - F.col("ph"))
+                / (F.col("nh") - F.col("ph")),
+                4,
+            )
+        )
+    )
+    return filled.select(
+        F.date_format("h", TS_FMT).alias("hour"),
+        F.col("v").isNull().alias("interpolated"),
+        interp.alias("value"),
+    )
+
+
 DECAY_ANCHOR = "2024-03-01"  # scoring as-of date (after the corpus max ts)
 DECAY_HALF_LIFE_DAYS = 7
 

@@ -1661,6 +1661,88 @@ SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
 FROM active JOIN cohort USING (user_id)
 GROUP BY 1, 2""",
     ),
+    "repeated_passages": QuerySpec(
+        corpus.q_repeated_passages,
+        rf"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+gk AS (
+  SELECT doc_id, array_to_string(toks[i:i+{corpus.PASSAGE_K - 1}], ' ') AS gram
+  FROM t, range(1, 10000) r(i) WHERE i <= len(toks) - {corpus.PASSAGE_K - 1}),
+ck AS (
+  SELECT gram, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+  FROM gk GROUP BY gram),
+gk1 AS (
+  SELECT array_to_string(toks[i:i+{corpus.PASSAGE_K}], ' ') AS gram1
+  FROM t, range(1, 10000) r(i) WHERE i <= len(toks) - {corpus.PASSAGE_K}),
+ck1 AS (
+  SELECT array_to_string(string_split(gram1, ' ')[1:{corpus.PASSAGE_K}], ' ') AS gram,
+    COUNT(*) AS n_occ
+  FROM gk1 GROUP BY gram1)
+SELECT gram, n_docs, n_occ FROM ck
+WHERE n_docs >= {corpus.PASSAGE_MIN_DOCS}
+  AND NOT EXISTS (SELECT 1 FROM ck1 WHERE ck1.gram = ck.gram AND ck1.n_occ = ck.n_occ)
+ORDER BY n_docs DESC, n_occ DESC, gram LIMIT {corpus.PASSAGE_TOP}""",
+    ),
+    "bigram_lift": QuerySpec(
+        corpus.q_bigram_lift,
+        rf"""WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+tok AS (SELECT unnest(toks) AS token FROM t),
+uni AS (SELECT token, COUNT(*) AS n_tok FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS n_tok_total FROM uni),
+big AS (
+  SELECT array_to_string(toks[i:i+1], ' ') AS pair
+  FROM t, range(1, 10000) r(i) WHERE i <= len(toks) - 1),
+bc AS (SELECT pair, COUNT(*) AS n_ab FROM big GROUP BY pair),
+btot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_big_total FROM bc),
+p AS (
+  SELECT pair, n_ab, string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[-1] AS b
+  FROM bc WHERE n_ab >= {corpus.LIFT_MIN_PAIR})
+SELECT pair, n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+  ROUND(CAST(n_ab * n_tok_total * n_tok_total AS DOUBLE)
+        / (n_big_total * ua.n_tok * ub.n_tok), 4) AS lift
+FROM p JOIN uni ua ON p.a = ua.token JOIN uni ub ON p.b = ub.token, tot, btot
+ORDER BY lift DESC, pair LIMIT {corpus.LIFT_TOP}""",
+    ),
+    "event_transitions": QuerySpec(
+        events.q_event_transitions,
+        """WITH p AS (
+  SELECT event_type AS e1,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+  FROM events),
+c AS (SELECT e1, e2, COUNT(*) AS n FROM p WHERE e2 IS NOT NULL GROUP BY 1, 2)
+SELECT e1, e2, n, ROUND(n / SUM(n) OVER (PARTITION BY e1), 6) AS prob FROM c""",
+    ),
+    "hourly_gap_interpolation": QuerySpec(
+        events.q_hourly_gap_interpolation,
+        """WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+    ROUND(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE), 4) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+spine AS (
+  SELECT unnest(generate_series(date_trunc('hour', MIN(ts)),
+                                date_trunc('hour', MAX(ts)),
+                                INTERVAL 1 HOUR)) AS h
+  FROM events),
+j AS (
+  SELECT s.h, hourly.v, CAST(epoch(s.h) // 3600 AS BIGINT) AS eh
+  FROM spine s LEFT JOIN hourly USING (h)),
+f AS (
+  SELECT h, v, eh,
+    last_value(v IGNORE NULLS) OVER (ORDER BY eh ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)
+      OVER (ORDER BY eh ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+    first_value(v IGNORE NULLS) OVER (ORDER BY eh ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)
+      OVER (ORDER BY eh ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM j)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, v IS NULL AS interpolated,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NULL THEN nv
+       WHEN nv IS NULL THEN pv
+       ELSE ROUND(pv + (nv - pv) * (eh - ph) / (nh - ph), 4) END AS value
+FROM f""",
+    ),
     "min_cost_supplier": QuerySpec(
         relational.q_min_cost_supplier,
         """WITH eur AS (
@@ -2521,8 +2603,10 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # feature_hash_agg, snapshot_diff_gate, bm25_topk, hybrid_rrf_topk,
 # zorder_skipping_gate, decayed_user_score, source_signature_terms,
 # quality_classifier_gate, doc_perplexity, dsir_weights, k_anonymity_audit,
-# dp_segment_counts, ann_ndcg_gate, bucketed_join_gate. All twenty-one pass
-# verify_local at sf0.01 and sf0.001.
+# dp_segment_counts, ann_ndcg_gate, bucketed_join_gate, and the late-round-4
+# additions event_transitions, hourly_gap_interpolation, repeated_passages,
+# bigram_lift (plus any queries below this comment added after them). All
+# pass verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",
