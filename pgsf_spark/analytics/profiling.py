@@ -492,3 +492,49 @@ def q_dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("orphan_lineitems") == 0)
         ).alias("all_constraints_pass"),
     )
+
+
+SKEW_TOP = 10
+
+
+def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for lineitem.l_partkey -- the pre-join
+    diagnostic that decides between a plain shuffle join, AQE skew
+    splitting, and explicit salting. Reports the key-frequency
+    distribution (exact interpolated p50/p99, max) and how much of the
+    fact table the SKEW_TOP heaviest keys own.
+
+    Plan: one partial-agg shuffle keyed on l_partkey collapses the fact
+    table to per-key counts; everything downstream (quantiles over |keys|
+    rows, a top-N, two single-row aggregates broadcast together) is
+    dimension-sized. The quantiles use the same exact interpolated
+    percentile as q_order_quartiles -- swap in approx_percentile at 100 TB
+    for one-pass profiling with the same output columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("freq"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("freq").alias("n_rows"),
+        F.max("freq").alias("max_freq"),
+        F.expr("percentile(freq, 0.5)").alias("p50_freq"),
+        F.expr("percentile(freq, 0.99)").alias("p99_freq"),
+    )
+    top = (
+        counts.orderBy(F.col("freq").desc(), "l_partkey")
+        .limit(SKEW_TOP)
+        .agg(F.sum("freq").alias("top_freq"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(top))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_freq",
+            F.round("p50_freq", 4).alias("p50_freq"),
+            F.round("p99_freq", 4).alias("p99_freq"),
+            F.round(F.col("max_freq") / (F.col("n_rows") / F.col("n_keys")), 4).alias(
+                "max_over_mean"
+            ),
+            F.round(F.col("top_freq") / F.col("n_rows"), 4).alias("top10_share"),
+        )
+    )

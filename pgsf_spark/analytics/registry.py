@@ -262,7 +262,9 @@ tot AS (SELECT CAST(SUM(qd) AS DOUBLE) AS total_quant_err FROM (
 SELECT n_hits, n_hits / 5.0 AS recall_at_5, total_quant_err FROM hits, tot"""
 
 
-def _kmeans_sql() -> str:
+def _kmeans_cte() -> tuple[str, str]:
+    """Shared Lloyd CTE chain (mirrors similarity._kmeans_assigned);
+    returns (WITH-chain, name of the final assignment CTE)."""
     k, iters = similarity.KMEANS_K, similarity.KMEANS_ITERS
     assign = """
 a{n} AS (
@@ -285,11 +287,38 @@ c0 AS (SELECT CAST(vec_id AS INT) AS cluster, v AS cv FROM e WHERE vec_id < {k})
         parts.append(assign.format(n=it, prev=it - 1, dist=dist))
         if it < iters:
             parts.append(recompute.format(n=it))
+    return ",".join(parts), f"a{iters}"
+
+
+def _kmeans_sql() -> str:
+    cte, last = _kmeans_cte()
     return (
-        ",".join(parts)
+        cte
         + f"""
 SELECT cluster, COUNT(*) AS n_vectors, {sql_davg('sqrt(d)', ndigits=4)} AS avg_dist
-FROM a{iters} GROUP BY cluster"""
+FROM {last} GROUP BY cluster"""
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    cte, last = _kmeans_cte()
+    cos = (
+        f"{_dot_sql('a.v', 'b.v')} / (sqrt({_dot_sql('a.v', 'a.v')}) * "
+        f"sqrt({_dot_sql('b.v', 'b.v')}))"
+    )
+    return (
+        cte
+        + f""",
+m AS (SELECT cluster, vec_id, v FROM {last}),
+dup AS (
+  SELECT DISTINCT a.cluster, b.vec_id
+  FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND({cos}, 4) >= {similarity.SEMDEDUP_TAU}),
+per AS (SELECT cluster, COUNT(*) AS n_vectors FROM m GROUP BY cluster),
+pr AS (SELECT cluster, COUNT(*) AS n_pruned FROM dup GROUP BY cluster)
+SELECT per.cluster, n_vectors, COALESCE(n_pruned, 0) AS n_pruned,
+  ROUND((n_vectors - COALESCE(n_pruned, 0)) / n_vectors, 4) AS keep_frac
+FROM per LEFT JOIN pr USING (cluster)"""
     )
 
 
@@ -1156,6 +1185,7 @@ FROM assigned, q WHERE cluster = qcluster AND vec_id <> 0
 ORDER BY cosine DESC, vec_id LIMIT 5""",
     ),
     "kmeans_clusters": QuerySpec(similarity.q_kmeans_clusters, _kmeans_sql()),
+    "semantic_dedup": QuerySpec(similarity.q_semantic_dedup, _semantic_dedup_sql()),
     "sq_recall_at_5": QuerySpec(
         similarity.q_sq_recall_at_5,
         f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -1660,6 +1690,35 @@ SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
   CAST(COUNT(*) AS BIGINT) AS users
 FROM active JOIN cohort USING (user_id)
 GROUP BY 1, 2""",
+    ),
+    "brand_pareto_frontier": QuerySpec(
+        relational.q_brand_pareto_frontier,
+        """WITH d AS (
+  SELECT p_brand, p_partkey, p_size, p_retailprice,
+    CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part)
+SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS price, p_size
+FROM d p
+WHERE NOT EXISTS (
+  SELECT 1 FROM d q
+  WHERE q.p_brand = p.p_brand AND q.cents <= p.cents AND q.p_size >= p.p_size
+    AND (q.cents < p.cents OR q.p_size > p.p_size))""",
+    ),
+    "join_key_skew": QuerySpec(
+        profiling.q_join_key_skew,
+        f"""WITH c AS (SELECT l_partkey, COUNT(*) AS freq FROM lineitem GROUP BY 1),
+s AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(freq) AS BIGINT) AS n_rows,
+    MAX(freq) AS max_freq,
+    quantile_cont(freq, 0.5) AS p50_freq, quantile_cont(freq, 0.99) AS p99_freq
+  FROM c),
+t AS (SELECT CAST(SUM(freq) AS BIGINT) AS top_freq FROM (
+  SELECT freq FROM c ORDER BY freq DESC, l_partkey LIMIT {profiling.SKEW_TOP}))
+SELECT n_keys, n_rows, max_freq,
+  ROUND(p50_freq, 4) AS p50_freq, ROUND(p99_freq, 4) AS p99_freq,
+  ROUND(max_freq / (CAST(n_rows AS DOUBLE) / n_keys), 4) AS max_over_mean,
+  ROUND(CAST(top_freq AS DOUBLE) / n_rows, 4) AS top10_share
+FROM s, t""",
     ),
     "repeated_passages": QuerySpec(
         corpus.q_repeated_passages,
@@ -2605,8 +2664,9 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # quality_classifier_gate, doc_perplexity, dsir_weights, k_anonymity_audit,
 # dp_segment_counts, ann_ndcg_gate, bucketed_join_gate, and the late-round-4
 # additions event_transitions, hourly_gap_interpolation, repeated_passages,
-# bigram_lift (plus any queries below this comment added after them). All
-# pass verify_local at sf0.01 and sf0.001.
+# bigram_lift, semantic_dedup, brand_pareto_frontier, join_key_skew (plus
+# any queries below this comment added after them). All pass verify_local
+# at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

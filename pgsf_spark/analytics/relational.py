@@ -729,3 +729,39 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+def q_brand_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier (skyline): parts not dominated within their
+    brand on (price low, size high) -- q dominates p iff q is no more
+    expensive AND no smaller AND strictly better on at least one axis. The
+    multi-objective shortlist query (cheapest-per-capability) that naive
+    engines write as an O(n^2) NOT EXISTS self-join.
+
+    Here it is two window passes per brand over integer cents: dominance by
+    a STRICTLY cheaper part is a running max(size) over a RANGE frame ending
+    1 cent before the current row; same-price dominance is a max(size) over
+    the (brand, cents) peer group. One shuffle on brand, no self-join --
+    at 100 TB the skyline of each partition-key group costs one sort.
+    Exact-tie pairs (same cents, same size) are mutually non-dominating and
+    both survive, matching the NOT EXISTS oracle."""
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    d = p.select("p_brand", "p_partkey", "p_size", F.col("p_retailprice"), cents.alias("cents"))
+    w_cheaper = (
+        Window.partitionBy("p_brand")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("p_brand", "cents")
+    frontier = (
+        d.withColumn("max_size_cheaper", F.max("p_size").over(w_cheaper))
+        .withColumn("max_size_same", F.max("p_size").over(w_same))
+        .filter(
+            (F.col("max_size_cheaper").isNull() | (F.col("max_size_cheaper") < F.col("p_size")))
+            & (F.col("max_size_same") <= F.col("p_size"))
+        )
+    )
+    return frontier.select(
+        "p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "p_size"
+    )

@@ -295,6 +295,71 @@ def _recompute_centroids(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Lloyd chain: KMEANS_ITERS assignment rounds from the
+    deterministic seed (centroids = vectors 0..k-1); returns
+    (vec_id, v, cluster, d). Used by q_kmeans_clusters and
+    q_semantic_dedup so both faces share one oracle CTE chain."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+    assigned = _assign_nearest(emb, cent)
+    for _ in range(KMEANS_ITERS - 1):
+        cent = _recompute_centroids(assigned)
+        assigned = _assign_nearest(emb, cent)
+    return assigned
+
+
+SEMDEDUP_TAU = 0.35  # same similarity bar as q_embedding_near_dup
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning via
+    cluster-then-compare. K-means bounds the candidate space -- cosine is
+    computed only WITHIN a cluster (equi-join on the cluster id, exactly
+    the LSH-bucket shape) -- then every vector with a higher-priority
+    (lower vec_id) neighbor at cosine >= SEMDEDUP_TAU is pruned as a
+    semantic duplicate. Reports per-cluster survivors.
+
+    At 100 TB: k grows with the corpus so the per-cluster population stays
+    bounded (the paper runs k=50k on LAION); the pairwise step is then an
+    equi-join whose per-key fan-out is capped, never O(n^2) global.
+    Cosines are rounded before the threshold so the keep/prune decision is
+    the same bit in every engine; the Lloyd chain is the deterministic
+    broadcast template of q_kmeans_clusters."""
+    assigned = _kmeans_assigned(spark, sf_dir)
+    m = assigned.select("cluster", "vec_id", "v")
+    a = m.select("cluster", F.col("vec_id").alias("ka"), F.col("v").alias("va"))
+    b = m.select("cluster", F.col("vec_id").alias("kb"), F.col("v").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    dup = (
+        a.join(b, "cluster")
+        .filter(F.col("ka") < F.col("kb"))
+        .select("cluster", F.col("kb").alias("vec_id"), F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= SEMDEDUP_TAU)
+        .select("cluster", "vec_id")
+        .distinct()
+    )
+    per = m.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vectors"))
+    pruned = dup.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_pruned"))
+    return (
+        per.join(pruned, "cluster", "left")
+        .na.fill(0, ["n_pruned"])
+        .select(
+            "cluster",
+            "n_vectors",
+            "n_pruned",
+            F.round((F.col("n_vectors") - F.col("n_pruned")) / F.col("n_vectors"), 4).alias(
+                "keep_frac"
+            ),
+        )
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd k-means, KMEANS_ITERS assignment rounds from a
     deterministic seed (centroids = vectors 0..k-1), reporting per-cluster
@@ -307,15 +372,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB each round is a scan + a tiny-key shuffle, and rounds chain
     as one declarative plan. Empty clusters drop out naturally (their
     centroid row vanishes), matching the SQL oracle."""
-    e = load_table(spark, sf_dir, "embeddings")
-    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
-    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
-    )
-    assigned = _assign_nearest(emb, cent)
-    for _ in range(KMEANS_ITERS - 1):
-        cent = _recompute_centroids(assigned)
-        assigned = _assign_nearest(emb, cent)
+    assigned = _kmeans_assigned(spark, sf_dir)
     from pgsf_spark.analytics.oracle_utils import davg
 
     return assigned.groupBy("cluster").agg(
