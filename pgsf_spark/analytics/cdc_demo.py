@@ -109,3 +109,60 @@ def q_continuous_agg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+def q_ivm_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-join IVM, end-to-end, as an oracle gate: bootstrap the
+    revenue-by-nation join view from the FIRST HALF of orders (by
+    o_orderdate), then refresh() over the full table -- only the delta
+    joins and aggregates; the additive DECIMAL merge folds it into the
+    stored view through one atomic flip. The oracle is the plain full
+    join-aggregate over all orders, so the hash proves
+    incremental-maintenance == full-recompute (the invariant that makes
+    O(new data) view refreshes trustworthy at 100 TB).
+
+    Runs in a throwaway store; result localCheckpointed past the cleanup.
+    See operators/incremental_join_agg.py for the maintenance algebra."""
+    import shutil
+    import tempfile
+
+    from pgsf_spark.operators.incremental_join_agg import IncrementalJoinAggregate
+    from pgsf_spark.operators.table_store import TableStore
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    lo, hi = o.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    cutover = (lo + (hi - lo) / 2).replace(microsecond=0)
+    phase = {"full": False}
+
+    def fact_fn() -> DataFrame:
+        return o if phase["full"] else o.filter(F.col("o_orderdate") <= F.lit(cutover))
+
+    tmp = tempfile.mkdtemp(prefix="pgsf_ivm_gate_")
+    try:
+        ivm = IncrementalJoinAggregate(
+            spark,
+            TableStore(spark, f"{tmp}/store"),
+            "rev_by_nation_gate",
+            fact_fn=fact_fn,
+            dim_fn=lambda: c.withColumnRenamed("c_custkey", "o_custkey"),
+            on="o_custkey",
+            ts_col="o_orderdate",
+            group_cols=("c_nationkey",),
+            aggs={"n_orders": "count(1)", "revenue": "sum(CAST(o_totalprice AS DECIMAL(27,4)))"},
+        )
+        ivm.bootstrap()
+        phase["full"] = True
+        ivm.refresh()
+        out = (
+            ivm.read()
+            .select(
+                F.col("c_nationkey").cast("int").alias("nationkey"),
+                "n_orders",
+                F.round(F.col("revenue").cast("double"), 4).alias("revenue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out

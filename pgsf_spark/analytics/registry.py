@@ -1691,6 +1691,13 @@ SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
 FROM active JOIN cohort USING (user_id)
 GROUP BY 1, 2""",
     ),
+    "ivm_join_gate": QuerySpec(
+        cdc_demo.q_ivm_join_gate,
+        """SELECT CAST(c_nationkey AS INT) AS nationkey, COUNT(*) AS n_orders,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1""",
+    ),
     "brand_pareto_frontier": QuerySpec(
         relational.q_brand_pareto_frontier,
         """WITH d AS (
@@ -2664,9 +2671,9 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # quality_classifier_gate, doc_perplexity, dsir_weights, k_anonymity_audit,
 # dp_segment_counts, ann_ndcg_gate, bucketed_join_gate, and the late-round-4
 # additions event_transitions, hourly_gap_interpolation, repeated_passages,
-# bigram_lift, semantic_dedup, brand_pareto_frontier, join_key_skew (plus
-# any queries below this comment added after them). All pass verify_local
-# at sf0.01 and sf0.001.
+# bigram_lift, semantic_dedup, brand_pareto_frontier, join_key_skew,
+# ivm_join_gate (plus any queries below this comment added after them).
+# All pass verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",
