@@ -614,3 +614,130 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
         .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))))
         .select("media_id", "frame_idx", F.lit(None).cast("binary").alias("frame_content"))
     )
+
+
+# --- perceptual image dedup (average hash) --------------------------------
+
+AHASH_GRID = 8  # 8x8 sample grid -> 64-bit hash, stored as two 32-bit halves
+AHASH_TAU = 3  # max Hamming distance for a near-dup pair
+AHASH_BANDS = 4  # 16-bit bands; tau < bands => pigeonhole-complete recall
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: nearest-neighbor
+    sample an 8x8 luma grid (same ``src = dst * size // out`` arithmetic as
+    resize_images), threshold each cell against the grid mean, pack the 64
+    bits as two 32-bit halves (``ahash_hi``, ``ahash_lo`` -- kept split so
+    every downstream engine does exact BIGINT math with no sign-bit edge).
+
+    All integer arithmetic: luma is the raw channel sum (no /3, no floats)
+    and the threshold compares ``luma * 64 > total`` -- bit-exact in any
+    engine and invariant to channel count normalization. Runs in
+    mapInPandas: bytes stay executor-side, one decode per image."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("ahash_hi", LongType(), True),
+            StructField("ahash_lo", LongType(), True),
+        ]
+    )
+    g = AHASH_GRID
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, ch, px = decode_png(bytes(content))
+                nc = min(ch, 3)  # RGBA: alpha excluded from luma
+                luma = []
+                for by in range(g):
+                    y = by * h // g
+                    for bx in range(g):
+                        x = bx * w // g
+                        base = (y * w + x) * ch
+                        luma.append(sum(px[base : base + nc]))
+                total = sum(luma)
+                n = g * g
+                hi = lo = 0
+                for k, v in enumerate(luma):
+                    if v * n > total:
+                        if k < 32:
+                            lo |= 1 << k
+                        else:
+                            hi |= 1 << (k - 32)
+                out.append((int(mid), hi, lo))
+            yield pd.DataFrame(out, columns=["media_id", "ahash_hi", "ahash_lo"])
+
+    return media.mapInPandas(run, schema)
+
+
+def ahash_near_dup_pairs(hashes: DataFrame, tau: int = AHASH_TAU) -> DataFrame:
+    """Banded Hamming join over aHash signatures: split the 64 bits into
+    AHASH_BANDS 16-bit bands; any pair within Hamming tau (< bands) shares
+    at least one identical band (pigeonhole), so the band equi-join has
+    PERFECT recall while never forming the quadratic cross product --
+    the image-side twin of simhash_near_dup. Exact Hamming verification
+    (two XOR+popcounts, JVM built-ins) runs on candidates only."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("ahash_lo" if i < 2 else "ahash_hi"), (i % 2) * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for i in range(AHASH_BANDS)
+        ]
+    )
+    b = hashes.select("media_id", "ahash_hi", "ahash_lo", F.explode(bands).alias("bv")).select(
+        "media_id", "ahash_hi", "ahash_lo", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+    a_side = b.select(
+        F.col("media_id").alias("ka"),
+        F.col("ahash_hi").alias("hi_a"),
+        F.col("ahash_lo").alias("lo_a"),
+        "band",
+        "val",
+    )
+    b_side = b.select(
+        F.col("media_id").alias("kb"),
+        F.col("ahash_hi").alias("hi_b"),
+        F.col("ahash_lo").alias("lo_b"),
+        "band",
+        "val",
+    )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        a_side.join(b_side, ["band", "val"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select("ka", "kb", ham.alias("hamming"))
+        .filter(F.col("hamming") <= tau)
+        .distinct()
+    )
+
+
+def q_image_ahash_neardup(spark, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection, decode to verdict: synthesize
+    gradient PNGs (real encoder), aHash them from REAL decoded pixels, and
+    find near-dup pairs with the banded Hamming join. The DuckDB oracle
+    reproduces the hashes arithmetically from the gradient's closed form
+    and verifies pairs by brute force -- so the driver hash gates the
+    whole chain: PNG codec, sampling arithmetic, bit packing, and the
+    pigeonhole join's perfect recall."""
+    ids = _gate_ids(spark, sf_dir)
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = 16 + m % 32, 16 + (m * 7) % 32
+                rows.append((m, "image", make_synthetic_png(w, h), None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    media = ids.mapInPandas(build, MEDIA_SCHEMA)
+    pairs = ahash_near_dup_pairs(image_ahash(media))
+    return pairs.orderBy("ka", "kb")

@@ -1691,6 +1691,31 @@ SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
 FROM active JOIN cohort USING (user_id)
 GROUP BY 1, 2""",
     ),
+    "image_ahash_neardup": QuerySpec(
+        multimodal.q_image_ahash_neardup,
+        f"""WITH ids AS (
+  SELECT doc_id AS media_id, 16 + (doc_id % 32) AS w, 16 + ((doc_id*7) % 32) AS h
+  FROM documents WHERE doc_id < {multimodal._GATE_DOCS}),
+cells AS (
+  SELECT media_id, k.range AS k,
+    ((((k.range // 8) * h // 8) % 256) + 3 * ((k.range % 8) * w // 8) + 0) % 256
+  + ((((k.range // 8) * h // 8) % 256) + 3 * ((k.range % 8) * w // 8) + 1) % 256
+  + ((((k.range // 8) * h // 8) % 256) + 3 * ((k.range % 8) * w // 8) + 2) % 256 AS luma
+  FROM ids, range(0, 64) k),
+tot AS (SELECT media_id, SUM(luma) AS total FROM cells GROUP BY 1),
+hashes AS (
+  SELECT c.media_id,
+    CAST(SUM(CASE WHEN c.luma * 64 > t.total AND c.k >= 32
+             THEN (1::BIGINT << CAST(c.k - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+    CAST(SUM(CASE WHEN c.luma * 64 > t.total AND c.k < 32
+             THEN (1::BIGINT << CAST(c.k AS INT)) ELSE 0 END) AS BIGINT) AS lo
+  FROM cells c JOIN tot t USING (media_id) GROUP BY c.media_id)
+SELECT a.media_id AS ka, b.media_id AS kb,
+  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= {multimodal.AHASH_TAU}
+ORDER BY ka, kb""",
+    ),
     "ivm_join_gate": QuerySpec(
         cdc_demo.q_ivm_join_gate,
         """SELECT CAST(c_nationkey AS INT) AS nationkey, COUNT(*) AS n_orders,
@@ -2672,8 +2697,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # dp_segment_counts, ann_ndcg_gate, bucketed_join_gate, and the late-round-4
 # additions event_transitions, hourly_gap_interpolation, repeated_passages,
 # bigram_lift, semantic_dedup, brand_pareto_frontier, join_key_skew,
-# ivm_join_gate (plus any queries below this comment added after them).
-# All pass verify_local at sf0.01 and sf0.001.
+# ivm_join_gate, image_ahash_neardup (plus any queries below this comment
+# added after them). All pass verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

@@ -278,3 +278,66 @@ class TestMapInPandas:
         # video #4: 5000 bytes -> 6 stub frames, sampled every 2 -> 3 rows
         assert {f["media_id"] for f in frames} == {4}
         assert [f["frame_idx"] for f in frames] == [0, 2, 4]
+
+
+class TestImageAhash:
+    def _hash_of(self, spark, pngs):
+        from pgsf_spark.analytics.multimodal import MEDIA_SCHEMA, image_ahash
+
+        rows = [(i, "image", p, None, None, None, None) for i, p in enumerate(pngs)]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        return {r["media_id"]: (r["ahash_hi"], r["ahash_lo"]) for r in image_ahash(df).collect()}
+
+    def test_identical_images_identical_hash(self, spark):
+        from pgsf_spark.analytics.multimodal import make_synthetic_png
+
+        h = self._hash_of(spark, [make_synthetic_png(40, 30), make_synthetic_png(40, 30)])
+        assert h[0] == h[1]
+
+    def test_hash_survives_resize(self, spark):
+        """The perceptual property: aHash of an image and of its 2x
+        downsample agree within a small Hamming distance -- byte-level
+        fingerprints (md5) share zero structure under the same edit."""
+        from pgsf_spark.analytics.multimodal import (
+            MEDIA_SCHEMA,
+            image_ahash,
+            make_synthetic_png,
+            resize_images,
+        )
+
+        orig = spark.createDataFrame(
+            [(0, "image", make_synthetic_png(64, 48), None, None, None, None)], MEDIA_SCHEMA
+        )
+        small = resize_images(orig, 32, 24)
+        h0 = image_ahash(orig).collect()[0]
+        h1 = image_ahash(small).collect()[0]
+        ham = bin((h0["ahash_hi"] ^ h1["ahash_hi"]) & 0xFFFFFFFF).count("1") + bin(
+            (h0["ahash_lo"] ^ h1["ahash_lo"]) & 0xFFFFFFFF
+        ).count("1")
+        assert ham <= 6  # 64-bit hash: random pair expects ~32
+
+    def test_banded_join_recall_is_exact(self, spark):
+        """Pigeonhole guarantee: the banded join finds exactly the pairs a
+        brute-force Hamming scan finds at tau < bands."""
+        import itertools
+
+        from pgsf_spark.analytics.multimodal import (
+            AHASH_TAU,
+            MEDIA_SCHEMA,
+            ahash_near_dup_pairs,
+            image_ahash,
+            make_synthetic_png,
+        )
+
+        pngs = [make_synthetic_png(16 + m, 16 + (m * 3) % 17) for m in range(20)]
+        rows = [(i, "image", p, None, None, None, None) for i, p in enumerate(pngs)]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        hashes = image_ahash(df).localCheckpoint()
+        got = {(r["ka"], r["kb"]) for r in ahash_near_dup_pairs(hashes).collect()}
+        hs = {r["media_id"]: (r["ahash_hi"] << 32) | (r["ahash_lo"] & 0xFFFFFFFF) for r in hashes.collect()}
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(hs), 2)
+            if bin(hs[a] ^ hs[b]).count("1") <= AHASH_TAU
+        }
+        assert got == want
