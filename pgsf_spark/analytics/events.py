@@ -395,3 +395,50 @@ def q_decayed_user_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+ATTRIBUTION_WINDOW_SEC = 1800
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase is credited to the
+    user's most recent non-purchase event within ATTRIBUTION_WINDOW_SEC,
+    else to 'direct' -- the marketing-analytics pass that turns an event
+    stream into channel revenue.
+
+    One window pass per user (shuffle on user_id only): the last preceding
+    touch and its timestamp come from two last(ignorenulls) frames ending
+    1 ROW BEFORE the purchase (self-excluded), so a purchase can never
+    attribute to itself or to a later event; microsecond-exact integer
+    timestamps gate the lookback window. The channel rollup then aggregates
+    on a key space bounded by |event_types|+1."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    touch_type = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", ep)
+    flagged = ev.select(
+        "event_type",
+        "value",
+        ep.alias("ep"),
+        F.last(touch_type, ignorenulls=True).over(w).alias("lt"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("lt_ts"),
+    )
+    attributed = flagged.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("lt").isNotNull()
+            & (F.col("ep") - F.col("lt_ts") <= ATTRIBUTION_WINDOW_SEC * 1_000_000),
+            F.col("lt"),
+        )
+        .otherwise(F.lit("direct"))
+        .alias("channel"),
+        "value",
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(dsum(F.col("value")), 4).alias("revenue"),
+    )

@@ -104,3 +104,40 @@ def q_dp_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 4).alias("noise"),
         F.round(F.col("true_count") + noise, 4).alias("released_count"),
     ).orderBy("segment")
+
+
+PSEUD_SEED = "pseud-r4"  # tokenization key; a secret in production
+PSEUD_LEN = 16  # hex chars kept per token (64 bits)
+
+
+def q_pseudonymize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization with referential integrity: direct
+    identifiers (name, phone) are replaced by keyed-hash tokens
+    (md5(seed || pk), truncated) -- the de-identification pass run before
+    a corpus with user data leaves its trust boundary. Deterministic
+    tokens keep JOINS working: the same entity gets the same token in
+    every table and every run, so downstream analytics are unchanged
+    while raw identifiers never leave the scan projection.
+
+    The gate emits a per-nation audit: row count, distinct tokens
+    (= rows proves collision-free tokenization at this scale), and a
+    positional checksum over tokens (order-insensitive sum of md5-derived
+    ints) so the driver hash pins the exact token values. One keyed
+    shuffle; the token is a scan-side projection -- at 100 TB this runs
+    at I/O speed with zero joins."""
+    c = load_table(spark, sf_dir, "customer")
+    token = F.substring(
+        F.md5(F.concat(F.lit(PSEUD_SEED + ":"), F.col("c_custkey").cast("string"))),
+        1,
+        PSEUD_LEN,
+    )
+    pseud = c.select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        token.alias("token"),
+    )
+    tok_int = F.conv(F.substring("token", 1, 8), 16, 10).cast("bigint")
+    return pseud.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("token").alias("n_tokens"),
+        F.sum(tok_int).alias("token_checksum"),
+    )

@@ -1691,6 +1691,50 @@ SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
 FROM active JOIN cohort USING (user_id)
 GROUP BY 1, 2""",
     ),
+    "pseudonymize_gate": QuerySpec(
+        privacy.q_pseudonymize_gate,
+        f"""WITH p AS (
+  SELECT CAST(c_nationkey AS INT) AS nationkey,
+    substr(md5('{privacy.PSEUD_SEED}:' || CAST(c_custkey AS VARCHAR)), 1, {privacy.PSEUD_LEN}) AS token
+  FROM customer)
+SELECT nationkey, COUNT(*) AS n, COUNT(DISTINCT token) AS n_tokens,
+  CAST(SUM(('0x' || substr(token, 1, 8))::BIGINT) AS BIGINT) AS token_checksum
+FROM p GROUP BY 1""",
+    ),
+    "last_touch_attribution": QuerySpec(
+        events.q_last_touch_attribution,
+        f"""WITH f AS (
+  SELECT event_type, value, epoch_us(ts) AS ep,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+    last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt_ts
+  FROM events),
+a AS (
+  SELECT CASE WHEN lt IS NOT NULL
+            AND ep - lt_ts <= {events.ATTRIBUTION_WINDOW_SEC} * 1000000
+          THEN lt ELSE 'direct' END AS channel, value
+  FROM f WHERE event_type = 'purchase')
+SELECT channel, COUNT(*) AS n_purchases,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE), 4) AS revenue
+FROM a GROUP BY 1""",
+    ),
+    "basket_lift": QuerySpec(
+        relational.q_basket_lift,
+        f"""WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS n_ab
+  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {relational.BASKET_MIN_SUPPORT}),
+m AS (SELECT l_partkey, COUNT(*) AS n_orders FROM i GROUP BY 1),
+t AS (SELECT COUNT(DISTINCT l_orderkey) AS n_total FROM i)
+SELECT pa, pb, n_ab, ma.n_orders AS n_a, mb.n_orders AS n_b,
+  ROUND(CAST(n_ab * n_total AS DOUBLE) / (ma.n_orders * mb.n_orders), 4) AS lift
+FROM p JOIN m ma ON p.pa = ma.l_partkey JOIN m mb ON p.pb = mb.l_partkey, t
+ORDER BY lift DESC, pa, pb LIMIT {relational.BASKET_TOP}""",
+    ),
     "image_ahash_neardup": QuerySpec(
         multimodal.q_image_ahash_neardup,
         f"""WITH ids AS (
@@ -2697,8 +2741,9 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # dp_segment_counts, ann_ndcg_gate, bucketed_join_gate, and the late-round-4
 # additions event_transitions, hourly_gap_interpolation, repeated_passages,
 # bigram_lift, semantic_dedup, brand_pareto_frontier, join_key_skew,
-# ivm_join_gate, image_ahash_neardup (plus any queries below this comment
-# added after them). All pass verify_local at sf0.01 and sf0.001.
+# ivm_join_gate, image_ahash_neardup, basket_lift, last_touch_attribution,
+# pseudonymize_gate (plus any queries below this comment added after
+# them). All pass verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

@@ -765,3 +765,48 @@ def q_brand_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier.select(
         "p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "p_size"
     )
+
+
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP = 20
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-purchased in the same order,
+    scored by lift = P(a,b) / (P(a) P(b)) over the order universe -- the
+    co-occurrence statistic behind "frequently bought together" and
+    item-item collaborative filtering.
+
+    Plan: the distinct (order, part) relation self-joins on l_orderkey --
+    per-key fan-out is bounded by basket size (~items-per-order choose 2),
+    never corpus-quadratic; marginals are one keyed agg of the same
+    relation broadcast back onto the pair aggregate. All lift factors are
+    exact BIGINTs; one IEEE division at the end (no libm), same bit in
+    every engine. Top-N is TakeOrderedAndProject. At 100 TB the only
+    watch-item is a mega-basket (one order with 10^5 items); cap basket
+    size upstream or salt that key -- the join key is l_orderkey, so AQE
+    skew splitting already covers moderate cases."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    marg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    n_orders_total = items.agg(F.countDistinct("l_orderkey").alias("n_total"))
+    ma = marg.select(F.col("l_partkey").alias("pa"), F.col("n_orders").alias("n_a"))
+    mb = marg.select(F.col("l_partkey").alias("pb"), F.col("n_orders").alias("n_b"))
+    lift = F.col("n_ab") * F.col("n_total") / (F.col("n_a") * F.col("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "pa")
+        .join(F.broadcast(mb), "pb")
+        .crossJoin(F.broadcast(n_orders_total))
+        .select("pa", "pb", "n_ab", "n_a", "n_b", F.round(lift, 4).alias("lift"))
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(BASKET_TOP)
+    )
