@@ -536,6 +536,55 @@ class TableStore:
         ).filter(F.col("_change_type").isNotNull())
         return tagged.select(pk, "_change_type", *cols)
 
+    def rollback(self, table: str, version: str | None = None) -> str:
+        """Delta RESTORE semantics: repoint the table at an earlier
+        version's data by publishing a NEW version that hardlink-carries
+        it -- the rollback is itself an auditable history event (the
+        restored-to version stays retained, the bad version stays
+        inspectable, vacuum TTLs apply uniformly), exactly how Delta's
+        RESTORE writes a new commit instead of rewinding the log.
+
+        Defaults to the version immediately before the current one. Data
+        files carry by hardlink (O(1) per file, byte-identical inodes);
+        version-level metadata (_MANIFEST.json, _STATS.json) is rebuilt
+        fresh -- hardlinking it would alias inodes with the source version
+        and truncate ITS metadata at publish time."""
+        versions = self.versions(table)
+        cur_path = self.current_version_path(table)
+        cur = os.path.basename(cur_path) if cur_path else ""
+        if version is None:
+            prior = [v for v in versions if v < cur]  # v{ms}_{pid}: lexicographic == temporal
+            if not prior:
+                raise ValueError(f"table {table!r} has no version before {cur!r} to roll back to")
+            version = prior[-1]
+        src = os.path.join(self._tdir(table), version)
+        if not os.path.isdir(src):
+            raise FileNotFoundError(f"{table}@{version} not found (vacuumed?)")
+        prev_manifest = self.manifest(table, version)
+        new_version = f"v{int(time.time() * 1000)}_{os.getpid()}"
+        path = os.path.join(self._tdir(table), new_version)
+        os.makedirs(path)
+        meta_files = {"_MANIFEST.json", _STATS_NAME}
+        for name in os.listdir(src):
+            if name in meta_files:
+                continue
+            s, d = os.path.join(src, name), os.path.join(path, name)
+            if os.path.isdir(s):
+                _link_tree(s, d)
+            else:
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+        carried = {
+            k: v
+            for k, v in prev_manifest.items()
+            if k not in ("table", "version", "written_at", "schema", "op")
+        }
+        carried.update({"op": "rollback", "restored_from": version, "rolled_back_from": cur})
+        self._publish(table, new_version, path, prev_manifest.get("schema"), carried)
+        return path
+
     def compact(
         self,
         table: str,

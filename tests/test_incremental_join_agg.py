@@ -120,3 +120,30 @@ class TestIncrementalJoinAggregate:
         inc = {k: v[1] for k, v in view_dict(ivm.read()).items()}
         full = {k: v[1] for k, v in full_recompute(ivm).items()}
         assert inc == full  # exact equality, no tolerance
+
+
+class TestStreamingDrivenIvm:
+    def test_foreachbatch_stream_triggers_refresh(self, ivm_env, tmp_path):
+        """Structured-Streaming integration: the change feed is a file
+        stream and each micro-batch triggers one delta refresh -- the
+        stream is the scheduler (C2), the manifest watermark stays the
+        exactly-once guard (C3), and the final view equals a full
+        recompute."""
+        ivm, append, spark = ivm_env
+        ivm.bootstrap()
+        append(BATCH2, "append")
+        append(BATCH3, "append")
+        feed = (
+            spark.readStream.schema(FACT_SCHEMA)
+            .parquet(str(tmp_path / "fact.parquet"))
+        )
+        q = (
+            feed.writeStream.foreachBatch(lambda b, eid: ivm.refresh())
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert view_dict(ivm.read()) == full_recompute(ivm)
+        # nation 10 serves custkeys 1 and 2: orders 100, 101, 103, 105, 106
+        assert view_dict(ivm.read())[10] == (5, 38.5)

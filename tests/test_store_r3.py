@@ -257,3 +257,49 @@ class TestParallelCarry:
             if fn.endswith(".parquet")
         )
         assert got == want and len(want) == 280
+
+
+class TestRollback:
+    def test_rollback_restores_previous_data(self, spark, tmp_store):
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        df2 = spark.createDataFrame([(1, "a"), (3, "c"), (4, "d")], "id long, v string")
+        tmp_store.write(df1, "t")
+        tmp_store.write(df2, "t")
+        assert tmp_store.read("t").count() == 3
+        tmp_store.rollback("t")
+        got = sorted((r["id"], r["v"]) for r in tmp_store.read("t").collect())
+        assert got == [(1, "a"), (2, "b")]
+
+    def test_rollback_is_a_new_auditable_version(self, spark, tmp_store):
+        df1 = spark.createDataFrame([(1,)], "id long")
+        df2 = spark.createDataFrame([(2,)], "id long")
+        tmp_store.write(df1, "t")
+        tmp_store.write(df2, "t")
+        v_before = tmp_store.versions("t")
+        tmp_store.rollback("t")
+        vs = tmp_store.versions("t")
+        assert len(vs) == len(v_before) + 1  # restore commits, never rewinds
+        m = tmp_store.manifest("t")
+        assert m["op"] == "rollback"
+        assert m["restored_from"] == v_before[0]
+        assert m["rolled_back_from"] == v_before[1]
+        # source version's own manifest is untouched (no inode aliasing)
+        assert tmp_store.manifest("t", v_before[0]).get("op") != "rollback"
+
+    def test_rollback_to_named_version_with_partitions(self, spark, tmp_store):
+        df1 = spark.createDataFrame([(1, "x"), (2, "y")], "id long, part string")
+        df2 = spark.createDataFrame([(9, "z")], "id long, part string")
+        tmp_store.write(df1, "t", partition_by=["part"])
+        tmp_store.write(df2, "t", partition_by=["part"])
+        v0 = tmp_store.versions("t")[0]
+        tmp_store.rollback("t", version=v0)
+        assert sorted(r["id"] for r in tmp_store.read("t").collect()) == [1, 2]
+        # partition metadata carried through the restore
+        assert tmp_store.partition_info("t")["partition_by"] == ["part"]
+
+    def test_rollback_without_history_raises(self, spark, tmp_store):
+        import pytest as _pytest
+
+        tmp_store.write(spark.createDataFrame([(1,)], "id long"), "t")
+        with _pytest.raises(ValueError):
+            tmp_store.rollback("t")
