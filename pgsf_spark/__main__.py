@@ -57,7 +57,41 @@ def main(argv: list[str] | None = None) -> int:
     cb = sub.add_parser("corpus-build")
     cb.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     cb.add_argument("--table", default="training_manifest")
+    ex = sub.add_parser("explain")
+    ex.add_argument("query")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument("--full", action="store_true")
     args = p.parse_args(argv)
+
+    if args.cmd == "explain":
+        # plan audit: the shuffle/broadcast/pushdown numbers PERF.md reasons
+        # about and tests/test_plans.py asserts, as an operator-level tool
+        from pgsf_spark.analytics.registry import QUERIES
+        from pgsf_spark.session import get_spark
+
+        if args.query not in QUERIES:
+            print(json.dumps({"error": f"unknown query {args.query!r}"}))
+            return 2
+        spark = get_spark("pgsf_spark_explain")
+        df = QUERIES[args.query].fn(spark, args.sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        audit = {
+            "query": args.query,
+            "shuffle_exchanges": plan.count("Exchange hashpartitioning"),
+            "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+            "sort_merge_joins": plan.count("SortMergeJoin"),
+            "wholestage_codegen_spans": plan.count("WholeStageCodegen"),
+            "pushed_filter_scans": plan.count("PushedFilters: [")
+            - plan.count("PushedFilters: []"),
+            "cartesian_product": "CartesianProduct" in plan,
+            "python_row_udfs": "BatchEvalPython" in plan,
+            "arrow_pandas_stages": plan.count("MapInPandas") + plan.count("ArrowEvalPython"),
+        }
+        print(json.dumps(audit))
+        if args.full:
+            print(df._jdf.queryExecution().explainString("formatted"), file=sys.stderr)
+        spark.stop()
+        return 0
 
     if args.cmd == "verify":
         # correctness tool: registry queries vs their DuckDB oracles

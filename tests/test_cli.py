@@ -86,3 +86,23 @@ class TestCorpusBuildCli:
         if store_dir.exists():
             hive_dirs = list(store_dir.rglob("split=*"))
             assert hive_dirs, "expected hive split=... partition dirs"
+
+
+class TestExplainCommand:
+    def test_explain_emits_plan_audit(self, capsys):
+        import json
+
+        from pgsf_spark.__main__ import main
+
+        rc = main(["explain", "revenue_by_nation"])
+        assert rc == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["query"] == "revenue_by_nation"
+        assert out["broadcast_hash_joins"] >= 1
+        assert out["cartesian_product"] is False
+        assert out["python_row_udfs"] is False
+
+    def test_explain_unknown_query(self, capsys):
+        from pgsf_spark.__main__ import main
+
+        assert main(["explain", "no_such_query"]) == 2
