@@ -442,3 +442,50 @@ def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(dsum(F.col("value")), 4).alias("revenue"),
     )
+
+
+SCD2_OPEN_END = "9999-12-31 00:00:00"  # open interval sentinel (SCD2 convention)
+
+
+def q_event_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 interval build (gaps-and-islands): collapse each user's event
+    timeline into runs of the same event_type and emit one validity
+    interval per run -- the type-2 dimension construction that turns a
+    change stream into a point-in-time joinable state table (the reference
+    replicates current state only; this derives history alongside it).
+
+    Classic two-window pass, both over the same user_id partitioning (one
+    shuffle, exchange reused): a lag() change flag, a running sum to number
+    islands, then per-island min(ts) with the next island's start as the
+    exclusive end (open intervals get the standard 9999-12-31 sentinel,
+    which also keeps the hash null-free). Ties broken by event_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    ).withColumn("island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    runs = flagged.groupBy("user_id", "island").agg(
+        F.min("ts").alias("vf"),
+        F.first("event_type").alias("state"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wi = Window.partitionBy("user_id").orderBy("island")
+    return runs.select(
+        "user_id",
+        "state",
+        "n_events",
+        F.date_format("vf", TS_FMT).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("vf").over(wi), TS_FMT), F.lit(SCD2_OPEN_END)
+        ).alias("valid_to"),
+    )

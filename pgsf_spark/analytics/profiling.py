@@ -538,3 +538,48 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("top_freq") / F.col("n_rows"), 4).alias("top10_share"),
         )
     )
+
+
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit over the whole star schema: for every FK
+    relationship, how many child rows reference a missing parent -- the
+    first data-quality gate any warehouse load runs (the engine's replica
+    tables have no FK enforcement, like every lake store, so integrity is
+    checked, not declared).
+
+    Each relationship is one LEFT ANTI join counting orphans; parent key
+    sets are dimension-sized and broadcast (plan: zero shuffles for the
+    dim-keyed checks; the lineitem->orders check joins two fact-scale key
+    projections and AQE picks the strategy). The per-relationship counts
+    union into one audit row each -- at 100 TB each check is a scan plus
+    a broadcast probe, all independent and pipelined in one job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    def check(name, child, fk, parent, pk):
+        orphans = child.select(F.col(fk).alias("k")).join(
+            parent.select(F.col(pk).alias("k")).distinct(), "k", "left_anti"
+        )
+        return child.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).alias("n_child_rows"),
+        ).crossJoin(F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_orphans"))))
+
+    checks = [
+        check("orders.custkey->customer", o, "o_custkey", c, "c_custkey"),
+        check("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        check("lineitem.partkey->part", li, "l_partkey", p, "p_partkey"),
+        check("lineitem.suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+        check("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+        check("supplier.nationkey->nation", s, "s_nationkey", n, "n_nationkey"),
+        check("nation.regionkey->region", n, "n_regionkey", r, "r_regionkey"),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.unionByName(ch)
+    return out

@@ -1691,6 +1691,43 @@ SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
 FROM active JOIN cohort USING (user_id)
 GROUP BY 1, 2""",
     ),
+    "event_state_intervals": QuerySpec(
+        events.q_event_state_intervals,
+        f"""WITH f AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+         THEN 1 ELSE 0 END AS chg
+  FROM events),
+i AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f),
+r AS (
+  SELECT user_id, island, MIN(ts) AS vf, MIN(event_type) AS state, COUNT(*) AS n_events
+  FROM i GROUP BY 1, 2)
+SELECT user_id, state, n_events, strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+  COALESCE(strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY island), '%Y-%m-%d %H:%M:%S'),
+           '{events.SCD2_OPEN_END}') AS valid_to
+FROM r""",
+    ),
+    "referential_integrity_audit": QuerySpec(
+        profiling.q_referential_integrity_audit,
+        """SELECT 'orders.custkey->customer' AS relationship,
+  (SELECT COUNT(*) FROM orders) AS n_child_rows,
+  (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+UNION ALL SELECT 'lineitem.orderkey->orders', (SELECT COUNT(*) FROM lineitem),
+  (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL SELECT 'lineitem.partkey->part', (SELECT COUNT(*) FROM lineitem),
+  (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL SELECT 'lineitem.suppkey->supplier', (SELECT COUNT(*) FROM lineitem),
+  (SELECT COUNT(*) FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+UNION ALL SELECT 'customer.nationkey->nation', (SELECT COUNT(*) FROM customer),
+  (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+UNION ALL SELECT 'supplier.nationkey->nation', (SELECT COUNT(*) FROM supplier),
+  (SELECT COUNT(*) FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))
+UNION ALL SELECT 'nation.regionkey->region', (SELECT COUNT(*) FROM nation),
+  (SELECT COUNT(*) FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))""",
+    ),
     "pseudonymize_gate": QuerySpec(
         privacy.q_pseudonymize_gate,
         f"""WITH p AS (
@@ -2742,8 +2779,9 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # additions event_transitions, hourly_gap_interpolation, repeated_passages,
 # bigram_lift, semantic_dedup, brand_pareto_frontier, join_key_skew,
 # ivm_join_gate, image_ahash_neardup, basket_lift, last_touch_attribution,
-# pseudonymize_gate (plus any queries below this comment added after
-# them). All pass verify_local at sf0.01 and sf0.001.
+# pseudonymize_gate, referential_integrity_audit, event_state_intervals
+# (plus any queries below this comment added after them). All pass
+# verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",
