@@ -132,11 +132,15 @@ def q_ivm_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     lo, hi = o.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
-    cutover = (lo + (hi - lo) / 2).replace(microsecond=0)
+    # empty source: no cutover to split on -- bootstrap sees the (empty)
+    # full table and refresh is the exact no-op the operator guarantees
+    cutover = (lo + (hi - lo) / 2).replace(microsecond=0) if lo is not None else None
     phase = {"full": False}
 
     def fact_fn() -> DataFrame:
-        return o if phase["full"] else o.filter(F.col("o_orderdate") <= F.lit(cutover))
+        if phase["full"] or cutover is None:
+            return o
+        return o.filter(F.col("o_orderdate") <= F.lit(cutover))
 
     tmp = tempfile.mkdtemp(prefix="pgsf_ivm_gate_")
     try:

@@ -55,6 +55,21 @@ REPRESENTATIVE = [
     "dp_segment_counts",  # noisy release of zero segments
     "ann_ndcg_gate",  # ranking eval with empty ANN and exact lists
     "bucketed_join_gate",  # bucketed catalog write + join of zero rows
+    # round-4 second continued session
+    "event_transitions",  # lead window over zero events
+    "hourly_gap_interpolation",  # spine from null min/max bounds
+    "repeated_passages",  # closed n-grams of an empty corpus
+    "bigram_lift",  # marginal totals of zero tokens
+    "semantic_dedup",  # k-means seeded from zero vectors
+    "brand_pareto_frontier",  # skyline windows over zero parts
+    "join_key_skew",  # quantiles of an empty key-frequency table
+    "ivm_join_gate",  # bootstrap + refresh over zero orders
+    "image_ahash_neardup",  # banded join over zero images
+    "basket_lift",  # basket self-join over zero lineitems
+    "last_touch_attribution",  # lookback windows over zero purchases
+    "pseudonymize_gate",  # token audit of zero customers
+    "referential_integrity_audit",  # anti-joins of empty parents/children
+    "event_state_intervals",  # islands over an empty timeline
 ]
 
 
