@@ -594,3 +594,77 @@ def q_bucketed_join_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("custkey").alias("n_customers"),
         F.round(dsum(F.col("o_totalprice")), 2).alias("revenue"),
     )
+
+
+def q_asof_next_purchase_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every click, the next purchase strictly
+    after it by the same user -- the conversion-latency twin of
+    q_asof_click_before_purchase (which looks backward). Forward as-of is
+    the attribution primitive "what did this touch lead to".
+
+    Same scalable shape: tagged union + a `first(purchase_ts, ignorenulls)`
+    window over the FOLLOWING frame -- one shuffle on user_id, no range
+    cross-product. Purchases sort before clicks at identical ts so a
+    same-instant purchase does NOT match (strictly-after semantics),
+    mirrored in the oracle's > join predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("purchase_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts"),
+            F.when(F.col("event_type") == "purchase", 0).otherwise(1),
+            F.col("event_id"),
+        )
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn("next_purchase_ts", F.first("purchase_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.date_format("ts", TS_FMT).alias("click_ts"),
+            F.date_format("next_purchase_ts", TS_FMT).alias("purchase_ts"),
+            (
+                F.col("next_purchase_ts").cast("timestamp").cast("long")
+                - F.col("ts").cast("timestamp").cast("long")
+            ).alias("gap_sec"),
+        )
+    )
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: seconds from each user's FIRST view
+    to their first qualifying purchase (the funnel's stage-3 entry), as
+    exact interpolated quantiles plus mean -- the number a growth team
+    tracks weekly.
+
+    Reuses the funnel's chained conditional-min shape (all shuffles on
+    user_id, exchange reused); the quantile runs over one row per
+    converted user, so the final agg is user-bounded, not event-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = p.join(v, "user_id").select(
+        (F.col("t3").cast("timestamp").cast("long") - F.col("t1").cast("timestamp").cast("long")).alias("sec")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(sec, 0.5)"), 4).alias("p50_sec"),
+        F.round(F.expr("percentile(sec, 0.9)"), 4).alias("p90_sec"),
+        F.max("sec").alias("max_sec"),
+        F.round(F.sum(F.col("sec").cast("decimal(27,4)")).cast("double") / F.count(F.lit(1)), 4).alias("mean_sec"),
+    )

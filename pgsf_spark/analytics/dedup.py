@@ -930,3 +930,48 @@ def q_kcore_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(coalesce(sum(deg), 0) div 2 as bigint)").alias("n_core_edges"),
         F.coalesce(F.max("deg"), F.lit(0)).cast("bigint").alias("max_core_degree"),
     )
+
+
+def q_dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole dedup funnel as ONE hash-green number: corpus size, exact
+    survivors (min doc per content fingerprint), near-dup cluster structure
+    (LSH -> connected components), and the final retained count -- a doc
+    ships iff it is its fingerprint group's representative AND not a
+    non-canonical member of a near-dup cluster. This is the summary row a
+    production corpus build logs per run; the per-stage detail queries
+    (dedup_exact, minhash_lsh_pairs, dedup_clusters, dedup_canonical)
+    remain the drill-downs.
+
+    Plan: the fingerprint agg and the LSH/CC chain are the exact plans of
+    their stage queries (one md5 shuffle; band-bucket equi-join; log-round
+    star contraction); the funnel combines their small outputs with one
+    broadcast anti-join and two scalar aggregates. Nothing rescans the
+    corpus beyond the two stage pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
+    exact_keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    cc = connected_components(lsh_candidate_pairs(lsh_banded(d)))
+    dup_members = cc.filter(F.col("cluster") != F.col("doc_id")).select("doc_id")
+    retained = exact_keep.select("doc_id").join(
+        F.broadcast(dup_members), "doc_id", "left_anti"
+    )
+    stats = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    exact = exact_keep.agg(F.count(F.lit(1)).alias("n_exact_unique"))
+    clusters = cc.agg(
+        F.count(F.lit(1)).alias("n_clustered_docs"),
+        F.countDistinct("cluster").alias("n_clusters"),
+    )
+    kept = retained.agg(F.count(F.lit(1)).alias("n_retained"))
+    return (
+        stats.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(clusters))
+        .crossJoin(F.broadcast(kept))
+        .select(
+            "n_docs",
+            "n_exact_unique",
+            "n_clustered_docs",
+            "n_clusters",
+            "n_retained",
+            F.round(F.col("n_retained") / F.col("n_docs"), 4).alias("retention"),
+        )
+    )

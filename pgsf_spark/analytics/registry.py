@@ -1691,6 +1691,57 @@ SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
 FROM active JOIN cohort USING (user_id)
 GROUP BY 1, 2""",
     ),
+    "asof_next_purchase_after_click": QuerySpec(
+        advanced.q_asof_next_purchase_after_click,
+        f"""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT c.event_id AS click_id, c.user_id,
+  strftime(c.ts, '{_TS_FMT_SQL}') AS click_ts,
+  strftime(p.ts, '{_TS_FMT_SQL}') AS purchase_ts,
+  CAST(FLOOR(epoch(p.ts)) AS BIGINT) - CAST(FLOOR(epoch(c.ts)) AS BIGINT) AS gap_sec
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts > c.ts""",
+    ),
+    "time_to_convert": QuerySpec(
+        advanced.q_time_to_convert,
+        """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN v USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id),
+lat AS (
+  SELECT CAST(FLOOR(epoch(t3)) AS BIGINT) - CAST(FLOOR(epoch(t1)) AS BIGINT) AS sec
+  FROM p JOIN v USING (user_id))
+SELECT COUNT(*) AS n_converted,
+  ROUND(quantile_cont(sec, 0.5), 4) AS p50_sec,
+  ROUND(quantile_cont(sec, 0.9), 4) AS p90_sec,
+  MAX(sec) AS max_sec,
+  ROUND(CAST(SUM(CAST(sec AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*), 4) AS mean_sec
+FROM lat""",
+    ),
+    "dedup_pipeline_summary": QuerySpec(
+        dedup.q_dedup_pipeline_summary,
+        _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + _lsh_banded_sql()
+        + f""",
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+walk(doc, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.reach FROM edges e JOIN walk w ON e.b = w.doc),
+cc AS (SELECT doc AS doc_id, MIN(reach) AS cluster FROM walk GROUP BY doc),
+fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+dup_members AS (SELECT doc_id FROM cc WHERE cluster <> doc_id),
+retained AS (
+  SELECT doc_id FROM exact_keep WHERE doc_id NOT IN (SELECT doc_id FROM dup_members))
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+  (SELECT COUNT(*) FROM exact_keep) AS n_exact_unique,
+  (SELECT COUNT(*) FROM cc) AS n_clustered_docs,
+  (SELECT COUNT(DISTINCT cluster) FROM cc) AS n_clusters,
+  (SELECT COUNT(*) FROM retained) AS n_retained,
+  ROUND((SELECT COUNT(*) FROM retained) / (SELECT COUNT(*) FROM documents), 4) AS retention""",
+    ),
     "event_state_intervals": QuerySpec(
         events.q_event_state_intervals,
         f"""WITH f AS (
@@ -2779,7 +2830,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # additions event_transitions, hourly_gap_interpolation, repeated_passages,
 # bigram_lift, semantic_dedup, brand_pareto_frontier, join_key_skew,
 # ivm_join_gate, image_ahash_neardup, basket_lift, last_touch_attribution,
-# pseudonymize_gate, referential_integrity_audit, event_state_intervals
+# pseudonymize_gate, referential_integrity_audit, event_state_intervals,
+# dedup_pipeline_summary, asof_next_purchase_after_click, time_to_convert
 # (plus any queries below this comment added after them). All pass
 # verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [

@@ -89,20 +89,19 @@ class TestCorpusBuildCli:
 
 
 class TestExplainCommand:
-    def test_explain_emits_plan_audit(self, capsys):
+    def test_explain_emits_plan_audit(self, cli_env):
         import json
 
-        from pgsf_spark.__main__ import main
-
-        rc = main(["explain", "revenue_by_nation"])
+        run = cli_env  # reuses the test session and no-ops spark.stop
+        rc, out = run("explain", "revenue_by_nation")
         assert rc == 0
-        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-        assert out["query"] == "revenue_by_nation"
-        assert out["broadcast_hash_joins"] >= 1
-        assert out["cartesian_product"] is False
-        assert out["python_row_udfs"] is False
+        audit = json.loads(out.strip().splitlines()[-1])
+        assert audit["query"] == "revenue_by_nation"
+        assert audit["broadcast_hash_joins"] >= 1
+        assert audit["cartesian_product"] is False
+        assert audit["python_row_udfs"] is False
 
-    def test_explain_unknown_query(self, capsys):
-        from pgsf_spark.__main__ import main
-
-        assert main(["explain", "no_such_query"]) == 2
+    def test_explain_unknown_query(self, cli_env):
+        run = cli_env
+        rc, _ = run("explain", "no_such_query")
+        assert rc == 2
