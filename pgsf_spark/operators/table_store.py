@@ -536,6 +536,53 @@ class TableStore:
         ).filter(F.col("_change_type").isNotNull())
         return tagged.select(pk, "_change_type", *cols)
 
+    def analyze(self, table: str, cols: list[str] | None = None, rsd: float = 0.05) -> dict:
+        """ANALYZE TABLE: per-column NDV (HLL++ approx_count_distinct),
+        null counts, and row count for the CURRENT version, cached in the
+        version directory (_ANALYZE.json) -- repeated calls are a metadata
+        read, and a new publish naturally invalidates (new directory, no
+        cache). These are the statistics a cost-based join planner feeds
+        on (build-side choice, broadcast thresholds, NDV-based cardinality
+        estimates); Spark's own CBO reads the same numbers from ANALYZE
+        TABLE COMPUTE STATISTICS.
+
+        One scan computes every column's sketch in a single aggregate
+        (partial HLL registers merge map-side, so the shuffle carries one
+        sketch per column per partition -- the mergeable-sketch property
+        that also makes these stats maintainable per-partition at 100 TB).
+        """
+        path = self.current_version_path(table)
+        if path is None:
+            raise FileNotFoundError(f"table {table!r} has no published version")
+        cache = os.path.join(path, "_ANALYZE.json")
+        if os.path.exists(cache):
+            with open(cache) as f:
+                cached = json.load(f)
+            if cols is None or all(c in cached["columns"] for c in cols):
+                return cached
+        df = self.read(table)
+        cols = cols or df.columns
+        from pyspark.sql import functions as F
+
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"__ndv_{c}"))
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"))
+        row = df.agg(*aggs).first()
+        out = {
+            "table": table,
+            "version": os.path.basename(path),
+            "row_count": row["__rows"],
+            "columns": {
+                c: {"ndv": row[f"__ndv_{c}"], "nulls": row[f"__nulls_{c}"]} for c in cols
+            },
+        }
+        tmp = cache + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f)
+        os.replace(tmp, cache)
+        return out
+
     def rollback(self, table: str, version: str | None = None) -> str:
         """Delta RESTORE semantics: repoint the table at an earlier
         version's data by publishing a NEW version that hardlink-carries

@@ -303,3 +303,30 @@ class TestRollback:
         tmp_store.write(spark.createDataFrame([(1,)], "id long"), "t")
         with _pytest.raises(ValueError):
             tmp_store.rollback("t")
+
+
+class TestAnalyze:
+    def test_analyze_reports_ndv_and_caches(self, spark, tmp_store):
+        import json
+        import os
+
+        rows = [(i, f"v{i % 7}", None if i % 5 == 0 else float(i)) for i in range(100)]
+        tmp_store.write(spark.createDataFrame(rows, "id long, cat string, x double"), "t")
+        stats = tmp_store.analyze("t")
+        assert stats["row_count"] == 100
+        assert stats["columns"]["id"]["ndv"] >= 95  # HLL++ within rsd of 100
+        assert stats["columns"]["cat"]["ndv"] == 7
+        assert stats["columns"]["x"]["nulls"] == 20
+        # cached: poison the cache file and confirm the next call reads it
+        cache = os.path.join(tmp_store.current_version_path("t"), "_ANALYZE.json")
+        assert os.path.exists(cache)
+        poisoned = dict(stats, row_count=-1)
+        with open(cache, "w") as f:
+            json.dump(poisoned, f)
+        assert tmp_store.analyze("t")["row_count"] == -1
+
+    def test_new_version_invalidates_stats(self, spark, tmp_store):
+        tmp_store.write(spark.createDataFrame([(1,)], "id long"), "t")
+        assert tmp_store.analyze("t")["row_count"] == 1
+        tmp_store.write(spark.createDataFrame([(1,), (2,)], "id long"), "t")
+        assert tmp_store.analyze("t")["row_count"] == 2  # fresh version, fresh scan
