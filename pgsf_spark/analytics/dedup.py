@@ -972,6 +972,8 @@ def q_dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clustered_docs",
             "n_clusters",
             "n_retained",
-            F.round(F.col("n_retained") / F.col("n_docs"), 4).alias("retention"),
+            # try_divide: empty corpus -> NULL retention, not an ANSI
+            # division-by-zero error
+            F.round(F.try_divide(F.col("n_retained"), F.col("n_docs")), 4).alias("retention"),
         )
     )

@@ -262,6 +262,62 @@ tot AS (SELECT CAST(SUM(qd) AS DOUBLE) AS total_quant_err FROM (
 SELECT n_hits, n_hits / 5.0 AS recall_at_5, total_quant_err FROM hits, tot"""
 
 
+def _ivfpq_sql() -> str:
+    """IVF-PQ oracle: recomputes coarse assignment, residuals, residual
+    codebooks (seeded), probe set, and ADC tables from the same seeds as
+    similarity.q_ivfpq_recall_at_5 -- parity pinned by (d, id) tie orders
+    and left-to-right subspace folds, like _pq_sql."""
+    c, nprobe = similarity.IVFPQ_C, similarity.IVFPQ_NPROBE
+    cases_rc = " ".join(
+        f"WHEN {m} THEN {_pq_sub_sql('res.r', 'c.r', m)}" for m in range(similarity.PQ_M)
+    )
+    cases_qc = " ".join(
+        f"WHEN {m} THEN {_pq_sub_sql('p.qr', 'c.r', m)}" for m in range(similarity.PQ_M)
+    )
+    mm = ", ".join(f"({m})" for m in range(similarity.PQ_M))
+    sub = "[v[CAST(i AS INT)] - cv[CAST(i AS INT)] for i in range(1, 65)]"
+    qsub = "[q.qv[CAST(i AS INT)] - cv[CAST(i AS INT)] for i in range(1, 65)]"
+    return f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+cc AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < {c}),
+a AS MATERIALIZED (
+  SELECT vec_id, v, cid, cv FROM (
+    SELECT e.vec_id, e.v, cc.cid, cc.cv, {_sqdist_sql('e.v', 'cc.cv')} AS d FROM e, cc)
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+res AS MATERIALIZED (SELECT vec_id, cid, {sub} AS r FROM a),
+cwq AS MATERIALIZED (SELECT vec_id AS k, r FROM res WHERE vec_id < {similarity.PQ_K}),
+mm AS (SELECT * FROM (VALUES {mm}) t(m)),
+codes AS MATERIALIZED (
+  SELECT vec_id, cid, m, k FROM (
+    SELECT res.vec_id, res.cid, mm.m, c.k, CASE mm.m {cases_rc} END AS d
+    FROM res, cwq c, mm)
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) = 1),
+qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS MATERIALIZED (
+  SELECT cid, {qsub} AS qr FROM (
+    SELECT cc.cid, cc.cv, q.qv, {_sqdist_sql('cc.cv', 'q.qv')} AS qd FROM cc, qv q
+    QUALIFY row_number() OVER (ORDER BY qd, cid) <= {nprobe}) q),
+dq AS MATERIALIZED (
+  SELECT p.cid, mm.m, c.k, CASE mm.m {cases_qc} END AS d
+  FROM probes p, cwq c, mm),
+scored AS MATERIALIZED (
+  SELECT codes.vec_id, CAST(SUM(CAST(dq.d AS DECIMAL(25,12))) AS DOUBLE) AS ad
+  FROM codes JOIN dq ON codes.cid = dq.cid AND codes.m = dq.m AND codes.k = dq.k
+  WHERE codes.vec_id <> 0 GROUP BY 1),
+approx5 AS (SELECT vec_id FROM scored ORDER BY ad, vec_id LIMIT 5),
+exact5 AS (SELECT vec_id FROM (
+    SELECT e.vec_id, {_sqdist_sql('e.v', 'q.qv')} AS d FROM e, qv q WHERE e.vec_id <> 0)
+  ORDER BY d, vec_id LIMIT 5),
+hits AS (SELECT CAST(COUNT(*) AS INT) AS n_hits FROM approx5 JOIN exact5 USING (vec_id)),
+routed AS (
+  SELECT CAST(COUNT(*) AS INT) AS n_routed
+  FROM exact5 JOIN (SELECT vec_id, cid FROM res) rr USING (vec_id)
+  WHERE rr.cid IN (SELECT cid FROM probes)),
+nc AS (SELECT COUNT(*) AS n_candidates FROM scored)
+SELECT n_hits, n_hits / 5.0 AS recall_at_5,
+  n_routed / 5.0 AS routing_recall_at_5, n_candidates
+FROM hits, routed, nc"""
+
+
 def _kmeans_cte() -> tuple[str, str]:
     """Shared Lloyd CTE chain (mirrors similarity._kmeans_assigned);
     returns (WITH-chain, name of the final assignment CTE)."""
@@ -2275,6 +2331,7 @@ FROM agg""",
     "bpe_vocab_rounds": QuerySpec(text.q_bpe_vocab_rounds, _bpe_rounds_sql()),
     "bpe_apply_segment": QuerySpec(text.q_bpe_apply_segment, _bpe_apply_sql()),
     "pq_recall_at_5": QuerySpec(similarity.q_pq_recall_at_5, _pq_sql()),
+    "ivfpq_recall_at_5": QuerySpec(similarity.q_ivfpq_recall_at_5, _ivfpq_sql()),
     "snapshot_diff_gate": QuerySpec(
         advanced.q_snapshot_diff_gate,
         """WITH um AS (
@@ -2831,9 +2888,9 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # bigram_lift, semantic_dedup, brand_pareto_frontier, join_key_skew,
 # ivm_join_gate, image_ahash_neardup, basket_lift, last_touch_attribution,
 # pseudonymize_gate, referential_integrity_audit, event_state_intervals,
-# dedup_pipeline_summary, asof_next_purchase_after_click, time_to_convert
-# (plus any queries below this comment added after them). All pass
-# verify_local at sf0.01 and sf0.001.
+# dedup_pipeline_summary, asof_next_purchase_after_click, time_to_convert,
+# ivfpq_recall_at_5 (plus any queries below this comment added after
+# them). All pass verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

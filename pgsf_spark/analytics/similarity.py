@@ -607,3 +607,123 @@ def q_ann_ndcg_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum(F.col("g"), "decimal(18,12)") / F.lit(idcg), 6).alias("ndcg"),
         )
     )
+
+
+# --- IVF-PQ (the production ANN index shape) --------------------------------
+
+IVFPQ_C = 8  # coarse centroids (seeded: vectors 0..C-1)
+IVFPQ_NPROBE = 2  # probed inverted lists per query
+
+
+def q_ivfpq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, composed end-to-end (Jegou et al. 2011, the index behind
+    faiss's IVFxx,PQyy -- THE production ANN architecture): a coarse
+    quantizer routes each vector to an inverted list, PQ encodes the
+    RESIDUAL (v - centroid) at 64 bits, and a query probes only the
+    NPROBE nearest lists, scoring candidates by asymmetric distance with a
+    per-list query-residual lookup table. Reports recall@5 vs the exact
+    scan and how many candidates the probe actually touched -- the
+    recall-vs-scan-fraction trade in one hash-green row.
+
+    Seeding: coarse centroids are vectors 0..C-1 and residual codebooks
+    are the residuals of vectors 0..PQ_K-1 (training plugs in via the
+    q_kmeans_clusters template; this gate pins routing, residual encode,
+    probe, and ADC mechanics). Scale shape: assignment/encode are
+    broadcast-crossJoin projections (vectors never shuffle); the probe
+    filter is a broadcast semi-join on the list id, so the scored relation
+    is corpus_size * nprobe / C, not the corpus; top-5 is
+    TakeOrderedAndProject. Every subspace distance is a left-to-right
+    fold; cross-row sums go through DECIMAL -- bit-identical across
+    engines (the DuckDB oracle recomputes centroids, residuals, codes, and
+    lookup tables from the same seeds)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    cc = emb.filter(F.col("vec_id") < IVFPQ_C).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    assigned = (
+        emb.crossJoin(F.broadcast(cc))
+        .withColumn("d", _sqdist(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid", "cv")
+    )
+    res = assigned.withColumn("r", F.zip_with("v", "cv", lambda a, b: a - b)).select(
+        "vec_id", "cid", "r"
+    )
+    cwr = [list(x["r"]) for x in res.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()]
+    if not cwr:
+        return spark.createDataFrame([(0,)], "n_hits int").select(
+            "n_hits",
+            (F.col("n_hits") / 5.0).alias("recall_at_5"),
+            (F.col("n_hits") / 5.0).alias("routing_recall_at_5"),
+            F.lit(0).cast("bigint").alias("n_candidates"),
+        )
+    q0 = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    wp = Window.orderBy("qd", "cid")
+    probes = (
+        cc.crossJoin(F.broadcast(q0))
+        .withColumn("qd", _sqdist(F.col("cv"), F.col("qv")))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= IVFPQ_NPROBE)
+        .withColumn("qr", F.zip_with("qv", "cv", lambda a, b: a - b))
+        .select("cid", "qr")
+    )
+    cand = res.join(F.broadcast(probes), "cid").filter(F.col("vec_id") != 0)
+    dec = "decimal(25,12)"
+    cand = cand.withColumn("__cw", F.lit(cwr))
+    adc_terms = []
+    for m in range(PQ_M):
+        off = m * PQ_SUB + 1
+        sub = F.slice(F.col("r"), off, PQ_SUB)
+        qsub = F.slice(F.col("qr"), off, PQ_SUB)
+        dists_m = F.array(
+            *[
+                _sqdist(sub, F.slice(F.element_at(F.col("__cw"), k + 1), off, PQ_SUB))
+                for k in range(PQ_K)
+            ]
+        )
+        code_m = F.array_position(dists_m, F.array_min(dists_m)).cast("int")
+        dq_m = F.array(
+            *[
+                _sqdist(qsub, F.slice(F.element_at(F.col("__cw"), k + 1), off, PQ_SUB))
+                for k in range(PQ_K)
+            ]
+        )
+        adc_terms.append(F.element_at(dq_m, code_m).cast(dec))
+    ad = adc_terms[0]
+    for t in adc_terms[1:]:
+        ad = ad + t
+    scored = cand.select("vec_id", ad.cast("double").alias("ad")).localCheckpoint()
+    approx5 = scored.orderBy("ad", "vec_id").limit(5).select("vec_id")
+    exact5 = (
+        emb.crossJoin(F.broadcast(q0))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", _sqdist(F.col("v"), F.col("qv")).alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(5)
+        .select("vec_id")
+    )
+    exact5 = exact5.localCheckpoint()
+    hits = approx5.join(exact5, "vec_id").agg(F.count(F.lit(1)).cast("int").alias("n_hits"))
+    ncand = scored.agg(F.count(F.lit(1)).alias("n_candidates"))
+    # routing recall: how many exact neighbors land in a PROBED list at all
+    # -- separates coarse-quantizer loss from residual-ADC ranking loss
+    routed = (
+        exact5.join(res.select("vec_id", "cid"), "vec_id")
+        .join(F.broadcast(probes.select("cid")), "cid")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_routed"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(ncand))
+        .crossJoin(F.broadcast(routed))
+        .select(
+            "n_hits",
+            (F.col("n_hits") / F.lit(5.0)).alias("recall_at_5"),
+            (F.col("n_routed") / F.lit(5.0)).alias("routing_recall_at_5"),
+            "n_candidates",
+        )
+    )

@@ -70,6 +70,10 @@ REPRESENTATIVE = [
     "pseudonymize_gate",  # token audit of zero customers
     "referential_integrity_audit",  # anti-joins of empty parents/children
     "event_state_intervals",  # islands over an empty timeline
+    "ivfpq_recall_at_5",  # coarse+residual index from zero seed vectors
+    "dedup_pipeline_summary",  # funnel counts over an empty corpus
+    "asof_next_purchase_after_click",  # forward as-of over zero events
+    "time_to_convert",  # quantiles over zero conversions
 ]
 
 
