@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from pgsf_spark.analytics.oracle_utils import dsum
 from pgsf_spark.tables import load_table
 
 
@@ -583,3 +584,52 @@ def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     for ch in checks[1:]:
         out = out.unionByName(ch)
     return out
+
+
+ANOM_LAGS = 10  # truncated-EWMA forecast horizon (geometric 1/2^k weights)
+
+
+def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-based anomaly detection on the daily revenue series: each
+    day's forecast is a truncated-EWMA (the last ANOM_LAGS days, geometric
+    1/2^k weights -- every weight a power of two, so the filter is
+    bit-exact with no libm pow, same device as decayed_user_score);
+    residuals beyond a 3-sigma-equivalent MAD fence are flagged. The
+    control-chart pass a revenue/ops pipeline runs nightly.
+
+    Plan: the daily rollup is one keyed shuffle of the fact table; the lag
+    windows then run over the DAY series -- one row per day, bounded by
+    the calendar, not data volume (same argument as the time-spine
+    interpolation). Median/MAD are exact interpolated percentiles over
+    that same day-sized relation."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.round(dsum(F.col("o_totalprice")), 4).alias("rev"))
+    )
+    w = Window.orderBy("day")
+    norm = sum(1.0 / (1 << k) for k in range(ANOM_LAGS))  # 2 - 2^-(L-1), exact
+    terms = [F.lag("rev", k + 1).over(w) / F.lit(float(1 << k)) for k in range(ANOM_LAGS)]
+    forecast = sum(terms[1:], terms[0]) / F.lit(norm)
+    scored = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .withColumn("forecast", F.round(forecast, 4))
+        .filter(F.col("rn") > ANOM_LAGS)  # full history only
+        .withColumn("resid", F.round(F.col("rev") - F.col("forecast"), 4))
+    )
+    med = scored.agg(F.round(F.expr("percentile(resid, 0.5)"), 4).alias("med"))
+    fence = scored.crossJoin(F.broadcast(med)).agg(
+        F.first("med").alias("med"),
+        F.round(F.expr("percentile(abs(resid - med), 0.5)"), 4).alias("mad"),
+    )
+    flagged = (
+        scored.crossJoin(F.broadcast(fence))
+        .filter(F.abs(F.col("resid") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "rev",
+            "forecast",
+            "resid",
+        )
+    )
+    return flagged.orderBy("day")

@@ -2332,6 +2332,44 @@ FROM agg""",
     "bpe_apply_segment": QuerySpec(text.q_bpe_apply_segment, _bpe_apply_sql()),
     "pq_recall_at_5": QuerySpec(similarity.q_pq_recall_at_5, _pq_sql()),
     "ivfpq_recall_at_5": QuerySpec(similarity.q_ivfpq_recall_at_5, _ivfpq_sql()),
+    "revenue_anomaly_days": QuerySpec(
+        profiling.q_revenue_anomaly_days,
+        f"""WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE), 4) AS rev
+  FROM orders GROUP BY 1),
+l AS (
+  SELECT day, rev, row_number() OVER (ORDER BY day) AS rn,
+    ROUND(({' + '.join(f'lag(rev, {k + 1}) OVER (ORDER BY day) / {float(1 << k)!r}' for k in range(profiling.ANOM_LAGS))})
+          / {sum(1.0 / (1 << k) for k in range(profiling.ANOM_LAGS))!r}, 4) AS forecast
+  FROM daily),
+s AS (
+  SELECT day, rev, forecast, ROUND(rev - forecast, 4) AS resid
+  FROM l WHERE rn > {profiling.ANOM_LAGS}),
+m AS (SELECT ROUND(quantile_cont(resid, 0.5), 4) AS med FROM s),
+f AS (SELECT med, ROUND(quantile_cont(abs(resid - med), 0.5), 4) AS mad FROM s, m GROUP BY med)
+SELECT strftime(day, '%Y-%m-%d') AS day, rev, forecast, resid
+FROM s, f WHERE abs(resid - med) > 3 * 1.4826 * mad
+ORDER BY day""",
+    ),
+    "triplet_margin_stats": QuerySpec(
+        similarity.q_triplet_margin_stats,
+        f"""WITH e AS (SELECT vec_id, CAST(label AS INT) AS label,
+  [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+b AS (SELECT vec_id, label, v, ({_bucket_expr_sql()}) AS bucket FROM e),
+pairs AS (
+  SELECT a.vec_id AS ka, a.label AS la, b2.label AS lb, {_sqdist_sql('a.v', 'b2.v')} AS d
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id),
+pa AS (
+  SELECT ka, la,
+    MAX(CASE WHEN la = lb THEN d END) AS d_pos,
+    MIN(CASE WHEN la <> lb THEN d END) AS d_neg
+  FROM pairs GROUP BY 1, 2)
+SELECT la AS label, COUNT(*) AS n_anchors,
+  ROUND(CAST(SUM(CAST(d_neg - d_pos AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6) AS mean_margin,
+  CAST(SUM(CASE WHEN d_neg < d_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM pa WHERE d_pos IS NOT NULL AND d_neg IS NOT NULL GROUP BY 1""",
+    ),
     "snapshot_diff_gate": QuerySpec(
         advanced.q_snapshot_diff_gate,
         """WITH um AS (
@@ -2889,8 +2927,9 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # ivm_join_gate, image_ahash_neardup, basket_lift, last_touch_attribution,
 # pseudonymize_gate, referential_integrity_audit, event_state_intervals,
 # dedup_pipeline_summary, asof_next_purchase_after_click, time_to_convert,
-# ivfpq_recall_at_5 (plus any queries below this comment added after
-# them). All pass verify_local at sf0.01 and sf0.001.
+# ivfpq_recall_at_5, triplet_margin_stats, revenue_anomaly_days (plus any
+# queries below this comment added after them). All pass verify_local at
+# sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

@@ -727,3 +727,47 @@ def q_ivfpq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
         )
     )
+
+
+def q_triplet_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining statistics: for every anchor vector, the
+    hardest positive (farthest same-label candidate) and hardest negative
+    (nearest different-label candidate) among its LSH-bucket candidates,
+    rolled up per label as mean triplet margin (d_neg - d_pos) and the
+    violation count (margin < 0) -- the mining pass that feeds triplet /
+    contrastive embedding training, and a label-quality audit for free
+    (negative margins = probable mislabels or collapsed classes).
+
+    Scale shape: candidates come from the hyperplane-LSH bucket equi-join
+    (never all-pairs); per-anchor extremes are one keyed aggregate; the
+    label rollup is |labels|-sized. Distances are left-to-right folds,
+    margins go through DECIMAL -- hash-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select(
+        "vec_id", F.col("label").cast("int").alias("label"), _to_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", hyperplane_lsh_bucket(F.col("v")))
+    a = emb.select(
+        F.col("vec_id").alias("ka"), F.col("label").alias("la"), F.col("v").alias("va"), "bucket"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("kb"), F.col("label").alias("lb"), F.col("v").alias("vb"), "bucket"
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("ka") != F.col("kb"))
+        .select("ka", "la", "lb", _sqdist(F.col("va"), F.col("vb")).alias("d"))
+    )
+    per_anchor = pairs.groupBy("ka", "la").agg(
+        F.max(F.when(F.col("la") == F.col("lb"), F.col("d"))).alias("d_pos"),
+        F.min(F.when(F.col("la") != F.col("lb"), F.col("d"))).alias("d_neg"),
+    )
+    margin = (F.col("d_neg") - F.col("d_pos")).cast("decimal(25,12)")
+    return (
+        per_anchor.filter(F.col("d_pos").isNotNull() & F.col("d_neg").isNotNull())
+        .groupBy(F.col("la").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_anchors"),
+            F.round(F.sum(margin).cast("double") / F.count(F.lit(1)), 6).alias("mean_margin"),
+            F.sum((F.col("d_neg") < F.col("d_pos")).cast("bigint")).alias("n_violations"),
+        )
+    )
