@@ -489,3 +489,84 @@ def q_event_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.lead("vf").over(wi), TS_FMT), F.lit(SCD2_OPEN_END)
         ).alias("valid_to"),
     )
+
+
+def q_segment_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix: for every pair of event-type
+    segments, how many users belong to both, with the Jaccard overlap --
+    the exact twin of the KMV-sketch estimate (kmv_set_algebra), for the
+    scale where exact is still affordable; at 100 TB swap in the sketch
+    with the same output shape.
+
+    Plan: the distinct (segment, user) relation self-joins on user_id --
+    per-user fan-out is bounded by |segments| (5 here), so the join output
+    is |users| * segments^2 at worst, never quadratic in users; marginals
+    broadcast back onto the |segments|^2-row pair aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("event_type", "user_id").distinct()
+    a = u.select(F.col("event_type").alias("seg_a"), "user_id")
+    b = u.select(F.col("event_type").alias("seg_b"), "user_id")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    marg = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    ma = marg.select(F.col("event_type").alias("seg_a"), F.col("n_users").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("seg_b"), F.col("n_users").alias("n_b"))
+    return (
+        both.join(F.broadcast(ma), "seg_a")
+        .join(F.broadcast(mb), "seg_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness: daily active users, trailing-7-day active
+    users, and their ratio (the DAU/WAU "stickiness" product metric), for
+    every day in the corpus range.
+
+    Exact rolling DISTINCT cannot be windowed (distinct doesn't decompose
+    over frames), so WAU is the day-spine range join against the distinct
+    (day, user) relation -- each activity row lands in at most 7 spine
+    days, so the join output is 7x the activity relation, linear not
+    quadratic. At 100 TB the same query runs on per-day HLL sketches
+    merged over the 7-day window (hll_portable is the primitive); this
+    exact form is its small-scale oracle twin."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id").distinct()
+    spine = (
+        ev.agg(
+            F.date_trunc("day", F.min("ts")).alias("lo"),
+            F.date_trunc("day", F.max("ts")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d"))
+    )
+    dau = active.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        spine.join(
+            active,
+            (F.col("day") <= F.col("d")) & (F.col("day") >= F.col("d") - F.expr("interval 6 days")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        wau.join(dau, F.col("d") == F.col("day"), "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).alias("dau"),
+            "wau",
+            F.round(F.coalesce("dau", F.lit(0)) / F.col("wau"), 6).alias("stickiness"),
+        )
+    )

@@ -2332,6 +2332,34 @@ FROM agg""",
     "bpe_apply_segment": QuerySpec(text.q_bpe_apply_segment, _bpe_apply_sql()),
     "pq_recall_at_5": QuerySpec(similarity.q_pq_recall_at_5, _pq_sql()),
     "ivfpq_recall_at_5": QuerySpec(similarity.q_ivfpq_recall_at_5, _ivfpq_sql()),
+    "segment_overlap_matrix": QuerySpec(
+        events.q_segment_overlap_matrix,
+        """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+ov AS (
+  SELECT a.event_type AS seg_a, b.event_type AS seg_b, COUNT(*) AS n_both
+  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+m AS (SELECT event_type, COUNT(*) AS n_users FROM u GROUP BY 1)
+SELECT seg_a, seg_b, ma.n_users AS n_a, mb.n_users AS n_b, n_both,
+  ROUND(CAST(n_both AS DOUBLE) / (ma.n_users + mb.n_users - n_both), 6) AS jaccard
+FROM ov JOIN m ma ON seg_a = ma.event_type JOIN m mb ON seg_b = mb.event_type""",
+    ),
+    "dau_wau_stickiness": QuerySpec(
+        events.q_dau_wau_stickiness,
+        """WITH active AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+spine AS (
+  SELECT unnest(generate_series(date_trunc('day', MIN(ts)),
+                                date_trunc('day', MAX(ts)), INTERVAL 1 DAY)) AS d
+  FROM events),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM active GROUP BY 1),
+wau AS (
+  SELECT s.d, COUNT(DISTINCT a.user_id) AS wau
+  FROM spine s JOIN active a ON a.day <= s.d AND a.day >= s.d - INTERVAL 6 DAY
+  GROUP BY 1)
+SELECT strftime(w.d, '%Y-%m-%d') AS day, COALESCE(dau.dau, 0) AS dau, w.wau,
+  ROUND(CAST(COALESCE(dau.dau, 0) AS DOUBLE) / w.wau, 6) AS stickiness
+FROM wau w LEFT JOIN dau ON dau.day = w.d""",
+    ),
     "revenue_anomaly_days": QuerySpec(
         profiling.q_revenue_anomaly_days,
         f"""WITH daily AS (
@@ -2927,9 +2955,9 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # ivm_join_gate, image_ahash_neardup, basket_lift, last_touch_attribution,
 # pseudonymize_gate, referential_integrity_audit, event_state_intervals,
 # dedup_pipeline_summary, asof_next_purchase_after_click, time_to_convert,
-# ivfpq_recall_at_5, triplet_margin_stats, revenue_anomaly_days (plus any
-# queries below this comment added after them). All pass verify_local at
-# sf0.01 and sf0.001.
+# ivfpq_recall_at_5, triplet_margin_stats, revenue_anomaly_days,
+# segment_overlap_matrix, dau_wau_stickiness (plus any queries below this
+# comment added after them). All pass verify_local at sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

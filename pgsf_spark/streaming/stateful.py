@@ -226,3 +226,73 @@ def decayed_counter_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FIR_LAGS = 10  # forecast horizon -- mirrors profiling.ANOM_LAGS
+
+FIR_OUTPUT = StructType(
+    [
+        StructField("series_key", LongType()),
+        StructField("ts", DoubleType()),
+        StructField("value", DoubleType()),
+        StructField("forecast", DoubleType()),
+        StructField("resid", DoubleType()),
+    ]
+)
+
+from pyspark.sql.types import ArrayType  # noqa: E402  (localized extension import)
+
+FIR_STATE = StructType(
+    [
+        StructField("ts_hist", ArrayType(DoubleType())),
+        StructField("val_hist", ArrayType(DoubleType())),
+    ]
+)
+
+_FIR_NORM = sum(1.0 / (1 << k) for k in range(FIR_LAGS))  # 2 - 2^-(L-1), exact
+
+
+def _update_fir(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Online FIR forecast: keep only the last FIR_LAGS observations per
+    key (constant-size state); each arriving value is scored against the
+    geometric-weight forecast of its predecessors, then folded in. Weights
+    are powers of two -- the same bit-exact filter as the batch
+    q_revenue_anomaly_days, so in-order replay reproduces the batch
+    forecasts exactly (test-asserted)."""
+    ts_hist, val_hist = ([], []) if not state.exists else (
+        list(state.get[0]),
+        list(state.get[1]),
+    )
+    out_rows = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for t, v in zip(pdf["ts"].astype(float), pdf["value"].astype(float)):
+            if len(val_hist) >= FIR_LAGS:
+                fc = sum(val_hist[-1 - k] / (1 << k) for k in range(FIR_LAGS)) / _FIR_NORM
+                out_rows.append((key[0], t, v, fc, v - fc))
+            else:
+                out_rows.append((key[0], t, v, None, None))
+            ts_hist.append(t)
+            val_hist.append(v)
+            ts_hist, val_hist = ts_hist[-FIR_LAGS:], val_hist[-FIR_LAGS:]
+    state.update((ts_hist, val_hist))
+    yield pd.DataFrame(out_rows, columns=["series_key", "ts", "value", "forecast", "resid"])
+
+
+def fir_anomaly_stream(values: DataFrame) -> DataFrame:
+    """Streaming twin of profiling.q_revenue_anomaly_days: an online
+    control-chart scorer. Input columns: series_key (long), ts (double
+    epoch), value (double). State per key is the last FIR_LAGS values --
+    bounded forever; each micro-batch shuffles only on the series key.
+    The anomaly FENCE (global MAD of residuals) stays a batch-side
+    decision -- an online scorer emits residuals and the consumer applies
+    whatever fence policy it likes (fixed, rolling, global)."""
+    return values.groupBy("series_key").applyInPandasWithState(
+        _update_fir,
+        outputStructType=FIR_OUTPUT,
+        stateStructType=FIR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -255,3 +255,64 @@ class TestDecayedCounterStream:
         expect = 6.0 + 2.0 * 0.5 ** ((head.timestamp() - late.timestamp()) / DECAY_HALF_LIFE_SECONDS)
         assert math.isclose(got[5]["decayed_score"], expect, rel_tol=1e-12)
         assert got[5]["last_ts"] == head.timestamp()  # late event left the anchor alone
+
+
+class TestFirAnomalyStream:
+    def _feed(self, spark, tmp_path, series):
+        feed = tmp_path / "fir_feed"
+        rows = [(k, float(t), float(v)) for k, seq in series.items() for t, v in seq]
+        spark.createDataFrame(rows, "series_key long, ts double, value double").orderBy(
+            "ts"
+        ).coalesce(1).write.mode("overwrite").parquet(str(feed))
+        return feed
+
+    def _run(self, spark, feed, name):
+        from pgsf_spark.streaming.stateful import fir_anomaly_stream
+
+        schema = "series_key long, ts double, value double"
+        stream = (
+            spark.readStream.schema(spark.createDataFrame([], schema).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        q = (
+            fir_anomaly_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.sql(f"SELECT * FROM {name} ORDER BY series_key, ts").collect()
+
+    def test_forecasts_match_batch_fir(self, spark, tmp_path):
+        from pgsf_spark.streaming.stateful import FIR_LAGS, _FIR_NORM
+
+        vals = [float(10 + (i * 7) % 13) for i in range(25)]
+        series = {1: [(i, v) for i, v in enumerate(vals)]}
+        rows = self._run(spark, self._feed(spark, tmp_path, series), "fir1")
+        assert len(rows) == 25
+        for r in rows:
+            i = int(r["ts"])
+            if i < FIR_LAGS:
+                assert r["forecast"] is None
+            else:
+                expect = sum(vals[i - 1 - k] / (1 << k) for k in range(FIR_LAGS)) / _FIR_NORM
+                assert r["forecast"] == expect  # bit-exact, no tolerance
+                assert r["resid"] == vals[i] - expect
+
+    def test_state_is_bounded_and_keys_isolated(self, spark, tmp_path):
+        from pgsf_spark.streaming.stateful import FIR_LAGS
+
+        series = {
+            1: [(i, 5.0) for i in range(40)],
+            2: [(i, 100.0) for i in range(FIR_LAGS + 1)],
+        }
+        rows = self._run(spark, self._feed(spark, tmp_path, series), "fir2")
+        by_key = {}
+        for r in rows:
+            by_key.setdefault(r["series_key"], []).append(r)
+        # constant series forecasts itself exactly once history fills
+        assert all(r["resid"] == 0.0 for r in by_key[1] if r["forecast"] is not None)
+        assert by_key[2][-1]["forecast"] == 100.0  # key-2 state untouched by key 1
