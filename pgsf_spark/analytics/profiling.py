@@ -633,3 +633,71 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return flagged.orderBy("day")
+
+
+def q_wau_hll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window MERGEABLE-SKETCH gate: per-day HLL registers of the
+    active-user set, merged over each trailing 7-day window by max(), vs
+    the exact WAU -- the plan that makes rolling distinct counts viable at
+    100 TB (q_dau_wau_stickiness documents the exact form as its
+    small-scale twin; THIS query is the scale form, hash-gated).
+
+    The register table is |days| x 64 rows -- merging 7 days is a
+    64-row max per window, independent of corpus size; the estimate uses
+    the same exact power-of-two arithmetic as q_hll_portable (no ln, no
+    decimal crutch needed). rel_err is emitted so the driver hash also
+    pins the sketch's accuracy at this scale."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    bucket = (h % HLL_M).alias("bucket")
+    rest = F.floor(h / HLL_M).cast("long")
+    bits = F.lpad(F.bin(rest), 26, "0")
+    rho = F.when(rest == 0, F.lit(27)).otherwise(F.instr(bits, "1")).alias("rho")
+    regs = ev.select(day, bucket, rho).groupBy("day", "bucket").agg(F.max("rho").alias("m"))
+    spine = (
+        ev.agg(
+            F.date_trunc("day", F.min("ts")).alias("lo"),
+            F.date_trunc("day", F.max("ts")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d"))
+    )
+    merged = (
+        spine.join(
+            regs,
+            (F.col("day") <= F.col("d")) & (F.col("day") >= F.col("d") - F.expr("interval 6 days")),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    per_day = (
+        merged.groupBy("d")
+        .agg(
+            F.sum(F.lit(1.0) / F.expr("cast(shiftleft(1L, m) as double)")).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .select(
+            "d",
+            (F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M))
+             / (F.col("s_present") + (F.lit(HLL_M) - F.col("n_present")).cast("double"))).alias("wau_estimate"),
+        )
+    )
+    active = ev.select(F.date_trunc("day", F.col("ts")).alias("day"), "user_id").distinct()
+    exact = (
+        spine.join(
+            active,
+            (F.col("day") <= F.col("d")) & (F.col("day") >= F.col("d") - F.expr("interval 6 days")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("exact_wau"))
+    )
+    return per_day.join(exact, "d").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "exact_wau",
+        "wau_estimate",
+        F.round(F.abs(F.col("wau_estimate") - F.col("exact_wau")) / F.col("exact_wau"), 4).alias(
+            "rel_err"
+        ),
+    )

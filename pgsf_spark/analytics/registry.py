@@ -2332,6 +2332,38 @@ FROM agg""",
     "bpe_apply_segment": QuerySpec(text.q_bpe_apply_segment, _bpe_apply_sql()),
     "pq_recall_at_5": QuerySpec(similarity.q_pq_recall_at_5, _pq_sql()),
     "ivfpq_recall_at_5": QuerySpec(similarity.q_ivfpq_recall_at_5, _ivfpq_sql()),
+    "wau_hll_gate": QuerySpec(
+        profiling.q_wau_hll_gate,
+        f"""WITH h AS (
+  SELECT date_trunc('day', ts) AS day,
+    ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM events),
+rr AS (SELECT day, h % {profiling.HLL_M} AS bucket,
+  CASE WHEN CAST(h // {profiling.HLL_M} AS BIGINT) = 0 THEN 27
+       ELSE strpos(lpad(bin(CAST(h // {profiling.HLL_M} AS BIGINT)), 26, '0'), '1') END AS rho
+  FROM h),
+regs AS (SELECT day, bucket, MAX(rho) AS m FROM rr GROUP BY 1, 2),
+spine AS (
+  SELECT unnest(generate_series(date_trunc('day', MIN(ts)),
+                                date_trunc('day', MAX(ts)), INTERVAL 1 DAY)) AS d
+  FROM events),
+merged AS (
+  SELECT s.d, r.bucket, MAX(r.m) AS m
+  FROM spine s JOIN regs r ON r.day <= s.d AND r.day >= s.d - INTERVAL 6 DAY
+  GROUP BY 1, 2),
+est AS (
+  SELECT d, {profiling.HLL_ALPHA} * {float(profiling.HLL_M * profiling.HLL_M)}
+    / (SUM(1.0 / CAST((1::BIGINT << m) AS DOUBLE)) + CAST({profiling.HLL_M} - COUNT(*) AS DOUBLE)) AS wau_estimate
+  FROM merged GROUP BY 1),
+active AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+ex AS (
+  SELECT s.d, COUNT(DISTINCT a.user_id) AS exact_wau
+  FROM spine s JOIN active a ON a.day <= s.d AND a.day >= s.d - INTERVAL 6 DAY
+  GROUP BY 1)
+SELECT strftime(e.d, '%Y-%m-%d') AS day, ex.exact_wau, e.wau_estimate,
+  ROUND(abs(e.wau_estimate - ex.exact_wau) / ex.exact_wau, 4) AS rel_err
+FROM est e JOIN ex ON e.d = ex.d""",
+    ),
     "segment_overlap_matrix": QuerySpec(
         events.q_segment_overlap_matrix,
         """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
@@ -2956,8 +2988,9 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # pseudonymize_gate, referential_integrity_audit, event_state_intervals,
 # dedup_pipeline_summary, asof_next_purchase_after_click, time_to_convert,
 # ivfpq_recall_at_5, triplet_margin_stats, revenue_anomaly_days,
-# segment_overlap_matrix, dau_wau_stickiness (plus any queries below this
-# comment added after them). All pass verify_local at sf0.01 and sf0.001.
+# segment_overlap_matrix, dau_wau_stickiness, wau_hll_gate (plus any
+# queries below this comment added after them). All pass verify_local at
+# sf0.01 and sf0.001.
 _ROUND4_FRONT = [
     # never driver-gated (r3 window overflow) -- highest priority
     "lsh_containment",

@@ -74,6 +74,10 @@ REPRESENTATIVE = [
     "dedup_pipeline_summary",  # funnel counts over an empty corpus
     "asof_next_purchase_after_click",  # forward as-of over zero events
     "time_to_convert",  # quantiles over zero conversions
+    "triplet_margin_stats",  # bucket pairs over zero vectors
+    "revenue_anomaly_days",  # FIR forecast over an empty series
+    "segment_overlap_matrix",  # pair overlap of zero segments
+    "dau_wau_stickiness",  # spine from null day bounds
 ]
 
 
