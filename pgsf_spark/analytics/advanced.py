@@ -668,3 +668,29 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sec").alias("max_sec"),
         F.round(F.sum(F.col("sec").cast("decimal(27,4)")).cast("double") / F.count(F.lit(1)), 4).alias("mean_sec"),
     )
+
+
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join without a nested loop: orders priced
+    into OVERLAPPING price bands (stride 18k, width 54k -- each order can
+    match up to 3 bands, so no single groupBy bucketing can express it)
+    via operators/rangejoin.bucketed_range_join.
+
+    Plan: bands explode to ~4 bucket rows each (width/stride + 1), then an
+    equi-join on the bucket index + residual filter -- BroadcastHashJoin
+    here (exploded bands are tiny), a bucket-keyed shuffle at scale; never
+    BroadcastNestedLoopJoin, which is what the naive BETWEEN join plans as
+    and what dies first when the ranges side outgrows a broadcast."""
+    from pgsf_spark.operators.rangejoin import bucketed_range_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey").cast("double") * 18000.0).alias("lo"),
+        (F.col("n_nationkey").cast("double") * 18000.0 + 54000.0).alias("hi"),
+    )
+    joined = bucketed_range_join(orders, bands, "o_totalprice", "lo", "hi", 18000.0)
+    return joined.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )

@@ -1,0 +1,104 @@
+"""Blocked record linkage (entity resolution) over structured records.
+
+The classic Fellegi-Sunter pipeline re-expressed Spark-first:
+
+  1. a deterministic "dirty" twin of the customer table (a third of the
+     rows: one name character dropped, account balance jittered by a small
+     key-derived integer) stands in for the second source -- both query
+     faces derive it with the same portable expressions, so the gate is
+     hash-exact end to end;
+  2. BLOCKING turns the O(n^2) all-pairs comparison into equi-join
+     candidates: block key = (nationkey, acctbal bucket), with the dirty
+     side exploded to every bucket its +/-tolerance window overlaps (the
+     same bucket-expansion trick as operators/rangejoin.py) so matches
+     straddling a bucket boundary are not lost;
+  3. per-candidate agreement scoring: Levenshtein(name) <= 1 carries
+     weight 2 (names are near-unique), balance-within-tolerance and
+     segment-equality weight 1 each; score >= 3 is a declared match;
+  4. per-nation audit: candidates, matches, true matches (key equality the
+     real pipeline wouldn't have -- here it grades precision), edit-
+     distance mass.
+
+Scale: the only join is the block-key equi-join; comparisons per block are
+bounded by block size (nationkey x 1k-balance bucket keeps blocks ~uniform;
+a skewed blocking key is ordinary join skew -- AQE or operators/skew.py).
+Levenshtein runs JVM-side (F.levenshtein == DuckDB levenshtein: unit-cost
+DP, integer result). No UDFs, no cartesian products.
+
+Reference parity: beyond-reference surface (the reference has no fuzzy
+matching); the staged-merge identity resolution it does have is
+operators/merge.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgsf_spark.tables import load_table
+
+# tolerance for balance agreement; jitter is in [-3, +3] so 3.01 keeps the
+# true pair inside while excluding nothing meaningful
+ACCT_TOL = 3.01
+BUCKET = 1000.0
+
+
+def dirty_customer_twin(customer: DataFrame) -> DataFrame:
+    """Deterministic perturbed twin: every third customer, name char at
+    key-derived position 2..17 dropped, balance +- (key % 7 - 3)."""
+    return (
+        customer.filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("pos", (F.lit(2) + F.col("c_custkey") % (F.length("c_name") - 2)).cast("int"))
+        .select(
+            F.col("c_custkey").alias("d_custkey"),
+            F.expr(
+                "concat(substring(c_name, 1, pos - 1), substring(c_name, pos + 1))"
+            ).alias("d_name"),
+            F.col("c_nationkey").alias("d_nationkey"),
+            (F.col("c_acctbal") + (F.col("c_custkey") % 7 - F.lit(3)).cast("double")).alias("d_acctbal"),
+            F.col("c_mktsegment").alias("d_mktsegment"),
+        )
+    )
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation linkage audit of the dirty twin against the clean table."""
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = dirty_customer_twin(cust)
+
+    clean = cust.withColumn("c_bucket", F.floor(F.col("c_acctbal") / F.lit(BUCKET)).cast("long"))
+    # explode the dirty side into every bucket its tolerance window touches
+    d = dirty.withColumn(
+        "c_bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("d_acctbal") - ACCT_TOL) / F.lit(BUCKET)).cast("long"),
+                F.floor((F.col("d_acctbal") + ACCT_TOL) / F.lit(BUCKET)).cast("long"),
+            )
+        ),
+    )
+    cand = d.join(
+        clean,
+        (d["d_nationkey"] == clean["c_nationkey"]) & (d["c_bucket"] == clean["c_bucket"]),
+    )
+    scored = cand.select(
+        "d_custkey",
+        "c_custkey",
+        "d_nationkey",
+        F.levenshtein("d_name", "c_name").alias("lev"),
+        (F.abs(F.col("d_acctbal") - F.col("c_acctbal")) <= ACCT_TOL).alias("acct_ok"),
+        (F.col("d_mktsegment") == F.col("c_mktsegment")).alias("seg_ok"),
+    ).withColumn(
+        "score",
+        F.when(F.col("lev") <= 1, 2).otherwise(0)
+        + F.when(F.col("acct_ok"), 1).otherwise(0)
+        + F.when(F.col("seg_ok"), 1).otherwise(0),
+    )
+    return scored.groupBy(F.col("d_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("score") >= 3, 1).otherwise(0)).alias("n_matched"),
+        F.sum(
+            F.when((F.col("score") >= 3) & (F.col("d_custkey") == F.col("c_custkey")), 1).otherwise(0)
+        ).alias("n_true"),
+        F.sum("lev").alias("lev_mass"),
+    )

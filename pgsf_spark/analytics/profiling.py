@@ -701,3 +701,32 @@ def q_wau_hll_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+def q_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT median of daily revenue (the robust twin of the
+    EWMA forecast in q_revenue_anomaly_days): daily totals in integer
+    cents, then percentile(0.5) over a RANGE frame keyed by the integer
+    day index -- so a gap day shrinks the window population instead of
+    silently widening the time span (ROWS frames get this wrong).
+
+    Exactness: cents are integers, and both engines define even-count
+    medians as the mean of the two middle values -- a half-integer,
+    exactly representable in double. Scale: the heavy shuffle is the daily
+    aggregation (keyed by day); the window then runs over ONE row per day
+    -- a bounded series (3.7k rows per decade) on a single partition by
+    design, the same shape as every calendar-spine query here."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1990-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev_cents",
+        F.expr("percentile(rev_cents, 0.5D)").over(w).alias("med7_cents"),
+        F.count(F.lit(1)).over(w).alias("days_in_window"),
+    )

@@ -26,6 +26,7 @@ from pgsf_spark.analytics import (
     dedup,
     events,
     layout,
+    linkage,
     multimodal,
     pipeline,
     privacy,
@@ -2804,6 +2805,68 @@ SELECT CAST(SUM(hit) AS INT) AS n_hits,
         / {sum((similarity.NDCG_K + 1 - r) * similarity._ndcg_discounts()[r - 1] for r in range(1, similarity.NDCG_K + 1))!r}, 6) AS ndcg
 FROM g""",
     ),
+    "range_band_join": QuerySpec(
+        advanced.q_range_band_join,
+        # the oracle states the SEMANTICS (plain theta-join); the Spark face
+        # proves the bucket-expansion rewrite computes the same relation
+        """SELECT band_id, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_price
+FROM orders
+JOIN (SELECT n_nationkey AS band_id,
+             n_nationkey * 18000.0 AS lo,
+             n_nationkey * 18000.0 + 54000.0 AS hi
+      FROM nation) bands
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_id""",
+    ),
+    "record_linkage": QuerySpec(
+        linkage.q_record_linkage,
+        # blocking reproduced literally (bucket-window containment) so
+        # n_candidates -- an artifact of the blocking, not the semantics --
+        # is graded too, not just the final matches
+        f"""WITH dirty AS (
+  SELECT c_custkey AS d_custkey,
+    concat(substr(c_name, 1, pos - 1), substr(c_name, pos + 1)) AS d_name,
+    c_nationkey AS d_nationkey,
+    c_acctbal + CAST(c_custkey % 7 - 3 AS DOUBLE) AS d_acctbal,
+    c_mktsegment AS d_mktsegment
+  FROM (SELECT *, CAST(2 + c_custkey % (length(c_name) - 2) AS INT) AS pos
+        FROM customer WHERE c_custkey % 3 = 0)),
+cand AS (
+  SELECT d_custkey, c_custkey, d_nationkey,
+    levenshtein(d_name, c_name) AS lev,
+    abs(d_acctbal - c_acctbal) <= {linkage.ACCT_TOL} AS acct_ok,
+    d_mktsegment = c_mktsegment AS seg_ok
+  FROM dirty JOIN customer
+    ON d_nationkey = c_nationkey
+   AND floor(c_acctbal / {linkage.BUCKET})
+       BETWEEN floor((d_acctbal - {linkage.ACCT_TOL}) / {linkage.BUCKET})
+           AND floor((d_acctbal + {linkage.ACCT_TOL}) / {linkage.BUCKET})),
+scored AS (
+  SELECT *,
+    (CASE WHEN lev <= 1 THEN 2 ELSE 0 END)
+      + (CASE WHEN acct_ok THEN 1 ELSE 0 END)
+      + (CASE WHEN seg_ok THEN 1 ELSE 0 END) AS score
+  FROM cand)
+SELECT d_nationkey AS nationkey, COUNT(*) AS n_candidates,
+  SUM(CASE WHEN score >= 3 THEN 1 ELSE 0 END) AS n_matched,
+  SUM(CASE WHEN score >= 3 AND d_custkey = c_custkey THEN 1 ELSE 0 END) AS n_true,
+  SUM(lev) AS lev_mass
+FROM scored GROUP BY 1""",
+    ),
+    "rolling_median_revenue": QuerySpec(
+        profiling.q_rolling_median_revenue,
+        """WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1)
+SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,
+  median(rev_cents) OVER w AS med7_cents,
+  COUNT(*) OVER w AS days_in_window
+FROM daily
+WINDOW w AS (ORDER BY datediff('day', DATE '1990-01-01', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -2988,7 +3051,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # pseudonymize_gate, referential_integrity_audit, event_state_intervals,
 # dedup_pipeline_summary, asof_next_purchase_after_click, time_to_convert,
 # ivfpq_recall_at_5, triplet_margin_stats, revenue_anomaly_days,
-# segment_overlap_matrix, dau_wau_stickiness, wau_hll_gate (plus any
+# segment_overlap_matrix, dau_wau_stickiness, wau_hll_gate,
+# range_band_join, record_linkage, rolling_median_revenue (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [
