@@ -544,22 +544,26 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabularies use PPJoin prefix blocking + the array-intersect join.
     # Both paths are exact; the vocab count is a tiny driver scalar (like
     # pagerank's node count).
-    n_vocab = df_.count()
-    if n_vocab <= 62:
-        vocab_ids = df_.select(
-            "token",
-            (F.row_number().over(Window.orderBy("df", "token")) - 1).alias("tid"),
+    # One bounded job decides the branch AND fetches the rarity-ordered
+    # vocabulary when it is small: take(63) is a TakeOrdered over the
+    # df-aggregate -- 63 rows back means "vocabulary exceeds the bitmask
+    # width", fewer means we hold the whole (df, token) order driver-side
+    # and can assign tids as a literal map (no broadcast join, no window,
+    # no second aggregate over the token table).
+    vocab_rows = df_.orderBy("df", "token").take(63)
+    if len(vocab_rows) <= 62:
+        n_vocab = len(vocab_rows)
+        tid_map = F.create_map(
+            *[x for i, r in enumerate(vocab_rows) for x in (F.lit(r.token), F.lit(i))]
         )
         masked = (
-            tok.join(F.broadcast(vocab_ids), "token")
+            tok.withColumn("tid", F.element_at(tid_map, F.col("token")))
             .groupBy("doc_id")
             .agg(
                 F.sum(F.expr("cast(shiftleft(cast(1 as bigint), tid) as bigint)")).alias("mask"),
                 F.count(F.lit(1)).alias("sz"),
             )
-            .join(toks.select("doc_id", "source"), "doc_id")
         )
-        masked = masked.localCheckpoint()
         # Candidate generation by EXACT pigeonhole submask banding: on a
         # tiny vocabulary prefix tokens are shared by most of the corpus
         # (measured 34M raw co-occurrence rows here), but jaccard >= t
@@ -568,55 +572,78 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # delta_max + 1 contiguous tid groups guarantees every qualifying
         # pair agrees EXACTLY on at least one group's submask (pigeonhole)
         # -- the SimHash-banding argument applied to exact set similarity.
-        # Blocks are (group, submask) equal-value groups: ~1M candidate
-        # rows instead of 34M, same exact recall, and the verified output
-        # is identical so the oracle (prefix-join form) is untouched.
+        # Blocks are (group, submask) equal-value groups. Three choices keep
+        # the pair stage map-side and skew-proof (together they took the
+        # sf0.1 query from ~8s to ~5s; a second cross-cutting partition was
+        # tried and REJECTED -- 25 emissions/doc multiplied duplicate
+        # enumeration 3x faster than the sharper block keys shrank blocks):
+        #  - block members carry (doc_id, mask, sz), so each enumerated pair
+        #    verifies INLINE with two bit ops -- no candidate materialize,
+        #    no distinct, no joins back against the mask table;
+        #  - a pair is emitted only from its FIRST agreeing group (all
+        #    lower groups differ), so cross-group duplicates never exist
+        #    instead of being distinct-ed away afterwards;
+        #  - a round-robin repartition between the two explodes splits the
+        #    hottest block's pair enumeration across the cluster (a
+        #    collect_list block is otherwise one task's serial work).
+        # The verified output is identical, so the oracle (prefix-join
+        # form) is untouched.
         delta_max = int((1.0 - PREFIX_T) * n_vocab)
         groups = delta_max + 1
-        grp_structs, lo = [], 0
+        bounds, lo = [], 0
         for j in range(groups):
             ln = n_vocab // groups + (1 if j < n_vocab % groups else 0)
-            grp_structs.append(
-                F.struct(
-                    F.lit(j).alias("g"),
-                    F.expr(f"shiftright(mask, {lo}) & {(1 << ln) - 1}").alias("sm"),
-                )
-            )
+            bounds.append((lo, ln))
             lo += ln
-        blocks = (
-            masked.select("doc_id", F.explode(F.array(*grp_structs)).alias("b"))
-            .groupBy("b.g", "b.sm")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-            .filter(F.size("ids") > 1)
-        )
-        cand = (
-            blocks.select(F.posexplode("ids").alias("i", "doc_a"), "ids")
-            .select(
-                "doc_a",
-                F.explode(
-                    F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))
-                ).alias("doc_b"),
+        grp_structs = [
+            F.struct(
+                F.lit(j).alias("g"),
+                F.expr(f"shiftright(mask, {lo}) & {(1 << ln) - 1}").alias("sm"),
             )
-            .distinct()
+            for j, (lo, ln) in enumerate(bounds)
+        ]
+        memb = F.struct("doc_id", "mask", "sz")
+        blocks = (
+            masked.select(memb.alias("m"), F.explode(F.array(*grp_structs)).alias("b"))
+            .groupBy("b.g", "b.sm")
+            .agg(F.sort_array(F.collect_list("m")).alias("ms"))
+            .filter(F.size("ms") > 1)
         )
-        ma = masked.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("mask").alias("mask_a"),
-            F.col("sz").alias("sz_a"),
-            "source",
+        lhs = (
+            blocks.select("g", F.posexplode("ms").alias("i", "a"), "ms")
+            .filter(F.col("i") < F.size("ms") - 1)
+            .repartition(spark.sparkContext.defaultParallelism)
         )
-        mb = masked.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("mask").alias("mask_b"),
-            F.col("sz").alias("sz_b"),
+        pairs = lhs.select(
+            "g", "a", F.explode(F.slice(F.col("ms"), F.col("i") + 2, F.size("ms"))).alias("b")
         )
-        inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
-        union = F.col("sz_a") + F.col("sz_b") - inter
-        verified = (
-            cand.join(ma, "doc_a")
-            .join(mb, "doc_b")
-            .select("source", F.round(inter / union, 4).alias("jaccard"))
+        sub_eq = [
+            (
+                F.expr(f"shiftright(a.mask, {lo}) & {(1 << ln) - 1}")
+                == F.expr(f"shiftright(b.mask, {lo}) & {(1 << ln) - 1}")
+            )
+            for lo, ln in bounds
+        ]
+        # minimal-agreeing-group guard: no group below g also agrees
+        lower_agrees = F.lit(False)
+        guard = F.lit(True)
+        for j in range(groups):
+            guard = F.when(F.col("g") == j, ~lower_agrees).otherwise(guard)
+            lower_agrees = lower_agrees | sub_eq[j]
+        inter = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
+        union = F.col("a.sz") + F.col("b.sz") - inter
+        hits = (
+            pairs.filter(guard)
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.round(inter / union, 4).alias("jaccard"),
+            )
             .filter(F.col("jaccard") >= PREFIX_T)
+        )
+        # survivors are a handful of rows; AQE broadcasts them (hits is the
+        # small side at runtime -- don't force-broadcast the corpus map)
+        verified = hits.join(toks.select("doc_id", "source"), "doc_id").select(
+            "source", "jaccard"
         )
     else:
         # PPJoin prefix blocking (Xiao et al. 2008) for general

@@ -570,3 +570,45 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("dau", F.lit(0)) / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+def q_pit_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time correctness: revenue attributed to the
+    behavioral state the user was IN when each purchase happened. State =
+    SCD2 intervals derived from the non-purchase stream (same
+    gaps-and-islands pass as q_event_state_intervals); each purchase is
+    joined to the single interval containing its timestamp -- the PIT join
+    that prevents feature leakage in training-set assembly (joining
+    tomorrow's state onto today's label is the classic bug this op exists
+    to avoid).
+
+    Plan: both windows and the final join share the user_id partitioning,
+    so one exchange is reused end to end; the containment predicate rides
+    on the user_id equi-join (per-user interval counts are small and
+    non-overlapping by construction -- no range-bucket expansion needed;
+    for keyless interval joins use operators/rangejoin.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = s.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0).alias("chg"),
+    ).withColumn("island", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    runs = flagged.groupBy("user_id", "island").agg(
+        F.min("ts").alias("vf"), F.min("event_type").alias("state")
+    )
+    wi = Window.partitionBy("user_id").orderBy("island")
+    iv = runs.select("user_id", "state", "vf", F.lead("vf").over(wi).alias("vt"))
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = p.join(iv, "user_id").filter(
+        (F.col("ts") >= F.col("vf")) & (F.col("vt").isNull() | (F.col("ts") < F.col("vt")))
+    )
+    return joined.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_users"),
+        dsum(F.col("value")).alias("revenue"),
+    )

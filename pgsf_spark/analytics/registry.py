@@ -2854,6 +2854,32 @@ SELECT d_nationkey AS nationkey, COUNT(*) AS n_candidates,
   SUM(lev) AS lev_mass
 FROM scored GROUP BY 1""",
     ),
+    "pit_state_join": QuerySpec(
+        events.q_pit_state_join,
+        """WITH s AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+  WHERE event_type <> 'purchase'),
+f AS (
+  SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+            THEN 1 ELSE 0 END AS chg
+  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+i AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM f),
+r AS (SELECT user_id, island, MIN(ts) AS vf, MIN(event_type) AS state
+      FROM i GROUP BY 1, 2),
+iv AS (SELECT user_id, state, vf,
+         lead(vf) OVER (PARTITION BY user_id ORDER BY island) AS vt
+       FROM r),
+p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+SELECT state, COUNT(*) AS n_purchases, COUNT(DISTINCT p.user_id) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM p JOIN iv ON p.user_id = iv.user_id
+  AND p.ts >= iv.vf AND (iv.vt IS NULL OR p.ts < iv.vt)
+GROUP BY state""",
+    ),
     "rolling_median_revenue": QuerySpec(
         profiling.q_rolling_median_revenue,
         """WITH daily AS (
