@@ -1004,3 +1004,50 @@ def q_dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.try_divide(F.col("n_retained"), F.col("n_docs")), 4).alias("retention"),
         )
     )
+
+
+def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup twin of q_incremental_dedup: an incoming batch (doc_id
+    divisible by 10) is LSH-screened against the historical corpus (the
+    rest), and only new-vs-old candidate pairs are Jaccard-verified --
+    never old-vs-old (that work was done when history was ingested; at
+    100 TB the historical (band, bucket) index is a persisted table a
+    fraction of corpus size, re-read per batch, not recomputed -- the
+    recompute here stands in for that read on the static test corpus).
+
+    Plan: one signature projection feeds both sides; the candidate join
+    shuffles (band, bucket) rows only; exact Jaccard runs on candidates;
+    the three grain-different counters meet on a literal key via
+    BroadcastHashJoin (no cartesian). Output: one admission-accounting row.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    banded = lsh_banded(d)
+    is_new = F.col("doc_id") % 10 == 0
+    nb = banded.filter(is_new).select(F.col("doc_id").alias("doc_new"), "band", "bucket")
+    ob = banded.filter(~is_new).select(F.col("doc_id").alias("doc_old"), "band", "bucket")
+    cand = nb.join(ob, ["band", "bucket"]).select("doc_new", "doc_old").distinct()
+    t = d.select("doc_id", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks"))
+    v = (
+        cand.join(t.select(F.col("doc_id").alias("doc_new"), F.col("toks").alias("toks_a")), "doc_new")
+        .join(t.select(F.col("doc_id").alias("doc_old"), F.col("toks").alias("toks_b")), "doc_old")
+        .select(
+            "doc_new",
+            F.round(
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    a_new = d.filter(is_new).agg(F.count(F.lit(1)).alias("n_new")).withColumn("k", F.lit(1))
+    a_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs")).withColumn("k", F.lit(1))
+    a_dup = v.agg(
+        F.coalesce(F.sum(F.when(F.col("jaccard") >= JACCARD_T, 1)), F.lit(0)).alias("n_dup_pairs"),
+        F.countDistinct(F.when(F.col("jaccard") >= JACCARD_T, F.col("doc_new"))).alias(
+            "n_new_docs_with_dup"
+        ),
+    ).withColumn("k", F.lit(1))
+    return (
+        a_new.join(a_cand, "k").join(a_dup, "k")
+        .select("n_new", "n_candidate_pairs", "n_dup_pairs", "n_new_docs_with_dup")
+    )

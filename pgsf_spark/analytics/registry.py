@@ -990,6 +990,28 @@ SELECT * FROM (
   FROM pairs JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id)
 WHERE jaccard >= {dedup.JACCARD_T}""",
     ),
+    "incremental_lsh_dedup": QuerySpec(
+        dedup.q_incremental_lsh_dedup,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + f""",
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+  FROM banded n JOIN banded o ON n.band = o.band AND n.bucket = o.bucket
+  WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0),
+t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+v AS (
+  SELECT doc_new,
+    ROUND(len(list_intersect(ta.toks, tb.toks))
+          / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+  FROM cand JOIN t ta ON doc_new = ta.doc_id JOIN t tb ON doc_old = tb.doc_id)
+SELECT
+  (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0) AS n_new,
+  (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
+  COALESCE(SUM(CASE WHEN jaccard >= {dedup.JACCARD_T} THEN 1 END), 0) AS n_dup_pairs,
+  COUNT(DISTINCT CASE WHEN jaccard >= {dedup.JACCARD_T} THEN doc_new END) AS n_new_docs_with_dup
+FROM v""",
+    ),
     "simhash": QuerySpec(dedup.q_simhash, _simhash_sql()),
     "simhash_near_dup": QuerySpec(dedup.q_simhash_near_dup, _simhash_near_dup_sql()),
     "lsh_containment": QuerySpec(
@@ -3078,7 +3100,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # dedup_pipeline_summary, asof_next_purchase_after_click, time_to_convert,
 # ivfpq_recall_at_5, triplet_margin_stats, revenue_anomaly_days,
 # segment_overlap_matrix, dau_wau_stickiness, wau_hll_gate,
-# range_band_join, record_linkage, rolling_median_revenue (plus any
+# range_band_join, record_linkage, rolling_median_revenue, pit_state_join,
+# incremental_lsh_dedup (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [
