@@ -78,6 +78,12 @@ REPRESENTATIVE = [
     "revenue_anomaly_days",  # FIR forecast over an empty series
     "segment_overlap_matrix",  # pair overlap of zero segments
     "dau_wau_stickiness",  # spine from null day bounds
+    # round-4 third continued session
+    "range_band_join",  # bucket-expansion join of zero points/ranges
+    "record_linkage",  # blocked fuzzy match over zero customers
+    "rolling_median_revenue",  # RANGE-frame median over an empty series
+    "pit_state_join",  # PIT join onto zero state intervals
+    "incremental_lsh_dedup",  # new-vs-old banding with both sides empty
 ]
 
 
