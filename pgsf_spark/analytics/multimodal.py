@@ -9,9 +9,10 @@ the driver, work is partition-parallel, Python cost is amortized per batch).
 PNG is decoded/encoded FOR REAL with zero image libraries (zlib is stdlib):
 chunk walk, IDAT inflate, per-scanline unfiltering incl. Paeth, nearest-
 neighbor resample, re-encode with CRCs -- so ``resize_images`` produces
-actual pixel output executor-side. JPEG metadata decode is real (SOF marker
-walk); JPEG PIXEL decode stays out of scope (an entropy decoder without a
-codec library is not honest engineering) -- non-PNG payloads pass through
+actual pixel output executor-side. JPEG is now decoded/encoded FOR REAL
+too (jpeg_codec.py: baseline sequential DCT, table-driven Huffman entropy
+decode, numpy IDCT -- 4:4:4 / grayscale, no subsampling or progressive,
+rejected loudly); payloads neither codec accepts pass through
 ``resize_images`` unchanged, flagged in ``meta_format``.
 """
 
@@ -24,6 +25,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from pgsf_spark.analytics.jpeg_codec import decode_jpeg, encode_jpeg
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -278,15 +281,16 @@ def extract_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame
 def resize_images(
     df: DataFrame, target_w: int, target_h: int, content_col: str = "content"
 ) -> DataFrame:
-    """REAL pixel resize, executor-side: decode PNG -> nearest-neighbor
-    resample -> re-encode PNG, all inside one mapInPandas pass (bytes never
-    leave the executors; one Arrow batch at a time; no shuffle -- the
-    production plan shape for media preprocessing at 100 TB).
+    """REAL pixel resize, executor-side: decode (PNG or baseline JPEG) ->
+    nearest-neighbor resample -> re-encode in the same format, all inside
+    one mapInPandas pass (bytes never leave the executors; one Arrow batch
+    at a time; no shuffle -- the production plan shape for media
+    preprocessing at 100 TB).
 
-    Non-PNG payloads (JPEG needs an entropy decoder = codec library, out of
-    scope here) pass through byte-identical with meta untouched; the caller
-    can route on ``meta_format``. Undecodable/corrupt PNGs also pass
-    through rather than failing the batch."""
+    Payloads neither codec accepts (progressive/subsampled JPEG, corrupt
+    or exotic PNG, other formats) pass through byte-identical with meta
+    untouched rather than failing the batch; the caller can route on
+    ``meta_format``."""
     out_schema = df.schema
     has_meta = "meta_width" in df.columns
 
@@ -307,6 +311,18 @@ def resize_images(
                         continue
                     except ValueError:
                         pass  # unsupported/corrupt PNG: fall through untouched
+                if raw is not None and raw[:3] == b"\xff\xd8\xff":
+                    try:
+                        w, h, ch, px = decode_jpeg(raw)
+                        resized = resample_nearest(px, w, h, ch, target_w, target_h)
+                        raw = encode_jpeg(bytes(resized), target_w, target_h, ch, quality=90)
+                        contents.append(raw)
+                        ws.append(target_w)
+                        hs.append(target_h)
+                        nb.append(len(raw))
+                        continue
+                    except ValueError:
+                        pass  # non-baseline/subsampled JPEG: fall through untouched
                 contents.append(raw)
                 if has_meta:
                     ws.append(pdf["meta_width"].iloc[idx])
@@ -548,6 +564,73 @@ def q_png_decode_gate(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_decode_gate(spark, sf_dir: str) -> DataFrame:
+    """JPEG codec gate: synthesize block-constant grayscale baseline JPEGs
+    with the REAL encoder (jpeg_codec.encode_jpeg: FDCT, quantization,
+    Huffman entropy coding, byte stuffing), run them through
+    extract_media_meta (real SOF walk) and the REAL table-driven decoder
+    (Huffman entropy decode, dequantize, IDCT), and emit positional pixel
+    checksums.
+
+    Block-constant images quantize to DC-only blocks, whose decoded pixels
+    have the exact integer closed form the DuckDB oracle computes:
+    pix = clip(128 + 2 * rha((v - 128) / 2)) at quality 50 (DC step 16)
+    -- so a full lossy codec round-trip becomes a hash-exact gate, while
+    the AC/entropy path is exercised by the gradient roundtrip tests
+    (lossy, tolerance-bounded, not oracle-gateable). Any drift in marker
+    framing, table construction, bit packing, zigzag order, DC prediction
+    or the IDCT breaks the driver hash."""
+    ids = _gate_ids(spark, sf_dir)
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w, h = 16 + 8 * (m % 3), 16 + 8 * ((m * 5) % 3)
+                img = np.zeros((h, w), dtype=np.uint8)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            37 * bx + 73 * by + 11 * m
+                        ) % 256
+                content = encode_jpeg(img.tobytes(), w, h, 1, quality=50)
+                rows.append((m, "image", content, None, None, None, None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    media = extract_media_meta(ids.mapInPandas(build, MEDIA_SCHEMA)).localCheckpoint()
+
+    csum_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("channels", LongType(), True),
+            StructField("pix_checksum", LongType(), True),
+        ]
+    )
+
+    def checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                _w, _h, ch, px = decode_jpeg(bytes(content))
+                out.append((int(mid), ch, _weighted_checksum(px)))
+            yield pd.DataFrame(out, columns=["media_id", "channels", "pix_checksum"])
+
+    return (
+        media.select(
+            "media_id",
+            "meta_format",
+            F.col("meta_width").cast("bigint").alias("meta_width"),
+            F.col("meta_height").cast("bigint").alias("meta_height"),
+        )
+        .join(media.mapInPandas(checksum, csum_schema), "media_id")
+        .orderBy("media_id")
+    )
+
+
 def q_wav_features_gate(spark, sf_dir: str) -> DataFrame:
     """WAV codec gate: synthesize sawtooth PCM16 WAVs, decode them with the
     real RIFF walker, and emit integer-exact features (sum of squares, zero
@@ -632,8 +715,9 @@ def image_ahash(media: DataFrame) -> DataFrame:
 
     All integer arithmetic: luma is the raw channel sum (no /3, no floats)
     and the threshold compares ``luma * 64 > total`` -- bit-exact in any
-    engine and invariant to channel count normalization. Runs in
-    mapInPandas: bytes stay executor-side, one decode per image."""
+    engine and invariant to channel count normalization. Decodes PNG and
+    baseline JPEG (signature dispatch). Runs in mapInPandas: bytes stay
+    executor-side, one decode per image."""
     schema = StructType(
         [
             StructField("media_id", LongType(), False),
@@ -647,7 +731,11 @@ def image_ahash(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, ch, px = decode_png(bytes(content))
+                raw = bytes(content)
+                if raw[:3] == b"\xff\xd8\xff":
+                    w, h, ch, px = decode_jpeg(raw)
+                else:
+                    w, h, ch, px = decode_png(raw)
                 nc = min(ch, 3)  # RGBA: alpha excluded from luma
                 luma = []
                 for by in range(g):

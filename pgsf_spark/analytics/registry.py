@@ -2608,6 +2608,30 @@ SELECT ids.media_id, 'png' AS meta_format,
 FROM ids JOIN orig USING (media_id) JOIN res USING (media_id)
 ORDER BY ids.media_id""",
     ),
+    "jpeg_decode_gate": QuerySpec(
+        multimodal.q_jpeg_decode_gate,
+        # closed form of the DC-only quantize->dequantize->IDCT round trip
+        # at quality 50 (DC step 16): pix = clip(128 + 2*rha((v-128)/2))
+        f"""WITH ids AS (
+  SELECT doc_id AS media_id, 16 + 8 * (doc_id % 3) AS w, 16 + 8 * ((doc_id*5) % 3) AS h
+  FROM documents WHERE doc_id < {multimodal._GATE_DOCS}),
+px AS (
+  SELECT media_id,
+    CAST(SUM(
+      LEAST(255, GREATEST(0, 128 + 2 * (
+        CASE WHEN d >= 0 THEN (d + 1) // 2 ELSE -((1 - d) // 2) END)))
+      * ((idx % 9973) + 1)) AS BIGINT) AS pix_checksum
+  FROM (
+    SELECT media_id, i.range AS idx,
+      ((37 * ((i.range % w) // 8) + 73 * ((i.range // w) // 8) + 11 * media_id) % 256) - 128 AS d
+    FROM ids, range(0, 1024) i WHERE i.range < w * h)
+  GROUP BY media_id)
+SELECT ids.media_id, 'jpeg' AS meta_format,
+  CAST(w AS BIGINT) AS meta_width, CAST(h AS BIGINT) AS meta_height,
+  CAST(1 AS BIGINT) AS channels, px.pix_checksum
+FROM ids JOIN px USING (media_id)
+ORDER BY ids.media_id""",
+    ),
     "wav_features_gate": QuerySpec(
         multimodal.q_wav_features_gate,
         f"""WITH ids AS (
@@ -3101,7 +3125,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # ivfpq_recall_at_5, triplet_margin_stats, revenue_anomaly_days,
 # segment_overlap_matrix, dau_wau_stickiness, wau_hll_gate,
 # range_band_join, record_linkage, rolling_median_revenue, pit_state_join,
-# incremental_lsh_dedup (plus any
+# incremental_lsh_dedup, jpeg_decode_gate (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [
