@@ -461,6 +461,81 @@ def extract_audio_features(df: DataFrame, content_col: str = "content") -> DataF
     return df.mapInPandas(run, out_schema)
 
 
+SPEC_NFFT = 256  # analysis window (samples); hop is half a window
+SPEC_BANDS = 4  # log-spaced power bands over [1, NFFT/2]
+
+
+def extract_spectrogram_features(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Spectral audio features over mapInPandas: Hann-windowed rFFT frames
+    (numpy, no audio libraries), mean power in SPEC_BANDS log-spaced bands
+    plus the dominant frequency bin -- the features an audio-corpus
+    pipeline uses for music/speech/noise routing and near-silence culling.
+
+    Float FFT output is not SQL-mirrorable, so like the streaming
+    operators this stays out of the oracle registry; correctness is
+    test-locked instead (pure-sine peak-bin identity, Parseval energy
+    check against the time domain, frame-count arithmetic). Bytes stay
+    executor-side; each batch does one decode + one vectorized FFT per
+    clip -- the same 100 TB shape as every other media op here."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("n_frames_fft", IntegerType(), True),
+            StructField("band_power", ArrayType(DoubleType()), True),
+            StructField("dominant_bin", IntegerType(), True),
+        ]
+    )
+    edges = np.unique(
+        np.round(np.geomspace(1, SPEC_NFFT // 2, SPEC_BANDS + 1)).astype(int)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(SPEC_NFFT)
+        hop = SPEC_NFFT // 2
+        for pdf in batches:
+            nfr, bands, doms = [], [], []
+            for content in pdf[content_col]:
+                raw = bytes(content) if content is not None else None
+                if raw is None or raw[:4] != b"RIFF":
+                    nfr.append(None)
+                    bands.append(None)
+                    doms.append(None)
+                    continue
+                try:
+                    _rate, _ch, _n, s = decode_wav(raw)
+                except ValueError:
+                    nfr.append(None)
+                    bands.append(None)
+                    doms.append(None)
+                    continue
+                x = np.asarray(s, dtype=np.float64)
+                if x.size < SPEC_NFFT:
+                    x = np.pad(x, (0, SPEC_NFFT - x.size))
+                n_frames = 1 + (x.size - SPEC_NFFT) // hop
+                frames = np.lib.stride_tricks.sliding_window_view(x, SPEC_NFFT)[::hop][
+                    :n_frames
+                ]
+                spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+                mean_pow = spec.mean(axis=0)
+                bp = [
+                    float(mean_pow[lo : hi + 1].mean())
+                    for lo, hi in zip(edges[:-1], edges[1:])
+                ]
+                nfr.append(n_frames)
+                bands.append([round(v, 6) for v in bp])
+                doms.append(int(mean_pow[1:].argmax()) + 1)  # DC excluded
+            out = pdf.copy()
+            out["n_frames_fft"] = pd.array(nfr, dtype="Int32")
+            out["band_power"] = bands
+            out["dominant_bin"] = pd.array(doms, dtype="Int32")
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
 # --- oracle-gated codec queries (VERDICT r3 ask #4) -----------------------
 #
 # The synthetic payloads are closed-form -- PNG gradient pixel (y,j) is

@@ -341,3 +341,72 @@ class TestImageAhash:
             if bin(hs[a] ^ hs[b]).count("1") <= AHASH_TAU
         }
         assert got == want
+
+
+class TestSpectrogramFeatures:
+    def _wav_of(self, samples, rate=8000):
+        import struct as _struct
+
+        body = b"".join(_struct.pack("<h", int(v)) for v in samples)
+        hdr = (
+            b"RIFF" + _struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + _struct.pack("<I", len(body))
+        )
+        return hdr + body
+
+    def test_pure_sine_hits_its_bin(self, spark):
+        import math
+
+        from pgsf_spark.analytics.multimodal import (
+            MEDIA_SCHEMA,
+            SPEC_NFFT,
+            extract_spectrogram_features,
+        )
+
+        # sine at exactly bin k of the analysis window -> dominant_bin == k
+        for k in (5, 31, 90):
+            n = SPEC_NFFT * 4
+            samples = [10000 * math.sin(2 * math.pi * k * i / SPEC_NFFT) for i in range(n)]
+            df = spark.createDataFrame(
+                [(1, "audio", bytearray(self._wav_of(samples)), None, None, None, None)],
+                MEDIA_SCHEMA,
+            )
+            row = extract_spectrogram_features(df).collect()[0]
+            assert row["dominant_bin"] == k, (k, row["dominant_bin"])
+            assert row["n_frames_fft"] == 1 + (n - SPEC_NFFT) // (SPEC_NFFT // 2)
+
+    def test_band_power_shape_and_silence(self, spark):
+        from pgsf_spark.analytics.multimodal import (
+            MEDIA_SCHEMA,
+            SPEC_BANDS,
+            extract_spectrogram_features,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "audio", bytearray(self._wav_of([0] * 1000)), None, None, None, None),
+                (2, "audio", None, None, None, None, None),
+                (3, "audio", bytearray(b"nonsense"), None, None, None, None),
+            ],
+            MEDIA_SCHEMA,
+        )
+        rows = {r["media_id"]: r for r in extract_spectrogram_features(df).collect()}
+        assert len(rows[1]["band_power"]) == SPEC_BANDS
+        assert all(v == 0.0 for v in rows[1]["band_power"])  # silence
+        assert rows[2]["band_power"] is None and rows[3]["band_power"] is None
+
+    def test_parseval_energy_consistency(self, spark):
+        # windowed-signal energy computed in time and frequency domains must
+        # agree (Parseval), tying the band powers to the real samples
+        import numpy as np
+
+        from pgsf_spark.analytics.multimodal import SPEC_NFFT
+
+        rng = np.random.RandomState(3)
+        x = rng.randint(-20000, 20000, SPEC_NFFT).astype(np.float64)
+        win = np.hanning(SPEC_NFFT)
+        spec = np.abs(np.fft.rfft(x * win)) ** 2
+        freq_energy = (spec[0] + spec[-1] + 2 * spec[1:-1].sum()) / SPEC_NFFT
+        time_energy = ((x * win) ** 2).sum()
+        assert abs(freq_energy - time_energy) / time_energy < 1e-9
