@@ -325,8 +325,20 @@ def encode_jpeg(
 def decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
     """Baseline JPEG pixel decode, table-driven from the stream's own
     DQT/DHT. Supports 8-bit baseline (SOF0), 1 or 3 components, h=v=1,
-    no restart intervals. Returns (width, height, channels, pixels)
-    row-major interleaved (RGB for 3 components)."""
+    interleaved single scan, no restart intervals. Returns
+    (width, height, channels, pixels) row-major interleaved (RGB for 3
+    components). Every malformation raises ValueError -- callers rely on
+    that single exception type to route corrupt payloads."""
+    try:
+        return _decode_jpeg(content)
+    except (IndexError, KeyError, struct.error) as e:
+        # out-of-range reads / missing tables on truncated or corrupt
+        # streams; normalized so mapInPandas callers can pass the row
+        # through instead of failing the batch
+        raise ValueError(f"truncated or malformed JPEG: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -382,9 +394,18 @@ def decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("restart intervals not supported")
         elif marker == 0xDA:  # SOS: entropy data follows
             ns = payload[0]
+            if ns != len(comps):
+                # spec-legal non-interleaved baseline (one scan per
+                # component) would need multi-scan assembly; decoding just
+                # the first scan would silently return Y-only pixels
+                raise ValueError(
+                    f"non-interleaved scan not supported ({ns} of {len(comps)} components)"
+                )
             for si in range(ns):
                 cid, tables = payload[1 + si * 2 : 3 + si * 2]
-                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+                idx = next((i for i, c in enumerate(comps) if c[0] == cid), None)
+                if idx is None:
+                    raise ValueError(f"scan references unknown component id {cid}")
                 scan.append((idx, tables >> 4, tables & 0x0F))
             entropy_start = pos
             return _decode_scan(

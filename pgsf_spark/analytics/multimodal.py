@@ -505,13 +505,17 @@ def extract_spectrogram_features(df: DataFrame, content_col: str = "content") ->
                     doms.append(None)
                     continue
                 try:
-                    _rate, _ch, _n, s = decode_wav(raw)
+                    _rate, ch, _n, s = decode_wav(raw)
                 except ValueError:
                     nfr.append(None)
                     bands.append(None)
                     doms.append(None)
                     continue
                 x = np.asarray(s, dtype=np.float64)
+                if ch > 1:
+                    # decode_wav returns interleaved samples; FFT of the
+                    # interleaved stream would alias -- downmix to mono
+                    x = x[: x.size // ch * ch].reshape(-1, ch).mean(axis=1)
                 if x.size < SPEC_NFFT:
                     x = np.pad(x, (0, SPEC_NFFT - x.size))
                 n_frames = 1 + (x.size - SPEC_NFFT) // hop
@@ -520,9 +524,11 @@ def extract_spectrogram_features(df: DataFrame, content_col: str = "content") ->
                 ]
                 spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
                 mean_pow = spec.mean(axis=0)
+                # half-open [lo, hi) bands partition the spectrum (no bin
+                # counted twice); the last band also takes the top bin
                 bp = [
-                    float(mean_pow[lo : hi + 1].mean())
-                    for lo, hi in zip(edges[:-1], edges[1:])
+                    float(mean_pow[lo : (hi + 1 if k == len(edges) - 2 else hi)].mean())
+                    for k, (lo, hi) in enumerate(zip(edges[:-1], edges[1:]))
                 ]
                 nfr.append(n_frames)
                 bands.append([round(v, 6) for v in bp])

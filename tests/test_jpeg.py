@@ -183,3 +183,39 @@ class TestPipelineIntegration:
         )
         rows = {r["media_id"]: (r["ahash_hi"], r["ahash_lo"]) for r in image_ahash(df).collect()}
         assert rows[1] == rows[2]
+
+
+class TestMalformedPayloads:
+    def test_truncated_entropy_raises_valueerror(self):
+        enc = encode_jpeg(_gray(16, 16, lambda x, y: x * y).tobytes(), 16, 16, 1)
+        for cut in (len(enc) // 2, len(enc) - 3, 20):
+            with pytest.raises(ValueError):
+                decode_jpeg(enc[:cut])
+
+    def test_missing_dht_raises_valueerror(self):
+        enc = encode_jpeg(_gray(8, 8, lambda x, y: x).tobytes(), 8, 8, 1)
+        i = enc.index(b"\xff\xc4")
+        (seglen,) = struct.unpack(">H", enc[i + 2 : i + 4])
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[:i] + enc[i + 2 + seglen :])  # drop DC table
+
+    def test_non_interleaved_scan_rejected(self):
+        rgb = np.zeros((8, 8, 3), dtype=np.uint8)
+        enc = bytearray(encode_jpeg(rgb.tobytes(), 8, 8, 3))
+        i = enc.index(b"\xff\xda")
+        # rewrite SOS to claim a single-component scan (non-interleaved)
+        new_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+        (seglen,) = struct.unpack(">H", bytes(enc[i + 2 : i + 4]))
+        with pytest.raises(ValueError, match="non-interleaved"):
+            decode_jpeg(bytes(enc[:i]) + new_sos + bytes(enc[i + 2 + seglen :]))
+
+    def test_resize_images_passes_corrupt_jpeg_through(self, spark):
+        from pgsf_spark.analytics.multimodal import MEDIA_SCHEMA, resize_images
+
+        enc = encode_jpeg(_gray(16, 16, lambda x, y: x + y).tobytes(), 16, 16, 1)
+        trunc = enc[: len(enc) // 2]  # FF D8 FF prefix, truncated entropy
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(trunc), "jpeg", 16, 16, len(trunc))], MEDIA_SCHEMA
+        )
+        row = resize_images(df, 8, 8).collect()[0]
+        assert bytes(row["content"]) == trunc  # byte-identical pass-through

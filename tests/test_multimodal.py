@@ -410,3 +410,44 @@ class TestSpectrogramFeatures:
         freq_energy = (spec[0] + spec[-1] + 2 * spec[1:-1].sum()) / SPEC_NFFT
         time_energy = ((x * win) ** 2).sum()
         assert abs(freq_energy - time_energy) / time_energy < 1e-9
+
+    def test_stereo_downmix_keeps_peak_bin(self, spark):
+        import math
+        import struct as _struct
+
+        from pgsf_spark.analytics.multimodal import (
+            MEDIA_SCHEMA,
+            SPEC_NFFT,
+            extract_spectrogram_features,
+        )
+
+        # identical sine on both channels: downmix == mono signal, so the
+        # peak bin must match the mono case (interleaved FFT would not)
+        k, n = 17, SPEC_NFFT * 2
+        mono = [10000 * math.sin(2 * math.pi * k * i / SPEC_NFFT) for i in range(n)]
+        inter = [v for v in mono for _ in (0, 1)]
+        body = b"".join(_struct.pack("<h", int(v)) for v in inter)
+        wav = (
+            b"RIFF" + _struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+            + b"data" + _struct.pack("<I", len(body)) + body
+        )
+        df = spark.createDataFrame(
+            [(1, "audio", bytearray(wav), None, None, None, None)], MEDIA_SCHEMA
+        )
+        row = extract_spectrogram_features(df).collect()[0]
+        assert row["dominant_bin"] == k
+
+    def test_bands_partition_spectrum(self):
+        # every rfft bin 1..NFFT/2 must land in exactly one band
+        import numpy as np
+
+        from pgsf_spark.analytics.multimodal import SPEC_BANDS, SPEC_NFFT
+
+        edges = np.unique(
+            np.round(np.geomspace(1, SPEC_NFFT // 2, SPEC_BANDS + 1)).astype(int)
+        )
+        covered = []
+        for k, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+            covered.extend(range(lo, hi + 1 if k == len(edges) - 2 else hi))
+        assert covered == list(range(1, SPEC_NFFT // 2 + 1))
