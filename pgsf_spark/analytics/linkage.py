@@ -40,7 +40,12 @@ from pgsf_spark.tables import load_table
 # tolerance for balance agreement; jitter is in [-3, +3] so 3.01 keeps the
 # true pair inside while excluding nothing meaningful
 ACCT_TOL = 3.01
-BUCKET = 1000.0
+# blocking bucket width: anything >= 2*tol preserves recall (the explode
+# covers the straddle), and the tighter it is the smaller the blocks --
+# width 10 over a ~11k-wide balance domain keeps per-block membership
+# ~1000x smaller than the nation alone, so block pair counts stay linear
+# in table size far longer at scale
+BUCKET = 10.0
 
 
 def dirty_customer_twin(customer: DataFrame) -> DataFrame:
