@@ -583,9 +583,14 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         #  - a pair is emitted only from its FIRST agreeing group (all
         #    lower groups differ), so cross-group duplicates never exist
         #    instead of being distinct-ed away afterwards;
-        #  - a round-robin repartition between the two explodes splits the
-        #    hottest block's pair enumeration across the cluster (a
-        #    collect_list block is otherwise one task's serial work).
+        #  - blocks are cut into fixed-width member chunks and pairs are
+        #    enumerated per CHUNK PAIR (triangle within a chunk, full cross
+        #    between chunks) via a bounded-row self-join on the block key --
+        #    the same discipline as lsh_candidate_pairs. A round-robin
+        #    repartition of full-list rows was tried first and KILLED the
+        #    JVM at 10x scale: each posexplode row carried the whole member
+        #    list, so shuffle volume was O(sum block^2) ~ 20 GB; chunk rows
+        #    are O(CHUNK) wide and the join output is what AQE can split.
         # The verified output is identical, so the oracle (prefix-join
         # form) is untouched.
         delta_max = int((1.0 - PREFIX_T) * n_vocab)
@@ -609,13 +614,37 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sort_array(F.collect_list("m")).alias("ms"))
             .filter(F.size("ms") > 1)
         )
-        lhs = (
-            blocks.select("g", F.posexplode("ms").alias("i", "a"), "ms")
-            .filter(F.col("i") < F.size("ms") - 1)
-            .repartition(spark.sparkContext.defaultParallelism)
+        chunk = MAX_BUCKET  # bounded row width; pairs per chunk-pair row <= chunk^2
+        n_chunks = F.ceil(F.size("ms") / chunk).cast("int")
+        chunks = blocks.select(
+            "g",
+            "sm",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.slice(F.col("ms"), i * chunk + 1, chunk),
+                )
+            ).alias("ci", "cm"),
         )
-        pairs = lhs.select(
-            "g", "a", F.explode(F.slice(F.col("ms"), F.col("i") + 2, F.size("ms"))).alias("b")
+        ca = chunks.select("g", "sm", F.col("ci").alias("ci_a"), F.col("cm").alias("ca"))
+        cb = chunks.select("g", "sm", F.col("ci").alias("ci_b"), F.col("cm").alias("cb"))
+        # members are globally sorted within a block, so chunk i's doc_ids all
+        # precede chunk j's for i < j: triangle within a chunk + full cross
+        # between chunks partitions the block's pairs exactly once
+        cp = ca.join(cb, ["g", "sm"]).filter(F.col("ci_a") <= F.col("ci_b"))
+        pairs = cp.select(
+            "g",
+            (F.col("ci_a") == F.col("ci_b")).alias("same"),
+            F.posexplode("ca").alias("i", "a"),
+            "cb",
+        ).select(
+            "g",
+            "a",
+            F.explode(
+                F.when(
+                    F.col("same"), F.slice(F.col("cb"), F.col("i") + 2, F.size("cb"))
+                ).otherwise(F.col("cb"))
+            ).alias("b"),
         )
         sub_eq = [
             (
