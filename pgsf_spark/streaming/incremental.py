@@ -125,3 +125,124 @@ def stream_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def start_neardup_admission(
+    spark: SparkSession,
+    feed_dir: str,
+    schema: StructType,
+    store: TableStore,
+    admitted_table: str,
+    index_table: str,
+    checkpoint_dir: str,
+    sig_threshold: float = 0.875,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming NEAR-dup gatekeeper (streaming twin of the oracle-gated
+    q_incremental_lsh_dedup): each micro-batch of documents is MinHash-
+    banded and joined against the persisted (band, bucket) index; matching
+    candidates are verified by signature agreement (>= sig_threshold of
+    minhash components equal -- the unbiased Jaccard estimator, so no text
+    of historical docs is ever re-read); survivors are appended to the
+    admitted table and their signature+bucket rows to the index.
+
+    State lives in the TableStore index, NOT in streaming state -- the
+    index is exactly the structure the batch path maintains, so a crash
+    replays the batch idempotently against the already-admitted set
+    (re-admitted docs dedup against themselves by doc_id before publish).
+    Within-batch near-dups resolve first (candidate pairs inside the
+    batch, keep the lowest doc_id of each pair).
+
+    Scale shape per batch: signature projection over the batch only; one
+    (band, bucket) equi-join batch-vs-index; signature verify on candidate
+    ids only. The index grows with ADMITTED docs (near-dup mass never
+    enters), and at 100 TB it is a bucketed table the join co-locates on.
+    """
+    from pgsf_spark.analytics.dedup import N_MINHASH, doc_minhash, lsh_banded
+
+    sig_cols = [f"mh{i}" for i in range(N_MINHASH)]
+    need = int(sig_threshold * N_MINHASH + 0.999999)  # components that must agree
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch = batch_df.select("doc_id", "text", "source")
+        banded = lsh_banded(batch)
+        sigs = doc_minhash(batch)
+
+        # 1) within-batch near-dups: keep the lowest doc_id of each pair
+        from pgsf_spark.analytics.dedup import lsh_candidate_pairs
+
+        in_pairs = lsh_candidate_pairs(banded)
+        sa = sigs.select(F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in sig_cols])
+        sb = sigs.select(F.col("doc_id").alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in sig_cols])
+        agree = sum(
+            (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("int") for c in sig_cols
+        )
+        in_dups = (
+            in_pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .filter(agree >= need)
+            .select(F.col("doc_b").alias("doc_id"))  # doc_a < doc_b: loser is b
+            .distinct()
+        )
+        survivors = batch.join(in_dups, "doc_id", "left_anti")
+
+        # 2) vs the persisted index
+        try:
+            index = store.read(index_table)
+        except FileNotFoundError:
+            index = None
+        if index is not None and index.head(1):
+            cand = (
+                banded.join(survivors.select("doc_id"), "doc_id")
+                .join(
+                    index.select(F.col("doc_id").alias("old_id"), "band", "bucket"),
+                    ["band", "bucket"],
+                )
+                .select("doc_id", "old_id")
+                .distinct()
+            )
+            old_sigs = index.select(
+                F.col("doc_id").alias("old_id"), *[F.col(c).alias(f"b_{c}") for c in sig_cols]
+            ).distinct()
+            new_sigs = sigs.select("doc_id", *[F.col(c).alias(f"a_{c}") for c in sig_cols])
+            dup_ids = (
+                cand.join(new_sigs, "doc_id").join(old_sigs, "old_id")
+                .filter(agree >= need)
+                .select("doc_id")
+                .distinct()
+            )
+            survivors = survivors.join(dup_ids, "doc_id", "left_anti")
+
+        admitted = survivors
+        new_index = (
+            banded.join(admitted.select("doc_id"), "doc_id")
+            .join(sigs, "doc_id")
+            .select("doc_id", "band", "bucket", *sig_cols)
+        )
+        # idempotent replay: a re-delivered batch re-derives the same rows;
+        # dedup by doc_id (admitted) / (doc_id, band) (index) before publish
+        try:
+            prev = store.read(admitted_table)
+        except FileNotFoundError:
+            prev = None
+        if prev is not None and prev.head(1):
+            admitted_all = prev.unionByName(admitted).dropDuplicates(["doc_id"])
+            index_all = store.read(index_table).unionByName(new_index).dropDuplicates(
+                ["doc_id", "band"]
+            )
+        else:
+            admitted_all, index_all = admitted, new_index
+        store.write(admitted_all, admitted_table)
+        store.write(index_all, index_table)
+
+    writer = (
+        spark.readStream.schema(schema)
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    writer = writer.trigger(availableNow=True) if available_now else writer.trigger(
+        processingTime="10 minutes"
+    )
+    return writer.start()
