@@ -17,6 +17,11 @@
                                              (materialize the filter->dedup->
                                               split training manifest into the
                                               store, partitioned by split)
+  python -m pgsf_spark delete <table> --pk C --keys k1,k2
+                                             (targeted hard delete; rewrites
+                                              only the buckets holding the
+                                              keys, reports versions still
+                                              holding bytes until gc)
 
 Source/work dirs via --source-dir / --workdir (or PGSF_SPARK_SOURCE_DIR /
 PGSF_SPARK_WORKDIR).
@@ -61,7 +66,28 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("query")
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ex.add_argument("--full", action="store_true")
+    dl = sub.add_parser("delete")
+    dl.add_argument("table")
+    dl.add_argument("--pk", required=True)
+    dl.add_argument("--keys", required=True, help="comma-separated key values")
     args = p.parse_args(argv)
+
+    if args.cmd == "delete":
+        # compliance hard delete: bucket-pruned rewrite via write_partial
+        from pgsf_spark.operators.deletion import delete_rows
+        from pgsf_spark.operators.table_store import TableStore
+        from pgsf_spark.session import get_spark
+
+        spark = get_spark("pgsf_spark_delete")
+        # same root the sync Engine publishes to (engine.py: workdir/tables)
+        store = TableStore(spark, os.path.join(args.workdir, "tables"))
+        keys = spark.createDataFrame(
+            [(k,) for k in args.keys.split(",") if k], f"{args.pk} string"
+        )
+        stats = delete_rows(store, args.table, args.pk, keys)
+        print(json.dumps(stats))
+        spark.stop()
+        return 0
 
     if args.cmd == "explain":
         # plan audit: the shuffle/broadcast/pushdown numbers PERF.md reasons

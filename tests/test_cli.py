@@ -105,3 +105,18 @@ class TestExplainCommand:
         run = cli_env
         rc, _ = run("explain", "no_such_query")
         assert rc == 2
+
+
+class TestDeleteCommand:
+    def test_delete_after_bulk_load(self, cli_env):
+        import json
+
+        run = cli_env
+        rc, _ = run("bulk-load", "customer")
+        assert rc == 0
+        rc, out = run("delete", "customer", "--pk", "Id", "--keys", "c1")
+        assert rc == 0
+        stats = json.loads(out.strip().splitlines()[-1])
+        assert stats["n_deleted"] == 1
+        rc, out = run("soql", "SELECT COUNT() FROM customer")
+        assert rc == 0 and "0" in out
