@@ -1,0 +1,108 @@
+"""Scale-trend harness: time registry queries at 1x and Nx the sf0.1 data.
+
+Builds a synthetic Nx copy of the base tables (cross-join with a replica
+index; keys remapped to stay unique, event user_ids diversified so
+per-user grain scales too), runs the named queries at both scales on the
+same session, and prints one JSON line per query with the wall-clock
+ratio. A ratio near 1 means overhead-bound; near N means linear; near N^2
+(e.g. the degenerate small-vocab similarity corpus) is called out by the
+caller's judgment, not hidden.
+
+Usage:
+  python tools/scale_check.py [N] [query ...]      # default N=10
+Env:  SPARK_GRAFT_SF_DIR (base data, default /root/testdata/sf0.1)
+      PGSF_SCALE_DIR (work dir, default /tmp/pgsf_scale_check)
+
+PERF.md's "10x scale check" sections are produced with this tool.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_QUERIES = [
+    "incremental_lsh_dedup",
+    "record_linkage",
+    "range_band_join",
+    "pit_state_join",
+    "rolling_median_revenue",
+    "prefix_filter_pairs",
+]
+
+_KEYS = {
+    "documents": "doc_id",
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "lineitem": "l_orderkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "embeddings": "vec_id",
+}
+
+
+def build_scaled(spark, src: str, dst: str, n: int) -> None:
+    from pyspark.sql import functions as F
+
+    from pgsf_spark.tables import TABLES, load_table
+
+    for t in TABLES:
+        d = load_table(spark, src, t)
+        key = _KEYS.get(t)
+        out = f"{dst}/{t}.parquet"
+        if key is None:  # small dims (nation, region): keep as-is
+            d.write.mode("overwrite").parquet(out)
+            continue
+        reps = spark.range(n).select(F.col("id").alias("__rep"))
+        big = d.crossJoin(reps).withColumn(
+            key, F.col(key) + F.col("__rep") * (10**9)
+        )
+        if t == "events":
+            big = big.withColumn(
+                "user_id",
+                F.col("user_id") + F.col("__rep") * F.lit(10**6),
+            )
+        big.drop("__rep").write.mode("overwrite").parquet(out)
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
+    names = [a for a in sys.argv[1:] if not a.isdigit()] or DEFAULT_QUERIES
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    work = os.environ.get("PGSF_SCALE_DIR", "/tmp/pgsf_scale_check")
+
+    from pgsf_spark.analytics.registry import QUERIES
+    from pgsf_spark.session import get_spark
+    from pgsf_spark.tables import load_table
+
+    unknown = [q for q in names if q not in QUERIES]
+    if unknown:
+        print(json.dumps({"error": f"unknown queries {unknown}"}))
+        return 2
+    spark = get_spark("pgsf_scale_check")
+    try:
+        build_scaled(spark, base, work, n)
+        results = {}
+        for sf, tag in ((base, "base"), (work, f"{n}x")):
+            load_table(spark, sf, "documents").count()  # warm
+            for name in names:
+                t0 = time.time()
+                QUERIES[name].fn(spark, sf).count()
+                results.setdefault(name, {})[tag] = round(time.time() - t0, 2)
+        for name, r in results.items():
+            r["ratio"] = round(r[f"{n}x"] / max(r["base"], 0.01), 2)
+            print(json.dumps({"query": name, "scale": n, **r}))
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
