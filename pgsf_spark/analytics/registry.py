@@ -697,6 +697,13 @@ GROUP BY c_custkey, c_mktsegment""",
   COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     ),
+    "cube_status_priority": QuerySpec(
+        relational.q_cube_status_priority,
+        f"""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+  COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    ),
     "distinct_segments": QuerySpec(
         relational.q_distinct_segments, "SELECT DISTINCT c_mktsegment FROM customer"
     ),
@@ -3125,7 +3132,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # ivfpq_recall_at_5, triplet_margin_stats, revenue_anomaly_days,
 # segment_overlap_matrix, dau_wau_stickiness, wau_hll_gate,
 # range_band_join, record_linkage, rolling_median_revenue, pit_state_join,
-# incremental_lsh_dedup, jpeg_decode_gate (plus any
+# incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [

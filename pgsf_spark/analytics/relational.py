@@ -165,6 +165,32 @@ def q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate: all four grouping-set combinations of (status,
+    priority) in one pass -- the last §7.6 grouping-set shape (ROLLUP's
+    sibling). Spark expands the cube map-side before one shuffle; the
+    grouping-id column disambiguates a real NULL key from a superaggregate
+    row, surfaced here by coalescing to 'ALL' exactly when the grouping bit
+    is set (both engines agree on GROUPING())."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("total"),
+            # grouping() is only legal inside the cube aggregate itself
+            F.grouping("o_orderstatus").alias("g_s"),
+            F.grouping("o_orderpriority").alias("g_p"),
+        )
+        .select(
+            F.when(F.col("g_s") == 1, F.lit("ALL")).otherwise(F.col("o_orderstatus")).alias("status"),
+            F.when(F.col("g_p") == 1, F.lit("ALL")).otherwise(F.col("o_orderpriority")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
 def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return c.select("c_mktsegment").distinct()
