@@ -78,3 +78,47 @@ class TestBucketedRangeJoin:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "HashJoin" in plan
+
+
+class TestRangeJoinProperty:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        pts=st.lists(
+            st.floats(-100, 100, allow_nan=False, allow_infinity=False), min_size=0, max_size=25
+        ),
+        rngs=st.lists(
+            st.tuples(
+                st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+                st.floats(0.125, 60, allow_nan=False, allow_infinity=False),
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        w=st.sampled_from([0.7, 3.0, 11.0, 50.0]),
+    )
+    def test_matches_naive_on_random_data(self, spark, pts, rngs, w):
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.operators.rangejoin import bucketed_range_join
+
+        p = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(pts)], "pid long, p double"
+        )
+        r = spark.createDataFrame(
+            [(i, float(lo), float(lo + ln)) for i, (lo, ln) in enumerate(rngs)],
+            "rid long, lo double, hi double",
+        )
+        got = sorted(
+            (x.pid, x.rid)
+            for x in bucketed_range_join(p, r, "p", "lo", "hi", w).select("pid", "rid").collect()
+        )
+        want = sorted(
+            (x.pid, x.rid)
+            for x in p.join(r, (F.col("p") >= F.col("lo")) & (F.col("p") < F.col("hi")))
+            .select("pid", "rid")
+            .collect()
+        )
+        assert got == want
