@@ -21,6 +21,7 @@ import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Internal hive-partition column for pk-hash bucketing of replica tables.
 # NOT underscore-prefixed: Hadoop path filters hide `_*` directories, which
@@ -334,6 +335,110 @@ class TableStore:
         if not keep_internal and PGSF_BUCKET in df.columns:
             df = df.drop(PGSF_BUCKET)
         return _range_filter(df)
+
+    def build_bloom_index(self, table: str, col: str, version: str | None = None) -> int:
+        """Per-FILE bloom index over a secondary column -> _BLOOM_<col>.json.
+
+        Min/max skipping (read_pruned) needs the layout ordered on the
+        column; a hash-scattered secondary column (user_id in a
+        time-partitioned event table) has every file's [min, max] spanning
+        the whole domain, so range stats prune nothing. A per-file bloom of
+        the column's distinct values prunes POINT lookups on any layout:
+        membership says which files can possibly hold the key.
+
+        Built as one Spark job (groupBy input_file_name + the mergeable
+        bit_or packed-word aggregate from operators/bloomjoin); the index is
+        O(files x 8 KB) worst case, stored next to _STATS.json and carried
+        per version. Returns the number of files indexed."""
+        from pgsf_spark.operators.bloomjoin import BJ_WORD, _positions
+
+        path = (
+            os.path.join(self._tdir(table), version) if version else self.current_version_path(table)
+        )
+        if path is None:
+            raise FileNotFoundError(f"table {table!r} has no published version")
+        df = self.spark.read.parquet(path)
+        words = (
+            df.select(
+                F.input_file_name().alias("f"),
+                F.explode(_positions(F.col(col))).alias("p"),
+            )
+            .select(
+                "f",
+                (F.col("p") / BJ_WORD).cast("int").alias("word"),
+                F.expr(f"shiftleft(1L, p % {BJ_WORD})").alias("mask"),
+            )
+            .groupBy("f", "word")
+            .agg(F.bit_or("mask").alias("w"))
+            .collect()
+        )
+        index: dict[str, dict[str, int]] = {}
+        prefix = "file:" + path.rstrip("/") + "/"
+        for r in words:
+            rel = r["f"]
+            if rel.startswith(prefix):
+                rel = rel[len(prefix):]
+            elif rel.startswith("file:"):
+                rel = os.path.relpath(rel[len("file:"):], path)
+            index.setdefault(rel, {})[str(r["word"])] = int(r["w"])
+        with open(os.path.join(path, f"_BLOOM_{col}.json"), "w") as f:
+            json.dump(index, f)
+        return len(index)
+
+    def read_bloom_pruned(
+        self, table: str, col: str, value, version: str | None = None
+    ) -> DataFrame:
+        """Point lookup using the per-file bloom index: only files whose
+        bloom admits ``value`` enter the scan; the exact filter runs on top,
+        so the result always equals read().filter(col == value). Falls back
+        to the plain filtered read when no index exists."""
+        import hashlib
+
+        from pgsf_spark.operators.bloomjoin import BJ_BITS, BJ_K, BJ_WORD
+
+        path = (
+            os.path.join(self._tdir(table), version) if version else self.current_version_path(table)
+        )
+        if path is None:
+            raise FileNotFoundError(f"table {table!r} has no published version")
+        try:
+            with open(os.path.join(path, f"_BLOOM_{col}.json")) as f:
+                index = json.load(f)
+        except OSError:
+            index = None
+        base = self.read(table, version)
+        exact = base.filter(F.col(col) == F.lit(value))
+        if not index:
+            return exact
+        # same hash family as the Spark-side build (md5 first 8 hex chars)
+        s = str(value)
+        positions = [
+            int(hashlib.md5(f"bj{i}:{s}".encode()).hexdigest()[:8], 16) % BJ_BITS
+            for i in range(BJ_K)
+        ]
+
+        def admits(file_words: dict) -> bool:
+            return all(
+                (int(file_words.get(str(p // BJ_WORD), 0)) >> (p % BJ_WORD)) & 1
+                for p in positions
+            )
+
+        kept = [f for f, w in index.items() if admits(w)]
+        if len(kept) == len(index):
+            return exact
+        schema = self._manifest_schema(path)
+        if not kept:
+            if schema is None:
+                return exact.limit(0)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            reader = self.spark.read.option("basePath", path)
+            if schema is not None:
+                reader = reader.schema(schema)
+            df = reader.parquet(*[os.path.join(path, f) for f in kept])
+        if PGSF_BUCKET in df.columns:
+            df = df.drop(PGSF_BUCKET)
+        return df.filter(F.col(col) == F.lit(value))
 
     def _bound_for_stats(self, v):
         """Pruning bound -> the JSON-comparable form matching _STATS.json.
