@@ -22,6 +22,9 @@
                                               only the buckets holding the
                                               keys, reports versions still
                                               holding bytes until gc)
+  python -m pgsf_spark optimize <table> [--zorder c1,c2] [--bloom c]
+                                             (compact + ANALYZE + bloom
+                                              indexes + vacuum, one pass)
 
 Source/work dirs via --source-dir / --workdir (or PGSF_SPARK_SOURCE_DIR /
 PGSF_SPARK_WORKDIR).
@@ -70,7 +73,43 @@ def main(argv: list[str] | None = None) -> int:
     dl.add_argument("table")
     dl.add_argument("--pk", required=True)
     dl.add_argument("--keys", required=True, help="comma-separated key values")
+    op = sub.add_parser("optimize")
+    op.add_argument("table")
+    op.add_argument("--zorder", help="comma-separated columns to Z-order by")
+    op.add_argument("--bloom", help="comma-separated columns to bloom-index")
+    op.add_argument("--keep", type=int, default=2)
     args = p.parse_args(argv)
+
+    if args.cmd == "optimize":
+        # the full maintenance pass in dependency order: compact (+optional
+        # Z-order layout) -> ANALYZE stats -> optional bloom indexes ->
+        # vacuum old versions. One command = Delta's OPTIMIZE + ANALYZE +
+        # VACUUM composed over this store.
+        from pgsf_spark.operators.table_store import TableStore
+        from pgsf_spark.session import get_spark
+
+        spark = get_spark("pgsf_spark_optimize")
+        store = TableStore(spark, os.path.join(args.workdir, "tables"))
+        z = [c for c in (args.zorder or "").split(",") if c]
+        store.compact(args.table, zorder_by=z or None)
+        stats = store.analyze(args.table)
+        blooms = {}
+        for c in (b for b in (args.bloom or "").split(",") if b):
+            blooms[c] = store.build_bloom_index(args.table, c)
+        dropped = store.vacuum(args.table, keep=args.keep)
+        print(
+            json.dumps(
+                {
+                    "table": args.table,
+                    "row_count": stats["row_count"],
+                    "zorder_by": z,
+                    "bloom_indexed_files": blooms,
+                    "versions_dropped": len(dropped),
+                }
+            )
+        )
+        spark.stop()
+        return 0
 
     if args.cmd == "delete":
         # compliance hard delete: bucket-pruned rewrite via write_partial

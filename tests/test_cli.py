@@ -120,3 +120,19 @@ class TestDeleteCommand:
         assert stats["n_deleted"] == 1
         rc, out = run("soql", "SELECT COUNT() FROM customer")
         assert rc == 0 and "0" in out
+
+
+class TestOptimizeCommand:
+    def test_optimize_compacts_analyzes_and_vacuums(self, cli_env):
+        import json
+
+        run = cli_env
+        rc, _ = run("bulk-load", "customer")
+        assert rc == 0
+        rc, out = run("optimize", "customer", "--bloom", "Id")
+        assert rc == 0
+        stats = json.loads(out.strip().splitlines()[-1])
+        assert stats["row_count"] == 1
+        assert stats["bloom_indexed_files"]["Id"] >= 1
+        rc, out = run("soql", "SELECT COUNT() FROM customer")
+        assert rc == 0 and "1" in out
