@@ -187,3 +187,33 @@ def q_feature_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+N_SHARDS = 64  # training-export shard count
+
+
+def q_training_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: every document
+    gets a seed-keyed shuffle hash, a shard = hash mod N_SHARDS, and an
+    exact position within its shard -- the (shard, position) addressing a
+    dataloader needs for reproducible epoch order and resumable reads.
+
+    Spark-first shape: the ONLY shuffle is the hash partition implied by
+    the per-shard window (64 independent partitions, each sorted locally)
+    -- there is no global total-order window, which would serialize on one
+    partition; a global position, when needed, is shard-offset + position
+    with offsets from the tiny per-shard count table. Retry/rerun-stable:
+    md5 of (seed, doc_id) has no rand() anywhere. Output bounded to 4
+    shards to keep the gate row count small; every shard computes the
+    same way."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("shuf7:"), F.col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long")
+    sharded = d.select("doc_id", "source", h.alias("shuffle_hash")).withColumn(
+        "shard", (F.col("shuffle_hash") % N_SHARDS).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_hash", "doc_id")
+    return (
+        sharded.filter(F.col("shard") < 4)
+        .withColumn("position", F.row_number().over(w) - 1)
+        .select("shard", "position", "doc_id", "source")
+    )

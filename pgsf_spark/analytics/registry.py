@@ -697,6 +697,18 @@ GROUP BY c_custkey, c_mktsegment""",
   COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     ),
+    "training_shard_order": QuerySpec(
+        pipeline.q_training_shard_order,
+        f"""WITH h AS (
+  SELECT doc_id, source,
+    ('0x' || substr(md5('shuf7:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS shuffle_hash
+  FROM documents),
+s AS (SELECT *, CAST(shuffle_hash % {pipeline.N_SHARDS} AS INT) AS shard FROM h)
+SELECT shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_hash, doc_id) - 1 AS INT) AS position,
+  doc_id, source
+FROM s WHERE shard < 4""",
+    ),
     "cube_status_priority": QuerySpec(
         relational.q_cube_status_priority,
         f"""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
@@ -3132,7 +3144,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # ivfpq_recall_at_5, triplet_margin_stats, revenue_anomaly_days,
 # segment_overlap_matrix, dau_wau_stickiness, wau_hll_gate,
 # range_band_join, record_linkage, rolling_median_revenue, pit_state_join,
-# incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority (plus any
+# incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority,
+# training_shard_order (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [
