@@ -697,6 +697,24 @@ GROUP BY c_custkey, c_mktsegment""",
   COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     ),
+    "source_token_budget": QuerySpec(
+        sampling.q_source_token_budget,
+        """WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+    ('0x' || substr(md5('bud3:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM documents),
+b AS (SELECT source, (2 * SUM(n_chars)) // 5 AS budget_chars FROM d GROUP BY 1),
+c AS (SELECT d.*, b.budget_chars,
+  SUM(n_chars) OVER (PARTITION BY d.source ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d JOIN b USING (source))
+SELECT source, MIN(budget_chars) AS budget_chars,
+  SUM(CASE WHEN cum <= budget_chars THEN 1 ELSE 0 END) AS n_admitted,
+  SUM(CASE WHEN cum <= budget_chars THEN n_chars ELSE 0 END) AS chars_admitted,
+  COUNT(*) AS n_total,
+  ROUND(SUM(CASE WHEN cum <= budget_chars THEN n_chars ELSE 0 END)
+        / MIN(budget_chars), 4) AS utilization
+FROM c GROUP BY source""",
+    ),
     "training_shard_order": QuerySpec(
         pipeline.q_training_shard_order,
         f"""WITH h AS (
@@ -3145,7 +3163,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # segment_overlap_matrix, dau_wau_stickiness, wau_hll_gate,
 # range_band_join, record_linkage, rolling_median_revenue, pit_state_join,
 # incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority,
-# training_shard_order (plus any
+# training_shard_order, source_token_budget (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [

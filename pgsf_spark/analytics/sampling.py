@@ -253,3 +253,37 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     point = o.agg(davg(F.col("o_totalprice"), ndigits=4).alias("point_mean"))
     return ci.crossJoin(point).select("n_replicas", "point_mean", "ci_lo", "ci_hi")
+
+
+def q_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-mixture budget enforcement: each source gets a character
+    budget (2/5 of its total, integer division -- the mixture weights a
+    data recipe prescribes), and docs are admitted in seeded shuffle-hash
+    order until the running total would exceed it. The hash order makes
+    the selection a uniform random sample that is identical on every rerun
+    and resumable mid-epoch; the running total is one cumulative-sum
+    window per source (shuffle on source only).
+
+    Output: per-source admission accounting (budget, docs/chars admitted,
+    utilization) -- the numbers a mixture dashboard tracks."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("bud3:"), F.col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long")
+    tot = Window.partitionBy("source")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    sel = (
+        d.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), h.alias("h"))
+        .withColumn("budget", (F.sum("n_chars").over(tot) * 2 / F.lit(5)).cast("bigint"))
+        .withColumn("cum", F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("admitted", F.col("cum") <= F.col("budget"))
+    )
+    return sel.groupBy("source").agg(
+        F.first("budget").alias("budget_chars"),
+        F.sum(F.when(F.col("admitted"), 1).otherwise(0)).alias("n_admitted"),
+        F.sum(F.when(F.col("admitted"), F.col("n_chars")).otherwise(0)).alias("chars_admitted"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(
+            F.sum(F.when(F.col("admitted"), F.col("n_chars")).otherwise(0))
+            / F.first("budget"),
+            4,
+        ).alias("utilization"),
+    )
