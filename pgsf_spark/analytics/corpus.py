@@ -440,3 +440,31 @@ def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "pair")
         .limit(LIFT_TOP)
     )
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (the datasheet a corpus release ships with):
+    volume, source/language breadth, exact-duplicate rate, and size
+    moments -- every number the other gates compute in depth, rolled into
+    the single headline row a data-governance review reads first.
+
+    One aggregate over one scan (count-distincts share the pass); the
+    fingerprint is the same md5-of-normalized-text key the dedup stack
+    blocks on, so the dup rate here is consistent with dedup_exact."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return d.select(
+        "doc_id", "source", "lang", F.col("n_chars").cast("bigint").alias("n_chars"), fp.alias("fp")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("fp").alias("n_unique_texts"),
+        F.round((F.count(F.lit(1)) - F.countDistinct("fp")) / F.count(F.lit(1)), 4).alias(
+            "exact_dup_rate"
+        ),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 2).alias("mean_chars"),
+    )

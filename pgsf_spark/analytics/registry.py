@@ -697,6 +697,20 @@ GROUP BY c_custkey, c_mktsegment""",
   COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     ),
+    "corpus_datasheet": QuerySpec(
+        corpus.q_corpus_datasheet,
+        """WITH d AS (
+  SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents)
+SELECT COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+  COUNT(DISTINCT source) AS n_sources, COUNT(DISTINCT lang) AS n_langs,
+  COUNT(DISTINCT fp) AS n_unique_texts,
+  ROUND((COUNT(*) - COUNT(DISTINCT fp)) / COUNT(*), 4) AS exact_dup_rate,
+  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+  ROUND(SUM(n_chars) / COUNT(*), 2) AS mean_chars
+FROM d""",
+    ),
     "source_token_budget": QuerySpec(
         sampling.q_source_token_budget,
         """WITH d AS (
@@ -3163,7 +3177,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # segment_overlap_matrix, dau_wau_stickiness, wau_hll_gate,
 # range_band_join, record_linkage, rolling_median_revenue, pit_state_join,
 # incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority,
-# training_shard_order, source_token_budget (plus any
+# training_shard_order, source_token_budget, corpus_datasheet (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [
