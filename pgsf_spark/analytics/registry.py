@@ -697,6 +697,25 @@ GROUP BY c_custkey, c_mktsegment""",
   COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     ),
+    "rfm_segments": QuerySpec(
+        relational.q_rfm_segments,
+        """WITH pc AS (
+  SELECT o_custkey,
+    datediff('day', MAX(CAST(o_orderdate AS DATE)),
+             (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+    COUNT(*) AS frequency,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey),
+s AS (
+  SELECT o_custkey, monetary,
+    CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INT) AS r_score,
+    CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INT) AS f_score,
+    CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INT) AS m_score
+  FROM pc)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+  ROUND(CAST(SUM(CAST(monetary AS DECIMAL(27,4))) AS DOUBLE), 2) AS segment_revenue
+FROM s GROUP BY 1, 2, 3""",
+    ),
     "corpus_datasheet": QuerySpec(
         corpus.q_corpus_datasheet,
         """WITH d AS (
@@ -3177,7 +3196,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # segment_overlap_matrix, dau_wau_stickiness, wau_hll_gate,
 # range_band_join, record_linkage, rolling_median_revenue, pit_state_join,
 # incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority,
-# training_shard_order, source_token_budget, corpus_datasheet (plus any
+# training_shard_order, source_token_budget, corpus_datasheet,
+# rfm_segments (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [

@@ -836,3 +836,50 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "pa", "pb")
         .limit(BASKET_TOP)
     )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quintile scores for Recency (days since
+    last order, vs the corpus max date), Frequency (order count) and
+    Monetary (decimal-exact spend), then the segment-size rollup a CRM
+    consumes. ntile(5) agrees between engines when the ORDER BY is total
+    (metric, then custkey), so the gate is hash-exact despite ranking.
+
+    Plan: one groupBy(custkey) builds the per-customer triple (shuffle on
+    custkey); the three ntile windows share ONE all-rows partition each --
+    acceptable because the windowed relation is one row per customer, the
+    aggregate's output, not the fact table; the final rollup is keyed by
+    125 segment combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,4)")).alias("monetary_dec"),
+        )
+        .crossJoin(anchor)
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "last_order").alias("recency_days"),
+            "frequency",
+            F.col("monetary_dec").cast("double").alias("monetary"),
+        )
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+        "monetary",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum(F.col("monetary").cast("decimal(27,4)")).cast("double"), 2).alias(
+            "segment_revenue"
+        ),
+    )
