@@ -449,10 +449,13 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single headline row a data-governance review reads first.
 
     One aggregate over one scan (count-distincts share the pass); the
-    fingerprint is the same md5-of-normalized-text key the dedup stack
-    blocks on, so the dup rate here is consistent with dedup_exact."""
+    fingerprint REUSES dedup._norm_text (trim + whitespace collapse +
+    lower), so the dup rate here is consistent with dedup_exact by
+    construction, not by parallel reimplementation."""
+    from pgsf_spark.analytics.dedup import _norm_text
+
     d = load_table(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    fp = F.md5(_norm_text(F.col("text")))
     return d.select(
         "doc_id", "source", "lang", F.col("n_chars").cast("bigint").alias("n_chars"), fp.alias("fp")
     ).agg(

@@ -718,9 +718,9 @@ FROM s GROUP BY 1, 2, 3""",
     ),
     "corpus_datasheet": QuerySpec(
         corpus.q_corpus_datasheet,
-        """WITH d AS (
+        f"""WITH d AS (
   SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
-    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+    md5({_NORM}) AS fp
   FROM documents)
 SELECT COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
   COUNT(DISTINCT source) AS n_sources, COUNT(DISTINCT lang) AS n_langs,

@@ -39,18 +39,27 @@ def delete_rows(store: TableStore, table: str, pk: str, keys: DataFrame) -> dict
     )
     if bucketed:
         nb = int(info["partition_buckets"])
-        # the keys' buckets are a bounded collect (<= nb values)
+        cur = store.read(table, keep_internal=True)
+        # buckets of keys actually PRESENT (bucket-column-only scan): a
+        # sweep of mostly-absent keys must not rewrite their buckets --
+        # and a fully-absent key set publishes nothing at all
         changed = sorted(
             r[0]
-            for r in keys.withColumn(PGSF_BUCKET, pk_bucket(pk, nb))
+            for r in cur.join(keys, pk, "left_semi")
             .select(PGSF_BUCKET)
             .distinct()
             .collect()
         )
-        cur = store.read(table, keep_internal=True)
+        if not changed:
+            return {
+                "n_deleted": 0,
+                "buckets_rewritten": [],
+                "versions_still_holding_bytes": [],
+            }
         touched = cur.filter(F.col(PGSF_BUCKET).isin(changed))
-        n_deleted = touched.join(keys, pk, "left_semi").count()
+        n_touched = touched.count()
         remaining = touched.join(keys, pk, "left_anti").localCheckpoint()
+        n_deleted = n_touched - remaining.count()  # counts off the checkpoint
         store.write_partial(
             remaining,
             table,
@@ -62,9 +71,12 @@ def delete_rows(store: TableStore, table: str, pk: str, keys: DataFrame) -> dict
     else:
         cur = store.read(table)
         n_deleted = cur.join(keys, pk, "left_semi").count()
+        # preserve the hive partition layout (a GDPR delete must not
+        # silently flatten a split- or date-partitioned table)
         store.write(
             cur.join(keys, pk, "left_anti"),
             table,
+            partition_by=info.get("partition_by"),
             manifest={"hard_deleted_rows": n_deleted},
         )
         buckets_rewritten = None

@@ -381,8 +381,13 @@ class TableStore:
             elif rel.startswith("file:"):
                 rel = os.path.relpath(rel[len("file:"):], path)
             index.setdefault(rel, {})[str(r["word"])] = int(r["w"])
-        with open(os.path.join(path, f"_BLOOM_{col}.json"), "w") as f:
+        # atomic publish (same tmp+replace discipline as _ANALYZE.json): a
+        # crash mid-dump must leave either no index or a complete one
+        dst = os.path.join(path, f"_BLOOM_{col}.json")
+        tmp = dst + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(index, f)
+        os.replace(tmp, dst)
         return len(index)
 
     def read_bloom_pruned(
@@ -404,7 +409,7 @@ class TableStore:
         try:
             with open(os.path.join(path, f"_BLOOM_{col}.json")) as f:
                 index = json.load(f)
-        except OSError:
+        except (OSError, ValueError):  # missing OR corrupt index: fall back
             index = None
         base = self.read(table, version)
         exact = base.filter(F.col(col) == F.lit(value))

@@ -146,10 +146,13 @@ def start_neardup_admission(
     of historical docs is ever re-read); survivors are appended to the
     admitted table and their signature+bucket rows to the index.
 
-    State lives in the TableStore index, NOT in streaming state -- the
-    index is exactly the structure the batch path maintains, so a crash
-    replays the batch idempotently against the already-admitted set
-    (re-admitted docs dedup against themselves by doc_id before publish).
+    State lives in the TableStore index, NOT in streaming state. Both
+    tables are hive-partitioned by EPOCH and published with write_partial,
+    so each micro-batch writes only its own epoch partition (prior epochs
+    hardlink-carry untouched) -- per-batch cost is O(batch), not O(stream
+    history). Crash replay is idempotent: the replayed epoch re-derives
+    the same rows and rewrites the same partition; a replayed doc meeting
+    its own index entry is excluded from rejection by doc_id.
     Within-batch near-dups resolve first (candidate pairs inside the
     batch, keep the lowest doc_id of each pair).
 
@@ -199,6 +202,10 @@ def start_neardup_admission(
                     index.select(F.col("doc_id").alias("old_id"), "band", "bucket"),
                     ["band", "bucket"],
                 )
+                # a crash-replayed doc meets ITS OWN index entry here; a
+                # self-match must not reject it (its epoch partition is
+                # about to be rewritten and would come out empty)
+                .filter(F.col("doc_id") != F.col("old_id"))
                 .select("doc_id", "old_id")
                 .distinct()
             )
@@ -214,27 +221,26 @@ def start_neardup_admission(
             )
             survivors = survivors.join(dup_ids, "doc_id", "left_anti")
 
-        admitted = survivors
+        admitted = survivors.withColumn("epoch", F.lit(int(epoch_id)))
         new_index = (
             banded.join(admitted.select("doc_id"), "doc_id")
             .join(sigs, "doc_id")
-            .select("doc_id", "band", "bucket", *sig_cols)
+            .select("doc_id", "band", "bucket", *sig_cols, F.lit(int(epoch_id)).alias("epoch"))
         )
-        # idempotent replay: a re-delivered batch re-derives the same rows;
-        # dedup by doc_id (admitted) / (doc_id, band) (index) before publish
-        try:
-            prev = store.read(admitted_table)
-        except FileNotFoundError:
-            prev = None
-        if prev is not None and prev.head(1):
-            admitted_all = prev.unionByName(admitted).dropDuplicates(["doc_id"])
-            index_all = store.read(index_table).unionByName(new_index).dropDuplicates(
-                ["doc_id", "band"]
-            )
-        else:
-            admitted_all, index_all = admitted, new_index
-        store.write(admitted_all, admitted_table)
-        store.write(index_all, index_table)
+        # O(batch) publish: both tables are hive-partitioned by epoch, so a
+        # batch writes ONLY its own epoch partition (write_partial hardlink-
+        # carries all prior epochs untouched) -- per-batch cost does not
+        # grow with stream history. Idempotent replay for free: the same
+        # epoch re-derives the same rows and rewrites the same partition
+        # (self-matches excluded above, so nothing rejects against itself).
+        def _publish(df: DataFrame, table: str) -> None:
+            try:
+                store.write_partial(df.localCheckpoint(), table, "epoch", [int(epoch_id)])
+            except FileNotFoundError:  # first epoch: no version to carry from
+                store.write(df, table, partition_by=["epoch"])
+
+        _publish(admitted, admitted_table)
+        _publish(new_index, index_table)
 
     writer = (
         spark.readStream.schema(schema)

@@ -60,3 +60,12 @@ class TestBloomIndex:
         stats = store.file_stats("events")
         spans = [s["user_id"] for s in stats.values() if "user_id" in s]
         assert all(mx - mn > 900 for mn, mx in spans)
+
+    def test_corrupt_index_falls_back(self, scattered_store):
+        spark, store = scattered_store
+        store.build_bloom_index("events", "user_id")
+        path = store.current_version_path("events")
+        with open(os.path.join(path, "_BLOOM_user_id.json"), "w") as f:
+            f.write('{"truncated')  # simulate a crash mid-write of old code
+        got = store.read_bloom_pruned("events", "user_id", 7).collect()
+        assert len(got) == 1 and got[0].user_id == 7

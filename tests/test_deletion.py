@@ -95,3 +95,25 @@ class TestDeleteRows:
         )
         assert stats["n_deleted"] == 2 and stats["buckets_rewritten"] is None
         assert store.read("plain").count() == 8
+
+    def test_noop_publishes_no_new_version(self, bucketed_store):
+        spark, store = bucketed_store
+        before = store.versions("customer")
+        stats = delete_rows(
+            store, "customer", "Id", spark.createDataFrame([("ghost",)], "Id string")
+        )
+        assert stats["n_deleted"] == 0 and stats["buckets_rewritten"] == []
+        assert store.versions("customer") == before  # no version churn
+
+    def test_partitioned_fallback_preserves_layout(self, spark, tmp_path):
+        store = TableStore(spark, str(tmp_path / "store"))
+        df = spark.createDataFrame(
+            [(f"k{i}", "a" if i % 2 else "b", i) for i in range(10)],
+            "Id string, split string, v long",
+        )
+        store.write(df, "manifest", partition_by=["split"])
+        delete_rows(store, "manifest", "Id", spark.createDataFrame([("k1",)], "Id string"))
+        # the new version keeps the hive split=... directory layout
+        path = store.current_version_path("manifest")
+        assert any(d.startswith("split=") for d in os.listdir(path))
+        assert store.manifest("manifest").get("partition_by") == ["split"]

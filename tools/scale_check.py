@@ -35,16 +35,21 @@ DEFAULT_QUERIES = [
     "prefix_filter_pairs",
 ]
 
-_KEYS = {
-    "documents": "doc_id",
-    "customer": "c_custkey",
-    "orders": "o_orderkey",
-    "events": "event_id",
-    "lineitem": "l_orderkey",
-    "supplier": "s_suppkey",
-    "part": "p_partkey",
-    "embeddings": "vec_id",
+# every pk AND fk column each table needs offset so replica r is a
+# self-consistent copy: joins stay within a replica (per-key fan-out is
+# constant, breadth grows N-fold -- the growth mode 100 TB actually has).
+# nation/region keys are NOT remapped: the dims stay shared, like reality.
+_REMAP = {
+    "documents": ["doc_id"],
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey", "l_suppkey", "l_partkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "embeddings": ["vec_id"],
 }
+_OFFSET = 10**9
 
 
 def build_scaled(spark, src: str, dst: str, n: int) -> None:
@@ -54,20 +59,15 @@ def build_scaled(spark, src: str, dst: str, n: int) -> None:
 
     for t in TABLES:
         d = load_table(spark, src, t)
-        key = _KEYS.get(t)
+        cols = [c for c in _REMAP.get(t, []) if c in d.columns]
         out = f"{dst}/{t}.parquet"
-        if key is None:  # small dims (nation, region): keep as-is
+        if not cols:  # small dims (nation, region): keep as-is
             d.write.mode("overwrite").parquet(out)
             continue
         reps = spark.range(n).select(F.col("id").alias("__rep"))
-        big = d.crossJoin(reps).withColumn(
-            key, F.col(key) + F.col("__rep") * (10**9)
-        )
-        if t == "events":
-            big = big.withColumn(
-                "user_id",
-                F.col("user_id") + F.col("__rep") * F.lit(10**6),
-            )
+        big = d.crossJoin(reps)
+        for c in cols:
+            big = big.withColumn(c, F.col(c).cast("long") + F.col("__rep") * _OFFSET)
         big.drop("__rep").write.mode("overwrite").parquet(out)
 
 
