@@ -730,3 +730,66 @@ def q_rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(rev_cents, 0.5D)").over(w).alias("med7_cents"),
         F.count(F.lit(1)).over(w).alias("days_in_window"),
     )
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on daily revenue (the sequential
+    changepoint test; complements q_revenue_anomaly_days' outlier fence --
+    CUSUM accumulates small persistent drift a pointwise fence misses).
+
+    The recursive CUSUM S+_t = max(0, S+_{t-1} + x_t - mu) is rewritten to
+    its closed form S_t - min_{s<=t} S_s over the plain cumsum S of
+    (x - mu) -- two RANGE-free running windows instead of an inexpressible
+    recursion, exact in integer cents (mu enters as cents times count to
+    stay integral). Threshold = 4 * sigma with sigma from decimal-exact
+    moments, so both engines compute identical doubles. The day-grain
+    window rides a bounded single-partition series, like every calendar
+    query here; the daily rollup underneath is the only data-sized
+    shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    # integer-exact centered series: work in units of (cents * n_days) so
+    # mu = total/n needs no division -- d_t = n*x_t - total is integral
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("total"),
+        F.sum(F.col("rev").cast("decimal(38,0)") * F.col("rev")).alias("sumsq"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    scaled = (
+        daily.crossJoin(stats)
+        .withColumn("d", F.col("rev") * F.col("n") - F.col("total"))
+        .withColumn("s", F.sum("d").over(w))
+        .withColumn("min_s", F.min("s").over(w))
+        .withColumn("max_s", F.max("s").over(w))
+    )
+    # sigma of rev in cents (population), then scale by n to match d units
+    mu = F.col("total").cast("double") / F.col("n")
+    sigma_n = F.sqrt(F.col("sumsq").cast("double") / F.col("n") - mu * mu) * F.col("n")
+    thresh = F.lit(4.0) * sigma_n
+    flagged = (
+        scaled.withColumn("up_drift", (F.col("s") - F.col("min_s")).cast("double"))
+        .withColumn("down_drift", (F.col("max_s") - F.col("s")).cast("double"))
+        .withColumn("up_flag", F.col("up_drift") > thresh)
+        .withColumn("down_flag", F.col("down_drift") > thresh)
+    )
+    # the detector's OUTPUT is the alarm summary: when each direction first
+    # crossed, how far the drift ran, how much of the series is in alarm
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.min(F.when(F.col("up_flag"), F.date_format("day", "yyyy-MM-dd"))).alias(
+            "first_up_alarm"
+        ),
+        F.min(F.when(F.col("down_flag"), F.date_format("day", "yyyy-MM-dd"))).alias(
+            "first_down_alarm"
+        ),
+        F.sum(F.when(F.col("up_flag") | F.col("down_flag"), 1).otherwise(0)).alias(
+            "n_alarm_days"
+        ),
+        F.round(F.max(F.col("up_drift") / (F.col("n") * 100.0)), 2).alias("max_up_drift_usd"),
+        F.round(F.max(F.col("down_drift") / (F.col("n") * 100.0)), 2).alias(
+            "max_down_drift_usd"
+        ),
+    )

@@ -697,6 +697,38 @@ GROUP BY c_custkey, c_mktsegment""",
   COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     ),
+    "cusum_changepoints": QuerySpec(
+        profiling.q_cusum_changepoints,
+        """WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+st AS (SELECT COUNT(*) AS n, SUM(rev) AS total,
+       SUM(CAST(rev AS DECIMAL(38,0)) * rev) AS sumsq FROM daily),
+c1 AS (
+  SELECT day, n, total, sumsq,
+    SUM(rev * n - total) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+  FROM daily, st),
+c2 AS (
+  SELECT *,
+    MIN(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS min_s,
+    MAX(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS max_s
+  FROM c1),
+c3 AS (
+  SELECT day, n,
+    CAST(s - min_s AS DOUBLE) AS up_drift,
+    CAST(max_s - s AS DOUBLE) AS down_drift,
+    4.0 * sqrt(CAST(sumsq AS DOUBLE) / n
+               - (CAST(total AS DOUBLE) / n) * (CAST(total AS DOUBLE) / n)) * n AS thresh
+  FROM c2)
+SELECT COUNT(*) AS n_days,
+  MIN(CASE WHEN up_drift > thresh THEN strftime(day, '%Y-%m-%d') END) AS first_up_alarm,
+  MIN(CASE WHEN down_drift > thresh THEN strftime(day, '%Y-%m-%d') END) AS first_down_alarm,
+  SUM(CASE WHEN up_drift > thresh OR down_drift > thresh THEN 1 ELSE 0 END) AS n_alarm_days,
+  ROUND(MAX(up_drift / (n * 100.0)), 2) AS max_up_drift_usd,
+  ROUND(MAX(down_drift / (n * 100.0)), 2) AS max_down_drift_usd
+FROM c3""",
+    ),
     "rfm_segments": QuerySpec(
         relational.q_rfm_segments,
         """WITH pc AS (
@@ -3197,7 +3229,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # range_band_join, record_linkage, rolling_median_revenue, pit_state_join,
 # incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority,
 # training_shard_order, source_token_budget, corpus_datasheet,
-# rfm_segments (plus any
+# rfm_segments, cusum_changepoints (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [
