@@ -465,6 +465,47 @@ banded AS (
 
 _TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
 
+
+def _pca_sql() -> str:
+    """Power iteration unrolled as CTE rounds (the kmeans/pagerank
+    pattern): mv_t = cells x v_{t-1}, normalized by the decimal-exact
+    2-norm; products cast to DECIMAL(27,10) before summing on both faces
+    so accumulation order cannot drift the doubles."""
+    d = similarity.PCA_DIM
+    dec = "DECIMAL(27,10)"
+    rounds = []
+    prev = "v0"
+    for t in range(1, similarity.PCA_ITERS + 1):
+        rounds.append(
+            f"""mv{t} AS MATERIALIZED (
+  SELECT c.i, CAST(SUM(CAST(c.a * v.x AS {dec})) AS DOUBLE) AS y
+  FROM cells c JOIN {prev} v ON c.j = v.i GROUP BY 1),
+n{t} AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(y * y AS {dec})) AS DOUBLE)) AS nm FROM mv{t}),
+v{t} AS MATERIALIZED (SELECT i, y / nm AS x FROM mv{t}, n{t})"""
+        )
+        prev = f"v{t}"
+    return f"""WITH e AS (SELECT [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+p AS (
+  SELECT i.range AS i, j.range AS j,
+    SUM(CAST(v[i.range + 1] * v[j.range + 1] AS {dec})) AS s
+  FROM e, range(0, {d}) i, range(0, {d}) j GROUP BY 1, 2),
+m AS (
+  SELECT i.range AS i, SUM(CAST(v[i.range + 1] AS {dec})) AS ms
+  FROM e, range(0, {d}) i GROUP BY 1),
+cells AS MATERIALIZED (
+  SELECT p.i, p.j,
+    CAST(s AS DOUBLE) / n - (CAST(mi.ms AS DOUBLE) / n) * (CAST(mj.ms AS DOUBLE) / n) AS a
+  FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i, cnt),
+v0 AS (SELECT i.range AS i, CAST(0.125 AS DOUBLE) AS x FROM range(0, {d}) i),
+{",".join(rounds)},
+lam AS (
+  SELECT CAST(SUM(CAST(xi.x * c.a * xj.x AS {dec})) AS DOUBLE) AS l
+  FROM cells c JOIN {prev} xj ON c.j = xj.i JOIN {prev} xi ON c.i = xi.i)
+SELECT i + 1 AS dim, ROUND(x, 6) AS loading, ROUND(l, 6) AS eigenvalue
+FROM {prev}, lam ORDER BY dim"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # -- relational / star schema ------------------------------------------
     "pricing_summary": QuerySpec(
@@ -697,6 +738,7 @@ GROUP BY c_custkey, c_mktsegment""",
   COUNT(*) AS n, {sql_dsum('o_totalprice')} AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     ),
+    "pca_top_component": QuerySpec(similarity.q_pca_top_component, _pca_sql()),
     "cusum_changepoints": QuerySpec(
         profiling.q_cusum_changepoints,
         """WITH daily AS (
@@ -3229,7 +3271,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # range_band_join, record_linkage, rolling_median_revenue, pit_state_join,
 # incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority,
 # training_shard_order, source_token_budget, corpus_datasheet,
-# rfm_segments, cusum_changepoints (plus any
+# rfm_segments, cusum_changepoints, pca_top_component (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [

@@ -771,3 +771,99 @@ def q_triplet_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("d_neg") < F.col("d_pos")).cast("bigint")).alias("n_violations"),
         )
     )
+
+
+PCA_ITERS = 8
+PCA_DIM = 64
+
+
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, first principal component: covariance via
+    OUTER-PRODUCT partial aggregation (each row contributes its 64x64
+    upper product map-side; the shuffle carries dim^2 = 4096 cells, the
+    vectors themselves never shuffle), then PCA_ITERS unrolled power-
+    iteration rounds ON THE CELL TABLE (matrix-vector product = join on j
+    + per-i sum, normalize by the decimal-exact 2-norm) -- the same
+    rounds-unrolled iterative template as k-means/PageRank/BPE, completing
+    the in-engine linear-algebra family. Eigenvector sign is pinned by the
+    deterministic uniform start (1/sqrt(dim) exactly 0.125 for dim=64).
+
+    Covariance cells use E[x_i x_j] - mu_i mu_j from decimal-exact raw
+    moments, so no centering pass touches the data. Output: per-dim
+    loadings + the Rayleigh-quotient eigenvalue, rounded 6dp."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.col("embedding").alias("v"))
+    # one explode per ordered pair: struct(i, j, xi*xj) for all 64x64
+    pairs = x.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "v",
+                    lambda xi, i: F.transform(
+                        "v",
+                        lambda xj, j: F.struct(
+                            i.alias("i"),
+                            j.alias("j"),
+                            (xi.cast("double") * xj.cast("double")).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    )
+    dec = "decimal(27,10)"
+    moments = pairs.select("c.i", "c.j", "c.p").groupBy("i", "j").agg(
+        F.sum(F.col("p").cast(dec)).alias("s")
+    )
+    mu = x.select(F.posexplode("v").alias("i", "xi")).groupBy("i").agg(
+        F.sum(F.col("xi").cast(dec)).alias("m")
+    )
+    n = x.count()  # tiny scalar, same literal in the oracle
+    cells = (
+        moments.join(mu.select(F.col("i").alias("i_"), F.col("m").alias("mi")), F.col("i") == F.col("i_"))
+        .join(mu.select(F.col("i").alias("j_"), F.col("m").alias("mj")), F.col("j") == F.col("j_"))
+        .select(
+            "i",
+            "j",
+            (
+                F.col("s").cast("double") / F.lit(float(n))
+                - (F.col("mi").cast("double") / F.lit(float(n)))
+                * (F.col("mj").cast("double") / F.lit(float(n)))
+            ).alias("a"),
+        )
+        .localCheckpoint()
+    )
+    v = spark.range(PCA_DIM).select(F.col("id").cast("int").alias("i"), F.lit(0.125).alias("x"))
+    for _ in range(PCA_ITERS):
+        mv = (
+            cells.join(v.select(F.col("i").alias("j"), F.col("x")), "j")
+            .select("i", (F.col("a") * F.col("x")).alias("ax"))
+            .groupBy("i")
+            .agg(F.sum(F.col("ax").cast(dec)).cast("double").alias("y"))
+        )
+        norm = mv.agg(
+            F.sqrt(F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double")).alias("nm")
+        )
+        # checkpoint per round: v is referenced twice downstream, so the
+        # lazy plan would otherwise double every round (2^ITERS replays of
+        # the cell join -- measured 87s; checkpointed, ~2s). 64 rows.
+        v = (
+            mv.crossJoin(norm)
+            .select("i", (F.col("y") / F.col("nm")).alias("x"))
+            .localCheckpoint()
+        )
+    # Rayleigh quotient lambda = v' A v (v already unit)
+    lam = (
+        cells.join(v.select(F.col("i").alias("j"), F.col("x").alias("xj")), "j")
+        .join(v.select(F.col("i"), F.col("x").alias("xi")), "i")
+        .agg(F.sum((F.col("xi") * F.col("a") * F.col("xj")).cast(dec)).cast("double").alias("l"))
+    )
+    return (
+        v.crossJoin(lam)
+        .select(
+            (F.col("i") + 1).alias("dim"),
+            F.round("x", 6).alias("loading"),
+            F.round("l", 6).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )
