@@ -464,10 +464,16 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("fp").alias("n_unique_texts"),
-        F.round((F.count(F.lit(1)) - F.countDistinct("fp")) / F.count(F.lit(1)), 4).alias(
-            "exact_dup_rate"
-        ),
+        # nullif guard: ANSI division on an empty corpus must yield NULL,
+        # not throw (empty-input contract; oracle uses the same NULLIF)
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("fp"))
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            4,
+        ).alias("exact_dup_rate"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
-        F.round(F.sum("n_chars") / F.count(F.lit(1)), 2).alias("mean_chars"),
+        F.round(F.sum("n_chars") / F.nullif(F.count(F.lit(1)), F.lit(0)), 2).alias(
+            "mean_chars"
+        ),
     )

@@ -799,9 +799,9 @@ FROM s GROUP BY 1, 2, 3""",
 SELECT COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
   COUNT(DISTINCT source) AS n_sources, COUNT(DISTINCT lang) AS n_langs,
   COUNT(DISTINCT fp) AS n_unique_texts,
-  ROUND((COUNT(*) - COUNT(DISTINCT fp)) / COUNT(*), 4) AS exact_dup_rate,
+  ROUND((COUNT(*) - COUNT(DISTINCT fp)) / NULLIF(COUNT(*), 0), 4) AS exact_dup_rate,
   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-  ROUND(SUM(n_chars) / COUNT(*), 2) AS mean_chars
+  ROUND(SUM(n_chars) / NULLIF(COUNT(*), 0), 2) AS mean_chars
 FROM d""",
     ),
     "source_token_budget": QuerySpec(

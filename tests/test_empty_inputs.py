@@ -84,6 +84,14 @@ REPRESENTATIVE = [
     "rolling_median_revenue",  # RANGE-frame median over an empty series
     "pit_state_join",  # PIT join onto zero state intervals
     "incremental_lsh_dedup",  # new-vs-old banding with both sides empty
+    "jpeg_decode_gate",  # zero media ids -> zero synthesized JPEGs
+    "cube_status_priority",  # grouping sets over zero orders
+    "training_shard_order",  # per-shard windows over zero docs
+    "source_token_budget",  # budgets/cumsums over zero sources
+    "corpus_datasheet",  # one-row datasheet of an empty corpus
+    "rfm_segments",  # ntile quintiles over zero customers
+    "cusum_changepoints",  # alarm summary of an empty series
+    "pca_top_component",  # covariance cells from zero vectors
 ]
 
 
