@@ -470,20 +470,27 @@ def _pca_sql() -> str:
     """Power iteration unrolled as CTE rounds (the kmeans/pagerank
     pattern): mv_t = cells x v_{t-1}, normalized by the decimal-exact
     2-norm; products cast to DECIMAL(27,10) before summing on both faces
-    so accumulation order cannot drift the doubles."""
+    so accumulation order cannot drift the doubles. Component 2 iterates
+    the Hotelling-deflated cell table. Every round MATERIALIZED -- CTE
+    inlining otherwise replays the chain exponentially (measured 300s)."""
     d = similarity.PCA_DIM
     dec = "DECIMAL(27,10)"
-    rounds = []
-    prev = "v0"
-    for t in range(1, similarity.PCA_ITERS + 1):
-        rounds.append(
-            f"""mv{t} AS MATERIALIZED (
+
+    def rounds(tag: str, cells_name: str) -> tuple[str, str]:
+        out, prev = [], f"v{tag}0"
+        for t in range(1, similarity.PCA_ITERS + 1):
+            out.append(
+                f"""mv{tag}{t} AS MATERIALIZED (
   SELECT c.i, CAST(SUM(CAST(c.a * v.x AS {dec})) AS DOUBLE) AS y
-  FROM cells c JOIN {prev} v ON c.j = v.i GROUP BY 1),
-n{t} AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(y * y AS {dec})) AS DOUBLE)) AS nm FROM mv{t}),
-v{t} AS MATERIALIZED (SELECT i, y / nm AS x FROM mv{t}, n{t})"""
-        )
-        prev = f"v{t}"
+  FROM {cells_name} c JOIN {prev} v ON c.j = v.i GROUP BY 1),
+n{tag}{t} AS MATERIALIZED (SELECT sqrt(CAST(SUM(CAST(y * y AS {dec})) AS DOUBLE)) AS nm FROM mv{tag}{t}),
+v{tag}{t} AS MATERIALIZED (SELECT i, y / nm AS x FROM mv{tag}{t}, n{tag}{t})"""
+            )
+            prev = f"v{tag}{t}"
+        return ",".join(out), prev
+
+    r1, last1 = rounds("a", "cells")
+    r2, last2 = rounds("b", "cells2")
     return f"""WITH e AS (SELECT [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
 cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
 p AS (
@@ -497,13 +504,24 @@ cells AS MATERIALIZED (
   SELECT p.i, p.j,
     CAST(s AS DOUBLE) / n - (CAST(mi.ms AS DOUBLE) / n) * (CAST(mj.ms AS DOUBLE) / n) AS a
   FROM p JOIN m mi ON p.i = mi.i JOIN m mj ON p.j = mj.i, cnt),
-v0 AS (SELECT i.range AS i, CAST(0.125 AS DOUBLE) AS x FROM range(0, {d}) i),
-{",".join(rounds)},
-lam AS (
-  SELECT CAST(SUM(CAST(xi.x * c.a * xj.x AS {dec})) AS DOUBLE) AS l
-  FROM cells c JOIN {prev} xj ON c.j = xj.i JOIN {prev} xi ON c.i = xi.i)
-SELECT i + 1 AS dim, ROUND(x, 6) AS loading, ROUND(l, 6) AS eigenvalue
-FROM {prev}, lam ORDER BY dim"""
+va0 AS (SELECT i.range AS i, CAST(0.125 AS DOUBLE) AS x FROM range(0, {d}) i),
+vb0 AS (SELECT i.range AS i, CAST(0.125 AS DOUBLE) AS x FROM range(0, {d}) i),
+{r1},
+lam1 AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(xi.x * c.a * xj.x AS {dec})) AS DOUBLE) AS l1
+  FROM cells c JOIN {last1} xj ON c.j = xj.i JOIN {last1} xi ON c.i = xi.i),
+cells2 AS MATERIALIZED (
+  SELECT c.i, c.j, c.a - l1 * xi.x * xj.x AS a
+  FROM cells c JOIN {last1} xj ON c.j = xj.i JOIN {last1} xi ON c.i = xi.i, lam1),
+{r2},
+lam2 AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(xi.x * c.a * xj.x AS {dec})) AS DOUBLE) AS l2
+  FROM cells2 c JOIN {last2} xj ON c.j = xj.i JOIN {last2} xi ON c.i = xi.i),
+tr AS (SELECT CAST(SUM(CAST(a AS {dec})) AS DOUBLE) AS tr FROM cells WHERE i = j)
+SELECT v1.i + 1 AS dim, ROUND(v1.x, 6) AS loading1, ROUND(v2.x, 6) AS loading2,
+  ROUND(l1, 6) AS eigenvalue1, ROUND(l2, 6) AS eigenvalue2,
+  ROUND(l1 / tr, 6) AS evr1, ROUND(l2 / tr, 6) AS evr2
+FROM {last1} v1 JOIN {last2} v2 ON v1.i = v2.i, lam1, lam2, tr ORDER BY dim"""
 
 
 QUERIES: dict[str, QuerySpec] = {

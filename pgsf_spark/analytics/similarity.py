@@ -778,7 +778,9 @@ PCA_DIM = 64
 
 
 def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA, first principal component: covariance via
+    """Distributed PCA, top TWO principal components (second via Hotelling
+    deflation A - lambda1 v1 v1') with explained-variance ratios against
+    the covariance trace: covariance via
     OUTER-PRODUCT partial aggregation (each row contributes its 64x64
     upper product map-side; the shuffle carries dim^2 = 4096 cells, the
     vectors themselves never shuffle), then PCA_ITERS unrolled power-
@@ -833,37 +835,70 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    v = spark.range(PCA_DIM).select(F.col("id").cast("int").alias("i"), F.lit(0.125).alias("x"))
-    for _ in range(PCA_ITERS):
-        mv = (
-            cells.join(v.select(F.col("i").alias("j"), F.col("x")), "j")
-            .select("i", (F.col("a") * F.col("x")).alias("ax"))
-            .groupBy("i")
-            .agg(F.sum(F.col("ax").cast(dec)).cast("double").alias("y"))
+    def power_iterate(c):
+        v = spark.range(PCA_DIM).select(
+            F.col("id").cast("int").alias("i"), F.lit(0.125).alias("x")
         )
-        norm = mv.agg(
-            F.sqrt(F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double")).alias("nm")
+        for _ in range(PCA_ITERS):
+            mv = (
+                c.join(v.select(F.col("i").alias("j"), F.col("x")), "j")
+                .select("i", (F.col("a") * F.col("x")).alias("ax"))
+                .groupBy("i")
+                .agg(F.sum(F.col("ax").cast(dec)).cast("double").alias("y"))
+            )
+            norm = mv.agg(
+                F.sqrt(F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double")).alias("nm")
+            )
+            # checkpoint per round: v is referenced twice downstream, so the
+            # lazy plan would otherwise double every round (2^ITERS replays
+            # of the cell join -- measured 87s; checkpointed, ~2s). 64 rows.
+            v = (
+                mv.crossJoin(norm)
+                .select("i", (F.col("y") / F.col("nm")).alias("x"))
+                .localCheckpoint()
+            )
+        # Rayleigh quotient lambda = v' A v (v already unit)
+        lam = (
+            c.join(v.select(F.col("i").alias("j"), F.col("x").alias("xj")), "j")
+            .join(v.select(F.col("i"), F.col("x").alias("xi")), "i")
+            .agg(
+                F.sum((F.col("xi") * F.col("a") * F.col("xj")).cast(dec))
+                .cast("double")
+                .alias("l")
+            )
         )
-        # checkpoint per round: v is referenced twice downstream, so the
-        # lazy plan would otherwise double every round (2^ITERS replays of
-        # the cell join -- measured 87s; checkpointed, ~2s). 64 rows.
-        v = (
-            mv.crossJoin(norm)
-            .select("i", (F.col("y") / F.col("nm")).alias("x"))
-            .localCheckpoint()
+        return v, lam
+
+    v1, lam1 = power_iterate(cells)
+    # Hotelling deflation: A2 = A - lambda1 * v1 v1', then iterate again --
+    # the second component from the same template (checkpointed like cells)
+    cells2 = (
+        cells.join(v1.select(F.col("i").alias("j"), F.col("x").alias("xj")), "j")
+        .join(v1.select(F.col("i"), F.col("x").alias("xi")), "i")
+        .crossJoin(lam1.select(F.col("l").alias("l1")))
+        .select(
+            "i", "j", (F.col("a") - F.col("l1") * F.col("xi") * F.col("xj")).alias("a")
         )
-    # Rayleigh quotient lambda = v' A v (v already unit)
-    lam = (
-        cells.join(v.select(F.col("i").alias("j"), F.col("x").alias("xj")), "j")
-        .join(v.select(F.col("i"), F.col("x").alias("xi")), "i")
-        .agg(F.sum((F.col("xi") * F.col("a") * F.col("xj")).cast(dec)).cast("double").alias("l"))
+        .localCheckpoint()
+    )
+    v2, lam2 = power_iterate(cells2)
+    trace = cells.filter(F.col("i") == F.col("j")).agg(
+        F.sum(F.col("a").cast(dec)).cast("double").alias("tr")
     )
     return (
-        v.crossJoin(lam)
+        v1.select("i", F.col("x").alias("x1"))
+        .join(v2.select("i", F.col("x").alias("x2")), "i")
+        .crossJoin(lam1.select(F.col("l").alias("l1")))
+        .crossJoin(lam2.select(F.col("l").alias("l2")))
+        .crossJoin(trace)
         .select(
             (F.col("i") + 1).alias("dim"),
-            F.round("x", 6).alias("loading"),
-            F.round("l", 6).alias("eigenvalue"),
+            F.round("x1", 6).alias("loading1"),
+            F.round("x2", 6).alias("loading2"),
+            F.round("l1", 6).alias("eigenvalue1"),
+            F.round("l2", 6).alias("eigenvalue2"),
+            F.round(F.col("l1") / F.col("tr"), 6).alias("evr1"),
+            F.round(F.col("l2") / F.col("tr"), 6).alias("evr2"),
         )
         .orderBy("dim")
     )
