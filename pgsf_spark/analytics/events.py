@@ -612,3 +612,65 @@ def q_pit_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dsum(F.col("value")).alias("revenue"),
     )
+
+
+def q_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival analysis of view -> purchase conversion: the Nelson-Aalen
+    cumulative hazard H(t) = sum_{s<=t} d_s / n_s over event-day index,
+    with the risk set n_t = users who have entered (first view <= t) and
+    not yet converted before t. Kaplan-Meier's PRODUCT form cannot be made
+    hash-exact across engines (libm ln/exp), but the hazard SUM can: the
+    cumulative window is ordered by day, so both engines fold the same
+    doubles left-to-right -- the _dot_sql determinism trick applied to a
+    running sum.
+
+    Plan: two keyed aggregates build per-user (entry, conversion) days;
+    two day-grain count series + running sums derive d_t and n_t with no
+    per-day joins against users; the windows ride the bounded calendar
+    series. Censoring (users who never convert) is handled by n_t simply
+    never shrinking for them."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("vday"))
+        .join(
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.min(F.to_date("ts")).alias("pday")),
+            "user_id",
+            "left",
+        )
+        # conversion counts only when it follows entry (funnel semantics)
+        .withColumn("cday", F.when(F.col("pday") >= F.col("vday"), F.col("pday")))
+    )
+    entries = per_user.groupBy(F.col("vday").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_enter")
+    )
+    convs = per_user.filter(F.col("cday").isNotNull()).groupBy(
+        F.col("cday").alias("day")
+    ).agg(F.count(F.lit(1)).alias("d"))
+    days = entries.join(convs, "day", "full").select(
+        "day",
+        F.coalesce("n_enter", F.lit(0)).alias("n_enter"),
+        F.coalesce("d", F.lit(0)).alias("d"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        days.withColumn("cum_enter", F.sum("n_enter").over(w))
+        .withColumn("cum_conv_before", F.coalesce(F.sum("d").over(wprev), F.lit(0)))
+        .withColumn("n_risk", F.col("cum_enter") - F.col("cum_conv_before"))
+    )
+    hz = risk.withColumn(
+        "h",
+        F.when(F.col("n_risk") > 0, F.col("d").cast("double") / F.col("n_risk")).otherwise(
+            F.lit(0.0)
+        ),
+    ).withColumn("H", F.sum("h").over(w))
+    return hz.filter(F.col("d") > 0).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "d",
+        "n_risk",
+        F.round("H", 6).alias("cum_hazard"),
+    )

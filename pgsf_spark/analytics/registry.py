@@ -757,6 +757,36 @@ GROUP BY c_custkey, c_mktsegment""",
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     ),
     "pca_top_component": QuerySpec(similarity.q_pca_top_component, _pca_sql()),
+    "conversion_hazard": QuerySpec(
+        events.q_conversion_hazard,
+        """WITH pu AS (
+  SELECT v.user_id, v.vday,
+    CASE WHEN p.pday >= v.vday THEN p.pday END AS cday
+  FROM (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS vday
+        FROM events WHERE event_type = 'view' GROUP BY 1) v
+  LEFT JOIN (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS pday
+             FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+    ON v.user_id = p.user_id),
+en AS (SELECT vday AS day, COUNT(*) AS n_enter FROM pu GROUP BY 1),
+cv AS (SELECT cday AS day, COUNT(*) AS d FROM pu WHERE cday IS NOT NULL GROUP BY 1),
+days AS (
+  SELECT COALESCE(en.day, cv.day) AS day,
+    COALESCE(n_enter, 0) AS n_enter, COALESCE(d, 0) AS d
+  FROM en FULL JOIN cv ON en.day = cv.day),
+r AS (
+  SELECT day, d,
+    SUM(n_enter) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      - COALESCE(SUM(d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_risk
+  FROM days),
+h AS (
+  SELECT day, d, n_risk,
+    SUM(CASE WHEN n_risk > 0 THEN CAST(d AS DOUBLE) / n_risk ELSE 0.0 END)
+      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS H
+  FROM r)
+SELECT strftime(day, '%Y-%m-%d') AS day, d, n_risk, ROUND(H, 6) AS cum_hazard
+FROM h WHERE d > 0""",
+    ),
     "cusum_changepoints": QuerySpec(
         profiling.q_cusum_changepoints,
         """WITH daily AS (
@@ -3289,7 +3319,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # range_band_join, record_linkage, rolling_median_revenue, pit_state_join,
 # incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority,
 # training_shard_order, source_token_budget, corpus_datasheet,
-# rfm_segments, cusum_changepoints, pca_top_component (plus any
+# rfm_segments, cusum_changepoints, pca_top_component,
+# conversion_hazard (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [
