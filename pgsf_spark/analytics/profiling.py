@@ -793,3 +793,73 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_down_drift_usd"
         ),
     )
+
+
+PSI_BINS = 10
+
+
+def q_feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order value, first half of history
+    (reference) vs second half (current) -- the standard production drift
+    score (>0.2 = retrain). Decile edges come from the REFERENCE period's
+    exact interpolated percentiles over integer cents, so binning is
+    engine-exact; per-bin contributions (p_cur - p_ref) * ln(p_cur/p_ref)
+    use one ln per bin (the dsir_weights parity precedent) and round to
+    6dp.
+
+    Plan: one pass computes the split date (median order date) and the
+    reference percentiles (both tiny scalars/arrays, broadcast as
+    literals-by-join); binning is a projection; the aggregate is keyed by
+    10 bins. Zero-count bins get the standard 1e-6 floor on both faces so
+    ln never sees zero."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("dayi"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    split = vals.agg(F.expr("percentile(dayi, 0.5D)").alias("mid"))
+    tagged = vals.crossJoin(split).select(
+        "cents", (F.col("dayi") <= F.col("mid")).alias("is_ref")
+    )
+    edges = (
+        tagged.filter("is_ref")
+        .agg(
+            *[
+                F.expr(f"percentile(cents, {k / PSI_BINS}D)").alias(f"e{k}")
+                for k in range(1, PSI_BINS)
+            ]
+        )
+    )
+    bin_expr = F.lit(1)
+    for k in range(1, PSI_BINS):
+        bin_expr = bin_expr + (F.col("cents") > F.col(f"e{k}")).cast("int")
+    counts = (
+        tagged.crossJoin(edges)
+        .select(bin_expr.alias("bin"), "is_ref")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    scored = counts.crossJoin(tot).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.greatest(F.col("n_ref") / F.col("tr"), F.lit(1e-6)).alias("p_ref"),
+        F.greatest(F.col("n_cur") / F.col("tc"), F.lit(1e-6)).alias("p_cur"),
+    )
+    contrib = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return scored.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round("p_ref", 6).alias("p_ref"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(contrib, 6).alias("psi_contrib"),
+        F.round(F.sum(F.round(contrib, 6)).over(w), 6).alias("psi_total"),
+    ).orderBy("bin")

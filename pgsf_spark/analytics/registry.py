@@ -757,6 +757,37 @@ GROUP BY c_custkey, c_mktsegment""",
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     ),
     "pca_top_component": QuerySpec(similarity.q_pca_top_component, _pca_sql()),
+    "feature_psi": QuerySpec(
+        profiling.q_feature_psi,
+        f"""WITH vals AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(date_trunc('day', o_orderdate) AS DATE)) AS dayi,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+sp AS (SELECT median(dayi) AS mid FROM vals),
+tagged AS (SELECT cents, dayi <= mid AS is_ref FROM vals, sp),
+ed AS (
+  SELECT {", ".join(f"quantile_cont(cents, {k / profiling.PSI_BINS}) AS e{k}" for k in range(1, profiling.PSI_BINS))}
+  FROM tagged WHERE is_ref),
+b AS (
+  SELECT 1 {" ".join(f"+ CAST(cents > e{k} AS INT)" for k in range(1, profiling.PSI_BINS))} AS bin,
+    is_ref
+  FROM tagged, ed),
+c AS (
+  SELECT bin,
+    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+    SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS n_cur
+  FROM b GROUP BY 1),
+t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM c),
+s AS (
+  SELECT bin, n_ref, n_cur,
+    GREATEST(n_ref / tr, 1e-6) AS p_ref,
+    GREATEST(n_cur / tc, 1e-6) AS p_cur
+  FROM c, t)
+SELECT bin, n_ref, n_cur, ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+  ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_contrib,
+  ROUND(SUM(ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6)) OVER (), 6) AS psi_total
+FROM s ORDER BY bin""",
+    ),
     "conversion_hazard": QuerySpec(
         events.q_conversion_hazard,
         """WITH pu AS (
@@ -3320,7 +3351,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority,
 # training_shard_order, source_token_budget, corpus_datasheet,
 # rfm_segments, cusum_changepoints, pca_top_component,
-# conversion_hazard (plus any
+# conversion_hazard, feature_psi (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [

@@ -92,6 +92,8 @@ REPRESENTATIVE = [
     "rfm_segments",  # ntile quintiles over zero customers
     "cusum_changepoints",  # alarm summary of an empty series
     "pca_top_component",  # covariance cells from zero vectors
+    "conversion_hazard",  # risk set over zero users
+    "feature_psi",  # reference deciles from zero orders
 ]
 
 
