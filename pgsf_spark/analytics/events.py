@@ -674,3 +674,69 @@ def q_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         F.round("H", 6).alias("cum_hazard"),
     )
+
+
+def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t on a hash-randomized A/B split: users are assigned by md5
+    parity (the deterministic 'bucketing service' every experimentation
+    platform runs) and the metric is per-user purchase spend. Moments
+    accumulate in DECIMAL (order-exact) and the statistic is assembled in
+    one fixed op sequence, so the doubles are engine-identical. The
+    expected |t| on this null split is small; the gate locks the whole
+    assignment-measure-test pipeline, not a significant result. (A
+    two-proportion z on conversion is degenerate here -- every synthetic
+    user converts, pooled variance 0 -- which is itself the classic
+    experimentation-pipeline bug this formulation avoids.)
+
+    One groupBy(user_id) builds the metric; the test aggregates 2 arms.
+    At 100 TB the per-user aggregate is the only data-sized shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(27,6)"
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast(dec)),
+                F.lit(0).cast(dec),
+            ).alias("spend")
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+                == 0,
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    g = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend").cast("double").alias("s1"),
+        F.sum(F.col("spend") * F.col("spend")).cast("double").alias("s2"),
+    )
+    a = g.filter(F.col("arm") == "A").select(
+        F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("qa")
+    )
+    b = g.filter(F.col("arm") == "B").select(
+        F.col("n").alias("nb"), F.col("s1").alias("sb"), F.col("s2").alias("qb")
+    )
+    j = a.crossJoin(b)
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na")) / (F.col("na") - 1)
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb")) / (F.col("nb") - 1)
+    t = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    return j.select(
+        "na",
+        "nb",
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round(va, 4).alias("var_a"),
+        F.round(vb, 4).alias("var_b"),
+        F.round(t, 4).alias("t_welch"),
+    )

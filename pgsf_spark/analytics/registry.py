@@ -757,6 +757,32 @@ GROUP BY c_custkey, c_mktsegment""",
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     ),
     "pca_top_component": QuerySpec(similarity.q_pca_top_component, _pca_sql()),
+    "ab_test_zscore": QuerySpec(
+        events.q_ab_test_zscore,
+        """WITH pu AS (
+  SELECT user_id,
+    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(27,6)) END),
+             CAST(0 AS DECIMAL(27,6))) AS spend
+  FROM events GROUP BY user_id),
+pa AS (
+  SELECT spend,
+    CASE WHEN ('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         THEN 'A' ELSE 'B' END AS arm
+  FROM pu),
+g AS (SELECT arm, COUNT(*) AS n, CAST(SUM(spend) AS DOUBLE) AS s1,
+        CAST(SUM(spend * spend) AS DOUBLE) AS s2
+      FROM pa GROUP BY 1),
+a AS (SELECT n AS na, s1 AS sa, s2 AS qa FROM g WHERE arm = 'A'),
+b AS (SELECT n AS nb, s1 AS sb, s2 AS qb FROM g WHERE arm = 'B')
+SELECT na, nb,
+  ROUND(sa / na, 4) AS mean_a, ROUND(sb / nb, 4) AS mean_b,
+  ROUND((qa - sa * sa / na) / (na - 1), 4) AS var_a,
+  ROUND((qb - sb * sb / nb) / (nb - 1), 4) AS var_b,
+  ROUND((sa / na - sb / nb)
+        / sqrt(((qa - sa * sa / na) / (na - 1)) / na
+               + ((qb - sb * sb / nb) / (nb - 1)) / nb), 4) AS t_welch
+FROM a, b""",
+    ),
     "feature_psi": QuerySpec(
         profiling.q_feature_psi,
         f"""WITH vals AS (
@@ -3351,7 +3377,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority,
 # training_shard_order, source_token_budget, corpus_datasheet,
 # rfm_segments, cusum_changepoints, pca_top_component,
-# conversion_hazard, feature_psi (plus any
+# conversion_hazard, feature_psi, ab_test_zscore (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [

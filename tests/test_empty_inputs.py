@@ -94,6 +94,7 @@ REPRESENTATIVE = [
     "pca_top_component",  # covariance cells from zero vectors
     "conversion_hazard",  # risk set over zero users
     "feature_psi",  # reference deciles from zero orders
+    "ab_test_zscore",  # welch t over zero users
 ]
 
 
