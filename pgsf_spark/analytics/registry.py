@@ -783,6 +783,56 @@ SELECT na, nb,
                + ((qb - sb * sb / nb) / (nb - 1)) / nb), 4) AS t_welch
 FROM a, b""",
     ),
+    "ab_cuped_gate": QuerySpec(
+        events.q_ab_cuped_gate,
+        """WITH base AS (
+  SELECT user_id,
+    datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS dayi,
+    CASE WHEN event_type = 'purchase' THEN value END AS pv
+  FROM events),
+sp AS (SELECT median(dayi) AS mid FROM base),
+pu AS (
+  SELECT user_id,
+    COALESCE(SUM(CASE WHEN dayi <= mid THEN CAST(pv AS DECIMAL(27,6)) END),
+             CAST(0 AS DECIMAL(27,6))) AS pre,
+    COALESCE(SUM(CASE WHEN dayi > mid THEN CAST(pv AS DECIMAL(27,6)) END),
+             CAST(0 AS DECIMAL(27,6))) AS post
+  FROM base, sp GROUP BY user_id),
+pa AS (
+  SELECT pre, post,
+    CASE WHEN ('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         THEN 'A' ELSE 'B' END AS arm
+  FROM pu),
+gm AS (
+  SELECT COUNT(*) AS n, CAST(SUM(pre) AS DOUBLE) AS sx, CAST(SUM(post) AS DOUBLE) AS sy,
+    CAST(SUM(pre * pre) AS DOUBLE) AS sxx, CAST(SUM(pre * post) AS DOUBLE) AS sxy
+  FROM pa),
+th AS (SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta, sx / n AS mean_pre FROM gm),
+adj AS (
+  SELECT arm, post,
+    CAST(post AS DOUBLE) - theta * (CAST(pre AS DOUBLE) - mean_pre) AS adj
+  FROM pa, th),
+g AS (
+  SELECT arm, COUNT(*) AS n,
+    CAST(SUM(CAST(post AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(post * post AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(adj AS DECIMAL(38,10))) AS DOUBLE) AS sa,
+    CAST(SUM(CAST(adj * adj AS DECIMAL(38,10))) AS DOUBLE) AS saa
+  FROM adj GROUP BY 1),
+a AS (SELECT n AS na, sy AS sy_a, syy AS syy_a, sa AS sa_a, saa AS saa_a FROM g WHERE arm = 'A'),
+b AS (SELECT n AS nb, sy AS sy_b, syy AS syy_b, sa AS sa_b, saa AS saa_b FROM g WHERE arm = 'B')
+SELECT na, nb, ROUND(theta, 6) AS theta,
+  ROUND((sy_a / na - sy_b / nb)
+        / sqrt(((syy_a - sy_a * sy_a / na) / (na - 1)) / na
+               + ((syy_b - sy_b * sy_b / nb) / (nb - 1)) / nb), 4) AS t_raw,
+  ROUND((sa_a / na - sa_b / nb)
+        / sqrt(((saa_a - sa_a * sa_a / na) / (na - 1)) / na
+               + ((saa_b - sa_b * sa_b / nb) / (nb - 1)) / nb), 4) AS t_cuped,
+  ROUND((((saa_a - sa_a * sa_a / na) / (na - 1)) + ((saa_b - sa_b * sa_b / nb) / (nb - 1)))
+        / (((syy_a - sy_a * sy_a / na) / (na - 1)) + ((syy_b - sy_b * sy_b / nb) / (nb - 1))), 6)
+    AS var_ratio
+FROM a, b, th""",
+    ),
     "feature_psi": QuerySpec(
         profiling.q_feature_psi,
         f"""WITH vals AS (
@@ -3377,7 +3427,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority,
 # training_shard_order, source_token_budget, corpus_datasheet,
 # rfm_segments, cusum_changepoints, pca_top_component,
-# conversion_hazard, feature_psi, ab_test_zscore (plus any
+# conversion_hazard, feature_psi, ab_test_zscore, ab_cuped_gate (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [

@@ -95,6 +95,7 @@ REPRESENTATIVE = [
     "conversion_hazard",  # risk set over zero users
     "feature_psi",  # reference deciles from zero orders
     "ab_test_zscore",  # welch t over zero users
+    "ab_cuped_gate",  # covariate adjustment over zero users
 ]
 
 
