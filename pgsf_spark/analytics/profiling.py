@@ -863,3 +863,74 @@ def q_feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(contrib, 6).alias("psi_contrib"),
         F.round(F.sum(F.round(contrib, 6)).over(w), 6).alias("psi_total"),
     ).orderBy("bin")
+
+
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend concentration (the inequality
+    number behind 'top 1% of customers drive X%' and behind source-
+    weighting decisions in corpus curation): G = 2*sum(i*x_i)/(n*sum(x))
+    - (n+1)/n over spend-sorted customers, exact in decimal cents.
+
+    The global rank window rides one partition here; at scale the rank
+    comes from Spark's range-partitioned sort plus per-partition offsets
+    (the training_shard_order pattern) -- the formula only needs (i, x_i)
+    products, which that decomposition preserves. Deterministic tiebreak
+    (spend, custkey) pins the hash."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.round(
+            F.lit(2.0)
+            * F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).cast("double")
+            / (F.count(F.lit(1)) * F.sum(F.col("cents").cast("decimal(38,0)")).cast("double"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+# Benford expected first-digit probabilities as Python-computed literals --
+# no runtime log on either face
+import math as _math
+
+BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals (the
+    classic fabricated-data / unit-mix-up detector in financial DQ): digit
+    counts vs expected log10(1+1/d) (embedded as literals, so no runtime
+    log), chi-square accumulated in DECIMAL per digit so the statistic is
+    order-exact. First digit comes from the integer-cents string (x100
+    shifts the decimal point, never the leading digit)."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+    counts = o.select(digit.cast("int").alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    exp_expr = F.create_map(
+        *[x for d, p in BENFORD_P.items() for x in (F.lit(d), F.lit(p))]
+    )
+    scored = counts.crossJoin(tot).select(
+        "digit",
+        "n",
+        (F.element_at(exp_expr, F.col("digit")) * F.col("total")).alias("expected"),
+    )
+    chi = (
+        ((F.col("n") - F.col("expected")) * (F.col("n") - F.col("expected")))
+        / F.col("expected")
+    ).cast("decimal(27,10)")
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return scored.select(
+        "digit",
+        "n",
+        F.round("expected", 2).alias("expected"),
+        F.round(F.sum(chi).over(w).cast("double"), 6).alias("chi_square"),
+    ).orderBy("digit")

@@ -783,6 +783,54 @@ SELECT na, nb,
                + ((qb - sb * sb / nb) / (nb - 1)) / nb), 4) AS t_welch
 FROM a, b""",
     ),
+    "gini_spend": QuerySpec(
+        profiling.q_gini_spend,
+        """WITH s AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM s)
+SELECT COUNT(*) AS n_customers, SUM(cents) AS total_cents,
+  ROUND(2.0 * CAST(SUM(CAST(i * cents AS DECIMAL(38,0))) AS DOUBLE)
+          / (COUNT(*) * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
+        - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM r""",
+    ),
+    "benford_audit": QuerySpec(
+        profiling.q_benford_audit,
+        f"""WITH c AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+    COUNT(*) AS n
+  FROM orders GROUP BY 1),
+t AS (SELECT SUM(n) AS total FROM c),
+s AS (
+  SELECT digit, n,
+    CAST((CASE digit {" ".join(f"WHEN {d} THEN {p!r}" for d, p in profiling.BENFORD_P.items())} END) AS DOUBLE) * total AS expected
+  FROM c, t)
+SELECT digit, n, ROUND(expected, 2) AS expected,
+  ROUND(CAST(SUM(CAST((n - expected) * (n - expected) / expected AS DECIMAL(27,10))) OVER ()
+             AS DOUBLE), 6) AS chi_square
+FROM s ORDER BY digit""",
+    ),
+    "zipf_fit": QuerySpec(
+        text.q_zipf_fit,
+        f"""WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+f AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1),
+top AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank FROM f
+  QUALIFY rank <= {text.ZIPF_TOP}),
+pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y FROM top),
+m AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(x * y AS DECIMAL(27,12))) AS DOUBLE) AS sxy
+  FROM pts)
+SELECT n AS n_tokens,
+  ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS zipf_slope,
+  ROUND(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx / n, 4) AS intercept
+FROM m""",
+    ),
     "ab_cuped_gate": QuerySpec(
         events.q_ab_cuped_gate,
         """WITH base AS (
@@ -3427,7 +3475,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # incremental_lsh_dedup, jpeg_decode_gate, cube_status_priority,
 # training_shard_order, source_token_budget, corpus_datasheet,
 # rfm_segments, cusum_changepoints, pca_top_component,
-# conversion_hazard, feature_psi, ab_test_zscore, ab_cuped_gate (plus any
+# conversion_hazard, feature_psi, ab_test_zscore, ab_cuped_gate,
+# gini_spend, benford_audit, zipf_fit (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [

@@ -13,6 +13,7 @@ import pandas as pd  # module-level so pandas_udf string type hints resolve
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pgsf_spark.tables import load_table
 
@@ -526,4 +527,48 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
         )
         .orderBy(F.col("exact_count").desc(), "token")
+    )
+
+
+ZIPF_TOP = 100
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the token frequency distribution: OLS slope of
+    ln(freq) on ln(rank) over the top ZIPF_TOP tokens (natural corpora sit
+    near -1; a synthetic or templated corpus shows up immediately as a
+    flat slope -- a one-number corpus-naturalness probe next to the
+    diversity and repetition gates).
+
+    The top-K table is tiny (TakeOrdered); ln runs once per row (the
+    dsir_weights parity precedent) and the OLS moments accumulate in
+    DECIMAL, so the slope is hash-stable. Rank ties broken by token."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(_tokens(F.lower(F.col("text")))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    top = freq.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ZIPF_TOP
+    )
+    pts = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    dec = "decimal(27,12)"
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return m.select(
+        F.col("n").alias("n_tokens"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 4
+        ).alias("intercept"),
     )

@@ -96,6 +96,9 @@ REPRESENTATIVE = [
     "feature_psi",  # reference deciles from zero orders
     "ab_test_zscore",  # welch t over zero users
     "ab_cuped_gate",  # covariate adjustment over zero users
+    "gini_spend",  # rank weights over zero customers
+    "benford_audit",  # digit histogram of zero orders
+    "zipf_fit",  # OLS over zero tokens
 ]
 
 
