@@ -477,3 +477,62 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_chars"
         ),
     )
+
+
+JS_TOP = 50
+
+
+def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's token distribution
+    and the corpus-wide distribution, over the global top-JS_TOP vocabulary
+    plus an OOV bucket -- the symmetric, bounded [0, ln 2] counterpart to
+    PSI for *which sources read differently from the corpus* (domain
+    weighting and mixture-shift monitoring both key off it).
+
+    The probe vocabulary is a TakeOrdered broadcast; per-(source, token)
+    counts are one keyed shuffle; each JS term ln's once (dsir parity
+    precedent) and accumulates in DECIMAL, so the per-source divergence is
+    hash-stable. Laplace +1 smoothing keeps every ln argument positive on
+    both faces."""
+    from pgsf_spark.analytics.dedup import _norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(JS_TOP)
+        .select("token")
+    )
+    mapped = tok.join(F.broadcast(vocab).withColumn("in_vocab", F.lit(1)), "token", "left").select(
+        "source",
+        F.when(F.col("in_vocab").isNotNull(), F.col("token")).otherwise(F.lit("__oov__")).alias("tk"),
+    )
+    per_src = mapped.groupBy("source", "tk").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = per_src.groupBy("source").agg(F.sum("c").alias("tot"))
+    glob = per_src.groupBy("tk").agg(F.sum("c").alias("gc"))
+    glob_tot = glob.agg(F.sum("gc").alias("gtot"))
+    # +1 smoothing over the (JS_TOP + 1)-slot support
+    k = JS_TOP + 1
+    joined = (
+        per_src.join(src_tot, "source")
+        .join(glob, "tk")
+        .crossJoin(glob_tot)
+        .select(
+            "source",
+            ((F.col("c") + 1) / (F.col("tot") + k)).alias("p"),
+            ((F.col("gc") + 1) / (F.col("gtot") + k)).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.lit(0.5) * F.col("p") * F.log(F.col("p") / m)
+        + F.lit(0.5) * F.col("q") * F.log(F.col("q") / m)
+    ).cast("decimal(27,12)")
+    return (
+        joined.groupBy("source")
+        .agg(F.round(F.sum(term).cast("double"), 6).alias("js_divergence"),
+             F.count(F.lit(1)).alias("n_terms"))
+        .orderBy("source")
+    )

@@ -783,6 +783,32 @@ SELECT na, nb,
                + ((qb - sb * sb / nb) / (nb - 1)) / nb), 4) AS t_welch
 FROM a, b""",
     ),
+    "source_js_divergence": QuerySpec(
+        corpus.q_source_js_divergence,
+        f"""WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS r
+    FROM tok GROUP BY token) WHERE r <= {corpus.JS_TOP}),
+mapped AS (
+  SELECT source, CASE WHEN v.token IS NOT NULL THEN tok.token ELSE '__oov__' END AS tk
+  FROM tok LEFT JOIN vocab v ON tok.token = v.token),
+ps AS (SELECT source, tk, COUNT(*) AS c FROM mapped GROUP BY 1, 2),
+st AS (SELECT source, SUM(c) AS tot FROM ps GROUP BY 1),
+gl AS (SELECT tk, SUM(c) AS gc FROM ps GROUP BY 1),
+gt AS (SELECT SUM(gc) AS gtot FROM gl),
+j AS (
+  SELECT ps.source,
+    (c + 1) / (tot + {corpus.JS_TOP + 1}) AS p,
+    (gc + 1) / (gtot + {corpus.JS_TOP + 1}) AS q
+  FROM ps JOIN st USING (source) JOIN gl USING (tk), gt)
+SELECT source,
+  ROUND(CAST(SUM(CAST(0.5 * p * ln(p / ((p + q) / 2))
+                      + 0.5 * q * ln(q / ((p + q) / 2)) AS DECIMAL(27,12))) AS DOUBLE), 6)
+    AS js_divergence,
+  COUNT(*) AS n_terms
+FROM j GROUP BY source ORDER BY source""",
+    ),
     "gini_spend": QuerySpec(
         profiling.q_gini_spend,
         """WITH s AS (
@@ -3476,7 +3502,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # training_shard_order, source_token_budget, corpus_datasheet,
 # rfm_segments, cusum_changepoints, pca_top_component,
 # conversion_hazard, feature_psi, ab_test_zscore, ab_cuped_gate,
-# gini_spend, benford_audit, zipf_fit (plus any
+# gini_spend, benford_audit, zipf_fit, source_js_divergence (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [

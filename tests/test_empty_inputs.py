@@ -99,6 +99,7 @@ REPRESENTATIVE = [
     "gini_spend",  # rank weights over zero customers
     "benford_audit",  # digit histogram of zero orders
     "zipf_fit",  # OLS over zero tokens
+    "source_js_divergence",  # JS over zero sources
 ]
 
 
