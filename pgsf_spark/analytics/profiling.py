@@ -934,3 +934,55 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("expected", 2).alias("expected"),
         F.round(F.sum(chi).over(w).cast("double"), 6).alias("chi_square"),
     ).orderBy("digit")
+
+
+def q_ks_test_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between first-half and
+    second-half order values (the distribution-shape drift test next to
+    Mann-Whitney's rank shift and PSI's binned score): D = max |F1 - F2|
+    over the pooled sorted sample, computed EXACTLY in integers -- at each
+    pooled point, |c1*n2 - c2*n1| compares ECDFs over the common
+    denominator n1*n2, so the maximum needs no floating point at all;
+    the reported D divides once at the end.
+
+    One sort-shuffle of (value, side) rows with two running counts -- the
+    same shape as the Mann-Whitney midranks; ties are handled by taking
+    the ECDF values AFTER all rows of a tied value (max over groups of the
+    last row per value, standard KS tie treatment)."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.crossJoin(
+        o.agg(F.expr("percentile(datediff(to_date(o_orderdate), '1970-01-01'), 0.5D)").alias("mid"))
+    ).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        (F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) <= F.col("mid")).alias(
+            "s1"
+        ),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    # per distinct value: cumulative counts AFTER the value (last row of the
+    # tie group) -- groupBy value first so the window rides distinct values
+    per_v = vals.groupBy("v").agg(
+        F.sum(F.col("s1").cast("long")).alias("d1"),
+        F.sum((~F.col("s1")).cast("long")).alias("d2"),
+    )
+    cum = per_v.select(
+        "v",
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
+    )
+    n = vals.agg(
+        F.sum(F.col("s1").cast("long")).alias("n1"),
+        F.sum((~F.col("s1")).cast("long")).alias("n2"),
+    )
+    scored = cum.crossJoin(n).select(
+        (F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias("num"),
+        "n1",
+        "n2",
+    )
+    return scored.groupBy("n1", "n2").agg(
+        F.max("num").alias("max_num")
+    ).select(
+        "n1",
+        "n2",
+        F.round(F.col("max_num") / (F.col("n1") * F.col("n2")), 6).alias("ks_d"),
+    )

@@ -783,6 +783,29 @@ SELECT na, nb,
                + ((qb - sb * sb / nb) / (nb - 1)) / nb), 4) AS t_welch
 FROM a, b""",
     ),
+    "ks_test_gate": QuerySpec(
+        profiling.q_ks_test_gate,
+        """WITH sp AS (
+  SELECT median(datediff('day', DATE '1970-01-01', CAST(date_trunc('day', o_orderdate) AS DATE))) AS mid
+  FROM orders),
+vals AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+    datediff('day', DATE '1970-01-01', CAST(date_trunc('day', o_orderdate) AS DATE)) <= mid AS s1
+  FROM orders, sp),
+pv AS (
+  SELECT v, SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS d1,
+    SUM(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS d2
+  FROM vals GROUP BY v),
+cum AS (
+  SELECT v, SUM(d1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+    SUM(d2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+  FROM pv),
+n AS (SELECT SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS n2 FROM vals)
+SELECT n1, n2,
+  ROUND(MAX(abs(c1 * n2 - c2 * n1)) / (n1 * n2), 6) AS ks_d
+FROM cum, n GROUP BY n1, n2""",
+    ),
     "source_js_divergence": QuerySpec(
         corpus.q_source_js_divergence,
         f"""WITH tok AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
@@ -3502,7 +3525,8 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # training_shard_order, source_token_budget, corpus_datasheet,
 # rfm_segments, cusum_changepoints, pca_top_component,
 # conversion_hazard, feature_psi, ab_test_zscore, ab_cuped_gate,
-# gini_spend, benford_audit, zipf_fit, source_js_divergence (plus any
+# gini_spend, benford_audit, zipf_fit, source_js_divergence,
+# ks_test_gate (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [

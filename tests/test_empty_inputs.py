@@ -100,6 +100,7 @@ REPRESENTATIVE = [
     "benford_audit",  # digit histogram of zero orders
     "zipf_fit",  # OLS over zero tokens
     "source_js_divergence",  # JS over zero sources
+    "ks_test_gate",  # ECDFs over zero orders
 ]
 
 
