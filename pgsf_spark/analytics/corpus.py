@@ -513,16 +513,24 @@ def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_tot = per_src.groupBy("source").agg(F.sum("c").alias("tot"))
     glob = per_src.groupBy("tk").agg(F.sum("c").alias("gc"))
     glob_tot = glob.agg(F.sum("gc").alias("gtot"))
-    # +1 smoothing over the (JS_TOP + 1)-slot support
+    # +1 smoothing over the (JS_TOP + 1)-slot support. The sum must run
+    # over the FULL source x support grid: a slot the source never uses
+    # still carries probability 1/(tot+k) after smoothing, and dropping
+    # those terms (an inner join would) understates the divergence most
+    # for exactly the most-divergent sources.
     k = JS_TOP + 1
+    support = vocab.select(F.col("token").alias("tk")).unionByName(
+        spark.createDataFrame([("__oov__",)], "tk string")
+    )
+    grid = src_tot.crossJoin(F.broadcast(support))
     joined = (
-        per_src.join(src_tot, "source")
-        .join(glob, "tk")
+        grid.join(per_src, ["source", "tk"], "left")
+        .join(glob, "tk", "left")
         .crossJoin(glob_tot)
         .select(
             "source",
-            ((F.col("c") + 1) / (F.col("tot") + k)).alias("p"),
-            ((F.col("gc") + 1) / (F.col("gtot") + k)).alias("q"),
+            ((F.coalesce(F.col("c"), F.lit(0)) + 1) / (F.col("tot") + k)).alias("p"),
+            ((F.coalesce(F.col("gc"), F.lit(0)) + 1) / (F.col("gtot") + k)).alias("q"),
         )
     )
     m = (F.col("p") + F.col("q")) / 2

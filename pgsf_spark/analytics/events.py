@@ -676,6 +676,18 @@ def q_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ab_arm(user_col):
+    """md5-parity A/B assignment (the deterministic bucketing service);
+    SHARED by q_ab_test_zscore and q_ab_cuped_gate -- the two gates'
+    arms must stay bit-identical for t_raw to be comparable."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ab1:"), user_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return F.when(h % 2 == 0, "A").otherwise("B")
+
+
 def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's t on a hash-randomized A/B split: users are assigned by md5
     parity (the deterministic 'bucketing service' every experimentation
@@ -700,24 +712,13 @@ def q_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast(dec),
             ).alias("spend")
         )
-        .withColumn(
-            "arm",
-            F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
-                % 2
-                == 0,
-                "A",
-            ).otherwise("B"),
-        )
+        .withColumn("arm", _ab_arm(F.col("user_id")))
     )
+    sq = F.col("spend").cast("decimal(18,6)")
     g = per_user.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("spend").cast("double").alias("s1"),
-        F.sum(F.col("spend") * F.col("spend")).cast("double").alias("s2"),
+        F.sum(sq * sq).cast("double").alias("s2"),
     )
     a = g.filter(F.col("arm") == "A").select(
         F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("qa")
@@ -775,27 +776,17 @@ def q_ab_cuped_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("dayi") > F.col("mid"), F.col("pv")).cast(dec)), F.lit(0).cast(dec)
             ).alias("post"),
         )
-        .withColumn(
-            "arm",
-            F.when(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit("ab1:"), F.col("user_id").cast("string"))), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
-                % 2
-                == 0,
-                "A",
-            ).otherwise("B"),
-        )
+        .withColumn("arm", _ab_arm(F.col("user_id")))
         .localCheckpoint()
     )
+    pre6 = F.col("pre").cast("decimal(18,6)")
+    post6 = F.col("post").cast("decimal(18,6)")
     gm = per_user.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("pre").cast("double").alias("sx"),
         F.sum("post").cast("double").alias("sy"),
-        F.sum(F.col("pre") * F.col("pre")).cast("double").alias("sxx"),
-        F.sum(F.col("pre") * F.col("post")).cast("double").alias("sxy"),
+        F.sum(pre6 * pre6).cast("double").alias("sxx"),
+        F.sum(pre6 * post6).cast("double").alias("sxy"),
     )
     theta_df = gm.select(
         ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
@@ -814,7 +805,9 @@ def q_ab_cuped_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = adj.groupBy("arm").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("post").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("post") * F.col("post")).cast(dec2)).cast("double").alias("syy"),
+        F.sum(F.col("post").cast("decimal(18,6)") * F.col("post").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("syy"),
         F.sum(F.col("adj").cast(dec2)).cast("double").alias("sa"),
         F.sum((F.col("adj") * F.col("adj")).cast(dec2)).cast("double").alias("saa"),
     )

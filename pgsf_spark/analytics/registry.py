@@ -770,7 +770,7 @@ pa AS (
          THEN 'A' ELSE 'B' END AS arm
   FROM pu),
 g AS (SELECT arm, COUNT(*) AS n, CAST(SUM(spend) AS DOUBLE) AS s1,
-        CAST(SUM(spend * spend) AS DOUBLE) AS s2
+        CAST(SUM(CAST(spend AS DECIMAL(19,6)) * CAST(spend AS DECIMAL(19,6))) AS DOUBLE) AS s2
       FROM pa GROUP BY 1),
 a AS (SELECT n AS na, s1 AS sa, s2 AS qa FROM g WHERE arm = 'A'),
 b AS (SELECT n AS nb, s1 AS sb, s2 AS qb FROM g WHERE arm = 'B')
@@ -820,11 +820,15 @@ ps AS (SELECT source, tk, COUNT(*) AS c FROM mapped GROUP BY 1, 2),
 st AS (SELECT source, SUM(c) AS tot FROM ps GROUP BY 1),
 gl AS (SELECT tk, SUM(c) AS gc FROM ps GROUP BY 1),
 gt AS (SELECT SUM(gc) AS gtot FROM gl),
+support AS (SELECT token AS tk FROM vocab UNION ALL SELECT '__oov__'),
+grid AS (SELECT st.source, st.tot, support.tk FROM st, support),
 j AS (
-  SELECT ps.source,
-    (c + 1) / (tot + {corpus.JS_TOP + 1}) AS p,
-    (gc + 1) / (gtot + {corpus.JS_TOP + 1}) AS q
-  FROM ps JOIN st USING (source) JOIN gl USING (tk), gt)
+  SELECT grid.source,
+    (COALESCE(c, 0) + 1) / (tot + {corpus.JS_TOP + 1}) AS p,
+    (COALESCE(gc, 0) + 1) / (gtot + {corpus.JS_TOP + 1}) AS q
+  FROM grid
+  LEFT JOIN ps ON grid.source = ps.source AND grid.tk = ps.tk
+  LEFT JOIN gl ON grid.tk = gl.tk, gt)
 SELECT source,
   ROUND(CAST(SUM(CAST(0.5 * p * ln(p / ((p + q) / 2))
                       + 0.5 * q * ln(q / ((p + q) / 2)) AS DECIMAL(27,12))) AS DOUBLE), 6)
@@ -902,7 +906,8 @@ pa AS (
   FROM pu),
 gm AS (
   SELECT COUNT(*) AS n, CAST(SUM(pre) AS DOUBLE) AS sx, CAST(SUM(post) AS DOUBLE) AS sy,
-    CAST(SUM(pre * pre) AS DOUBLE) AS sxx, CAST(SUM(pre * post) AS DOUBLE) AS sxy
+    CAST(SUM(CAST(pre AS DECIMAL(19,6)) * CAST(pre AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(pre AS DECIMAL(19,6)) * CAST(post AS DECIMAL(19,6))) AS DOUBLE) AS sxy
   FROM pa),
 th AS (SELECT (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta, sx / n AS mean_pre FROM gm),
 adj AS (
@@ -912,7 +917,7 @@ adj AS (
 g AS (
   SELECT arm, COUNT(*) AS n,
     CAST(SUM(CAST(post AS DECIMAL(27,6))) AS DOUBLE) AS sy,
-    CAST(SUM(CAST(post * post AS DECIMAL(38,10))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(post AS DECIMAL(19,6)) * CAST(post AS DECIMAL(19,6))) AS DOUBLE) AS syy,
     CAST(SUM(CAST(adj AS DECIMAL(38,10))) AS DOUBLE) AS sa,
     CAST(SUM(CAST(adj * adj AS DECIMAL(38,10))) AS DOUBLE) AS saa
   FROM adj GROUP BY 1),
@@ -999,28 +1004,35 @@ FROM h WHERE d > 0""",
   FROM orders GROUP BY 1),
 st AS (SELECT COUNT(*) AS n, SUM(rev) AS total,
        SUM(CAST(rev AS DECIMAL(38,0)) * rev) AS sumsq FROM daily),
+ms AS (
+  SELECT n,
+    CAST(total AS DOUBLE) / n AS mu,
+    sqrt(CAST(sumsq AS DOUBLE) / n
+         - (CAST(total AS DOUBLE) / n) * (CAST(total AS DOUBLE) / n)) AS sigma
+  FROM st),
 c1 AS (
-  SELECT day, n, total, sumsq,
-    SUM(rev * n - total) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
-  FROM daily, st),
+  SELECT day,
+    SUM(CAST(rev AS DOUBLE) - mu - 0.5 * sigma)
+      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS su,
+    SUM(CAST(rev AS DOUBLE) - mu + 0.5 * sigma)
+      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sd,
+    sigma
+  FROM daily, ms),
 c2 AS (
   SELECT *,
-    MIN(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS min_s,
-    MAX(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS max_s
+    LEAST(MIN(su) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0.0) AS min_su,
+    GREATEST(MAX(sd) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 0.0) AS max_sd
   FROM c1),
 c3 AS (
-  SELECT day, n,
-    CAST(s - min_s AS DOUBLE) AS up_drift,
-    CAST(max_s - s AS DOUBLE) AS down_drift,
-    4.0 * sqrt(CAST(sumsq AS DOUBLE) / n
-               - (CAST(total AS DOUBLE) / n) * (CAST(total AS DOUBLE) / n)) * n AS thresh
+  SELECT day, su - min_su AS up_drift, max_sd - sd AS down_drift,
+    5.0 * sigma AS thresh
   FROM c2)
 SELECT COUNT(*) AS n_days,
   MIN(CASE WHEN up_drift > thresh THEN strftime(day, '%Y-%m-%d') END) AS first_up_alarm,
   MIN(CASE WHEN down_drift > thresh THEN strftime(day, '%Y-%m-%d') END) AS first_down_alarm,
   SUM(CASE WHEN up_drift > thresh OR down_drift > thresh THEN 1 ELSE 0 END) AS n_alarm_days,
-  ROUND(MAX(up_drift / (n * 100.0)), 2) AS max_up_drift_usd,
-  ROUND(MAX(down_drift / (n * 100.0)), 2) AS max_down_drift_usd
+  ROUND(MAX(up_drift) / 100.0, 2) AS max_up_drift_usd,
+  ROUND(MAX(down_drift) / 100.0, 2) AS max_down_drift_usd
 FROM c3""",
     ),
     "rfm_segments": QuerySpec(
