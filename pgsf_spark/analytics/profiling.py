@@ -990,3 +990,49 @@ def q_ks_test_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         F.round(F.col("max_num") / (F.col("n1") * F.col("n2")), 6).alias("ks_d"),
     )
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on daily revenue (the
+    nonparametric is-it-drifting-up question, completing the time-series
+    shelf next to CUSUM's when-did-it-shift): S = sum of sign(x_j - x_i)
+    over ordered day pairs, EXACT in integers, with the tie-corrected
+    variance 18*Var(S) = n(n-1)(2n+5) - sum t(t-1)(2t+5) and the
+    continuity-corrected z.
+
+    The pairwise comparison is a deliberate BroadcastNestedLoopJoin over
+    the DAY-GRAIN series (2.4k rows -> ~3M cheap comparisons; the same
+    bounded-calendar argument every spine query here makes) -- the
+    data-sized work is only the daily rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("rev").alias("x1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("x2"))
+    s_agg = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .agg(F.sum(F.signum(F.col("x2") - F.col("x1")).cast("long")).alias("s"))
+    )
+    ties = daily.groupBy("rev").agg(F.count(F.lit(1)).alias("t")).filter(F.col("t") > 1)
+    tie_term = ties.agg(
+        F.coalesce(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)), F.lit(0)
+        ).alias("tt")
+    )
+    n_agg = daily.agg(F.count(F.lit(1)).alias("n"))
+    j = s_agg.crossJoin(n_agg).crossJoin(tie_term)
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tt")
+    ).cast("double")
+    z = F.when(
+        F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var18 / 18.0)
+    ).when(
+        F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var18 / 18.0)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "n",
+        "s",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_5pct"),
+    )

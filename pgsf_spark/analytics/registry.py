@@ -783,6 +783,32 @@ SELECT na, nb,
                + ((qb - sb * sb / nb) / (nb - 1)) / nb), 4) AS t_welch
 FROM a, b""",
     ),
+    "mann_kendall_trend": QuerySpec(
+        profiling.q_mann_kendall_trend,
+        """WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+s_agg AS (
+  SELECT CAST(SUM(CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.day < b.day),
+ties AS (
+  SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tt
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev HAVING COUNT(*) > 1)),
+na AS (SELECT COUNT(*) AS n FROM daily),
+j AS (
+  SELECT s, n, CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) AS var18
+  FROM s_agg, na, ties)
+SELECT n, s,
+  ROUND(CASE WHEN s > 0 THEN (s - 1) / sqrt(var18 / 18.0)
+             WHEN s < 0 THEN (s + 1) / sqrt(var18 / 18.0)
+             ELSE 0.0 END, 4) AS z,
+  abs(CASE WHEN s > 0 THEN (s - 1) / sqrt(var18 / 18.0)
+           WHEN s < 0 THEN (s + 1) / sqrt(var18 / 18.0)
+           ELSE 0.0 END) > 1.96 AS significant_5pct
+FROM j""",
+    ),
     "ks_test_gate": QuerySpec(
         profiling.q_ks_test_gate,
         """WITH sp AS (
@@ -3538,7 +3564,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # rfm_segments, cusum_changepoints, pca_top_component,
 # conversion_hazard, feature_psi, ab_test_zscore, ab_cuped_gate,
 # gini_spend, benford_audit, zipf_fit, source_js_divergence,
-# ks_test_gate (plus any
+# ks_test_gate, mann_kendall_trend (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [

@@ -101,6 +101,7 @@ REPRESENTATIVE = [
     "zipf_fit",  # OLS over zero tokens
     "source_js_divergence",  # JS over zero sources
     "ks_test_gate",  # ECDFs over zero orders
+    "mann_kendall_trend",  # pairwise signs over zero days
 ]
 
 
