@@ -1036,3 +1036,34 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("significant_5pct"),
     )
+
+
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend slope of daily revenue: the median of all
+    pairwise slopes (x_j - x_i) / (days between), the estimator that pairs
+    with Mann-Kendall (MK says WHETHER the trend is real, Theil-Sen says
+    HOW STEEP, both immune to outlier days that wreck OLS).
+
+    Same bounded day-grain pairwise shape as q_mann_kendall_trend
+    (broadcast nested-loop over the calendar rollup); each slope is one
+    double division (identical IEEE op in both engines) and the exact
+    interpolated median over the pair set is engine-portable."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("rev").alias("x1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("x2"))
+    slopes = a.join(b, F.col("d1") < F.col("d2")).select(
+        (
+            (F.col("x2") - F.col("x1")).cast("double")
+            / F.datediff(F.col("d2"), F.col("d1")).cast("double")
+        ).alias("slope")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5D)") / 100.0, 6).alias("slope_usd_per_day"),
+        F.round(F.expr("percentile(slope, 0.5D)") * 365.0 / 100.0, 2).alias(
+            "slope_usd_per_year"
+        ),
+    )

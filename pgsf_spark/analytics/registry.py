@@ -783,6 +783,20 @@ SELECT na, nb,
                + ((qb - sb * sb / nb) / (nb - 1)) / nb), 4) AS t_welch
 FROM a, b""",
     ),
+    "theil_sen_slope": QuerySpec(
+        profiling.q_theil_sen_slope,
+        """WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+slopes AS (
+  SELECT CAST(b.rev - a.rev AS DOUBLE) / CAST(datediff('day', a.day, b.day) AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.day < b.day)
+SELECT COUNT(*) AS n_pairs,
+  ROUND(median(slope) / 100.0, 6) AS slope_usd_per_day,
+  ROUND(median(slope) * 365.0 / 100.0, 2) AS slope_usd_per_year
+FROM slopes""",
+    ),
     "mann_kendall_trend": QuerySpec(
         profiling.q_mann_kendall_trend,
         """WITH daily AS (
@@ -3564,7 +3578,7 @@ assert set(_ROUND3_FRONT) <= set(QUERIES), set(_ROUND3_FRONT) - set(QUERIES)
 # rfm_segments, cusum_changepoints, pca_top_component,
 # conversion_hazard, feature_psi, ab_test_zscore, ab_cuped_gate,
 # gini_spend, benford_audit, zipf_fit, source_js_divergence,
-# ks_test_gate, mann_kendall_trend (plus any
+# ks_test_gate, mann_kendall_trend, theil_sen_slope (plus any
 # queries below this comment added after them). All pass verify_local at
 # sf0.01 and sf0.001.
 _ROUND4_FRONT = [

@@ -102,6 +102,7 @@ REPRESENTATIVE = [
     "source_js_divergence",  # JS over zero sources
     "ks_test_gate",  # ECDFs over zero orders
     "mann_kendall_trend",  # pairwise signs over zero days
+    "theil_sen_slope",  # pairwise slopes over zero days
 ]
 
 
