@@ -352,6 +352,13 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
     while pos + 4 <= n:
         if content[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # ITU-T81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker; skip them so a padded-but-compliant stream isn't rejected
+        # (a 0xFF "marker" byte would otherwise be parsed as a bogus segment)
+        while pos + 1 < n and content[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n and content[pos + 1] != 0xD9:
+            break
         marker = content[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -272,7 +272,11 @@ def q_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     sel = (
         d.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), h.alias("h"))
-        .withColumn("budget", (F.sum("n_chars").over(tot) * 2 / F.lit(5)).cast("bigint"))
+        # integral `div`, not float `/` then cast: the oracle floors with
+        # exact integer division, and double arithmetic diverges from it once
+        # 2*sum(n_chars) exceeds 2^53 -- exactly the corpus scale this targets
+        .withColumn("tot_chars", F.sum("n_chars").over(tot))
+        .withColumn("budget", F.expr("(tot_chars * 2L) div 5L"))
         .withColumn("cum", F.sum("n_chars").over(w.rowsBetween(Window.unboundedPreceding, 0)))
         .withColumn("admitted", F.col("cum") <= F.col("budget"))
     )

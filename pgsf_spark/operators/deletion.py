@@ -38,7 +38,6 @@ def delete_rows(store: TableStore, table: str, pk: str, keys: DataFrame) -> dict
         info.get("partition_by") == [PGSF_BUCKET] and info.get("partition_buckets")
     )
     if bucketed:
-        nb = int(info["partition_buckets"])
         cur = store.read(table, keep_internal=True)
         # buckets of keys actually PRESENT (bucket-column-only scan): a
         # sweep of mostly-absent keys must not rewrite their buckets --

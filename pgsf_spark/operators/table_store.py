@@ -358,8 +358,14 @@ class TableStore:
         if path is None:
             raise FileNotFoundError(f"table {table!r} has no published version")
         df = self.spark.read.parquet(path)
+        # NULLs never match an equality probe (col == value is never true for
+        # NULL), so they carry no membership information -- and _positions(NULL)
+        # yields NULL positions whose all-NULL bit_or group would crash the
+        # int() below. A file whose column is entirely NULL simply gets no
+        # index entry and is (correctly) pruned for every point lookup.
         words = (
-            df.select(
+            df.where(F.col(col).isNotNull())
+            .select(
                 F.input_file_name().alias("f"),
                 F.explode(_positions(F.col(col))).alias("p"),
             )
@@ -397,9 +403,7 @@ class TableStore:
         bloom admits ``value`` enter the scan; the exact filter runs on top,
         so the result always equals read().filter(col == value). Falls back
         to the plain filtered read when no index exists."""
-        import hashlib
-
-        from pgsf_spark.operators.bloomjoin import BJ_BITS, BJ_K, BJ_WORD
+        from pgsf_spark.operators.bloomjoin import BJ_WORD, _positions
 
         path = (
             os.path.join(self._tdir(table), version) if version else self.current_version_path(table)
@@ -415,12 +419,21 @@ class TableStore:
         exact = base.filter(F.col(col) == F.lit(value))
         if not index:
             return exact
-        # same hash family as the Spark-side build (md5 first 8 hex chars)
-        s = str(value)
-        positions = [
-            int(hashlib.md5(f"bj{i}:{s}".encode()).hexdigest()[:8], 16) % BJ_BITS
-            for i in range(BJ_K)
-        ]
+        if value is None:
+            return exact  # col == NULL matches nothing; exact is already empty
+        # Probe positions MUST come from the same Spark expression the build
+        # hashed (cast to the column's type, then Spark's string rendering):
+        # Python str(value) differs for booleans ('True' vs 'true') and some
+        # float renderings, which would silently prune every file.
+        dtype = base.schema[col].dataType
+        probe = (
+            self.spark.range(1)
+            .select(_positions(F.lit(value).cast(dtype)).alias("p"))
+            .head()["p"]
+        )
+        if probe is None or any(p is None for p in probe):
+            return exact  # value not representable in the column type
+        positions = [int(p) for p in probe]
 
         def admits(file_words: dict) -> bool:
             return all(

@@ -61,6 +61,40 @@ class TestBloomIndex:
         spans = [s["user_id"] for s in stats.values() if "user_id" in s]
         assert all(mx - mn > 900 for mn, mx in spans)
 
+    def test_null_values_in_indexed_column(self, spark, tmp_path):
+        # ADVICE r4: _positions(NULL) explodes to NULL positions whose
+        # all-NULL bit_or group crashed int(w). NULLs carry no equality
+        # information, so the build must skip them -- and an all-NULL file
+        # gets no entry (correctly pruned for every point probe).
+        store = TableStore(spark, str(tmp_path / "store"))
+        rows = [(u, f"p{u}") for u in range(50)] + [(None, "nullrow")] * 5
+        df = spark.createDataFrame(rows, "user_id long, payload string")
+        store.write(df.repartition(4), "events", layout_ready=True)
+        store.build_bloom_index("events", "user_id")  # must not raise
+        got = store.read_bloom_pruned("events", "user_id", 7).collect()
+        assert len(got) == 1 and got[0].user_id == 7
+
+    def test_probe_hash_matches_build_for_non_string_types(self, spark, tmp_path):
+        # ADVICE r4: the probe hashed Python str(value) ('True') while the
+        # build hashed Spark's cast ('true'), so every boolean/float lookup
+        # pruned ALL files and silently returned empty. The probe must go
+        # through the same Spark expression as the build.
+        store = TableStore(spark, str(tmp_path / "store"))
+        rows = [(i, i % 2 == 0, float(i) + 0.1) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, flag boolean, score double")
+        store.write(df.repartition(4), "t", layout_ready=True)
+        for col, value, want in (
+            ("flag", True, 50),
+            ("flag", False, 50),
+            ("score", 3.1, 1),
+        ):
+            store.build_bloom_index("t", col)
+            got = store.read_bloom_pruned("t", col, value)
+            plain = store.read("t").filter(F.col(col) == F.lit(value))
+            assert got.count() == plain.count() == want, (col, value)
+        # a NULL probe degrades to the (empty) exact filter, never crashes
+        assert store.read_bloom_pruned("t", "flag", None).count() == 0
+
     def test_corrupt_index_falls_back(self, scattered_store):
         spark, store = scattered_store
         store.build_bloom_index("events", "user_id")

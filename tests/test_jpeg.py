@@ -142,6 +142,17 @@ class TestRejection:
         with pytest.raises(ValueError, match="restart"):
             decode_jpeg(enc[:i] + dri + enc[i:])
 
+    def test_fill_bytes_before_marker_accepted(self):
+        # ADVICE r4 / ITU-T81 B.1.1.2: any number of 0xFF fill bytes may pad
+        # before a marker; a padded-but-compliant stream must decode, and
+        # identically to the unpadded one.
+        img = _gray(16, 16, lambda x, y: 8 * x + y)
+        enc = encode_jpeg(img.tobytes(), 16, 16, 1, quality=90)
+        i = enc.index(b"\xff\xc0")  # pad before SOF0
+        j = enc.index(b"\xff\xda")  # and before SOS
+        padded = enc[:i] + b"\xff" * 3 + enc[i:j] + b"\xff" + enc[j:]
+        assert decode_jpeg(padded) == decode_jpeg(enc)
+
     def test_not_a_jpeg(self):
         with pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"\x89PNG\r\n\x1a\nnot a jpeg")
