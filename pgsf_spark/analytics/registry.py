@@ -3641,7 +3641,75 @@ _ROUND4_FRONT = [
 ]
 assert len(_ROUND4_FRONT) <= 50, len(_ROUND4_FRONT)
 assert set(_ROUND4_FRONT) <= set(QUERIES), set(_ROUND4_FRONT) - set(QUERIES)
+
+# Round 5: 67 registry entries still have NO driver-green row in any round
+# (round 4 added ~70 queries against a 50-slot window). This window takes 50
+# of them: source_token_budget first (its budget arithmetic changed to exact
+# integer division this round -- must re-verify), then the never-gated set in
+# the order they landed. ROUND 6 FRONT MUST START WITH the 17 that remain --
+# training_shard_order, corpus_datasheet, rfm_segments, cusum_changepoints,
+# pca_top_component, conversion_hazard, feature_psi, ab_test_zscore,
+# ab_cuped_gate, gini_spend, benford_audit, zipf_fit, source_js_divergence,
+# ks_test_gate, mann_kendall_trend, theil_sen_slope, cube_status_priority --
+# plus token_stats_pandas (r01-green only; yielded its slot twice) and every
+# query added in round 5 (see _ROUND5_NEW below). All pass verify_local at
+# sf0.001 and sf0.01.
+_ROUND5_FRONT = [
+    "source_token_budget",  # reshaped: exact integral div (ADVICE r4 fix)
+    # never driver-gated, in landing order
+    "dq_constraint_report",
+    "bpe_apply_segment",
+    "kcore_summary",
+    "bloom_join_gate",
+    "pq_recall_at_5",
+    "bootstrap_ci",
+    "feature_hash_agg",
+    "snapshot_diff_gate",
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "zorder_skipping_gate",
+    "decayed_user_score",
+    "source_signature_terms",
+    "quality_classifier_gate",
+    "doc_perplexity",
+    "dsir_weights",
+    "k_anonymity_audit",
+    "dp_segment_counts",
+    "ann_ndcg_gate",
+    "bucketed_join_gate",
+    "event_transitions",
+    "hourly_gap_interpolation",
+    "repeated_passages",
+    "bigram_lift",
+    "semantic_dedup",
+    "brand_pareto_frontier",
+    "join_key_skew",
+    "ivm_join_gate",
+    "image_ahash_neardup",
+    "basket_lift",
+    "last_touch_attribution",
+    "pseudonymize_gate",
+    "referential_integrity_audit",
+    "event_state_intervals",
+    "dedup_pipeline_summary",
+    "asof_next_purchase_after_click",
+    "time_to_convert",
+    "ivfpq_recall_at_5",
+    "triplet_margin_stats",
+    "revenue_anomaly_days",
+    "segment_overlap_matrix",
+    "dau_wau_stickiness",
+    "wau_hll_gate",
+    "range_band_join",
+    "record_linkage",
+    "rolling_median_revenue",
+    "pit_state_join",
+    "incremental_lsh_dedup",
+    "jpeg_decode_gate",
+]
+assert len(_ROUND5_FRONT) <= 50, len(_ROUND5_FRONT)
+assert set(_ROUND5_FRONT) <= set(QUERIES), set(_ROUND5_FRONT) - set(QUERIES)
 QUERIES = {
     name: QUERIES[name]
-    for name in (*_ROUND4_FRONT, *(n for n in QUERIES if n not in set(_ROUND4_FRONT)))
+    for name in (*_ROUND5_FRONT, *(n for n in QUERIES if n not in set(_ROUND5_FRONT)))
 }
