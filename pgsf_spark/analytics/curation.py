@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pgsf_spark.analytics.oracle_utils import dsum
 from pgsf_spark.tables import load_table
@@ -240,4 +241,46 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(dsum(F.col("lr"), "decimal(18,9)"), 6).alias("log_weight"),
         )
+    )
+
+
+def q_roc_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a selection score against a reference label -- the
+    evaluation every curation classifier ships with. Here: how well raw
+    document length (n_chars, the cheapest quality proxy) ranks English
+    docs above non-English ones. AUC is computed by the rank-sum identity
+    AUC = (sum of positive midranks - n_pos(n_pos+1)/2) / (n_pos * n_neg),
+    which handles score ties exactly (midranks) instead of sampling the
+    curve.
+
+    Portability: the same pure-rank-arithmetic argument as
+    q_mann_whitney_u -- midranks are dyadic rationals, every sum is
+    integer-exact in doubles at any realistic n, no rounding anywhere.
+    Plan: one groupBy on the score compresses the corpus to distinct score
+    values; one window over that value table forms cumulative ranks; one
+    scalar agg finishes. The corpus is touched once."""
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.select(
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("bigint").alias("pos"),
+    )
+    by_val = labeled.groupBy("score").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("pos").alias("c_pos")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_val.withColumn(
+        "cum_less", F.coalesce(F.sum("c_all").over(w), F.lit(0))
+    ).withColumn("midrank", F.col("cum_less") + (F.col("c_all") + 1) / 2.0)
+    return ranked.agg(
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        (F.sum("c_all") - F.sum("c_pos")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("c_pos") * F.col("midrank")).alias("rank_sum_pos"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("rank_sum_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
     )

@@ -141,3 +141,52 @@ def q_pseudonymize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("token").alias("n_tokens"),
         F.sum(tok_int).alias("token_checksum"),
     )
+
+
+GDPR_SEED = "gdpr-r5"
+GDPR_SLOTS = 8  # of 256: ~3% of customers request erasure
+
+
+def q_cascade_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deterministic erasure
+    cohort (customers whose seeded hash slot < GDPR_SLOTS/256 -- standing in
+    for an actual request list), count every row the referential cascade
+    would remove: the customers themselves, their orders, and those orders'
+    lineitems. The dry-run report a deletion pipeline MUST produce before
+    executing (the execute side is operators/deletion.delete_rows).
+
+    Plan: the cohort predicate is a scan-side projection on customer (no
+    join to find victims); orders filter by one semi-join on o_custkey,
+    lineitems by a second on l_orderkey -- each shuffles only the join keys
+    and AQE broadcasts the victim side when small. The per-table totals for
+    the pct come from footer-count aggregates (COUNT(*) pushdown), so the
+    audit never full-scans a table it isn't erasing from."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    slot = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{GDPR_SEED}:"), F.col("c_custkey").cast("string"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    victims = c.select("c_custkey").filter(slot < GDPR_SLOTS)
+    v_orders = o.join(victims, o.o_custkey == victims.c_custkey, "left_semi")
+    v_line = li.join(
+        v_orders.select("o_orderkey"), li.l_orderkey == v_orders.o_orderkey, "left_semi"
+    )
+
+    def row(entity: str, erased: DataFrame, total: DataFrame) -> DataFrame:
+        e = erased.agg(F.count(F.lit(1)).alias("n_erased"))
+        t = total.agg(F.count(F.lit(1)).alias("n_total"))
+        return e.crossJoin(t).select(
+            F.lit(entity).alias("entity"),
+            "n_erased",
+            "n_total",
+            F.round(F.col("n_erased") / F.col("n_total"), 6).alias("pct"),
+        )
+
+    return (
+        row("customer", victims, c)
+        .unionByName(row("orders", v_orders, o))
+        .unionByName(row("lineitem", v_line, li))
+    )

@@ -1067,3 +1067,70 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_usd_per_year"
         ),
     )
+
+
+ACF_MAX_LAG = 7  # weekly seasonality window for a daily series
+
+
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily revenue series at lags 1..7 --
+    the seasonality diagnostic that pairs with the trend tests (Mann-Kendall
+    / Theil-Sen say trend, ACF says PERIOD: a weekly cycle shows as a spike
+    at lag 7). r_k = sum((x_t - mean)(x_{t-k} - mean)) / sum((x_t - mean)^2)
+    over the observed-day sequence.
+
+    Portability: the mean subtraction is cleared of division entirely --
+    with y_t = n*x_t - s (exact BIGINT), every n^2 factor cancels in the
+    ratio, so r_k = sum(y_t * y_{t-k}) / sum(y_t^2) with EXACT integer
+    products accumulated in DECIMAL(38,0): no float enters until the single
+    final division, which is one identical IEEE op in both engines. Plan:
+    the rollup is one keyed shuffle of orders; everything after runs on the
+    day-grain series (calendar-bounded: ~2.4k rows at ANY corpus scale),
+    where one window sort feeds all 7 lag columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("rev")
+    )
+    stats = daily.agg(F.sum("rev").alias("s"), F.count(F.lit(1)).alias("n"))
+    y = daily.crossJoin(F.broadcast(stats)).select(
+        "day", (F.col("n") * F.col("rev") - F.col("s")).alias("y")
+    )
+    w = Window.orderBy("day")
+    dec = "decimal(19,0)"
+    lagged = y.select(
+        "y",
+        *[F.lag("y", k).over(w).alias(f"y{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    terms = lagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        (F.col("y").cast(dec) * F.col(f"y{k}").cast(dec)).alias("yy"),
+                    )
+                    for k in range(1, ACF_MAX_LAG + 1)
+                ]
+            )
+        ).alias("t"),
+    )
+    den = y.agg(
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("den")
+    )
+    return (
+        terms.filter(F.col("t.yy").isNotNull())
+        .groupBy(F.col("t.lag").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.col("t.yy")).alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_terms",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )

@@ -3387,6 +3387,80 @@ FROM daily
 WINDOW w AS (ORDER BY datediff('day', DATE '1990-01-01', day)
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
     ),
+    "acf_daily_revenue": QuerySpec(
+        profiling.q_acf_daily_revenue,
+        f"""WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+st AS (SELECT SUM(rev) AS s, COUNT(*) AS n FROM daily),
+y AS (SELECT day, n * rev - s AS y FROM daily, st),
+lagged AS (
+  SELECT y,
+    {', '.join(f'lag(y, {k}) OVER (ORDER BY day) AS y{k}' for k in range(1, profiling.ACF_MAX_LAG + 1))}
+  FROM y),
+terms AS (
+  {' UNION ALL '.join(f'SELECT {k} AS lag, CAST(y AS DECIMAL(19,0)) * CAST(y{k} AS DECIMAL(19,0)) AS yy FROM lagged' for k in range(1, profiling.ACF_MAX_LAG + 1))}),
+den AS (SELECT SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS den FROM y)
+SELECT lag, COUNT(*) AS n_terms,
+  ROUND(CAST(SUM(yy) AS DOUBLE) / CAST(MIN(den) AS DOUBLE), 6) AS acf
+FROM terms, den WHERE yy IS NOT NULL
+GROUP BY lag ORDER BY lag""",
+    ),
+    "stratified_kfold": QuerySpec(
+        sampling.q_stratified_kfold,
+        f"""WITH assigned AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+    (ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+       ('0x' || substr(md5('{sampling.KFOLD_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
+       doc_id) - 1) % {sampling.KFOLD_K} AS fold
+  FROM documents),
+per_stratum AS (
+  SELECT fold, source, COUNT(*) AS n, SUM(n_chars) AS chars
+  FROM assigned GROUP BY 1, 2)
+SELECT fold, SUM(n) AS n_docs, SUM(chars) AS n_chars,
+  COUNT(*) AS n_strata, MAX(n) - MIN(n) AS stratum_imbalance
+FROM per_stratum GROUP BY fold ORDER BY fold""",
+    ),
+    "cascade_erasure_audit": QuerySpec(
+        privacy.q_cascade_erasure_audit,
+        f"""WITH victims AS (
+  SELECT c_custkey FROM customer
+  WHERE ('0x' || substr(md5('{privacy.GDPR_SEED}:' || CAST(c_custkey AS VARCHAR)), 1, 2))::INT
+        < {privacy.GDPR_SLOTS}),
+v_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM victims)),
+v_line AS (
+  SELECT 1 AS x FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM v_orders))
+SELECT 'customer' AS entity, (SELECT COUNT(*) FROM victims) AS n_erased,
+  (SELECT COUNT(*) FROM customer) AS n_total,
+  ROUND((SELECT COUNT(*) FROM victims) * 1.0 / (SELECT COUNT(*) FROM customer), 6) AS pct
+UNION ALL
+SELECT 'orders', (SELECT COUNT(*) FROM v_orders), (SELECT COUNT(*) FROM orders),
+  ROUND((SELECT COUNT(*) FROM v_orders) * 1.0 / (SELECT COUNT(*) FROM orders), 6)
+UNION ALL
+SELECT 'lineitem', (SELECT COUNT(*) FROM v_line), (SELECT COUNT(*) FROM lineitem),
+  ROUND((SELECT COUNT(*) FROM v_line) * 1.0 / (SELECT COUNT(*) FROM lineitem), 6)""",
+    ),
+    "roc_auc_quality": QuerySpec(
+        curation.q_roc_auc_quality,
+        """WITH labeled AS (
+  SELECT n_chars AS score, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents),
+by_val AS (
+  SELECT score, COUNT(*) AS c_all, SUM(pos) AS c_pos
+  FROM labeled GROUP BY score),
+ranked AS (
+  SELECT c_all, c_pos,
+    COALESCE(SUM(c_all) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (c_all + 1) / 2.0 AS midrank
+  FROM by_val)
+SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+  CAST(SUM(c_all) - SUM(c_pos) AS BIGINT) AS n_neg,
+  ROUND((SUM(c_pos * midrank) - SUM(c_pos) * (SUM(c_pos) + 1) / 2.0)
+        / (SUM(c_pos) * (SUM(c_all) - SUM(c_pos))), 6) AS auc
+FROM ranked""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

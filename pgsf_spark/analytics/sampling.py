@@ -291,3 +291,46 @@ def q_source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("utilization"),
     )
+
+
+KFOLD_K = 5  # cross-validation folds
+KFOLD_SEED = "kf5"
+
+
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold cross-validation assignment: within every stratum
+    (source), docs are ordered by a seeded content hash and dealt
+    round-robin into k folds -- so every fold holds floor/ceil(n_s/k) docs
+    of EVERY stratum (hash-slot splits only approximate this; CV demands it
+    exactly). Same retry-stable determinism contract as dataset_split: the
+    assignment is a pure function of (doc_id, source), never of rand() or
+    partitioning.
+
+    Plan: one shuffle on source for the rank window (the assignment
+    itself), then a (source, fold) rollup and a k-row fold summary -- the
+    second aggregate runs on |sources| x k rows, nothing at corpus scale.
+    Output per fold: doc/char counts, strata touched, and the max-min
+    per-stratum imbalance (the CV balance guarantee: always 0 or 1)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{KFOLD_SEED}:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    assigned = d.select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), h.alias("h")
+    ).withColumn("fold", (F.row_number().over(w) - 1) % KFOLD_K)
+    per_stratum = assigned.groupBy("fold", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+    return (
+        per_stratum.groupBy("fold")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("chars").alias("n_chars"),
+            F.count(F.lit(1)).alias("n_strata"),
+            (F.max("n") - F.min("n")).alias("stratum_imbalance"),
+        )
+        .orderBy("fold")
+    )
