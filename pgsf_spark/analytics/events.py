@@ -837,3 +837,55 @@ def q_ab_cuped_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(welch(F.col("sa_a"), F.col("sa_b"), va_a, va_b, F.col("n_a"), F.col("n_b")), 4).alias("t_cuped"),
         F.round((va_a + va_b) / (vy_a + vy_b), 6).alias("var_ratio"),
     )
+
+
+MS_ITERS = 12  # power-iteration rounds (5-state chain mixes in far fewer)
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the first-order event Markov chain: where
+    user sessions spend their time in the long run -- the summary number on
+    top of q_event_transitions' matrix (used for dwell-share dashboards and
+    as the background distribution for next-action lift). MS_ITERS
+    power-iteration rounds from the uniform vector, the same unrolled
+    iterative template as pagerank/kmeans.
+
+    Plan: the transition matrix is |event_types|^2 rows (25 here) after ONE
+    user_id-shuffle of the event log; every subsequent round is a join +
+    aggregate over that tiny relation -- the corpus is touched exactly
+    once no matter the iteration count. Contributions accumulate in exact
+    DECIMAL per round (the pagerank device), so the unrolled DuckDB CTEs
+    hash-match bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+        )
+        .filter(F.col("e2").isNotNull())
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("e1").agg(F.sum("n").alias("tot"))
+    trans = pairs.join(tot, "e1").localCheckpoint(eager=True)  # 25 rows
+    states = trans.select(F.col("e1").alias("e")).distinct()
+    n_states = states.count()  # tiny scalar, same literal the oracle derives
+    p = states.select("e", F.lit(1.0 / n_states).alias("pr"))
+    for _ in range(MS_ITERS):
+        p = (
+            trans.join(
+                p.withColumnRenamed("e", "e1").withColumnRenamed("pr", "pr1"), "e1"
+            )
+            .groupBy(F.col("e2").alias("e"))
+            .agg(
+                F.sum(
+                    (F.col("pr1") * F.col("n") / F.col("tot")).cast("decimal(27,18)")
+                )
+                .cast("double")
+                .alias("pr")
+            )
+        )
+    return p.select(
+        F.col("e").alias("event_type"), F.round("pr", 10).alias("stationary_p")
+    ).orderBy("event_type")

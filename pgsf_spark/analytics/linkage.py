@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pgsf_spark.tables import load_table
 
@@ -106,4 +107,135 @@ def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("score") >= 3) & (F.col("d_custkey") == F.col("c_custkey")), 1).otherwise(0)
         ).alias("n_true"),
         F.sum("lev").alias("lev_mass"),
+    )
+
+
+AA_MAX_DEG = 25  # rare-part blocking: only below-median-degree parts vote
+
+
+def q_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: Adamic-Adar similarity
+    between customers, AA(c1,c2) = sum over shared parts of 1/ln(deg(part))
+    -- rare shared parts say more than bestsellers (the same inverse-
+    document-frequency instinct as TF-IDF, applied to graph neighbors).
+    Top-10 predicted links; the candidate-generation step of a
+    recommender / entity-graph densifier.
+
+    Scale shape: the customer-part incidence comes from one lineitem x
+    orders equi-join projected to DISTINCT (custkey, partkey); blocking on
+    rare parts (deg <= AA_MAX_DEG) bounds every part's pair fan-out at
+    C(25,2) = 300, so the part self-join is an equi-join with bounded blocks
+    -- popular parts are EXCLUDED by construction, which is what kills the
+    usual deg^2 hot-block blowup (bestsellers carry ~zero AA mass anyway:
+    1/ln(deg) -> 0). Per-part 1/ln terms round into DECIMAL(18,9) before
+    the pair sum (the house ln()-portability device), so the top-10 order
+    is engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cp = (
+        li.select("l_orderkey", "l_partkey")
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    rare = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= AA_MAX_DEG))
+    cpr = cp.join(rare, "p").select(
+        "p", "c", F.round(1.0 / F.log(F.col("deg")), 9).cast("decimal(18,9)").alias("term")
+    )
+    a = cpr.select("p", F.col("c").alias("c1"), "term")
+    b = cpr.select("p", F.col("c").alias("c2"))
+    pairs = a.join(b, "p").filter(F.col("c1") < F.col("c2"))
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("term").cast("double").alias("aa_score"),
+        )
+        .orderBy(F.col("aa_score").desc(), "c1", "c2")
+        .limit(10)
+    )
+
+
+LP_SEED = "lp-r5"
+LP_SEED_SLOTS = 128  # of 256: ~half the nodes keep their true label
+LP_ROUNDS = 2
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation on the co-purchase graph: half the
+    customers (seeded hash cohort) keep their true market segment, the rest
+    are masked; LP_ROUNDS rounds of majority-vote-of-labeled-neighbors
+    spread labels outward (ties -> lexicographically smallest label; seeds
+    never flip). The audit row grades the spread against the held-out
+    truth -- the weak-supervision device for labeling a corpus from a
+    small gold set (infer doc topics/quality tiers from near-dup or
+    co-citation neighbors).
+
+    Scale shape: edges are the rare-part equi-join pairs from
+    q_adamic_adar_links (bounded fan-out, no hot blocks); every round is
+    one join of the edge list against the current label table plus a
+    (node, label) majority aggregate and a row_number pick -- shuffles keyed
+    on customer id, the same partitioning each round. Deterministic
+    end-to-end: cohort by md5 slot, majority ties by label order."""
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cp = (
+        li.select("l_orderkey", "l_partkey")
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("cst"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    rare = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= AA_MAX_DEG))
+    cpr = cp.join(rare.select("p"), "p")
+    a = cpr.select("p", F.col("cst").alias("c1"))
+    b = cpr.select("p", F.col("cst").alias("c2"))
+    half = (
+        a.join(b, "p").filter(F.col("c1") < F.col("c2")).select("c1", "c2").distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("c2").alias("c1"), F.col("c1").alias("c2"))
+    ).localCheckpoint(eager=True)
+    slot = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{LP_SEED}:"), F.col("c_custkey").cast("string"))), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    cust = c.select(
+        F.col("c_custkey").alias("cst"),
+        F.col("c_mktsegment").alias("truth"),
+        (slot < LP_SEED_SLOTS).alias("is_seed"),
+    )
+    labels = cust.filter("is_seed").select("cst", F.col("truth").alias("label"))
+    w = Window.partitionBy("dst").orderBy(F.col("votes").desc(), F.col("label").asc())
+    for _ in range(LP_ROUNDS):
+        votes = (
+            edges.join(labels.withColumnRenamed("cst", "c2"), "c2")
+            .groupBy(F.col("c1").alias("dst"), "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        best = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("dst").alias("cst"), "label")
+        )
+        labels = labels.unionByName(
+            best.join(labels, "cst", "left_anti")
+        ).localCheckpoint(eager=True)
+    masked = cust.filter(~F.col("is_seed"))
+    graded = masked.join(labels, "cst", "left")
+    return graded.agg(
+        F.count(F.lit(1)).alias("n_masked"),
+        F.sum(F.col("label").isNotNull().cast("bigint")).alias("n_labeled"),
+        F.sum((F.col("label") == F.col("truth")).cast("bigint")).alias("n_correct"),
+        F.round(
+            F.sum((F.col("label") == F.col("truth")).cast("bigint"))
+            / F.sum(F.col("label").isNotNull().cast("bigint")),
+            6,
+        ).alias("accuracy"),
+        F.round(
+            F.sum(F.col("label").isNotNull().cast("bigint")) / F.count(F.lit(1)), 6
+        ).alias("coverage"),
     )

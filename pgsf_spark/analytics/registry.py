@@ -3461,6 +3461,90 @@ SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
         / (SUM(c_pos) * (SUM(c_all) - SUM(c_pos))), 6) AS auc
 FROM ranked""",
     ),
+    "markov_stationary": QuerySpec(
+        events.q_markov_stationary,
+        """WITH seq AS (
+  SELECT event_type AS e1,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+  FROM events),
+pairs AS (SELECT e1, e2, COUNT(*) AS n FROM seq WHERE e2 IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT e1, SUM(n) AS tot FROM pairs GROUP BY 1),
+trans AS (SELECT p.e1, p.e2, p.n, t.tot FROM pairs p JOIN tot t USING (e1)),
+ns AS (SELECT COUNT(DISTINCT e1) AS n_states FROM trans),
+r0 AS (SELECT DISTINCT e1 AS e, 1.0 / n_states AS pr FROM trans, ns),
+"""
+        + ",\n".join(
+            f"""r{i} AS (
+  SELECT t.e2 AS e, CAST(SUM(CAST(p.pr * t.n / t.tot AS DECIMAL(27,18))) AS DOUBLE) AS pr
+  FROM trans t JOIN r{i - 1} p ON t.e1 = p.e GROUP BY t.e2)"""
+            for i in range(1, events.MS_ITERS + 1)
+        )
+        + f"""
+SELECT e AS event_type, ROUND(pr, 10) AS stationary_p
+FROM r{events.MS_ITERS} ORDER BY event_type""",
+    ),
+    "adamic_adar_links": QuerySpec(
+        linkage.q_adamic_adar_links,
+        f"""WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+deg AS (SELECT p, COUNT(*) AS deg FROM cp GROUP BY p),
+cpr AS (
+  SELECT cp.p, cp.c, CAST(ROUND(1.0 / ln(deg), 9) AS DECIMAL(18,9)) AS term
+  FROM cp JOIN deg USING (p) WHERE deg BETWEEN 2 AND {linkage.AA_MAX_DEG})
+SELECT a.c AS c1, b.c AS c2, COUNT(*) AS n_common,
+  CAST(SUM(a.term) AS DOUBLE) AS aa_score
+FROM cpr a JOIN cpr b ON a.p = b.p AND a.c < b.c
+GROUP BY a.c, b.c
+ORDER BY aa_score DESC, c1, c2 LIMIT 10""",
+    ),
+    "label_propagation": QuerySpec(
+        linkage.q_label_propagation,
+        f"""WITH cp AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS cst, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+deg AS (SELECT p, COUNT(*) AS deg FROM cp GROUP BY p),
+cpr AS (SELECT cp.cst, cp.p FROM cp JOIN deg USING (p)
+        WHERE deg BETWEEN 2 AND {linkage.AA_MAX_DEG}),
+half AS (SELECT DISTINCT a.cst AS c1, b.cst AS c2
+         FROM cpr a JOIN cpr b ON a.p = b.p AND a.cst < b.cst),
+edges AS MATERIALIZED (
+  SELECT c1, c2 FROM half UNION ALL SELECT c2 AS c1, c1 AS c2 FROM half),
+cust AS MATERIALIZED (
+  SELECT c_custkey AS cst, c_mktsegment AS truth,
+    ('0x' || substr(md5('{linkage.LP_SEED}:' || CAST(c_custkey AS VARCHAR)), 1, 2))::INT
+      < {linkage.LP_SEED_SLOTS} AS is_seed
+  FROM customer),
+l0 AS MATERIALIZED (SELECT cst, truth AS label FROM cust WHERE is_seed),
+"""
+        + "\n".join(
+            f"""v{i} AS (
+  SELECT e.c1 AS dst, l.label, COUNT(*) AS votes
+  FROM edges e JOIN l{i - 1} l ON e.c2 = l.cst GROUP BY 1, 2),
+b{i} AS (
+  SELECT dst AS cst, label FROM (
+    SELECT dst, label,
+      ROW_NUMBER() OVER (PARTITION BY dst ORDER BY votes DESC, label) AS rk
+    FROM v{i}) WHERE rk = 1),
+l{i} AS MATERIALIZED (
+  SELECT cst, label FROM l{i - 1}
+  UNION ALL
+  SELECT cst, label FROM b{i} WHERE cst NOT IN (SELECT cst FROM l{i - 1})),"""
+            for i in range(1, linkage.LP_ROUNDS + 1)
+        )
+        + f"""
+graded AS (
+  SELECT m.truth, l.label
+  FROM cust m LEFT JOIN l{linkage.LP_ROUNDS} l USING (cst)
+  WHERE NOT m.is_seed)
+SELECT COUNT(*) AS n_masked,
+  SUM(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) AS n_labeled,
+  SUM(CASE WHEN label = truth THEN 1 ELSE 0 END) AS n_correct,
+  ROUND(SUM(CASE WHEN label = truth THEN 1 ELSE 0 END) * 1.0
+        / SUM(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END), 6) AS accuracy,
+  ROUND(SUM(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS coverage
+FROM graded""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
