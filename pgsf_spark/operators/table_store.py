@@ -28,6 +28,19 @@ from pyspark.sql import functions as F
 # would make the partition dirs invisible to the reader.
 PGSF_BUCKET = "pgsf_bucket"
 
+# sentinel: "publish unconditionally" (distinct from None = "expect the
+# table to have no published version yet")
+_UNCHECKED = object()
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published between this writer's read and its publish.
+
+    The single-writer-per-table model (the reference's guarded __sync
+    claim) makes this unreachable in the engine's own sync path; the check
+    exists for AD-HOC writers sharing a table. Delta-style optimistic
+    concurrency in miniature: the loser retries from a fresh read."""
+
 
 def _link_tree(src: str, dst: str) -> None:
     """Carry a partition directory into a new version without rewriting:
@@ -180,6 +193,12 @@ class TableStore:
             v = json.load(f)["version_dir"]
         return os.path.join(self._tdir(table), v)
 
+    def current_version(self, table: str) -> str | None:
+        """Current version NAME (the optimistic-concurrency token: read it
+        before a read-modify-write, pass it back as ``expect_version``)."""
+        p = self.current_version_path(table)
+        return os.path.basename(p) if p else None
+
     def exists(self, table: str) -> bool:
         return self.current_version_path(table) is not None
 
@@ -192,6 +211,7 @@ class TableStore:
         partition_by: list[str] | None = None,
         manifest: dict | None = None,
         layout_ready: bool = False,
+        expect_version=_UNCHECKED,
     ) -> str:
         """Write a new version and atomically flip the pointer.
 
@@ -202,6 +222,12 @@ class TableStore:
         ``layout_ready``: the caller already arranged the physical layout
         (e.g. compact()'s z-ordering) -- skip the default repartition, which
         would reshuffle and silently destroy that clustering.
+
+        ``expect_version``: optimistic concurrency. Pass the
+        ``current_version(table)`` this write derived from (None for "table
+        must not exist yet"); the publish raises ConcurrentWriteError if
+        another writer flipped the pointer in between. Omit for
+        last-writer-wins (single-writer pipelines, the engine default).
         """
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
@@ -227,7 +253,9 @@ class TableStore:
         meta = dict(manifest or {})
         if partition_by:
             meta.setdefault("partition_by", partition_by)
-        self._publish(table, version, path, df.schema.jsonValue(), meta)
+        self._publish(
+            table, version, path, df.schema.jsonValue(), meta, expect_version=expect_version
+        )
         return path
 
     def _write_file_stats(self, path: str) -> None:
@@ -476,7 +504,15 @@ class TableStore:
                 return _stat_jsonable(v)  # unknown zone: compare as-is
         return _stat_jsonable(v)
 
-    def _publish(self, table: str, version: str, path: str, schema_json, manifest: dict) -> None:
+    def _publish(
+        self,
+        table: str,
+        version: str,
+        path: str,
+        schema_json,
+        manifest: dict,
+        expect_version=_UNCHECKED,
+    ) -> None:
         # K5 job-artifact persistence (status.json/batches.json analogue,
         # download.py:86-92): a manifest per published version for
         # lineage/debugging; then the atomic pointer flip.
@@ -493,10 +529,36 @@ class TableStore:
                 },
                 f,
             )
-        tmp_ptr = self._pointer(table) + ".tmp"
+        # tmp name is per-writer (version is unique per writer): a SHARED
+        # .tmp would let two concurrent writers interleave writes into one
+        # file and publish a torn pointer
+        tmp_ptr = self._pointer(table) + f".{version}.tmp"
         with open(tmp_ptr, "w") as f:
             json.dump({"version_dir": version, "written_at": time.time()}, f)
-        os.replace(tmp_ptr, self._pointer(table))  # atomic on POSIX
+        if expect_version is _UNCHECKED:
+            os.replace(tmp_ptr, self._pointer(table))  # atomic on POSIX
+            return
+        # Optimistic-concurrency flip: compare-and-swap under a kernel flock
+        # (released on process death -- no stale-lock recovery needed). The
+        # critical section is two tiny metadata ops; data writes happened
+        # outside it. Loser's version dir stays behind as garbage for vacuum,
+        # same as a crashed writer's.
+        import fcntl
+
+        with open(os.path.join(self._tdir(table), "_PUBLISH_LOCK"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                cur = self.current_version(table)
+                if cur != expect_version:
+                    os.unlink(tmp_ptr)
+                    raise ConcurrentWriteError(
+                        f"table {table!r}: expected current version "
+                        f"{expect_version!r} but found {cur!r} -- another "
+                        "writer published first; re-read and retry"
+                    )
+                os.replace(tmp_ptr, self._pointer(table))
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def manifest(self, table: str, version: str | None = None) -> dict:
         path = (
@@ -529,6 +591,7 @@ class TableStore:
         partition_col: str,
         changed_values: list,
         manifest: dict | None = None,
+        expect_version=_UNCHECKED,
     ) -> str:
         """Partition-pruned publish: write ONLY the partitions in
         ``changed_values`` (``df_changed`` must contain exactly those rows);
@@ -540,10 +603,19 @@ class TableStore:
         (VERDICT r1): a 10-minute sync tick rewrites O(changed buckets), not
         O(table). A changed bucket whose rows were all deleted simply writes
         no directory -- the bucket becomes empty, which is correct.
+
+        Publishes with compare-and-swap against the version the carry is
+        based on BY DEFAULT (unlike ``write``): the carried partitions are a
+        copy of ``prev``, so a concurrent publish in between would be
+        silently overwritten by stale bytes -- a lost update, not just a
+        races-resolve-somehow. Pass ``expect_version`` explicitly only to
+        base the CAS on a different token.
         """
         prev = self.current_version_path(table)
         if prev is None:
             raise FileNotFoundError(f"write_partial: {table!r} has no published version")
+        if expect_version is _UNCHECKED:
+            expect_version = os.path.basename(prev)
         prev_manifest = self.manifest(table)
         tdir = self._tdir(table)
         version = f"v{int(time.time() * 1000)}_{os.getpid()}"
@@ -583,7 +655,14 @@ class TableStore:
         if prev_manifest.get("partition_buckets") is not None:
             meta.setdefault("partition_buckets", prev_manifest["partition_buckets"])
         meta["rewritten_partitions"] = sorted(str(v) for v in changed_values)
-        self._publish(table, version, path, df_changed.schema.jsonValue(), meta)
+        self._publish(
+            table,
+            version,
+            path,
+            df_changed.schema.jsonValue(),
+            meta,
+            expect_version=expect_version,
+        )
         return path
 
     def versions(self, table: str) -> list[str]:
