@@ -6,6 +6,8 @@
   python -m pgsf_spark sync      <table>     (≡ ./query_poll_table.py)
   python -m pgsf_spark sync-due              (≡ the cron `sync` tick)
   python -m pgsf_spark soql      "<query>"   (≡ ./query.py)
+  python -m pgsf_spark sql       "<query>"   (ad-hoc ANSI SQL over test-data
+                                              + store tables as temp views)
   python -m pgsf_spark abort     <table>     (≡ ./abort_refresh.py)
   python -m pgsf_spark recover               (≡ onreboot)
   python -m pgsf_spark state                 (show the __sync table)
@@ -69,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
     ex.add_argument("query")
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ex.add_argument("--full", action="store_true")
+    sq2 = sub.add_parser("sql")
+    sq2.add_argument("query")
+    sq2.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sq2.add_argument("--limit", type=int, default=1000)
     dl = sub.add_parser("delete")
     dl.add_argument("table")
     dl.add_argument("--pk", required=True)
@@ -155,6 +161,33 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(audit))
         if args.full:
             print(df._jdf.queryExecution().explainString("formatted"), file=sys.stderr)
+        spark.stop()
+        return 0
+
+    if args.cmd == "sql":
+        # ad-hoc ANSI SQL over the registered surface: every test-data table
+        # (via load_table, so nanos timestamps normalize) plus every table
+        # published in the workdir store -- the general query door next to
+        # the reference-parity `soql` one
+        from pgsf_spark.operators.table_store import TableStore
+        from pgsf_spark.session import get_spark
+        from pgsf_spark.tables import TABLES, load_table
+
+        spark = get_spark("pgsf_spark_sql")
+        for t in TABLES:
+            try:
+                load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+            except Exception:  # noqa: BLE001 -- missing file: skip the view
+                pass
+        troot = os.path.join(args.workdir, "tables")
+        if os.path.isdir(troot):
+            store = TableStore(spark, troot)
+            for t in os.listdir(troot):
+                if store.exists(t):
+                    store.read(t).createOrReplaceTempView(t)
+        df = spark.sql(args.query)
+        for row in df.limit(args.limit).toLocalIterator():
+            print(json.dumps(row.asDict(), default=str))
         spark.stop()
         return 0
 

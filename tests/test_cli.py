@@ -136,3 +136,44 @@ class TestOptimizeCommand:
         assert stats["bloom_indexed_files"]["Id"] >= 1
         rc, out = run("soql", "SELECT COUNT() FROM customer")
         assert rc == 0 and "1" in out
+
+
+class TestSqlCommand:
+    def test_sql_over_testdata_views(self, cli_env):
+        import json
+
+        rc, out = cli_env(
+            "sql",
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS c FROM orders",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        )
+        assert rc == 0
+        row = json.loads(out.strip())
+        assert row["n"] > 0 and 0 < row["c"] <= row["n"]
+
+    def test_sql_sees_store_tables(self, cli_env, tmp_path):
+        import json
+
+        # a table published into the workdir store is queryable by name
+        cli_env("bulk-load", "customer")
+        rc, out = cli_env(
+            "sql",
+            "SELECT name FROM customer WHERE Id = 'c1'",
+            "--sf-dir",
+            str(tmp_path / "nonexistent"),  # no test-data views: store only
+        )
+        assert rc == 0
+        assert json.loads(out.strip())["name"] == "alice"
+
+    def test_sql_limit(self, cli_env):
+        rc, out = cli_env(
+            "sql",
+            "SELECT l_orderkey FROM lineitem",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--limit",
+            "7",
+        )
+        assert rc == 0
+        assert len(out.strip().splitlines()) == 7
