@@ -284,3 +284,64 @@ def q_roc_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+CAL_BIN_WIDTH = 100  # fixed-width n_chars bins (data-independent: no global sort)
+CAL_MAX_BIN = 9
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + exact isotonic (PAVA) fit of a selection score
+    against a reference label: per score-bin empirical positive rate, plus
+    the best monotone (non-decreasing) rate curve -- what turns a raw
+    classifier score into a calibrated probability (the companion gate to
+    q_roc_auc_quality: AUC grades RANKING, calibration grades the VALUES).
+
+    The isotonic fit uses the minimax identity iso_i = max_{j<=i} min_{k>=i}
+    mean(y over bins j..k) -- an exact closed form of pool-adjacent-
+    violators that needs no sequential pass, just pair enumeration over the
+    BIN table (<= 10 rows, so <= 550 (i,j,k) triples: driver-free,
+    engine-portable, trivially parallel). Each mean is one double division
+    of exact integer cumulative counts; min/max of doubles are order-free.
+
+    Scale shape: bins are fixed-width on the score (a scan-side projection
+    -- deliberately NOT ntile deciles, which would globally sort the
+    corpus); one |bins|-key aggregate touches the corpus, everything after
+    is calendar-table-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    binned = d.select(
+        F.least(F.lit(CAL_MAX_BIN), F.floor(F.col("n_chars") / CAL_BIN_WIDTH)).cast("int").alias("bin"),
+        (F.col("lang") == "en").cast("bigint").alias("pos"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "n", "p", F.sum("n").over(w).alias("cn"), F.sum("p").over(w).alias("cp")
+    ).localCheckpoint(eager=True)
+    jj = cum.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn_pre"),
+        (F.col("cp") - F.col("p")).alias("cp_pre"),
+    )
+    kk = cum.select(F.col("bin").alias("k"), F.col("cn").alias("cn_k"), F.col("cp").alias("cp_k"))
+    seg = jj.join(kk, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        ((F.col("cp_k") - F.col("cp_pre")) / (F.col("cn_k") - F.col("cn_pre"))).alias("mean"),
+    )
+    ii = cum.select(F.col("bin").alias("i"), "n", "p")
+    iso = (
+        ii.join(seg, (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k")))
+        .groupBy("i", "j", "n", "p")
+        .agg(F.min("mean").alias("m"))
+        .groupBy("i", "n", "p")
+        .agg(F.max("m").alias("iso"))
+    )
+    return iso.select(
+        F.col("i").alias("bin"),
+        "n",
+        F.round(F.col("p") / F.col("n"), 6).alias("pos_rate"),
+        F.round("iso", 6).alias("iso_rate"),
+    ).orderBy("bin")

@@ -1134,3 +1134,54 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength of daily revenue: one-way ANOVA by
+    day-of-week. eta^2 = SS_between / SS_total says what fraction of daily
+    variance the weekday explains (the decomposition counterpart to
+    q_acf_daily_revenue's lag-7 spike); the F statistic is the significance
+    face of the same sums.
+
+    Portability: every sum of squares reduces to INTEGER sufficient
+    statistics -- n, s = sum(y), ssq = sum(y^2), and per-weekday (n_d, s_d)
+    -- via SS_within = ssq - sum_d(s_d^2/n_d), SS_total = ssq - s^2/n. The
+    integer sums accumulate exactly (y^2 in DECIMAL(38,0)); each group's
+    s_d^2/n_d is ONE double division rounded to 4 digits before the final
+    7-term decimal sum, so no accumulation order anywhere. Plan: the daily
+    rollup is one keyed shuffle; the weekday aggregate runs on the
+    calendar-bounded day series."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("y")
+    )
+    dec = "decimal(38,0)"
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("ssq"),
+    )
+    # dayofweek() is locale-independent in Spark (1=Sunday); the oracle uses
+    # its own weekday function mapped to the same numbering
+    per_dow = daily.groupBy(F.dayofweek("day").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n_d"), F.sum("y").alias("s_d")
+    )
+    grp = per_dow.select(
+        F.round(
+            (F.col("s_d").cast(dec) * F.col("s_d").cast(dec)).cast("double")
+            / F.col("n_d"),
+            4,
+        ).cast("decimal(38,6)").alias("t")
+    ).agg(F.sum("t").cast("double").alias("between_raw"), F.count(F.lit(1)).alias("k"))
+    j = grp.crossJoin(F.broadcast(tot))
+    ss_total = F.col("ssq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ss_within = F.col("ssq").cast("double") - F.col("between_raw")
+    ss_between = F.col("between_raw") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("k_groups"),
+        F.round(ss_between / ss_total, 6).alias("eta_sq"),
+        F.round(
+            (ss_between / (F.col("k") - 1)) / (ss_within / (F.col("n") - F.col("k"))), 4
+        ).alias("f_stat"),
+    )

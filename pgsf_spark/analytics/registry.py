@@ -3545,6 +3545,56 @@ SELECT COUNT(*) AS n_masked,
   ROUND(SUM(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS coverage
 FROM graded""",
     ),
+    "seasonality_strength": QuerySpec(
+        profiling.q_seasonality_strength,
+        """WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice) AS BIGINT)) AS y
+  FROM orders GROUP BY 1),
+tot AS (
+  SELECT COUNT(*) AS n, SUM(y) AS s,
+    SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS ssq
+  FROM daily),
+per_dow AS (
+  SELECT dayofweek(day) AS dow, COUNT(*) AS n_d, SUM(y) AS s_d
+  FROM daily GROUP BY 1),
+grp AS (
+  SELECT CAST(SUM(CAST(ROUND(
+           CAST(CAST(s_d AS DECIMAL(38,0)) * CAST(s_d AS DECIMAL(38,0)) AS DOUBLE) / n_d,
+         4) AS DECIMAL(38,6))) AS DOUBLE) AS between_raw,
+         COUNT(*) AS k
+  FROM per_dow)
+SELECT n AS n_days, k AS k_groups,
+  ROUND((between_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+        / (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n), 6) AS eta_sq,
+  ROUND(((between_raw - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (k - 1))
+        / ((CAST(ssq AS DOUBLE) - between_raw) / (n - k)), 4) AS f_stat
+FROM grp, tot""",
+    ),
+    "isotonic_calibration": QuerySpec(
+        curation.q_isotonic_calibration,
+        f"""WITH binned AS (
+  SELECT LEAST({curation.CAL_MAX_BIN}, CAST(FLOOR(n_chars / {curation.CAL_BIN_WIDTH}) AS INT)) AS bin,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents),
+bins AS (SELECT bin, COUNT(*) AS n, SUM(pos) AS p FROM binned GROUP BY bin),
+cum AS (
+  SELECT bin, n, p,
+    SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+    SUM(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp
+  FROM bins),
+seg AS (
+  SELECT j.bin AS j, k.bin AS k,
+    CAST(k.cp - (j.cp - j.p) AS DOUBLE) / (k.cn - (j.cn - j.n)) AS mean
+  FROM cum j JOIN cum k ON j.bin <= k.bin),
+mins AS (
+  SELECT i.bin AS i, i.n, i.p, s.j, MIN(s.mean) AS mn
+  FROM cum i JOIN seg s ON s.j <= i.bin AND i.bin <= s.k
+  GROUP BY 1, 2, 3, 4),
+iso AS (SELECT i, n, p, MAX(mn) AS iso FROM mins GROUP BY 1, 2, 3)
+SELECT i AS bin, n, ROUND(p * 1.0 / n, 6) AS pos_rate, ROUND(iso, 6) AS iso_rate
+FROM iso ORDER BY bin""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
