@@ -3595,6 +3595,68 @@ iso AS (SELECT i, n, p, MAX(mn) AS iso FROM mins GROUP BY 1, 2, 3)
 SELECT i AS bin, n, ROUND(p * 1.0 / n, 6) AS pos_rate, ROUND(iso, 6) AS iso_rate
 FROM iso ORDER BY bin""",
     ),
+    "ipf_raking": QuerySpec(
+        sampling.q_ipf_raking,
+        """WITH c0 AS MATERIALIZED (
+  SELECT source, lang, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS t, COUNT(DISTINCT source) AS ns, COUNT(DISTINCT lang) AS nl FROM c0),
+"""
+        + ",\n".join(
+            f"""r{i} AS (SELECT source, CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS rs
+  FROM c{i - 1} GROUP BY 1),
+a{i} AS (
+  SELECT c.source, c.lang, c.n, ROUND(c.w * ((t.t / t.ns) / r.rs), 12) AS w
+  FROM c{i - 1} c JOIN r{i} r USING (source), tot t),
+k{i} AS (SELECT lang, CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS cs
+  FROM a{i} GROUP BY 1),
+c{i} AS MATERIALIZED (
+  SELECT a.source, a.lang, a.n, ROUND(a.w * ((t.t / t.nl) / k.cs), 12) AS w
+  FROM a{i} a JOIN k{i} k USING (lang), tot t)"""
+            for i in range(1, sampling.IPF_ROUNDS + 1)
+        )
+        + f"""
+SELECT source, lang, n, ROUND(w, 8) AS weight
+FROM c{sampling.IPF_ROUNDS} ORDER BY source, lang""",
+    ),
+    "mmr_diversified_topk": QuerySpec(
+        retrieval.q_mmr_diversified_topk,
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {retrieval.QUERY_VEC_ID}),
+cand AS MATERIALIZED (
+  SELECT vec_id, v,
+    ROUND({_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})), 4) AS rel
+  FROM e, q WHERE vec_id <> {retrieval.QUERY_VEC_ID}
+  ORDER BY rel DESC, vec_id LIMIT {retrieval.MMR_POOL}),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+    ROUND({_dot_sql('a.v', 'b.v')} / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('b.v', 'b.v')})), 4) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, rel, 1 AS rank, ROUND({retrieval.MMR_LAMBDA} * rel, 6) AS mmr
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+"""
+        + ",\n".join(
+            f"""p{t} AS (
+  SELECT c.vec_id, c.rel, MAX(s.sim) AS pen
+  FROM cand c JOIN sims s ON s.a = c.vec_id
+  JOIN sel{t - 1} q ON s.b = q.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+  GROUP BY 1, 2),
+s{t} AS (
+  SELECT vec_id, rel, {t} AS rank,
+    ROUND({retrieval.MMR_LAMBDA} * rel - {retrieval.MMR_MU} * pen, 6) AS mmr
+  FROM p{t}
+  ORDER BY ROUND({retrieval.MMR_LAMBDA} * rel - {retrieval.MMR_MU} * pen, 6) DESC, vec_id
+  LIMIT 1),
+sel{t} AS MATERIALIZED (
+  SELECT vec_id, rel, rank, mmr FROM sel{t - 1}
+  UNION ALL SELECT vec_id, rel, rank, mmr FROM s{t})"""
+            for t in range(2, retrieval.MMR_K + 1)
+        )
+        + f"""
+SELECT rank, vec_id, rel, mmr FROM sel{retrieval.MMR_K} ORDER BY rank""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -149,3 +149,77 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(15)
+
+
+MMR_POOL = 20  # relevance-ranked candidate pool fed to the diversifier
+MMR_K = 5  # results returned
+MMR_LAMBDA = 0.7  # relevance weight
+MMR_MU = 0.3  # redundancy penalty weight (spelled out: 1-0.7 is not 0.3 in IEEE)
+
+
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick MMR_K results maximizing lambda*rel(d) - mu*max_{s in
+    S} sim(d, s) -- the standard diversifier that stops a retrieval list
+    from returning five near-copies of the same document (for a corpus
+    engine: eval-probe hits should sample DISTINCT duplicates clusters,
+    not one).
+
+    Scale shape: relevance ranking is the brute-force cosine TakeOrdered
+    (same plan as q_cosine_topk); everything after runs on the MMR_POOL-row
+    candidate table -- the pairwise sim matrix is POOL^2 bounded and each
+    greedy round is a join + argmax over <= POOL rows. Cosines round to 4
+    digits at construction and each round's MMR score to 6, so the greedy
+    trajectory (including ties, broken by vec_id) is engine-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(F.col("v").alias("qv"))
+    cos_q = _dot(F.col("v"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "v", F.round(cos_q, 4).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    ca = cand.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    cb = cand.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    cos_ab = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    sims = (
+        ca.join(cb, F.col("a") != F.col("b"))
+        .select("a", "b", F.round(cos_ab, 4).alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    selected = (
+        cand.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "rel",
+            F.lit(1).alias("rank"),
+            F.round(F.lit(MMR_LAMBDA) * F.col("rel"), 6).alias("mmr"),
+        )
+    )
+    for t in range(2, MMR_K + 1):
+        rem = cand.join(selected.select("vec_id"), "vec_id", "left_anti")
+        pen = (
+            sims.join(selected.select(F.col("vec_id").alias("b")), "b")
+            .groupBy("a")
+            .agg(F.max("sim").alias("pen"))
+        )
+        scored = rem.join(pen, rem.vec_id == pen.a).select(
+            "vec_id",
+            "rel",
+            F.lit(t).alias("rank"),
+            F.round(
+                F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(MMR_MU) * F.col("pen"), 6
+            ).alias("mmr"),
+        )
+        pick = scored.orderBy(F.col("mmr").desc(), "vec_id").limit(1)
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select("rank", "vec_id", "rel", "mmr").orderBy("rank")

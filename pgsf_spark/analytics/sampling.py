@@ -334,3 +334,65 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+IPF_ROUNDS = 3  # row/column scaling alternations (100-cell table: converges fast)
+
+
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of the source x lang
+    contingency table to uniform marginals: the survey-weighting / dataset-
+    mixture device that answers "what per-cell sampling weights make every
+    source AND every language carry equal mass, while distorting the joint
+    distribution as little as possible" (the weights IPF converges to are
+    the max-entropy solution). IPF_ROUNDS alternations of row-scale /
+    column-scale, the same unrolled iterative template as kmeans/pagerank.
+
+    Scale shape: ONE corpus aggregate builds the |sources| x |langs| cell
+    table (~100 rows); every round after is joins + aggregates over that
+    tiny relation. Per-round row/column sums accumulate in DECIMAL and each
+    half-round's weights are rounded to 12 digits, so the unrolled DuckDB
+    CTEs reproduce the trajectory bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.col("n").cast("double"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(
+        F.sum("n").alias("t"),
+        F.countDistinct("source").alias("ns"),
+        F.countDistinct("lang").alias("nl"),
+    )
+
+    def _dsum12(col):
+        return F.sum(F.col(col).cast("decimal(38,12)")).cast("double")
+
+    for _ in range(IPF_ROUNDS):
+        rs = cells.groupBy("source").agg(_dsum12("w").alias("rs"))
+        cells = (
+            cells.join(rs, "source")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "source",
+                "lang",
+                "n",
+                F.round(F.col("w") * ((F.col("t") / F.col("ns")) / F.col("rs")), 12).alias("w"),
+            )
+        )
+        cs = cells.groupBy("lang").agg(_dsum12("w").alias("cs"))
+        cells = (
+            cells.join(cs, "lang")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "source",
+                "lang",
+                "n",
+                F.round(F.col("w") * ((F.col("t") / F.col("nl")) / F.col("cs")), 12).alias("w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cells.select(
+        "source", "lang", "n", F.round("w", 8).alias("weight")
+    ).orderBy("source", "lang")
