@@ -889,3 +889,71 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         F.col("e").alias("event_type"), F.round("pr", 10).alias("stationary_p")
     ).orderBy("event_type")
+
+
+# SPRT constants: H0 p=0.18 vs H1 p=0.22, alpha = beta = 0.05. The log
+# terms are PYTHON-ROUNDED LITERALS shared verbatim by both query faces, so
+# no engine libm enters the statistic at all.
+SPRT_L1 = 0.200670695462  # ln(p1/p0), rounded 12
+SPRT_L2 = -0.050010420575  # ln((1-p1)/(1-p0)), rounded 12
+SPRT_A = 2.944438979166  # ln((1-beta)/alpha) = ln(19)
+
+
+def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on arm B's daily conversion
+    rate: the experimentation design that PEEKS EVERY DAY without inflating
+    false positives (fixed-horizon tests like q_ab_test_zscore forbid
+    peeking; SPRT is built for it). Daily log-likelihood-ratio increments
+    llr_t = x_t*ln(p1/p0) + (n_t - x_t)*ln(q1/q0) accumulate until the
+    Wald boundaries +/-ln(19) are crossed.
+
+    Portability: x/n are integer daily counts, the two log factors are
+    shared rounded literals, and the cumulative sum runs over the
+    calendar-ordered day series (fixed order -> identical double sequence
+    in both engines). Plan: one keyed shuffle builds the daily rollup;
+    the cumsum window and boundary scan run on calendar-bounded rows."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.withColumn("arm", _ab_arm(F.col("user_id"))).filter(F.col("arm") == "B")
+    daily = b.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint")).alias("x"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.withColumn(
+        "llr",
+        F.round(
+            F.sum(
+                (
+                    F.col("x") * F.lit(SPRT_L1)
+                    + (F.col("n") - F.col("x")) * F.lit(SPRT_L2)
+                ).cast("decimal(38,12)")
+            ).over(w).cast("double"),
+            8,
+        ),
+    )
+    # single-row aggregates even when no boundary is ever crossed (a global
+    # agg over an empty relation still yields one NULL row)
+    crossed = cum.filter(
+        (F.col("llr") >= SPRT_A) | (F.col("llr") <= -SPRT_A)
+    ).agg(
+        F.min("day").alias("cross_day"),
+        F.min_by("llr", "day").alias("llr_at_cross"),
+    )
+    final = cum.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max_by("llr", "day").alias("llr_final"),
+    )
+    return (
+        final.crossJoin(F.broadcast(crossed))
+        .select(
+            "n_days",
+            F.coalesce(F.date_format("cross_day", "yyyy-MM-dd"), F.lit("none")).alias(
+                "decision_day"
+            ),
+            F.when(F.col("llr_at_cross") >= SPRT_A, "accept_h1")
+            .when(F.col("llr_at_cross") <= -SPRT_A, "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+            "llr_final",
+        )
+    )

@@ -1185,3 +1185,123 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ss_between / (F.col("k") - 1)) / (ss_within / (F.col("n") - F.col("k"))), 4
         ).alias("f_stat"),
     )
+
+
+def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth mover's) distance between the document-length
+    distributions of src0 and src1 -- the drift metric that complements the
+    shelf's KS test (KS = sup |F1-F2| reacts to the worst point; W1 =
+    integral |F1-F2| measures how much mass must MOVE, in n_chars units).
+
+    Exactness: for 1-D empirical CDFs, W1 = sum over the merged value grid
+    of |F1(v) - F2(v)| * (v_next - v). Clearing denominators, |F1 - F2| =
+    |c1*n2 - c2*n1| / (n1*n2) with INTEGER cumulative counts, so the whole
+    integral is one BIGINT sum divided once at the end -- no float until
+    the final division. Plan: one groupBy on the value key compresses both
+    samples to the distinct-value grid (same shape as q_mann_whitney_u /
+    q_ks_test_gate), one window forms the cumulative counts and the grid
+    step, one scalar agg finishes."""
+    d = load_table(spark, sf_dir, "documents")
+    two = d.filter(F.col("source").isin("src0", "src1"))
+    by_val = two.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum((F.col("source") == "src0").cast("bigint")).alias("d1"),
+        F.sum((F.col("source") == "src1").cast("bigint")).alias("d2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.orderBy("v")
+    cum = by_val.select(
+        "v",
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
+        (F.lead("v", 1).over(wn) - F.col("v")).alias("dv"),
+    ).filter(F.col("dv").isNotNull())
+    tot = by_val.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.sum(
+                F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+                * F.col("dv")
+            ).alias("num"),
+        )
+        .select(
+            "n1",
+            "n2",
+            F.round(F.col("num") / (F.col("n1") * F.col("n2")), 6).alias("w1_chars"),
+        )
+    )
+
+
+HUBER_ROUNDS = 3
+HUBER_C = 1.4826  # MAD -> sigma-equivalent scale
+
+
+def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Huber robust mean of document length via HUBER_ROUNDS
+    IRLS rounds -- the location estimate that (unlike the mean) ignores a
+    crawl's pathological outlier docs but (unlike the median) keeps
+    sqrt(n)-efficiency on the clean mass. Weights: w = min(1, k/|y - m|)
+    with k = max(1, HUBER_C * MAD) (floored at one character so a
+    degenerate half-constant source cannot zero the scale).
+
+    Portability: y is integer; each round's m is rounded to 6 digits and
+    each weight to 9 BEFORE the decimal-exact weighted sums, so the IRLS
+    trajectory is reproducible term-for-term in the unrolled oracle (the
+    kmeans/IPF device). Plan: the initial median/MAD and each round are
+    one groupBy(source) pass over the corpus -- HUBER_ROUNDS+1 scans total,
+    each a keyed partial-agg shuffle, no windows over doc-grain data."""
+    d = load_table(spark, sf_dir, "documents")
+    y = d.select("source", F.col("n_chars").cast("double").alias("y"))
+    m0 = y.groupBy("source").agg(
+        F.expr("percentile(y, 0.5D)").alias("med"), F.count(F.lit(1)).alias("n")
+    )
+    scale = (
+        y.join(F.broadcast(m0), "source")
+        .groupBy("source")
+        .agg(F.expr("percentile(abs(y - med), 0.5D)").alias("mad"))
+        .select(
+            "source",
+            F.round(F.greatest(F.lit(HUBER_C) * F.col("mad"), F.lit(1.0)), 6).alias("k"),
+        )
+    )
+    m = m0.select("source", F.round("med", 6).alias("m")).join(scale, "source")
+    for _ in range(HUBER_ROUNDS):
+        terms = y.join(F.broadcast(m), "source").select(
+            "source",
+            "y",
+            "k",
+            F.round(
+                F.when(F.abs(F.col("y") - F.col("m")) <= F.col("k"), F.lit(1.0)).otherwise(
+                    F.col("k") / F.abs(F.col("y") - F.col("m"))
+                ),
+                9,
+            ).alias("w"),
+        )
+        m = (
+            terms.groupBy("source", "k")
+            .agg(
+                F.round(
+                    F.sum((F.col("w") * F.col("y")).cast("decimal(38,9)")).cast("double")
+                    / F.sum(F.col("w").cast("decimal(38,9)")).cast("double"),
+                    6,
+                ).alias("m")
+            )
+            .select("source", "m", "k")
+        )
+    mean = y.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(F.col("y").cast("decimal(27,4)")).cast("double") / F.count(F.lit(1)), 4).alias("mean_chars"),
+    )
+    return (
+        mean.join(m, "source")
+        .select(
+            "source",
+            "n_docs",
+            "mean_chars",
+            F.round("m", 4).alias("huber_mean"),
+            F.col("k").alias("k_scale"),
+        )
+        .orderBy("source")
+    )

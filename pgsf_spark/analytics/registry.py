@@ -3657,6 +3657,84 @@ sel{t} AS MATERIALIZED (
         + f"""
 SELECT rank, vec_id, rel, mmr FROM sel{retrieval.MMR_K} ORDER BY rank""",
     ),
+    "wasserstein_drift": QuerySpec(
+        profiling.q_wasserstein_drift,
+        """WITH two AS (
+  SELECT n_chars AS v, source FROM documents WHERE source IN ('src0', 'src1')),
+by_val AS (
+  SELECT v,
+    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS d1,
+    SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS d2
+  FROM two GROUP BY v),
+cum AS (
+  SELECT v,
+    SUM(d1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+    SUM(d2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2,
+    lead(v, 1) OVER (ORDER BY v) - v AS dv
+  FROM by_val),
+tot AS (SELECT SUM(d1) AS n1, SUM(d2) AS n2 FROM by_val)
+SELECT n1, n2,
+  ROUND(SUM(abs(c1 * n2 - c2 * n1) * dv) / (n1 * n2), 6) AS w1_chars
+FROM cum, tot WHERE dv IS NOT NULL
+GROUP BY n1, n2""",
+    ),
+    "huber_mean": QuerySpec(
+        profiling.q_huber_mean,
+        f"""WITH y AS (SELECT source, CAST(n_chars AS DOUBLE) AS y FROM documents),
+m0 AS (SELECT source, median(y) AS med, COUNT(*) AS n FROM y GROUP BY 1),
+sc AS (
+  SELECT y.source, ROUND(GREATEST({profiling.HUBER_C} * median(abs(y.y - m0.med)), 1.0), 6) AS k
+  FROM y JOIN m0 USING (source) GROUP BY y.source),
+mm0 AS (SELECT m0.source, ROUND(med, 6) AS m, k FROM m0 JOIN sc USING (source)),
+"""
+        + ",\n".join(
+            f"""t{i} AS (
+  SELECT y.source, y.y, mm{i - 1}.k,
+    ROUND(CASE WHEN abs(y.y - mm{i - 1}.m) <= mm{i - 1}.k THEN 1.0
+               ELSE mm{i - 1}.k / abs(y.y - mm{i - 1}.m) END, 9) AS w
+  FROM y JOIN mm{i - 1} USING (source)),
+mm{i} AS (
+  SELECT source,
+    ROUND(CAST(SUM(CAST(w * y AS DECIMAL(38,9))) AS DOUBLE)
+          / CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE), 6) AS m, k
+  FROM t{i} GROUP BY source, k)"""
+            for i in range(1, profiling.HUBER_ROUNDS + 1)
+        )
+        + f""",
+mean AS (
+  SELECT source, COUNT(*) AS n_docs,
+    ROUND(CAST(SUM(CAST(y AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*), 4) AS mean_chars
+  FROM y GROUP BY 1)
+SELECT source, n_docs, mean_chars, ROUND(m, 4) AS huber_mean, k AS k_scale
+FROM mean JOIN mm{profiling.HUBER_ROUNDS} USING (source) ORDER BY source""",
+    ),
+    "sprt_decision": QuerySpec(
+        events.q_sprt_decision,
+        f"""WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+  FROM events
+  WHERE ('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 <> 0),
+daily AS (
+  SELECT day, COUNT(*) AS n,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM b GROUP BY day),
+cum AS (
+  SELECT day,
+    ROUND(CAST(SUM(CAST(x * {events.SPRT_L1} + (n - x) * ({events.SPRT_L2}) AS DECIMAL(38,12)))
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE), 8) AS llr
+  FROM daily),
+crossed AS (
+  SELECT MIN(day) AS cross_day, min_by(llr, day) AS llr_at_cross
+  FROM cum WHERE llr >= {events.SPRT_A} OR llr <= -{events.SPRT_A}),
+fin AS (SELECT COUNT(*) AS n_days, max_by(llr, day) AS llr_final FROM cum)
+SELECT n_days,
+  COALESCE(strftime(cross_day, '%Y-%m-%d'), 'none') AS decision_day,
+  CASE WHEN llr_at_cross >= {events.SPRT_A} THEN 'accept_h1'
+       WHEN llr_at_cross <= -{events.SPRT_A} THEN 'accept_h0'
+       ELSE 'continue' END AS decision,
+  llr_final
+FROM fin, crossed""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
