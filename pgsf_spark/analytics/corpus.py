@@ -544,3 +544,72 @@ def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_terms"))
         .orderBy("source")
     )
+
+
+QR_ROUNDS = 8
+QR_TAU = 0.5  # median regression
+QR_LR = 2.0
+QR_B0 = 5.0  # chars-per-token init
+
+
+def q_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (tau=0.5 quantile) regression of char count on token count by
+    QR_ROUNDS rounds of subgradient descent on the pinball loss -- the
+    robust-regression twin of q_chars_tokens_ols (OLS chases outlier docs;
+    the median fit ignores them; a large gap between the two slopes is
+    itself a tail-heaviness diagnostic).
+
+    Portability: the pinball subgradient per row is EXACTLY +/-tau (0.5),
+    so each round's gradient sums are exact halves of integer sums
+    (accumulated in DECIMAL); parameters round to 9 digits per round. The
+    same declarative GD shape as curation's classifier: each round is one
+    corpus scan producing two sums, crossJoined back as a one-row
+    broadcast -- no collect, no driver math."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("double").alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    st = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,1)")).cast("double").alias("sxx"),
+    )
+    params = st.select(F.lit(0.0).alias("a"), F.lit(QR_B0).alias("b"), "n", "sxx")
+    for _ in range(QR_ROUNDS):
+        u = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+        g = F.when(u < 0, F.lit(-QR_TAU)).otherwise(F.lit(QR_TAU))
+        sums = (
+            base.crossJoin(F.broadcast(params))
+            .agg(
+                F.sum(g.cast("decimal(38,1)")).cast("double").alias("sg"),
+                F.sum((g * F.col("x")).cast("decimal(38,1)")).cast("double").alias("sgx"),
+                F.first("a").alias("a"),
+                F.first("b").alias("b"),
+                F.first("n").alias("n"),
+                F.first("sxx").alias("sxx"),
+            )
+        )
+        params = sums.select(
+            F.round(F.col("a") + F.lit(QR_LR) * F.col("sg") / F.col("n"), 9).alias("a"),
+            F.round(F.col("b") + F.lit(QR_LR) * F.col("sgx") / F.col("sxx"), 9).alias("b"),
+            "n",
+            "sxx",
+        ).localCheckpoint(eager=True)
+    u = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    loss = (
+        base.crossJoin(F.broadcast(params))
+        .agg(
+            F.first("n").alias("nn"),
+            F.first("a").alias("a"),
+            F.first("b").alias("b"),
+            F.sum(F.round(F.lit(QR_TAU) * F.abs(u), 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("loss_sum"),
+        )
+    )
+    return loss.select(
+        F.col("nn").cast("bigint").alias("n_docs"),
+        F.col("a").alias("intercept"),
+        F.col("b").alias("chars_per_token"),
+        F.round(F.col("loss_sum") / F.col("nn"), 6).alias("mean_pinball_loss"),
+    )

@@ -957,3 +957,41 @@ def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "llr_final",
         )
     )
+
+
+LATE_WATERMARK_MIN = 30  # the streaming watermark this audit sizes
+
+
+def q_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: replay each user's event stream in ARRIVAL
+    order (event_id is the ingest sequence) and measure how far behind the
+    user's high-water mark each event's EVENT time arrives. Events later
+    than LATE_WATERMARK_MIN minutes are the ones a streaming watermark of
+    that size would drop -- this batch face tells you what the
+    streaming/stateful.py jobs' watermark choice actually costs, per event
+    type, before you deploy it.
+
+    One shuffle on user_id (the same keying every stateful streaming
+    operator uses); the high-water mark is a running max window, lateness
+    a row-local difference. Integer second arithmetic end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tsec = F.col("ts").cast("timestamp").cast("long")
+    scored = ev.select(
+        "event_type",
+        (F.coalesce(F.max(tsec).over(w), tsec) - tsec).alias("late_s"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("late_s") > 0).cast("bigint")).alias("n_out_of_order"),
+            F.sum((F.col("late_s") > LATE_WATERMARK_MIN * 60).cast("bigint")).alias(
+                "n_dropped_by_watermark"
+            ),
+            F.max("late_s").alias("max_late_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -3735,6 +3735,53 @@ SELECT n_days,
   llr_final
 FROM fin, crossed""",
     ),
+    "late_arrival_audit": QuerySpec(
+        events.q_late_arrival_audit,
+        f"""WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS tsec
+  FROM events),
+scored AS (
+  SELECT event_type,
+    COALESCE(MAX(tsec) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tsec) - tsec AS late_s
+  FROM e)
+SELECT event_type, COUNT(*) AS n_events,
+  SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS n_out_of_order,
+  SUM(CASE WHEN late_s > {events.LATE_WATERMARK_MIN * 60} THEN 1 ELSE 0 END) AS n_dropped_by_watermark,
+  MAX(late_s) AS max_late_s
+FROM scored GROUP BY event_type ORDER BY event_type""",
+    ),
+    "quantile_regression": QuerySpec(
+        corpus.q_quantile_regression,
+        f"""WITH base AS MATERIALIZED (
+  SELECT CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE) AS x,
+    CAST(n_chars AS DOUBLE) AS y
+  FROM documents),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+  CAST(SUM(CAST(x * x AS DECIMAL(38,1))) AS DOUBLE) AS sxx FROM base),
+p0 AS (SELECT 0.0 AS a, {corpus.QR_B0} AS b, n, sxx FROM st),
+"""
+        + ",\n".join(
+            f"""s{i} AS (
+  SELECT CAST(SUM(CAST(CASE WHEN y - a - b * x < 0 THEN -{corpus.QR_TAU} ELSE {corpus.QR_TAU} END
+         AS DECIMAL(38,1))) AS DOUBLE) AS sg,
+    CAST(SUM(CAST((CASE WHEN y - a - b * x < 0 THEN -{corpus.QR_TAU} ELSE {corpus.QR_TAU} END) * x
+         AS DECIMAL(38,1))) AS DOUBLE) AS sgx,
+    MIN(a) AS a, MIN(b) AS b, MIN(n) AS n, MIN(sxx) AS sxx
+  FROM base, p{i - 1}),
+p{i} AS (
+  SELECT ROUND(a + {corpus.QR_LR} * sg / n, 9) AS a,
+    ROUND(b + {corpus.QR_LR} * sgx / sxx, 9) AS b, n, sxx
+  FROM s{i})"""
+            for i in range(1, corpus.QR_ROUNDS + 1)
+        )
+        + f"""
+SELECT CAST(MIN(n) AS BIGINT) AS n_docs, MIN(a) AS intercept,
+  MIN(b) AS chars_per_token,
+  ROUND(CAST(SUM(CAST(ROUND({corpus.QR_TAU} * abs(y - a - b * x), 6) AS DECIMAL(38,6))) AS DOUBLE)
+        / MIN(n), 6) AS mean_pinball_loss
+FROM base, p{corpus.QR_ROUNDS}""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
