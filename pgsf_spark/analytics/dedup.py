@@ -1080,3 +1080,100 @@ def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_new.join(a_cand, "k").join(a_dup, "k")
         .select("n_new", "n_candidate_pairs", "n_dup_pairs", "n_new_docs_with_dup")
     )
+
+
+RECALL_SEED = "rec6"
+RECALL_SLOTS = 64  # of 256: ~25% seeded-hash audit sample
+
+
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall/precision of the MinHash-LSH candidate generator
+    against exact ground truth on a seeded ~25% sample -- the dedup-quality
+    audit a 100 TB sweep runs BEFORE trusting its near-dup removal (LSH
+    trades recall for bounded blocks; this query says how much was traded,
+    on data drawn from the same corpus).
+
+    Ground truth on the sample is the exact SHINGLE-set Jaccard -- shingle
+    sets, not token sets, because that is the similarity MinHash
+    signatures actually estimate (auditing banding recall against a
+    different metric would conflate banding loss with metric mismatch;
+    the theoretical catch rate at jaccard j is 1-(1-j^2)^N_BANDS for
+    2-row bands). Truth candidate generation is a shingle inverted-index
+    equi-join -- COMPLETE for jaccard > 0 (any qualifying pair shares a
+    shingle) and never cartesian; 3-word shingles are near-unique on real
+    text (max df 11 on this corpus's sample) so blocks stay tiny.
+    Candidates on the LSH side are the plain in-bucket banded pairs (the
+    uncapped form q_incremental_lsh_dedup also mirrors -- on the bounded
+    sample the hot-bucket cap is unnecessary, and leaving it out keeps
+    the oracle byte-exact).
+
+    Scale shape: everything is sample-bounded -- the truth side is one
+    shingle-keyed shuffle + a pair verify on candidates, the LSH side one
+    (band, bucket) shuffle over the same sample; the final scalar row
+    joins four 1-row aggregates. At 100 TB shrink RECALL_SLOTS, not the
+    design."""
+    d = load_table(spark, sf_dir, "documents")
+    slot = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{RECALL_SEED}:"), F.col("doc_id").cast("string"))), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+    sample = d.filter(slot < RECALL_SLOTS).localCheckpoint(eager=True)
+
+    sh = sample.select("doc_id", word_shingles(F.col("text")).alias("sh")).localCheckpoint(
+        eager=True
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("g"))
+    tc = (
+        ex.select(F.col("doc_id").alias("doc_a"), "g")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    truth = (
+        tc.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+    banded = lsh_banded(sample)
+    cand = (
+        banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket"), ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    n_sample = sample.agg(F.count(F.lit(1)).cast("bigint").alias("n_sample_docs"))
+    t_agg = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    c_agg = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"))
+    found = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_found")
+    )
+    return (
+        n_sample.crossJoin(F.broadcast(t_agg))
+        .crossJoin(F.broadcast(c_agg))
+        .crossJoin(F.broadcast(found))
+        .select(
+            "n_sample_docs",
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_found",
+            # try_divide: a degenerate sample (0 truth / 0 candidates) must
+            # yield NULL on both faces (DuckDB's x/0 is NULL), not an ANSI
+            # divide-by-zero error
+            F.round(F.try_divide(F.col("n_found"), F.col("n_true_pairs")), 6).alias("recall"),
+            F.round(F.try_divide(F.col("n_found"), F.col("n_candidate_pairs")), 6).alias(
+                "precision"
+            ),
+        )
+    )

@@ -357,6 +357,11 @@ def _decode_jpeg(content: bytes) -> tuple[int, int, int, bytes]:
         # (a 0xFF "marker" byte would otherwise be parsed as a bogus segment)
         while pos + 1 < n and content[pos + 1] == 0xFF:
             pos += 1
+        if pos + 1 >= n:
+            # stream tail is a run of 0xFF fill bytes with no marker byte
+            # after them -- keep the every-malformation-raises-ValueError
+            # contract instead of leaking IndexError from content[pos + 1]
+            raise ValueError("truncated after fill bytes")
         if pos + 4 > n and content[pos + 1] != 0xD9:
             break
         marker = content[pos + 1]

@@ -239,3 +239,67 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("label").isNotNull().cast("bigint")) / F.count(F.lit(1)), 6
         ).alias("coverage"),
     )
+
+
+HITS_ROUNDS = 2
+HITS_TOP = 10
+
+
+def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the bipartite customer->part co-purchase
+    graph: customers are hubs (broad buyers), parts are authorities
+    (widely-bought-by-good-hubs items). Completes the graph shelf next to
+    PageRank (flat web-graph centrality) with the two-sided variant a
+    recommender actually ranks with. Output: the top-10 authority parts.
+
+    Determinism: every round is (authority = sum of hub mass over in-edges,
+    max-normalize; hub = sum of authority mass over out-edges,
+    max-normalize) with the mass quantized to DECIMAL(18,9) after each
+    normalization -- the house device (label_propagation, huber) that makes
+    the float trajectory engine-exact. Max-norm (not L2) keeps every
+    division a single scalar broadcast.
+
+    Scale shape: the incidence list is the SAME bounded rare-part edge set
+    as q_adamic_adar_links (deg <= AA_MAX_DEG kills hot blocks; popular
+    parts carry near-zero discriminating signal for HITS exactly as for
+    AA); each half-round is one keyed join + sum shuffle, partitioned the
+    same way every round, and the normalizing max is a 1-row broadcast.
+    Rounds are unrolled -- no driver loop over collected data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cp = (
+        li.select("l_orderkey", "l_partkey")
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    rare = deg.filter((F.col("deg") >= 2) & (F.col("deg") <= AA_MAX_DEG))
+    edges = cp.join(rare.select("p"), "p").localCheckpoint(eager=True)
+    dec = "decimal(18,9)"
+    h = edges.select("c").distinct().select("c", F.lit(1).cast(dec).alias("h"))
+    for _ in range(HITS_ROUNDS):
+        a_raw = (
+            edges.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum(F.col("h").cast("decimal(38,9)")).cast("double").alias("ar"))
+        )
+        amax = a_raw.agg(F.max("ar").alias("am"))
+        a = a_raw.crossJoin(F.broadcast(amax)).select(
+            "p", F.round(F.col("ar") / F.col("am"), 9).cast(dec).alias("a")
+        )
+        h_raw = (
+            edges.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum(F.col("a").cast("decimal(38,9)")).cast("double").alias("hr"))
+        )
+        hmax = h_raw.agg(F.max("hr").alias("hm"))
+        h = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "c", F.round(F.col("hr") / F.col("hm"), 9).cast(dec).alias("h")
+        )
+    return (
+        a.join(deg, "p")
+        .select(F.col("p").alias("partkey"), F.col("a").alias("authority"), "deg")
+        .orderBy(F.col("authority").desc(), "partkey")
+        .limit(HITS_TOP)
+    )

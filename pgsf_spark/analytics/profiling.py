@@ -1305,3 +1305,97 @@ def q_huber_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between calendar position and daily
+    revenue -- the rank-based trend strength that completes the monotone
+    shelf (Mann-Kendall answers IS there a trend, Theil-Sen how steep in
+    dollars, Spearman how CONSISTENTLY monotone on a -1..1 scale).
+
+    Exactness: ranks are made integer-exact by doubling -- for revenue
+    ties, positions c+1..c+t average to c+(t+1)/2, so 2*avg = 2*rank()+
+    count(*) OVER tie-partition - 1, an INTEGER; the day rank is just
+    2*row_number(). Pearson over the doubled ranks (scale cancels) is
+    assembled from DECIMAL(38,0) moments, one float division at the end
+    (the q_price_quantity_corr device applied to ranks). Plan: one orders
+    rollup shuffle to day grain, then rank windows over the ~2.4k-row
+    day spine (single-partition by design, like every stat on this shelf)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    wd = Window.orderBy("day")
+    wr = Window.orderBy("rev")
+    ranked = daily.select(
+        (2 * F.row_number().over(wd)).alias("u"),
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(Window.partitionBy("rev")) - 1).alias(
+            "v"
+        ),
+    )
+
+    def s(col_expr):
+        return F.sum(col_expr.cast("decimal(38,0)")).cast("double")
+
+    u, v = F.col("u"), F.col("v")
+    n = F.count(F.lit(1)).cast("double")
+    num = n * s(u * v) - s(u) * s(v)
+    den = F.sqrt(n * s(u * u) - s(u) * s(u)) * F.sqrt(n * s(v * v) - s(v) * s(v))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    )
+
+
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between market segment and nation
+    over the customer table -- the categorical-association gate next to the
+    numeric shelf (is the segment mix actually uniform across geographies,
+    or is a sampler/filter skewing it?). Includes Cramer's V so the effect
+    size is scale-free.
+
+    Exactness: observed counts and both margins are integers; each cell's
+    expected count e = row_tot*col_tot/N and contribution (o-e)^2/e are
+    computed with the same IEEE double ops on both engines, rounded to 6
+    at the CELL grain, then summed in DECIMAL(38,6) so accumulation order
+    cannot drift the total. Zero-observed cells with positive margins
+    contribute e -- the margin grid is built by a broadcast
+    segments x nations cross (5 x 25 rows, the bounded-dims cross the
+    mann_kendall day spine already established). Plan: one customer
+    groupBy shuffle; everything after runs on <= 125 rows."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rows_ = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("c_nationkey").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    grid = rows_.crossJoin(F.broadcast(cols_)).crossJoin(F.broadcast(tot))
+    full = grid.join(cells, ["c_mktsegment", "c_nationkey"], "left").select(
+        "c_mktsegment",
+        "c_nationkey",
+        "rt",
+        "ct",
+        "n",
+        F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
+    contrib = F.round((F.col("o") - e) * (F.col("o") - e) / e, 6)
+    agg = full.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.countDistinct("c_mktsegment").cast("bigint").alias("n_segments"),
+        F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+        F.round(F.sum(contrib.cast("decimal(38,6)")).cast("double"), 6).alias("chi_square"),
+    )
+    dof = (F.col("n_segments") - 1) * (F.col("n_nations") - 1)
+    v_den = F.col("n_customers").cast("double") * F.least(
+        F.col("n_segments") - 1, F.col("n_nations") - 1
+    ).cast("double")
+    return agg.select(
+        "n_customers",
+        "n_segments",
+        "n_nations",
+        dof.cast("bigint").alias("dof"),
+        "chi_square",
+        F.round(F.sqrt(F.col("chi_square") / v_den), 6).alias("cramers_v"),
+    )

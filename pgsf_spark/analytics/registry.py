@@ -842,7 +842,7 @@ cum AS (
   FROM pv),
 n AS (SELECT SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
         SUM(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS n2 FROM vals)
-SELECT n1, n2,
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
   ROUND(MAX(abs(c1 * n2 - c2 * n1)) / (n1 * n2), 6) AS ks_d
 FROM cum, n GROUP BY n1, n2""",
     ),
@@ -882,7 +882,7 @@ FROM j GROUP BY source ORDER BY source""",
   SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
   FROM orders GROUP BY 1),
 r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM s)
-SELECT COUNT(*) AS n_customers, SUM(cents) AS total_cents,
+SELECT COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS total_cents,
   ROUND(2.0 * CAST(SUM(CAST(i * cents AS DECIMAL(38,0))) AS DOUBLE)
           / (COUNT(*) * CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE))
         - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
@@ -1001,7 +1001,8 @@ s AS (
     GREATEST(n_ref / tr, 1e-6) AS p_ref,
     GREATEST(n_cur / tc, 1e-6) AS p_cur
   FROM c, t)
-SELECT bin, n_ref, n_cur, ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+  ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
   ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS psi_contrib,
   ROUND(SUM(ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6)) OVER (), 6) AS psi_total
 FROM s ORDER BY bin""",
@@ -1033,7 +1034,8 @@ h AS (
     SUM(CASE WHEN n_risk > 0 THEN CAST(d AS DOUBLE) / n_risk ELSE 0.0 END)
       OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS H
   FROM r)
-SELECT strftime(day, '%Y-%m-%d') AS day, d, n_risk, ROUND(H, 6) AS cum_hazard
+SELECT strftime(day, '%Y-%m-%d') AS day, d, CAST(n_risk AS BIGINT) AS n_risk,
+  ROUND(H, 6) AS cum_hazard
 FROM h WHERE d > 0""",
     ),
     "cusum_changepoints": QuerySpec(
@@ -1070,7 +1072,8 @@ c3 AS (
 SELECT COUNT(*) AS n_days,
   MIN(CASE WHEN up_drift > thresh THEN strftime(day, '%Y-%m-%d') END) AS first_up_alarm,
   MIN(CASE WHEN down_drift > thresh THEN strftime(day, '%Y-%m-%d') END) AS first_down_alarm,
-  SUM(CASE WHEN up_drift > thresh OR down_drift > thresh THEN 1 ELSE 0 END) AS n_alarm_days,
+  CAST(SUM(CASE WHEN up_drift > thresh OR down_drift > thresh THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_alarm_days,
   ROUND(MAX(up_drift) / 100.0, 2) AS max_up_drift_usd,
   ROUND(MAX(down_drift) / 100.0, 2) AS max_down_drift_usd
 FROM c3""",
@@ -1100,7 +1103,7 @@ FROM s GROUP BY 1, 2, 3""",
   SELECT doc_id, source, lang, CAST(n_chars AS BIGINT) AS n_chars,
     md5({_NORM}) AS fp
   FROM documents)
-SELECT COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
   COUNT(DISTINCT source) AS n_sources, COUNT(DISTINCT lang) AS n_langs,
   COUNT(DISTINCT fp) AS n_unique_texts,
   ROUND((COUNT(*) - COUNT(DISTINCT fp)) / NULLIF(COUNT(*), 0), 4) AS exact_dup_rate,
@@ -1118,9 +1121,9 @@ b AS (SELECT source, (2 * SUM(n_chars)) // 5 AS budget_chars FROM d GROUP BY 1),
 c AS (SELECT d.*, b.budget_chars,
   SUM(n_chars) OVER (PARTITION BY d.source ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
   FROM d JOIN b USING (source))
-SELECT source, MIN(budget_chars) AS budget_chars,
-  SUM(CASE WHEN cum <= budget_chars THEN 1 ELSE 0 END) AS n_admitted,
-  SUM(CASE WHEN cum <= budget_chars THEN n_chars ELSE 0 END) AS chars_admitted,
+SELECT source, CAST(MIN(budget_chars) AS BIGINT) AS budget_chars,
+  CAST(SUM(CASE WHEN cum <= budget_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+  CAST(SUM(CASE WHEN cum <= budget_chars THEN n_chars ELSE 0 END) AS BIGINT) AS chars_admitted,
   COUNT(*) AS n_total,
   ROUND(SUM(CASE WHEN cum <= budget_chars THEN n_chars ELSE 0 END)
         / MIN(budget_chars), 4) AS utilization
@@ -1456,7 +1459,7 @@ v AS (
 SELECT
   (SELECT COUNT(*) FROM documents WHERE doc_id % 10 = 0) AS n_new,
   (SELECT COUNT(*) FROM cand) AS n_candidate_pairs,
-  COALESCE(SUM(CASE WHEN jaccard >= {dedup.JACCARD_T} THEN 1 END), 0) AS n_dup_pairs,
+  CAST(COALESCE(SUM(CASE WHEN jaccard >= {dedup.JACCARD_T} THEN 1 END), 0) AS BIGINT) AS n_dup_pairs,
   COUNT(DISTINCT CASE WHEN jaccard >= {dedup.JACCARD_T} THEN doc_new END) AS n_new_docs_with_dup
 FROM v""",
     ),
@@ -3343,9 +3346,9 @@ scored AS (
       + (CASE WHEN seg_ok THEN 1 ELSE 0 END) AS score
   FROM cand)
 SELECT d_nationkey AS nationkey, COUNT(*) AS n_candidates,
-  SUM(CASE WHEN score >= 3 THEN 1 ELSE 0 END) AS n_matched,
-  SUM(CASE WHEN score >= 3 AND d_custkey = c_custkey THEN 1 ELSE 0 END) AS n_true,
-  SUM(lev) AS lev_mass
+  CAST(SUM(CASE WHEN score >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+  CAST(SUM(CASE WHEN score >= 3 AND d_custkey = c_custkey THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  CAST(SUM(lev) AS BIGINT) AS lev_mass
 FROM scored GROUP BY 1""",
     ),
     "pit_state_join": QuerySpec(
@@ -3380,7 +3383,7 @@ GROUP BY state""",
   SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
     SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
   FROM orders GROUP BY 1)
-SELECT strftime(day, '%Y-%m-%d') AS day, rev_cents,
+SELECT strftime(day, '%Y-%m-%d') AS day, CAST(rev_cents AS BIGINT) AS rev_cents,
   median(rev_cents) OVER w AS med7_cents,
   COUNT(*) OVER w AS days_in_window
 FROM daily
@@ -3418,7 +3421,7 @@ GROUP BY lag ORDER BY lag""",
 per_stratum AS (
   SELECT fold, source, COUNT(*) AS n, SUM(n_chars) AS chars
   FROM assigned GROUP BY 1, 2)
-SELECT fold, SUM(n) AS n_docs, SUM(chars) AS n_chars,
+SELECT fold, CAST(SUM(n) AS BIGINT) AS n_docs, CAST(SUM(chars) AS BIGINT) AS n_chars,
   COUNT(*) AS n_strata, MAX(n) - MIN(n) AS stratum_imbalance
 FROM per_stratum GROUP BY fold ORDER BY fold""",
     ),
@@ -3538,8 +3541,8 @@ graded AS (
   FROM cust m LEFT JOIN l{linkage.LP_ROUNDS} l USING (cst)
   WHERE NOT m.is_seed)
 SELECT COUNT(*) AS n_masked,
-  SUM(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) AS n_labeled,
-  SUM(CASE WHEN label = truth THEN 1 ELSE 0 END) AS n_correct,
+  CAST(SUM(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_labeled,
+  CAST(SUM(CASE WHEN label = truth THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
   ROUND(SUM(CASE WHEN label = truth THEN 1 ELSE 0 END) * 1.0
         / SUM(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END), 6) AS accuracy,
   ROUND(SUM(CASE WHEN label IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS coverage
@@ -3673,10 +3676,9 @@ cum AS (
     lead(v, 1) OVER (ORDER BY v) - v AS dv
   FROM by_val),
 tot AS (SELECT SUM(d1) AS n1, SUM(d2) AS n2 FROM by_val)
-SELECT n1, n2,
-  ROUND(SUM(abs(c1 * n2 - c2 * n1) * dv) / (n1 * n2), 6) AS w1_chars
-FROM cum, tot WHERE dv IS NOT NULL
-GROUP BY n1, n2""",
+SELECT CAST(MIN(n1) AS BIGINT) AS n1, CAST(MIN(n2) AS BIGINT) AS n2,
+  ROUND(SUM(abs(c1 * n2 - c2 * n1) * dv) / (MIN(n1) * MIN(n2)), 6) AS w1_chars
+FROM cum, tot WHERE dv IS NOT NULL""",
     ),
     "huber_mean": QuerySpec(
         profiling.q_huber_mean,
@@ -3746,8 +3748,9 @@ scored AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), tsec) - tsec AS late_s
   FROM e)
 SELECT event_type, COUNT(*) AS n_events,
-  SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS n_out_of_order,
-  SUM(CASE WHEN late_s > {events.LATE_WATERMARK_MIN * 60} THEN 1 ELSE 0 END) AS n_dropped_by_watermark,
+  CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+  CAST(SUM(CASE WHEN late_s > {events.LATE_WATERMARK_MIN * 60} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_dropped_by_watermark,
   MAX(late_s) AS max_late_s
 FROM scored GROUP BY event_type ORDER BY event_type""",
     ),
@@ -3781,6 +3784,148 @@ SELECT CAST(MIN(n) AS BIGINT) AS n_docs, MIN(a) AS intercept,
   ROUND(CAST(SUM(CAST(ROUND({corpus.QR_TAU} * abs(y - a - b * x), 6) AS DECIMAL(38,6))) AS DOUBLE)
         / MIN(n), 6) AS mean_pinball_loss
 FROM base, p{corpus.QR_ROUNDS}""",
+    ),
+    "spearman_trend": QuerySpec(
+        profiling.q_spearman_trend,
+        """WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT 2 * ROW_NUMBER() OVER (ORDER BY day) AS u,
+    2 * RANK() OVER (ORDER BY rev) + COUNT(*) OVER (PARTITION BY rev) - 1 AS v
+  FROM daily),
+m AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(u AS DECIMAL(38,0))) AS DOUBLE) AS su,
+    CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS sv,
+    CAST(SUM(CAST(u * v AS DECIMAL(38,0))) AS DOUBLE) AS suv,
+    CAST(SUM(CAST(u * u AS DECIMAL(38,0))) AS DOUBLE) AS suu,
+    CAST(SUM(CAST(v * v AS DECIMAL(38,0))) AS DOUBLE) AS svv
+  FROM ranked)
+SELECT n AS n_days,
+  ROUND((n * suv - su * sv)
+        / (sqrt(n * suu - su * su) * sqrt(n * svv - sv * sv)), 6) AS spearman_rho
+FROM m""",
+    ),
+    "chi_square_independence": QuerySpec(
+        profiling.q_chi_square_independence,
+        """WITH cells AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat, CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2),
+r AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+c AS (SELECT nat, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+grid AS (SELECT r.seg, c.nat, rt, ct, n FROM r, c, t),
+filled AS (
+  SELECT grid.seg, grid.nat, rt, ct, n, COALESCE(o, 0) AS o
+  FROM grid LEFT JOIN cells ON grid.seg = cells.seg AND grid.nat = cells.nat),
+s AS (
+  SELECT seg, nat, n, o,
+    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+  FROM filled),
+agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+    CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_segments,
+    CAST(COUNT(DISTINCT nat) AS BIGINT) AS n_nations,
+    ROUND(CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 6) AS DECIMAL(38,6))) AS DOUBLE), 6)
+      AS chi_square
+  FROM s)
+SELECT n_customers, n_segments, n_nations,
+  CAST((n_segments - 1) * (n_nations - 1) AS BIGINT) AS dof,
+  chi_square,
+  ROUND(sqrt(chi_square / (CAST(n_customers AS DOUBLE)
+        * CAST(LEAST(n_segments - 1, n_nations - 1) AS DOUBLE))), 6) AS cramers_v
+FROM agg""",
+    ),
+    "hits_hubs_authorities": QuerySpec(
+        linkage.q_hits_hubs_authorities,
+        f"""WITH cp AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+deg AS MATERIALIZED (SELECT p, COUNT(*) AS deg FROM cp GROUP BY p),
+edges AS MATERIALIZED (
+  SELECT cp.c, cp.p FROM cp JOIN deg USING (p)
+  WHERE deg BETWEEN 2 AND {linkage.AA_MAX_DEG}),
+h0 AS (SELECT DISTINCT c, CAST(1 AS DECIMAL(18,9)) AS h FROM edges),
+"""
+        + ",\n".join(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT p, CAST(SUM(CAST(h AS DECIMAL(38,9))) AS DOUBLE) AS ar
+  FROM edges JOIN h{i - 1} USING (c) GROUP BY p),
+am{i} AS (SELECT MAX(ar) AS am FROM ar{i}),
+a{i} AS MATERIALIZED (
+  SELECT p, CAST(ROUND(ar / am, 9) AS DECIMAL(18,9)) AS a FROM ar{i}, am{i}),
+hr{i} AS MATERIALIZED (
+  SELECT c, CAST(SUM(CAST(a AS DECIMAL(38,9))) AS DOUBLE) AS hr
+  FROM edges JOIN a{i} USING (p) GROUP BY c),
+hm{i} AS (SELECT MAX(hr) AS hm FROM hr{i}),
+h{i} AS MATERIALIZED (
+  SELECT c, CAST(ROUND(hr / hm, 9) AS DECIMAL(18,9)) AS h FROM hr{i}, hm{i})"""
+            for i in range(1, linkage.HITS_ROUNDS + 1)
+        )
+        + f"""
+SELECT p AS partkey, a AS authority, CAST(deg AS BIGINT) AS deg
+FROM a{linkage.HITS_ROUNDS} JOIN deg USING (p)
+ORDER BY authority DESC, partkey LIMIT {linkage.HITS_TOP}""",
+    ),
+    "lsh_recall_audit": QuerySpec(
+        dedup.q_lsh_recall_audit,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + f""",
+samp AS (
+  SELECT doc_id FROM documents
+  WHERE ('0x' || substr(md5('{dedup.RECALL_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 2))::INT
+        < {dedup.RECALL_SLOTS}),
+t AS (
+  SELECT sh.doc_id, sh.s
+  FROM sh JOIN samp ON sh.doc_id = samp.doc_id),
+ex AS (SELECT doc_id, unnest(s) AS g FROM t),
+tc AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM tc JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id
+  WHERE ROUND(len(list_intersect(ta.s, tb.s))
+          / len(list_distinct(list_concat(ta.s, tb.s))), 4) >= {dedup.JACCARD_T}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x
+  JOIN banded y ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+  JOIN samp sa ON x.doc_id = sa.doc_id
+  JOIN samp sb ON y.doc_id = sb.doc_id),
+f AS (SELECT COUNT(*) AS nf FROM truth JOIN cand USING (doc_a, doc_b))
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM samp) AS n_sample_docs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+  (SELECT CAST(nf AS BIGINT) FROM f) AS n_found,
+  ROUND((SELECT nf FROM f) / (SELECT COUNT(*) FROM truth), 6) AS recall,
+  ROUND((SELECT nf FROM f) / (SELECT COUNT(*) FROM cand), 6) AS precision""",
+    ),
+    "negative_samples": QuerySpec(
+        sampling.q_negative_samples,
+        f"""WITH anchors AS (
+  SELECT doc_id AS anchor_id, source AS anchor_source FROM documents
+  WHERE ('0x' || substr(md5('{sampling.NEG_SEED}a:' || CAST(doc_id AS VARCHAR)), 1, 2))::INT
+        < {sampling.NEG_ANCHOR_SLOTS}),
+pool AS (
+  SELECT doc_id AS neg_id, source AS neg_source FROM documents
+  WHERE ('0x' || substr(md5('{sampling.NEG_SEED}p:' || CAST(doc_id AS VARCHAR)), 1, 2))::INT
+        < {sampling.NEG_POOL_SLOTS}),
+pairs AS (
+  SELECT anchor_id, anchor_source, neg_id, neg_source,
+    ('0x' || substr(md5('{sampling.NEG_SEED}:' || CAST(anchor_id AS VARCHAR)
+                        || ':' || CAST(neg_id AS VARCHAR)), 1, 12))::BIGINT AS h
+  FROM anchors, pool
+  WHERE neg_source <> anchor_source AND neg_id <> anchor_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY h, neg_id) AS rank
+  FROM pairs)
+SELECT anchor_id, anchor_source, CAST(rank AS INT) AS rank, neg_id, neg_source
+FROM r WHERE rank <= {sampling.NEG_K}""",
     ),
 }
 
@@ -4104,7 +4249,95 @@ _ROUND5_FRONT = [
 ]
 assert len(_ROUND5_FRONT) <= 50, len(_ROUND5_FRONT)
 assert set(_ROUND5_FRONT) <= set(QUERIES), set(_ROUND5_FRONT) - set(QUERIES)
+
+# Round 6: the four r5 hash-reds (HUGEINT oracle artifact -- every affected
+# aggregate is now CAST(... AS BIGINT), enforced forever by
+# tests/test_oracle_types.py) go first for re-gating, then the 33 registry
+# entries with no driver row in ANY round (the round-4/5 statistics/graph
+# additions), then token_stats_pandas (r01-green only; yielded its slot in
+# both r4 and r5), then the 12 stalest r02-last-green entries in registry
+# order.  Exactly 50.  After this round every registry query has a driver
+# row; ROUND 7 FRONT SHOULD CONTINUE the staleness rotation with the
+# remaining 35 r02-last-green entries (split_assignment, quality_filter,
+# training_manifest, manifest_summary, sample_per_source,
+# ann_multiprobe_topk, order_value_percentiles, cube_segment_nation,
+# orders_above_customer_avg, top_tokens, ann_lsh_topk, moving_avg_value,
+# event_type_share, repeat_customers, order_quartiles_rank,
+# events_by_calendar, grouping_sets_status_priority,
+# order_keys_per_customer, price_histogram, pii_scan, doc_chunks,
+# csv_roundtrip, profile_customer, kmv_distinct_users, value_stddev,
+# price_quantity_corr, soql_projection, repetition_stats,
+# boilerplate_ngrams, benchmark_contamination, token_diversity,
+# temperature_sample, sequence_pack, event_funnel, weekly_retention) plus
+# the r03-last-green set.  All 50 below pass verify_local at sf0.001 and
+# sf0.01 this round.
+_ROUND6_FRONT = [
+    # r5 driver-red, oracle HUGEINT casts fixed -- re-gate first
+    "source_token_budget",
+    "record_linkage",
+    "rolling_median_revenue",
+    "incremental_lsh_dedup",
+    # never driver-gated, in landing order (10 of these carried the same
+    # HUGEINT bomb and were fixed in the same pass)
+    "training_shard_order",
+    "corpus_datasheet",
+    "rfm_segments",
+    "cusum_changepoints",
+    "pca_top_component",
+    "conversion_hazard",
+    "feature_psi",
+    "ab_test_zscore",
+    "ab_cuped_gate",
+    "gini_spend",
+    "benford_audit",
+    "zipf_fit",
+    "source_js_divergence",
+    "ks_test_gate",
+    "mann_kendall_trend",
+    "theil_sen_slope",
+    "cube_status_priority",
+    "acf_daily_revenue",
+    "stratified_kfold",
+    "cascade_erasure_audit",
+    "roc_auc_quality",
+    "markov_stationary",
+    "adamic_adar_links",
+    "label_propagation",
+    "seasonality_strength",
+    "isotonic_calibration",
+    "ipf_raking",
+    "mmr_diversified_topk",
+    "wasserstein_drift",
+    "huber_mean",
+    "sprt_decision",
+    "late_arrival_audit",
+    "quantile_regression",
+    # r01-green only; gave its slot to prefix_filter_pairs (r4) and the
+    # never-gated backlog (r5)
+    "token_stats_pandas",
+    # new this round (no driver row by definition) -- Spearman rank trend,
+    # chi-square independence + Cramer's V, HITS hubs/authorities, the
+    # LSH recall/precision audit, and contrastive negative mining
+    "spearman_trend",
+    "chi_square_independence",
+    "hits_hubs_authorities",
+    "lsh_recall_audit",
+    "negative_samples",
+    # stalest driver evidence (last green r02), registry order; the next
+    # 5 (customer_order_stats, rollup_order_status, lsh_jaccard_verified,
+    # dedup_clusters, dataset_split) yielded their slots to the round-6
+    # additions above -- rotate them first in round 7
+    "pricing_summary",
+    "revenue_by_nation",
+    "region_volume",
+    "forecast_revenue",
+    "order_priority",
+    "top_orders",
+    "top_orders_per_customer",
+]
+assert len(_ROUND6_FRONT) <= 50, len(_ROUND6_FRONT)
+assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 QUERIES = {
     name: QUERIES[name]
-    for name in (*_ROUND5_FRONT, *(n for n in QUERIES if n not in set(_ROUND5_FRONT)))
+    for name in (*_ROUND6_FRONT, *(n for n in QUERIES if n not in set(_ROUND6_FRONT)))
 }

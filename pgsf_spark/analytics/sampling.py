@@ -396,3 +396,71 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.select(
         "source", "lang", "n", F.round("w", 8).alias("weight")
     ).orderBy("source", "lang")
+
+
+NEG_SEED = "neg6"
+NEG_ANCHOR_SLOTS = 2  # of 256: ~0.8% of docs become anchors
+NEG_POOL_SLOTS = 16  # of 256: ~6% of docs form the shared negative pool
+NEG_K = 5  # negatives drawn per anchor
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hard-negative mining for contrastive training: each
+    seeded anchor document draws NEG_K negatives from a shared seeded
+    candidate pool, excluding its own source (the cheap same-source
+    positive proxy), ordered by a per-(anchor, candidate) hash -- the
+    in-batch-negatives builder every embedding-training pipeline needs,
+    retry-stable because nothing uses engine RNG.
+
+    Scale shape: anchors (~0.8% of docs) and the pool (~6%) are both
+    md5-slot projections of one scan; the anchor x pool pairing is a
+    broadcast of the bounded pool against the anchor stream (at 100 TB the
+    pool stays a fixed-size broadcast -- shrink NEG_POOL_SLOTS, never
+    materialize n^2), and the per-anchor top-K is one window over
+    pool-bounded groups. No shuffle touches the full corpus beyond the
+    single scan."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def slot(seed: str):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))), 1, 2
+            ),
+            16,
+            10,
+        ).cast("int")
+
+    anchors = d.filter(slot(f"{NEG_SEED}a") < NEG_ANCHOR_SLOTS).select(
+        F.col("doc_id").alias("anchor_id"), F.col("source").alias("anchor_source")
+    )
+    pool = d.filter(slot(f"{NEG_SEED}p") < NEG_POOL_SLOTS).select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    pair_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"{NEG_SEED}:"),
+                    F.col("anchor_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_id").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("anchor_id").orderBy("h", "neg_id")
+    return (
+        anchors.crossJoin(F.broadcast(pool))
+        .filter(
+            (F.col("neg_source") != F.col("anchor_source"))
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+        .select("anchor_id", "anchor_source", "neg_id", "neg_source", pair_h.alias("h"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NEG_K)
+        .select("anchor_id", "anchor_source", "rank", "neg_id", "neg_source")
+    )

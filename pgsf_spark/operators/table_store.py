@@ -535,28 +535,29 @@ class TableStore:
         tmp_ptr = self._pointer(table) + f".{version}.tmp"
         with open(tmp_ptr, "w") as f:
             json.dump({"version_dir": version, "written_at": time.time()}, f)
-        if expect_version is _UNCHECKED:
-            os.replace(tmp_ptr, self._pointer(table))  # atomic on POSIX
-            return
-        # Optimistic-concurrency flip: compare-and-swap under a kernel flock
-        # (released on process death -- no stale-lock recovery needed). The
-        # critical section is two tiny metadata ops; data writes happened
-        # outside it. Loser's version dir stays behind as garbage for vacuum,
-        # same as a crashed writer's.
+        # EVERY pointer flip -- checked or not -- goes through the same
+        # kernel flock (released on process death -- no stale-lock recovery
+        # needed). An unchecked flip outside the lock could land between a
+        # CAS writer's current_version check and its os.replace and be
+        # silently overwritten with no ConcurrentWriteError raised anywhere
+        # (lost update); the critical section is two tiny metadata ops so
+        # serializing the unchecked path too costs nothing. Loser's version
+        # dir stays behind as garbage for vacuum, same as a crashed writer's.
         import fcntl
 
         with open(os.path.join(self._tdir(table), "_PUBLISH_LOCK"), "w") as lk:
             fcntl.flock(lk, fcntl.LOCK_EX)
             try:
-                cur = self.current_version(table)
-                if cur != expect_version:
-                    os.unlink(tmp_ptr)
-                    raise ConcurrentWriteError(
-                        f"table {table!r}: expected current version "
-                        f"{expect_version!r} but found {cur!r} -- another "
-                        "writer published first; re-read and retry"
-                    )
-                os.replace(tmp_ptr, self._pointer(table))
+                if expect_version is not _UNCHECKED:
+                    cur = self.current_version(table)
+                    if cur != expect_version:
+                        os.unlink(tmp_ptr)
+                        raise ConcurrentWriteError(
+                            f"table {table!r}: expected current version "
+                            f"{expect_version!r} but found {cur!r} -- another "
+                            "writer published first; re-read and retry"
+                        )
+                os.replace(tmp_ptr, self._pointer(table))  # atomic on POSIX
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
 

@@ -210,6 +210,22 @@ class TestMalformedPayloads:
         with pytest.raises(ValueError):
             decode_jpeg(enc[:i] + enc[i + 2 + seglen :])  # drop DC table
 
+    def test_fill_byte_tail_raises_valueerror_not_indexerror(self):
+        # ADVICE r5 (low): a stream ending in a run of 0xFF fill bytes left
+        # pos at n-1 after the fill-skip loop, and content[pos + 1] raised
+        # IndexError from _decode_jpeg directly -- breaking its documented
+        # every-malformation-raises-ValueError contract for direct callers.
+        from pgsf_spark.analytics.jpeg_codec import _decode_jpeg
+
+        # tails of >=5 fill bytes reach the fill-skip loop (shorter ones
+        # fail the outer pos+4<=n guard and raise "no SOS" instead)
+        for tail in (b"\xff" * 5, b"\xff" * 9):
+            with pytest.raises(ValueError, match="truncated after fill bytes"):
+                _decode_jpeg(b"\xff\xd8" + tail)
+        for tail in (b"\xff\xff", b"\xff\xff\xff"):
+            with pytest.raises(ValueError):
+                _decode_jpeg(b"\xff\xd8" + tail)
+
     def test_non_interleaved_scan_rejected(self):
         rgb = np.zeros((8, 8, 3), dtype=np.uint8)
         enc = bytearray(encode_jpeg(rgb.tobytes(), 8, 8, 3))

@@ -112,3 +112,42 @@ class TestWritePathsCas:
         store.write_partial(changed, "t", "b", [0])
         got = store.read("t").count()
         assert got == 20
+
+
+class TestUncheckedPublishSerializes:
+    def test_unchecked_flip_waits_for_publish_lock(self, tmp_path):
+        # ADVICE r5 (medium): an UNCHECKED publish that flips the pointer
+        # outside _PUBLISH_LOCK can land between a CAS writer's
+        # current_version check and its os.replace -- a silent lost update
+        # with no ConcurrentWriteError raised anywhere. The fix routes every
+        # flip through the flock; this test holds the lock and asserts the
+        # unchecked publish blocks until release instead of sneaking past.
+        import fcntl
+        import threading
+
+        store = TableStore(None, str(tmp_path / "store"), collect_stats=False)
+        path0 = os.path.join(store.root, "t", "v0")
+        os.makedirs(path0)
+        store._publish("t", "v0", path0, {}, {})
+
+        path1 = os.path.join(store.root, "t", "v1")
+        os.makedirs(path1)
+        done = threading.Event()
+
+        def unchecked():
+            store._publish("t", "v1", path1, {}, {})  # default: unchecked
+            done.set()
+
+        lock_path = os.path.join(store.root, "t", "_PUBLISH_LOCK")
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            t = threading.Thread(target=unchecked, daemon=True)
+            t.start()
+            # flock is per open-file-description, so the thread's fresh fd
+            # must block against ours even within one process
+            assert not done.wait(0.6), "unchecked publish bypassed _PUBLISH_LOCK"
+            assert store.current_version("t") == "v0"
+            fcntl.flock(lk, fcntl.LOCK_UN)
+        assert done.wait(10), "unchecked publish never completed after release"
+        t.join(timeout=10)
+        assert store.current_version("t") == "v1"
