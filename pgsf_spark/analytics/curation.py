@@ -345,3 +345,62 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p") / F.col("n"), 6).alias("pos_rate"),
         F.round("iso", 6).alias("iso_rate"),
     ).orderBy("bin")
+
+
+TE_SEED = "te6"
+TE_K = 5  # encoding folds
+
+
+def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe out-of-fold target encoding of order priority by order
+    value -- the categorical-feature device every tabular training
+    pipeline needs: each row's category is encoded with the target mean
+    computed WITHOUT its own fold, so the encoding never leaks the row's
+    own label into its feature (the classic target-encoding overfit).
+
+    oof_mean(category, fold) = (sum_cat - sum_cat_fold) /
+    (n_cat - n_cat_fold), assembled from per-(category, fold) integer-cent
+    sums -- one groupBy shuffle at the (category, fold) grain (25 cells),
+    then pure cell algebra: the subtraction trick means ONE corpus pass
+    total, not K passes. Folds are seeded md5 slots (retry-stable, no
+    rand()). At 100 TB the cell table is dims x K rows -- broadcast back
+    for the actual encoding join."""
+    orders = load_table(spark, sf_dir, "orders")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{TE_SEED}:"), F.col("o_orderkey").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % TE_K
+    ).cast("int")
+    cells = (
+        orders.select(
+            F.col("o_orderpriority").alias("category"),
+            fold.alias("fold"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("category", "fold")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    )
+    tot = cells.groupBy("category").agg(
+        F.sum("n").alias("n_cat"), F.sum("s").alias("s_cat")
+    )
+    return (
+        cells.join(tot, "category")
+        .select(
+            "category",
+            "fold",
+            F.col("n").alias("n_in_fold"),
+            F.round(
+                (F.col("s_cat") - F.col("s")).cast("double")
+                / (F.col("n_cat") - F.col("n"))
+                / 100.0,
+                6,
+            ).alias("oof_mean_usd"),
+        )
+        .orderBy("category", "fold")
+    )

@@ -1399,3 +1399,155 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi_square",
         F.round(F.sqrt(F.col("chi_square") / v_den), 6).alias("cramers_v"),
     )
+
+
+STL_HALF = 3  # centered 7-day trend window
+
+
+def q_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of daily revenue: trend = centered
+    7-day moving average, seasonal = per-day-of-week mean of the detrended
+    series, residual = the rest. Reports the seasonal profile (the
+    actionable output: HOW MUCH each weekday deviates) plus the variance
+    split -- the decomposition counterpart of q_seasonality_strength's
+    hypothesis test.
+
+    Determinism: the trend mean divides a DECIMAL(38,0) window sum by the
+    window count (edges use the available window, like the classic
+    centered-MA convention) and rounds to 6; detrended values round to 6
+    and accumulate as DECIMAL(38,6) into the per-dow means and variance
+    moments, so no float order dependence anywhere. Plan: one orders
+    rollup shuffle, windows over the ~2.4k-row day spine, then a 7-row
+    dow aggregate with the variance split window-totaled over it."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-STL_HALF, STL_HALF)
+    dt = daily.select(
+        "day",
+        "rev",
+        F.round(
+            F.sum(F.col("rev").cast("decimal(38,0)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("trend"),
+    ).select(
+        F.dayofweek("day").alias("dow"),
+        F.round(F.col("rev") - F.col("trend"), 6).cast("decimal(38,6)").alias("d"),
+    )
+    per_dow = dt.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.sum("d").cast("double") / F.count(F.lit(1)), 6).alias("seasonal_cents"),
+        F.sum("d").alias("sd"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(38,12)")).alias("sdd"),
+    )
+    tot = Window.partitionBy()
+    n_t = F.sum("n_days").over(tot).cast("double")
+    sd_t = F.sum("sd").over(tot).cast("double")
+    sdd_t = F.sum("sdd").over(tot).cast("double")
+    # total variance of detrended; between-dow (seasonal) share of it
+    var_tot = sdd_t / n_t - (sd_t / n_t) * (sd_t / n_t)
+    between = F.sum(
+        F.round(
+            (F.col("sd").cast("double") / F.col("n_days"))
+            * (F.col("sd").cast("double") / F.col("n_days"))
+            * F.col("n_days"),
+            6,
+        ).cast("decimal(38,6)")
+    ).over(tot).cast("double") / n_t
+    return per_dow.select(
+        "dow",
+        "n_days",
+        "seasonal_cents",
+        F.round(between / var_tot, 6).alias("seasonal_share"),
+    ).orderBy("dow")
+
+
+MEDIAN_B = 1024  # histogram buckets per refinement round
+MEDIAN_ROUNDS = 3  # 1024^3 > any cents range: guarantees exact convergence
+
+
+def q_exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median of order value by iterative histogram
+    refinement -- the scale device for exact order statistics at 100 TB,
+    where a global sort (or a single-partition rank window) is off the
+    table. Each round histograms the surviving value range into MEDIAN_B
+    integer buckets, locates the bucket containing the k-th element from
+    the 1024-row cumulative count, and recurses into it; after
+    MEDIAN_ROUNDS rounds the surviving range is narrower than
+    range/1024^3 < 1 cent, so a final tiny groupBy names the element.
+    MEDIAN_ROUNDS+1 scans replace the sort; every step is integer-exact.
+
+    The answer is the lower median (k = (n+1) div 2), a uniquely-defined
+    order statistic the oracle can state independently as the k-th
+    smallest -- no need to mirror the refinement. Per-round state is a
+    1-row DataFrame (lo, hi, k) broadcast into the next scan, check-
+    pointed so the unrolled rounds cannot replay the chain (the house
+    PCA/kmeans lesson)."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    ).localCheckpoint(eager=True)
+    state = vals.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.expr("(count(1) + 1) div 2").alias("k"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=True)
+    for _ in range(MEDIAN_ROUNDS):
+        j = vals.crossJoin(F.broadcast(state)).filter(
+            (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        )
+        hist = (
+            j.select(
+                F.expr(f"(v - lo) div (((hi - lo) div {MEDIAN_B}) + 1)").alias("b"),
+                "lo",
+                "hi",
+                "k",
+                "n",
+            )
+            .groupBy("b", "lo", "hi", "k", "n")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        cum = hist.select(
+            "*",
+            F.sum("c").over(Window.partitionBy("lo").orderBy("b")).alias("cum"),
+        )
+        state = (
+            cum.filter(F.col("cum") >= F.col("k"))
+            .orderBy("b")
+            .limit(1)
+            .select(
+                (F.col("lo") + F.col("b") * F.expr(f"((hi - lo) div {MEDIAN_B}) + 1")).alias(
+                    "lo2"
+                ),
+                F.least(
+                    F.col("hi"),
+                    F.col("lo")
+                    + (F.col("b") + 1) * F.expr(f"((hi - lo) div {MEDIAN_B}) + 1")
+                    - 1,
+                ).alias("hi2"),
+                (F.col("k") - (F.col("cum") - F.col("c"))).alias("k2"),
+                "n",
+            )
+            .withColumnsRenamed({"lo2": "lo", "hi2": "hi", "k2": "k"})
+            .localCheckpoint(eager=True)
+        )
+    fin = (
+        vals.crossJoin(F.broadcast(state))
+        .filter((F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")))
+        .groupBy("v", "k", "n")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = fin.select("*", F.sum("c").over(Window.partitionBy("n").orderBy("v")).alias("cum"))
+    return (
+        cum.filter(F.col("cum") >= F.col("k"))
+        .orderBy("v")
+        .limit(1)
+        .select(
+            F.col("n").alias("n_orders"),
+            F.col("v").alias("median_cents"),
+            F.round(F.col("v") / 100.0, 2).alias("median_usd"),
+        )
+    )

@@ -3927,6 +3927,61 @@ r AS (
 SELECT anchor_id, anchor_source, CAST(rank AS INT) AS rank, neg_id, neg_source
 FROM r WHERE rank <= {sampling.NEG_K}""",
     ),
+    "stl_decomposition": QuerySpec(
+        profiling.q_stl_decomposition,
+        f"""WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+dt AS (
+  SELECT dayofweek(day) + 1 AS dow,
+    CAST(ROUND(rev - ROUND(CAST(SUM(CAST(rev AS DECIMAL(38,0))) OVER w AS DOUBLE)
+                           / COUNT(*) OVER w, 6), 6) AS DECIMAL(38,6)) AS d
+  FROM daily
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {profiling.STL_HALF} PRECEDING
+                        AND {profiling.STL_HALF} FOLLOWING)),
+per_dow AS (
+  SELECT dow, COUNT(*) AS n_days,
+    ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS seasonal_cents,
+    SUM(d) AS sd,
+    SUM(CAST(d * d AS DECIMAL(38,12))) AS sdd
+  FROM dt GROUP BY 1)
+SELECT CAST(dow AS INT) AS dow, n_days, seasonal_cents,
+  ROUND(
+    (CAST(SUM(CAST(ROUND((CAST(sd AS DOUBLE) / n_days) * (CAST(sd AS DOUBLE) / n_days)
+                          * n_days, 6) AS DECIMAL(38,6))) OVER () AS DOUBLE)
+     / CAST(SUM(n_days) OVER () AS DOUBLE))
+    / (CAST(SUM(sdd) OVER () AS DOUBLE) / CAST(SUM(n_days) OVER () AS DOUBLE)
+       - (CAST(SUM(sd) OVER () AS DOUBLE) / CAST(SUM(n_days) OVER () AS DOUBLE))
+         * (CAST(SUM(sd) OVER () AS DOUBLE) / CAST(SUM(n_days) OVER () AS DOUBLE))),
+    6) AS seasonal_share
+FROM per_dow ORDER BY dow""",
+    ),
+    "exact_median_refinement": QuerySpec(
+        profiling.q_exact_median_refinement,
+        """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+n AS (SELECT COUNT(*) AS n, CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k FROM v),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM v)
+SELECT CAST(n.n AS BIGINT) AS n_orders,
+  CAST(r.v AS BIGINT) AS median_cents,
+  ROUND(r.v / 100.0, 2) AS median_usd
+FROM r, n WHERE r.rn = n.k""",
+    ),
+    "target_encoding_oof": QuerySpec(
+        curation.q_target_encoding_oof,
+        f"""WITH cells AS (
+  SELECT o_orderpriority AS category,
+    CAST(('0x' || substr(md5('{curation.TE_SEED}:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+         % {curation.TE_K} AS INT) AS fold,
+    COUNT(*) AS n,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+  FROM orders GROUP BY 1, 2),
+tot AS (SELECT category, SUM(n) AS n_cat, SUM(s) AS s_cat FROM cells GROUP BY 1)
+SELECT category, fold, CAST(n AS BIGINT) AS n_in_fold,
+  ROUND(CAST(s_cat - s AS DOUBLE) / (n_cat - n) / 100.0, 6) AS oof_mean_usd
+FROM cells JOIN tot USING (category) ORDER BY category, fold""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -4317,23 +4372,26 @@ _ROUND6_FRONT = [
     "token_stats_pandas",
     # new this round (no driver row by definition) -- Spearman rank trend,
     # chi-square independence + Cramer's V, HITS hubs/authorities, the
-    # LSH recall/precision audit, and contrastive negative mining
+    # LSH recall/precision audit, contrastive negative mining, STL-lite
+    # seasonal decomposition, exact median by histogram refinement, and
+    # leakage-safe out-of-fold target encoding
     "spearman_trend",
     "chi_square_independence",
     "hits_hubs_authorities",
     "lsh_recall_audit",
     "negative_samples",
+    "stl_decomposition",
+    "exact_median_refinement",
+    "target_encoding_oof",
     # stalest driver evidence (last green r02), registry order; the next
-    # 5 (customer_order_stats, rollup_order_status, lsh_jaccard_verified,
+    # 8 (order_priority, top_orders, top_orders_per_customer,
+    # customer_order_stats, rollup_order_status, lsh_jaccard_verified,
     # dedup_clusters, dataset_split) yielded their slots to the round-6
     # additions above -- rotate them first in round 7
     "pricing_summary",
     "revenue_by_nation",
     "region_volume",
     "forecast_revenue",
-    "order_priority",
-    "top_orders",
-    "top_orders_per_customer",
 ]
 assert len(_ROUND6_FRONT) <= 50, len(_ROUND6_FRONT)
 assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)

@@ -71,3 +71,67 @@ class TestNegativeSamples:
         a = [tuple(r) for r in sampling.q_negative_samples(spark, SF).collect()]
         b = [tuple(r) for r in sampling.q_negative_samples(spark, SF).collect()]
         assert sorted(a) == sorted(b)
+
+
+class TestStlDecomposition:
+    def test_seasonal_profile_shape(self, spark):
+        rows = profiling.q_stl_decomposition(spark, SF).collect()
+        assert len(rows) == 7
+        assert sorted(r.dow for r in rows) == list(range(1, 8))
+        shares = {r.seasonal_share for r in rows}
+        assert len(shares) == 1  # window total repeated per row
+        assert 0.0 <= shares.pop() <= 1.0
+
+
+class TestExactMedianRefinement:
+    def test_matches_sorted_kth(self, spark):
+        from pgsf_spark.tables import load_table
+
+        row = profiling.q_exact_median_refinement(spark, SF).collect()[0]
+        vals = sorted(
+            r.v
+            for r in load_table(spark, SF, "orders")
+            .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("v"))
+            .collect()
+        )
+        k = (len(vals) + 1) // 2
+        assert row.n_orders == len(vals)
+        assert row.median_cents == vals[k - 1]
+
+    def test_tiny_input_converges(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(f"2024-01-{d:02d}", float(p)) for d, p in enumerate([5, 1, 9, 3, 7], 1)],
+            "o_orderdate string, o_totalprice double",
+        ).select(F.to_timestamp("o_orderdate").alias("o_orderdate"), "o_totalprice")
+        df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        row = profiling.q_exact_median_refinement(spark, str(tmp_path)).collect()[0]
+        assert (row.n_orders, row.median_cents) == (5, 500)
+
+
+class TestTargetEncodingOof:
+    def test_oof_excludes_own_fold(self, spark):
+        from pgsf_spark.analytics import curation
+        from pgsf_spark.tables import load_table
+
+        rows = curation.q_target_encoding_oof(spark, SF).collect()
+        assert rows
+        # recompute one cell the slow way
+        r0 = rows[0]
+        o = load_table(spark, SF, "orders").select(
+            F.col("o_orderpriority").alias("cat"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("te6:"), F.col("o_orderkey").cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % curation.TE_K
+            ).cast("int").alias("fold"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        other = o.filter((F.col("cat") == r0.category) & (F.col("fold") != r0.fold)).agg(
+            F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        assert r0.oof_mean_usd == pytest.approx(other.s / other.n / 100.0, abs=1e-6)
