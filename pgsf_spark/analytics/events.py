@@ -995,3 +995,86 @@ def q_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users grouped by first-activity week,
+    cumulative purchase revenue tracked by week-age -- the
+    revenue-over-time companion of the retention matrix (weekly_retention
+    counts WHO came back; this sums WHAT they spent, cumulatively, which
+    is the curve an LTV model is fit to).
+
+    Exactness: per-(cohort, age) revenue sums accumulate as
+    DECIMAL(27,4) cents before the cumulative window, which runs over the
+    bounded cohort x age grid (~weeks^2 rows), not over events. Plan: one
+    min-per-user shuffle (first week), one broadcast-joinable user->cohort
+    map against the purchase stream, one (cohort, age) aggregate, then
+    grid-sized windows."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk"), "value"
+    )
+    cells = (
+        buys.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("int").alias("age_week"),
+            "value",
+        )
+        .groupBy("cohort_week", "age_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    w = Window.partitionBy("cohort_week").orderBy("age_week").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sizes = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_users"))
+    return (
+        cells.join(sizes, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "age_week",
+            "cohort_users",
+            "n_purchases",
+            F.round(F.sum("cents").over(w) / 100.0, 2).alias("cum_revenue_usd"),
+            F.round(F.sum("cents").over(w) / F.col("cohort_users") / 100.0, 4).alias(
+                "ltv_per_user_usd"
+            ),
+        )
+        .orderBy("cohort_week", "age_week")
+    )
+
+
+TRIGRAM_TOP = 20
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigrams over per-user ordered event sequences --
+    behavioral n-gram mining (the text-stack instinct applied to
+    clickstreams: which three-step paths dominate, the raw material for
+    next-action models and funnel discovery).
+
+    Determinism: sequences order by (ts, event_id) so ties cannot
+    reorder; the trigram is two lead() calls over the per-user window --
+    one shuffle on user_id, then a (e1,e2,e3) count and a top-K sort on
+    (n DESC, path). Windows are per-user (bounded partitions), never
+    global."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat_ws(">", "e1", "e2", "e3").alias("path"), "n")
+        .orderBy(F.col("n").desc(), "path")
+        .limit(TRIGRAM_TOP)
+    )

@@ -1551,3 +1551,49 @@ def q_exact_median_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("v") / 100.0, 2).alias("median_usd"),
         )
     )
+
+
+def q_nation_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS of order value against calendar time -- grouped
+    regression, the per-segment trend readout (which geographies are
+    growing and how fast) next to the global trend tests. slope =
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with x = days since epoch and y =
+    order cents; r^2 is the squared Pearson correlation.
+
+    Exactness: all five moments accumulate as DECIMAL(38,0) over exact
+    integers (x ~ 1e4, y ~ 1e7: products fit with 20+ digits to spare),
+    cast to double once, then the same closed-form IEEE arithmetic on
+    both engines. Plan: orders joins broadcast customer->nation keys, one
+    groupBy(nation) shuffle carrying five sums -- the canonical
+    map-side-combine regression at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        orders.select(
+            "o_custkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+
+    def s(col_expr):
+        return F.sum(col_expr.cast("decimal(38,0)")).cast("double")
+
+    x, y = F.col("x"), F.col("y")
+    n = F.count(F.lit(1)).cast("double")
+    num = n * s(x * y) - s(x) * s(y)
+    den_x = n * s(x * x) - s(x) * s(x)
+    den_y = n * s(y * y) - s(y) * s(y)
+    return (
+        base.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(num / den_x / 100.0, 6).alias("slope_usd_per_day"),
+            F.round((s(y) - (num / den_x) * s(x)) / n / 100.0, 4).alias("intercept_usd"),
+            F.round((num / F.sqrt(den_x)) * (num / F.sqrt(den_x)) / den_y, 6).alias("r_sq"),
+        )
+        .orderBy("n_name")
+    )

@@ -3982,6 +3982,79 @@ SELECT category, fold, CAST(n AS BIGINT) AS n_in_fold,
   ROUND(CAST(s_cat - s AS DOUBLE) / (n_cat - n) / 100.0, 6) AS oof_mean_usd
 FROM cells JOIN tot USING (category) ORDER BY category, fold""",
     ),
+    "weighted_sample_topk": QuerySpec(
+        sampling.q_weighted_sample_topk,
+        f"""WITH h AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+    ('0x' || substr(md5('{sampling.WSAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM documents),
+k AS (
+  SELECT doc_id, source, n_chars,
+    ROUND(CAST(ROUND(ln((hv + 1) / 4294967296.0), 9) AS DECIMAL(18,9))
+          / CAST(n_chars AS DOUBLE), 12) AS es_key
+  FROM h),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rank FROM k)
+SELECT CAST(rank AS INT) AS rank, doc_id, source, n_chars, es_key
+FROM r WHERE rank <= {sampling.WSAMPLE_K}""",
+    ),
+    "nation_revenue_ols": QuerySpec(
+        profiling.q_nation_revenue_ols,
+        """WITH base AS (
+  SELECT n.n_name,
+    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS x,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+m AS (
+  SELECT n_name, COUNT(*) AS n,
+    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+  FROM base GROUP BY 1)
+SELECT n_name, n AS n_orders,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0, 6) AS slope_usd_per_day,
+  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n / 100.0, 4)
+    AS intercept_usd,
+  ROUND(((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx))
+        * ((n * sxy - sx * sy) / sqrt(n * sxx - sx * sx)) / (n * syy - sy * sy), 6) AS r_sq
+FROM m ORDER BY n_name""",
+    ),
+    "cohort_ltv": QuerySpec(
+        events.q_cohort_ltv,
+        """WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1),
+buys AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk, value
+  FROM events WHERE event_type = 'purchase'),
+cells AS (
+  SELECT cohort_week, CAST(datediff('day', cohort_week, wk) // 7 AS INT) AS age_week,
+    COUNT(*) AS n_purchases,
+    SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM buys JOIN f USING (user_id) GROUP BY 1, 2),
+sizes AS (SELECT cohort_week, COUNT(*) AS cohort_users FROM f GROUP BY 1)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, age_week,
+  CAST(cohort_users AS BIGINT) AS cohort_users,
+  CAST(n_purchases AS BIGINT) AS n_purchases,
+  ROUND(SUM(cents) OVER w / 100.0, 2) AS cum_revenue_usd,
+  ROUND(SUM(cents) OVER w / cohort_users / 100.0, 4) AS ltv_per_user_usd
+FROM cells JOIN sizes USING (cohort_week)
+WINDOW w AS (PARTITION BY cohort_week ORDER BY age_week ROWS UNBOUNDED PRECEDING)
+ORDER BY cohort_week, age_week""",
+    ),
+    "event_trigrams": QuerySpec(
+        events.q_event_trigrams,
+        f"""WITH t AS (
+  SELECT event_type AS e1,
+    lead(event_type, 1) OVER w AS e2,
+    lead(event_type, 2) OVER w AS e3
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+FROM t WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT {events.TRIGRAM_TOP}""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -4383,15 +4456,17 @@ _ROUND6_FRONT = [
     "stl_decomposition",
     "exact_median_refinement",
     "target_encoding_oof",
-    # stalest driver evidence (last green r02), registry order; the next
-    # 8 (order_priority, top_orders, top_orders_per_customer,
-    # customer_order_stats, rollup_order_status, lsh_jaccard_verified,
-    # dedup_clusters, dataset_split) yielded their slots to the round-6
-    # additions above -- rotate them first in round 7
-    "pricing_summary",
-    "revenue_by_nation",
-    "region_volume",
-    "forecast_revenue",
+    "weighted_sample_topk",
+    "nation_revenue_ols",
+    "cohort_ltv",
+    "event_trigrams",
+    # the r02-last-green staleness rotation (pricing_summary,
+    # revenue_by_nation, region_volume, forecast_revenue, order_priority,
+    # top_orders, top_orders_per_customer, customer_order_stats,
+    # rollup_order_status, lsh_jaccard_verified, dedup_clusters,
+    # dataset_split, ...) yielded this round's remaining slots to the 12
+    # new operators above -- ROUND 7 FRONT MUST START WITH that r02 list,
+    # then the r03-last-green set
 ]
 assert len(_ROUND6_FRONT) <= 50, len(_ROUND6_FRONT)
 assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)

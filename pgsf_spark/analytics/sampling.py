@@ -464,3 +464,43 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= NEG_K)
         .select("anchor_id", "anchor_source", "rank", "neg_id", "neg_source")
     )
+
+
+WSAMPLE_SEED = "ws6"
+WSAMPLE_K = 25
+
+
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    one-pass key trick: each item draws u from a seeded md5 hash and gets
+    key = ln(u)/w (the log form of u^(1/w)); the global top-K keys ARE a
+    weighted sample without replacement -- the distributed answer to
+    "sample 25 documents proportional to length" that needs no sequential
+    pass, no rejection loop, and no engine RNG (retry-stable).
+
+    Determinism: u = (h+1)/2^32 from the md5 hash is exact; ln(u) rounds
+    to DECIMAL(18,9) before the division (the house ln-portability device
+    -- a sub-ulp libm difference cannot survive the rounding), the key
+    rounds to 12, ties break by doc_id. Plan: one scan + TakeOrdered(K)
+    -- a per-partition top-K then a K*partitions driver merge, the same
+    shape at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{WSAMPLE_SEED}:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1) / F.lit(float(0x100000000))
+    lnu = F.round(F.log(u), 9).cast("decimal(18,9)")
+    key = F.round(lnu / F.col("n_chars").cast("double"), 12)
+    ranked = d.select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"), key.alias("k")
+    ).orderBy(F.col("k").desc(), "doc_id")
+    w = Window.orderBy(F.col("k").desc(), "doc_id")
+    return (
+        ranked.limit(WSAMPLE_K)
+        .withColumn("rank", F.row_number().over(w))
+        .select("rank", "doc_id", "source", "n_chars", F.col("k").alias("es_key"))
+    )

@@ -135,3 +135,53 @@ class TestTargetEncodingOof:
             F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
         ).collect()[0]
         assert r0.oof_mean_usd == pytest.approx(other.s / other.n / 100.0, abs=1e-6)
+
+
+class TestWeightedSample:
+    def test_long_docs_overrepresented(self, spark):
+        from pgsf_spark.tables import load_table
+
+        rows = sampling.q_weighted_sample_topk(spark, SF).collect()
+        assert len(rows) == sampling.WSAMPLE_K
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        mean_corpus = (
+            load_table(spark, SF, "documents").agg(F.avg("n_chars")).collect()[0][0]
+        )
+        mean_sample = sum(r.n_chars for r in rows) / len(rows)
+        # length-weighted: the sample must skew long vs the corpus mean
+        assert mean_sample > mean_corpus
+
+
+class TestNationOls:
+    def test_per_group_shape(self, spark):
+        rows = profiling.q_nation_revenue_ols(spark, SF).collect()
+        assert len(rows) == 25
+        for r in rows:
+            assert 0.0 <= r.r_sq <= 1.0
+            assert r.n_orders > 0
+
+
+class TestCohortLtv:
+    def test_cumulative_monotone_within_cohort(self, spark):
+        from collections import defaultdict
+
+        from pgsf_spark.analytics import events as ev
+
+        rows = ev.q_cohort_ltv(spark, SF).collect()
+        assert rows
+        by_cohort = defaultdict(list)
+        for r in sorted(rows, key=lambda r: (r.cohort_week, r.age_week)):
+            by_cohort[r.cohort_week].append(r.cum_revenue_usd)
+        for seq in by_cohort.values():
+            assert seq == sorted(seq)  # cumulative never decreases
+
+
+class TestEventTrigrams:
+    def test_topk_sorted_and_counts_positive(self, spark):
+        from pgsf_spark.analytics import events as ev
+
+        rows = ev.q_event_trigrams(spark, SF).collect()
+        assert 0 < len(rows) <= ev.TRIGRAM_TOP
+        ns = [r.n for r in rows]
+        assert ns == sorted(ns, reverse=True)
+        assert all(len(r.path.split(">")) == 3 for r in rows)
