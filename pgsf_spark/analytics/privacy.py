@@ -190,3 +190,43 @@ def q_cascade_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("orders", v_orders, o))
         .unionByName(row("lineitem", v_line, li))
     )
+
+
+L_DIV = 3  # distinct-sensitive-values floor per equivalence class
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the same quasi-identifier classes as the
+    k-anonymity gate: k-anonymity counts ROWS per class (re-identification
+    risk), l-diversity counts DISTINCT SENSITIVE VALUES per class
+    (attribute-disclosure risk -- a class of 50 people all sharing one
+    exact balance leaks the balance even though k=50 passes). Sensitive
+    attribute here: the exact account balance.
+
+    Same scale shape as q_k_anonymity_audit: one groupBy on the class key
+    carrying a COUNT plus a COUNT DISTINCT, then a single-row rollup."""
+    classes = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET).cast("int").alias("bal_bucket"),
+            F.col("c_acctbal").alias("sens"),
+        )
+        .groupBy("nation", "segment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("sens").alias("l"))
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l").alias("min_diversity"),
+        F.sum((F.col("l") < L_DIV).cast("int")).cast("bigint").alias("classes_below_l"),
+        F.sum(F.when(F.col("l") < L_DIV, F.col("n")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("records_at_risk"),
+        F.round(
+            F.sum(F.when(F.col("l") < L_DIV, F.col("n")).otherwise(F.lit(0)))
+            / F.sum("n")
+            * 100,
+            4,
+        ).alias("at_risk_pct"),
+    )

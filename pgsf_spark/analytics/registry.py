@@ -4055,6 +4055,43 @@ SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
 FROM t WHERE e3 IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, path LIMIT {events.TRIGRAM_TOP}""",
     ),
+    "ams_f2_sketch": QuerySpec(
+        text.q_ams_f2_sketch,
+        f"""WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+g AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+    COUNT(*) AS n_distinct,
+    CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS BIGINT) AS exact_f2,
+    {", ".join(
+        f"CAST(SUM(CAST(c * ((('0x' || substr(md5('{text.AMS_SEED}{j}:' || token), 1, 1))::INT % 2) * 2 - 1) AS DECIMAL(38,0))) AS BIGINT) AS x{j}"
+        for j in range(text.AMS_K)
+    )}
+  FROM c),
+e AS (
+  SELECT n_tokens, n_distinct, exact_f2,
+    ROUND(CAST(({" + ".join(f"x{j} * x{j}" for j in range(text.AMS_K))}) AS DOUBLE)
+          / {text.AMS_K}, 4) AS ams_f2
+  FROM g)
+SELECT n_tokens, n_distinct, exact_f2, ams_f2,
+  ROUND(abs(ams_f2 - exact_f2) / exact_f2, 6) AS rel_error
+FROM e""",
+    ),
+    "l_diversity_audit": QuerySpec(
+        privacy.q_l_diversity_audit,
+        f"""WITH cl AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+    CAST(floor(c_acctbal / {privacy.ACCTBAL_BUCKET}) AS INT) AS bal_bucket,
+    COUNT(*) AS n, COUNT(DISTINCT c_acctbal) AS l
+  FROM customer GROUP BY 1, 2, 3)
+SELECT COUNT(*) AS n_classes,
+  CAST(MIN(l) AS BIGINT) AS min_diversity,
+  CAST(SUM(CASE WHEN l < {privacy.L_DIV} THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_l,
+  CAST(SUM(CASE WHEN l < {privacy.L_DIV} THEN n ELSE 0 END) AS BIGINT) AS records_at_risk,
+  ROUND(SUM(CASE WHEN l < {privacy.L_DIV} THEN n ELSE 0 END) / SUM(n) * 100, 4)
+    AS at_risk_pct
+FROM cl""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -4465,8 +4502,10 @@ _ROUND6_FRONT = [
     # top_orders, top_orders_per_customer, customer_order_stats,
     # rollup_order_status, lsh_jaccard_verified, dedup_clusters,
     # dataset_split, ...) yielded this round's remaining slots to the 12
-    # new operators above -- ROUND 7 FRONT MUST START WITH that r02 list,
-    # then the r03-last-green set
+    # new operators above -- ROUND 7 FRONT MUST START WITH the two
+    # round-6 additions that landed after the window filled
+    # (ams_f2_sketch, l_diversity_audit), then that r02 list, then the
+    # r03-last-green set
 ]
 assert len(_ROUND6_FRONT) <= 50, len(_ROUND6_FRONT)
 assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)

@@ -572,3 +572,64 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), 4
         ).alias("intercept"),
     )
+
+
+AMS_K = 32  # independent +/-1 sign estimators
+AMS_SEED = "ams6"
+
+
+def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch over the
+    token stream, audited against the exact value. F2 = sum of squared
+    token frequencies is the SELF-JOIN SIZE of the token table -- the
+    quantity a distributed planner wants BEFORE committing to a join
+    (estimate the blow-up without computing it). The sketch is AMS_K
+    seeded +/-1 sign projections X_j = sum c(t)*s_j(t); each X_j^2 is an
+    unbiased F2 estimator and the audit reports the mean-of-K estimate
+    next to the exact answer with its relative error.
+
+    Determinism: signs come from one md5 nibble per (seed_j, token) --
+    engine-portable, no RNG; X_j accumulate as DECIMAL(38,0) over exact
+    integers so the estimate is bit-identical everywhere. Scale shape:
+    one token-count aggregate (the same shuffle top_tokens runs), then
+    the sign table is VOCABULARY-sized and the K partial sums are
+    mergeable -- at 100 TB the X_j fold map-side like any partial agg,
+    which is the whole point of a linear sketch."""
+    from pgsf_spark.analytics.dedup import _norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+
+    def sign(j: int):
+        nib = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{AMS_SEED}{j}:"), F.col("token"))), 1, 1),
+            16,
+            10,
+        ).cast("int")
+        return (nib % 2) * 2 - 1
+
+    aggs = [
+        F.sum((F.col("c") * sign(j)).cast("decimal(38,0)")).cast("long").alias(f"x{j}")
+        for j in range(AMS_K)
+    ]
+    g = counts.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).cast("long").alias("exact_f2"),
+        *aggs,
+    )
+    sumsq = None
+    for j in range(AMS_K):
+        t = F.col(f"x{j}") * F.col(f"x{j}")
+        sumsq = t if sumsq is None else sumsq + t
+    est = F.round(sumsq.cast("double") / AMS_K, 4)
+    return g.select(
+        "n_tokens",
+        "n_distinct",
+        "exact_f2",
+        est.alias("ams_f2"),
+        F.round(
+            F.abs(est - F.col("exact_f2")) / F.col("exact_f2"), 6
+        ).alias("rel_error"),
+    )

@@ -185,3 +185,26 @@ class TestEventTrigrams:
         ns = [r.n for r in rows]
         assert ns == sorted(ns, reverse=True)
         assert all(len(r.path.split(">")) == 3 for r in rows)
+
+
+class TestAmsF2:
+    def test_estimate_within_sampling_error(self, spark):
+        from pgsf_spark.analytics import text as tx
+
+        row = tx.q_ams_f2_sketch(spark, SF).collect()[0]
+        assert row.exact_f2 >= row.n_tokens  # sum c^2 >= sum c
+        # var of mean-of-K estimator <= 2*F2^2/K: 5 sigma bound is generous
+        import math
+
+        sigma = math.sqrt(2.0 / tx.AMS_K) * row.exact_f2
+        assert abs(row.ams_f2 - row.exact_f2) < 5 * sigma
+
+
+class TestLDiversity:
+    def test_rollup_consistent(self, spark):
+        from pgsf_spark.analytics import privacy as pv
+
+        row = pv.q_l_diversity_audit(spark, SF).collect()[0]
+        assert row.classes_below_l <= row.n_classes
+        assert row.min_diversity >= 1
+        assert 0.0 <= row.at_risk_pct <= 100.0
