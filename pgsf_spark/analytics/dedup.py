@@ -1083,7 +1083,7 @@ def q_incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RECALL_SEED = "rec6"
-RECALL_SLOTS = 64  # of 256: ~25% seeded-hash audit sample
+RECALL_TARGET = 1500  # ABSOLUTE audit sample size; slots adapt to corpus size
 
 
 def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1107,12 +1107,20 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample the hot-bucket cap is unnecessary, and leaving it out keeps
     the oracle byte-exact).
 
-    Scale shape: everything is sample-bounded -- the truth side is one
-    shingle-keyed shuffle + a pair verify on candidates, the LSH side one
-    (band, bucket) shuffle over the same sample; the final scalar row
-    joins four 1-row aggregates. At 100 TB shrink RECALL_SLOTS, not the
-    design."""
+    Scale shape: everything is sample-bounded, and the sample is bounded
+    in ABSOLUTE size, not as a corpus fraction -- the md5 slot count
+    adapts as ceil(256 * RECALL_TARGET / n_docs), so a 100x corpus still
+    audits ~RECALL_TARGET docs (a fixed-fraction sample went 5.2x
+    superlinear at 10x in the first cut: truth pairs grow quadratically
+    in sample size). The audit's statistical power depends on the
+    absolute sample, so nothing is lost. The n_docs scalar is one bounded
+    driver count (the pagerank node-count device). Truth side: one
+    shingle-keyed shuffle + pair verify on candidates; LSH side: one
+    (band, bucket) shuffle over the same sample; final row joins four
+    1-row aggregates."""
     d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    slots = max(1, min(256, (256 * RECALL_TARGET + n_docs - 1) // n_docs))
     slot = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"{RECALL_SEED}:"), F.col("doc_id").cast("string"))), 1, 2
@@ -1120,7 +1128,7 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("int")
-    sample = d.filter(slot < RECALL_SLOTS).localCheckpoint(eager=True)
+    sample = d.filter(slot < slots).localCheckpoint(eager=True)
 
     sh = sample.select("doc_id", word_shingles(F.col("text")).alias("sh")).localCheckpoint(
         eager=True

@@ -3877,7 +3877,9 @@ ORDER BY authority DESC, partkey LIMIT {linkage.HITS_TOP}""",
 samp AS (
   SELECT doc_id FROM documents
   WHERE ('0x' || substr(md5('{dedup.RECALL_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 2))::INT
-        < {dedup.RECALL_SLOTS}),
+        < LEAST(256, GREATEST(1, CAST(
+            ({256 * dedup.RECALL_TARGET} + (SELECT COUNT(*) FROM documents) - 1)
+            // (SELECT COUNT(*) FROM documents) AS INT)))),
 t AS (
   SELECT sh.doc_id, sh.s
   FROM sh JOIN samp ON sh.doc_id = samp.doc_id),
