@@ -613,3 +613,43 @@ def q_quantile_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("chars_per_token"),
         F.round(F.col("loss_sum") / F.col("nn"), 6).alias("mean_pinball_loss"),
     )
+
+
+def q_trimmed_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 5%-trimmed mean of document length -- the robust
+    location estimate between the raw mean (outlier-hostage) and the
+    Huber mean (iterative): drop the bottom and top 5% by exact
+    integer-rank comparison and average the middle 90%.
+
+    Exactness: the trim bounds avoid percentile interpolation entirely --
+    keep rank r iff 20*r > n AND 20*r <= 19*n, pure BIGINT comparisons
+    identical on both engines (ties broken by doc_id so the trimmed SET
+    is deterministic, not just its size). Windows are partitioned by
+    source, the corpus-sharded grain, so the rank never runs global."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    n_w = Window.partitionBy("source")
+    ranked = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+    kept = ranked.filter((20 * F.col("r") > F.col("n")) & (20 * F.col("r") <= 19 * F.col("n")))
+    raw = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(F.col("n_chars").cast("decimal(38,0)")).cast("double") / F.count(F.lit(1)), 4).alias(
+            "raw_mean"
+        ),
+    )
+    tr = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum(F.col("x").cast("decimal(38,0)")).cast("double") / F.count(F.lit(1)), 4).alias(
+            "trimmed_mean"
+        ),
+    )
+    return raw.join(tr, "source").select(
+        "source", "n_docs", "n_kept", "raw_mean", "trimmed_mean"
+    ).orderBy("source")

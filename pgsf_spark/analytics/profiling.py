@@ -1597,3 +1597,47 @@ def q_nation_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def q_binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint: the single split of the daily
+    revenue series that maximizes between-segment sum of squares -- the
+    answer to WHERE did the level shift happen (CUSUM says WHETHER and
+    roughly when an alarm fires; binary segmentation names the optimal
+    split, and is the recursion step of the classic changepoint tree).
+
+    Exactness: with prefix sums S_k over integer cents, the between-SS
+    gain at split k is (n*S_k - k*S_n)^2 / (k*(n-k)*n) -- numerator an
+    EXACT DECIMAL(38,0) integer square, one double division per candidate
+    split, argmax tie-broken by day. Plan: one day-grain rollup, one
+    prefix-sum window over the ~2.4k-day spine, one TakeOrdered(1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    pre = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).over(w).alias("sk"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+        F.sum(F.col("rev").cast("decimal(38,0)")).over(tot).alias("sn"),
+    ).filter(F.col("k") < F.col("n"))
+    num = (F.col("n") * F.col("sk") - F.col("k") * F.col("sn")).cast("decimal(38,0)")
+    gain = (num * num).cast("double") / (
+        (F.col("k") * (F.col("n") - F.col("k"))).cast("double") * F.col("n").cast("double")
+    )
+    scored = pre.select(
+        "day", "k", "n", "sk", "sn", F.round(gain, 6).alias("gain")
+    ).orderBy(F.col("gain").desc(), "day").limit(1)
+    return scored.select(
+        F.col("n").alias("n_days"),
+        F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+        F.col("k").alias("days_before"),
+        F.round(F.col("sk").cast("double") / F.col("k") / 100.0, 2).alias("left_mean_usd"),
+        F.round(
+            (F.col("sn") - F.col("sk")).cast("double") / (F.col("n") - F.col("k")) / 100.0, 2
+        ).alias("right_mean_usd"),
+        F.round(F.col("gain") / 10000.0, 2).alias("gain_usd_sq"),
+    )

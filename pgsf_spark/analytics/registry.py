@@ -4094,6 +4094,82 @@ SELECT COUNT(*) AS n_classes,
     AS at_risk_pct
 FROM cl""",
     ),
+    "binary_segmentation_split": QuerySpec(
+        profiling.q_binary_segmentation_split,
+        """WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+pre AS (
+  SELECT day,
+    ROW_NUMBER() OVER (ORDER BY day) AS k,
+    SUM(CAST(rev AS DECIMAL(38,0))) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS sk,
+    COUNT(*) OVER () AS n,
+    SUM(CAST(rev AS DECIMAL(38,0))) OVER () AS sn
+  FROM daily),
+sc AS (
+  SELECT day, k, n, sk, sn,
+    ROUND(CAST((n * sk - k * sn) * (n * sk - k * sn) AS DOUBLE)
+          / (CAST(k * (n - k) AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS gain
+  FROM pre WHERE k < n),
+b AS (SELECT * FROM sc ORDER BY gain DESC, day LIMIT 1)
+SELECT CAST(n AS BIGINT) AS n_days,
+  strftime(day, '%Y-%m-%d') AS split_day,
+  CAST(k AS INT) AS days_before,
+  ROUND(CAST(sk AS DOUBLE) / k / 100.0, 2) AS left_mean_usd,
+  ROUND(CAST(sn - sk AS DOUBLE) / (n - k) / 100.0, 2) AS right_mean_usd,
+  ROUND(gain / 10000.0, 2) AS gain_usd_sq
+FROM b""",
+    ),
+    "ipw_effect": QuerySpec(
+        events.q_ipw_effect,
+        f"""WITH spend AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+    COUNT(*) AS n_orders
+  FROM orders GROUP BY 1),
+base AS (
+  SELECT cents,
+    CAST(('0x' || substr(md5('{events.IPW_SEED}:' || CAST(o_custkey AS VARCHAR)), 1, 2))::INT
+         < (CASE WHEN n_orders >= {events.IPW_HEAVY_ORDERS} THEN {events.IPW_HEAVY_SLOTS}
+                 ELSE {events.IPW_LIGHT_SLOTS} END)
+         AS INT) AS t,
+    (CASE WHEN n_orders >= {events.IPW_HEAVY_ORDERS} THEN {events.IPW_HEAVY_SLOTS}
+          ELSE {events.IPW_LIGHT_SLOTS} END) / 256.0 AS e
+  FROM spend),
+g AS (
+  SELECT COUNT(*) AS n_users,
+    CAST(SUM(t) AS BIGINT) AS n_treated,
+    SUM(CASE WHEN t = 1 THEN cents ELSE 0 END) AS st,
+    SUM(CASE WHEN t = 0 THEN cents ELSE 0 END) AS sc,
+    CAST(SUM(CAST(ROUND(t * cents / e, 9) AS DECIMAL(28,9))) AS DOUBLE) AS swt,
+    CAST(SUM(CAST(ROUND((1 - t) * cents / (1 - e), 9) AS DECIMAL(28,9))) AS DOUBLE) AS swc,
+    CAST(SUM(CAST(ROUND(t / e, 9) AS DECIMAL(28,9))) AS DOUBLE) AS nwt,
+    CAST(SUM(CAST(ROUND((1 - t) / (1 - e), 9) AS DECIMAL(28,9))) AS DOUBLE) AS nwc
+  FROM base)
+SELECT n_users, n_treated,
+  ROUND((CAST(st AS DOUBLE) / n_treated
+         - CAST(sc AS DOUBLE) / (n_users - n_treated)) / 100.0, 4) AS naive_diff_usd,
+  ROUND((swt / nwt - swc / nwc) / 100.0, 4) AS ipw_ate_usd
+FROM g""",
+    ),
+    "trimmed_mean_chars": QuerySpec(
+        corpus.q_trimmed_mean_chars,
+        """WITH ranked AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+raw AS (
+  SELECT source, COUNT(*) AS n_docs,
+    ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*), 4) AS raw_mean
+  FROM documents GROUP BY 1),
+tr AS (
+  SELECT source, COUNT(*) AS n_kept,
+    ROUND(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*), 4) AS trimmed_mean
+  FROM ranked WHERE 20 * r > n AND 20 * r <= 19 * n GROUP BY 1)
+SELECT source, n_docs, CAST(n_kept AS BIGINT) AS n_kept, raw_mean, trimmed_mean
+FROM raw JOIN tr USING (source) ORDER BY source""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

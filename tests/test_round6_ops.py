@@ -208,3 +208,45 @@ class TestLDiversity:
         assert row.classes_below_l <= row.n_classes
         assert row.min_diversity >= 1
         assert 0.0 <= row.at_risk_pct <= 100.0
+
+
+class TestBinarySegmentation:
+    def test_split_interior_and_means_bracket(self, spark):
+        row = profiling.q_binary_segmentation_split(spark, SF).collect()[0]
+        assert 1 <= row.days_before < row.n_days
+        assert row.gain_usd_sq >= 0
+
+
+class TestIpwEffect:
+    def test_hajek_estimate_near_zero(self, spark):
+        from pgsf_spark.analytics import events as ev
+        from pgsf_spark.tables import load_table
+
+        row = ev.q_ipw_effect(spark, SF).collect()[0]
+        assert 0 < row.n_treated < row.n_users
+        mean_spend = (
+            load_table(spark, SF, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("s"))
+            .agg(F.avg("s"))
+            .collect()[0][0]
+        )
+        # the constructed confounding must actually bias the naive
+        # difference (else the gate demonstrates nothing) ...
+        assert abs(row.naive_diff_usd) > 0.1 * mean_spend
+        # ... and the Hajek IPW estimate of the true-zero effect must be
+        # strictly closer to zero, within sampling noise of the scale
+        assert abs(row.ipw_ate_usd) < abs(row.naive_diff_usd) / 2
+        assert abs(row.ipw_ate_usd) < 0.25 * mean_spend
+
+
+class TestTrimmedMean:
+    def test_trim_bounds_and_count(self, spark):
+        from pgsf_spark.analytics import corpus as co
+
+        rows = co.q_trimmed_mean_chars(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r.n_kept <= r.n_docs
+            # 90% +- rounding of each source retained
+            assert r.n_kept >= int(0.9 * r.n_docs) - 2
