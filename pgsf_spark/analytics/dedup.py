@@ -1119,7 +1119,7 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, bucket) shuffle over the same sample; final row joins four
     1-row aggregates."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
+    n_docs = max(d.count(), 1)  # empty corpus: audit trivially over 0 rows
     slots = max(1, min(256, (256 * RECALL_TARGET + n_docs - 1) // n_docs))
     slot = F.conv(
         F.substring(

@@ -870,7 +870,9 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pairs.groupBy("e1").agg(F.sum("n").alias("tot"))
     trans = pairs.join(tot, "e1").localCheckpoint(eager=True)  # 25 rows
     states = trans.select(F.col("e1").alias("e")).distinct()
-    n_states = states.count()  # tiny scalar, same literal the oracle derives
+    n_states = max(states.count(), 1)  # tiny scalar, same literal the oracle
+    # derives; floor of 1 so an empty chain yields an empty result, not a
+    # driver-side ZeroDivisionError
     p = states.select("e", F.lit(1.0 / n_states).alias("pr"))
     for _ in range(MS_ITERS):
         p = (

@@ -182,7 +182,9 @@ def q_cascade_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(entity).alias("entity"),
             "n_erased",
             "n_total",
-            F.round(F.col("n_erased") / F.col("n_total"), 6).alias("pct"),
+            # try_divide: an empty table yields NULL pct on both faces
+            # (DuckDB's x/0 is NULL) instead of an ANSI divide-by-zero
+            F.round(F.try_divide(F.col("n_erased"), F.col("n_total")), 6).alias("pct"),
         )
 
     return (

@@ -103,6 +103,41 @@ REPRESENTATIVE = [
     "ks_test_gate",  # ECDFs over zero orders
     "mann_kendall_trend",  # pairwise signs over zero days
     "theil_sen_slope",  # pairwise slopes over zero days
+    # round-5 statistics/graph/retrieval additions
+    "acf_daily_revenue",  # per-lag dot products over an empty series
+    "stratified_kfold",  # fold round-robin over zero docs
+    "cascade_erasure_audit",  # blast radius of zero victims
+    "roc_auc_quality",  # rank-sum AUC over zero docs
+    "markov_stationary",  # power iteration over zero transitions
+    "adamic_adar_links",  # two-hop join over zero edges
+    "label_propagation",  # vote rounds over zero seeds
+    "seasonality_strength",  # ANOVA over zero days
+    "isotonic_calibration",  # PAVA triples over zero bins
+    "ipf_raking",  # raking rounds over an empty contingency table
+    "mmr_diversified_topk",  # greedy rounds over an empty pool
+    "wasserstein_drift",  # ECDF area with both samples absent
+    "huber_mean",  # IRLS rounds over zero docs
+    "sprt_decision",  # LLR path over zero days
+    "late_arrival_audit",  # lateness windows over zero events
+    "quantile_regression",  # subgradient rounds over zero docs
+    # round-6 additions
+    "spearman_trend",  # doubled ranks over zero days
+    "chi_square_independence",  # margin grid of zero cells
+    "hits_hubs_authorities",  # mass rounds over zero edges
+    "lsh_recall_audit",  # audit sample from an empty corpus
+    "negative_samples",  # anchors x pool with both empty
+    "stl_decomposition",  # trend/seasonal split of an empty series
+    "exact_median_refinement",  # refinement from null (lo, hi, k) state
+    "target_encoding_oof",  # cell algebra over zero orders
+    "weighted_sample_topk",  # ES keys over zero docs
+    "nation_revenue_ols",  # grouped moments over zero orders
+    "cohort_ltv",  # cohort grid over zero events
+    "event_trigrams",  # lead windows over zero events
+    "ams_f2_sketch",  # sign projections over zero tokens
+    "l_diversity_audit",  # class rollup over zero customers
+    "binary_segmentation_split",  # argmax split of an empty series
+    "ipw_effect",  # weighted sums over zero customers
+    "trimmed_mean_chars",  # rank trim over zero docs
 ]
 
 
