@@ -404,3 +404,59 @@ def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category", "fold")
     )
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two binary document labelers --
+    the chance-corrected agreement score every labeling pipeline reports
+    before trusting a cheap signal as a proxy for an expensive one. The
+    two raters here: "long document" (n_chars above the corpus median)
+    and "exact-unique" (its normalized-text fingerprint appears once) --
+    kappa near 0 says length tells you nothing about duplication; a pile
+    of near-zero kappas is exactly how redundant quality signals are
+    pruned from a curation stack.
+
+    Exactness: the 2x2 table is integer counts; po, pe, and kappa are a
+    handful of IEEE double ops identical on both engines; the median
+    threshold is the same interpolated percentile both engines define.
+    Plan: one fingerprint groupBy (the dedup_exact shuffle), one median
+    scalar, one 2x2 aggregate."""
+    from pgsf_spark.analytics.dedup import _norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    med = d.agg(F.expr("percentile(n_chars, 0.5D)").alias("m"))
+    fp = d.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
+    uniq = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.collect_list("doc_id").alias("ids"))
+        .select(F.explode("ids").alias("doc_id"), (F.col("n_copies") == 1).alias("is_unique"))
+    )
+    base = (
+        d.select("doc_id", "n_chars")
+        .join(uniq, "doc_id")
+        .crossJoin(F.broadcast(med))
+        .select(
+            (F.col("n_chars") > F.col("m")).cast("int").alias("a"),
+            F.col("is_unique").cast("int").alias("b"),
+        )
+    )
+    g = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("a") * F.col("b"))).cast("bigint").alias("n11"),
+        F.sum((F.col("a") * (1 - F.col("b")))).cast("bigint").alias("n10"),
+        F.sum(((1 - F.col("a")) * F.col("b"))).cast("bigint").alias("n01"),
+        F.sum(((1 - F.col("a")) * (1 - F.col("b")))).cast("bigint").alias("n00"),
+    )
+    n = F.col("n_docs").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pa = (F.col("n11") + F.col("n10")) / n
+    pb = (F.col("n11") + F.col("n01")) / n
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    return g.select(
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

@@ -1185,3 +1185,82 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+PPR_ALPHA = 0.2  # teleport-to-seed mass
+PPR_TARGET = 25  # ABSOLUTE seed-set size; md5 slots adapt to corpus size
+PPR_ITERS = 3
+PPR_TOP = 15
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seeded gold set over the near-dup
+    candidate graph -- the curation device that expands a small trusted
+    set through link structure (find documents CONNECTED to the gold set
+    via near-duplication, the graph analogue of DSIR's distributional
+    expansion): p = alpha * seed_dist + (1-alpha) * M p, PPR_ITERS rounds
+    unrolled, top PPR_TOP docs by personalized mass.
+
+    Scale shape: the same per-round keyed join+agg as q_pagerank_neardup
+    (one shuffle on doc id per round, decimal-exact contribution sums);
+    the seed set is ABSOLUTE-size via adaptive md5 slots, its count and
+    the graph-node union are the only bounded driver scalars. Seeds
+    outside the edge graph still hold teleport mass (the node table is
+    graph-nodes UNION seeds), so no probability leaks."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = max(d.count(), 1)
+    slots = max(1, min(256, (256 * PPR_TARGET + n_docs - 1) // n_docs))
+    slot = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ppr6:"), F.col("doc_id").cast("string"))), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+    seeds = d.filter(slot < slots).select("doc_id").localCheckpoint(eager=True)
+    n_seeds = max(seeds.count(), 1)
+
+    pairs = lsh_candidate_pairs(lsh_banded(d)).localCheckpoint(eager=True)
+    edges = pairs.select("doc_a", "doc_b").union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        deg.select("doc_a").union(seeds.select(F.col("doc_id").alias("doc_a"))).distinct()
+    )
+    flagged = nodes.join(
+        seeds.select(F.col("doc_id").alias("doc_a"), F.lit(1).alias("is_seed")),
+        "doc_a",
+        "left",
+    ).select("doc_a", F.coalesce(F.col("is_seed"), F.lit(0)).alias("is_seed"))
+    seed_mass = F.when(F.col("is_seed") == 1, F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0))
+    p = flagged.select("doc_a", seed_mass.alias("pr"), "is_seed").localCheckpoint(eager=True)
+    for _ in range(PPR_ITERS):
+        contrib = (
+            edges.join(
+                p.select(F.col("doc_a").alias("doc_b"), F.col("pr").alias("pr_b")), "doc_b"
+            )
+            .join(deg.select(F.col("doc_a").alias("doc_b"), F.col("deg").alias("deg_b")), "doc_b")
+            .select("doc_a", (F.col("pr_b") / F.col("deg_b")).alias("c"))
+        )
+        walk = contrib.groupBy("doc_a").agg(
+            F.sum(F.col("c").cast("decimal(27,18)")).cast("double").alias("w")
+        )
+        p = (
+            flagged.join(walk, "doc_a", "left")
+            .select(
+                "doc_a",
+                (
+                    F.lit(PPR_ALPHA) * seed_mass
+                    + F.lit(1.0 - PPR_ALPHA) * F.coalesce(F.col("w"), F.lit(0.0))
+                ).alias("pr"),
+                "is_seed",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        p.select("doc_a", F.round("pr", 8).alias("ppr"), "is_seed")
+        .filter(F.col("ppr") > 0)
+        .orderBy(F.col("ppr").desc(), "doc_a")
+        .limit(PPR_TOP)
+    )

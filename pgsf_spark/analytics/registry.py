@@ -4173,6 +4173,100 @@ tr AS (
 SELECT source, n_docs, CAST(n_kept AS BIGINT) AS n_kept, raw_mean, trimmed_mean
 FROM raw JOIN tr USING (source) ORDER BY source""",
     ),
+    "matryoshka_recall": QuerySpec(
+        similarity.q_matryoshka_recall,
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {similarity.MAT_Q}),
+pairs AS (
+  SELECT qid, e.vec_id,
+    ROUND({_dot_sql('v', 'qv')}
+          / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})), 6) AS cf,
+    ROUND({_dot_sql('v', 'qv', similarity.MAT_DIM)}
+          / (sqrt({_dot_sql('v', 'v', similarity.MAT_DIM)})
+             * sqrt({_dot_sql('qv', 'qv', similarity.MAT_DIM)})), 6) AS ch
+  FROM e, q WHERE e.vec_id <> q.qid),
+ex AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cf DESC, vec_id) AS r
+    FROM pairs) WHERE r <= {similarity.MAT_K}),
+ap AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ch DESC, vec_id) AS r
+    FROM pairs) WHERE r <= {similarity.MAT_K}),
+h AS (SELECT COUNT(*) AS nh FROM ex JOIN ap USING (qid, vec_id))
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+  (SELECT CAST(nh AS BIGINT) FROM h) AS n_hits,
+  ROUND((SELECT nh FROM h) / ({similarity.MAT_K} * (SELECT COUNT(*) FROM q)), 4)
+    AS recall_at_5""",
+    ),
+    "personalized_pagerank": QuerySpec(
+        dedup.q_personalized_pagerank,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + f""",
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+deg AS (SELECT doc_a, COUNT(*) AS deg FROM edges GROUP BY 1),
+nd AS (SELECT GREATEST(COUNT(*), 1) AS n FROM documents),
+seeds AS (
+  SELECT doc_id FROM documents, nd
+  WHERE ('0x' || substr(md5('ppr6:' || CAST(doc_id AS VARCHAR)), 1, 2))::INT
+        < LEAST(256, GREATEST(1, CAST(({256 * dedup.PPR_TARGET} + n - 1) // n AS INT)))),
+ns AS (SELECT GREATEST(COUNT(*), 1) AS s FROM seeds),
+nodes AS (SELECT doc_a FROM deg UNION SELECT doc_id AS doc_a FROM seeds),
+fl AS (
+  SELECT nodes.doc_a, CASE WHEN seeds.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_seed
+  FROM nodes LEFT JOIN seeds ON nodes.doc_a = seeds.doc_id),
+p0 AS (
+  SELECT doc_a, CASE WHEN is_seed = 1 THEN 1.0 / s ELSE 0.0 END AS pr, is_seed
+  FROM fl, ns),
+"""
+        + ",\n".join(
+            f"""w{i} AS (
+  SELECT e.doc_a, CAST(SUM(CAST(rb.pr / db.deg AS DECIMAL(27,18))) AS DOUBLE) AS w
+  FROM edges e JOIN p{i - 1} rb ON e.doc_b = rb.doc_a JOIN deg db ON e.doc_b = db.doc_a
+  GROUP BY e.doc_a),
+p{i} AS (
+  SELECT fl.doc_a,
+    {dedup.PPR_ALPHA} * (CASE WHEN fl.is_seed = 1 THEN 1.0 / s ELSE 0.0 END)
+    + {1.0 - dedup.PPR_ALPHA} * COALESCE(w{i}.w, 0.0) AS pr,
+    fl.is_seed
+  FROM fl LEFT JOIN w{i} USING (doc_a), ns)"""
+            for i in range(1, dedup.PPR_ITERS + 1)
+        )
+        + f"""
+SELECT doc_a, ROUND(pr, 8) AS ppr, CAST(is_seed AS INT) AS is_seed
+FROM p{dedup.PPR_ITERS} WHERE ROUND(pr, 8) > 0
+ORDER BY ppr DESC, doc_a LIMIT {dedup.PPR_TOP}""",
+    ),
+    "cohens_kappa": QuerySpec(
+        curation.q_cohens_kappa,
+        f"""WITH med AS (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents),
+fp AS (SELECT doc_id, n_chars, md5({_NORM}) AS fp FROM documents),
+cnt AS (SELECT fp, COUNT(*) AS n_copies FROM fp GROUP BY 1),
+base AS (
+  SELECT CAST(f.n_chars > m AS INT) AS a, CAST(c.n_copies = 1 AS INT) AS b
+  FROM fp f JOIN cnt c USING (fp), med),
+g AS (
+  SELECT COUNT(*) AS n_docs,
+    CAST(SUM(a * b) AS BIGINT) AS n11,
+    CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+    CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+    CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+  FROM base),
+k AS (
+  SELECT n_docs, n11, n10, n01, n00,
+    (n11 + n00) / CAST(n_docs AS DOUBLE) AS po,
+    (n11 + n10) / CAST(n_docs AS DOUBLE) AS pa,
+    (n11 + n01) / CAST(n_docs AS DOUBLE) AS pb
+  FROM g)
+SELECT n_docs, n11, n10, n01, n00,
+  ROUND((po - (pa * pb + (1 - pa) * (1 - pb)))
+        / (1 - (pa * pb + (1 - pa) * (1 - pb))), 6) AS kappa
+FROM k""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -4583,10 +4677,11 @@ _ROUND6_FRONT = [
     # top_orders, top_orders_per_customer, customer_order_stats,
     # rollup_order_status, lsh_jaccard_verified, dedup_clusters,
     # dataset_split, ...) yielded this round's remaining slots to the 12
-    # new operators above -- ROUND 7 FRONT MUST START WITH the five
+    # new operators above -- ROUND 7 FRONT MUST START WITH the eight
     # round-6 additions that landed after the window filled
     # (ams_f2_sketch, l_diversity_audit, binary_segmentation_split,
-    # ipw_effect, trimmed_mean_chars), then that r02 list, then the
+    # ipw_effect, trimmed_mean_chars, matryoshka_recall,
+    # personalized_pagerank, cohens_kappa), then that r02 list, then the
     # r03-last-green set
 ]
 assert len(_ROUND6_FRONT) <= 50, len(_ROUND6_FRONT)

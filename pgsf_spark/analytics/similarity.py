@@ -902,3 +902,81 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+MAT_Q = 8  # query vectors (vec_id < MAT_Q)
+MAT_DIM = 32  # truncated prefix dims (of 64)
+MAT_K = 5
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022): recall@5 of
+    cosine search over the FIRST MAT_DIM dims against the full-dimension
+    ranking, averaged over MAT_Q query vectors -- the measurement that
+    decides whether a prefix-truncated index (2x cheaper to store and
+    scan) is good enough to serve retrieval, exactly the trade modern
+    embedding APIs expose.
+
+    Scale shape: the bounded query set broadcasts against one corpus
+    scan; per-query top-5 is computed in TWO stages -- top-5 within each
+    (query, doc_id mod 32) shard, then top-5 over the <=160 shard
+    survivors -- so no rank window ever sees a corpus-sized partition
+    (the exact-per-group top-k device a 1000-executor ranking job needs).
+    Cosines round to 6 with vec_id tie-breaks before ranking, so the
+    top-5 SETS are engine-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    q = emb.filter(F.col("vec_id") < MAT_Q).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot(F.col("v"), F.col("qv"))
+                / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("qv"), F.col("qv")))),
+                6,
+            ).alias("cf"),
+            F.round(
+                _dot(F.slice(F.col("v"), 1, MAT_DIM), F.slice(F.col("qv"), 1, MAT_DIM))
+                / (
+                    F.sqrt(_dot(F.slice(F.col("v"), 1, MAT_DIM), F.slice(F.col("v"), 1, MAT_DIM)))
+                    * F.sqrt(
+                        _dot(F.slice(F.col("qv"), 1, MAT_DIM), F.slice(F.col("qv"), 1, MAT_DIM))
+                    )
+                ),
+                6,
+            ).alias("ch"),
+            F.pmod(F.col("vec_id"), F.lit(32)).alias("shard"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql.window import Window
+
+    def topk(col: str):
+        w1 = Window.partitionBy("qid", "shard").orderBy(F.col(col).desc(), "vec_id")
+        w2 = Window.partitionBy("qid").orderBy(F.col(col).desc(), "vec_id")
+        return (
+            pairs.withColumn("r1", F.row_number().over(w1))
+            .filter(F.col("r1") <= MAT_K)
+            .withColumn("r2", F.row_number().over(w2))
+            .filter(F.col("r2") <= MAT_K)
+            .select("qid", "vec_id")
+        )
+    exact, approx = topk("cf"), topk("ch")
+    nq = q.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+    hits = exact.join(approx, ["qid", "vec_id"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        nq.crossJoin(F.broadcast(hits)).select(
+            "n_queries",
+            "n_hits",
+            F.round(
+                F.try_divide(F.col("n_hits"), F.lit(MAT_K) * F.col("n_queries")), 4
+            ).alias("recall_at_5"),
+        )
+    )

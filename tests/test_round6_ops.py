@@ -250,3 +250,32 @@ class TestTrimmedMean:
             assert r.n_kept <= r.n_docs
             # 90% +- rounding of each source retained
             assert r.n_kept >= int(0.9 * r.n_docs) - 2
+
+
+class TestMatryoshkaRecall:
+    def test_recall_bounds(self, spark):
+        from pgsf_spark.analytics import similarity as sim
+
+        row = sim.q_matryoshka_recall(spark, SF).collect()[0]
+        assert row.n_queries == sim.MAT_Q
+        assert 0 <= row.n_hits <= sim.MAT_K * row.n_queries
+        assert 0.0 <= row.recall_at_5 <= 1.0
+
+
+class TestPersonalizedPagerank:
+    def test_mass_concentrates_near_seeds(self, spark):
+        rows = dedup.q_personalized_pagerank(spark, SF).collect()
+        assert 0 < len(rows) <= dedup.PPR_TOP
+        scores = [r.ppr for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        # with teleport mass alpha, seeds dominate the top of the ranking
+        assert any(r.is_seed == 1 for r in rows[:5])
+
+
+class TestCohensKappa:
+    def test_table_sums_and_range(self, spark):
+        from pgsf_spark.analytics import curation as cu
+
+        row = cu.q_cohens_kappa(spark, SF).collect()[0]
+        assert row.n11 + row.n10 + row.n01 + row.n00 == row.n_docs
+        assert -1.0 <= row.kappa <= 1.0
