@@ -138,6 +138,9 @@ REPRESENTATIVE = [
     "binary_segmentation_split",  # argmax split of an empty series
     "ipw_effect",  # weighted sums over zero customers
     "trimmed_mean_chars",  # rank trim over zero docs
+    "matryoshka_recall",  # query panel over zero vectors
+    "personalized_pagerank",  # teleport rounds over zero seeds/edges
+    "cohens_kappa",  # 2x2 table over zero docs
 ]
 
 
