@@ -37,6 +37,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 
 
@@ -145,13 +146,27 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         spark = get_spark("pgsf_spark_explain")
         df = QUERIES[args.query].fn(spark, args.sf_dir)
+        # execute so AQE finalizes THIS df's plan (a noop-sink write runs a
+        # separate execution and leaves df lazy): codegen stages only exist
+        # in the FINAL plan, where they appear as "*(n)" markers -- counting
+        # the literal "WholeStageCodegen" in the lazy simple string always
+        # read 0 (fixed round 6). The audit runs at small sf, so the
+        # collect is bounded dev-tool cost, not a query-path pattern.
+        try:
+            df.collect()
+        except Exception:
+            pass  # audit still reports the lazy plan's joins/pushdown
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # the finalized AQE string repeats the plan under "== Initial Plan
+        # ==" -- audit only the final section or every count doubles
+        plan = plan.split("== Initial Plan ==")[0]
+        codegen_ids = set(re.findall(r"\*\((\d+)\)", plan))
         audit = {
             "query": args.query,
             "shuffle_exchanges": plan.count("Exchange hashpartitioning"),
             "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
             "sort_merge_joins": plan.count("SortMergeJoin"),
-            "wholestage_codegen_spans": plan.count("WholeStageCodegen"),
+            "wholestage_codegen_spans": len(codegen_ids),
             "pushed_filter_scans": plan.count("PushedFilters: [")
             - plan.count("PushedFilters: []"),
             "cartesian_product": "CartesianProduct" in plan,
@@ -160,7 +175,14 @@ def main(argv: list[str] | None = None) -> int:
         }
         print(json.dumps(audit))
         if args.full:
-            print(df._jdf.queryExecution().explainString("formatted"), file=sys.stderr)
+            # java-side explainString takes an ExplainMode enum, not a str;
+            # PythonSQLUtils is the helper pyspark's own df.explain() uses
+            print(
+                spark.sparkContext._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                ),
+                file=sys.stderr,
+            )
         spark.stop()
         return 0
 
