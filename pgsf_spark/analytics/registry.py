@@ -4267,6 +4267,31 @@ SELECT n_docs, n11, n10, n01, n00,
         / (1 - (pa * pb + (1 - pa) * (1 - pb))), 6) AS kappa
 FROM k""",
     ),
+    "bpe_fertility_by_source": QuerySpec(
+        text.q_bpe_fertility_by_source,
+        _bpe_cte_sql()
+        + f""",
+pw AS (
+  SELECT replace(repr, '|', '') AS w,
+    len(string_split(trim(repr, '|'), '||')) AS n_tokens
+  FROM r{text.BPE_ROUNDS}),
+sw AS (
+  SELECT source, word AS w, COUNT(*) AS freq FROM (
+    SELECT source, unnest(string_split({_NORM}, ' ')) AS word FROM documents)
+  WHERE length(word) BETWEEN 2 AND {text.BPE_MAX_WORD} GROUP BY 1, 2),
+j AS (
+  SELECT source, freq, n_tokens, length(w) AS n_chars FROM sw JOIN pw USING (w)),
+g AS (
+  SELECT source,
+    CAST(SUM(freq) AS BIGINT) AS n_words,
+    CAST(SUM(freq * n_tokens) AS BIGINT) AS n_tokens,
+    CAST(SUM(freq * n_chars) AS BIGINT) AS n_chars
+  FROM j GROUP BY 1)
+SELECT source, n_words, n_tokens,
+  ROUND(CAST(n_tokens AS DOUBLE) / n_words, 4) AS tokens_per_word,
+  ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token
+FROM g ORDER BY source""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

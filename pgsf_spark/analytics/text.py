@@ -633,3 +633,61 @@ def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("exact_f2")) / F.col("exact_f2"), 6
         ).alias("rel_error"),
     )
+
+
+def q_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per source: tokens-per-word and
+    chars-per-token after applying the learned BPE merge table -- the
+    metric that tells a training pipeline which sources tokenize
+    EXPENSIVELY (high fertility = more sequence length per character =
+    more compute per document; the standard readout when choosing
+    vocabulary size or auditing a multilingual mix).
+
+    The corpus-level merge table is learned once (the q_bpe_vocab_rounds
+    trainer); per-word token counts come from the final re-segmented
+    DISTINCT-WORD table (tiny, broadcast -- word recovered by stripping
+    the pipe markers), and the per-(source, word) frequency table joins
+    against it, so the corpus is scanned once for frequencies and never
+    re-segmented per row. One (source, word) shuffle + one broadcast
+    join at any scale."""
+    from pgsf_spark.analytics.dedup import _norm_text
+
+    _merges, reprs = _bpe_train(spark, sf_dir)
+    syms = F.split(F.expr("trim(BOTH '|' FROM repr)"), r"\|\|")
+    per_word = reprs.select(
+        F.replace(F.col("repr"), F.lit("|"), F.lit("")).alias("w"),
+        F.size(syms).alias("n_tokens"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("w"))
+        .filter(F.length("w").between(2, BPE_MAX_WORD))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    j = sw.join(F.broadcast(per_word), "w").select(
+        "source",
+        "freq",
+        "n_tokens",
+        F.length("w").alias("n_chars"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_tokens")).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("freq") * F.col("n_chars")).cast("bigint").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 4).alias(
+                "tokens_per_word"
+            ),
+            F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )
