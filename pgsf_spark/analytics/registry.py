@@ -4706,8 +4706,8 @@ _ROUND6_FRONT = [
     # round-6 additions that landed after the window filled
     # (ams_f2_sketch, l_diversity_audit, binary_segmentation_split,
     # ipw_effect, trimmed_mean_chars, matryoshka_recall,
-    # personalized_pagerank, cohens_kappa), then that r02 list, then the
-    # r03-last-green set
+    # personalized_pagerank, cohens_kappa, bpe_fertility_by_source), then
+    # that r02 list, then the r03-last-green set
 ]
 assert len(_ROUND6_FRONT) <= 50, len(_ROUND6_FRONT)
 assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)

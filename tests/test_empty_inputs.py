@@ -141,6 +141,7 @@ REPRESENTATIVE = [
     "matryoshka_recall",  # query panel over zero vectors
     "personalized_pagerank",  # teleport rounds over zero seeds/edges
     "cohens_kappa",  # 2x2 table over zero docs
+    "bpe_fertility_by_source",  # merge table trained on zero words
 ]
 
 
