@@ -1641,3 +1641,85 @@ def q_binary_segmentation_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("right_mean_usd"),
         F.round(F.col("gain") / 10000.0, 2).alias("gain_usd_sq"),
     )
+
+
+AMS_JOIN_K = 32
+AMS_JOIN_SEED = "amsj6"
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS inner-product join-size estimation, audited against the exact
+    answer: |R join S on k| = sum_k f_R(k) * f_S(k), and the same +/-1
+    sign sketches whose squares estimate F2 estimate this inner product
+    as mean_j(X_j * Y_j) -- the question a distributed planner asks
+    BEFORE committing a shuffle join (will events x orders on the user
+    key explode?), answered from two mergeable 32-number sketches instead
+    of a trial join.
+
+    Determinism: the two sketches share one md5 sign family (seeded per
+    projection j), X_j/Y_j accumulate as DECIMAL(38,0) over exact integer
+    frequencies, and the estimator is integer algebra until one final
+    division. Scale shape: one keyed count per side (partial-agg
+    shuffles), then vocabulary-sized sign tables and K partial sums --
+    the sketches fold map-side like any linear sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    fe = ev.groupBy(F.col("user_id").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    fo = orders.groupBy(F.col("o_custkey").cast("long").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    def sign(j: int):
+        nib = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{AMS_JOIN_SEED}{j}:"), F.col("k").cast("string"))), 1, 1
+            ),
+            16,
+            10,
+        ).cast("int")
+        return (nib % 2) * 2 - 1
+
+    def sketch(df, prefix: str):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{prefix}_keys"),
+            F.sum("c").cast("bigint").alias(f"{prefix}_rows"),
+            *[
+                F.sum((F.col("c") * sign(j)).cast("decimal(38,0)"))
+                .cast("long")
+                .alias(f"{prefix}x{j}")
+                for j in range(AMS_JOIN_K)
+            ],
+        )
+    exact = (
+        fe.select("k", F.col("c").alias("ce"))
+        .join(fo.select("k", F.col("c").alias("co")), "k")
+        .agg(
+            F.sum((F.col("ce") * F.col("co")).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("exact_join_size")
+        )
+    )
+    prod = None
+    for j in range(AMS_JOIN_K):
+        t = F.col(f"ex{j}") * F.col(f"ox{j}")
+        prod = t if prod is None else prod + t
+    return (
+        sketch(fe, "e")
+        .crossJoin(F.broadcast(sketch(fo, "o")))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "e_keys",
+            "e_rows",
+            "o_keys",
+            "o_rows",
+            "exact_join_size",
+            F.round(prod.cast("double") / AMS_JOIN_K, 4).alias("ams_estimate"),
+            F.round(
+                F.abs(F.round(prod.cast("double") / AMS_JOIN_K, 4) - F.col("exact_join_size"))
+                / F.col("exact_join_size"),
+                6,
+            ).alias("rel_error"),
+        )
+    )

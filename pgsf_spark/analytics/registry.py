@@ -4292,6 +4292,37 @@ SELECT source, n_words, n_tokens,
   ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS chars_per_token
 FROM g ORDER BY source""",
     ),
+    "join_size_estimate": QuerySpec(
+        profiling.q_join_size_estimate,
+        f"""WITH fe AS (
+  SELECT CAST(user_id AS BIGINT) AS k, COUNT(*) AS c FROM events GROUP BY 1),
+fo AS (
+  SELECT CAST(o_custkey AS BIGINT) AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+se AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS e_keys, CAST(SUM(c) AS BIGINT) AS e_rows,
+    {", ".join(
+        f"CAST(SUM(CAST(c * ((('0x' || substr(md5('{profiling.AMS_JOIN_SEED}{j}:' || CAST(k AS VARCHAR)), 1, 1))::INT % 2) * 2 - 1) AS DECIMAL(38,0))) AS BIGINT) AS ex{j}"
+        for j in range(profiling.AMS_JOIN_K)
+    )}
+  FROM fe),
+so AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS o_keys, CAST(SUM(c) AS BIGINT) AS o_rows,
+    {", ".join(
+        f"CAST(SUM(CAST(c * ((('0x' || substr(md5('{profiling.AMS_JOIN_SEED}{j}:' || CAST(k AS VARCHAR)), 1, 1))::INT % 2) * 2 - 1) AS DECIMAL(38,0))) AS BIGINT) AS ox{j}"
+        for j in range(profiling.AMS_JOIN_K)
+    )}
+  FROM fo),
+ex AS (
+  SELECT CAST(SUM(CAST(fe.c * fo.c AS DECIMAL(38,0))) AS BIGINT) AS exact_join_size
+  FROM fe JOIN fo USING (k))
+SELECT e_keys, e_rows, o_keys, o_rows, exact_join_size,
+  ROUND(CAST(({" + ".join(f"ex{j} * ox{j}" for j in range(profiling.AMS_JOIN_K))}) AS DOUBLE)
+        / {profiling.AMS_JOIN_K}, 4) AS ams_estimate,
+  ROUND(abs(ROUND(CAST(({" + ".join(f"ex{j} * ox{j}" for j in range(profiling.AMS_JOIN_K))}) AS DOUBLE)
+                  / {profiling.AMS_JOIN_K}, 4) - exact_join_size) / exact_join_size, 6)
+    AS rel_error
+FROM se, so, ex""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -4706,8 +4737,8 @@ _ROUND6_FRONT = [
     # round-6 additions that landed after the window filled
     # (ams_f2_sketch, l_diversity_audit, binary_segmentation_split,
     # ipw_effect, trimmed_mean_chars, matryoshka_recall,
-    # personalized_pagerank, cohens_kappa, bpe_fertility_by_source), then
-    # that r02 list, then the r03-last-green set
+    # personalized_pagerank, cohens_kappa, bpe_fertility_by_source,
+    # join_size_estimate), then that r02 list, then the r03-last-green set
 ]
 assert len(_ROUND6_FRONT) <= 50, len(_ROUND6_FRONT)
 assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)

@@ -142,6 +142,7 @@ REPRESENTATIVE = [
     "personalized_pagerank",  # teleport rounds over zero seeds/edges
     "cohens_kappa",  # 2x2 table over zero docs
     "bpe_fertility_by_source",  # merge table trained on zero words
+    "join_size_estimate",  # sketch inner product over zero keys
 ]
 
 

@@ -279,3 +279,20 @@ class TestCohensKappa:
         row = cu.q_cohens_kappa(spark, SF).collect()[0]
         assert row.n11 + row.n10 + row.n01 + row.n00 == row.n_docs
         assert -1.0 <= row.kappa <= 1.0
+
+
+class TestJoinSizeEstimate:
+    def test_exact_matches_real_join_and_estimate_bounded(self, spark):
+        import math
+
+        from pgsf_spark.tables import load_table
+
+        row = profiling.q_join_size_estimate(spark, SF).collect()[0]
+        ev = load_table(spark, SF, "events").select(F.col("user_id").cast("long").alias("k"))
+        o = load_table(spark, SF, "orders").select(F.col("o_custkey").cast("long").alias("k"))
+        assert row.exact_join_size == ev.join(o, "k").count()
+        # AMS variance <= (F2(e)*F2(o) + ip^2)/K: a loose 5-sigma check
+        sigma = math.sqrt(2.0 / profiling.AMS_JOIN_K) * max(
+            row.exact_join_size, row.e_rows * 4, row.o_rows * 4
+        )
+        assert abs(row.ams_estimate - row.exact_join_size) < 5 * max(sigma, 1.0)
