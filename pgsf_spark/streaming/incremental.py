@@ -252,3 +252,102 @@ def start_neardup_admission(
         processingTime="10 minutes"
     )
     return writer.start()
+
+
+STREAM_BUDGET_CHARS = 200  # per-source admission budget (chars), test-scale
+
+
+def start_budget_admission(
+    spark: SparkSession,
+    feed_dir: str,
+    schema: StructType,
+    store: TableStore,
+    admitted_table: str,
+    ledger_table: str,
+    checkpoint_dir: str,
+    budget_chars: int = STREAM_BUDGET_CHARS,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming per-source token-budget admission (streaming twin of the
+    oracle-gated q_source_token_budget): each micro-batch admits documents
+    per source, in the same seeded shuffle-hash order as the batch query,
+    until the source's CUMULATIVE admitted chars reach ``budget_chars``;
+    everything past the budget is dropped -- the mixture-enforcement
+    gatekeeper a continuously-ingesting training pipeline runs.
+
+    State is a per-(source, epoch) DELTA ledger in the TableStore, not in
+    streaming state: a batch's admission decisions depend only on ledger
+    rows from EARLIER epochs (strictly ``epoch < current``), so a crash-
+    replayed epoch re-derives identical decisions and rewrites only its
+    own partition (write_partial hardlink-carries the rest) -- idempotent
+    by construction, and per-batch cost is O(batch + sources), never
+    O(stream history).
+
+    Scale shape per batch: one per-source window over the batch (ordered
+    by the seeded hash, the retry-stable order), one broadcast join
+    against the sources-sized prior-totals rollup, one epoch-partition
+    publish per table."""
+    from pyspark.sql.window import Window
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch = batch_df.select("doc_id", "text", "source", "n_chars")
+        try:
+            ledger = store.read(ledger_table).filter(F.col("epoch") < int(epoch_id))
+        except FileNotFoundError:
+            ledger = None
+        if ledger is not None and ledger.head(1):
+            prior = ledger.groupBy("source").agg(
+                F.sum("chars_added").cast("bigint").alias("prior_chars")
+            )
+        else:
+            prior = None
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bud3:"), F.col("doc_id").cast("string"))), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+        w = Window.partitionBy("source").orderBy("h", "doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = batch.select(
+            "*", h.alias("h")
+        ).select("*", F.sum(F.col("n_chars").cast("bigint")).over(w).alias("cum"))
+        if prior is not None:
+            cum = cum.join(F.broadcast(prior), "source", "left").select(
+                "*", F.coalesce(F.col("prior_chars"), F.lit(0)).alias("base")
+            )
+        else:
+            cum = cum.select("*", F.lit(0).alias("base"))
+        admitted = (
+            cum.filter(F.col("base") + F.col("cum") <= F.lit(int(budget_chars)))
+            .select("doc_id", "text", "source", "n_chars")
+            .withColumn("epoch", F.lit(int(epoch_id)))
+        )
+        delta = admitted.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_added"),
+            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("chars_added"),
+        ).withColumn("epoch", F.lit(int(epoch_id)))
+
+        def _publish(df: DataFrame, table: str) -> None:
+            try:
+                store.write_partial(df.localCheckpoint(), table, "epoch", [int(epoch_id)])
+            except FileNotFoundError:  # first epoch: no version to carry from
+                store.write(df, table, partition_by=["epoch"])
+
+        _publish(admitted, admitted_table)
+        _publish(delta, ledger_table)
+
+    writer = (
+        spark.readStream.schema(schema)
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    writer = writer.trigger(availableNow=True) if available_now else writer.trigger(
+        processingTime="10 minutes"
+    )
+    return writer.start()

@@ -363,3 +363,76 @@ class TestNeardupAdmission:
         self._run(spark, feed, store, tmp_path / "ck2")
         v2 = store.read("admitted_docs").collect()
         assert sorted(map(tuple, v1)) == sorted(map(tuple, v2))
+
+
+class TestBudgetAdmission:
+    BSCHEMA = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+
+    def _run(self, spark, feed, store, checkpoint, budget=100):
+        from pgsf_spark.streaming.incremental import start_budget_admission
+
+        q = start_budget_admission(
+            spark,
+            str(feed),
+            self.BSCHEMA,
+            store,
+            "budget_admitted",
+            "budget_ledger",
+            str(checkpoint),
+            budget_chars=budget,
+        )
+        q.awaitTermination(120)
+
+    def test_budget_enforced_across_batches(self, spark, tmp_path):
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        store = TableStore(spark, str(tmp_path / "store"))
+        ck = tmp_path / "ck"
+        # batch 1: source s1 gets 60 of its 100-char budget
+        spark.createDataFrame(
+            [(1, "a", "s1", 60), (2, "b", "s2", 30)], self.BSCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+        self._run(spark, feed, store, ck)
+        assert {r.doc_id for r in store.read("budget_admitted").collect()} == {1, 2}
+        # batch 2: s1 has 40 left -- a 50-char doc must be REJECTED even
+        # though it fits a fresh budget; a 35-char doc fits; s2 unaffected
+        spark.createDataFrame(
+            [(3, "c", "s1", 50), (4, "d", "s1", 35), (5, "e", "s2", 30)], self.BSCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+        self._run(spark, feed, store, ck)
+        admitted = {r.doc_id for r in store.read("budget_admitted").collect()}
+        # doc 3 vs 4: admission order within (s1, batch2) is the seeded
+        # hash order, so which of them is considered first is fixed by the
+        # hash -- but 50 + 35 > 40 means AT MOST one fits, and 35 <= 40
+        # means at least the 35-char doc fits if it comes first
+        assert 5 in admitted and 1 in admitted and 2 in admitted
+        s1_new = admitted - {1, 2, 5}
+        total_s1 = 60 + sum({3: 50, 4: 35}[d] for d in s1_new)
+        assert total_s1 <= 100
+        # the ledger's cumulative matches the admitted rows exactly
+        led = store.read("budget_ledger").groupBy("source").sum("chars_added").collect()
+        by_src = {r.source: r["sum(chars_added)"] for r in led}
+        assert by_src["s1"] == total_s1
+        assert by_src["s2"] == 60
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        store = TableStore(spark, str(tmp_path / "store"))
+        spark.createDataFrame(
+            [(1, "a", "s1", 70), (2, "b", "s1", 70)], self.BSCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+        self._run(spark, feed, store, tmp_path / "ck1")
+        v1 = sorted(r.doc_id for r in store.read("budget_admitted").collect())
+        # fresh checkpoint replays the same feed: same rows, no duplicates
+        self._run(spark, feed, store, tmp_path / "ck2")
+        v2 = sorted(r.doc_id for r in store.read("budget_admitted").collect())
+        assert v1 == v2
+        assert len(v1) == 1  # only one 70-char doc fits the 100 budget
