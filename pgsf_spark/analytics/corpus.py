@@ -650,6 +650,9 @@ def q_trimmed_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean"
         ),
     )
-    return raw.join(tr, "source").select(
+    # LEFT join: a source whose trim window is empty (a single-doc source
+    # cannot satisfy 20r <= 19n) must still report its raw mean with NULL
+    # trimmed columns, not silently vanish from the audit
+    return raw.join(tr, "source", "left").select(
         "source", "n_docs", "n_kept", "raw_mean", "trimmed_mean"
     ).orderBy("source")

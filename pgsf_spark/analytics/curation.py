@@ -395,9 +395,14 @@ def q_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "category",
             "fold",
             F.col("n").alias("n_in_fold"),
+            # try_divide: a category living entirely in ONE fold has no
+            # out-of-fold rows (n_cat == n) -> NULL on both faces, not an
+            # ANSI error / Inf divergence
             F.round(
-                (F.col("s_cat") - F.col("s")).cast("double")
-                / (F.col("n_cat") - F.col("n"))
+                F.try_divide(
+                    (F.col("s_cat") - F.col("s")).cast("double"),
+                    F.col("n_cat") - F.col("n"),
+                )
                 / 100.0,
                 6,
             ).alias("oof_mean_usd"),
@@ -426,11 +431,12 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     med = d.agg(F.expr("percentile(n_chars, 0.5D)").alias("m"))
     fp = d.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
-    uniq = (
-        fp.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_copies"), F.collect_list("doc_id").alias("ids"))
-        .select(F.explode("ids").alias("doc_id"), (F.col("n_copies") == 1).alias("is_unique"))
-    )
+    # counts join back to the docs (the oracle's own shape): a collect_list
+    # per fingerprint would materialize the hottest duplicate cluster as
+    # one task-local array -- exactly the skew the dedup shelf exists to
+    # avoid
+    cnt = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    uniq = fp.join(cnt, "fp").select("doc_id", (F.col("n_copies") == 1).alias("is_unique"))
     base = (
         d.select("doc_id", "n_chars")
         .join(uniq, "doc_id")
@@ -458,5 +464,7 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n10",
         "n01",
         "n00",
-        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        # try_divide: perfect chance agreement (pe == 1, e.g. a constant
+        # rater) makes kappa undefined -> NULL on both faces
+        F.round(F.try_divide(po - pe, 1 - pe), 6).alias("kappa"),
     )

@@ -1118,17 +1118,13 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-keyed shuffle + pair verify on candidates; LSH side: one
     (band, bucket) shuffle over the same sample; final row joins four
     1-row aggregates."""
+    from pgsf_spark.analytics.sampling import adaptive_slots, md5_slot
+
     d = load_table(spark, sf_dir, "documents")
-    n_docs = max(d.count(), 1)  # empty corpus: audit trivially over 0 rows
-    slots = max(1, min(256, (256 * RECALL_TARGET + n_docs - 1) // n_docs))
-    slot = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{RECALL_SEED}:"), F.col("doc_id").cast("string"))), 1, 2
-        ),
-        16,
-        10,
-    ).cast("int")
-    sample = d.filter(slot < slots).localCheckpoint(eager=True)
+    slots = adaptive_slots(d.count(), RECALL_TARGET)
+    sample = d.filter(md5_slot(F.col("doc_id"), RECALL_SEED) < slots).localCheckpoint(
+        eager=True
+    )
 
     sh = sample.select("doc_id", word_shingles(F.col("text")).alias("sh")).localCheckpoint(
         eager=True
@@ -1206,21 +1202,34 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the seed set is ABSOLUTE-size via adaptive md5 slots, its count and
     the graph-node union are the only bounded driver scalars. Seeds
     outside the edge graph still hold teleport mass (the node table is
-    graph-nodes UNION seeds), so no probability leaks."""
+    graph-nodes UNION seeds), so no probability leaks. Pairs here are the
+    PLAIN uncapped in-bucket banded pairs so the graph is byte-identical
+    to the oracle's (the MAX_BUCKET-capped lsh_candidate_pairs would
+    silently diverge from the oracle the moment any bucket exceeds the
+    cap); the capped form remains the production-sweep path."""
+    from pgsf_spark.analytics.sampling import adaptive_slots, md5_slot
+
     d = load_table(spark, sf_dir, "documents")
-    n_docs = max(d.count(), 1)
-    slots = max(1, min(256, (256 * PPR_TARGET + n_docs - 1) // n_docs))
-    slot = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("ppr6:"), F.col("doc_id").cast("string"))), 1, 2
-        ),
-        16,
-        10,
-    ).cast("int")
-    seeds = d.filter(slot < slots).select("doc_id").localCheckpoint(eager=True)
+    slots = adaptive_slots(d.count(), PPR_TARGET)
+    seeds = (
+        d.filter(md5_slot(F.col("doc_id"), "ppr6") < slots)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     n_seeds = max(seeds.count(), 1)
 
-    pairs = lsh_candidate_pairs(lsh_banded(d)).localCheckpoint(eager=True)
+    banded = lsh_banded(d)
+    pairs = (
+        banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        .join(
+            banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.select("doc_a", "doc_b").union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )

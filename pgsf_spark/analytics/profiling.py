@@ -1587,13 +1587,18 @@ def q_nation_revenue_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = n * s(x * y) - s(x) * s(y)
     den_x = n * s(x * x) - s(x) * s(x)
     den_y = n * s(y * y) - s(y) * s(y)
+    # try_divide throughout: a degenerate group (all orders on one date ->
+    # den_x = 0; all prices equal -> den_y = 0) must yield NULL on both
+    # faces (DuckDB's x/0 is NULL; plain Spark double division is Inf/NaN)
+    slope = F.try_divide(num, den_x)
+    corr = F.try_divide(num, F.sqrt(den_x))
     return (
         base.groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(num / den_x / 100.0, 6).alias("slope_usd_per_day"),
-            F.round((s(y) - (num / den_x) * s(x)) / n / 100.0, 4).alias("intercept_usd"),
-            F.round((num / F.sqrt(den_x)) * (num / F.sqrt(den_x)) / den_y, 6).alias("r_sq"),
+            F.round(slope / 100.0, 6).alias("slope_usd_per_day"),
+            F.round((s(y) - slope * s(x)) / n / 100.0, 4).alias("intercept_usd"),
+            F.round(F.try_divide(corr * corr, den_y), 6).alias("r_sq"),
         )
         .orderBy("n_name")
     )
@@ -1664,11 +1669,17 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketches fold map-side like any linear sketch."""
     ev = load_table(spark, sf_dir, "events")
     orders = load_table(spark, sf_dir, "orders")
-    fe = ev.groupBy(F.col("user_id").cast("long").alias("k")).agg(
-        F.count(F.lit(1)).alias("c")
+    # checkpoint the keyed counts: both feed the sketch aggregate AND the
+    # exact join, and without it Spark replays each groupBy shuffle twice
+    fe = (
+        ev.groupBy(F.col("user_id").cast("long").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    fo = orders.groupBy(F.col("o_custkey").cast("long").alias("k")).agg(
-        F.count(F.lit(1)).alias("c")
+    fo = (
+        orders.groupBy(F.col("o_custkey").cast("long").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
 
     def sign(j: int):

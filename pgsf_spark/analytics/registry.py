@@ -4171,7 +4171,7 @@ tr AS (
     ROUND(CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*), 4) AS trimmed_mean
   FROM ranked WHERE 20 * r > n AND 20 * r <= 19 * n GROUP BY 1)
 SELECT source, n_docs, CAST(n_kept AS BIGINT) AS n_kept, raw_mean, trimmed_mean
-FROM raw JOIN tr USING (source) ORDER BY source""",
+FROM raw LEFT JOIN tr USING (source) ORDER BY source""",
     ),
     "matryoshka_recall": QuerySpec(
         similarity.q_matryoshka_recall,
@@ -4651,10 +4651,15 @@ assert set(_ROUND5_FRONT) <= set(QUERIES), set(_ROUND5_FRONT) - set(QUERIES)
 # tests/test_oracle_types.py) go first for re-gating, then the 33 registry
 # entries with no driver row in ANY round (the round-4/5 statistics/graph
 # additions), then token_stats_pandas (r01-green only; yielded its slot in
-# both r4 and r5), then the 12 stalest r02-last-green entries in registry
-# order.  Exactly 50.  After this round every registry query has a driver
-# row; ROUND 7 FRONT SHOULD CONTINUE the staleness rotation with the
-# remaining 35 r02-last-green entries (split_assignment, quality_filter,
+# both r4 and r5), then the 12 NEW round-6 operators (the r02-last-green
+# staleness rotation gave up its slots to them and runs in round 7
+# instead).  Exactly 50.  ROUND 7 FRONT MUST START WITH the ten round-6
+# additions that landed after this window filled (exact names in the
+# comment at the END of the list), then the FULL r02-last-green rotation:
+# pricing_summary, revenue_by_nation, region_volume, forecast_revenue,
+# order_priority, top_orders, top_orders_per_customer,
+# customer_order_stats, rollup_order_status, lsh_jaccard_verified,
+# dedup_clusters, dataset_split, split_assignment, quality_filter,
 # training_manifest, manifest_summary, sample_per_source,
 # ann_multiprobe_topk, order_value_percentiles, cube_segment_nation,
 # orders_above_customer_avg, top_tokens, ann_lsh_topk, moving_avg_value,
@@ -4662,11 +4667,13 @@ assert set(_ROUND5_FRONT) <= set(QUERIES), set(_ROUND5_FRONT) - set(QUERIES)
 # events_by_calendar, grouping_sets_status_priority,
 # order_keys_per_customer, price_histogram, pii_scan, doc_chunks,
 # csv_roundtrip, profile_customer, kmv_distinct_users, value_stddev,
-# price_quantity_corr, soql_projection, repetition_stats,
+# price_quantity_corr, soql_projection (38 slots: 10 + the first 28 of
+# that list fill round 7; the remaining r02 entries -- repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,
-# temperature_sample, sequence_pack, event_funnel, weekly_retention) plus
-# the r03-last-green set.  All 50 below pass verify_local at sf0.001 and
-# sf0.01 this round.
+# temperature_sample, sequence_pack, event_funnel, weekly_retention --
+# then the r03-last-green set roll into round 8).  All 50 below pass
+# verify_local at sf0.001 and sf0.01 this round, repo session AND
+# --vanilla.
 _ROUND6_FRONT = [
     # r5 driver-red, oracle HUGEINT casts fixed -- re-gate first
     "source_token_budget",
@@ -4733,7 +4740,7 @@ _ROUND6_FRONT = [
     # top_orders, top_orders_per_customer, customer_order_stats,
     # rollup_order_status, lsh_jaccard_verified, dedup_clusters,
     # dataset_split, ...) yielded this round's remaining slots to the 12
-    # new operators above -- ROUND 7 FRONT MUST START WITH the eight
+    # new operators above -- ROUND 7 FRONT MUST START WITH the TEN
     # round-6 additions that landed after the window filled
     # (ams_f2_sketch, l_diversity_audit, binary_segmentation_split,
     # ipw_effect, trimmed_mean_chars, matryoshka_recall,

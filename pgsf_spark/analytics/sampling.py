@@ -398,6 +398,24 @@ def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "lang")
 
 
+def adaptive_slots(n_rows: int, target: int) -> int:
+    """Slot count (of 256) selecting ~``target`` rows from ``n_rows`` via a
+    1-byte md5 slot -- the ABSOLUTE-size sampling device: a fixed slot
+    count is a fixed FRACTION, which grows samples (and anything quadratic
+    in them) with the corpus; adapting the count keeps the sample constant
+    at any scale. Shared by the LSH recall audit, personalized PageRank
+    seeds, and negative mining."""
+    n = max(n_rows, 1)
+    return max(1, min(256, (256 * target + n - 1) // n))
+
+
+def md5_slot(col, seed: str):
+    """The matching deterministic 0..255 slot for ``adaptive_slots``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 2), 16, 10
+    ).cast("int")
+
+
 NEG_SEED = "neg6"
 NEG_ANCHOR_TARGET = 40  # ABSOLUTE anchor count; md5 slots adapt to corpus size
 NEG_POOL_TARGET = 600  # ABSOLUTE shared-pool size
@@ -421,26 +439,13 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle touches the full corpus beyond the single scan (plus one
     bounded driver count, the pagerank node-count device)."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = max(d.count(), 1)
-
-    def slots_for(target: int) -> int:
-        return max(1, min(256, (256 * target + n_docs - 1) // n_docs))
-
-    def slot(seed: str):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string"))), 1, 2
-            ),
-            16,
-            10,
-        ).cast("int")
-
-    anchors = d.filter(slot(f"{NEG_SEED}a") < slots_for(NEG_ANCHOR_TARGET)).select(
-        F.col("doc_id").alias("anchor_id"), F.col("source").alias("anchor_source")
-    )
-    pool = d.filter(slot(f"{NEG_SEED}p") < slots_for(NEG_POOL_TARGET)).select(
-        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
-    )
+    n_docs = d.count()
+    anchors = d.filter(
+        md5_slot(F.col("doc_id"), f"{NEG_SEED}a") < adaptive_slots(n_docs, NEG_ANCHOR_TARGET)
+    ).select(F.col("doc_id").alias("anchor_id"), F.col("source").alias("anchor_source"))
+    pool = d.filter(
+        md5_slot(F.col("doc_id"), f"{NEG_SEED}p") < adaptive_slots(n_docs, NEG_POOL_TARGET)
+    ).select(F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source"))
     pair_h = F.conv(
         F.substring(
             F.md5(

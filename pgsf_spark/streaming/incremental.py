@@ -277,24 +277,36 @@ def start_budget_admission(
 
     State is a per-(source, epoch) DELTA ledger in the TableStore, not in
     streaming state: a batch's admission decisions depend only on ledger
-    rows from EARLIER epochs (strictly ``epoch < current``), so a crash-
+    rows from EARLIER epochs of the SAME checkpoint generation (strictly
+    ``epoch < current`` AND ``gen == md5(checkpoint_dir)``), so a crash-
     replayed epoch re-derives identical decisions and rewrites only its
     own partition (write_partial hardlink-carries the rest) -- idempotent
     by construction, and per-batch cost is O(batch + sources), never
-    O(stream history).
+    O(stream history). The generation tag exists because epoch_ids restart
+    at 0 under a FRESH checkpoint: without it, a stale generation's
+    higher-numbered epoch partitions would outlive the restart and satisfy
+    ``epoch < current`` for later batches, silently corrupting admission
+    baselines; with it, a fresh checkpoint starts a fresh budget lineage
+    and old-generation partitions become vacuumable garbage.
 
     Scale shape per batch: one per-source window over the batch (ordered
     by the seeded hash, the retry-stable order), one broadcast join
     against the sources-sized prior-totals rollup, one epoch-partition
     publish per table."""
+    import hashlib
+
     from pyspark.sql.window import Window
+
+    gen = hashlib.md5(str(checkpoint_dir).encode()).hexdigest()[:8]
 
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if not batch_df.head(1):
             return
         batch = batch_df.select("doc_id", "text", "source", "n_chars")
         try:
-            ledger = store.read(ledger_table).filter(F.col("epoch") < int(epoch_id))
+            ledger = store.read(ledger_table).filter(
+                (F.col("gen") == gen) & (F.col("epoch") < int(epoch_id))
+            )
         except FileNotFoundError:
             ledger = None
         if ledger is not None and ledger.head(1):
@@ -322,21 +334,30 @@ def start_budget_admission(
             )
         else:
             cum = cum.select("*", F.lit(0).alias("base"))
+        epoch_key = f"{gen}_{int(epoch_id)}"
         admitted = (
             cum.filter(F.col("base") + F.col("cum") <= F.lit(int(budget_chars)))
             .select("doc_id", "text", "source", "n_chars")
+            .withColumn("gen", F.lit(gen))
             .withColumn("epoch", F.lit(int(epoch_id)))
+            .withColumn("epoch_key", F.lit(epoch_key))
         )
-        delta = admitted.groupBy("source").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_added"),
-            F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("chars_added"),
-        ).withColumn("epoch", F.lit(int(epoch_id)))
+        delta = (
+            admitted.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_added"),
+                F.sum(F.col("n_chars").cast("bigint")).cast("bigint").alias("chars_added"),
+            )
+            .withColumn("gen", F.lit(gen))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .withColumn("epoch_key", F.lit(epoch_key))
+        )
 
         def _publish(df: DataFrame, table: str) -> None:
             try:
-                store.write_partial(df.localCheckpoint(), table, "epoch", [int(epoch_id)])
+                store.write_partial(df.localCheckpoint(), table, "epoch_key", [epoch_key])
             except FileNotFoundError:  # first epoch: no version to carry from
-                store.write(df, table, partition_by=["epoch"])
+                store.write(df, table, partition_by=["epoch_key"])
 
         _publish(admitted, admitted_table)
         _publish(delta, ledger_table)

@@ -422,7 +422,7 @@ class TestBudgetAdmission:
         assert by_src["s1"] == total_s1
         assert by_src["s2"] == 60
 
-    def test_replay_is_idempotent(self, spark, tmp_path):
+    def test_same_checkpoint_rerun_is_noop(self, spark, tmp_path):
         feed = tmp_path / "feed"
         feed.mkdir()
         store = TableStore(spark, str(tmp_path / "store"))
@@ -431,8 +431,32 @@ class TestBudgetAdmission:
         ).coalesce(1).write.mode("append").parquet(str(feed))
         self._run(spark, feed, store, tmp_path / "ck1")
         v1 = sorted(r.doc_id for r in store.read("budget_admitted").collect())
-        # fresh checkpoint replays the same feed: same rows, no duplicates
-        self._run(spark, feed, store, tmp_path / "ck2")
+        assert len(v1) == 1  # only one 70-char doc fits the 100 budget
+        # the SAME checkpoint sees no new files: rerun must change nothing
+        self._run(spark, feed, store, tmp_path / "ck1")
         v2 = sorted(r.doc_id for r in store.read("budget_admitted").collect())
         assert v1 == v2
-        assert len(v1) == 1  # only one 70-char doc fits the 100 budget
+
+    def test_fresh_checkpoint_is_an_isolated_generation(self, spark, tmp_path):
+        # epoch_ids restart at 0 under a fresh checkpoint; without the gen
+        # tag a stale generation's higher epochs would satisfy
+        # 'epoch < current' for later batches and corrupt admission
+        # baselines. With it, each checkpoint is a separate budget lineage.
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        store = TableStore(spark, str(tmp_path / "store"))
+        spark.createDataFrame(
+            [(1, "a", "s1", 70), (2, "b", "s1", 70)], self.BSCHEMA
+        ).coalesce(1).write.mode("append").parquet(str(feed))
+        self._run(spark, feed, store, tmp_path / "ck1")
+        self._run(spark, feed, store, tmp_path / "ck2")  # full reprocess
+        rows = store.read("budget_admitted").collect()
+        gens = {r.gen for r in rows}
+        assert len(gens) == 2
+        # each generation independently admits exactly one 70-char doc,
+        # and the generations' ledgers never mix
+        by_gen = {g: sorted(r.doc_id for r in rows if r.gen == g) for g in gens}
+        assert all(len(v) == 1 for v in by_gen.values())
+        led = store.read("budget_ledger").collect()
+        assert {r.gen for r in led} == gens
+        assert all(r.chars_added == 70 for r in led)
