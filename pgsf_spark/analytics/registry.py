@@ -4173,6 +4173,30 @@ tr AS (
 SELECT source, n_docs, CAST(n_kept AS BIGINT) AS n_kept, raw_mean, trimmed_mean
 FROM raw LEFT JOIN tr USING (source) ORDER BY source""",
     ),
+    "decile_lift_table": QuerySpec(
+        relational.q_decile_lift_table,
+        f"""WITH cust AS (
+  SELECT o_custkey,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS score,
+    MAX(CAST(o_orderpriority = '1-URGENT' AS INT)) AS resp
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT resp,
+    CAST(ntile({relational.LIFT_DECILES})
+         OVER (ORDER BY score DESC, o_custkey ASC) AS INT) AS decile
+  FROM cust),
+dec AS (
+  SELECT decile, COUNT(*) AS n, CAST(SUM(resp) AS BIGINT) AS n_resp
+  FROM ranked GROUP BY 1),
+t AS (SELECT CAST(SUM(n_resp) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS base FROM dec)
+SELECT decile, n, n_resp,
+  ROUND(CAST(n_resp AS DOUBLE) / n, 6) AS response_rate,
+  ROUND((CAST(n_resp AS DOUBLE) / n) / base, 6) AS lift,
+  ROUND((CAST(SUM(n_resp) OVER w AS DOUBLE) / SUM(n) OVER w) / base, 6) AS cum_lift
+FROM dec, t
+WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+ORDER BY decile""",
+    ),
     "matryoshka_recall": QuerySpec(
         similarity.q_matryoshka_recall,
         f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -4653,9 +4677,10 @@ assert set(_ROUND5_FRONT) <= set(QUERIES), set(_ROUND5_FRONT) - set(QUERIES)
 # additions), then token_stats_pandas (r01-green only; yielded its slot in
 # both r4 and r5), then the 12 NEW round-6 operators (the r02-last-green
 # staleness rotation gave up its slots to them and runs in round 7
-# instead).  Exactly 50.  ROUND 7 FRONT MUST START WITH the ten round-6
-# additions that landed after this window filled (exact names in the
-# comment at the END of the list), then the FULL r02-last-green rotation:
+# instead).  Exactly 50.  ROUND 7 FRONT MUST START WITH the eleven
+# round-6 additions that landed after this window filled (exact names in
+# the comment at the END of the list), then the FULL r02-last-green
+# rotation:
 # pricing_summary, revenue_by_nation, region_volume, forecast_revenue,
 # order_priority, top_orders, top_orders_per_customer,
 # customer_order_stats, rollup_order_status, lsh_jaccard_verified,
@@ -4667,8 +4692,9 @@ assert set(_ROUND5_FRONT) <= set(QUERIES), set(_ROUND5_FRONT) - set(QUERIES)
 # events_by_calendar, grouping_sets_status_priority,
 # order_keys_per_customer, price_histogram, pii_scan, doc_chunks,
 # csv_roundtrip, profile_customer, kmv_distinct_users, value_stddev,
-# price_quantity_corr, soql_projection (38 slots: 10 + the first 28 of
-# that list fill round 7; the remaining r02 entries -- repetition_stats,
+# price_quantity_corr, soql_projection (11 new + the next 39 stalest
+# from that list fill round 7's 50; whatever r02 remains --
+# repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,
 # temperature_sample, sequence_pack, event_funnel, weekly_retention --
 # then the r03-last-green set roll into round 8).  All 50 below pass
@@ -4740,12 +4766,13 @@ _ROUND6_FRONT = [
     # top_orders, top_orders_per_customer, customer_order_stats,
     # rollup_order_status, lsh_jaccard_verified, dedup_clusters,
     # dataset_split, ...) yielded this round's remaining slots to the 12
-    # new operators above -- ROUND 7 FRONT MUST START WITH the TEN
+    # new operators above -- ROUND 7 FRONT MUST START WITH the ELEVEN
     # round-6 additions that landed after the window filled
     # (ams_f2_sketch, l_diversity_audit, binary_segmentation_split,
     # ipw_effect, trimmed_mean_chars, matryoshka_recall,
     # personalized_pagerank, cohens_kappa, bpe_fertility_by_source,
-    # join_size_estimate), then that r02 list, then the r03-last-green set
+    # join_size_estimate, decile_lift_table), then that r02 list, then
+    # the r03-last-green set
 ]
 assert len(_ROUND6_FRONT) <= 50, len(_ROUND6_FRONT)
 assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)

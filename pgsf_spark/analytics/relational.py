@@ -883,3 +883,57 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment_revenue"
         ),
     )
+
+
+LIFT_DECILES = 10
+
+
+def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table: rank customers by a score (total spend), cut
+    into deciles, and report each decile's response rate (placed at least
+    one URGENT order) against the population base rate -- the table every
+    targeting/propensity model is actually judged by (does the top decile
+    concentrate responders, and how fast does cumulative lift decay).
+
+    Exactness: deciles are a total-order ntile with customer-id
+    tie-breaks (the RFM device); response flags, decile counts and
+    cumulative sums are integers; rates and lifts are single double
+    divisions rounded to 6. Plan: one orders rollup shuffle to customer
+    grain (score + response in the same pass), one ntile window over the
+    customer table, a 10-row aggregate + 10-row cumulative windows."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("score"),
+        F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("resp"),
+    )
+    ranked = cust.select(
+        "resp",
+        F.ntile(LIFT_DECILES)
+        .over(Window.orderBy(F.col("score").desc(), F.col("o_custkey").asc()))
+        .alias("decile"),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("resp").cast("bigint").alias("n_resp"),
+    )
+    tot = Window.partitionBy()
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    base = F.sum("n_resp").over(tot).cast("double") / F.sum("n").over(tot).cast("double")
+    return dec.select(
+        "decile",
+        "n",
+        "n_resp",
+        F.round(F.col("n_resp").cast("double") / F.col("n"), 6).alias("response_rate"),
+        F.round(
+            F.try_divide(F.col("n_resp").cast("double") / F.col("n"), base), 6
+        ).alias("lift"),
+        F.round(
+            F.try_divide(
+                F.sum("n_resp").over(cum).cast("double") / F.sum("n").over(cum),
+                base,
+            ),
+            6,
+        ).alias("cum_lift"),
+    ).orderBy("decile")

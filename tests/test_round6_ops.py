@@ -296,3 +296,14 @@ class TestJoinSizeEstimate:
             row.exact_join_size, row.e_rows * 4, row.o_rows * 4
         )
         assert abs(row.ams_estimate - row.exact_join_size) < 5 * max(sigma, 1.0)
+
+
+class TestDecileLift:
+    def test_top_decile_concentrates_and_cum_lift_decays_to_one(self, spark):
+        from pgsf_spark.analytics import relational as rel
+
+        rows = sorted(rel.q_decile_lift_table(spark, SF).collect(), key=lambda r: r.decile)
+        assert len(rows) == rel.LIFT_DECILES
+        # cumulative lift over ALL deciles is exactly the base rate ratio = 1
+        assert rows[-1].cum_lift == pytest.approx(1.0, abs=1e-6)
+        assert all(r.n > 0 for r in rows)
