@@ -143,6 +143,7 @@ REPRESENTATIVE = [
     "cohens_kappa",  # 2x2 table over zero docs
     "bpe_fertility_by_source",  # merge table trained on zero words
     "join_size_estimate",  # sketch inner product over zero keys
+    "decile_lift_table",  # ntile deciles over zero customers
 ]
 
 
