@@ -1155,3 +1155,72 @@ def q_ipw_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(naive / 100.0, 4).alias("naive_diff_usd"),
         F.round(ipw / 100.0, 4).alias("ipw_ate_usd"),
     )
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival of view -> purchase conversion
+    -- the curve itself, completing q_conversion_hazard (whose docstring
+    notes the PRODUCT form isn't naively hash-exact across engines):
+    S(t) = prod_{s<=t}(1 - d_s/n_s) is carried in LOG space, with each
+    day's ln(1 - d/n) rounded to DECIMAL(18,9) before the cumulative sum
+    -- the house ln-portability device (Adamic-Adar, DSIR), which turns
+    the libm-unsafe running product into an exactly-accumulated sum. The
+    gate emits km_log_survival; consumers exponentiate (libm exp is
+    deliberately NOT in the gated columns, per the classifier's
+    softsign-not-exp precedent).
+
+    Same risk-set construction and plan as the hazard: two keyed
+    aggregates to per-user (entry, conversion) days, day-grain count
+    series, calendar-bounded windows. A day where the whole risk set
+    converts (d = n) has no finite log factor; its row carries NULL and
+    the curve is undefined past extinction (documented, unreachable on
+    ongoing-entry data)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("vday"))
+        .join(
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.min(F.to_date("ts")).alias("pday")),
+            "user_id",
+            "left",
+        )
+        .withColumn("cday", F.when(F.col("pday") >= F.col("vday"), F.col("pday")))
+    )
+    entries = per_user.groupBy(F.col("vday").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_enter")
+    )
+    convs = per_user.filter(F.col("cday").isNotNull()).groupBy(
+        F.col("cday").alias("day")
+    ).agg(F.count(F.lit(1)).alias("d"))
+    days = entries.join(convs, "day", "full").select(
+        "day",
+        F.coalesce("n_enter", F.lit(0)).alias("n_enter"),
+        F.coalesce("d", F.lit(0)).alias("d"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        days.withColumn("cum_enter", F.sum("n_enter").over(w))
+        .withColumn("cum_conv_before", F.coalesce(F.sum("d").over(wprev), F.lit(0)))
+        .withColumn("n_risk", F.col("cum_enter") - F.col("cum_conv_before"))
+    )
+    lnf = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.round(F.log(1.0 - F.col("d") / F.col("n_risk")), 9),
+    ).cast("decimal(18,9)")
+    curve = risk.withColumn("lnf", lnf).withColumn(
+        "km_log", F.sum("lnf").over(w)
+    )
+    return (
+        curve.filter(F.col("d") > 0)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "d",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.round(F.col("km_log").cast("double"), 8).alias("km_log_survival"),
+        )
+        .orderBy("day")
+    )

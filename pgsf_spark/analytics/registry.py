@@ -4197,6 +4197,38 @@ FROM dec, t
 WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
 ORDER BY decile""",
     ),
+    "kaplan_meier": QuerySpec(
+        events.q_kaplan_meier,
+        """WITH pu AS (
+  SELECT v.user_id, v.vday,
+    CASE WHEN p.pday >= v.vday THEN p.pday END AS cday
+  FROM (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS vday
+        FROM events WHERE event_type = 'view' GROUP BY 1) v
+  LEFT JOIN (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS pday
+             FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+    ON v.user_id = p.user_id),
+en AS (SELECT vday AS day, COUNT(*) AS n_enter FROM pu GROUP BY 1),
+cv AS (SELECT cday AS day, COUNT(*) AS d FROM pu WHERE cday IS NOT NULL GROUP BY 1),
+days AS (
+  SELECT COALESCE(en.day, cv.day) AS day,
+    COALESCE(n_enter, 0) AS n_enter, COALESCE(d, 0) AS d
+  FROM en FULL JOIN cv ON en.day = cv.day),
+r AS (
+  SELECT day, d,
+    SUM(n_enter) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      - COALESCE(SUM(d) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_risk
+  FROM days),
+k AS (
+  SELECT day, d, n_risk,
+    SUM(CASE WHEN d > 0 AND d < n_risk
+             THEN CAST(ROUND(ln(1 - CAST(d AS DOUBLE) / n_risk), 9) AS DECIMAL(18,9)) END)
+      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS km_log
+  FROM r)
+SELECT strftime(day, '%Y-%m-%d') AS day, d, CAST(n_risk AS BIGINT) AS n_risk,
+  ROUND(CAST(km_log AS DOUBLE), 8) AS km_log_survival
+FROM k WHERE d > 0 ORDER BY day""",
+    ),
     "matryoshka_recall": QuerySpec(
         similarity.q_matryoshka_recall,
         f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -4677,7 +4709,7 @@ assert set(_ROUND5_FRONT) <= set(QUERIES), set(_ROUND5_FRONT) - set(QUERIES)
 # additions), then token_stats_pandas (r01-green only; yielded its slot in
 # both r4 and r5), then the 12 NEW round-6 operators (the r02-last-green
 # staleness rotation gave up its slots to them and runs in round 7
-# instead).  Exactly 50.  ROUND 7 FRONT MUST START WITH the eleven
+# instead).  Exactly 50.  ROUND 7 FRONT MUST START WITH the twelve
 # round-6 additions that landed after this window filled (exact names in
 # the comment at the END of the list), then the FULL r02-last-green
 # rotation:
@@ -4692,7 +4724,7 @@ assert set(_ROUND5_FRONT) <= set(QUERIES), set(_ROUND5_FRONT) - set(QUERIES)
 # events_by_calendar, grouping_sets_status_priority,
 # order_keys_per_customer, price_histogram, pii_scan, doc_chunks,
 # csv_roundtrip, profile_customer, kmv_distinct_users, value_stddev,
-# price_quantity_corr, soql_projection (11 new + the next 39 stalest
+# price_quantity_corr, soql_projection (12 new + the next 38 stalest
 # from that list fill round 7's 50; whatever r02 remains --
 # repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,
@@ -4771,8 +4803,8 @@ _ROUND6_FRONT = [
     # (ams_f2_sketch, l_diversity_audit, binary_segmentation_split,
     # ipw_effect, trimmed_mean_chars, matryoshka_recall,
     # personalized_pagerank, cohens_kappa, bpe_fertility_by_source,
-    # join_size_estimate, decile_lift_table), then that r02 list, then
-    # the r03-last-green set
+    # join_size_estimate, decile_lift_table, kaplan_meier), then that r02
+    # list, then the r03-last-green set
 ]
 assert len(_ROUND6_FRONT) <= 50, len(_ROUND6_FRONT)
 assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)

@@ -144,6 +144,7 @@ REPRESENTATIVE = [
     "bpe_fertility_by_source",  # merge table trained on zero words
     "join_size_estimate",  # sketch inner product over zero keys
     "decile_lift_table",  # ntile deciles over zero customers
+    "kaplan_meier",  # log-survival over zero users
 ]
 
 

@@ -307,3 +307,20 @@ class TestDecileLift:
         # cumulative lift over ALL deciles is exactly the base rate ratio = 1
         assert rows[-1].cum_lift == pytest.approx(1.0, abs=1e-6)
         assert all(r.n > 0 for r in rows)
+
+
+class TestKaplanMeier:
+    def test_log_survival_decreasing_and_consistent_with_hazard(self, spark):
+        from pgsf_spark.analytics import events as ev
+
+        rows = sorted(ev.q_kaplan_meier(spark, SF).collect(), key=lambda r: r.day)
+        assert rows
+        logs = [r.km_log_survival for r in rows]
+        assert all(b <= a for a, b in zip(logs, logs[1:]))  # survival never rises
+        assert all(v <= 0 for v in logs)
+        # same risk-set construction as the hazard: day/d/n_risk rows match
+        hz = {
+            (r.day, r.d, r.n_risk)
+            for r in ev.q_conversion_hazard(spark, SF).collect()
+        }
+        assert {(r.day, r.d, r.n_risk) for r in rows} == hz
