@@ -1734,3 +1734,47 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+def q_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error, Hyndman & Koehler 2006) of the
+    seasonal-naive forecast on daily revenue: predict each day with the
+    value 7 rows back and scale its MAE by the one-step naive MAE -- the
+    unit-free fixture every forecasting bake-off reports first (MASE < 1
+    beats the random-walk baseline; with strong weekly seasonality the
+    seasonal naive should). Integer-exact: both MAEs are sums of absolute
+    integer-cent differences over the day spine, one double division at
+    the end.
+
+    Plan: one orders rollup shuffle, two lag windows over the ~2.4k-row
+    day series (single-partition by design, like every stat on this
+    shelf), one scalar aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "rev",
+        F.lag("rev", 7).over(w).alias("l7"),
+        F.lag("rev", 1).over(w).alias("l1"),
+    ).filter(F.col("l7").isNotNull())
+    g = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        F.sum(F.abs(F.col("rev") - F.col("l7")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("e7"),
+        F.sum(F.abs(F.col("rev") - F.col("l1")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("e1"),
+    )
+    return g.select(
+        "n_days_scored",
+        F.round(F.col("e7").cast("double") / F.col("n_days_scored") / 100.0, 2).alias(
+            "mae_seasonal_usd"
+        ),
+        F.round(F.col("e1").cast("double") / F.col("n_days_scored") / 100.0, 2).alias(
+            "mae_naive_usd"
+        ),
+        F.round(F.try_divide(F.col("e7").cast("double"), F.col("e1")), 6).alias("mase"),
+    )

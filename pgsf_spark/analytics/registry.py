@@ -4229,6 +4229,28 @@ SELECT strftime(day, '%Y-%m-%d') AS day, d, CAST(n_risk AS BIGINT) AS n_risk,
   ROUND(CAST(km_log AS DOUBLE), 8) AS km_log_survival
 FROM k WHERE d > 0 ORDER BY day""",
     ),
+    "mase_seasonal_naive": QuerySpec(
+        profiling.q_mase_seasonal_naive,
+        """WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+l AS (
+  SELECT rev,
+    lag(rev, 7) OVER (ORDER BY day) AS l7,
+    lag(rev, 1) OVER (ORDER BY day) AS l1
+  FROM daily),
+g AS (
+  SELECT COUNT(*) AS n_days_scored,
+    CAST(SUM(CAST(abs(rev - l7) AS DECIMAL(38,0))) AS BIGINT) AS e7,
+    CAST(SUM(CAST(abs(rev - l1) AS DECIMAL(38,0))) AS BIGINT) AS e1
+  FROM l WHERE l7 IS NOT NULL)
+SELECT CAST(n_days_scored AS BIGINT) AS n_days_scored,
+  ROUND(CAST(e7 AS DOUBLE) / n_days_scored / 100.0, 2) AS mae_seasonal_usd,
+  ROUND(CAST(e1 AS DOUBLE) / n_days_scored / 100.0, 2) AS mae_naive_usd,
+  ROUND(CAST(e7 AS DOUBLE) / e1, 6) AS mase
+FROM g""",
+    ),
     "matryoshka_recall": QuerySpec(
         similarity.q_matryoshka_recall,
         f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
