@@ -299,7 +299,15 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return (
         a.join(deg, "p")
-        .select(F.col("p").alias("partkey"), F.col("a").alias("authority"), "deg")
+        .select(
+            F.col("p").alias("partkey"),
+            # Final projection leaves DECIMAL: round-6 driver red was a
+            # trailing-zero rendering artifact (Decimal('1.000000000') vs
+            # float 1.0 hash differently despite equal values).  Already
+            # quantized to 9 decimals, so the DOUBLE cast is exact.
+            F.col("a").cast("double").alias("authority"),
+            "deg",
+        )
         .orderBy(F.col("authority").desc(), "partkey")
         .limit(HITS_TOP)
     )

@@ -1343,7 +1343,10 @@ def q_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sqrt(n * s(u * u) - s(u) * s(u)) * F.sqrt(n * s(v * v) - s(v) * s(v))
     return ranked.agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(num / den, 6).alias("spearman_rho"),
+        # try_divide: a constant-revenue or single-day series makes den
+        # exactly 0; DuckDB's / yields NULL there while a plain Spark /
+        # yields NaN -- NULL on both faces keeps the degenerate case green
+        F.round(F.try_divide(num, den), 6).alias("spearman_rho"),
     )
 
 
@@ -1460,7 +1463,9 @@ def q_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dow",
         "n_days",
         "seasonal_cents",
-        F.round(between / var_tot, 6).alias("seasonal_share"),
+        # try_divide: var_tot is exactly 0 for a constant detrended series;
+        # NULL on both faces (DuckDB / yields NULL) beats Spark's NaN
+        F.round(F.try_divide(between, var_tot), 6).alias("seasonal_share"),
     ).orderBy("dow")
 
 

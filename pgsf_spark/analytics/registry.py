@@ -2177,17 +2177,8 @@ FROM v JOIN s sa ON v.doc_a = sa.doc_id JOIN s sb ON v.doc_b = sb.doc_id
 GROUP BY 1, 2""",
     ),
     # --- product-analytics funnels / retention (events.py) ---
-    "event_trigrams": QuerySpec(
-        events.q_event_trigrams,
-        """WITH p AS (
-  SELECT event_type AS e1,
-    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
-    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
-  FROM events)
-SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
-FROM p WHERE e3 IS NOT NULL
-GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
-    ),
+    # (event_trigrams lives in the round-6 block below -- a duplicate key
+    # here was silently shadowed by it and removed in round 7)
     "debounced_events": QuerySpec(
         events.q_debounced_events,
         f"""WITH f AS (
@@ -3297,7 +3288,7 @@ g AS (
   FROM anni LEFT JOIN exr USING (vec_id))
 SELECT CAST(SUM(hit) AS INT) AS n_hits,
   ROUND(CAST(SUM(CAST(g AS DECIMAL(18,12))) AS DOUBLE), 6) AS dcg,
-  ROUND({sum((similarity.NDCG_K + 1 - r) * similarity._ndcg_discounts()[r - 1] for r in range(1, similarity.NDCG_K + 1))!r}, 6) AS idcg,
+  CAST(ROUND({sum((similarity.NDCG_K + 1 - r) * similarity._ndcg_discounts()[r - 1] for r in range(1, similarity.NDCG_K + 1))!r}, 6) AS DOUBLE) AS idcg,
   ROUND(CAST(SUM(CAST(g AS DECIMAL(18,12))) AS DOUBLE)
         / {sum((similarity.NDCG_K + 1 - r) * similarity._ndcg_discounts()[r - 1] for r in range(1, similarity.NDCG_K + 1))!r}, 6) AS ndcg
 FROM g""",
@@ -3865,7 +3856,7 @@ h{i} AS MATERIALIZED (
             for i in range(1, linkage.HITS_ROUNDS + 1)
         )
         + f"""
-SELECT p AS partkey, a AS authority, CAST(deg AS BIGINT) AS deg
+SELECT p AS partkey, CAST(a AS DOUBLE) AS authority, CAST(deg AS BIGINT) AS deg
 FROM a{linkage.HITS_ROUNDS} JOIN deg USING (p)
 ORDER BY authority DESC, partkey LIMIT {linkage.HITS_TOP}""",
     ),
@@ -4820,7 +4811,7 @@ _ROUND6_FRONT = [
     # top_orders, top_orders_per_customer, customer_order_stats,
     # rollup_order_status, lsh_jaccard_verified, dedup_clusters,
     # dataset_split, ...) yielded this round's remaining slots to the 12
-    # new operators above -- ROUND 7 FRONT MUST START WITH the ELEVEN
+    # new operators above -- ROUND 7 FRONT MUST START WITH the TWELVE
     # round-6 additions that landed after the window filled
     # (ams_f2_sketch, l_diversity_audit, binary_segmentation_split,
     # ipw_effect, trimmed_mean_chars, matryoshka_recall,
@@ -4830,7 +4821,79 @@ _ROUND6_FRONT = [
 ]
 assert len(_ROUND6_FRONT) <= 50, len(_ROUND6_FRONT)
 assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
+
+# Round 7: hits_hubs_authorities goes first for re-gating (the single r06
+# red -- a DECIMAL trailing-zero rendering artifact, both faces now cast
+# the authority column to DOUBLE and the bind-time lint bans DECIMAL
+# outputs), then the THIRTEEN round-6 operators that landed after
+# _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
+# oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
+# changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
+# ROUND 8 FRONT: the r02 remainder (kmv_distinct_users, value_stddev,
+# price_quantity_corr, soql_projection, repetition_stats,
+# boilerplate_ngrams, benchmark_contamination, token_diversity,
+# temperature_sample, sequence_pack, event_funnel, weekly_retention), then
+# the r03-last-green set, then anything new this round.
+_ROUND7_FRONT = [
+    # r6 driver-red, DECIMAL output cast to DOUBLE on both faces -- re-gate
+    "hits_hubs_authorities",
+    # the 13 post-freeze round-6 operators, never driver-gated
+    "ams_f2_sketch",
+    "binary_segmentation_split",
+    "bpe_fertility_by_source",
+    "cohens_kappa",
+    "decile_lift_table",
+    "ipw_effect",
+    "join_size_estimate",
+    "kaplan_meier",
+    "l_diversity_audit",
+    "mase_seasonal_naive",
+    "matryoshka_recall",
+    "personalized_pagerank",
+    "trimmed_mean_chars",
+    # oracle changed this round (idcg DECIMAL literal -> CAST AS DOUBLE)
+    "ann_ndcg_gate",
+    # the r02-last-green staleness rotation, in the order promised by the
+    # round-6 comment above (first 35; the remainder rolls into round 8)
+    "pricing_summary",
+    "revenue_by_nation",
+    "region_volume",
+    "forecast_revenue",
+    "order_priority",
+    "top_orders",
+    "top_orders_per_customer",
+    "customer_order_stats",
+    "rollup_order_status",
+    "lsh_jaccard_verified",
+    "dedup_clusters",
+    "dataset_split",
+    "split_assignment",
+    "quality_filter",
+    "training_manifest",
+    "manifest_summary",
+    "sample_per_source",
+    "ann_multiprobe_topk",
+    "order_value_percentiles",
+    "cube_segment_nation",
+    "orders_above_customer_avg",
+    "top_tokens",
+    "ann_lsh_topk",
+    "moving_avg_value",
+    "event_type_share",
+    "repeat_customers",
+    "order_quartiles_rank",
+    "events_by_calendar",
+    "grouping_sets_status_priority",
+    "order_keys_per_customer",
+    "price_histogram",
+    "pii_scan",
+    "doc_chunks",
+    "csv_roundtrip",
+    "profile_customer",
+]
+assert len(_ROUND7_FRONT) == 50, len(_ROUND7_FRONT)
+assert set(_ROUND7_FRONT) <= set(QUERIES), set(_ROUND7_FRONT) - set(QUERIES)
 QUERIES = {
     name: QUERIES[name]
-    for name in (*_ROUND6_FRONT, *(n for n in QUERIES if n not in set(_ROUND6_FRONT)))
+    for name in (*_ROUND7_FRONT, *(n for n in QUERIES if n not in set(_ROUND7_FRONT)))
 }

@@ -38,9 +38,21 @@ TABLES = (
 )
 
 # Types whose cross-engine serialization is not bit-stable in the driver's
-# hasher.  HUGEINT is the proven offender; the rest are banned on the same
+# hasher.  HUGEINT is the proven offender (round 5); DECIMAL is the round-6
+# one -- DuckDB's pandas conversion renders DECIMAL as float64 ("1.0") while
+# Spark DecimalType arrives as Decimal('1.000000000'), so a trailing-zero
+# value hashes unequal despite being the same number
+# (hits_hubs_authorities, CORRECTNESS_r06).  The rest are banned on the same
 # principle (no oracle should ever emit them).
-BANNED = ("HUGEINT", "UHUGEINT", "UINTEGER", "UBIGINT", "USMALLINT", "UTINYINT")
+BANNED = (
+    "HUGEINT",
+    "UHUGEINT",
+    "UINTEGER",
+    "UBIGINT",
+    "USMALLINT",
+    "UTINYINT",
+    "DECIMAL",
+)
 
 
 @pytest.fixture(scope="module")
@@ -54,6 +66,20 @@ def con():
 
 
 _WITH_ORACLE = [name for name, spec in QUERIES.items() if spec.oracle is not None]
+
+
+def test_registry_has_no_duplicate_keys():
+    # a duplicate dict key is silently shadowed by Python -- round 7 found
+    # event_trigrams defined twice (the older spec dead).  Lint the source.
+    import re
+    from collections import Counter
+
+    import pgsf_spark.analytics.registry as reg
+
+    src = open(reg.__file__).read()
+    names = re.findall(r'"([a-z0-9_]+)": QuerySpec', src)
+    dupes = sorted(n for n, c in Counter(names).items() if c > 1)
+    assert dupes == [], f"duplicate registry keys (first spec silently dead): {dupes}"
 
 
 def test_every_query_has_an_oracle_or_is_whitelisted():
@@ -72,5 +98,33 @@ def test_oracle_binds_and_types_are_hashable(con, name):
     ]
     assert offenders == [], (
         f"{name}: oracle emits driver-unhashable column types {offenders}; "
-        f"wrap the aggregate in CAST(... AS BIGINT)"
+        f"wrap the aggregate in CAST(... AS BIGINT) (ints) or "
+        f"CAST(... AS DOUBLE) (decimals)"
     )
+
+
+def test_banned_decimal_output_is_actually_caught(con):
+    # canary: prove the lint would flag a DECIMAL-output oracle, so a
+    # future edit that narrows BANNED can't silently reopen the class
+    rel = con.sql("SELECT CAST(1 AS DECIMAL(18,9)) AS authority")
+    assert any("DECIMAL" in str(t).upper() for t in rel.types)
+    assert any(b in str(rel.types[0]).upper() for b in BANNED)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_pandas_dtypes_are_hash_stable(con, name):
+    """Value-level canary beyond type names: execute each oracle at sf0.001
+    and assert no output column materializes as Python ``Decimal``/``int128``
+    objects in pandas.  Catches any future DuckDB type the name-based BANNED
+    tuple doesn't enumerate (the round-6 verdict's item 3)."""
+    df = con.sql(QUERIES[name].oracle).df()
+    from decimal import Decimal
+
+    for col in df.columns:
+        s = df[col]
+        if s.dtype == object and len(s) > 0:
+            sample = next((v for v in s if v is not None), None)
+            assert not isinstance(sample, Decimal), (
+                f"{name}.{col}: oracle materializes Decimal objects in "
+                f"pandas -- cast the output column to DOUBLE"
+            )

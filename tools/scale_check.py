@@ -9,9 +9,19 @@ ratio. A ratio near 1 means overhead-bound; near N means linear; near N^2
 caller's judgment, not hidden.
 
 Usage:
-  python tools/scale_check.py [N] [query ...]      # default N=10
+  python tools/scale_check.py [N] [--skew] [query ...]   # default N=10
 Env:  SPARK_GRAFT_SF_DIR (base data, default /root/testdata/sf0.1)
       PGSF_SCALE_DIR (work dir, default /tmp/pgsf_scale_check)
+
+--skew additionally makes l_partkey zipfian-hot in the scaled copy: 20%
+of lineitem rows are redirected to a 10-key geometric head shared across
+ALL replicas (key k holds ~2^-(k+1) of the redirected mass, so the
+hottest part's degree grows with N, not per-replica).  This is the stress
+for the AA_MAX_DEG rare-part bound in hits_hubs_authorities /
+adamic_adar_links: if the degree cap works, the skewed-Nx ratio matches
+the plain-Nx ratio (hot parts fall out of the edge set before the
+per-round join); if it doesn't, the hot block's quadratic tail shows up
+as a ratio far above N.
 
 PERF.md's "10x scale check" sections are produced with this tool.
 """
@@ -52,7 +62,7 @@ _REMAP = {
 _OFFSET = 10**9
 
 
-def build_scaled(spark, src: str, dst: str, n: int) -> None:
+def build_scaled(spark, src: str, dst: str, n: int, skew: bool = False) -> None:
     from pyspark.sql import functions as F
 
     from pgsf_spark.tables import TABLES, load_table
@@ -68,12 +78,27 @@ def build_scaled(spark, src: str, dst: str, n: int) -> None:
         big = d.crossJoin(reps)
         for c in cols:
             big = big.withColumn(c, F.col(c).cast("long") + F.col("__rep") * _OFFSET)
+        if skew and t == "lineitem":
+            # zipfian-hot head: 20% of rows land on 10 global part keys,
+            # key k with mass ~2^-(k+1) (k = 9 - floor(log2(j)), j uniform
+            # in [1, 1023]); keys are shared across replicas so the
+            # hottest part's degree is O(total rows), the worst case the
+            # AA_MAX_DEG bound exists for.
+            h = F.abs(F.xxhash64("l_orderkey", "l_linenumber", F.lit("skew7")))
+            j = F.pmod(h, F.lit(1023)) + 1
+            hot_key = (F.lit(9) - F.floor(F.log2(j.cast("double")))).cast("long")
+            big = big.withColumn(
+                "l_partkey",
+                F.when(F.pmod(h, F.lit(5)) == 0, hot_key).otherwise(F.col("l_partkey")),
+            )
         big.drop("__rep").write.mode("overwrite").parquet(out)
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 10
-    names = [a for a in sys.argv[1:] if not a.isdigit()] or DEFAULT_QUERIES
+    skew = "--skew" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--skew"]
+    n = int(argv[0]) if argv and argv[0].isdigit() else 10
+    names = [a for a in argv if not a.isdigit()] or DEFAULT_QUERIES
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     work = os.environ.get("PGSF_SCALE_DIR", "/tmp/pgsf_scale_check")
 
@@ -87,17 +112,18 @@ def main() -> int:
         return 2
     spark = get_spark("pgsf_scale_check")
     try:
-        build_scaled(spark, base, work, n)
+        build_scaled(spark, base, work, n, skew=skew)
+        tag_nx = f"{n}x-skew" if skew else f"{n}x"
         results = {}
-        for sf, tag in ((base, "base"), (work, f"{n}x")):
+        for sf, tag in ((base, "base"), (work, tag_nx)):
             load_table(spark, sf, "documents").count()  # warm
             for name in names:
                 t0 = time.time()
                 QUERIES[name].fn(spark, sf).count()
                 results.setdefault(name, {})[tag] = round(time.time() - t0, 2)
         for name, r in results.items():
-            r["ratio"] = round(r[f"{n}x"] / max(r["base"], 0.01), 2)
-            print(json.dumps({"query": name, "scale": n, **r}))
+            r["ratio"] = round(r[tag_nx] / max(r["base"], 0.01), 2)
+            print(json.dumps({"query": name, "scale": n, "skew": skew, **r}))
     finally:
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)
