@@ -1224,3 +1224,87 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing the view -> purchase conversion curves of
+    the two md5-parity A/B arms -- the hypothesis test that goes WITH the
+    Kaplan-Meier curve (KM draws the survival difference, log-rank says
+    whether it is noise): at each conversion day t, arm A's expected
+    conversions under H0 are e_t = d_t * nA_t / n_t and the variance is
+    the hypergeometric v_t = d_t (nA_t/n_t)(nB_t/n_t)(n_t-d_t)/(n_t-1);
+    chi2 = (O_A - E_A)^2 / V.  On this null (hash-randomized) split the
+    expected chi2 is ~1 -- like ab_test_zscore, the gate locks the
+    assignment-measure-test pipeline, not a significant result.
+
+    Exactness: risk sets and conversion counts are integers from the same
+    per-user min-day construction as q_kaplan_meier; each day's e_t and
+    v_t are a FIXED left-to-right chain of double ops on those integers
+    (identical IEEE sequence both engines), rounded to 9 and
+    decimal-summed, so E_A and V are order-independent.  chi2 is assembled
+    from the three exact sums; try_divide makes a degenerate V (all
+    conversions on one day with n=1) NULL on both faces.
+
+    Plan: two keyed aggregates to per-user (entry, conversion) days, one
+    day-grain rollup per series, calendar-bounded cumulative windows over
+    the ~2.4k-row day spine (single-partition by design, like every stat
+    on this shelf), one scalar aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("vday"))
+        .join(
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.min(F.to_date("ts")).alias("pday")),
+            "user_id",
+            "left",
+        )
+        .withColumn("cday", F.when(F.col("pday") >= F.col("vday"), F.col("pday")))
+        .withColumn("arm", _ab_arm(F.col("user_id")))
+    )
+    a = (F.col("arm") == "A").cast("long")
+    b = (F.col("arm") == "B").cast("long")
+    entries = per_user.groupBy(F.col("vday").alias("day")).agg(
+        F.sum(a).alias("ea"), F.sum(b).alias("eb")
+    )
+    convs = per_user.filter(F.col("cday").isNotNull()).groupBy(
+        F.col("cday").alias("day")
+    ).agg(F.sum(a).alias("da"), F.sum(b).alias("db"))
+    days = entries.join(convs, "day", "full").select(
+        "day",
+        *[F.coalesce(c, F.lit(0)).alias(c) for c in ("ea", "eb", "da", "db")],
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        days.withColumn(
+            "na",
+            F.sum("ea").over(w) - F.coalesce(F.sum("da").over(wprev), F.lit(0)),
+        )
+        .withColumn(
+            "nb",
+            F.sum("eb").over(w) - F.coalesce(F.sum("db").over(wprev), F.lit(0)),
+        )
+        .withColumn("d", F.col("da") + F.col("db"))
+        .withColumn("n", F.col("na") + F.col("nb"))
+    )
+    dd, na, nb, n = (F.col(c).cast("double") for c in ("d", "na", "nb", "n"))
+    et = F.round(dd * na / n, 9)
+    vt = F.round(dd * na / n * nb / n * (n - dd) / (n - F.lit(1.0)), 9)
+    terms = risk.filter((F.col("d") > 0) & (F.col("n") > 1)).select(
+        "da", et.cast("decimal(18,9)").alias("et"), vt.cast("decimal(18,9)").alias("vt")
+    )
+    g = terms.agg(
+        F.sum("da").cast("bigint").alias("observed_a"),
+        F.sum("et").cast("double").alias("expected_a"),
+        F.sum("vt").cast("double").alias("variance"),
+    )
+    diff = F.col("observed_a").cast("double") - F.col("expected_a")
+    return g.select(
+        "observed_a",
+        F.round("expected_a", 6).alias("expected_a"),
+        F.round("variance", 6).alias("variance"),
+        F.round(F.try_divide(diff * diff, F.col("variance")), 6).alias("chi_square"),
+    )

@@ -232,3 +232,106 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("at_risk_pct"),
     )
+
+
+T_CLOSE = 0.2  # max tolerated EMD between class and global sensitive dists
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit completing the privacy triad (k-anonymity counts
+    rows per class, l-diversity counts distinct sensitive values,
+    t-closeness bounds the DISTANCE between each class's sensitive-value
+    distribution and the global one -- a class can be large AND diverse yet
+    still leak if its balances all cluster at the top). Quasi-identifier
+    class here is (nation, segment) -- the balance is the sensitive
+    attribute, so unlike the k-anon/l-div gates it is NOT part of the
+    class key. Distance is the ordered-attribute Earth Mover's Distance of
+    Li et al.: EMD = sum_i |cumP_i - cumQ_i| / (m-1) over the m
+    ACCTBAL_BUCKET-grain buckets.
+
+    Exactness: every |cumP - cumQ| is carried as the EXACT integer
+    |cum_c*N - cum_g*n_c| (class cumulative times grand total minus global
+    cumulative times class total; products in DECIMAL(38,0) so 100 TB row
+    counts cannot overflow), and each class's EMD is ONE double division
+    of two exact integers -- bit-identical cross-engine. Per-class EMDs
+    are rounded to 9 and decimal-summed for the average.
+
+    Scale shape: one groupBy to (class, bucket) cells, the global bucket
+    margin is a broadcast (m rows), the class x bucket grid is
+    dimension-sized (|classes| * m), and the cumulative window partitions
+    BY CLASS over m rows -- no single-partition window, no all-pairs."""
+    from pyspark.sql.window import Window
+
+    cells = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / ACCTBAL_BUCKET).cast("int").alias("sb"),
+        )
+        .groupBy("nation", "segment", "sb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cls_tot = cells.groupBy("nation", "segment").agg(F.sum("c").alias("nc"))
+    glob = cells.groupBy("sb").agg(F.sum("c").alias("g"))
+    tot = glob.agg(
+        F.sum("g").alias("n_total"), F.count(F.lit(1)).alias("m_buckets")
+    )
+    grid = (
+        cls_tot.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["nation", "segment", "sb"], "left")
+        .select(
+            "nation",
+            "segment",
+            "sb",
+            "nc",
+            "g",
+            "n_total",
+            "m_buckets",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w = (
+        Window.partitionBy("nation", "segment")
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dec = "decimal(38,0)"
+    num = F.abs(
+        F.sum("c").over(w).cast(dec) * F.col("n_total").cast(dec)
+        - F.sum("g").over(w).cast(dec) * F.col("nc").cast(dec)
+    )
+    per_class = (
+        grid.withColumn("num", num)
+        .groupBy("nation", "segment")
+        .agg(
+            F.first("nc").alias("nc"),
+            F.first("n_total").alias("n_total"),
+            F.first("m_buckets").alias("m_buckets"),
+            F.sum("num").alias("emd_num"),
+        )
+        .select(
+            "nc",
+            F.round(
+                F.col("emd_num").cast("double")
+                / (
+                    F.col("nc").cast(dec)
+                    * F.col("n_total").cast(dec)
+                    * (F.col("m_buckets") - 1).cast(dec)
+                ).cast("double"),
+                9,
+            ).alias("emd"),
+        )
+    )
+    return per_class.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum((F.col("emd") > T_CLOSE).cast("int")).cast("bigint").alias("classes_above_t"),
+        F.sum(F.when(F.col("emd") > T_CLOSE, F.col("nc")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("records_above_t"),
+        F.round(F.max("emd"), 9).alias("max_emd"),
+        F.round(F.sum(F.col("emd").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 9).alias(
+            "avg_emd"
+        ),
+    )

@@ -1783,3 +1783,104 @@ def q_mase_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.try_divide(F.col("e7").cast("double"), F.col("e1")), 6).alias("mase"),
     )
+
+
+def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta effect size between 1-URGENT and 5-LOW order values --
+    the scale-free companion to q_mann_whitney_u (U says whether the two
+    distributions differ; delta says by HOW MUCH, on the universal
+    [-1, 1] dominance scale an analyst can threshold: |d| < 0.147 is
+    negligible, > 0.474 large).  delta = (#(x>y) - #(x<y)) / (n1*n2) over
+    all cross-group pairs, computed WITHOUT the n1*n2 pairs via the
+    midrank identity delta = (2*U1 - n1*n2) / (n1*n2) where
+    U1 = R1 - n1(n1+1)/2 from midrank sums.
+
+    Portability: values are compared at integer cents grain; midranks are
+    exact dyadic rationals; every sum fits a double exactly; the single
+    final division is one IEEE op -- hash-exact with no decimal scaffolding.
+
+    Plan: one groupBy on the cents key compresses both groups to the
+    distinct-value rank table, one cumulative window over it, one scalar
+    agg -- same shape as mann_whitney_u; the fact table is touched once."""
+    o = load_table(spark, sf_dir, "orders")
+    two = o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("bigint").alias("is_a"),
+    )
+    by_val = two.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("is_a").alias("c_a")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_val.withColumn(
+        "cum_less", F.coalesce(F.sum("c_all").over(w), F.lit(0))
+    ).withColumn("avg_rank", F.col("cum_less") + (F.col("c_all") + 1) / 2.0)
+    g = ranked.agg(
+        F.sum("c_a").cast("bigint").alias("n_urgent"),
+        (F.sum("c_all") - F.sum("c_a")).cast("bigint").alias("n_low"),
+        F.sum(F.col("c_a") * F.col("avg_rank")).alias("r1"),
+    )
+    u1 = F.col("r1") - (F.col("n_urgent") * (F.col("n_urgent") + 1)) / 2.0
+    pairs = (F.col("n_urgent") * F.col("n_low")).cast("double")
+    return g.select(
+        "n_urgent",
+        "n_low",
+        u1.alias("u_statistic"),
+        F.round(F.try_divide(F.lit(2.0) * u1 - pairs, pairs), 6).alias("cliffs_delta"),
+    )
+
+
+# candidate functional dependencies audited by q_fd_violation_audit:
+# (name, table, lhs, rhs) -- g3 = min fraction of rows to delete for
+# lhs -> rhs to hold exactly
+FD_CANDIDATES = (
+    ("source_determines_lang", "documents", "source", "lang"),
+    ("user_determines_type", "events", "user_id", "event_type"),
+    ("custkey_determines_priority", "orders", "o_custkey", "o_orderpriority"),
+    ("brand_determines_type", "part", "p_brand", "p_type"),
+)
+
+
+def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency audit (the Tane/Deequ g3 measure)
+    over four candidate dependencies -- the schema-discovery gate that
+    tells a pipeline which "looks like a key" relationships actually hold:
+    g3(lhs -> rhs) = 1 - sum_over_lhs(max rhs-group count) / n, the minimum
+    fraction of rows that must be deleted for the FD to hold exactly.  A
+    near-zero g3 marks a dependable join/partition key; a large one kills
+    the assumption before it ships as a dedup or merge rule.
+
+    Exactness: numerator and denominator are integer counts; the one
+    division per candidate is a single IEEE op.  Plan: per candidate one
+    groupBy(lhs, rhs) partial-agg shuffle then one groupBy(lhs) max --
+    both keyed, no windows; the four audits union into one result after
+    each collapses to a single row."""
+    parts = []
+    for fd_name, table, lhs, rhs in FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        cells = t.groupBy(F.col(lhs).alias("l"), F.col(rhs).alias("r")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        keep = cells.groupBy("l").agg(F.max("c").alias("mx"), F.sum("c").alias("n_l"))
+        parts.append(
+            keep.agg(
+                F.lit(fd_name).alias("fd"),
+                F.sum("n_l").cast("bigint").alias("n_rows"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+                F.sum("mx").cast("bigint").alias("n_keep"),
+            ).select(
+                "fd",
+                "n_rows",
+                "n_lhs",
+                (F.col("n_rows") - F.col("n_keep")).alias("n_violations"),
+                F.round(
+                    (F.col("n_rows") - F.col("n_keep")).cast("double")
+                    / F.col("n_rows").cast("double"),
+                    6,
+                ).alias("g3"),
+                (F.col("n_rows") == F.col("n_keep")).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fd")

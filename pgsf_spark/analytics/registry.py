@@ -4392,6 +4392,133 @@ SELECT e_keys, e_rows, o_keys, o_rows, exact_join_size,
     AS rel_error
 FROM se, so, ex""",
     ),
+    # --- round 7 additions ---------------------------------------------
+    "t_closeness_audit": QuerySpec(
+        privacy.q_t_closeness_audit,
+        f"""WITH cells AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+    CAST(floor(c_acctbal / {privacy.ACCTBAL_BUCKET}) AS INT) AS sb, COUNT(*) AS c
+  FROM customer GROUP BY 1, 2, 3),
+ct AS (SELECT nation, segment, CAST(SUM(c) AS BIGINT) AS nc FROM cells GROUP BY 1, 2),
+gl AS (SELECT sb, CAST(SUM(c) AS BIGINT) AS g FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(g) AS BIGINT) AS n_total, COUNT(*) AS m_buckets FROM gl),
+grid AS (
+  SELECT ct.nation, ct.segment, gl.sb, ct.nc, gl.g, tot.n_total, tot.m_buckets,
+    COALESCE(cells.c, 0) AS c
+  FROM ct CROSS JOIN gl CROSS JOIN tot
+  LEFT JOIN cells ON cells.nation = ct.nation AND cells.segment = ct.segment
+    AND cells.sb = gl.sb),
+cum AS (
+  SELECT nation, segment, nc, n_total, m_buckets,
+    abs(CAST(SUM(c) OVER w AS BIGINT) * n_total
+        - CAST(SUM(g) OVER w AS BIGINT) * nc) AS num
+  FROM grid
+  WINDOW w AS (PARTITION BY nation, segment ORDER BY sb ROWS UNBOUNDED PRECEDING)),
+pc AS (
+  SELECT nation, segment, MAX(nc) AS nc, MAX(n_total) AS n_total,
+    MAX(m_buckets) AS m_buckets, CAST(SUM(num) AS BIGINT) AS emd_num
+  FROM cum GROUP BY 1, 2),
+pe AS (
+  SELECT nc,
+    ROUND(CAST(emd_num AS DOUBLE)
+          / CAST(nc * n_total * (m_buckets - 1) AS DOUBLE), 9) AS emd
+  FROM pc)
+SELECT COUNT(*) AS n_classes,
+  CAST(SUM(CASE WHEN emd > {privacy.T_CLOSE} THEN 1 ELSE 0 END) AS BIGINT) AS classes_above_t,
+  CAST(SUM(CASE WHEN emd > {privacy.T_CLOSE} THEN nc ELSE 0 END) AS BIGINT) AS records_above_t,
+  ROUND(MAX(emd), 9) AS max_emd,
+  ROUND(CAST(SUM(CAST(emd AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 9) AS avg_emd
+FROM pe""",
+    ),
+    "log_rank_test": QuerySpec(
+        events.q_log_rank_test,
+        """WITH pu AS (
+  SELECT v.user_id, v.vday,
+    CASE WHEN p.pday >= v.vday THEN p.pday END AS cday,
+    CASE WHEN ('0x' || substr(md5('ab1:' || CAST(v.user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         THEN 'A' ELSE 'B' END AS arm
+  FROM (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS vday
+        FROM events WHERE event_type = 'view' GROUP BY 1) v
+  LEFT JOIN (SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS pday
+             FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+    ON v.user_id = p.user_id),
+en AS (SELECT vday AS day,
+  SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS ea,
+  SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS eb
+  FROM pu GROUP BY 1),
+cv AS (SELECT cday AS day,
+  SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS da,
+  SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS db
+  FROM pu WHERE cday IS NOT NULL GROUP BY 1),
+days AS (
+  SELECT COALESCE(en.day, cv.day) AS day,
+    COALESCE(ea, 0) AS ea, COALESCE(eb, 0) AS eb,
+    COALESCE(da, 0) AS da, COALESCE(db, 0) AS db
+  FROM en FULL JOIN cv ON en.day = cv.day),
+r AS (
+  SELECT day, da, db,
+    CAST(SUM(ea) OVER w AS BIGINT) - COALESCE(CAST(SUM(da) OVER wp AS BIGINT), 0) AS na,
+    CAST(SUM(eb) OVER w AS BIGINT) - COALESCE(CAST(SUM(db) OVER wp AS BIGINT), 0) AS nb
+  FROM days
+  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING),
+    wp AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+t AS (
+  SELECT da,
+    CAST(ROUND(CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE), 9)
+      AS DECIMAL(18,9)) AS et,
+    CAST(ROUND(CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)
+               * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+               * (CAST(na + nb AS DOUBLE) - CAST(da + db AS DOUBLE))
+               / (CAST(na + nb AS DOUBLE) - 1.0), 9) AS DECIMAL(18,9)) AS vt
+  FROM r WHERE da + db > 0 AND na + nb > 1),
+g AS (SELECT CAST(SUM(da) AS BIGINT) AS observed_a,
+  CAST(SUM(et) AS DOUBLE) AS expected_a,
+  CAST(SUM(vt) AS DOUBLE) AS variance FROM t)
+SELECT observed_a, ROUND(expected_a, 6) AS expected_a,
+  ROUND(variance, 6) AS variance,
+  ROUND((CAST(observed_a AS DOUBLE) - expected_a)
+        * (CAST(observed_a AS DOUBLE) - expected_a) / variance, 6) AS chi_square
+FROM g""",
+    ),
+    "cliffs_delta": QuerySpec(
+        profiling.q_cliffs_delta,
+        """WITH two AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+by_val AS (SELECT cents, COUNT(*) AS c_all, CAST(SUM(is_a) AS BIGINT) AS c_a
+  FROM two GROUP BY 1),
+ranked AS (SELECT cents, c_all, c_a,
+  COALESCE(SUM(c_all) OVER (ORDER BY cents
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_less
+  FROM by_val),
+agg AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_urgent,
+  CAST(SUM(c_all) - SUM(c_a) AS BIGINT) AS n_low,
+  SUM(c_a * (cum_less + (c_all + 1) / 2.0)) AS r1
+  FROM ranked)
+SELECT n_urgent, n_low,
+  r1 - (n_urgent * (n_urgent + 1)) / 2.0 AS u_statistic,
+  ROUND((2.0 * (r1 - (n_urgent * (n_urgent + 1)) / 2.0)
+         - CAST(n_urgent * n_low AS DOUBLE)) / CAST(n_urgent * n_low AS DOUBLE), 6)
+    AS cliffs_delta
+FROM agg""",
+    ),
+    "fd_violation_audit": QuerySpec(
+        profiling.q_fd_violation_audit,
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"""SELECT '{fd_name}' AS fd,
+  CAST(SUM(n_l) AS BIGINT) AS n_rows, COUNT(*) AS n_lhs,
+  CAST(SUM(n_l) - SUM(mx) AS BIGINT) AS n_violations,
+  ROUND(CAST(SUM(n_l) - SUM(mx) AS DOUBLE) / CAST(SUM(n_l) AS DOUBLE), 6) AS g3,
+  SUM(n_l) = SUM(mx) AS holds
+FROM (SELECT l, MAX(c) AS mx, SUM(c) AS n_l FROM
+  (SELECT {lhs} AS l, {rhs} AS r, COUNT(*) AS c FROM {table} GROUP BY 1, 2)
+  GROUP BY 1)"""
+            for fd_name, table, lhs, rhs in profiling.FD_CANDIDATES
+        )
+        + "\n) ORDER BY fd",
+    ),
 }
 
 # ---------------------------------------------------------------------------
