@@ -468,3 +468,160 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rater) makes kappa undefined -> NULL on both faces
         F.round(F.try_divide(po - pe, 1 - pe), 6).alias("kappa"),
     )
+
+
+BRIER_SEED = "br7"  # train/eval split seed for the calibration forecast
+
+
+def _brier_split(doc_id):
+    """md5-parity train/eval split (the _ab_arm device on doc_id): 0 =
+    train (fits the per-bin forecast), 1 = eval (scores it)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{BRIER_SEED}:"), doc_id.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score -- reliability, resolution,
+    uncertainty -- for a binned probability forecast of "document is
+    English" fit on a train split and scored on a held-out eval split.
+    This is the gate that says WHY a calibrated score is good or bad:
+    reliability (want 0) measures miscalibration of the forecast values,
+    resolution (want large) measures how much the bins actually separate
+    outcomes, uncertainty is the outcome's intrinsic variance; for a
+    per-bin-constant forecast Brier = reliability - resolution +
+    uncertainty EXACTLY, so the gate emits all four and the identity is
+    auditable. Completes the calibration shelf: roc_auc grades ranking,
+    isotonic grades the curve, Brier grades the probabilities.
+
+    Exactness: forecasts p_k and eval rates ybar_k are single double
+    divisions of exact integer counts; each bin's reliability/resolution
+    term is a fixed op chain rounded to 9 and decimal-summed over the
+    <= 10 bin rows, so accumulation order cannot drift. Bins with no
+    train rows have no forecast and are excluded on both faces
+    (documented; unreachable once every fixed-width bin is populated).
+
+    Scale shape: same fixed-width score bins as q_isotonic_calibration
+    (scan-side projection, no global sort); ONE groupBy(bin, split)
+    aggregate touches the corpus, everything downstream is <= 10 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    rows = d.select(
+        F.least(F.lit(CAL_MAX_BIN), F.floor(F.col("n_chars") / CAL_BIN_WIDTH))
+        .cast("int")
+        .alias("bin"),
+        (F.col("lang") == "en").cast("long").alias("y"),
+        _brier_split(F.col("doc_id")).alias("split"),
+    )
+    cells = rows.groupBy("bin", "split").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    train = cells.filter(F.col("split") == 0).select(
+        "bin",
+        (F.col("pos").cast("double") / F.col("n").cast("double")).alias("p_k"),
+        F.col("n").alias("n_train_bin"),
+    )
+    ev = cells.filter(F.col("split") == 1).select(
+        "bin", F.col("n").alias("n_k"), F.col("pos").alias("pos_k")
+    )
+    both = ev.join(train, "bin")
+    tot = both.agg(
+        F.sum("n_k").alias("n_eval"), F.sum("pos_k").alias("pos_eval")
+    )
+    ybar = F.col("pos_eval").cast("double") / F.col("n_eval").cast("double")
+    yk = F.col("pos_k").cast("double") / F.col("n_k").cast("double")
+    nk = F.col("n_k").cast("double")
+    dec = "decimal(27,9)"
+    terms = both.crossJoin(F.broadcast(tot)).select(
+        F.col("n_k"),
+        F.col("n_eval"),
+        F.col("pos_eval"),
+        F.round(nk * (F.col("p_k") - yk) * (F.col("p_k") - yk), 9)
+        .cast(dec)
+        .alias("rel_t"),
+        F.round(nk * (yk - ybar) * (yk - ybar), 9).cast(dec).alias("res_t"),
+    )
+    g = terms.groupBy("n_eval", "pos_eval").agg(
+        F.sum("rel_t").cast("double").alias("rel_s"),
+        F.sum("res_t").cast("double").alias("res_s"),
+        F.sum("n_k").cast("bigint").alias("n_binned"),
+    )
+    n_eval_d = F.col("n_eval").cast("double")
+    yb = F.col("pos_eval").cast("double") / n_eval_d
+    rel = F.col("rel_s") / n_eval_d
+    res = F.col("res_s") / n_eval_d
+    unc = yb * (1 - yb)
+    return g.select(
+        F.col("n_eval").cast("bigint").alias("n_eval"),
+        "n_binned",
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(rel - res + unc, 6).alias("brier_score"),
+    )
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE deterministic binary raters per document
+    -- the multi-rater generalization of q_cohens_kappa (which compares
+    exactly two): rater 1 = "long" (n_chars above the corpus median),
+    rater 2 = "exact-unique" (normalized fingerprint appears once),
+    rater 3 = "English" (lang == 'en'). Near-zero kappa says the three
+    cheap quality signals don't agree beyond chance -- i.e. they carry
+    independent information and none can replace the others; high kappa
+    flags redundant raters a labeling budget can drop.
+
+    Exactness: with r = 3 binary raters, per-item agreement P_i is 1 for a
+    unanimous item and 1/3 otherwise (the pair-count identity collapses),
+    so P_bar = (n_unanimous + (N - n_unanimous)/3) / N and everything is a
+    fixed chain of double ops on integer counts; try_divide makes the
+    degenerate P_e = 1 case NULL on both faces.
+
+    Scale shape: the median is one percentile scalar, the uniqueness
+    signal is the dedup_exact fingerprint groupBy, then ONE aggregate over
+    per-doc vote counts -- no windows, no pairs."""
+    from pgsf_spark.analytics.dedup import _norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    med = d.agg(F.expr("percentile(n_chars, 0.5D)").alias("m"))
+    fp = d.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
+    cnt = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    uniq = fp.join(cnt, "fp").select("doc_id", (F.col("n_copies") == 1).alias("is_unique"))
+    votes = (
+        d.select("doc_id", "n_chars", "lang")
+        .join(uniq, "doc_id")
+        .crossJoin(F.broadcast(med))
+        .select(
+            (
+                (F.col("n_chars") > F.col("m")).cast("long")
+                + F.col("is_unique").cast("long")
+                + (F.col("lang") == "en").cast("long")
+            ).alias("n1")
+        )
+    )
+    g = votes.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((F.col("n1") == 0) | (F.col("n1") == 3)).cast("long"))
+        .cast("bigint")
+        .alias("n_unanimous"),
+        F.sum("n1").cast("bigint").alias("n_pos_votes"),
+    )
+    n = F.col("n_docs").cast("double")
+    p1 = F.col("n_pos_votes").cast("double") / (3.0 * n)
+    p_bar = (
+        F.col("n_unanimous").cast("double")
+        + (n - F.col("n_unanimous").cast("double")) / 3.0
+    ) / n
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    return g.select(
+        "n_docs",
+        "n_unanimous",
+        F.round(p1, 6).alias("p_pos"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round(F.try_divide(p_bar - p_e, 1 - p_e), 6).alias("fleiss_kappa"),
+    )

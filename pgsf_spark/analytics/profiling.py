@@ -1884,3 +1884,97 @@ def q_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("fd")
+
+
+BH_ALPHA = 0.05  # family-wise FDR level for the per-nation test family
+BH_M = 25  # the test family is the fixed 25-nation design
+
+
+def _bh_thresholds(m: int = BH_M, alpha: float = BH_ALPHA) -> list[float]:
+    """|z| cutoffs t_i = Phi^-1(1 - alpha*i/(2m)) for BH rank i = 1..m,
+    via stdlib-erf bisection (no scipy).  BH on two-sided normal p-values
+    p = 2(1 - Phi(|z|)) is EQUIVALENT to step-up on |z| against these
+    cutoffs -- which keeps erf/exp out of the gated columns entirely (the
+    house softsign-not-exp portability rule): the engines only compare
+    |z| doubles against literal constants embedded identically in both
+    faces."""
+    import math
+
+    def ppf(p: float) -> float:
+        lo, hi = 0.0, 10.0
+        for _ in range(80):
+            mid = (lo + hi) / 2
+            if 0.5 * (1 + math.erf(mid / math.sqrt(2))) < p:
+                lo = mid
+            else:
+                hi = mid
+        return (lo + hi) / 2
+
+    return [round(ppf(1 - alpha * i / (2 * m)), 6) for i in range(1, m + 1)]
+
+
+def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the 25-nation family of
+    one-sample z-tests (each nation's mean order value against the global
+    mean at global sigma) -- the multiple-comparisons gate every
+    per-segment dashboard needs: without it, 25 simultaneous tests at
+    alpha = 0.05 expect a false "significant nation" weekly.  The step-up
+    rule rejects ranks 1..k* where k* is the largest rank whose |z| clears
+    its rank's cutoff.
+
+    Portability: the normal inverse lives in PYTHON (module-level
+    constants from stdlib erf bisection, identical literals in both
+    faces); the engines do only integer-moment arithmetic, one fixed
+    double chain per nation, and comparisons against those literals --
+    no erf/exp in any gated column.
+
+    Plan: one customer-orders equi-join (customer side broadcast at
+    dimension scale), one nation-keyed moment aggregate, one single-row
+    global moment aggregate broadcast back; ranking and step-up run on
+    the 25-row nation table (dimension-sized window, documented)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rows = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per_nation = rows.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s1"),
+    )
+    # (19,0) x (19,0) -> (38,0): the square stays inside Spark's precision
+    # cap (38,0 x 38,0 would truncate)
+    sq = F.col("cents").cast("decimal(19,0)")
+    glob = rows.agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("g1"),
+        F.sum(sq * sq).alias("g2"),
+    )
+    mean_i = F.col("s1").cast("double") / F.col("n").cast("double")
+    mean_g = F.col("g1").cast("double") / F.col("ng").cast("double")
+    var_g = F.col("g2").cast("double") / F.col("ng").cast("double") - mean_g * mean_g
+    z = F.round(
+        (mean_i - mean_g) / F.sqrt(var_g) * F.sqrt(F.col("n").cast("double")), 6
+    )
+    scored = per_nation.crossJoin(F.broadcast(glob)).select(
+        "nation", F.col("n").cast("bigint").alias("n_orders"), z.alias("z")
+    )
+    wr = Window.orderBy(F.abs(F.col("z")).desc(), "nation")
+    thr = F.element_at(
+        F.array(*[F.lit(t) for t in _bh_thresholds()]), F.col("bh_rank")
+    )
+    ranked = (
+        scored.withColumn("bh_rank", F.row_number().over(wr))
+        .withColumn("bh_threshold", thr)
+        .withColumn("clears", (F.abs(F.col("z")) >= F.col("bh_threshold")).cast("int"))
+    )
+    wall = Window.partitionBy()
+    kstar = F.max(F.col("clears") * F.col("bh_rank")).over(wall)
+    return (
+        ranked.withColumn("rejected", F.col("bh_rank") <= kstar)
+        .select("nation", "n_orders", "z", "bh_rank", "bh_threshold", "rejected")
+        .orderBy("bh_rank")
+    )

@@ -4503,6 +4503,151 @@ SELECT n_urgent, n_low,
     AS cliffs_delta
 FROM agg""",
     ),
+    "brier_decomposition": QuerySpec(
+        curation.q_brier_decomposition,
+        f"""WITH rws AS (
+  SELECT LEAST({curation.CAL_MAX_BIN}, CAST(floor(n_chars / {curation.CAL_BIN_WIDTH}) AS BIGINT)) AS bin,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+    ('0x' || substr(md5('{curation.BRIER_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS split
+  FROM documents),
+cells AS (SELECT bin, split, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+  FROM rws GROUP BY 1, 2),
+train AS (SELECT bin, CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS p_k FROM cells WHERE split = 0),
+ev AS (SELECT bin, n AS n_k, pos AS pos_k FROM cells WHERE split = 1),
+bth AS (SELECT ev.bin, n_k, pos_k, p_k FROM ev JOIN train USING (bin)),
+tot AS (SELECT CAST(SUM(n_k) AS BIGINT) AS n_eval, CAST(SUM(pos_k) AS BIGINT) AS pos_eval FROM bth),
+terms AS (
+  SELECT n_k, n_eval, pos_eval,
+    CAST(ROUND(CAST(n_k AS DOUBLE)
+      * (p_k - CAST(pos_k AS DOUBLE) / CAST(n_k AS DOUBLE))
+      * (p_k - CAST(pos_k AS DOUBLE) / CAST(n_k AS DOUBLE)), 9) AS DECIMAL(27,9)) AS rel_t,
+    CAST(ROUND(CAST(n_k AS DOUBLE)
+      * (CAST(pos_k AS DOUBLE) / CAST(n_k AS DOUBLE) - CAST(pos_eval AS DOUBLE) / CAST(n_eval AS DOUBLE))
+      * (CAST(pos_k AS DOUBLE) / CAST(n_k AS DOUBLE) - CAST(pos_eval AS DOUBLE) / CAST(n_eval AS DOUBLE)),
+      9) AS DECIMAL(27,9)) AS res_t
+  FROM bth, tot),
+g AS (SELECT n_eval, pos_eval, CAST(SUM(rel_t) AS DOUBLE) AS rel_s,
+  CAST(SUM(res_t) AS DOUBLE) AS res_s, CAST(SUM(n_k) AS BIGINT) AS n_binned
+  FROM terms GROUP BY 1, 2)
+SELECT n_eval, n_binned,
+  ROUND(rel_s / CAST(n_eval AS DOUBLE), 6) AS reliability,
+  ROUND(res_s / CAST(n_eval AS DOUBLE), 6) AS resolution,
+  ROUND(CAST(pos_eval AS DOUBLE) / CAST(n_eval AS DOUBLE)
+        * (1 - CAST(pos_eval AS DOUBLE) / CAST(n_eval AS DOUBLE)), 6) AS uncertainty,
+  ROUND(rel_s / CAST(n_eval AS DOUBLE) - res_s / CAST(n_eval AS DOUBLE)
+        + CAST(pos_eval AS DOUBLE) / CAST(n_eval AS DOUBLE)
+          * (1 - CAST(pos_eval AS DOUBLE) / CAST(n_eval AS DOUBLE)), 6) AS brier_score
+FROM g""",
+    ),
+    "fleiss_kappa": QuerySpec(
+        curation.q_fleiss_kappa,
+        f"""WITH med AS (SELECT quantile_cont(n_chars, 0.5) AS m FROM documents),
+fp AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),
+cnt AS (SELECT fp, COUNT(*) AS n_copies FROM fp GROUP BY 1),
+uniq AS (SELECT doc_id, n_copies = 1 AS is_unique FROM fp JOIN cnt USING (fp)),
+votes AS (
+  SELECT CAST(d.n_chars > med.m AS INT)
+       + CAST(u.is_unique AS INT)
+       + CAST(d.lang = 'en' AS INT) AS n1
+  FROM documents d JOIN uniq u USING (doc_id), med),
+g AS (SELECT COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN n1 = 0 OR n1 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_unanimous,
+  CAST(SUM(n1) AS BIGINT) AS n_pos_votes FROM votes),
+k AS (
+  SELECT n_docs, n_unanimous,
+    CAST(n_pos_votes AS DOUBLE) / (3.0 * CAST(n_docs AS DOUBLE)) AS p1,
+    (CAST(n_unanimous AS DOUBLE)
+     + (CAST(n_docs AS DOUBLE) - CAST(n_unanimous AS DOUBLE)) / 3.0)
+      / CAST(n_docs AS DOUBLE) AS p_bar
+  FROM g)
+SELECT n_docs, n_unanimous,
+  ROUND(p1, 6) AS p_pos,
+  ROUND(p_bar, 6) AS p_bar,
+  ROUND(p1 * p1 + (1 - p1) * (1 - p1), 6) AS p_e,
+  ROUND((p_bar - (p1 * p1 + (1 - p1) * (1 - p1)))
+        / (1 - (p1 * p1 + (1 - p1) * (1 - p1))), 6) AS fleiss_kappa
+FROM k""",
+    ),
+    "mrr_gate": QuerySpec(
+        similarity.q_mrr_gate,
+        f"""WITH e AS (SELECT vec_id, CAST(label AS INT) AS label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+pos AS (SELECT label, i, v[CAST(i AS INT)] AS x FROM e, range(1, 65) r(i)),
+cent AS (
+  SELECT label, list(cx ORDER BY i) AS cv FROM (
+    SELECT label, i, CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x) AS cx
+    FROM pos GROUP BY label, i)
+  GROUP BY label),
+assigned AS (
+  SELECT vec_id, v, label AS cluster FROM (
+    SELECT e.vec_id, e.v, cent.label,
+      {_dot_sql('e.v', 'cent.cv')} / (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('cent.cv', 'cent.cv')})) AS cos_c
+    FROM e CROSS JOIN cent)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, label) = 1),
+q AS (SELECT vec_id AS qid, v AS qv, cluster AS qcluster
+  FROM assigned WHERE vec_id < {similarity.MRR_Q}),
+brute AS (
+  SELECT q.qid, e.vec_id,
+    ROUND({_dot_sql('e.v', 'q.qv')} / (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('q.qv', 'q.qv')})), 4) AS cos
+  FROM e, q WHERE e.vec_id <> q.qid),
+mx AS (SELECT qid, MAX(cos) AS mc FROM brute GROUP BY 1),
+top1 AS (
+  SELECT b.qid, MIN(b.vec_id) AS rel_id, MAX(b.cos) AS rel_cos
+  FROM brute b JOIN mx ON b.qid = mx.qid AND b.cos = mx.mc
+  GROUP BY 1),
+cand AS (
+  SELECT q.qid, a.vec_id,
+    ROUND({_dot_sql('a.v', 'q.qv')} / (sqrt({_dot_sql('a.v', 'a.v')}) * sqrt({_dot_sql('q.qv', 'q.qv')})), 4) AS cos
+  FROM assigned a JOIN q ON a.cluster = q.qcluster WHERE a.vec_id <> q.qid),
+scored AS (
+  SELECT c.qid,
+    CASE WHEN c.cos > t.rel_cos OR (c.cos = t.rel_cos AND c.vec_id < t.rel_id)
+         THEN 1 ELSE 0 END AS better,
+    CASE WHEN c.vec_id = t.rel_id THEN 1 ELSE 0 END AS hit
+  FROM cand c JOIN top1 t USING (qid)),
+per_q AS (SELECT qid, CAST(SUM(better) AS BIGINT) AS nb, MAX(hit) AS found,
+  COUNT(*) AS n_cand FROM scored GROUP BY 1),
+pq AS (
+  SELECT COALESCE(found, 0) AS found,
+    CAST(COALESCE(CASE WHEN found = 1
+        THEN ROUND(1.0 / (1.0 + CAST(nb AS DOUBLE)), 9) END, 0.0) AS DECIMAL(18,9)) AS rr,
+    COALESCE(n_cand, 0) AS n_cand
+  FROM q LEFT JOIN per_q USING (qid))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(SUM(found) AS BIGINT) AS n_hits,
+  ROUND(CAST(SUM(rr) AS DOUBLE) / COUNT(*), 6) AS mrr,
+  CAST(SUM(n_cand) AS BIGINT) AS total_candidates
+FROM pq""",
+    ),
+    "benjamini_hochberg": QuerySpec(
+        profiling.q_benjamini_hochberg,
+        f"""WITH rws AS (
+  SELECT c.c_nationkey AS nation, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+pn AS (SELECT nation, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s1 FROM rws GROUP BY 1),
+gm AS (SELECT COUNT(*) AS ng, CAST(SUM(cents) AS BIGINT) AS g1,
+  SUM(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS g2
+  FROM rws),
+scored AS (
+  SELECT nation, CAST(n AS BIGINT) AS n_orders,
+    ROUND((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(g1 AS DOUBLE) / CAST(ng AS DOUBLE))
+          / sqrt(CAST(g2 AS DOUBLE) / CAST(ng AS DOUBLE)
+                 - CAST(g1 AS DOUBLE) / CAST(ng AS DOUBLE) * (CAST(g1 AS DOUBLE) / CAST(ng AS DOUBLE)))
+          * sqrt(CAST(n AS DOUBLE)), 6) AS z
+  FROM pn, gm),
+ranked AS (
+  SELECT nation, n_orders, z,
+    CAST(ROW_NUMBER() OVER (ORDER BY abs(z) DESC, nation) AS INT) AS bh_rank
+  FROM scored),
+thr AS (
+  SELECT nation, n_orders, z, bh_rank,
+    CAST(([{", ".join(repr(t) for t in profiling._bh_thresholds())}])[bh_rank] AS DOUBLE) AS bh_threshold
+  FROM ranked),
+ks AS (
+  SELECT *, MAX(CASE WHEN abs(z) >= bh_threshold THEN bh_rank ELSE 0 END) OVER () AS kstar
+  FROM thr)
+SELECT nation, n_orders, z, bh_rank, bh_threshold, bh_rank <= kstar AS rejected
+FROM ks ORDER BY bh_rank""",
+    ),
     "fd_violation_audit": QuerySpec(
         profiling.q_fd_violation_audit,
         "SELECT * FROM (\n"

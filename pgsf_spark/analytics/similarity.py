@@ -980,3 +980,106 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5"),
         )
     )
+
+
+MRR_Q = 8  # query vectors (vec_id 0..MRR_Q-1) scored by the MRR gate
+
+
+def q_mrr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Reciprocal Rank of the IVF index over MRR_Q query vectors --
+    the MULTI-query retrieval gate next to the single-query recall/nDCG
+    gates: for each query, the "relevant" item is its exact brute-force
+    top-1 neighbor, and rr = 1/rank of that item in the query's IVF
+    candidate list (0 when the relevant item lands outside the probed
+    cluster -- the miss mode MRR exists to expose). One number summarizes
+    whether the index puts the RIGHT FIRST answer on top across a query
+    workload, which is what an interactive retrieval SLA actually gates.
+
+    Determinism: cosines are rounded to 4 on both faces before any
+    comparison (the house ANN device); the relevant item is
+    (max cosine, min vec_id); rank is COUNT-based (1 + #candidates
+    strictly better under the same (cosine desc, vec_id asc) order), so
+    no window over data-sized partitions exists anywhere. Per-query rr is
+    rounded to 9 and decimal-summed into the mean.
+
+    Scale shape: queries and centroids are broadcast (MRR_Q and C rows);
+    the brute pass is ONE projection scan x MRR_Q (the exact-baseline
+    audit cost, linear by design -- the serve path is the IVF side, which
+    touches ~1/nlist of the data per query); ranks come from keyed
+    aggregates, never a global sort."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(e)  # no-op (no Exchange) when the scan is already wide
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    cent = _label_centroids(e)
+    cos_c = _dot(F.col("v"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("label"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("cos_c", cos_c)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("label").alias("cluster"))
+    )
+    queries = assigned.filter(F.col("vec_id") < MRR_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("cluster").alias("qcluster"),
+    )
+    cos_q = F.round(
+        _dot(F.col("v"), F.col("qv"))
+        / (
+            F.sqrt(_dot(F.col("v"), F.col("v")))
+            * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        ),
+        4,
+    )
+    brute = (
+        emb.crossJoin(F.broadcast(queries.select("qid", "qv")))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos_q.alias("cos"))
+    )
+    mx = brute.groupBy("qid").agg(F.max("cos").alias("mc"))
+    top1 = (
+        brute.join(F.broadcast(mx), "qid")
+        .filter(F.col("cos") == F.col("mc"))
+        .groupBy("qid")
+        .agg(F.min("vec_id").alias("rel_id"), F.first("mc").alias("rel_cos"))
+    )
+    cand = (
+        assigned.join(F.broadcast(queries), F.col("cluster") == F.col("qcluster"))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cos_q.alias("cos"))
+    )
+    scored = cand.join(F.broadcast(top1), "qid").select(
+        "qid",
+        (
+            (F.col("cos") > F.col("rel_cos"))
+            | ((F.col("cos") == F.col("rel_cos")) & (F.col("vec_id") < F.col("rel_id")))
+        )
+        .cast("long")
+        .alias("better"),
+        (F.col("vec_id") == F.col("rel_id")).cast("long").alias("hit"),
+    )
+    per_q = scored.groupBy("qid").agg(
+        F.sum("better").alias("nb"),
+        F.max("hit").alias("found"),
+        F.count(F.lit(1)).alias("n_cand"),
+    )
+    rr = F.when(
+        F.col("found") == 1, F.round(1.0 / (1.0 + F.col("nb").cast("double")), 9)
+    ).otherwise(F.lit(0.0))
+    per_query = queries.select("qid").join(per_q, "qid", "left").select(
+        F.coalesce(F.col("found"), F.lit(0)).alias("found"),
+        F.coalesce(rr, F.lit(0.0)).cast("decimal(18,9)").alias("rr"),
+        F.coalesce(F.col("n_cand"), F.lit(0)).alias("n_cand"),
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("found").cast("bigint").alias("n_hits"),
+        F.round(F.sum("rr").cast("double") / F.count(F.lit(1)), 6).alias("mrr"),
+        F.sum("n_cand").cast("bigint").alias("total_candidates"),
+    )
