@@ -311,3 +311,54 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority").desc(), "partkey")
         .limit(HITS_TOP)
     )
+
+
+PL_DMIN = 2  # power-law fit tail: parts with degree >= PL_DMIN
+
+
+def q_degree_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law MLE over the part-degree distribution of the
+    customer-part purchase graph -- the one-number scale-structure probe
+    for every graph op on this shelf (HITS, Adamic-Adar, PageRank all cap
+    or bound degrees; this gate measures the exponent those caps are
+    sized against): alpha_mle = 1 + n / sum ln(d_i / dmin) (Clauset-
+    Shalizi-Newman discrete-tail approximation, dmin = PL_DMIN).  A steep
+    alpha (> 3) says hot keys are rare and caps are insurance; alpha near
+    2 says the hot tail is heavy and the caps are load-bearing.
+
+    Exactness: degrees are integers; each ln(d/dmin) is rounded to 9 and
+    decimal-summed (the house ln-portability device: Adamic-Adar,
+    Kaplan-Meier), so the sum is order-independent; alpha is two IEEE ops
+    on exact aggregates.
+
+    Plan: the lineitem-orders equi-join and one part-keyed count (the
+    same cp construction as q_hits_hubs_authorities), a one-row
+    aggregate.  No windows, no caps needed here -- the count table IS the
+    output's input."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cp = (
+        li.select("l_orderkey", "l_partkey")
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    tail = deg.filter(F.col("deg") >= PL_DMIN)
+    lnr = F.round(F.log(F.col("deg").cast("double") / float(PL_DMIN)), 9).cast(
+        "decimal(18,9)"
+    )
+    g = tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.max("deg").cast("bigint").alias("max_degree"),
+        F.sum(lnr).cast("double").alias("ln_sum"),
+    )
+    whole = deg.agg(F.count(F.lit(1)).alias("n_parts"))
+    return g.crossJoin(F.broadcast(whole)).select(
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.col("n_tail").cast("bigint").alias("n_tail"),
+        "max_degree",
+        F.round(
+            F.lit(1.0) + F.col("n_tail").cast("double") / F.col("ln_sum"), 6
+        ).alias("alpha_mle"),
+    )

@@ -1978,3 +1978,67 @@ def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", "n_orders", "z", "bh_rank", "bh_threshold", "rejected")
         .orderBy("bh_rank")
     )
+
+
+EWMA_ALPHA = 0.2  # smoothing constant
+EWMA_LAGS = 60  # truncated-kernel depth: 0.8^60 ~ 1.5e-6 of a day's weight
+EWMA_Z = 3.162278  # 3 * sqrt(1 + alpha/(2-alpha)): prediction-error limit
+
+
+def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily revenue -- the drift-sensitive
+    anomaly monitor next to q_revenue_anomaly_days (which flags against a
+    global mean; EWMA flags against the RECENT level, catching slow-onset
+    shifts a static band misses).  Each day's prediction is the
+    exponentially-weighted mean of the previous EWMA_LAGS days
+    (alpha (1-alpha)^k kernel, truncated where the weight is ~1e-6 --
+    truncation applied identically on both faces, so parity is exact);
+    the day's z-score is (rev - ewma_prev) / sigma, flagged beyond
+    EWMA_Z = 3 sqrt(1 + alpha/(2-alpha)), the asymptotic sigma of a
+    one-step EWMA prediction error.  Emits the top 10 days by |z|.
+
+    Exactness: revenue is integer cents; each kernel term is one python
+    double literal times an integer, summed in a FIXED left-to-right
+    chain (the lag unroll pins the order on both faces); sigma comes from
+    exact decimal moments; z is a fixed double chain rounded to 6.
+
+    Plan: one orders rollup shuffle to day grain, lag windows over the
+    ~2.4k-row day spine (single-partition by design, documented house
+    pattern for this shelf), one broadcast of the 1-row moment aggregate,
+    one top-10."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.orderBy("day")
+    ew = None
+    for k in range(1, EWMA_LAGS + 1):
+        wt = EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** (k - 1)
+        term = F.lit(wt) * F.lag("rev", k).over(w).cast("double")
+        ew = term if ew is None else ew + term
+    rn = F.row_number().over(w)
+    pred = daily.withColumn("ewma_prev", F.round(ew, 4)).withColumn("rn", rn).filter(
+        F.col("rn") > EWMA_LAGS
+    )
+    dec = "decimal(38,0)"
+    sq = F.col("rev").cast("decimal(19,0)")
+    mom = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rev").cast(dec)).alias("s1"),
+        F.sum(sq * sq).alias("s2"),
+    )
+    mean_g = F.col("s1").cast("double") / F.col("n").cast("double")
+    var_g = F.col("s2").cast("double") / F.col("n").cast("double") - mean_g * mean_g
+    z = F.round((F.col("rev").cast("double") - F.col("ewma_prev")) / F.sqrt(var_g), 6)
+    return (
+        pred.crossJoin(F.broadcast(mom))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("rev") / 100.0, 2).alias("rev_usd"),
+            F.round(F.col("ewma_prev") / 100.0, 4).alias("ewma_usd"),
+            z.alias("z"),
+            (F.abs(z) > EWMA_Z).alias("is_breach"),
+        )
+        .orderBy(F.abs(F.col("z")).desc(), "day")
+        .limit(10)
+    )

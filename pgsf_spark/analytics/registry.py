@@ -4503,6 +4503,86 @@ SELECT n_urgent, n_low,
     AS cliffs_delta
 FROM agg""",
     ),
+    "heavy_hitters_cms_verified": QuerySpec(
+        text.q_heavy_hitters_cms_verified,
+        f"""WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+nt AS (SELECT COUNT(*) AS n_tokens FROM tok),
+cells AS ({" UNION ALL ".join(
+    f"SELECT token, {i} AS row, CAST(('0x' || substr(md5('cms{i}:' || token), 1, 8))::BIGINT % {text.CMS_W} AS INT) AS col FROM tok"
+    for i in range(text.CMS_D))}),
+sketch AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2),
+thr AS (SELECT CAST(ceil({text.HH_PHI} * n_tokens) AS BIGINT) AS threshold FROM nt),
+hh AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count FROM tok GROUP BY 1),
+sel AS (SELECT token, exact_count FROM hh, thr WHERE exact_count >= threshold),
+probes AS ({" UNION ALL ".join(
+    f"SELECT token, exact_count, {i} AS row, CAST(('0x' || substr(md5('cms{i}:' || token), 1, 8))::BIGINT % {text.CMS_W} AS INT) AS col FROM sel"
+    for i in range(text.CMS_D))}),
+est AS (SELECT p.token, p.exact_count, MIN(COALESCE(s.cnt, 0)) AS cms_estimate
+  FROM probes p LEFT JOIN sketch s ON p.row = s.row AND p.col = s.col
+  GROUP BY 1, 2)
+SELECT e.token, e.exact_count, e.cms_estimate, thr.threshold
+FROM est e, thr ORDER BY e.exact_count DESC, e.token""",
+    ),
+    "ewma_control_chart": QuerySpec(
+        profiling.q_ewma_control_chart,
+        f"""WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+l AS (
+  SELECT day, rev,
+    ROUND({" + ".join(
+        f"{profiling.EWMA_ALPHA * (1.0 - profiling.EWMA_ALPHA) ** (k - 1)!r} * CAST(lag(rev, {k}) OVER w AS DOUBLE)"
+        for k in range(1, profiling.EWMA_LAGS + 1))}, 4) AS ewma_prev,
+    ROW_NUMBER() OVER w AS rn
+  FROM daily WINDOW w AS (ORDER BY day)),
+m AS (SELECT COUNT(*) AS n, CAST(SUM(rev) AS BIGINT) AS s1,
+  SUM(CAST(rev AS DECIMAL(19,0)) * CAST(rev AS DECIMAL(19,0))) AS s2 FROM daily),
+z AS (
+  SELECT day, rev, ewma_prev,
+    ROUND((CAST(rev AS DOUBLE) - ewma_prev)
+          / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))),
+          6) AS z
+  FROM l, m WHERE rn > {profiling.EWMA_LAGS})
+SELECT strftime(day, '%Y-%m-%d') AS day,
+  ROUND(CAST(rev AS DOUBLE) / 100.0, 2) AS rev_usd,
+  ROUND(ewma_prev / 100.0, 4) AS ewma_usd,
+  z, abs(z) > {profiling.EWMA_Z} AS is_breach
+FROM z ORDER BY abs(z) DESC, day LIMIT 10""",
+    ),
+    "degree_powerlaw_fit": QuerySpec(
+        linkage.q_degree_powerlaw_fit,
+        f"""WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+deg AS (SELECT p, COUNT(*) AS deg FROM cp GROUP BY 1),
+t AS (SELECT COUNT(*) AS n_tail, CAST(MAX(deg) AS BIGINT) AS max_degree,
+  CAST(SUM(CAST(ROUND(ln(CAST(deg AS DOUBLE) / {float(linkage.PL_DMIN)!r}), 9) AS DECIMAL(18,9))) AS DOUBLE) AS ln_sum
+  FROM deg WHERE deg >= {linkage.PL_DMIN}),
+w AS (SELECT COUNT(*) AS n_parts FROM deg)
+SELECT CAST(n_parts AS BIGINT) AS n_parts, CAST(n_tail AS BIGINT) AS n_tail,
+  max_degree,
+  ROUND(1.0 + CAST(n_tail AS DOUBLE) / ln_sum, 6) AS alpha_mle
+FROM t, w""",
+    ),
+    "embedding_outlier_mahalanobis": QuerySpec(
+        similarity.q_embedding_outlier_mahalanobis,
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+pos AS (SELECT i, v[CAST(i AS INT)] AS x FROM e, range(1, 65) r(i)),
+mom AS (SELECT i,
+  CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(x) AS mu,
+  COUNT(x) AS n,
+  CAST(SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS DOUBLE) AS sxx
+  FROM pos GROUP BY i),
+mv AS (SELECT i, mu, sxx / CAST(n AS DOUBLE) - mu * mu AS vr FROM mom),
+st AS (SELECT list(mu ORDER BY i) AS mu, list(vr ORDER BY i) AS vr FROM mv)
+SELECT vec_id,
+  ROUND(({" + ".join(
+      f"(e.v[{i}]-st.mu[{i}])*(e.v[{i}]-st.mu[{i}])/st.vr[{i}]" for i in range(1, 65)
+  )}), 4) AS mahalanobis_sq
+FROM e, st ORDER BY mahalanobis_sq DESC, vec_id LIMIT {similarity.MAHA_TOP}""",
+    ),
     "brier_decomposition": QuerySpec(
         curation.q_brier_decomposition,
         f"""WITH rws AS (

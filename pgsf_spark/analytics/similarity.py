@@ -1083,3 +1083,61 @@ def q_mrr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rr").cast("double") / F.count(F.lit(1)), 6).alias("mrr"),
         F.sum("n_cand").cast("bigint").alias("total_candidates"),
     )
+
+
+MAHA_TOP = 10  # outliers reported by the diagonal-Mahalanobis gate
+
+
+def q_embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-MAHA_TOP embedding outliers by DIAGONAL Mahalanobis distance --
+    the curation gate that catches corrupt or out-of-distribution vectors
+    before they poison an ANN index or a centroid fit: score(v) =
+    sum_i (v_i - mu_i)^2 / var_i, which standardizes each dimension (a
+    plain L2 norm lets one high-variance dimension drown the rest; the
+    full covariance inverse is unnecessary for the screening use and
+    doesn't decompose into a scan).
+
+    Exactness: per-dimension means and variances come from exact decimal
+    moments (the _label_centroids device, corpus-wide); the score is a
+    SEQUENTIAL fold over dimensions (F.aggregate, matching the oracle's
+    left-to-right unrolled sum exactly like _dot/_dot_sql), rounded to 4.
+
+    Plan: one posexplode aggregate to the 64-row moment table, broadcast
+    back, one projection scan with a top-k (TakeOrderedAndProject) -- the
+    same brute-scan shape as q_cosine_topk, linear and shuffle-free past
+    the moment table."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(e)  # no-op (no Exchange) when the scan is already wide
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    pos = emb.select(F.posexplode("v").alias("i", "x"))
+    dsq = F.col("x").cast("decimal(18,9)")
+    mom = (
+        pos.groupBy("i")
+        .agg(
+            (F.sum(dsq).cast("double") / F.count("x")).alias("mu"),
+            F.count("x").alias("n"),
+            F.sum(dsq * dsq).cast("double").alias("sxx"),
+        )
+        .select(
+            "i",
+            "mu",
+            (
+                F.col("sxx") / F.col("n").cast("double") - F.col("mu") * F.col("mu")
+            ).alias("var"),
+        )
+    )
+    stats = mom.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("i", "mu", "var"))).alias("pairs")
+    ).select(
+        F.transform("pairs", lambda p: p.mu).alias("mu"),
+        F.transform("pairs", lambda p: p["var"]).alias("vr"),
+    )
+    diffs = F.zip_with(F.col("v"), F.col("mu"), lambda x, m: x - m)
+    terms = F.zip_with(diffs, F.col("vr"), lambda d, s: d * d / s)
+    score = F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select("vec_id", F.round(score, 4).alias("mahalanobis_sq"))
+        .orderBy(F.col("mahalanobis_sq").desc(), "vec_id")
+        .limit(MAHA_TOP)
+    )

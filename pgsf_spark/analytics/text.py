@@ -691,3 +691,82 @@ def q_bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+HH_PHI = 0.033  # heavy-hitter threshold as a fraction of the token stream
+
+
+def _cms_cells(col):
+    """The CMS (row, col) cells for a token -- module-level twin of the
+    local helper in q_cms_token_counts (same seeds, same geometry) so the
+    heavy-hitter pass probes the identical sketch."""
+    out = []
+    for i in range(CMS_D):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), col)), 1, 8), 16, 10
+        ).cast("long")
+        out.append(F.struct(F.lit(i).alias("row"), (h % CMS_W).cast("int").alias("col")))
+    return F.array(*out)
+
+
+def q_heavy_hitters_cms_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens above HH_PHI of the stream) by the
+    two-pass sketch-candidate / exact-verify pattern -- the 100 TB answer
+    to "top tokens" when the vocabulary itself is too large to groupBy:
+    pass 1 reduces the corpus to the 1024-cell CMS (mergeable, map-side
+    combined); pass 2 re-scans with the sketch as a BROADCAST literal,
+    keeps only occurrences whose CMS upper bound clears the threshold
+    (CMS never underestimates, so no true hitter is lost), and exact-counts
+    just the survivors -- the full-cardinality token shuffle never happens.
+    Output is EXACT (candidates are verified), unlike the estimate-only
+    q_cms_token_counts.
+
+    The only collect is the 1024-row sketch (CMS_D x CMS_W, the bounded
+    house pattern: bloom words, PQ codebooks).  The synthetic corpus's
+    vocabulary is small and near-uniform, so the threshold is set to
+    split the pack; the gate's subject is the two-pass plan shape and the
+    no-false-negative guarantee, both scale-invariant.
+
+    Exactness: counts are integers; the threshold ceil(phi * n) is the
+    same IEEE product on both faces."""
+    import math
+
+    from pgsf_spark.analytics.dedup import _norm_text
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"))
+    sketch = (
+        tok.select(F.explode(_cms_cells(F.col("token"))).alias("c"))
+        .select("c.row", "c.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells_map = {(r.row, r.col): r.cnt for r in sketch.collect()}  # <= 1024 rows
+    n_tokens = sum(v for (r, _c), v in cells_map.items() if r == 0)
+    thr = int(math.ceil(HH_PHI * n_tokens))
+    arr = F.array(
+        *[F.lit(cells_map.get((i, c), 0)) for i in range(CMS_D) for c in range(CMS_W)]
+    )
+    ests = []
+    for i in range(CMS_D):
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), F.col("token"))), 1, 8), 16, 10
+        ).cast("long")
+        ests.append(F.element_at(arr, ((h % CMS_W) + i * CMS_W + 1).cast("int")))
+    est = F.least(*ests)
+    surv = tok.withColumn("est", est).filter(F.col("est") >= thr)
+    return (
+        surv.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_count"),
+            F.min("est").cast("bigint").alias("cms_estimate"),
+        )
+        .filter(F.col("exact_count") >= thr)
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            F.lit(thr).cast("bigint").alias("threshold"),
+        )
+        .orderBy(F.col("exact_count").desc(), "token")
+    )
