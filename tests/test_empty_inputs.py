@@ -145,6 +145,19 @@ REPRESENTATIVE = [
     "join_size_estimate",  # sketch inner product over zero keys
     "decile_lift_table",  # ntile deciles over zero customers
     "kaplan_meier",  # log-survival over zero users
+    # round-7 additions
+    "t_closeness_audit",  # EMD grid over zero customers
+    "log_rank_test",  # hypergeometric day terms over zero users
+    "cliffs_delta",  # midrank identity over zero orders
+    "fd_violation_audit",  # g3 rollup over four empty dependencies
+    "brier_decomposition",  # train/eval bins with both splits empty
+    "fleiss_kappa",  # unanimity counts over zero docs
+    "mrr_gate",  # query panel of zero vectors
+    "benjamini_hochberg",  # step-up over an empty test family
+    "heavy_hitters_cms_verified",  # sketch collect + verify over zero tokens
+    "ewma_control_chart",  # truncated kernel over an empty day spine
+    "degree_powerlaw_fit",  # ln-sum over zero degrees
+    "embedding_outlier_mahalanobis",  # per-dim moments over zero vectors
 ]
 
 
