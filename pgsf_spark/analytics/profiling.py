@@ -2042,3 +2042,57 @@ def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("z")).desc(), "day")
         .limit(10)
     )
+
+
+CONF_LAG = 7  # seasonal-naive horizon the residuals come from
+CONF_Q = 0.9  # target coverage of the conformal interval
+
+
+def q_conformal_interval_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the seasonal-naive daily
+    revenue forecaster (the q_mase_seasonal_naive baseline): absolute
+    residuals |rev_t - rev_{t-7}| are split by day parity into a
+    CALIBRATION half (whose CONF_Q-quantile becomes the interval
+    half-width q_hat) and an EVAL half (whose share of residuals inside
+    q_hat is the achieved coverage).  Coverage far from CONF_Q says the
+    interval is mis-sized -- the distribution-free guarantee every
+    forecast SLA should gate on, no normality assumed.
+
+    Exactness: residuals are integer cents; q_hat is the same
+    interpolated percentile both engines define (the house percentile
+    device); coverage is one integer ratio.
+
+    Plan: one orders rollup to day grain, a lag window over the ~2.4k-row
+    day spine (single-partition by design, documented house pattern), one
+    percentile scalar broadcast back, one aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.orderBy("day")
+    r = (
+        daily.withColumn("prev", F.lag("rev", CONF_LAG).over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("rn", F.abs(F.col("rev") - F.col("prev")).alias("resid"))
+    )
+    cal = r.filter(F.col("rn") % 2 == 1)
+    ev = r.filter(F.col("rn") % 2 == 0)
+    qhat = cal.agg(
+        F.expr(f"percentile(resid, {CONF_Q}D)").alias("q_hat"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.first("n_cal").cast("bigint").alias("n_cal"),
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.round(F.first("q_hat") / 100.0, 4).alias("q_hat_usd"),
+            F.round(
+                F.sum((F.col("resid") <= F.col("q_hat")).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+            F.lit(CONF_Q).alias("target"),
+        )
+    )

@@ -4503,6 +4503,75 @@ SELECT n_urgent, n_low,
     AS cliffs_delta
 FROM agg""",
     ),
+    "graph_modularity": QuerySpec(
+        linkage.q_graph_modularity,
+        f"""WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+deg AS (SELECT p, COUNT(*) AS deg FROM cp GROUP BY 1),
+cpr AS (SELECT cp.c, cp.p FROM cp JOIN deg USING (p)
+  WHERE deg BETWEEN 2 AND {linkage.AA_MAX_DEG}),
+ed AS (SELECT DISTINCT a.c AS c1, b.c AS c2
+  FROM cpr a JOIN cpr b ON a.p = b.p AND a.c < b.c),
+en AS (SELECT ed.c1, ed.c2, x.c_nationkey AS n1, y.c_nationkey AS n2
+  FROM ed JOIN customer x ON ed.c1 = x.c_custkey
+  JOIN customer y ON ed.c2 = y.c_custkey),
+m AS (SELECT COUNT(*) AS m FROM en),
+intra AS (SELECT n1 AS nation, COUNT(*) AS mc FROM en WHERE n1 = n2 GROUP BY 1),
+degs AS (SELECT nation, COUNT(*) AS dc FROM
+  (SELECT n1 AS nation FROM en UNION ALL SELECT n2 FROM en) GROUP BY 1),
+pn AS (SELECT d.nation, d.dc, COALESCE(i.mc, 0) AS mc
+  FROM degs d LEFT JOIN intra i USING (nation)),
+t AS (SELECT m.m, pn.mc,
+  CAST(ROUND(CAST(pn.mc AS DOUBLE) / CAST(m.m AS DOUBLE)
+    - (CAST(pn.dc AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+      * (CAST(pn.dc AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))), 9) AS DECIMAL(18,9)) AS t
+  FROM pn, m),
+g AS (SELECT m, COUNT(*) AS n_communities, CAST(SUM(mc) AS BIGINT) AS intra_edges,
+  ROUND(CAST(SUM(t) AS DOUBLE), 6) AS modularity FROM t GROUP BY m)
+SELECT CAST(m AS BIGINT) AS n_edges, n_communities, intra_edges,
+  ROUND(intra_edges / CAST(m AS DOUBLE), 6) AS intra_share, modularity
+FROM g""",
+    ),
+    "conformal_interval_gate": QuerySpec(
+        profiling.q_conformal_interval_gate,
+        f"""WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+l AS (SELECT day, rev, lag(rev, {profiling.CONF_LAG}) OVER (ORDER BY day) AS prev,
+  ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+r AS (SELECT rn, abs(rev - prev) AS resid FROM l WHERE prev IS NOT NULL),
+cal AS (SELECT quantile_cont(resid, {profiling.CONF_Q}) AS q_hat, COUNT(*) AS n_cal
+  FROM r WHERE rn % 2 = 1)
+SELECT CAST(n_cal AS BIGINT) AS n_cal, CAST(COUNT(*) AS BIGINT) AS n_eval,
+  ROUND(q_hat / 100.0, 4) AS q_hat_usd,
+  ROUND(CAST(SUM(CASE WHEN resid <= q_hat THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS coverage,
+  CAST({profiling.CONF_Q} AS DOUBLE) AS target
+FROM r, cal WHERE rn % 2 = 0 GROUP BY n_cal, q_hat""",
+    ),
+    "knn_label_accuracy": QuerySpec(
+        similarity.q_knn_label_accuracy,
+        f"""WITH e AS (SELECT vec_id, CAST(label AS INT) AS label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+panel AS (SELECT vec_id AS qid, label AS true_label, v AS qv FROM e WHERE vec_id < {similarity.KNN_Q}),
+pairs AS (
+  SELECT p.qid, p.true_label, e.vec_id, e.label,
+    ROUND({_dot_sql('e.v', 'p.qv')} / (sqrt({_dot_sql('e.v', 'e.v')}) * sqrt({_dot_sql('p.qv', 'p.qv')})), 4) AS cos
+  FROM e, panel p WHERE e.vec_id <> p.qid),
+topk AS (SELECT qid, true_label, label FROM pairs
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) <= {similarity.KNN_K}),
+votes AS (SELECT qid, true_label, label, COUNT(*) AS cnt FROM topk GROUP BY 1, 2, 3),
+pred AS (SELECT qid, CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct,
+  cnt AS votes FROM votes
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cnt DESC, label) = 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(SUM(correct) AS BIGINT) AS n_correct,
+  ROUND(CAST(SUM(correct) AS DOUBLE) / COUNT(*), 6) AS accuracy,
+  ROUND(CAST(SUM(votes) AS DOUBLE) / (COUNT(*) * {float(similarity.KNN_K)!r}), 6)
+    AS avg_winner_share
+FROM pred""",
+    ),
     "heavy_hitters_cms_verified": QuerySpec(
         text.q_heavy_hitters_cms_verified,
         f"""WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),

@@ -1141,3 +1141,87 @@ def q_embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("mahalanobis_sq").desc(), "vec_id")
         .limit(MAHA_TOP)
     )
+
+
+KNN_Q = 16  # leave-one-out probe panel size
+KNN_K = 5  # neighbors voting
+
+
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN label accuracy over a KNN_Q-vector probe panel
+    -- the embedding-quality gate that asks whether the space RESPECTS the
+    label structure (recall@k asks whether an index finds neighbors; this
+    asks whether the neighbors mean anything): each panel vector's KNN_K
+    exact nearest neighbors vote on its label (majority, ties to the
+    smallest label), and the gate reports the panel accuracy.
+
+    Determinism: cosines rounded to 4, neighbor order (cosine desc,
+    vec_id), vote winner (count desc, label asc) -- total orders
+    everywhere. Top-k uses the two-stage SHARDED window device from
+    q_matryoshka_recall (per-(query, vec_id%32) top-k, then top-k over
+    the 32k survivors), so no data-sized single partition exists; the
+    vote window runs over <= 10 label rows per query.
+
+    Plan: one scan crossed with the broadcast panel, two bounded windows,
+    two small aggregates."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(e)  # no-op (no Exchange) when the scan is already wide
+    emb = e.select(
+        "vec_id", F.col("label").cast("int").alias("label"), _to_double(F.col("embedding")).alias("v")
+    )
+    panel = emb.filter(F.col("vec_id") < KNN_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("qv"))
+        / (
+            F.sqrt(_dot(F.col("v"), F.col("v")))
+            * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        ),
+        4,
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(panel))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            "label",
+            cos.alias("cos"),
+            F.pmod(F.col("vec_id"), F.lit(32)).alias("shard"),
+        )
+    )
+    w1 = Window.partitionBy("qid", "shard").orderBy(F.col("cos").desc(), "vec_id")
+    w2 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    topk = (
+        pairs.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= KNN_K)
+        .withColumn("r2", F.row_number().over(w2))
+        .filter(F.col("r2") <= KNN_K)
+    )
+    votes = topk.groupBy("qid", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("cnt").desc(), "label")
+    pred = (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select(
+            "qid",
+            (F.col("label") == F.col("true_label")).cast("long").alias("correct"),
+            F.col("cnt").alias("votes"),
+        )
+    )
+    return pred.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("correct").cast("bigint").alias("n_correct"),
+        F.round(F.sum("correct").cast("double") / F.count(F.lit(1)), 6).alias("accuracy"),
+        F.round(
+            F.sum("votes").cast("double") / (F.count(F.lit(1)) * F.lit(float(KNN_K))), 6
+        ).alias("avg_winner_share"),
+    )

@@ -158,6 +158,9 @@ REPRESENTATIVE = [
     "ewma_control_chart",  # truncated kernel over an empty day spine
     "degree_powerlaw_fit",  # ln-sum over zero degrees
     "embedding_outlier_mahalanobis",  # per-dim moments over zero vectors
+    "graph_modularity",  # community terms over zero edges
+    "conformal_interval_gate",  # residual quantile over an empty series
+    "knn_label_accuracy",  # vote windows over an empty panel
 ]
 
 
