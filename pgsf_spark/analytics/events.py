@@ -1308,3 +1308,97 @@ def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("variance", 6).alias("variance"),
         F.round(F.try_divide(diff * diff, F.col("variance")), 6).alias("chi_square"),
     )
+
+
+OBF_K = 5  # weekly interim looks
+OBF_Z_FINAL = 1.959964  # Phi^-1(0.975): the fixed-horizon two-sided bound
+
+
+def _obf_boundaries() -> list[float]:
+    """O'Brien-Fleming z boundaries z_k = z_final * sqrt(K/k) for look
+    k = 1..K -- very conservative early, converging to the fixed-horizon
+    bound at the last look.  Pure python constants embedded identically in
+    both faces (the _bh_thresholds device: no erf/exp in gated columns)."""
+    import math
+
+    return [round(OBF_Z_FINAL * math.sqrt(OBF_K / k), 6) for k in range(1, OBF_K + 1)]
+
+
+def q_obrien_fleming_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential monitoring of the A/B spend experiment: OBF_K
+    weekly interim looks, each re-running Welch's z on the data
+    accumulated SO FAR, against the O'Brien-Fleming spending boundaries
+    -- the peeking-correct version of q_ab_test_zscore (an experimenter
+    who reads the dashboard weekly at a flat 1.96 inflates false
+    positives ~3x; OBF prices the five looks so the family-wise rate
+    stays at alpha).  On this null split no look should cross.
+
+    Exactness: per-(look, arm) moments accumulate in DECIMAL over the
+    cumulative event sets (a user joins look k iff their first event
+    falls in weeks 1..k); z is the same fixed Welch chain as
+    q_ab_test_zscore; boundaries are python literals; try_divide makes a
+    one-user arm NULL on both faces.
+
+    Plan: one groupBy(user, week) aggregate, a bounded x OBF_K explode to
+    looks, one (look, arm) rollup -- the cumulative re-aggregation is
+    keyed, never windowed over data."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(27,6)"
+    mind = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    # explicit floor division: DuckDB CAST(double AS INT) ROUNDS while a
+    # Spark int cast truncates -- // on both faces sidesteps the class
+    week = F.floor(F.datediff(F.to_date("ts"), F.col("d0")) / 7).cast("int") + 1
+    uw = (
+        ev.crossJoin(F.broadcast(mind))
+        .withColumn("week", week)
+        .filter(F.col("week") <= OBF_K)
+        .groupBy("user_id", "week")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast(dec)),
+                F.lit(0).cast(dec),
+            ).alias("spend")
+        )
+        .withColumn("arm", _ab_arm(F.col("user_id")))
+    )
+    per_look = (
+        uw.select(
+            "user_id", "arm", "spend", F.explode(F.sequence(F.col("week"), F.lit(OBF_K))).alias("look")
+        )
+        .groupBy("look", "user_id", "arm")
+        .agg(F.sum("spend").alias("spend"))
+    )
+    sq = F.col("spend").cast("decimal(18,6)")
+    g = per_look.groupBy("look", "arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend").cast("double").alias("s1"),
+        F.sum(sq * sq).cast("double").alias("s2"),
+    )
+    a = g.filter(F.col("arm") == "A").select(
+        "look", F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("qa")
+    )
+    b = g.filter(F.col("arm") == "B").select(
+        "look", F.col("n").alias("nb"), F.col("s1").alias("sb"), F.col("s2").alias("qb")
+    )
+    j = a.join(b, "look")
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = F.try_divide(
+        F.col("qa") - F.col("sa") * F.col("sa") / F.col("na"), F.col("na") - 1
+    )
+    vb = F.try_divide(
+        F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb"), F.col("nb") - 1
+    )
+    z = F.round(F.try_divide(ma - mb, F.sqrt(va / F.col("na") + vb / F.col("nb"))), 6)
+    bound = F.element_at(F.array(*[F.lit(t) for t in _obf_boundaries()]), F.col("look"))
+    return (
+        j.select(
+            F.col("look").cast("int").alias("look"),
+            F.col("na").cast("bigint").alias("na"),
+            F.col("nb").cast("bigint").alias("nb"),
+            z.alias("z"),
+            bound.alias("obf_boundary"),
+            (F.abs(z) >= bound).alias("crossed"),
+        )
+        .orderBy("look")
+    )

@@ -4503,6 +4503,59 @@ SELECT n_urgent, n_low,
     AS cliffs_delta
 FROM agg""",
     ),
+    "mad_robust_scale": QuerySpec(
+        profiling.q_mad_robust_scale,
+        f"""WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+st AS (SELECT COUNT(*) AS n, (COUNT(*) + 1) // 2 AS k FROM v),
+rv AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r FROM v),
+med AS (SELECT rv.v AS m FROM rv, st WHERE rv.r = st.k),
+d AS (SELECT abs(v.v - med.m) AS dv FROM v, med),
+rd AS (SELECT dv, ROW_NUMBER() OVER (ORDER BY dv) AS r FROM d),
+mad AS (SELECT rd.dv AS md FROM rd, st WHERE rd.r = st.k)
+SELECT CAST(st.n AS BIGINT) AS n_orders,
+  ROUND(CAST(med.m AS DOUBLE) / 100.0, 2) AS median_usd,
+  ROUND(CAST(mad.md AS DOUBLE) / 100.0, 2) AS mad_usd,
+  ROUND({profiling.MAD_SIGMA} * CAST(mad.md AS DOUBLE) / 100.0, 4) AS robust_sigma_usd
+FROM st, med, mad""",
+    ),
+    "obrien_fleming_looks": QuerySpec(
+        events.q_obrien_fleming_looks,
+        f"""WITH d0 AS (SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events),
+ew AS (
+  SELECT user_id, event_type, value,
+    CAST(date_diff('day', d0.d0, CAST(date_trunc('day', ts) AS DATE)) // 7 AS INT) + 1 AS week
+  FROM events, d0),
+uw AS (
+  SELECT user_id, week,
+    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(27,6)) END),
+             CAST(0 AS DECIMAL(27,6))) AS spend
+  FROM ew WHERE week <= {events.OBF_K} GROUP BY 1, 2),
+ua AS (
+  SELECT user_id, week, spend,
+    CASE WHEN ('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         THEN 'A' ELSE 'B' END AS arm
+  FROM uw),
+pl AS (
+  SELECT r.look, user_id, arm, SUM(spend) AS spend
+  FROM ua, range(1, {events.OBF_K + 1}) r(look) WHERE r.look >= ua.week
+  GROUP BY 1, 2, 3),
+g AS (
+  SELECT look, arm, COUNT(*) AS n, CAST(SUM(spend) AS DOUBLE) AS s1,
+    CAST(SUM(CAST(spend AS DECIMAL(19,6)) * CAST(spend AS DECIMAL(19,6))) AS DOUBLE) AS s2
+  FROM pl GROUP BY 1, 2),
+aa AS (SELECT look, n AS na, s1 AS sa, s2 AS qa FROM g WHERE arm = 'A'),
+bb AS (SELECT look, n AS nb, s1 AS sb, s2 AS qb FROM g WHERE arm = 'B'),
+zz AS (
+  SELECT look, na, nb,
+    ROUND((sa / na - sb / nb)
+          / sqrt(((qa - sa * sa / na) / (na - 1)) / na
+                 + ((qb - sb * sb / nb) / (nb - 1)) / nb), 6) AS z
+  FROM aa JOIN bb USING (look))
+SELECT CAST(look AS INT) AS look, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, z,
+  CAST(([{", ".join(repr(t) for t in events._obf_boundaries())}])[look] AS DOUBLE) AS obf_boundary,
+  abs(z) >= CAST(([{", ".join(repr(t) for t in events._obf_boundaries())}])[look] AS DOUBLE) AS crossed
+FROM zz ORDER BY look""",
+    ),
     "graph_modularity": QuerySpec(
         linkage.q_graph_modularity,
         f"""WITH cp AS (
@@ -5250,11 +5303,18 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT: the r02 remainder (kmv_distinct_users, value_stddev,
-# price_quantity_corr, soql_projection, repetition_stats,
-# boilerplate_ngrams, benchmark_contamination, token_diversity,
-# temperature_sample, sequence_pack, event_funnel, weekly_retention), then
-# the r03-last-green set, then anything new this round.
+# ROUND 8 FRONT MUST START WITH the SEVENTEEN round-7 additions (never
+# driver-gated, in landing order: t_closeness_audit, log_rank_test,
+# cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
+# mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
+# ewma_control_chart, degree_powerlaw_fit, embedding_outlier_mahalanobis,
+# graph_modularity, conformal_interval_gate, knn_label_accuracy,
+# mad_robust_scale, obrien_fleming_looks), then the
+# r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
+# soql_projection, repetition_stats, boilerplate_ngrams,
+# benchmark_contamination, token_diversity, temperature_sample,
+# sequence_pack, event_funnel, weekly_retention), then the r03-last-green
+# set, then anything new in round 8.
 _ROUND7_FRONT = [
     # r6 driver-red, DECIMAL output cast to DOUBLE on both faces -- re-gate
     "hits_hubs_authorities",

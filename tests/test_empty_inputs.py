@@ -161,6 +161,8 @@ REPRESENTATIVE = [
     "graph_modularity",  # community terms over zero edges
     "conformal_interval_gate",  # residual quantile over an empty series
     "knn_label_accuracy",  # vote windows over an empty panel
+    "mad_robust_scale",  # two refinement chains over zero orders
+    "obrien_fleming_looks",  # cumulative looks over zero events
 ]
 
 
