@@ -1402,3 +1402,93 @@ def q_obrien_fleming_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("look")
     )
+
+
+MK_SEED = "mk7"  # train/eval user split for the Markov next-event gate
+
+
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction accuracy of the first-order Markov model --
+    the EVALUATED version of q_event_transitions (that gate emits the
+    matrix; this one asks whether the matrix actually predicts): train
+    the argmax-next-event table on an md5-parity half of users, score
+    top-1 accuracy on the held-out half's transitions, and report the
+    lift over always predicting the train split's most common next
+    event. Accuracy ~ baseline says sessions are memoryless -- the
+    go/no-go a sequence-model investment hangs on.
+
+    Determinism: predictions are (count desc, event asc) argmaxes over
+    the <= |event_types|^2 transition table (dimension-sized windows);
+    accuracy is one integer ratio.
+
+    Plan: one user-keyed lead window forms transitions; the model is a
+    bounded broadcast; eval is one projection + aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    split = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{MK_SEED}:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            split.alias("split"),
+        )
+        .filter(F.col("e2").isNotNull())
+    )
+    train = pairs.filter(F.col("split") == 0).groupBy("e1", "e2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wp = Window.partitionBy("e1").orderBy(F.col("c").desc(), "e2")
+    pred = (
+        train.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") == 1)
+        .select("e1", F.col("e2").alias("pred_e2"))
+    )
+    base = (
+        train.groupBy("e2")
+        .agg(F.sum("c").alias("c"))
+        .orderBy(F.col("c").desc(), "e2")
+        .limit(1)
+        .select(F.col("e2").alias("base_e2"))
+    )
+    ev_pairs = (
+        pairs.filter(F.col("split") == 1)
+        .join(F.broadcast(pred), "e1", "left")
+        .crossJoin(F.broadcast(base))
+    )
+    n_train = train.agg(F.sum("c").alias("n")).select(F.col("n").cast("bigint"))
+    return (
+        ev_pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.sum((F.col("e2") == F.col("pred_e2")).cast("long"))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.sum((F.col("e2") == F.col("base_e2")).cast("long"))
+            .cast("bigint")
+            .alias("n_base_correct"),
+        )
+        .crossJoin(F.broadcast(n_train.select(F.col("n").alias("n_train"))))
+        .select(
+            "n_train",
+            "n_eval",
+            F.round(F.col("n_correct").cast("double") / F.col("n_eval"), 6).alias(
+                "accuracy"
+            ),
+            F.round(
+                F.col("n_base_correct").cast("double") / F.col("n_eval"), 6
+            ).alias("baseline_accuracy"),
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_eval")
+                - F.col("n_base_correct").cast("double") / F.col("n_eval"),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -214,6 +214,43 @@ def _sqdist_sql(a: str, b: str, dim: int = 64) -> str:
     return "(" + " + ".join(f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, dim + 1)) + ")"
 
 
+def _kcenter_sql() -> str:
+    """Unrolled greedy k-center rounds (parity with q_kcenter_coreset's
+    checkpointed loop): p{r} picks the farthest not-yet-chosen vector,
+    md{r} folds the new center into the running min distance."""
+    k = similarity.KCENTER_K
+    parts = [
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+c0 AS (SELECT v AS cv FROM e WHERE vec_id = 0),
+md0 AS MATERIALIZED (SELECT vec_id, v, ROUND({_sqdist_sql('v', 'cv')}, 6) AS md FROM e, c0)"""
+    ]
+    for r in range(1, k):
+        not_in = " AND ".join(
+            ["vec_id <> 0"] + [f"vec_id <> (SELECT nid FROM p{i})" for i in range(1, r)]
+        )
+        parts.append(
+            f""",
+p{r} AS MATERIALIZED (SELECT vec_id AS nid, md AS nd FROM md{r - 1} WHERE {not_in}
+  QUALIFY ROW_NUMBER() OVER (ORDER BY md DESC, vec_id) = 1),
+md{r} AS MATERIALIZED (SELECT m.vec_id, m.v, LEAST(m.md, ROUND({_sqdist_sql('m.v', 'c.cv')}, 6)) AS md
+  FROM md{r - 1} m, (SELECT e.v AS cv FROM e, p{r} WHERE e.vec_id = p{r}.nid) c)"""
+        )
+    sel = ["SELECT 0 AS center_rank, CAST(0 AS BIGINT) AS vec_id, CAST(0.0 AS DOUBLE) AS dist_sq"]
+    for r in range(1, k):
+        sel.append(f"SELECT {r}, CAST(nid AS BIGINT), ROUND(nd, 6) FROM p{r}")
+    not_in_final = " AND ".join(
+        ["vec_id <> 0"] + [f"vec_id <> (SELECT nid FROM p{i})" for i in range(1, k)]
+    )
+    parts.append(
+        f""",
+sel AS ({" UNION ALL ".join(sel)}),
+rad AS (SELECT ROUND(MAX(md), 6) AS radius FROM md{k - 1} WHERE {not_in_final})
+SELECT CAST(center_rank AS INT) AS center_rank, vec_id, dist_sq, radius
+FROM sel, rad ORDER BY center_rank"""
+    )
+    return "".join(parts)
+
+
 def _pq_sub_sql(a: str, b: str, m: int) -> str:
     """Subspace-m squared distance, left-to-right fold (parity with the
     Spark _sqdist over slices)."""
@@ -4503,6 +4540,33 @@ SELECT n_urgent, n_low,
     AS cliffs_delta
 FROM agg""",
     ),
+    "kcenter_coreset": QuerySpec(similarity.q_kcenter_coreset, _kcenter_sql()),
+    "markov_next_event_accuracy": QuerySpec(
+        events.q_markov_next_event_accuracy,
+        f"""WITH p AS (
+  SELECT event_type AS e1,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+    ('0x' || substr(md5('{events.MK_SEED}:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS split
+  FROM events),
+pr AS (SELECT e1, e2, split FROM p WHERE e2 IS NOT NULL),
+tr AS (SELECT e1, e2, COUNT(*) AS c FROM pr WHERE split = 0 GROUP BY 1, 2),
+pd AS (SELECT e1, e2 AS pred_e2 FROM tr
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY e1 ORDER BY c DESC, e2) = 1),
+bs AS (SELECT e2 AS base_e2 FROM (SELECT e2, SUM(c) AS c FROM tr GROUP BY 1)
+  ORDER BY c DESC, e2 LIMIT 1),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_train FROM tr),
+ev AS (SELECT pr.e1, pr.e2, pd.pred_e2, bs.base_e2
+  FROM pr LEFT JOIN pd USING (e1), bs WHERE pr.split = 1)
+SELECT nt.n_train, CAST(COUNT(*) AS BIGINT) AS n_eval,
+  ROUND(CAST(SUM(CASE WHEN e2 = pred_e2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS accuracy,
+  ROUND(CAST(SUM(CASE WHEN e2 = base_e2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS baseline_accuracy,
+  ROUND(CAST(SUM(CASE WHEN e2 = pred_e2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        - CAST(SUM(CASE WHEN e2 = base_e2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+    AS lift
+FROM ev, nt GROUP BY nt.n_train""",
+    ),
     "mad_robust_scale": QuerySpec(
         profiling.q_mad_robust_scale,
         f"""WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
@@ -5303,13 +5367,14 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the SEVENTEEN round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the NINETEEN round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
 # ewma_control_chart, degree_powerlaw_fit, embedding_outlier_mahalanobis,
 # graph_modularity, conformal_interval_gate, knn_label_accuracy,
-# mad_robust_scale, obrien_fleming_looks), then the
+# mad_robust_scale, obrien_fleming_looks, kcenter_coreset,
+# markov_next_event_accuracy -- NINETEEN total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

@@ -1225,3 +1225,78 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("votes").cast("double") / (F.count(F.lit(1)) * F.lit(float(KNN_K))), 6
         ).alias("avg_winner_share"),
     )
+
+
+KCENTER_K = 8  # coreset size (greedy 2-approximation rounds)
+
+
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding table -- the
+    DIVERSITY-maximizing sample selector for training-data curation
+    (random sampling over-picks dense clusters; the farthest-first
+    traversal guarantees a 2-approximation of the optimal covering
+    radius, so KCENTER_K rows summarize the embedding space's extent):
+    start from vec_id 0, then KCENTER_K - 1 times pick the vector
+    farthest (squared L2) from every center chosen so far.
+
+    Determinism: distances round to 6 before any comparison; the argmax
+    is (max dist, min vec_id) via two keyed aggregates -- no data-sized
+    window. Each round's running min-distance column is checkpointed (the
+    house kmeans lesson: unrolled rounds must not replay the chain).
+
+    Plan: KCENTER_K scans, each a broadcast of ONE new center vector and
+    one keyed aggregate; the farthest-point argmax never sorts. Output:
+    the chosen centers in selection order with the coverage radius at
+    selection time (dist_sq of the newly chosen point = how badly the
+    previous centers covered the space)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(e)  # no-op (no Exchange) when the scan is already wide
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v")).localCheckpoint(
+        eager=True
+    )
+    c0 = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("cv"))
+    md = (
+        emb.crossJoin(F.broadcast(c0))
+        .select("vec_id", "v", F.round(_sqdist(F.col("v"), F.col("cv")), 6).alias("md"))
+        .localCheckpoint(eager=True)
+    )
+    if md.first() is None:  # empty table (or no seed vector): stable empty result
+        return spark.createDataFrame(
+            [], "center_rank int, vec_id bigint, dist_sq double, radius double"
+        )
+    chosen = [(0, 0, 0.0)]  # (rank, vec_id placeholder resolved at build)
+    picked = []
+    for r in range(1, KCENTER_K):
+        mx = md.filter(~F.col("vec_id").isin([0, *picked])).agg(F.max("md").alias("mx"))
+        nxt = (
+            md.crossJoin(F.broadcast(mx))
+            .filter((F.col("md") == F.col("mx")) & ~F.col("vec_id").isin([0, *picked]))
+            .groupBy()
+            .agg(F.min("vec_id").alias("nid"), F.first("mx").alias("nd"))
+        ).first()
+        if nxt is None or nxt.nid is None:  # fewer than KCENTER_K vectors
+            break
+        picked.append(int(nxt.nid))
+        chosen.append((r, int(nxt.nid), float(nxt.nd)))
+        cv = emb.filter(F.col("vec_id") == nxt.nid).select(F.col("v").alias("cv"))
+        md = (
+            md.crossJoin(F.broadcast(cv))
+            .select(
+                "vec_id",
+                "v",
+                F.least(
+                    F.col("md"), F.round(_sqdist(F.col("v"), F.col("cv")), 6)
+                ).alias("md"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    rows = [(r, vid, float(d)) for r, vid, d in chosen]
+    out = spark.createDataFrame(rows, "center_rank int, vec_id bigint, dist_sq double")
+    radius = md.filter(~F.col("vec_id").isin([0, *picked])).agg(
+        F.round(F.max("md"), 6).alias("radius")
+    )
+    return (
+        out.crossJoin(F.broadcast(radius))
+        .select("center_rank", "vec_id", F.round("dist_sq", 6).alias("dist_sq"), "radius")
+        .orderBy("center_rank")
+    )

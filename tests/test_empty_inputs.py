@@ -163,6 +163,8 @@ REPRESENTATIVE = [
     "knn_label_accuracy",  # vote windows over an empty panel
     "mad_robust_scale",  # two refinement chains over zero orders
     "obrien_fleming_looks",  # cumulative looks over zero events
+    "kcenter_coreset",  # greedy rounds with no seed vector
+    "markov_next_event_accuracy",  # model trained on zero transitions
 ]
 
 
