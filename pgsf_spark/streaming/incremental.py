@@ -372,3 +372,112 @@ def start_budget_admission(
         processingTime="10 minutes"
     )
     return writer.start()
+
+
+def start_heavy_hitter_tracking(
+    spark: SparkSession,
+    feed_dir: str,
+    schema: StructType,
+    store: TableStore,
+    sketch_table: str,
+    hitters_table: str,
+    checkpoint_dir: str,
+    phi: float = 0.033,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming heavy-hitter tracking (streaming twin of the oracle-gated
+    q_heavy_hitters_cms_verified): each micro-batch adds its token stream
+    to a per-epoch DELTA of the 1024-cell CMS ledger, merges the
+    generation's cells so far (a <= CMS_D x CMS_W bounded collect), and
+    surfaces every token SEEN IN THIS BATCH whose merged-sketch upper
+    bound clears ceil(phi * total_tokens).  CMS never underestimates, so
+    a token that crosses the threshold is surfaced at its next
+    occurrence -- the streaming semantic a monitor wants (an absent token
+    cannot page anyone anyway); counts are upper bounds, the batch gate
+    is the exact-verified face.
+
+    Same idempotence construction as start_budget_admission: state lives
+    in epoch-partitioned TableStore deltas keyed by a checkpoint
+    generation tag, the current epoch's delta is written BEFORE the merge
+    reads it, and every decision derives only from (batch content, gen,
+    epoch) -- a crash-replayed epoch rewrites its own partitions with
+    identical bytes.  Per-batch cost is O(batch + 1024), never
+    O(stream history); sketch cells MERGE by addition, so a 1000-executor
+    ingest reduces to the same 1024 rows."""
+    import hashlib
+    import math
+
+    from pgsf_spark.analytics.dedup import _norm_text
+    from pgsf_spark.analytics.text import CMS_D, CMS_W, _cms_cells
+
+    gen = hashlib.md5(str(checkpoint_dir).encode()).hexdigest()[:8]
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        epoch_key = f"{gen}_{int(epoch_id)}"
+        tok = batch_df.select(
+            F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
+        )
+        delta = (
+            tok.select(F.explode(_cms_cells(F.col("token"))).alias("c"))
+            .select("c.row", "c.col")
+            .groupBy("row", "col")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .withColumn("gen", F.lit(gen))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .withColumn("epoch_key", F.lit(epoch_key))
+        )
+
+        def _publish(df: DataFrame, table: str) -> None:
+            try:
+                store.write_partial(df.localCheckpoint(), table, "epoch_key", [epoch_key])
+            except FileNotFoundError:  # first epoch: no version to carry from
+                store.write(df, table, partition_by=["epoch_key"])
+
+        _publish(delta, sketch_table)
+        merged = (
+            store.read(sketch_table)
+            .filter((F.col("gen") == gen) & (F.col("epoch") <= int(epoch_id)))
+            .groupBy("row", "col")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        )
+        cmap = {(r.row, r.col): r.cnt for r in merged.collect()}  # <= CMS_D*CMS_W
+        n_tokens = sum(v for (r, _c), v in cmap.items() if r == 0)
+        thr = int(math.ceil(phi * n_tokens))
+        arr = F.array(
+            *[F.lit(cmap.get((i, c), 0)) for i in range(CMS_D) for c in range(CMS_W)]
+        )
+        ests = []
+        for i in range(CMS_D):
+            h = F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{i}:"), F.col("token"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            ests.append(F.element_at(arr, ((h % CMS_W) + i * CMS_W + 1).cast("int")))
+        hitters = (
+            tok.distinct()
+            .withColumn("cms_estimate", F.least(*ests))
+            .filter(F.col("cms_estimate") >= thr)
+            .select(
+                "token",
+                F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+                F.lit(thr).cast("bigint").alias("threshold"),
+                F.lit(int(n_tokens)).cast("bigint").alias("stream_tokens"),
+            )
+            .withColumn("gen", F.lit(gen))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .withColumn("epoch_key", F.lit(epoch_key))
+        )
+        _publish(hitters, hitters_table)
+
+    writer = (
+        spark.readStream.schema(schema)
+        .parquet(str(feed_dir))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

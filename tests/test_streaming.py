@@ -460,3 +460,75 @@ class TestBudgetAdmission:
         led = store.read("budget_ledger").collect()
         assert {r.gen for r in led} == gens
         assert all(r.chars_added == 70 for r in led)
+
+
+class TestHeavyHitterTracking:
+    HSCHEMA = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def _run(self, spark, feed, store, checkpoint, phi):
+        from pgsf_spark.streaming.incremental import start_heavy_hitter_tracking
+
+        q = start_heavy_hitter_tracking(
+            spark,
+            str(feed),
+            self.HSCHEMA,
+            store,
+            "hh_sketch",
+            "hh_hitters",
+            str(checkpoint),
+            phi=phi,
+        )
+        q.awaitTermination(120)
+
+    def test_hitters_surface_as_threshold_moves(self, spark, tmp_path):
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        store = TableStore(spark, str(tmp_path / "store"))
+        ck = tmp_path / "ck"
+        # batch 1: stream = x x x y (n=4, thr=ceil(2)=2): x is heavy, y not
+        spark.createDataFrame([(1, "x x x y")], self.HSCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+        self._run(spark, feed, store, ck, phi=0.5)
+        h1 = {r.token: r.cms_estimate for r in store.read("hh_hitters").collect()}
+        assert "x" in h1 and h1["x"] >= 3
+        assert "y" not in h1
+        # batch 2: y y y -> merged n=7, thr=ceil(3.5)=4, y total 4: y
+        # surfaces at its next occurrence; x (absent from the batch) is
+        # not re-emitted -- the documented streaming semantic
+        spark.createDataFrame([(2, "y y y")], self.HSCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+        self._run(spark, feed, store, ck, phi=0.5)
+        rows = store.read("hh_hitters").collect()
+        ep2 = {r.token: r for r in rows if r.epoch > min(r2.epoch for r2 in rows)}
+        assert "y" in ep2 and ep2["y"].cms_estimate >= 4
+        assert "x" not in ep2
+        # merged sketch never underestimates the exact stream counts
+        merged = (
+            store.read("hh_sketch").groupBy("row", "col").sum("cnt").collect()
+        )
+        cells = {(r.row, r.col): r["sum(cnt)"] for r in merged}
+        n_stream = sum(v for (r, _c), v in cells.items() if r == 0)
+        assert n_stream == 7
+
+    def test_replay_same_checkpoint_is_idempotent(self, spark, tmp_path):
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        store = TableStore(spark, str(tmp_path / "store"))
+        ck = tmp_path / "ck"
+        spark.createDataFrame([(1, "a a b")], self.HSCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(feed))
+        self._run(spark, feed, store, ck, phi=0.5)
+        before = sorted(
+            (r.row, r.col, r.cnt) for r in store.read("hh_sketch").collect()
+        )
+        # re-run with the SAME checkpoint: no new data -> no state change
+        self._run(spark, feed, store, ck, phi=0.5)
+        after = sorted(
+            (r.row, r.col, r.cnt) for r in store.read("hh_sketch").collect()
+        )
+        assert before == after
