@@ -2141,3 +2141,107 @@ def q_conformal_interval_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(CONF_Q).alias("target"),
         )
     )
+
+
+GUMBEL_GAMMA = 0.5772156649015329  # Euler-Mascheroni (method-of-moments loc)
+GUMBEL_RL_T = 365  # return period (days) for the reported return level
+# -ln(-ln(1 - 1/T)): python constant so no nested ln enters a gated column
+GUMBEL_RL_FACTOR = 5.8985259242227315
+
+
+def q_gumbel_maxima_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit of DAILY MAXIMUM order value by the method
+    of moments -- the capacity-planning gate (what is the 1-in-365-day
+    largest order we should provision for?) the plain mean/stddev shelf
+    cannot answer because maxima do not concentrate like means: scale =
+    std * sqrt(6) / pi, loc = mean - gamma * scale, and the T-day return
+    level is loc + scale * (-ln(-ln(1 - 1/T))) with the doubly-logged
+    factor a PYTHON literal (the _bh_thresholds device) so no nested
+    libm call enters a gated column.  Also emits the observed maximum's
+    standardized position z = (max - loc) / scale.
+
+    Exactness: daily maxima are integers; mean/std come from exact
+    decimal moments over the ~2.4k-day series; everything after is one
+    fixed double chain against literals.
+
+    Plan: one orders rollup shuffle to (day, max cents), one 1-row moment
+    aggregate -- nothing else."""
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("mx")
+    )
+    sq = F.col("mx").cast("decimal(19,0)")
+    g = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("mx").cast("decimal(38,0)")).alias("s1"),
+        F.sum(sq * sq).alias("s2"),
+        F.max("mx").cast("bigint").alias("observed_max"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    scale = F.sqrt(var) * float(math.sqrt(6.0) / math.pi)
+    loc = mean - F.lit(GUMBEL_GAMMA) * scale
+    rl = loc + scale * F.lit(GUMBEL_RL_FACTOR)
+    return g.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "observed_max",
+        F.round(loc / 100.0, 4).alias("loc_usd"),
+        F.round(scale / 100.0, 4).alias("scale_usd"),
+        F.round(rl / 100.0, 4).alias("return_level_365_usd"),
+        F.round(
+            F.try_divide(F.col("observed_max").cast("double") - loc, scale), 6
+        ).alias("max_z"),
+    )
+
+
+VAR_Q = 0.05  # left-tail quantile for VaR / expected shortfall
+
+
+def q_revenue_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Expected Shortfall of day-over-day revenue
+    changes -- the tail-risk pair (VaR: the 5% worst daily drop;
+    ES/CVaR: the AVERAGE drop once you are past VaR, the coherent
+    measure stress reviews actually want) over the daily revenue series.
+
+    Exactness: diffs are integer cents from a lag over the day spine;
+    VaR is the house interpolated percentile; ES decimal-sums the tail
+    (strictly-below-VaR diffs) so accumulation order cannot drift.
+
+    Plan: one orders rollup shuffle, one lag window over the ~2.4k-row
+    day spine (single-partition by design, documented), one percentile
+    scalar broadcast back, one tail aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
+    )
+    w = Window.orderBy("day")
+    d = (
+        daily.withColumn("prev", F.lag("rev", 1).over(w))
+        .filter(F.col("prev").isNotNull())
+        .select((F.col("rev") - F.col("prev")).alias("diff"))
+    )
+    v = d.agg(
+        F.expr(f"percentile(diff, {VAR_Q}D)").alias("var_c"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    t = d.crossJoin(F.broadcast(v))
+    return t.agg(
+        F.first("n_days").cast("bigint").alias("n_days"),
+        F.round(F.first("var_c") / 100.0, 4).alias("var_usd"),
+        F.sum((F.col("diff") < F.col("var_c")).cast("long")).cast("bigint").alias("n_tail"),
+        F.round(
+            F.try_divide(
+                F.sum(
+                    F.when(F.col("diff") < F.col("var_c"), F.col("diff")).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double"),
+                F.sum((F.col("diff") < F.col("var_c")).cast("long")).cast("double"),
+            )
+            / 100.0,
+            4,
+        ).alias("es_usd"),
+    )

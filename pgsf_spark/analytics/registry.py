@@ -4540,6 +4540,46 @@ SELECT n_urgent, n_low,
     AS cliffs_delta
 FROM agg""",
     ),
+    "gumbel_maxima_fit": QuerySpec(
+        profiling.q_gumbel_maxima_fit,
+        f"""WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+  FROM orders GROUP BY 1),
+g AS (SELECT COUNT(*) AS n_days, CAST(SUM(mx) AS BIGINT) AS s1,
+  SUM(CAST(mx AS DECIMAL(19,0)) * CAST(mx AS DECIMAL(19,0))) AS s2,
+  CAST(MAX(mx) AS BIGINT) AS observed_max FROM daily),
+k AS (SELECT n_days, observed_max,
+  CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) AS mn,
+  CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+    - CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE)) AS vr
+  FROM g),
+f AS (SELECT n_days, observed_max, mn, sqrt(vr) * {__import__("math").sqrt(6.0) / __import__("math").pi!r} AS scl FROM k),
+l AS (SELECT n_days, observed_max, scl, mn - {profiling.GUMBEL_GAMMA!r} * scl AS loc FROM f)
+SELECT CAST(n_days AS BIGINT) AS n_days, observed_max,
+  ROUND(loc / 100.0, 4) AS loc_usd,
+  ROUND(scl / 100.0, 4) AS scale_usd,
+  ROUND((loc + scl * {profiling.GUMBEL_RL_FACTOR!r}) / 100.0, 4) AS return_level_365_usd,
+  ROUND((CAST(observed_max AS DOUBLE) - loc) / scl, 6) AS max_z
+FROM l""",
+    ),
+    "revenue_var_es": QuerySpec(
+        profiling.q_revenue_var_es,
+        f"""WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+l AS (SELECT day, rev, lag(rev, 1) OVER (ORDER BY day) AS prev FROM daily),
+d AS (SELECT rev - prev AS diff FROM l WHERE prev IS NOT NULL),
+v AS (SELECT quantile_cont(diff, {profiling.VAR_Q}) AS var_c, COUNT(*) AS n_days FROM d)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+  ROUND(var_c / 100.0, 4) AS var_usd,
+  CAST(SUM(CASE WHEN diff < var_c THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+  ROUND(CAST(SUM(CASE WHEN diff < var_c THEN CAST(diff AS DECIMAL(38,0)) END) AS DOUBLE)
+        / CAST(SUM(CASE WHEN diff < var_c THEN 1 ELSE 0 END) AS DOUBLE) / 100.0, 4)
+    AS es_usd
+FROM d, v GROUP BY n_days, var_c""",
+    ),
     "kcenter_coreset": QuerySpec(similarity.q_kcenter_coreset, _kcenter_sql()),
     "markov_next_event_accuracy": QuerySpec(
         events.q_markov_next_event_accuracy,
@@ -5367,14 +5407,15 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the NINETEEN round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the TWENTY-ONE round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
 # ewma_control_chart, degree_powerlaw_fit, embedding_outlier_mahalanobis,
 # graph_modularity, conformal_interval_gate, knn_label_accuracy,
 # mad_robust_scale, obrien_fleming_looks, kcenter_coreset,
-# markov_next_event_accuracy -- NINETEEN total), then the
+# markov_next_event_accuracy, gumbel_maxima_fit, revenue_var_es --
+# TWENTY-ONE total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

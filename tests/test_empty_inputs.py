@@ -165,6 +165,8 @@ REPRESENTATIVE = [
     "obrien_fleming_looks",  # cumulative looks over zero events
     "kcenter_coreset",  # greedy rounds with no seed vector
     "markov_next_event_accuracy",  # model trained on zero transitions
+    "gumbel_maxima_fit",  # moments over an empty maxima series
+    "revenue_var_es",  # tail quantile over zero diffs
 ]
 
 
