@@ -1273,3 +1273,47 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ppr").desc(), "doc_a")
         .limit(PPR_TOP)
     )
+
+
+def q_jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning histogram over the UNFILTERED candidate pairs'
+    exact Jaccard: per 0.1-wide bucket, the pair count, the mean Jaccard
+    inside the bucket, and the cumulative pairs that a threshold set at
+    the bucket's floor would KEEP -- the one table an operator reads
+    before choosing JACCARD_T (q_lsh_jaccard_verified applies the chosen
+    threshold; this gate shows what every other choice would have done).
+
+    Scale shape: identical candidate generation to the verified pipeline
+    (LSH equi-join, exact Jaccard only on candidates); the histogram is
+    a <= 11-row groupBy and the cumulative window runs over those
+    buckets, not over pairs."""
+    from pyspark.sql.window import Window
+
+    from pgsf_spark.analytics.oracle_utils import davg
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(lsh_banded(d)).localCheckpoint(eager=True)
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    jac = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(F.round(inter / union, 4).alias("jaccard"))
+    )
+    hist = jac.groupBy(
+        (F.floor(F.col("jaccard") * 10) / 10.0).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        davg(F.col("jaccard"), ndigits=4).alias("avg_jaccard"),
+    )
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.withColumn("pairs_kept_at_threshold", F.sum("n_pairs").over(w).cast("bigint"))
+        .select("bucket", "n_pairs", "avg_jaccard", "pairs_kept_at_threshold")
+        .orderBy("bucket")
+    )

@@ -217,3 +217,47 @@ def q_training_shard_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("position", F.row_number().over(w) - 1)
         .select("shard", "position", "doc_id", "source")
     )
+
+
+def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-contamination matrix: verified near-duplicate pairs
+    grouped by their (canonically ordered) SOURCE pair -- the
+    q_split_leakage composition pointed at provenance instead of splits
+    (a benchmark source near-duplicating a crawl source is how eval
+    contamination usually enters a corpus; within-source duplication is
+    ordinary redundancy). Emits per source-pair counts, average verified
+    Jaccard, and the cross-source flag.
+
+    Same scale shape as q_split_leakage: the pair list is the (small)
+    LSH+verify output; two keyed joins attach sources; the output is a
+    source-pair-bounded summary, never the pairs."""
+    from pgsf_spark.analytics.dedup import q_lsh_jaccard_verified
+    from pgsf_spark.analytics.oracle_utils import davg
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    pairs = q_lsh_jaccard_verified(spark, sf_dir)
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_raw_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_raw_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_raw_a", "src_raw_b").alias("src_a"),
+            F.greatest("src_raw_a", "src_raw_b").alias("src_b"),
+            "jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            davg(F.col("jaccard"), ndigits=4).alias("avg_jaccard"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_pairs",
+            "avg_jaccard",
+            (F.col("src_a") != F.col("src_b")).alias("cross_source"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "src_a", "src_b")
+    )

@@ -214,6 +214,14 @@ def _sqdist_sql(a: str, b: str, dim: int = 64) -> str:
     return "(" + " + ".join(f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, dim + 1)) + ")"
 
 
+# scalar-quantization reconstruction error at L levels (parity with the
+# fixed double chain in q_sq_mse_by_bits; constant dims contribute zero)
+_SQ_ERR = (
+    "CASE WHEN hi = lo THEN 0.0 ELSE "
+    "x - (lo + round((x - lo) / (hi - lo) * {L!r}, 0) * (hi - lo) / {L!r}) END"
+)
+
+
 def _kcenter_sql() -> str:
     """Unrolled greedy k-center rounds (parity with q_kcenter_coreset's
     checkpointed loop): p{r} picks the farthest not-yet-chosen vector,
@@ -4540,6 +4548,68 @@ SELECT n_urgent, n_low,
     AS cliffs_delta
 FROM agg""",
     ),
+    "cross_source_leakage": QuerySpec(
+        pipeline.q_cross_source_leakage,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + f""",
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+v AS (SELECT * FROM (
+  SELECT doc_a, doc_b,
+    ROUND(len(list_intersect(ta.toks, tb.toks)) / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+  FROM pairs JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id)
+  WHERE jaccard >= {dedup.JACCARD_T}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(a.source, b.source) AS src_a, GREATEST(a.source, b.source) AS src_b,
+  COUNT(*) AS n_pairs,
+  {sql_davg('jaccard', ndigits=4)} AS avg_jaccard,
+  LEAST(a.source, b.source) <> GREATEST(a.source, b.source) AS cross_source
+FROM v JOIN src a ON v.doc_a = a.doc_id JOIN src b ON v.doc_b = b.doc_id
+GROUP BY 1, 2 ORDER BY n_pairs DESC, src_a, src_b""",
+    ),
+    "jaccard_threshold_histogram": QuerySpec(
+        dedup.q_jaccard_threshold_histogram,
+        _minhash_cte()
+        + _lsh_banded_sql()
+        + f""",
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+t AS (SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents),
+jac AS (
+  SELECT ROUND(len(list_intersect(ta.toks, tb.toks)) / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+  FROM pairs JOIN t ta ON doc_a = ta.doc_id JOIN t tb ON doc_b = tb.doc_id),
+hist AS (
+  SELECT floor(jaccard * 10) / 10.0 AS bucket, COUNT(*) AS n_pairs,
+    {sql_davg('jaccard', ndigits=4)} AS avg_jaccard
+  FROM jac GROUP BY 1)
+SELECT bucket, n_pairs, avg_jaccard,
+  CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS pairs_kept_at_threshold
+FROM hist ORDER BY bucket""",
+    ),
+    "sq_mse_by_bits": QuerySpec(
+        similarity.q_sq_mse_by_bits,
+        """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+pos AS (SELECT vec_id, i, v[CAST(i AS INT)] AS x FROM e, range(1, 65) r(i)),
+rng AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM pos GROUP BY i),
+j AS (SELECT pos.x, rng.lo, rng.hi FROM pos JOIN rng USING (i))
+"""
+        + "\nUNION ALL\n".join(
+            (
+                lambda L, b: f"""SELECT {b} AS bits, CAST(COUNT(*) AS BIGINT) AS n_values,
+  ROUND(CAST(SUM(CAST(ROUND(({_SQ_ERR.format(L=L)}) * ({_SQ_ERR.format(L=L)}), 12) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 8) AS mse,
+  ROUND(sqrt(CAST(SUM(CAST(ROUND(({_SQ_ERR.format(L=L)}) * ({_SQ_ERR.format(L=L)}), 12) AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)), 6) AS rmse,
+  ROUND(MAX(abs({_SQ_ERR.format(L=L)})), 6) AS max_abs_err
+FROM j"""
+            )(float(2**b - 1), b)
+            for b in similarity.SQ_MSE_BITS
+        )
+        + "\nORDER BY bits DESC",
+    ),
     "gumbel_maxima_fit": QuerySpec(
         profiling.q_gumbel_maxima_fit,
         f"""WITH daily AS (
@@ -5407,15 +5477,16 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the TWENTY-ONE round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the TWENTY-FOUR round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
 # ewma_control_chart, degree_powerlaw_fit, embedding_outlier_mahalanobis,
 # graph_modularity, conformal_interval_gate, knn_label_accuracy,
 # mad_robust_scale, obrien_fleming_looks, kcenter_coreset,
-# markov_next_event_accuracy, gumbel_maxima_fit, revenue_var_es --
-# TWENTY-ONE total), then the
+# markov_next_event_accuracy, gumbel_maxima_fit, revenue_var_es,
+# cross_source_leakage, jaccard_threshold_histogram, sq_mse_by_bits --
+# TWENTY-FOUR total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

@@ -1300,3 +1300,58 @@ def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("center_rank", "vec_id", F.round("dist_sq", 6).alias("dist_sq"), "radius")
         .orderBy("center_rank")
     )
+
+
+SQ_MSE_BITS = (8, 4, 2)  # bit budgets audited by the quantization-error gate
+
+
+def q_sq_mse_by_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization reconstruction error by bit budget -- the
+    memory-vs-fidelity table behind the choice q_sq_recall_at_5 gates
+    only at 8 bits: per bits b in SQ_MSE_BITS, quantize each dimension to
+    2^b - 1 levels on its min/max range (the same quantizer as
+    _sq_quantized) and report MSE, RMSE, and the worst absolute error of
+    the reconstruction.  An index owner reads this next to the recall
+    gate to pick the coarsest budget whose error is still below the
+    score-margin noise floor.
+
+    Exactness: per-value errors are fixed double chains off exact
+    min/max ranges; e^2 terms round to 12 and decimal-sum, so MSE is
+    order-independent; constant dimensions (hi == lo) contribute zero on
+    both faces.
+
+    Plan: one posexplode, one 64-row range aggregate broadcast back,
+    one pass per bit budget over the (vec, dim) frame -- three keyed
+    aggregates, no windows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(e)  # no-op (no Exchange) when the scan is already wide
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    pos = emb.select(F.posexplode("v").alias("i", "x"))
+    rng = pos.groupBy("i").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    j = pos.join(F.broadcast(rng), "i").select("x", "lo", "hi")
+    parts = []
+    for b in SQ_MSE_BITS:
+        levels = float(2**b - 1)
+        x, lo, hi = F.col("x"), F.col("lo"), F.col("hi")
+        err = F.when(hi == lo, F.lit(0.0)).otherwise(
+            x - (lo + F.round((x - lo) / (hi - lo) * levels, 0) * (hi - lo) / levels)
+        )
+        sq_t = F.round(err * err, 12).cast("decimal(27,12)")
+        g = j.select(err.alias("err"), sq_t.alias("t")).agg(
+            F.count(F.lit(1)).alias("n_values"),
+            (F.sum("t").cast("double") / F.count(F.lit(1))).alias("m"),
+            F.max(F.abs(F.col("err"))).alias("mx"),
+        )
+        parts.append(
+            g.select(
+                F.lit(b).alias("bits"),
+                F.col("n_values").cast("bigint").alias("n_values"),
+                F.round(F.col("m"), 8).alias("mse"),
+                F.round(F.sqrt(F.col("m")), 6).alias("rmse"),
+                F.round(F.col("mx"), 6).alias("max_abs_err"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(F.col("bits").desc())

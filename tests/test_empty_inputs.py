@@ -167,6 +167,9 @@ REPRESENTATIVE = [
     "markov_next_event_accuracy",  # model trained on zero transitions
     "gumbel_maxima_fit",  # moments over an empty maxima series
     "revenue_var_es",  # tail quantile over zero diffs
+    "cross_source_leakage",  # source joins over zero verified pairs
+    "jaccard_threshold_histogram",  # bucket cumsum over zero candidates
+    "sq_mse_by_bits",  # range table from zero vectors
 ]
 
 
