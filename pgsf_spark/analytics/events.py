@@ -1492,3 +1492,41 @@ def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def q_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson overdispersion check on per-user event counts -- the
+    one-number modeling gate before anyone fits a Poisson rate to user
+    activity (real activity is almost always overdispersed; a dispersion
+    index near 1 is what the Poisson assumption REQUIRES): index =
+    variance / mean of per-user counts, plus the chi-square dispersion
+    statistic sum((x - mean)^2) / mean against its n-1 degrees of
+    freedom.
+
+    Exactness: counts are integers; moments accumulate in DECIMAL(38,0);
+    the index and statistic are fixed double chains; try_divide makes the
+    zero-mean degenerate case NULL on both faces.
+
+    Plan: one groupBy(user) count, one 1-row moment aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    sq = F.col("c").cast("decimal(19,0)")
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+        F.sum(sq * sq).alias("s2"),
+    )
+    n = F.col("n_users").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mean * mean
+    chi = F.try_divide(
+        F.col("s2").cast("double") - F.col("s1").cast("double") * mean, mean
+    )
+    return g.select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(mean, 6).alias("mean_events"),
+        F.round(var, 6).alias("var_events"),
+        F.round(F.try_divide(var, mean), 6).alias("dispersion_index"),
+        F.round(chi, 6).alias("chi_square"),
+        (F.col("n_users") - 1).cast("bigint").alias("dof"),
+    )

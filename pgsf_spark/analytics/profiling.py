@@ -2245,3 +2245,217 @@ def q_revenue_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("es_usd"),
     )
+
+
+# categorical pairs audited by q_categorical_mutual_information
+MI_PAIRS = (
+    ("source_vs_lang", "documents", "source", "lang"),
+    ("segment_vs_nation", "customer", "c_mktsegment", "c_nationkey"),
+)
+
+
+def q_categorical_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and sqrt-normalized NMI) between categorical
+    column pairs -- the symmetric dependence gate next to the directional
+    FD audit (g3 says whether lhs DETERMINES rhs; MI says how much
+    knowing either tells you about the other, which is what feature
+    selection and leakage review actually ask): MI = sum p_ij
+    ln(p_ij / (p_i p_j)), NMI = MI / sqrt(H(X) H(Y)).
+
+    Exactness: every ln argument is a ratio of exact integer products
+    (carried as doubles to dodge 100 TB int64 overflow); each ln rounds
+    to 9, each p * ln term rounds to 12 and decimal-sums, so MI and both
+    entropies are order-independent; try_divide makes a degenerate
+    single-category pair NULL.
+
+    Plan: per pair one groupBy(cell) shuffle plus two margin rollups of
+    the cell table; terms live on the <= |X| * |Y| cell rows."""
+    dec = "decimal(27,12)"
+    parts = []
+    for pair_name, table, xc, yc in MI_PAIRS:
+        t = load_table(spark, sf_dir, table)
+        cells = t.groupBy(F.col(xc).alias("x"), F.col(yc).alias("y")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        rx = cells.groupBy("x").agg(F.sum("c").alias("rx"))
+        ry = cells.groupBy("y").agg(F.sum("c").alias("ry"))
+        tot = cells.agg(F.sum("c").alias("n"))
+        j = (
+            cells.join(F.broadcast(rx), "x")
+            .join(F.broadcast(ry), "y")
+            .crossJoin(F.broadcast(tot))
+        )
+        cd, rxd, ryd, nd = (F.col(k).cast("double") for k in ("c", "rx", "ry", "n"))
+        lnr = F.round(F.log(cd * nd / (rxd * ryd)), 9)
+        mi_t = F.round(cd / nd * lnr, 12).cast(dec)
+        g = j.agg(
+            F.first("n").alias("n"),
+            F.sum(mi_t).cast("double").alias("mi"),
+        )
+        hx = rx.crossJoin(F.broadcast(tot)).agg(
+            F.sum(
+                F.round(
+                    -(F.col("rx").cast("double") / F.col("n").cast("double"))
+                    * F.round(
+                        F.log(F.col("rx").cast("double") / F.col("n").cast("double")), 9
+                    ),
+                    12,
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("hx")
+        )
+        hy = ry.crossJoin(F.broadcast(tot)).agg(
+            F.sum(
+                F.round(
+                    -(F.col("ry").cast("double") / F.col("n").cast("double"))
+                    * F.round(
+                        F.log(F.col("ry").cast("double") / F.col("n").cast("double")), 9
+                    ),
+                    12,
+                ).cast(dec)
+            )
+            .cast("double")
+            .alias("hy")
+        )
+        parts.append(
+            g.crossJoin(F.broadcast(hx))
+            .crossJoin(F.broadcast(hy))
+            .select(
+                F.lit(pair_name).alias("pair"),
+                F.col("n").cast("bigint").alias("n_rows"),
+                F.round("mi", 6).alias("mi_nats"),
+                F.round("hx", 6).alias("h_x"),
+                F.round("hy", 6).alias("h_y"),
+                F.round(
+                    F.try_divide(F.col("mi"), F.sqrt(F.col("hx") * F.col("hy"))), 6
+                ).alias("nmi"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("pair")
+
+
+HURST_WINDOWS = (8, 16, 32, 64, 128)  # R/S block sizes
+
+
+def _hurst_weights() -> dict[int, float]:
+    """OLS slope weights for ln(mean R/S) on ln(w): slope = sum_w
+    weight_w * y_w with weight_w = (ln w - mean ln w) / sum (ln w -
+    mean)^2 -- python literals, so the engines only form one fixed
+    linear combination (the _bh_thresholds device)."""
+    import math
+
+    xs = [math.log(w) for w in HURST_WINDOWS]
+    xbar = sum(xs) / len(xs)
+    den = sum((x - xbar) ** 2 for x in xs)
+    return {
+        w: round((x - xbar) / den, 12) for w, x in zip(HURST_WINDOWS, xs)
+    }
+
+
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily revenue by rescaled-range (R/S) analysis
+    -- the long-memory diagnostic that separates trending (H > 0.5),
+    random-walk (H = 0.5), and mean-reverting (H < 0.5) series BEFORE
+    anyone picks a forecaster: for each block size w the series splits
+    into full blocks, each block contributes R (range of cumulative
+    deviations from the block mean) over S (block stddev), and H is the
+    OLS slope of ln(mean R/S) on ln(w) -- assembled as one fixed linear
+    combination with python-literal weights.
+
+    Exactness: block moments are exact decimal sums of integer cents;
+    cumulative deviations round to 6 and decimal-sum inside bounded
+    (<= 128-row) per-block windows; R/S rounds to 9 and decimal-sums into
+    the per-w mean; the slope terms round to 12.  Zero-variance blocks
+    are excluded on both faces.
+
+    Plan: one orders rollup to day grain, a row_number over the ~2.4k-row
+    day spine (single-partition by design, documented), then per block
+    size one (block)-keyed aggregate pair and per-block bounded windows
+    -- nothing data-sized is single-partitioned."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("day")))
+        .localCheckpoint(eager=True)
+    )
+    per_w = []
+    for w in HURST_WINDOWS:
+        # floor division on both faces (the obrien_fleming lesson:
+        # DuckDB CAST(double AS INT) rounds, Spark truncates)
+        blocks = daily.withColumn("blk", F.floor((F.col("rn") - 1) / w).cast("int"))
+        sq = F.col("rev").cast("decimal(19,0)")
+        bm = blocks.groupBy("blk").agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum(F.col("rev").cast("decimal(38,0)")).alias("b1"),
+            F.sum(sq * sq).alias("b2"),
+        ).filter(F.col("bn") == w)
+        mean = F.col("b1").cast("double") / F.col("bn").cast("double")
+        var = F.col("b2").cast("double") / F.col("bn").cast("double") - mean * mean
+        wb = (
+            Window.partitionBy("blk")
+            .orderBy("rn")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        dev = F.round(F.col("rev").cast("double") - F.col("mean"), 6).cast(
+            "decimal(27,6)"
+        )
+        cum = (
+            blocks.join(
+                F.broadcast(bm.select("blk", mean.alias("mean"), var.alias("var"))),
+                "blk",
+            )
+            .withColumn("cum", F.sum(dev).over(wb))
+        )
+        rs = (
+            cum.groupBy("blk")
+            .agg(
+                (F.max("cum") - F.min("cum")).cast("double").alias("r"),
+                F.first("var").alias("var"),
+            )
+            .filter(F.col("var") > 0)
+            .select(F.round(F.col("r") / F.sqrt(F.col("var")), 9).alias("rs"))
+        )
+        per_w.append(
+            rs.agg(
+                F.lit(w).alias("window_size"),
+                F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+                F.round(
+                    F.sum(F.col("rs").cast("decimal(27,9)")).cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("mean_rs"),
+            )
+        )
+    allw = per_w[0]
+    for p in per_w[1:]:
+        allw = allw.unionByName(p)
+    allw = allw.withColumn("ln_mean_rs", F.round(F.log("mean_rs"), 9))
+    wts = _hurst_weights()
+    wcol = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(w) for w in HURST_WINDOWS]),
+            F.array(*[F.lit(wts[w]) for w in HURST_WINDOWS]),
+        ),
+        F.col("window_size"),
+    )
+    slope = allw.agg(
+        F.sum(F.round(wcol * F.col("ln_mean_rs"), 12).cast("decimal(27,12)"))
+        .cast("double")
+        .alias("h")
+    )
+    return (
+        allw.crossJoin(F.broadcast(slope))
+        .select(
+            "window_size",
+            "n_blocks",
+            F.round("mean_rs", 6).alias("mean_rs"),
+            F.round("ln_mean_rs", 6).alias("ln_mean_rs"),
+            F.round("h", 6).alias("hurst"),
+        )
+        .orderBy("window_size")
+    )

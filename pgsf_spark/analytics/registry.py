@@ -214,6 +214,50 @@ def _sqdist_sql(a: str, b: str, dim: int = 64) -> str:
     return "(" + " + ".join(f"({a}[{i}]-{b}[{i}])*({a}[{i}]-{b}[{i}])" for i in range(1, dim + 1)) + ")"
 
 
+def _hurst_sql() -> str:
+    """Per-window R/S chains + the literal-weight OLS slope (parity with
+    q_hurst_exponent)."""
+    wts = profiling._hurst_weights()
+    parts = [
+        """WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+dd AS (SELECT rev, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily)"""
+    ]
+    for w in profiling.HURST_WINDOWS:
+        parts.append(
+            f""",
+bl{w} AS (SELECT rev, rn, CAST((rn - 1) // {w} AS INT) AS blk FROM dd),
+bm{w} AS (SELECT blk, COUNT(*) AS bn, CAST(SUM(rev) AS BIGINT) AS b1,
+    SUM(CAST(rev AS DECIMAL(19,0)) * CAST(rev AS DECIMAL(19,0))) AS b2
+  FROM bl{w} GROUP BY 1 HAVING COUNT(*) = {w}),
+cm{w} AS (SELECT b.blk,
+    CAST(b2 AS DOUBLE) / CAST(bn AS DOUBLE)
+      - CAST(b1 AS DOUBLE) / CAST(bn AS DOUBLE) * (CAST(b1 AS DOUBLE) / CAST(bn AS DOUBLE)) AS vr,
+    SUM(CAST(ROUND(CAST(rev AS DOUBLE) - CAST(b1 AS DOUBLE) / CAST(bn AS DOUBLE), 6) AS DECIMAL(27,6)))
+      OVER (PARTITION BY b.blk ORDER BY rn ROWS UNBOUNDED PRECEDING) AS cum
+  FROM bl{w} b JOIN bm{w} USING (blk)),
+rs{w} AS (SELECT ROUND(CAST(MAX(cum) - MIN(cum) AS DOUBLE) / sqrt(MAX(vr)), 9) AS rs
+  FROM cm{w} GROUP BY blk HAVING MAX(vr) > 0),
+pw{w} AS (SELECT {w} AS window_size, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+  ROUND(CAST(SUM(CAST(rs AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*), 9) AS mean_rs
+  FROM rs{w})"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM pw{w}" for w in profiling.HURST_WINDOWS)
+    case = " ".join(f"WHEN {w} THEN {wts[w]!r}" for w in profiling.HURST_WINDOWS)
+    parts.append(
+        f""",
+aw AS (SELECT *, ROUND(ln(mean_rs), 9) AS ln_mean_rs FROM ({union})),
+sl AS (SELECT CAST(SUM(CAST(ROUND((CASE window_size {case} END) * ln_mean_rs, 12)
+  AS DECIMAL(27,12))) AS DOUBLE) AS h FROM aw)
+SELECT window_size, n_blocks, ROUND(mean_rs, 6) AS mean_rs,
+  ROUND(ln_mean_rs, 6) AS ln_mean_rs, ROUND(h, 6) AS hurst
+FROM aw, sl ORDER BY window_size"""
+    )
+    return "".join(parts)
+
+
 # scalar-quantization reconstruction error at L levels (parity with the
 # fixed double chain in q_sq_mse_by_bits; constant dims contribute zero)
 _SQ_ERR = (
@@ -4548,6 +4592,58 @@ SELECT n_urgent, n_low,
     AS cliffs_delta
 FROM agg""",
     ),
+    "overdispersion_check": QuerySpec(
+        events.q_overdispersion_check,
+        """WITH pu AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+g AS (SELECT COUNT(*) AS n_users, CAST(SUM(c) AS BIGINT) AS s1,
+  SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS s2 FROM pu)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+  ROUND(CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS mean_events,
+  ROUND(CAST(s2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+        - CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)
+          * (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)), 6) AS var_events,
+  ROUND((CAST(s2 AS DOUBLE) / CAST(n_users AS DOUBLE)
+         - CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)
+           * (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)))
+        / (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)), 6) AS dispersion_index,
+  ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+         * (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)))
+        / (CAST(s1 AS DOUBLE) / CAST(n_users AS DOUBLE)), 6) AS chi_square,
+  CAST(n_users - 1 AS BIGINT) AS dof
+FROM g""",
+    ),
+    "categorical_mutual_information": QuerySpec(
+        profiling.q_categorical_mutual_information,
+        "WITH "
+        + ",\n".join(
+            f"""cells{i} AS (SELECT {xc} AS x, {yc} AS y, COUNT(*) AS c FROM {table} GROUP BY 1, 2),
+rx{i} AS (SELECT x, CAST(SUM(c) AS BIGINT) AS rx FROM cells{i} GROUP BY 1),
+ry{i} AS (SELECT y, CAST(SUM(c) AS BIGINT) AS ry FROM cells{i} GROUP BY 1),
+n{i} AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells{i}),
+mi{i} AS (SELECT CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+      * ROUND(ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                 / (CAST(rx AS DOUBLE) * CAST(ry AS DOUBLE))), 9), 12)
+    AS DECIMAL(27,12))) AS DOUBLE) AS mi
+  FROM cells{i} JOIN rx{i} USING (x) JOIN ry{i} USING (y), n{i}),
+hx{i} AS (SELECT CAST(SUM(CAST(ROUND(-(CAST(rx AS DOUBLE) / CAST(n AS DOUBLE))
+      * ROUND(ln(CAST(rx AS DOUBLE) / CAST(n AS DOUBLE)), 9), 12)
+    AS DECIMAL(27,12))) AS DOUBLE) AS hx FROM rx{i}, n{i}),
+hy{i} AS (SELECT CAST(SUM(CAST(ROUND(-(CAST(ry AS DOUBLE) / CAST(n AS DOUBLE))
+      * ROUND(ln(CAST(ry AS DOUBLE) / CAST(n AS DOUBLE)), 9), 12)
+    AS DECIMAL(27,12))) AS DOUBLE) AS hy FROM ry{i}, n{i}),
+row{i} AS (SELECT '{pair_name}' AS pair, n{i}.n AS n_rows,
+  ROUND(mi, 6) AS mi_nats, ROUND(hx, 6) AS h_x, ROUND(hy, 6) AS h_y,
+  ROUND(mi / sqrt(hx * hy), 6) AS nmi
+  FROM mi{i}, hx{i}, hy{i}, n{i})"""
+            for i, (pair_name, table, xc, yc) in enumerate(profiling.MI_PAIRS)
+        )
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(
+            f"SELECT * FROM row{i}" for i in range(len(profiling.MI_PAIRS))
+        )
+        + ") ORDER BY pair",
+    ),
+    "hurst_exponent": QuerySpec(profiling.q_hurst_exponent, _hurst_sql()),
     "cross_source_leakage": QuerySpec(
         pipeline.q_cross_source_leakage,
         _minhash_cte()
@@ -5477,7 +5573,7 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the TWENTY-FOUR round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the TWENTY-SEVEN round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
@@ -5485,8 +5581,9 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # graph_modularity, conformal_interval_gate, knn_label_accuracy,
 # mad_robust_scale, obrien_fleming_looks, kcenter_coreset,
 # markov_next_event_accuracy, gumbel_maxima_fit, revenue_var_es,
-# cross_source_leakage, jaccard_threshold_histogram, sq_mse_by_bits --
-# TWENTY-FOUR total), then the
+# cross_source_leakage, jaccard_threshold_histogram, sq_mse_by_bits,
+# overdispersion_check, categorical_mutual_information, hurst_exponent --
+# TWENTY-SEVEN total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

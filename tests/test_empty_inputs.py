@@ -170,6 +170,9 @@ REPRESENTATIVE = [
     "cross_source_leakage",  # source joins over zero verified pairs
     "jaccard_threshold_histogram",  # bucket cumsum over zero candidates
     "sq_mse_by_bits",  # range table from zero vectors
+    "overdispersion_check",  # moments over zero users
+    "categorical_mutual_information",  # cell table with zero rows
+    "hurst_exponent",  # R/S blocks over an empty day spine
 ]
 
 
