@@ -1530,3 +1530,211 @@ def q_overdispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi, 6).alias("chi_square"),
         (F.col("n_users") - 1).cast("bigint").alias("dof"),
     )
+
+
+def q_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the A/B arms across a pre/post period
+    split -- the panel-causal gate completing the shelf (randomized:
+    ab_test/CUPED/OBF; observational: IPW; panel: this): per-user
+    purchase spend in each half of the event window, cell means for
+    (arm x period), and DiD = (A_post - A_pre) - (B_post - B_pre),
+    which nets out both the arm-level baseline difference and the
+    common time trend.  On this null split the estimate is ~0; the gate
+    locks the panel construction, not a significant effect.
+
+    Determinism: the period split day is integer arithmetic on the
+    min/max event days; per-user-period spends accumulate in DECIMAL and
+    zero-fill through an explicit (user x period) grid, so the cell
+    means are exact-decimal ratios; DiD is a fixed double chain.
+
+    Plan: one per-(user, period) aggregate, a users x 2 literal grid
+    (explode of a 2-element array), one 4-cell rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(27,6)"
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    split_day = F.date_add(
+        F.col("d0"), F.floor(F.datediff(F.col("d1"), F.col("d0")) / 2).cast("int")
+    )
+    tagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "event_type",
+        "value",
+        (F.to_date("ts") > split_day).cast("int").alias("post"),
+    )
+    per_up = tagged.groupBy("user_id", "post").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast(dec)),
+            F.lit(0).cast(dec),
+        ).alias("spend")
+    )
+    users = tagged.select("user_id").distinct().withColumn("arm", _ab_arm(F.col("user_id")))
+    grid = users.select(
+        "user_id", "arm", F.explode(F.array(F.lit(0), F.lit(1))).alias("post")
+    )
+    filled = grid.join(per_up, ["user_id", "post"], "left").select(
+        "arm",
+        "post",
+        F.coalesce(F.col("spend"), F.lit(0).cast(dec)).alias("spend"),
+    )
+    cells = filled.groupBy("arm", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("spend").cast("double") / F.count(F.lit(1))).alias("mean_spend"),
+    )
+    a_pre = F.max(F.when((F.col("arm") == "A") & (F.col("post") == 0), F.col("mean_spend")))
+    a_post = F.max(F.when((F.col("arm") == "A") & (F.col("post") == 1), F.col("mean_spend")))
+    b_pre = F.max(F.when((F.col("arm") == "B") & (F.col("post") == 0), F.col("mean_spend")))
+    b_post = F.max(F.when((F.col("arm") == "B") & (F.col("post") == 1), F.col("mean_spend")))
+    g = cells.agg(
+        F.sum("n").cast("bigint").alias("n_user_periods"),
+        a_pre.alias("a_pre"),
+        a_post.alias("a_post"),
+        b_pre.alias("b_pre"),
+        b_post.alias("b_post"),
+    )
+    return g.select(
+        "n_user_periods",
+        F.round("a_pre", 4).alias("a_pre"),
+        F.round("a_post", 4).alias("a_post"),
+        F.round("b_pre", 4).alias("b_pre"),
+        F.round("b_post", 4).alias("b_post"),
+        F.round(
+            (F.col("a_post") - F.col("a_pre")) - (F.col("b_post") - F.col("b_pre")), 6
+        ).alias("did_estimate"),
+    )
+
+
+def q_wald_iv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald instrumental-variable estimate with the md5 arm as a
+    randomized ENCOURAGEMENT instrument: Z = arm A, D = user clicked at
+    least once (the endogenous exposure no one gets to randomize), Y =
+    purchase spend.  Wald = (E[Y|Z=1] - E[Y|Z=0]) / (E[D|Z=1] - E[D|Z=0])
+    -- the intent-to-treat effect rescaled by the first stage, i.e. the
+    LATE for instrument-compliers.  On this null instrument the first
+    stage is ~0 and the gate's value is the SHAPE: it reports ITT, first
+    stage, and Wald side by side so a weak instrument (tiny first stage
+    blowing up the ratio -- NULL here via try_divide when exactly zero)
+    is visible instead of silently shipped.
+
+    Determinism: one per-user aggregate (spend in DECIMAL, clicked as a
+    max of indicators), arm from the shared md5 parity, two-cell means as
+    exact-decimal ratios, fixed double chain after.
+
+    Plan: one groupBy(user), one 2-cell rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(27,6)"
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).cast(dec)),
+                F.lit(0).cast(dec),
+            ).alias("y"),
+            F.max((F.col("event_type") == "click").cast("int")).alias("d"),
+        )
+        .withColumn("z", (_ab_arm(F.col("user_id")) == "A").cast("int"))
+    )
+    g = per_user.groupBy("z").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("ybar"),
+        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("dbar"),
+    )
+    z1 = g.filter(F.col("z") == 1).select(
+        F.col("n").alias("n1"), F.col("ybar").alias("y1"), F.col("dbar").alias("d1")
+    )
+    z0 = g.filter(F.col("z") == 0).select(
+        F.col("n").alias("n0"), F.col("ybar").alias("y0"), F.col("dbar").alias("d0")
+    )
+    j = z1.crossJoin(z0)
+    itt = F.col("y1") - F.col("y0")
+    fs = F.col("d1") - F.col("d0")
+    return j.select(
+        F.col("n1").cast("bigint").alias("n_encouraged"),
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.round(itt, 6).alias("itt_effect"),
+        F.round(fs, 6).alias("first_stage"),
+        F.round(F.try_divide(itt, fs), 6).alias("wald_late"),
+    )
+
+
+RD_CUTOFF_CENTS = 500_000  # acctbal cutoff ($5000) defining treatment
+RD_BW_CENTS = 200_000  # local-linear bandwidth ($2000 each side)
+
+
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity at an account-balance cutoff --
+    the threshold-assignment causal design finishing the shelf (RCT,
+    CUPED, sequential, IPW, DiD, IV; RD is what's left when assignment
+    is a RULE): customers just above/below the $5000 balance line get
+    separate local-linear fits of total order spend on the centered
+    running variable within a $2000 bandwidth, and the effect is the
+    gap between the two intercepts AT the cutoff.  On this synthetic
+    data the gap is ~0; the gate locks the local-fit construction.
+
+    Exactness: the running variable and outcome are integer cents; each
+    side's five OLS moments accumulate in DECIMAL(38,0) (the
+    nation_revenue_ols device) and the intercept/slope are fixed double
+    chains; try_divide makes a degenerate side (constant x) NULL.
+
+    Plan: one orders-per-customer aggregate left-joined onto the
+    bandwidth-filtered customer scan (customers with no orders count at
+    zero spend), one 2-group moment rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    base = (
+        cust.select(
+            "c_custkey",
+            (F.round(F.col("c_acctbal") * 100).cast("long") - RD_CUTOFF_CENTS).alias("x"),
+        )
+        .filter((F.col("x") >= -RD_BW_CENTS) & (F.col("x") <= RD_BW_CENTS))
+        .join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .select(
+            "x",
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+            (F.col("x") >= 0).cast("int").alias("side"),
+        )
+    )
+    dec = "decimal(38,0)"
+    xd, yd = F.col("x").cast("decimal(19,0)"), F.col("y").cast("decimal(19,0)")
+    g = base.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    den = n * sxx - sx * sx
+    fit = g.select(
+        "side",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.try_divide(sy * sxx - sx * sxy, den) / 100.0, 4).alias("icpt_usd"),
+        F.round(F.try_divide(n * sxy - sx * sy, den), 6).alias("slope"),
+    )
+    l = fit.filter(F.col("side") == 0).select(
+        F.col("n").alias("n_left"),
+        F.col("icpt_usd").alias("intercept_left_usd"),
+        F.col("slope").alias("slope_left"),
+    )
+    r = fit.filter(F.col("side") == 1).select(
+        F.col("n").alias("n_right"),
+        F.col("icpt_usd").alias("intercept_right_usd"),
+        F.col("slope").alias("slope_right"),
+    )
+    return l.crossJoin(r).select(
+        "n_left",
+        "n_right",
+        "intercept_left_usd",
+        "intercept_right_usd",
+        F.round(
+            F.col("intercept_right_usd") - F.col("intercept_left_usd"), 4
+        ).alias("rd_effect_usd"),
+        "slope_left",
+        "slope_right",
+    )

@@ -4592,6 +4592,96 @@ SELECT n_urgent, n_low,
     AS cliffs_delta
 FROM agg""",
     ),
+    "difference_in_differences": QuerySpec(
+        events.q_difference_in_differences,
+        """WITH b AS (SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0,
+  MAX(CAST(date_trunc('day', ts) AS DATE)) AS d1 FROM events),
+tg AS (
+  SELECT user_id, event_type, value,
+    CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+           > d0 + CAST(date_diff('day', d0, d1) // 2 AS INT) THEN 1 ELSE 0 END AS post
+  FROM events, b),
+pu AS (
+  SELECT user_id, post,
+    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(27,6)) END),
+             CAST(0 AS DECIMAL(27,6))) AS spend
+  FROM tg GROUP BY 1, 2),
+us AS (SELECT DISTINCT user_id FROM tg),
+ua AS (SELECT user_id,
+  CASE WHEN ('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+       THEN 'A' ELSE 'B' END AS arm FROM us),
+grid AS (SELECT user_id, arm, p.post FROM ua, (SELECT 0 AS post UNION ALL SELECT 1) p),
+fl AS (SELECT arm, grid.post, COALESCE(pu.spend, CAST(0 AS DECIMAL(27,6))) AS spend
+  FROM grid LEFT JOIN pu ON grid.user_id = pu.user_id AND grid.post = pu.post),
+cl AS (SELECT arm, post, COUNT(*) AS n,
+  CAST(SUM(spend) AS DOUBLE) / COUNT(*) AS mean_spend FROM fl GROUP BY 1, 2),
+g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_user_periods,
+  MAX(CASE WHEN arm = 'A' AND post = 0 THEN mean_spend END) AS a_pre,
+  MAX(CASE WHEN arm = 'A' AND post = 1 THEN mean_spend END) AS a_post,
+  MAX(CASE WHEN arm = 'B' AND post = 0 THEN mean_spend END) AS b_pre,
+  MAX(CASE WHEN arm = 'B' AND post = 1 THEN mean_spend END) AS b_post
+  FROM cl)
+SELECT n_user_periods,
+  ROUND(a_pre, 4) AS a_pre, ROUND(a_post, 4) AS a_post,
+  ROUND(b_pre, 4) AS b_pre, ROUND(b_post, 4) AS b_post,
+  ROUND((a_post - a_pre) - (b_post - b_pre), 6) AS did_estimate
+FROM g""",
+    ),
+    "wald_iv_estimate": QuerySpec(
+        events.q_wald_iv_estimate,
+        """WITH pu AS (
+  SELECT user_id,
+    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(27,6)) END),
+             CAST(0 AS DECIMAL(27,6))) AS y,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS d
+  FROM events GROUP BY 1),
+pz AS (SELECT y, d,
+  CASE WHEN ('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+       THEN 1 ELSE 0 END AS z FROM pu),
+g AS (SELECT z, COUNT(*) AS n, CAST(SUM(y) AS DOUBLE) / COUNT(*) AS ybar,
+  CAST(SUM(d) AS DOUBLE) / COUNT(*) AS dbar FROM pz GROUP BY 1),
+z1 AS (SELECT n AS n1, ybar AS y1, dbar AS d1 FROM g WHERE z = 1),
+z0 AS (SELECT n AS n0, ybar AS y0, dbar AS d0 FROM g WHERE z = 0)
+SELECT CAST(n1 AS BIGINT) AS n_encouraged, CAST(n0 AS BIGINT) AS n_control,
+  ROUND(y1 - y0, 6) AS itt_effect,
+  ROUND(d1 - d0, 6) AS first_stage,
+  ROUND((y1 - y0) / (d1 - d0), 6) AS wald_late
+FROM z1, z0""",
+    ),
+    "regression_discontinuity": QuerySpec(
+        events.q_regression_discontinuity,
+        f"""WITH sp AS (SELECT o_custkey,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1),
+b AS (
+  SELECT x, COALESCE(y, 0) AS y, CASE WHEN x >= 0 THEN 1 ELSE 0 END AS side
+  FROM (SELECT c_custkey,
+          CAST(round(c_acctbal * 100) AS BIGINT) - {events.RD_CUTOFF_CENTS} AS x
+        FROM customer) c
+  LEFT JOIN sp ON c.c_custkey = sp.o_custkey
+  WHERE x BETWEEN -{events.RD_BW_CENTS} AND {events.RD_BW_CENTS}),
+g AS (SELECT side, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+  CAST(SUM(y) AS BIGINT) AS sy,
+  SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+  SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy
+  FROM b GROUP BY 1),
+fit AS (SELECT side, CAST(n AS BIGINT) AS n,
+  ROUND((CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        / 100.0, 4) AS icpt_usd,
+  ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+        6) AS slope
+  FROM g),
+l AS (SELECT n AS n_left, icpt_usd AS intercept_left_usd, slope AS slope_left
+  FROM fit WHERE side = 0),
+r AS (SELECT n AS n_right, icpt_usd AS intercept_right_usd, slope AS slope_right
+  FROM fit WHERE side = 1)
+SELECT n_left, n_right, intercept_left_usd, intercept_right_usd,
+  ROUND(intercept_right_usd - intercept_left_usd, 4) AS rd_effect_usd,
+  slope_left, slope_right
+FROM l, r""",
+    ),
     "overdispersion_check": QuerySpec(
         events.q_overdispersion_check,
         """WITH pu AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
@@ -5573,7 +5663,7 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the TWENTY-SEVEN round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the THIRTY round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
@@ -5582,8 +5672,9 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # mad_robust_scale, obrien_fleming_looks, kcenter_coreset,
 # markov_next_event_accuracy, gumbel_maxima_fit, revenue_var_es,
 # cross_source_leakage, jaccard_threshold_histogram, sq_mse_by_bits,
-# overdispersion_check, categorical_mutual_information, hurst_exponent --
-# TWENTY-SEVEN total), then the
+# overdispersion_check, categorical_mutual_information, hurst_exponent,
+# difference_in_differences, wald_iv_estimate,
+# regression_discontinuity -- THIRTY total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

@@ -173,6 +173,9 @@ REPRESENTATIVE = [
     "overdispersion_check",  # moments over zero users
     "categorical_mutual_information",  # cell table with zero rows
     "hurst_exponent",  # R/S blocks over an empty day spine
+    "difference_in_differences",  # cell means over zero users
+    "wald_iv_estimate",  # two-cell means over zero users
+    "regression_discontinuity",  # side fits over zero customers
 ]
 
 
