@@ -261,3 +261,109 @@ def q_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_pairs").desc(), "src_a", "src_b")
     )
+
+
+def q_dedup_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix shift induced by fuzzy dedup -- the survivorship-bias
+    audit every curation pipeline owes its consumers: dedup keeps each
+    cluster's best member, and if near-duplicates concentrate in some
+    sources (they do: mirrors, boilerplate farms), the AFTER mix is not
+    the BEFORE mix and downstream "source-balanced" sampling silently
+    isn't.  Emits per source the doc counts and corpus shares before and
+    after canonical selection, plus the share shift.
+
+    Survivors = singletons (no candidate pair) + each cluster's (longest,
+    then smallest-id) member -- the q_dedup_canonical keep rule.  The
+    cluster rank window partitions by cluster; singletons bypass it
+    entirely (no NULL-cluster mega-partition).
+
+    Plan: the LSH+CC cluster map (bounded equi-joins), one rank window
+    over clustered docs only, two source rollups."""
+    from pyspark.sql.window import Window
+
+    from pgsf_spark.analytics.dedup import q_dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    clustered = d.join(labels, "doc_id")
+    singles = d.join(labels.select("doc_id"), "doc_id", "left_anti")
+    w = Window.partitionBy("cluster").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    keeps = (
+        clustered.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "source")
+    )
+    surv = singles.select("doc_id", "source").unionByName(keeps)
+    before = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    after = surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_after"))
+    tb = before.agg(F.sum("n_before").alias("nb"))
+    ta = after.agg(F.sum("n_after").alias("na"))
+    j = (
+        before.join(after, "source", "left")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "source",
+            F.col("n_before").cast("bigint").alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
+            "nb",
+            "na",
+        )
+    )
+    sb = F.col("n_before").cast("double") / F.col("nb").cast("double")
+    sa = F.col("n_after").cast("double") / F.col("na").cast("double")
+    return j.select(
+        "source",
+        "n_before",
+        "n_after",
+        F.round(sb, 6).alias("share_before"),
+        F.round(sa, 6).alias("share_after"),
+        F.round(sa - sb, 6).alias("share_shift"),
+    ).orderBy("source")
+
+
+def q_split_balance_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance between the TRAIN split's document
+    lengths and the held-out (val+test) lengths -- the split-fairness
+    gate: hash splitting guarantees size proportions but nothing about
+    the length DISTRIBUTION, and a length-skewed eval set quietly
+    miscalibrates every per-token metric.  D = max |F_train - F_rest|
+    computed exactly in integers over the pooled distinct values (the
+    q_ks_test_gate device pointed at the split assignment).
+
+    Plan: one groupBy on the value key, one cumulative window over
+    distinct lengths, one scalar aggregate."""
+    from pyspark.sql.window import Window
+
+    from pgsf_spark.analytics.sampling import assign_split
+
+    d = assign_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    vals = d.select(
+        F.col("n_chars").alias("v"), (F.col("split") == "train").alias("s1")
+    )
+    per_v = vals.groupBy("v").agg(
+        F.sum(F.col("s1").cast("long")).alias("d1"),
+        F.sum((~F.col("s1")).cast("long")).alias("d2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v", F.sum("d1").over(w).alias("c1"), F.sum("d2").over(w).alias("c2")
+    )
+    n = vals.agg(
+        F.sum(F.col("s1").cast("long")).alias("n1"),
+        F.sum((~F.col("s1")).cast("long")).alias("n2"),
+    )
+    scored = cum.crossJoin(n).select(
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias("num"),
+        "n1",
+        "n2",
+    )
+    return (
+        scored.groupBy("n1", "n2")
+        .agg(F.max("num").alias("max_num"))
+        .select(
+            F.col("n1").cast("bigint").alias("n_train"),
+            F.col("n2").cast("bigint").alias("n_rest"),
+            F.round(F.col("max_num") / (F.col("n1") * F.col("n2")), 6).alias("ks_d"),
+        )
+    )

@@ -4592,6 +4592,62 @@ SELECT n_urgent, n_low,
     AS cliffs_delta
 FROM agg""",
     ),
+    "dedup_source_shift": QuerySpec(
+        pipeline.q_dedup_source_shift,
+        _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + _lsh_banded_sql()
+        + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+walk(doc, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.reach FROM edges e JOIN walk w ON e.b = w.doc),
+labels AS (SELECT doc AS doc_id, MIN(reach) AS cluster FROM walk GROUP BY doc),
+m AS (
+  SELECT l.cluster, d.doc_id, d.source,
+    ROW_NUMBER() OVER (PARTITION BY l.cluster
+      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+  FROM documents d JOIN labels l ON d.doc_id = l.doc_id),
+surv AS (
+  SELECT d.doc_id, d.source FROM documents d
+  LEFT JOIN labels l ON d.doc_id = l.doc_id WHERE l.doc_id IS NULL
+  UNION ALL SELECT doc_id, source FROM m WHERE rk = 1),
+bf AS (SELECT source, COUNT(*) AS n_before FROM documents GROUP BY 1),
+af AS (SELECT source, COUNT(*) AS n_after FROM surv GROUP BY 1),
+tt AS (SELECT CAST(SUM(n_before) AS BIGINT) AS nb FROM bf),
+ta AS (SELECT CAST(SUM(n_after) AS BIGINT) AS na FROM af)
+SELECT bf.source, CAST(n_before AS BIGINT) AS n_before,
+  CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+  ROUND(CAST(n_before AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS share_before,
+  ROUND(CAST(COALESCE(n_after, 0) AS DOUBLE) / CAST(na AS DOUBLE), 6) AS share_after,
+  ROUND(CAST(COALESCE(n_after, 0) AS DOUBLE) / CAST(na AS DOUBLE)
+        - CAST(n_before AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS share_shift
+FROM bf LEFT JOIN af USING (source), tt, ta ORDER BY bf.source""",
+    ),
+    "split_balance_ks": QuerySpec(
+        pipeline.q_split_balance_ks,
+        f"""WITH sp AS (
+  SELECT n_chars AS v,
+    ('0x' || substr(md5('{sampling.SPLIT_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      < {sampling.TRAIN_PCT} AS s1
+  FROM documents),
+pv AS (
+  SELECT v, SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS d1,
+    SUM(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS d2
+  FROM sp GROUP BY v),
+cum AS (
+  SELECT v, SUM(d1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+    SUM(d2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+  FROM pv),
+n AS (SELECT SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN NOT s1 THEN 1 ELSE 0 END) AS n2 FROM sp)
+SELECT CAST(n1 AS BIGINT) AS n_train, CAST(n2 AS BIGINT) AS n_rest,
+  ROUND(MAX(abs(c1 * n2 - c2 * n1)) / (n1 * n2), 6) AS ks_d
+FROM cum, n GROUP BY n1, n2""",
+    ),
     "difference_in_differences": QuerySpec(
         events.q_difference_in_differences,
         """WITH b AS (SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0,
@@ -5663,7 +5719,7 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the THIRTY round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the THIRTY-TWO round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
@@ -5674,7 +5730,8 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # cross_source_leakage, jaccard_threshold_histogram, sq_mse_by_bits,
 # overdispersion_check, categorical_mutual_information, hurst_exponent,
 # difference_in_differences, wald_iv_estimate,
-# regression_discontinuity -- THIRTY total), then the
+# regression_discontinuity, dedup_source_shift, split_balance_ks --
+# THIRTY-TWO total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

@@ -176,6 +176,8 @@ REPRESENTATIVE = [
     "difference_in_differences",  # cell means over zero users
     "wald_iv_estimate",  # two-cell means over zero users
     "regression_discontinuity",  # side fits over zero customers
+    "dedup_source_shift",  # survivor mix over zero docs
+    "split_balance_ks",  # ECDF compare over zero docs
 ]
 
 
