@@ -25,6 +25,7 @@ from pgsf_spark.analytics import (
     curation,
     dedup,
     events,
+    geo,
     layout,
     linkage,
     multimodal,
@@ -4592,6 +4593,62 @@ SELECT n_urgent, n_low,
     AS cliffs_delta
 FROM agg""",
     ),
+    "geo_nearest_neighbor": QuerySpec(
+        geo.q_geo_nearest_neighbor,
+        f"""WITH pts AS (
+  SELECT c_custkey AS key,
+    CAST(('0x' || substr(md5('{geo.GEO_SEED}:lat:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT % 180000 AS DOUBLE) / 1000.0 - 90 AS lat,
+    CAST(('0x' || substr(md5('{geo.GEO_SEED}:lon:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT % 360000 AS DOUBLE) / 1000.0 - 180 AS lon
+  FROM customer),
+pc AS (SELECT key, lat, lon,
+  CAST(floor((lat + 90) / {geo.CELL_DEG}) AS INT) AS cy,
+  CAST(floor((lon + 180) / {geo.CELL_DEG}) AS INT) AS cx FROM pts),
+nd AS (SELECT GREATEST(COUNT(*), 1) AS n FROM pc),
+probes AS (
+  SELECT key AS pkey, lat AS plat, lon AS plon, cy AS pcy, cx AS pcx FROM pc, nd
+  WHERE ('0x' || substr(md5('{geo.GEO_SEED}:probe:' || CAST(key AS VARCHAR)), 1, 2))::INT
+        < LEAST(256, GREATEST(1, CAST(({256 * geo.GEO_PROBE_TARGET} + n - 1) // n AS INT)))),
+cells AS (
+  SELECT pkey, plat, plon, pcy + dy.d AS cy, pcx + dx.d AS cx
+  FROM probes, (VALUES (-1), (0), (1)) dy(d), (VALUES (-1), (0), (1)) dx(d)),
+cand AS (
+  SELECT c.pkey, c.plat, c.plon, p.key, p.lat, p.lon
+  FROM cells c JOIN pc p ON c.cy = p.cy AND c.cx = p.cx WHERE p.key <> c.pkey),
+sc AS (
+  SELECT pkey, key,
+    ROUND((plat - lat) * (plat - lat)
+      + (ROUND(cos((plat + lat) / 2.0 * {geo.RAD_PER_DEG!r}), 9) * (plon - lon))
+        * (ROUND(cos((plat + lat) / 2.0 * {geo.RAD_PER_DEG!r}), 9) * (plon - lon)), 9) AS d2
+  FROM cand),
+mn AS (SELECT pkey, MIN(d2) AS md FROM sc GROUP BY 1),
+nn AS (
+  SELECT sc.pkey, MIN(key) AS nn_key, MAX(sc.d2) AS d2, COUNT(*) AS n_tied
+  FROM sc JOIN mn ON sc.pkey = mn.pkey AND sc.d2 = mn.md GROUP BY 1),
+nc AS (SELECT pkey, COUNT(*) AS n_candidates FROM sc GROUP BY 1)
+SELECT probes.pkey AS probe_key, nn.nn_key,
+  ROUND(sqrt(nn.d2), 6) AS dist_deg,
+  CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+  nn.nn_key IS NOT NULL AS found
+FROM probes LEFT JOIN nn ON probes.pkey = nn.pkey
+LEFT JOIN nc ON probes.pkey = nc.pkey
+ORDER BY probe_key""",
+    ),
+    "geo_density_grid": QuerySpec(
+        geo.q_geo_density_grid,
+        f"""WITH pts AS (
+  SELECT c_custkey AS key,
+    CAST(('0x' || substr(md5('{geo.GEO_SEED}:lat:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT % 180000 AS DOUBLE) / 1000.0 - 90 AS lat,
+    CAST(('0x' || substr(md5('{geo.GEO_SEED}:lon:' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT % 360000 AS DOUBLE) / 1000.0 - 180 AS lon
+  FROM customer),
+pc AS (SELECT key, lat, lon,
+  CAST(floor((lat + 90) / {geo.CELL_DEG}) AS INT) AS cy,
+  CAST(floor((lon + 180) / {geo.CELL_DEG}) AS INT) AS cx FROM pts)
+SELECT cy, cx, CAST(COUNT(*) AS BIGINT) AS n_points,
+  ROUND(CAST(SUM(CAST(lat AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS centroid_lat,
+  ROUND(CAST(SUM(CAST(lon AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS centroid_lon
+FROM pc GROUP BY 1, 2
+ORDER BY n_points DESC, cy, cx LIMIT {geo.GEO_TOP_CELLS}""",
+    ),
     "dedup_source_shift": QuerySpec(
         pipeline.q_dedup_source_shift,
         _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
@@ -5719,7 +5776,7 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the THIRTY-TWO round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the THIRTY-FOUR round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
@@ -5730,8 +5787,8 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # cross_source_leakage, jaccard_threshold_histogram, sq_mse_by_bits,
 # overdispersion_check, categorical_mutual_information, hurst_exponent,
 # difference_in_differences, wald_iv_estimate,
-# regression_discontinuity, dedup_source_shift, split_balance_ks --
-# THIRTY-TWO total), then the
+# regression_discontinuity, dedup_source_shift, split_balance_ks,
+# geo_nearest_neighbor, geo_density_grid -- THIRTY-FOUR total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

@@ -178,6 +178,8 @@ REPRESENTATIVE = [
     "regression_discontinuity",  # side fits over zero customers
     "dedup_source_shift",  # survivor mix over zero docs
     "split_balance_ks",  # ECDF compare over zero docs
+    "geo_nearest_neighbor",  # 3x3 cell probe over zero points
+    "geo_density_grid",  # cell rollup over zero points
 ]
 
 
