@@ -1440,6 +1440,42 @@ SELECT lang,
   COUNT(*) AS n
 FROM s GROUP BY lang, lang_guess""",
     ),
+    "langid_macro_f1": QuerySpec(
+        text.q_langid_macro_f1,
+        """WITH t AS (SELECT doc_id, lang,
+  list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+  len(list_intersect(toks, ['the','and','of','to','in'])) AS s_en,
+  len(list_intersect(toks, ['le','la','les','et','des'])) AS s_fr,
+  len(list_intersect(toks, ['der','die','das','und','nicht'])) AS s_de,
+  len(list_intersect(toks, ['el','los','las','y','del'])) AS s_es
+  FROM t),
+conf AS (SELECT lang,
+  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr > 0 THEN 'fr'
+       WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+       WHEN s_es > 0 THEN 'es' ELSE 'und' END AS lang_guess,
+  COUNT(*) AS n
+  FROM s GROUP BY lang, lang_guess),
+cls AS (SELECT DISTINCT lang AS cls FROM conf),
+tpc AS (SELECT lang AS cls, CAST(n AS BIGINT) AS tp FROM conf WHERE lang = lang_guess),
+fpc AS (SELECT lang_guess AS cls, CAST(SUM(n) AS BIGINT) AS fp
+  FROM conf WHERE lang <> lang_guess GROUP BY 1),
+fnc AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS fn
+  FROM conf WHERE lang <> lang_guess GROUP BY 1),
+j AS (SELECT cls.cls, COALESCE(tp, 0) AS tp, COALESCE(fp, 0) AS fp, COALESCE(fn, 0) AS fn
+  FROM cls LEFT JOIN tpc USING (cls) LEFT JOIN fpc USING (cls) LEFT JOIN fnc USING (cls)),
+pr AS (SELECT cls, tp, fp, fn,
+  ROUND(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)), 6) AS "precision",
+  ROUND(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE)), 6) AS "recall"
+  FROM j),
+f1t AS (SELECT *,
+  ROUND(2.0 * "precision" * "recall" / ("precision" + "recall"), 6) AS f1 FROM pr),
+mc AS (SELECT ROUND(CAST(SUM(CAST(COALESCE(f1, 0.0) AS DECIMAL(18,9))) AS DOUBLE)
+  / COUNT(*), 6) AS macro_f1 FROM f1t)
+SELECT cls, tp, fp, fn, "precision", "recall", f1, macro_f1
+FROM f1t, mc ORDER BY cls""",
+    ),
     "doc_fingerprint": QuerySpec(
         text.q_doc_fingerprint,
         """WITH t AS (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm FROM documents)
@@ -5776,7 +5812,7 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the THIRTY-FOUR round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the THIRTY-FIVE round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
@@ -5788,7 +5824,8 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # overdispersion_check, categorical_mutual_information, hurst_exponent,
 # difference_in_differences, wald_iv_estimate,
 # regression_discontinuity, dedup_source_shift, split_balance_ks,
-# geo_nearest_neighbor, geo_density_grid -- THIRTY-FOUR total), then the
+# geo_nearest_neighbor, geo_density_grid, langid_macro_f1 --
+# THIRTY-FIVE total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

@@ -62,28 +62,30 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language ID vs the labeled lang column; emits the
-    confusion pair (guess, label) with counts."""
-    d = load_table(spark, sf_dir, "documents")
+def _lang_guessed(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, lang_guess): marker-token argmax with fixed
+    precedence (en > fr > de > es), 'und' when all scores are zero --
+    shared by q_lang_id and q_langid_macro_f1."""
     toks = F.array_distinct(_tokens(F.lower(F.col("text"))))
     scores = [
         F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in marks]))).alias(f"score_{lang}")
         for lang, marks in LANG_MARKERS.items()
     ]
     scored = d.select("doc_id", "lang", *scores)
-    # argmax with fixed precedence (en > fr > de > es), 'und' when all zero
     guess = F.lit("und")
     best = F.lit(0)
     for lang in LANG_MARKERS:  # later langs win only with strictly higher score
         cond = F.col(f"score_{lang}") > best
         guess = F.when(cond, F.lit(lang)).otherwise(guess)
         best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
-    return (
-        scored.withColumn("lang_guess", guess)
-        .groupBy("lang", "lang_guess")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return scored.withColumn("lang_guess", guess).select("doc_id", "lang", "lang_guess")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID vs the labeled lang column; emits the
+    confusion pair (guess, label) with counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return _lang_guessed(d).groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n"))
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,4 +771,71 @@ def q_heavy_hitters_cms_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(thr).cast("bigint").alias("threshold"),
         )
         .orderBy(F.col("exact_count").desc(), "token")
+    )
+
+
+def q_langid_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 + macro-F1 for the marker-token
+    language-ID classifier -- the EVALUATED form of q_lang_id (that gate
+    emits the confusion pairs; this one turns them into the per-class and
+    macro numbers a model card actually reports, with the same per-class
+    argmax construction shared via _lang_guessed).
+
+    Exactness: tp/fp/fn are integer counts; each class's P/R/F1 is a
+    fixed double chain rounded to 6 (try_divide for empty classes); the
+    macro average decimal-sums the rounded per-class F1s over the
+    |labels|-row class table.
+
+    Plan: one projection scan + one (lang, guess) rollup; everything
+    after lives on <= |labels|^2 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    conf = _lang_guessed(d).groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    classes = conf.select(F.col("lang").alias("cls")).distinct()
+    tp = conf.filter(F.col("lang") == F.col("lang_guess")).select(
+        F.col("lang").alias("cls"), F.col("n").alias("tp")
+    )
+    fp = (
+        conf.filter(F.col("lang") != F.col("lang_guess"))
+        .groupBy(F.col("lang_guess").alias("cls"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        conf.filter(F.col("lang") != F.col("lang_guess"))
+        .groupBy(F.col("lang").alias("cls"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    j = (
+        classes.join(tp, "cls", "left")
+        .join(fp, "cls", "left")
+        .join(fn, "cls", "left")
+        .select(
+            "cls",
+            *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in ("tp", "fp", "fn")],
+        )
+    )
+    tpd, fpd, fnd = (F.col(c).cast("double") for c in ("tp", "fp", "fn"))
+    prec = F.round(F.try_divide(tpd, tpd + fpd), 6)
+    rec = F.round(F.try_divide(tpd, tpd + fnd), 6)
+    per = j.select("cls", "tp", "fp", "fn", prec.alias("precision"), rec.alias("recall"))
+    f1 = F.round(
+        F.try_divide(
+            2.0 * F.col("precision") * F.col("recall"),
+            F.col("precision") + F.col("recall"),
+        ),
+        6,
+    )
+    scored = per.withColumn("f1", f1)
+    macro = scored.agg(
+        F.round(
+            F.sum(F.coalesce(F.col("f1"), F.lit(0.0)).cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("macro_f1")
+    )
+    return (
+        scored.crossJoin(F.broadcast(macro))
+        .select("cls", "tp", "fp", "fn", "precision", "recall", "f1", "macro_f1")
+        .orderBy("cls")
     )

@@ -180,6 +180,7 @@ REPRESENTATIVE = [
     "split_balance_ks",  # ECDF compare over zero docs
     "geo_nearest_neighbor",  # 3x3 cell probe over zero points
     "geo_density_grid",  # cell rollup over zero points
+    "langid_macro_f1",  # confusion rollup over zero docs
 ]
 
 
