@@ -1,0 +1,56 @@
+"""Property tests for the python-literal constant devices that keep
+erf/exp/nested-ln out of gated columns: if one of these drifts, the two
+query faces diverge silently, so the invariants are locked here."""
+
+import math
+
+from pgsf_spark.analytics.events import OBF_K, OBF_Z_FINAL, _obf_boundaries
+from pgsf_spark.analytics.profiling import (
+    BH_ALPHA,
+    BH_M,
+    GUMBEL_RL_FACTOR,
+    GUMBEL_RL_T,
+    HURST_WINDOWS,
+    _bh_thresholds,
+    _hurst_weights,
+)
+
+
+class TestBhThresholds:
+    def test_monotone_decreasing_to_final_bound(self):
+        t = _bh_thresholds()
+        assert len(t) == BH_M
+        assert all(a > b for a, b in zip(t, t[1:]))
+        # rank m threshold is the plain two-sided bound
+        assert abs(t[-1] - 1.959964) < 1e-5
+
+    def test_matches_erf_inverse(self):
+        # t_i solves 2(1 - Phi(t_i)) = alpha * i / m
+        for i, t in enumerate(_bh_thresholds(), start=1):
+            p = 2 * (1 - 0.5 * (1 + math.erf(t / math.sqrt(2))))
+            assert abs(p - BH_ALPHA * i / BH_M) < 1e-5
+
+
+class TestObfBoundaries:
+    def test_shape(self):
+        b = _obf_boundaries()
+        assert len(b) == OBF_K
+        assert all(x > y for x, y in zip(b, b[1:]))
+        assert abs(b[-1] - OBF_Z_FINAL) < 1e-9
+        for k, x in enumerate(b, start=1):
+            assert abs(x - round(OBF_Z_FINAL * math.sqrt(OBF_K / k), 6)) < 1e-12
+
+
+class TestHurstWeights:
+    def test_ols_weight_identities(self):
+        w = _hurst_weights()
+        assert set(w) == set(HURST_WINDOWS)
+        # weights sum to zero (centered) and recover slope 1 on y = ln w
+        assert abs(sum(w.values())) < 1e-9
+        slope = sum(w[k] * math.log(k) for k in HURST_WINDOWS)
+        assert abs(slope - 1.0) < 1e-9
+
+
+class TestGumbelFactor:
+    def test_return_level_factor(self):
+        assert abs(GUMBEL_RL_FACTOR - (-math.log(-math.log(1 - 1 / GUMBEL_RL_T)))) < 1e-12
