@@ -5197,6 +5197,29 @@ SELECT CAST(n_parts AS BIGINT) AS n_parts, CAST(n_tail AS BIGINT) AS n_tail,
   ROUND(1.0 + CAST(n_tail AS DOUBLE) / ln_sum, 6) AS alpha_mle
 FROM t, w""",
     ),
+    "ecod_outliers": QuerySpec(
+        similarity.q_ecod_outliers,
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+pos AS (SELECT vec_id, i, v[CAST(i AS INT)] AS x FROM e, range(1, 65) r(i)),
+bv AS (SELECT i, x, COUNT(*) AS c FROM pos GROUP BY 1, 2),
+rk AS (
+  SELECT i, x,
+    SUM(c) OVER (PARTITION BY i ORDER BY x ROWS UNBOUNDED PRECEDING) AS cle,
+    COALESCE(SUM(c) OVER (PARTITION BY i ORDER BY x
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clt,
+    SUM(c) OVER (PARTITION BY i) AS n
+  FROM bv),
+tm AS (
+  SELECT i, x,
+    CAST(ROUND(-ln(LEAST(CAST(cle AS DOUBLE) / CAST(n AS DOUBLE),
+                         CAST(n - clt AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+      AS DECIMAL(18,9)) AS t
+  FROM rk)
+SELECT pos.vec_id, ROUND(CAST(SUM(t) AS DOUBLE), 6) AS ecod_score
+FROM pos JOIN tm ON pos.i = tm.i AND pos.x = tm.x
+GROUP BY pos.vec_id
+ORDER BY ecod_score DESC, vec_id LIMIT {similarity.ECOD_TOP}""",
+    ),
     "embedding_outlier_mahalanobis": QuerySpec(
         similarity.q_embedding_outlier_mahalanobis,
         f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -5812,7 +5835,7 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the THIRTY-FIVE round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the THIRTY-SIX round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
@@ -5824,8 +5847,8 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # overdispersion_check, categorical_mutual_information, hurst_exponent,
 # difference_in_differences, wald_iv_estimate,
 # regression_discontinuity, dedup_source_shift, split_balance_ks,
-# geo_nearest_neighbor, geo_density_grid, langid_macro_f1 --
-# THIRTY-FIVE total), then the
+# geo_nearest_neighbor, geo_density_grid, langid_macro_f1,
+# ecod_outliers -- THIRTY-SIX total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

@@ -1355,3 +1355,53 @@ def q_sq_mse_by_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy(F.col("bits").desc())
+
+
+ECOD_TOP = 10  # outliers reported by the rank-based screen
+
+
+def q_ecod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECOD-style rank-based embedding outliers -- the distribution-free
+    companion to q_embedding_outlier_mahalanobis (moments break under
+    heavy tails; empirical CDFs don't): each vector's score sums, over
+    dimensions, the smaller log tail mass -ln(min(F(x), 1 - F(x-)))
+    of its per-dimension EMPIRICAL CDF -- a point deep in either tail of
+    many dimensions scores high with no distributional assumption
+    (Li et al.'s ECOD, simplified to the two-sided tail form).
+
+    Exactness: ECDF masses are exact integer ranks over per-dimension
+    distinct-value tables (the mann_whitney cumulative device, partitioned
+    BY DIMENSION -- never a global window); each -ln rounds to 9 and
+    decimal-sums across the 64 dimensions per vector.
+
+    Plan: one posexplode, one (dim, value)-keyed aggregate, a cumulative
+    window per dimension over its distinct values, one join back on
+    (dim, value), one vector-keyed sum, one top-k."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(e)  # no-op (no Exchange) when the scan is already wide
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    pos = emb.select("vec_id", F.posexplode("v").alias("i", "x"))
+    by_val = pos.groupBy("i", "x").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("i").orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy("i").orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    n_per_dim = Window.partitionBy("i")
+    ranked = by_val.select(
+        "i",
+        "x",
+        F.sum("c").over(w).alias("cle"),  # count <= x
+        F.coalesce(F.sum("c").over(wp), F.lit(0)).alias("clt"),  # count < x
+        F.sum("c").over(n_per_dim).alias("n"),
+    )
+    lo = F.col("cle").cast("double") / F.col("n").cast("double")  # F(x)
+    hi = (F.col("n") - F.col("clt")).cast("double") / F.col("n").cast("double")  # 1-F(x-)
+    term = F.round(-F.log(F.least(lo, hi)), 9).cast("decimal(18,9)")
+    scored = pos.join(ranked.select("i", "x", term.alias("t")), ["i", "x"])
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.sum("t").cast("double").alias("ecod_score"))
+        .select("vec_id", F.round("ecod_score", 6).alias("ecod_score"))
+        .orderBy(F.col("ecod_score").desc(), "vec_id")
+        .limit(ECOD_TOP)
+    )

@@ -181,6 +181,7 @@ REPRESENTATIVE = [
     "geo_nearest_neighbor",  # 3x3 cell probe over zero points
     "geo_density_grid",  # cell rollup over zero points
     "langid_macro_f1",  # confusion rollup over zero docs
+    "ecod_outliers",  # per-dim ECDFs over zero vectors
 ]
 
 
