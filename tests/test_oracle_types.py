@@ -82,6 +82,15 @@ def test_registry_has_no_duplicate_keys():
     assert dupes == [], f"duplicate registry keys (first spec silently dead): {dupes}"
 
 
+def test_round_front_is_the_first_fifty():
+    # the correctness driver gates the first 50 dict entries; the round
+    # front list must BE that prefix or the rotation plan silently skews
+    import pgsf_spark.analytics.registry as reg
+
+    front = getattr(reg, "_ROUND7_FRONT")
+    assert list(reg.QUERIES)[: len(front)] == front
+
+
 def test_every_query_has_an_oracle_or_is_whitelisted():
     # keep the no-oracle set deliberate: every new query should ship with one
     missing = sorted(name for name, spec in QUERIES.items() if spec.oracle is None)
