@@ -656,3 +656,55 @@ def q_trimmed_mean_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.join(tr, "source", "left").select(
         "source", "n_docs", "n_kept", "raw_mean", "trimmed_mean"
     ).orderBy("source")
+
+
+BURST_TOP = 10  # burstiest frequent tokens reported
+
+
+def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church-Gale): tokens whose occurrences CLUMP in
+    few documents instead of spreading Poisson-like -- the
+    corpus-linguistics signal that separates topical content words
+    (bursty) from function words (even), and flags template/boilerplate
+    tokens whose dispersion explodes.  Per frequent token: document
+    frequency, collection frequency, mean count when present, and the
+    across-docs dispersion index var/mean (1 = Poisson, >> 1 = bursty);
+    top BURST_TOP by dispersion.
+
+    Exactness: df/cf and the squared-count moment are integers; mean and
+    dispersion are fixed double chains over them (the overdispersion
+    device per token).
+
+    Plan: one (doc, token) rollup, one token rollup carrying three sums,
+    one 1-row doc count broadcast, one top-k."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        d.select("doc_id", F.explode(_toks(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sq = F.col("c").cast("decimal(19,0)")
+    per_tok = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("cf"),
+        F.sum(sq * sq).alias("c2"),
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    j = per_tok.crossJoin(F.broadcast(nd))
+    ndd = F.col("n_docs").cast("double")
+    cfd = F.col("cf").cast("double")
+    mean = cfd / ndd
+    var = F.col("c2").cast("double") / ndd - mean * mean
+    return (
+        j.select(
+            "token",
+            "df",
+            F.col("cf").cast("bigint").alias("cf"),
+            F.round(cfd / F.col("df").cast("double"), 6).alias("mean_when_present"),
+            F.round(F.try_divide(var, mean), 6).alias("dispersion"),
+        )
+        .orderBy(F.col("dispersion").desc(), "token")
+        .limit(BURST_TOP)
+    )

@@ -2459,3 +2459,56 @@ def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_size")
     )
+
+
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b association between daily revenue and daily order
+    count -- the rank-concordance companion to Spearman (tau is the
+    probability-scale "if one day beats another on volume, does it beat
+    it on revenue?" number, more robust to a few wild days than rho):
+    S = sum over day pairs of sign((x_i - x_j)(y_i - y_j)) and
+    tau_b = S / sqrt((n0 - tx)(n0 - ty)) with the standard tie terms.
+
+    Exactness: S and the tie terms are EXACT integers; the pairwise pass
+    is the deliberate BroadcastNestedLoopJoin over the day-grain series
+    (~2.4k rows -> ~3M cheap sign comparisons, the q_mann_kendall_trend
+    bounded-calendar device -- NOT a data-sized cross); tau is two IEEE
+    ops on exact aggregates with try_divide for all-tied degeneracy.
+
+    Plan: one orders rollup shuffle; pairs, ties, and totals all live on
+    the bounded day spine."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    s_agg = a.join(b, F.col("d1") < F.col("d2")).agg(
+        F.sum(
+            (
+                F.signum((F.col("x2") - F.col("x1")).cast("double"))
+                * F.signum((F.col("y2") - F.col("y1")).cast("double"))
+            ).cast("long")
+        ).alias("s")
+    )
+    tx = daily.groupBy("x").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0)).alias("tx2")
+    )
+    ty = daily.groupBy("y").agg(F.count(F.lit(1)).alias("t")).agg(
+        F.coalesce(F.sum(F.col("t") * (F.col("t") - 1)), F.lit(0)).alias("ty2")
+    )
+    n_agg = daily.agg(F.count(F.lit(1)).alias("n"))
+    j = s_agg.crossJoin(F.broadcast(n_agg)).crossJoin(F.broadcast(tx)).crossJoin(
+        F.broadcast(ty)
+    )
+    n02 = (F.col("n") * (F.col("n") - 1)).cast("double")  # 2 * n0
+    den = F.sqrt((n02 - F.col("tx2").cast("double")) * (n02 - F.col("ty2").cast("double")))
+    return j.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").cast("bigint").alias("s"),
+        # 2*S / sqrt((2n0 - 2tx)(2n0 - 2ty)) == S / sqrt((n0-tx)(n0-ty))
+        F.round(F.try_divide(F.lit(2.0) * F.col("s").cast("double"), den), 6).alias(
+            "tau_b"
+        ),
+    )

@@ -4831,6 +4831,43 @@ SELECT n_left, n_right, intercept_left_usd, intercept_right_usd,
   slope_left, slope_right
 FROM l, r""",
     ),
+    "kendall_tau_daily": QuerySpec(
+        profiling.q_kendall_tau_daily,
+        """WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x, COUNT(*) AS y
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT CAST(SUM(CAST(sign(CAST(b.x - a.x AS DOUBLE)) * sign(CAST(b.y - a.y AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.day < b.day),
+tx AS (SELECT CAST(COALESCE(SUM(t * (t - 1)), 0) AS BIGINT) AS tx2
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY x)),
+ty AS (SELECT CAST(COALESCE(SUM(t * (t - 1)), 0) AS BIGINT) AS ty2
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y)),
+n AS (SELECT COUNT(*) AS n FROM daily)
+SELECT CAST(n AS BIGINT) AS n_days, s,
+  ROUND(2.0 * CAST(s AS DOUBLE)
+        / sqrt((CAST(n * (n - 1) AS DOUBLE) - CAST(tx2 AS DOUBLE))
+               * (CAST(n * (n - 1) AS DOUBLE) - CAST(ty2 AS DOUBLE))), 6) AS tau_b
+FROM s, tx, ty, n""",
+    ),
+    "token_burstiness": QuerySpec(
+        corpus.q_token_burstiness,
+        rf"""WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents),
+pd AS (SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+pt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+  CAST(SUM(c) AS BIGINT) AS cf,
+  SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS c2
+  FROM pd GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT token, df, cf,
+  ROUND(CAST(cf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS mean_when_present,
+  ROUND((CAST(c2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+         - CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           * (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+        / (CAST(cf AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6) AS dispersion
+FROM pt, nd ORDER BY dispersion DESC, token LIMIT {corpus.BURST_TOP}""",
+    ),
     "overdispersion_check": QuerySpec(
         events.q_overdispersion_check,
         """WITH pu AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
@@ -5835,7 +5872,7 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the THIRTY-SIX round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the THIRTY-EIGHT round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
@@ -5848,7 +5885,8 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # difference_in_differences, wald_iv_estimate,
 # regression_discontinuity, dedup_source_shift, split_balance_ks,
 # geo_nearest_neighbor, geo_density_grid, langid_macro_f1,
-# ecod_outliers -- THIRTY-SIX total), then the
+# ecod_outliers, kendall_tau_daily, token_burstiness --
+# THIRTY-EIGHT total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

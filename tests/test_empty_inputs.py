@@ -182,6 +182,8 @@ REPRESENTATIVE = [
     "geo_density_grid",  # cell rollup over zero points
     "langid_macro_f1",  # confusion rollup over zero docs
     "ecod_outliers",  # per-dim ECDFs over zero vectors
+    "kendall_tau_daily",  # sign pairs over an empty day spine
+    "token_burstiness",  # dispersion over zero tokens
 ]
 
 
