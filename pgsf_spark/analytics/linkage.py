@@ -439,3 +439,156 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("intra_edges") / F.col("m").cast("double"), 6).alias("intra_share"),
         "modularity",
     )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase customer graph -- the
+    Newman r coefficient (Pearson correlation of endpoint degrees over
+    edges) that says whether hubs attach to hubs (r > 0, social-style)
+    or to leaves (r < 0, hub-and-spoke): the one-number structure probe
+    that decides whether degree-capped blocking (AA_MAX_DEG) removes a
+    connected core or scattered spokes.
+
+    Exactness: degrees are integers; both edge directions contribute
+    (the standard undirected convention), all five moments accumulate in
+    DECIMAL(38,0), and r is one fixed double chain with try_divide for
+    the degenerate regular graph.
+
+    Plan: the same bounded rare-part pair construction as
+    q_adamic_adar_links, one degree rollup joined back to both
+    endpoints, one 1-row moment aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cp = (
+        li.select("l_orderkey", "l_partkey")
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pdeg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    rare = pdeg.filter((F.col("deg") >= 2) & (F.col("deg") <= AA_MAX_DEG))
+    cpr = cp.join(rare.select("p"), "p")
+    a = cpr.select("p", F.col("c").alias("c1"))
+    b = cpr.select("p", F.col("c").alias("c2"))
+    edges = (
+        a.join(b, "p").filter(F.col("c1") < F.col("c2")).select("c1", "c2").distinct()
+    ).localCheckpoint(eager=True)
+    cdeg = (
+        edges.select(F.col("c1").alias("c"))
+        .unionAll(edges.select(F.col("c2").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    both = (
+        edges.join(cdeg.select(F.col("c").alias("c1"), F.col("d").alias("dx")), "c1")
+        .join(cdeg.select(F.col("c").alias("c2"), F.col("d").alias("dy")), "c2")
+    )
+    # undirected: each edge contributes (dx, dy) AND (dy, dx)
+    sym = both.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        both.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    dec = "decimal(38,0)"
+    xd, yd = F.col("x").cast("decimal(19,0)"), F.col("y").cast("decimal(19,0)")
+    g = sym.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    n = F.col("m2").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return g.select(
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        F.round(F.try_divide(num, den), 6).alias("assortativity"),
+    )
+
+
+BFS_HOPS = 3  # unrolled breadth-first rounds
+BFS_PROBE_TARGET = 10  # absolute-size probe panel
+
+
+def q_bfs_reachability_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability from a seeded probe panel over the co-purchase
+    customer graph -- the neighborhood-size profile (how fast does the
+    graph expand around a node?) that sizes recursive feature extraction
+    and decides whether a k-hop GNN-style aggregation is tractable: per
+    probe, the count of NEW nodes first reached at each hop for BFS_HOPS
+    unrolled rounds, plus the cumulative reach.
+
+    Scale shape: each hop is one frontier-to-edges keyed join + distinct
+    + anti-join against the visited set -- the per-round keyed-join BFS
+    every distributed graph engine runs; the frontier and visited sets
+    carry (probe, node) pairs so the panel's |probes| BFS runs share the
+    same three shuffles per hop.  Probes are ABSOLUTE-size via adaptive
+    md5 slots; visited sets are checkpointed per hop (the unrolled-round
+    replay lesson).
+
+    Exactness: everything is integer set arithmetic -- counts per (probe,
+    hop), no floats anywhere."""
+    from pgsf_spark.analytics.sampling import adaptive_slots, md5_slot
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cp = (
+        li.select("l_orderkey", "l_partkey")
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pdeg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    rare = pdeg.filter((F.col("deg") >= 2) & (F.col("deg") <= AA_MAX_DEG))
+    cpr = cp.join(rare.select("p"), "p")
+    a = cpr.select("p", F.col("c").alias("c1"))
+    b = cpr.select("p", F.col("c").alias("c2"))
+    und = a.join(b, "p").filter(F.col("c1") != F.col("c2")).select("c1", "c2").distinct()
+    edges = und.localCheckpoint(eager=True)
+    nodes = edges.select(F.col("c1").alias("c")).distinct()
+    n_nodes = nodes.count()
+    slots = adaptive_slots(max(n_nodes, 1), BFS_PROBE_TARGET)
+    probes = nodes.filter(md5_slot(F.col("c"), "bfs7") < slots).select(
+        F.col("c").alias("probe")
+    )
+    visited = probes.select("probe", F.col("probe").alias("c")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited
+    rows = []
+    for hop in range(1, BFS_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.c == edges.c1)
+            .select("probe", F.col("c2").alias("c"))
+            .distinct()
+            .join(visited, ["probe", "c"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            nxt.groupBy("probe").agg(F.count(F.lit(1)).alias("n_new")).select(
+                "probe", F.lit(hop).alias("hop"), F.col("n_new").cast("bigint")
+            )
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    cum = visited.groupBy("probe").agg((F.count(F.lit(1)) - 1).alias("total_reach"))
+    return (
+        probes.join(out, "probe", "left")
+        .join(cum, "probe", "left")
+        .select(
+            "probe",
+            F.coalesce("hop", F.lit(1)).cast("int").alias("hop"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.coalesce("total_reach", F.lit(0)).cast("bigint").alias("total_reach"),
+        )
+        .orderBy("probe", "hop")
+    )

@@ -367,3 +367,56 @@ def q_split_balance_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("max_num") / (F.col("n1") * F.col("n2")), 6).alias("ks_d"),
         )
     )
+
+
+def q_dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware training weights: every document in a near-dup
+    cluster of size s carries weight 1/s (singletons 1), so a cluster
+    contributes ONE document's worth of gradient no matter how many
+    copies survived collection -- the keep-everything alternative to
+    dropping duplicates that preserves within-cluster variation without
+    overweighting repeated content.  Emits per source the raw count, the
+    effective (weighted) count, and their ratio -- the deflation factor a
+    loss-weighted training run should expect per provenance.
+
+    Exactness: cluster sizes are integers; each weight rounds 1/s to 9
+    and decimal-sums per source, so effective counts are
+    order-independent.
+
+    Plan: the LSH+CC cluster map, one cluster-size rollup joined back,
+    one source rollup; singletons bypass the cluster join entirely."""
+    from pgsf_spark.analytics.dedup import q_dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labels = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster")
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("s"))
+    clustered = (
+        d.join(labels, "doc_id")
+        .join(sizes, "cluster")
+        .select(
+            "source",
+            F.round(F.lit(1.0) / F.col("s").cast("double"), 9)
+            .cast("decimal(18,9)")
+            .alias("w"),
+        )
+    )
+    singles = d.join(labels.select("doc_id"), "doc_id", "left_anti").select(
+        "source", F.lit(1.0).cast("decimal(18,9)").alias("w")
+    )
+    allw = clustered.unionByName(singles)
+    return (
+        allw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("w").cast("double"), 6).alias("effective_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "effective_docs",
+            F.round(F.col("effective_docs") / F.col("n_docs").cast("double"), 6).alias(
+                "effective_ratio"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -4629,6 +4629,97 @@ SELECT n_urgent, n_low,
     AS cliffs_delta
 FROM agg""",
     ),
+    "degree_assortativity": QuerySpec(
+        linkage.q_degree_assortativity,
+        f"""WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+deg AS (SELECT p, COUNT(*) AS deg FROM cp GROUP BY 1),
+cpr AS (SELECT cp.c, cp.p FROM cp JOIN deg USING (p)
+  WHERE deg BETWEEN 2 AND {linkage.AA_MAX_DEG}),
+ed AS (SELECT DISTINCT a.c AS c1, b.c AS c2
+  FROM cpr a JOIN cpr b ON a.p = b.p AND a.c < b.c),
+cd AS (SELECT c, COUNT(*) AS d FROM
+  (SELECT c1 AS c FROM ed UNION ALL SELECT c2 FROM ed) GROUP BY 1),
+bt AS (SELECT x.d AS dx, y.d AS dy
+  FROM ed JOIN cd x ON ed.c1 = x.c JOIN cd y ON ed.c2 = y.c),
+sym AS (SELECT dx AS x, dy AS y FROM bt UNION ALL SELECT dy, dx FROM bt),
+g AS (SELECT COUNT(*) AS m2, CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+  SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+  SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy,
+  SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy FROM sym)
+SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+  ROUND((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / sqrt((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+        6) AS assortativity
+FROM g""",
+    ),
+    "bfs_reachability_probe": QuerySpec(
+        linkage.q_bfs_reachability_probe,
+        f"""WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+deg AS (SELECT p, COUNT(*) AS deg FROM cp GROUP BY 1),
+cpr AS (SELECT cp.c, cp.p FROM cp JOIN deg USING (p)
+  WHERE deg BETWEEN 2 AND {linkage.AA_MAX_DEG}),
+und AS MATERIALIZED (SELECT DISTINCT a.c AS c1, b.c AS c2
+  FROM cpr a JOIN cpr b ON a.p = b.p AND a.c <> b.c),
+nodes AS (SELECT DISTINCT c1 AS c FROM und),
+nn AS (SELECT GREATEST(COUNT(*), 1) AS n FROM nodes),
+probes AS MATERIALIZED (
+  SELECT c AS probe FROM nodes, nn
+  WHERE ('0x' || substr(md5('bfs7:' || CAST(c AS VARCHAR)), 1, 2))::INT
+        < LEAST(256, GREATEST(1, CAST(({256 * linkage.BFS_PROBE_TARGET} + n - 1) // n AS INT)))),
+v0 AS MATERIALIZED (SELECT probe, probe AS c FROM probes),
+"""
+        + ",\n".join(
+            f"""f{k} AS MATERIALIZED (
+  SELECT probe, c FROM (
+    SELECT DISTINCT f.probe, e.c2 AS c FROM f{k - 1} f JOIN und e ON f.c = e.c1) s
+  ANTI JOIN v{k - 1} USING (probe, c)),
+v{k} AS MATERIALIZED (SELECT * FROM v{k - 1} UNION ALL SELECT * FROM f{k}),
+h{k} AS (SELECT probe, {k} AS hop, CAST(COUNT(*) AS BIGINT) AS n_new FROM f{k} GROUP BY 1)""".replace(
+                "f0 f", "v0 f"
+            )
+            for k in range(1, linkage.BFS_HOPS + 1)
+        )
+        + f""",
+un AS ({" UNION ALL ".join(f"SELECT * FROM h{k}" for k in range(1, linkage.BFS_HOPS + 1))}),
+cum AS (SELECT probe, CAST(COUNT(*) - 1 AS BIGINT) AS total_reach
+  FROM v{linkage.BFS_HOPS} GROUP BY 1)
+SELECT p.probe, CAST(COALESCE(u.hop, 1) AS INT) AS hop,
+  COALESCE(u.n_new, 0) AS n_new,
+  COALESCE(cum.total_reach, 0) AS total_reach
+FROM probes p LEFT JOIN un u ON p.probe = u.probe
+LEFT JOIN cum ON p.probe = cum.probe
+ORDER BY p.probe, hop""",
+    ),
+    "dedup_loss_weights": QuerySpec(
+        pipeline.q_dedup_loss_weights,
+        _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + _lsh_banded_sql()
+        + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+walk(doc, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.reach FROM edges e JOIN walk w ON e.b = w.doc),
+labels AS (SELECT doc AS doc_id, MIN(reach) AS cluster FROM walk GROUP BY doc),
+sz AS (SELECT cluster, COUNT(*) AS s FROM labels GROUP BY 1),
+cw AS (SELECT d.source, CAST(ROUND(1.0 / CAST(s AS DOUBLE), 9) AS DECIMAL(18,9)) AS w
+  FROM documents d JOIN labels l ON d.doc_id = l.doc_id JOIN sz ON l.cluster = sz.cluster),
+sw AS (SELECT d.source, CAST(1.0 AS DECIMAL(18,9)) AS w FROM documents d
+  LEFT JOIN labels l ON d.doc_id = l.doc_id WHERE l.doc_id IS NULL),
+al AS (SELECT * FROM cw UNION ALL SELECT * FROM sw)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(CAST(SUM(w) AS DOUBLE), 6) AS effective_docs,
+  ROUND(ROUND(CAST(SUM(w) AS DOUBLE), 6) / CAST(COUNT(*) AS DOUBLE), 6) AS effective_ratio
+FROM al GROUP BY 1 ORDER BY source""",
+    ),
     "geo_nearest_neighbor": QuerySpec(
         geo.q_geo_nearest_neighbor,
         f"""WITH pts AS (
@@ -5872,7 +5963,7 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the THIRTY-EIGHT round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the FORTY-ONE round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
@@ -5885,8 +5976,9 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # difference_in_differences, wald_iv_estimate,
 # regression_discontinuity, dedup_source_shift, split_balance_ks,
 # geo_nearest_neighbor, geo_density_grid, langid_macro_f1,
-# ecod_outliers, kendall_tau_daily, token_burstiness --
-# THIRTY-EIGHT total), then the
+# ecod_outliers, kendall_tau_daily, token_burstiness,
+# degree_assortativity, bfs_reachability_probe, dedup_loss_weights --
+# FORTY-ONE total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

@@ -184,6 +184,9 @@ REPRESENTATIVE = [
     "ecod_outliers",  # per-dim ECDFs over zero vectors
     "kendall_tau_daily",  # sign pairs over an empty day spine
     "token_burstiness",  # dispersion over zero tokens
+    "degree_assortativity",  # edge moments over zero edges
+    "bfs_reachability_probe",  # frontier rounds over zero probes
+    "dedup_loss_weights",  # cluster weights over zero docs
 ]
 
 
