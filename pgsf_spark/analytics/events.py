@@ -1738,3 +1738,65 @@ def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slope_left",
         "slope_right",
     )
+
+
+LN2 = 0.6931471805599453  # shared literal for the half-life conversion
+
+
+def q_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay fit of the pooled weekly retention curve -- the
+    one-number version of q_weekly_retention (that gate emits the cohort
+    matrix; this one answers "how fast do users decay?"): pool cohorts
+    into rate(age) = active users at week-age / cohort users, fit
+    ln(rate) on age by OLS over the positive ages, and report the decay
+    slope and half-life = ln 2 / |slope| weeks.
+
+    Exactness: rates are integer ratios; each ln rounds to 9 (the house
+    device); the OLS moments accumulate in DECIMAL over (age, rounded-ln)
+    terms rounded to 12; slope and half-life are fixed double chains
+    against the shared ln-2 literal, with try_divide guarding a flat
+    curve.
+
+    Plan: the same two shuffles as weekly_retention (user cohort min,
+    cohort/age agg) plus an age-grain rollup -- everything past the
+    second shuffle lives on <= max-age rows."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    aged = active.join(cohort, "user_id").select(
+        F.expr("CAST(datediff(week, cohort_week) DIV 7 AS INT)").alias("age"),
+        "user_id",
+    )
+    base = cohort.agg(F.count(F.lit(1)).alias("n_users"))
+    per_age = aged.groupBy("age").agg(F.count(F.lit(1)).alias("active"))
+    rates = (
+        per_age.crossJoin(F.broadcast(base))
+        .filter(F.col("age") >= 1)
+        .select(
+            "age",
+            F.round(
+                F.log(F.col("active").cast("double") / F.col("n_users").cast("double")),
+                9,
+            ).alias("y"),
+        )
+    )
+    dec = "decimal(27,12)"
+    x = F.col("age").cast("double")
+    g = rates.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round(x, 12).cast(dec)).alias("sx"),
+        F.sum(F.round(F.col("y"), 12).cast(dec)).alias("sy"),
+        F.sum(F.round(x * x, 12).cast(dec)).alias("sxx"),
+        F.sum(F.round(x * F.col("y"), 12).cast(dec)).alias("sxy"),
+    )
+    k = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = F.try_divide(k * sxy - sx * sy, k * sxx - sx * sx)
+    return g.select(
+        F.col("k").cast("bigint").alias("n_ages"),
+        F.round(slope, 6).alias("decay_slope"),
+        F.round(F.try_divide(F.lit(LN2), -slope), 6).alias("halflife_weeks"),
+    )

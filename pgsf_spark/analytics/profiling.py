@@ -2512,3 +2512,53 @@ def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tau_b"
         ),
     )
+
+
+def q_price_elasticity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price-quantity regression across parts -- the elasticity
+    proxy (slope of ln(total quantity) on ln(avg unit price) across the
+    catalog; near 0 on this synthetic data, steeply negative on real
+    demand): the cross-sectional version of the per-order correlation
+    gate, answering the pricing question the correlation alone cannot.
+
+    Exactness: per-part price/quantity aggregates accumulate in integer
+    cents/units; both logs round to 9 and the OLS moments decimal-sum
+    terms rounded to 12; slope and r^2 are fixed double chains with
+    try_divide degeneracy guards.
+
+    Plan: one lineitem rollup keyed on part, one 1-row moment
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("qty"),
+    ).filter((F.col("cents") > 0) & (F.col("qty") > 0))
+    xy = per_part.select(
+        F.round(
+            F.log(F.col("cents").cast("double") / F.col("qty").cast("double")), 9
+        ).alias("x"),  # ln(avg unit price in cents)
+        F.round(F.log(F.col("qty").cast("double")), 9).alias("y"),
+    )
+    dec = "decimal(27,12)"
+    g = xy.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.round(F.col("x"), 12).cast(dec)).alias("sx"),
+        F.sum(F.round(F.col("y"), 12).cast(dec)).alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast(dec)).alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 12).cast(dec)).alias("syy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast(dec)).alias("sxy"),
+    )
+    k = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col(c).cast("double") for c in ("sxx", "syy", "sxy")
+    )
+    num = k * sxy - sx * sy
+    den = k * sxx - sx * sx
+    r2num = num * num
+    r2den = (k * sxx - sx * sx) * (k * syy - sy * sy)
+    return g.select(
+        F.col("k").cast("bigint").alias("n_parts"),
+        F.round(F.try_divide(num, den), 6).alias("elasticity"),
+        F.round(F.try_divide(r2num, r2den), 6).alias("r_squared"),
+    )

@@ -4832,6 +4832,56 @@ SELECT CAST(n1 AS BIGINT) AS n_train, CAST(n2 AS BIGINT) AS n_rest,
   ROUND(MAX(abs(c1 * n2 - c2 * n1)) / (n1 * n2), 6) AS ks_d
 FROM cum, n GROUP BY n1, n2""",
     ),
+    "retention_halflife": QuerySpec(
+        events.q_retention_halflife,
+        f"""WITH active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+cohort AS (SELECT user_id, MIN(week) AS cw FROM active GROUP BY user_id),
+aged AS (SELECT CAST(date_diff('day', cw, week) // 7 AS INT) AS age
+  FROM active JOIN cohort USING (user_id)),
+base AS (SELECT COUNT(*) AS n_users FROM cohort),
+pa AS (SELECT age, COUNT(*) AS active FROM aged GROUP BY 1),
+rates AS (
+  SELECT age, ROUND(ln(CAST(active AS DOUBLE) / CAST(n_users AS DOUBLE)), 9) AS y
+  FROM pa, base WHERE age >= 1),
+g AS (SELECT COUNT(*) AS k,
+  CAST(SUM(CAST(ROUND(CAST(age AS DOUBLE), 12) AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+  CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+  CAST(SUM(CAST(ROUND(CAST(age AS DOUBLE) * CAST(age AS DOUBLE), 12) AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+  CAST(SUM(CAST(ROUND(CAST(age AS DOUBLE) * y, 12) AS DECIMAL(27,12))) AS DOUBLE) AS sxy
+  FROM rates)
+SELECT CAST(k AS BIGINT) AS n_ages,
+  ROUND((CAST(k AS DOUBLE) * sxy - sx * sy) / (CAST(k AS DOUBLE) * sxx - sx * sx), 6)
+    AS decay_slope,
+  ROUND({events.LN2!r} / -((CAST(k AS DOUBLE) * sxy - sx * sy)
+                           / (CAST(k AS DOUBLE) * sxx - sx * sx)), 6) AS halflife_weeks
+FROM g""",
+    ),
+    "price_elasticity_proxy": QuerySpec(
+        profiling.q_price_elasticity_proxy,
+        """WITH pp AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1 HAVING cents > 0 AND qty > 0),
+xy AS (
+  SELECT ROUND(ln(CAST(cents AS DOUBLE) / CAST(qty AS DOUBLE)), 9) AS x,
+    ROUND(ln(CAST(qty AS DOUBLE)), 9) AS y
+  FROM pp),
+g AS (SELECT COUNT(*) AS k,
+  CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+  CAST(SUM(CAST(ROUND(y, 12) AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+  CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+  CAST(SUM(CAST(ROUND(y * y, 12) AS DECIMAL(27,12))) AS DOUBLE) AS syy,
+  CAST(SUM(CAST(ROUND(x * y, 12) AS DECIMAL(27,12))) AS DOUBLE) AS sxy
+  FROM xy)
+SELECT CAST(k AS BIGINT) AS n_parts,
+  ROUND((CAST(k AS DOUBLE) * sxy - sx * sy) / (CAST(k AS DOUBLE) * sxx - sx * sx), 6)
+    AS elasticity,
+  ROUND((CAST(k AS DOUBLE) * sxy - sx * sy) * (CAST(k AS DOUBLE) * sxy - sx * sy)
+        / ((CAST(k AS DOUBLE) * sxx - sx * sx) * (CAST(k AS DOUBLE) * syy - sy * sy)), 6)
+    AS r_squared
+FROM g""",
+    ),
     "difference_in_differences": QuerySpec(
         events.q_difference_in_differences,
         """WITH b AS (SELECT MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0,
@@ -5963,7 +6013,7 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the FORTY-ONE round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the FORTY-THREE round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
@@ -5977,8 +6027,8 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # regression_discontinuity, dedup_source_shift, split_balance_ks,
 # geo_nearest_neighbor, geo_density_grid, langid_macro_f1,
 # ecod_outliers, kendall_tau_daily, token_burstiness,
-# degree_assortativity, bfs_reachability_probe, dedup_loss_weights --
-# FORTY-ONE total), then the
+# degree_assortativity, bfs_reachability_probe, dedup_loss_weights,
+# retention_halflife, price_elasticity_proxy -- FORTY-THREE total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

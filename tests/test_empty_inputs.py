@@ -187,6 +187,8 @@ REPRESENTATIVE = [
     "degree_assortativity",  # edge moments over zero edges
     "bfs_reachability_probe",  # frontier rounds over zero probes
     "dedup_loss_weights",  # cluster weights over zero docs
+    "retention_halflife",  # decay fit over zero cohorts
+    "price_elasticity_proxy",  # log-log moments over zero parts
 ]
 
 
