@@ -694,3 +694,70 @@ def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+TOPK_STAB_K = 20  # list size audited
+TOPK_STAB_SEED = "tks7"  # half-split seed
+
+
+def q_topk_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k stability under half-sampling: split documents into two
+    md5-parity halves, take each half's top-TOPK_STAB_K token list, and
+    report the overlap (Jaccard) plus how many tokens hold the SAME rank
+    in both -- the resampling-robustness gate every "top terms" dashboard
+    needs before anyone acts on list membership (an unstable top-k means
+    the ranking is noise below some depth).
+
+    Determinism: both lists use the (count desc, token) total order; the
+    split is the md5-parity device; overlap arithmetic is integer.
+
+    Plan: one token rollup per half (shared scan via the split column on
+    the same groupBy key), two bounded top-k, a k-row join."""
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{TOPK_STAB_SEED}:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    toks = d.select(
+        split.alias("half"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    counts = toks.groupBy("half", "token").agg(F.count(F.lit(1)).alias("n"))
+
+    def topk(h: int):
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("half").orderBy(F.col("n").desc(), "token")
+        return (
+            counts.filter(F.col("half") == h)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOPK_STAB_K)
+            .select(F.col("token"), F.col("rk").alias(f"rk{h}"))
+        )
+
+    a, b = topk(0), topk(1)
+    j = a.join(b, "token", "full")
+    return j.agg(
+        F.lit(TOPK_STAB_K).cast("bigint").alias("k"),
+        F.sum((F.col("rk0").isNotNull() & F.col("rk1").isNotNull()).cast("long"))
+        .cast("bigint")
+        .alias("n_common"),
+        F.count(F.lit(1)).cast("bigint").alias("n_union"),
+        F.round(
+            F.sum((F.col("rk0").isNotNull() & F.col("rk1").isNotNull()).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("jaccard"),
+        F.sum((F.col("rk0") == F.col("rk1")).cast("long")).cast("bigint").alias(
+            "n_same_rank"
+        ),
+    )

@@ -4832,6 +4832,29 @@ SELECT CAST(n1 AS BIGINT) AS n_train, CAST(n2 AS BIGINT) AS n_rest,
   ROUND(MAX(abs(c1 * n2 - c2 * n1)) / (n1 * n2), 6) AS ks_d
 FROM cum, n GROUP BY n1, n2""",
     ),
+    "topk_stability_audit": QuerySpec(
+        advanced.q_topk_stability_audit,
+        f"""WITH toks AS (
+  SELECT ('0x' || substr(md5('{advanced.TOPK_STAB_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS half,
+    unnest(string_split(lower(trim(text)), ' ')) AS token
+  FROM (SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS text FROM documents)),
+counts AS (SELECT half, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+ra AS (SELECT token, rk AS rk0 FROM (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk
+  FROM counts WHERE half = 0) WHERE rk <= {advanced.TOPK_STAB_K}),
+rb AS (SELECT token, rk AS rk1 FROM (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk
+  FROM counts WHERE half = 1) WHERE rk <= {advanced.TOPK_STAB_K}),
+j AS (SELECT COALESCE(ra.token, rb.token) AS token, rk0, rk1
+  FROM ra FULL JOIN rb ON ra.token = rb.token)
+SELECT CAST({advanced.TOPK_STAB_K} AS BIGINT) AS k,
+  CAST(SUM(CASE WHEN rk0 IS NOT NULL AND rk1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+  CAST(COUNT(*) AS BIGINT) AS n_union,
+  ROUND(CAST(SUM(CASE WHEN rk0 IS NOT NULL AND rk1 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS jaccard,
+  CAST(SUM(CASE WHEN rk0 = rk1 THEN 1 ELSE 0 END) AS BIGINT) AS n_same_rank
+FROM j""",
+    ),
     "retention_halflife": QuerySpec(
         events.q_retention_halflife,
         f"""WITH active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
@@ -6013,7 +6036,7 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the FORTY-THREE round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the FORTY-FOUR round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
@@ -6028,7 +6051,8 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # geo_nearest_neighbor, geo_density_grid, langid_macro_f1,
 # ecod_outliers, kendall_tau_daily, token_burstiness,
 # degree_assortativity, bfs_reachability_probe, dedup_loss_weights,
-# retention_halflife, price_elasticity_proxy -- FORTY-THREE total), then the
+# retention_halflife, price_elasticity_proxy, topk_stability_audit --
+# FORTY-FOUR total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

@@ -189,6 +189,7 @@ REPRESENTATIVE = [
     "dedup_loss_weights",  # cluster weights over zero docs
     "retention_halflife",  # decay fit over zero cohorts
     "price_elasticity_proxy",  # log-log moments over zero parts
+    "topk_stability_audit",  # half-split top-k over zero docs
 ]
 
 
