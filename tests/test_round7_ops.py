@@ -1,0 +1,199 @@
+"""Semantics tests for the round-7 operators (the oracle gates check
+cross-engine parity; these check the MATH means what the docstrings say)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgsf_spark.analytics import (
+    advanced,
+    corpus,
+    curation,
+    events,
+    geo,
+    linkage,
+    pipeline,
+    privacy,
+    profiling,
+    similarity,
+    text,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestTCloseness:
+    def test_emd_bounds_and_counts(self, spark):
+        row = privacy.q_t_closeness_audit(spark, SF).collect()[0]
+        # ordered EMD over a normalized distribution is in [0, 1]
+        assert 0.0 <= row.max_emd <= 1.0
+        assert 0.0 <= row.avg_emd <= row.max_emd
+        assert 0 <= row.classes_above_t <= row.n_classes
+
+
+class TestLogRank:
+    def test_null_split_not_significant(self, spark):
+        row = events.q_log_rank_test(spark, SF).collect()[0]
+        # hash-randomized arms: chi2 ~ chi2(1); > 15 would be absurd
+        assert row.chi_square is None or row.chi_square < 15.0
+        assert row.variance is None or row.variance >= 0.0
+
+
+class TestCliffsDelta:
+    def test_delta_in_range(self, spark):
+        row = profiling.q_cliffs_delta(spark, SF).collect()[0]
+        assert -1.0 <= row.cliffs_delta <= 1.0
+
+
+class TestFdViolation:
+    def test_g3_bounds_and_holds_flag(self, spark):
+        rows = profiling.q_fd_violation_audit(spark, SF).collect()
+        assert len(rows) == len(profiling.FD_CANDIDATES)
+        for r in rows:
+            assert 0.0 <= r.g3 < 1.0
+            assert r.holds == (r.n_violations == 0)
+
+
+class TestBrier:
+    def test_murphy_identity_and_bounds(self, spark):
+        row = curation.q_brier_decomposition(spark, SF).collect()[0]
+        assert 0.0 <= row.uncertainty <= 0.25  # p(1-p) max at 0.25
+        assert row.reliability >= 0.0 and row.resolution >= 0.0
+        # identity holds by construction (both faces emit it assembled)
+        assert abs(row.brier_score - (row.reliability - row.resolution + row.uncertainty)) < 1e-5
+
+
+class TestFleiss:
+    def test_kappa_range(self, spark):
+        row = curation.q_fleiss_kappa(spark, SF).collect()[0]
+        assert row.fleiss_kappa is None or -1.0 <= row.fleiss_kappa <= 1.0
+        assert row.n_unanimous <= row.n_docs
+
+
+class TestMrr:
+    def test_mrr_bounds(self, spark):
+        row = similarity.q_mrr_gate(spark, SF).collect()[0]
+        assert row.n_queries == similarity.MRR_Q
+        assert 0.0 <= row.mrr <= 1.0
+        assert row.n_hits <= row.n_queries
+
+
+class TestBenjaminiHochberg:
+    def test_stepup_contiguity(self, spark):
+        rows = profiling.q_benjamini_hochberg(spark, SF).collect()
+        assert len(rows) == profiling.BH_M
+        # rejections must be a prefix of the rank order (step-up property)
+        flags = [r.rejected for r in sorted(rows, key=lambda r: r.bh_rank)]
+        assert flags == sorted(flags, reverse=True)
+
+
+class TestHeavyHitters:
+    def test_exactness_against_plain_groupby(self, spark):
+        got = {
+            r.token: r.exact_count
+            for r in text.q_heavy_hitters_cms_verified(spark, SF).collect()
+        }
+        from pgsf_spark.analytics.dedup import _norm_text
+        from pgsf_spark.tables import load_table
+
+        d = load_table(spark, SF, "documents")
+        truth = {
+            r.token: r.n
+            for r in d.select(
+                F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got  # threshold splits the pack: some hitters exist
+        for tok, cnt in got.items():
+            assert truth[tok] == cnt  # exact, not estimated
+
+
+class TestKnnAccuracy:
+    def test_bounds(self, spark):
+        row = similarity.q_knn_label_accuracy(spark, SF).collect()[0]
+        assert row.n_queries == similarity.KNN_Q
+        assert 0.0 <= row.accuracy <= 1.0
+        assert 1.0 / similarity.KNN_K <= row.avg_winner_share <= 1.0
+
+
+class TestObf:
+    def test_null_experiment_never_crosses(self, spark):
+        rows = events.q_obrien_fleming_looks(spark, SF).collect()
+        assert len(rows) == events.OBF_K
+        assert not any(r.crossed for r in rows)
+
+
+class TestMad:
+    def test_mad_at_most_half_range(self, spark):
+        row = profiling.q_mad_robust_scale(spark, SF).collect()[0]
+        assert row.mad_usd >= 0.0
+        assert abs(row.robust_sigma_usd - round(1.4826 * row.mad_usd, 4)) < 0.01
+
+
+class TestGraphShelf:
+    def test_modularity_range(self, spark):
+        row = linkage.q_graph_modularity(spark, SF).collect()[0]
+        assert -1.0 <= row.modularity <= 1.0
+        assert row.intra_edges <= row.n_edges
+
+    def test_assortativity_range(self, spark):
+        row = linkage.q_degree_assortativity(spark, SF).collect()[0]
+        assert row.assortativity is None or -1.0 <= row.assortativity <= 1.0
+
+    def test_bfs_reach_monotone(self, spark):
+        rows = linkage.q_bfs_reachability_probe(spark, SF).collect()
+        by_probe = {}
+        for r in rows:
+            by_probe.setdefault(r.probe, []).append(r)
+        for probe, rs in by_probe.items():
+            total = rs[0].total_reach
+            assert sum(r.n_new for r in rs) <= total or total == 0
+
+
+class TestConformal:
+    def test_coverage_near_target(self, spark):
+        row = profiling.q_conformal_interval_gate(spark, SF).collect()[0]
+        # split-conformal guarantee: coverage within sampling noise of 0.9
+        assert 0.75 <= row.coverage <= 1.0
+
+
+class TestGeo:
+    def test_nn_distance_within_cell_bound(self, spark):
+        rows = geo.q_geo_nearest_neighbor(spark, SF).collect()
+        assert rows
+        for r in rows:
+            if r.found:
+                # candidates come from the 3x3 neighborhood of 10-degree
+                # cells: the distance cannot exceed the 2-cell diagonal
+                assert r.dist_deg <= (2 * geo.CELL_DEG) * (2**0.5) + 1e-6
+
+    def test_density_cells_cover_all_points(self, spark):
+        rows = geo.q_geo_density_grid(spark, SF).collect()
+        assert len(rows) == geo.GEO_TOP_CELLS
+        assert all(r.n_points >= 1 for r in rows)
+
+
+class TestDedupWeights:
+    def test_effective_never_exceeds_raw(self, spark):
+        for r in pipeline.q_dedup_loss_weights(spark, SF).collect():
+            assert r.effective_docs <= r.n_docs + 1e-6
+            assert 0.0 < r.effective_ratio <= 1.0
+
+
+class TestTopkStability:
+    def test_overlap_bounds(self, spark):
+        row = advanced.q_topk_stability_audit(spark, SF).collect()[0]
+        assert row.n_common <= row.k
+        assert row.n_same_rank <= row.n_common
+        assert 0.0 <= row.jaccard <= 1.0
+
+
+class TestBurstiness:
+    def test_dispersion_nonnegative(self, spark):
+        rows = corpus.q_token_burstiness(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r.dispersion is None or r.dispersion >= -1e-9
+            assert r.mean_when_present >= 1.0  # present => at least one occurrence
