@@ -5398,6 +5398,54 @@ SELECT CAST(n_parts AS BIGINT) AS n_parts, CAST(n_tail AS BIGINT) AS n_tail,
   ROUND(1.0 + CAST(n_tail AS DOUBLE) / ln_sum, 6) AS alpha_mle
 FROM t, w""",
     ),
+    "calinski_harabasz_index": QuerySpec(
+        similarity.q_calinski_harabasz_index,
+        """WITH e AS (SELECT vec_id, CAST(label AS INT) AS label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+pos AS (SELECT label, i, v[CAST(i AS INT)] AS x FROM e, range(1, 65) r(i)),
+cell AS (SELECT label, i, COUNT(*) AS n,
+  SUM(CAST(x AS DECIMAL(18,9))) AS s1,
+  SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS s2
+  FROM pos GROUP BY 1, 2),
+gl AS (SELECT i, CAST(SUM(n) AS BIGINT) AS gn, SUM(s1) AS g1 FROM cell GROUP BY 1),
+j AS (SELECT cell.n, cell.s1, cell.s2, gl.gn, gl.g1 FROM cell JOIN gl USING (i)),
+t AS (SELECT
+  CAST(ROUND(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 9)
+    AS DECIMAL(27,9)) AS wt,
+  CAST(ROUND(CAST(n AS DOUBLE)
+    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(g1 AS DOUBLE) / CAST(gn AS DOUBLE))
+    * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(g1 AS DOUBLE) / CAST(gn AS DOUBLE)), 9)
+    AS DECIMAL(27,9)) AS bt
+  FROM j),
+sz AS (SELECT COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS k FROM e),
+g AS (SELECT CAST(SUM(wt) AS DOUBLE) AS w, CAST(SUM(bt) AS DOUBLE) AS b FROM t)
+SELECT CAST(n_vectors AS BIGINT) AS n_vectors, CAST(k AS BIGINT) AS k,
+  ROUND(b, 4) AS between_ss, ROUND(w, 4) AS within_ss,
+  ROUND((b / (CAST(k AS DOUBLE) - 1)) / (w / (CAST(n_vectors AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+    AS ch_index
+FROM g, sz""",
+    ),
+    "silhouette_panel": QuerySpec(
+        similarity.q_silhouette_panel,
+        f"""WITH e AS (SELECT vec_id, CAST(label AS INT) AS label, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+panel AS (SELECT vec_id AS pid, label AS plabel, v AS pv FROM e WHERE vec_id < {similarity.SIL_PANEL}),
+pairs AS (
+  SELECT p.pid, p.plabel, e.label,
+    CAST(ROUND(sqrt({_sqdist_sql('e.v', 'p.pv')}), 6) AS DECIMAL(18,6)) AS d
+  FROM e, panel p WHERE e.vec_id <> p.pid),
+pc AS (SELECT pid, plabel, label, CAST(SUM(d) AS DOUBLE) / COUNT(*) AS md
+  FROM pairs GROUP BY 1, 2, 3),
+own AS (SELECT pid, md AS a FROM pc WHERE label = plabel),
+om AS (SELECT pid, MIN(md) AS b FROM pc WHERE label <> plabel GROUP BY 1),
+sc AS (
+  SELECT p.pid AS vec_id, p.plabel AS label,
+    ROUND(a, 6) AS mean_own_dist, ROUND(b, 6) AS mean_other_dist,
+    ROUND((b - a) / GREATEST(a, b), 6) AS silhouette
+  FROM panel p LEFT JOIN own ON p.pid = own.pid LEFT JOIN om ON p.pid = om.pid),
+mn AS (SELECT ROUND(CAST(SUM(CAST(COALESCE(silhouette, 0.0) AS DECIMAL(18,9))) AS DOUBLE)
+  / COUNT(*), 6) AS panel_mean FROM sc)
+SELECT vec_id, label, mean_own_dist, mean_other_dist, silhouette, panel_mean
+FROM sc, mn ORDER BY vec_id""",
+    ),
     "ecod_outliers": QuerySpec(
         similarity.q_ecod_outliers,
         f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -6036,7 +6084,7 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # _ROUND6_FRONT froze (never driver-gated), then ann_ndcg_gate (its idcg
 # oracle literal was DECIMAL-typed and is now CAST AS DOUBLE -- re-gate the
 # changed oracle), then the 35 stalest r02-last-green entries.  Exactly 50.
-# ROUND 8 FRONT MUST START WITH the FORTY-FOUR round-7 additions (never
+# ROUND 8 FRONT MUST START WITH the FORTY-SIX round-7 additions (never
 # driver-gated, in landing order: t_closeness_audit, log_rank_test,
 # cliffs_delta, fd_violation_audit, brier_decomposition, fleiss_kappa,
 # mrr_gate, benjamini_hochberg, heavy_hitters_cms_verified,
@@ -6051,8 +6099,8 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # geo_nearest_neighbor, geo_density_grid, langid_macro_f1,
 # ecod_outliers, kendall_tau_daily, token_burstiness,
 # degree_assortativity, bfs_reachability_probe, dedup_loss_weights,
-# retention_halflife, price_elasticity_proxy, topk_stability_audit --
-# FORTY-FOUR total), then the
+# retention_halflife, price_elasticity_proxy, topk_stability_audit,
+# calinski_harabasz_index, silhouette_panel -- FORTY-SIX total), then the
 # r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
 # soql_projection, repetition_stats, boilerplate_ngrams,
 # benchmark_contamination, token_diversity, temperature_sample,

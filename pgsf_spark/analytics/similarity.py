@@ -1405,3 +1405,134 @@ def q_ecod_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ecod_score").desc(), "vec_id")
         .limit(ECOD_TOP)
     )
+
+
+def q_calinski_harabasz_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz index of the LABEL clustering over the embedding
+    table -- the variance-ratio cluster-quality number (between-cluster
+    dispersion over within-cluster dispersion, scaled by (n-k)/(k-1));
+    higher = tighter, better-separated clusters.  The evaluation the
+    kmeans/centroid shelf reports when someone asks "are the labels even
+    geometrically real?".
+
+    Exactness: per-(label, dimension) first and second moments accumulate
+    in DECIMAL; each cell's within contribution s2 - s1^2/n and between
+    contribution n_c (mu_c - mu)^2 is a fixed double chain rounded to 9
+    and decimal-summed over the <= k x 64 cell rows.
+
+    Plan: one posexplode aggregate keyed on (label, dim), a broadcast
+    64-row global margin, everything after on bounded rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(e)  # no-op (no Exchange) when the scan is already wide
+    pos = e.select(
+        F.col("label").cast("int").alias("label"),
+        F.posexplode(_to_double(F.col("embedding"))).alias("i", "x"),
+    )
+    dsq = F.col("x").cast("decimal(18,9)")
+    cell = pos.groupBy("label", "i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dsq).alias("s1"),
+        F.sum(dsq * dsq).alias("s2"),
+    )
+    glob = cell.groupBy("i").agg(
+        F.sum("n").alias("gn"), F.sum("s1").alias("g1")
+    )
+    j = cell.join(F.broadcast(glob), "i")
+    nd = F.col("n").cast("double")
+    s1d, s2d = F.col("s1").cast("double"), F.col("s2").cast("double")
+    mu_c = s1d / nd
+    mu_g = F.col("g1").cast("double") / F.col("gn").cast("double")
+    wterm = F.round(s2d - s1d * s1d / nd, 9).cast("decimal(27,9)")
+    bterm = F.round(nd * (mu_c - mu_g) * (mu_c - mu_g), 9).cast("decimal(27,9)")
+    sizes = e.groupBy().agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct(F.col("label")).alias("k"),
+    )
+    g = j.agg(
+        F.sum(wterm).cast("double").alias("w"),
+        F.sum(bterm).cast("double").alias("b"),
+    )
+    out = g.crossJoin(F.broadcast(sizes))
+    n, k = F.col("n_vectors").cast("double"), F.col("k").cast("double")
+    ch = F.try_divide(
+        F.col("b") / (k - 1), F.col("w") / (n - k)
+    )
+    return out.select(
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round("b", 4).alias("between_ss"),
+        F.round("w", 4).alias("within_ss"),
+        F.round(ch, 6).alias("ch_index"),
+    )
+
+
+SIL_PANEL = 16  # silhouette probe panel (vec_id < SIL_PANEL)
+
+
+def q_silhouette_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette scores for a SIL_PANEL-vector probe panel against the
+    label clustering -- the per-point companion to the CH index (CH is a
+    global ratio; silhouette says WHICH points sit badly): s = (b - a) /
+    max(a, b) with a = mean distance to the own cluster (self excluded)
+    and b = the closest other cluster's mean distance; s near -1 flags a
+    probably-mislabeled vector.
+
+    Determinism: distances are rounded Euclidean (sqrt of the _sqdist
+    fold, rounded 6); per-(probe, cluster) means decimal-sum the rounded
+    distances; the b argmin is (min mean, min label) via one keyed
+    aggregate.
+
+    Plan: the panel is a broadcast; one scan crossed with it, one
+    (probe, label) rollup, bounded algebra after."""
+    e = load_table(spark, sf_dir, "embeddings")
+    e = spread(e)  # no-op (no Exchange) when the scan is already wide
+    emb = e.select(
+        "vec_id", F.col("label").cast("int").alias("label"), _to_double(F.col("embedding")).alias("v")
+    )
+    panel = emb.filter(F.col("vec_id") < SIL_PANEL).select(
+        F.col("vec_id").alias("pid"),
+        F.col("label").alias("plabel"),
+        F.col("v").alias("pv"),
+    )
+    dist = F.round(F.sqrt(_sqdist(F.col("v"), F.col("pv"))), 6)
+    pairs = (
+        emb.crossJoin(F.broadcast(panel))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", "plabel", "label", dist.cast("decimal(18,6)").alias("d"))
+    )
+    per_cluster = pairs.groupBy("pid", "plabel", "label").agg(
+        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("md")
+    )
+    own = per_cluster.filter(F.col("label") == F.col("plabel")).select(
+        "pid", F.col("md").alias("a")
+    )
+    other_min = per_cluster.filter(F.col("label") != F.col("plabel")).groupBy("pid").agg(
+        F.min("md").alias("b")
+    )
+    scored = (
+        panel.select("pid", "plabel")
+        .join(own, "pid", "left")
+        .join(other_min, "pid", "left")
+        .select(
+            F.col("pid").alias("vec_id"),
+            F.col("plabel").alias("label"),
+            F.round("a", 6).alias("mean_own_dist"),
+            F.round("b", 6).alias("mean_other_dist"),
+            F.round(
+                F.try_divide(F.col("b") - F.col("a"), F.greatest("a", "b")), 6
+            ).alias("silhouette"),
+        )
+    )
+    mean = scored.agg(
+        F.round(
+            F.sum(F.coalesce(F.col("silhouette"), F.lit(0.0)).cast("decimal(18,9)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("panel_mean")
+    )
+    return (
+        scored.crossJoin(F.broadcast(mean))
+        .orderBy("vec_id")
+    )

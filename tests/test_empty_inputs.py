@@ -190,6 +190,8 @@ REPRESENTATIVE = [
     "retention_halflife",  # decay fit over zero cohorts
     "price_elasticity_proxy",  # log-log moments over zero parts
     "topk_stability_audit",  # half-split top-k over zero docs
+    "calinski_harabasz_index",  # variance ratio over zero vectors
+    "silhouette_panel",  # panel distances over zero vectors
 ]
 
 
