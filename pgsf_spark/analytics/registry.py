@@ -6100,12 +6100,14 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # ecod_outliers, kendall_tau_daily, token_burstiness,
 # degree_assortativity, bfs_reachability_probe, dedup_loss_weights,
 # retention_halflife, price_elasticity_proxy, topk_stability_audit,
-# calinski_harabasz_index, silhouette_panel -- FORTY-SIX total), then the
-# r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
-# soql_projection, repetition_stats, boilerplate_ngrams,
-# benchmark_contamination, token_diversity, temperature_sample,
-# sequence_pack, event_funnel, weekly_retention), then the r03-last-green
-# set, then anything new in round 8.
+# calinski_harabasz_index, silhouette_panel -- FORTY-SIX total; they fill
+# 46 of the 50 slots), then the first FOUR of the r02 remainder
+# (kmv_distinct_users, value_stddev, price_quantity_corr,
+# soql_projection).  ROUND 9 FRONT: the rest of the r02 remainder
+# (repetition_stats, boilerplate_ngrams, benchmark_contamination,
+# token_diversity, temperature_sample, sequence_pack, event_funnel,
+# weekly_retention), then the r03-last-green set, then anything new in
+# rounds 8-9.
 _ROUND7_FRONT = [
     # r6 driver-red, DECIMAL output cast to DOUBLE on both faces -- re-gate
     "hits_hubs_authorities",
