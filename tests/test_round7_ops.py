@@ -197,3 +197,50 @@ class TestBurstiness:
         for r in rows:
             assert r.dispersion is None or r.dispersion >= -1e-9
             assert r.mean_when_present >= 1.0  # present => at least one occurrence
+
+
+class TestRetentionHalflife:
+    def test_decay_is_negative_and_halflife_positive(self, spark):
+        row = events.q_retention_halflife(spark, SF).collect()[0]
+        assert row.n_ages >= 3
+        # the synthetic corpus retains everyone every week: the fit must
+        # say FLAT (slope 0, half-life undefined), never invent decay
+        assert row.decay_slope <= 0
+        assert row.halflife_weeks is None or row.halflife_weeks > 0
+
+
+class TestElasticity:
+    def test_r2_bounds(self, spark):
+        row = profiling.q_price_elasticity_proxy(spark, SF).collect()[0]
+        assert row.n_parts > 0
+        assert 0.0 <= row.r_squared <= 1.0
+
+
+class TestClusterQuality:
+    def test_ch_positive_parts(self, spark):
+        row = similarity.q_calinski_harabasz_index(spark, SF).collect()[0]
+        assert row.within_ss > 0 and row.between_ss >= 0
+        assert row.ch_index is None or row.ch_index >= 0
+
+    def test_silhouette_bounds_and_panel_mean(self, spark):
+        rows = similarity.q_silhouette_panel(spark, SF).collect()
+        assert len(rows) == similarity.SIL_PANEL
+        vals = [r.silhouette for r in rows if r.silhouette is not None]
+        assert vals and all(-1.0 <= v <= 1.0 for v in vals)
+        mean = rows[0].panel_mean
+        assert -1.0 <= mean <= 1.0
+
+
+class TestEcod:
+    def test_scores_positive_and_sorted(self, spark):
+        rows = similarity.q_ecod_outliers(spark, SF).collect()
+        assert len(rows) == similarity.ECOD_TOP
+        scores = [r.ecod_score for r in rows]
+        assert all(s > 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+
+
+class TestKendall:
+    def test_tau_range(self, spark):
+        row = profiling.q_kendall_tau_daily(spark, SF).collect()[0]
+        assert row.tau_b is None or -1.0 <= row.tau_b <= 1.0
