@@ -708,3 +708,67 @@ def q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dispersion").desc(), "token")
         .limit(BURST_TOP)
     )
+
+
+PMI_MIN_COUNT = 5  # Church-Hanks style bigram count floor
+PMI_TOP = 25
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token bigrams -- the
+    Church-Hanks collocation mine (which word pairs co-occur far more
+    than chance: the corpus-level signal for multi-word expressions,
+    template boilerplate, and tokenizer-merge candidates):
+    pmi(w1,w2) = ln( p(w1,w2) / (p(w1) p(w2)) ) with bigram probabilities
+    over the bigram stream and unigram probabilities over the token
+    stream, floored at PMI_MIN_COUNT bigram occurrences.
+
+    Exactness: all four counts (bigram, both unigrams, the two stream
+    totals) are exact integers; the PMI argument is the FIXED double
+    chain ((c12/Nb) * (Nu/c1)) * (Nu/c2) -- identical op order on both
+    faces, no sum-of-logs accumulation -- and the single ln rounds to 6.
+
+    Plan: bigrams are built inside the row (zip of the token array with
+    its own tail -- no positional self-join, no shuffle to form pairs);
+    one keyed shuffle counts bigrams, one counts unigrams; the two
+    1-row totals broadcast back. The groupBy keys bound shuffle volume
+    by distinct-gram count, not corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    with_t = d.select(toks.alias("t"))
+    bigrams = with_t.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = with_t.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    big = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n_u = uni.agg(F.sum("cu").alias("nu"))
+    n_b = big.agg(F.sum("c12").alias("nb"))
+    j = (
+        big.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_u))
+        .crossJoin(F.broadcast(n_b))
+    )
+    arg = (
+        (F.col("c12").cast("double") / F.col("nb").cast("double"))
+        * (F.col("nu").cast("double") / F.col("c1").cast("double"))
+    ) * (F.col("nu").cast("double") / F.col("c2").cast("double"))
+    return (
+        j.select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("n_bigram"),
+            F.round(F.log(arg), 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP)
+    )

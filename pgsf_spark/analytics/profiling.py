@@ -2562,3 +2562,68 @@ def q_price_elasticity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(num, den), 6).alias("elasticity"),
         F.round(F.try_divide(r2num, r2den), 6).alias("r_squared"),
     )
+
+
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue vs its median -- the
+    nonparametric randomness gate for the series shelf (trend tests ask
+    "is it drifting"; the runs test asks "is it even random": too FEW
+    runs means clustering/regimes, too MANY means oscillation):
+    R = number of maximal same-sign runs of the above/below-median
+    indicator, z = (R - mu) / sigma with mu = 1 + 2 n1 n2 / n and
+    sigma^2 = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n - 1)).
+
+    Exactness: daily revenue accumulates in integer cents; the median
+    threshold is the SUM of the two middle order statistics so the
+    above/below classification is the pure integer compare
+    2*cents > m_lo + m_hi (no double median, no interpolation); R, n1,
+    n2 are exact integers and z is a fixed double chain with try_divide
+    for the degenerate all-one-side series.
+
+    Plan: one orders rollup shuffle; rank, lag, and the run count live
+    on the bounded day spine (~2.4k rows/decade, the documented
+    single-partition-window device)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    n_agg = daily.agg(F.count(F.lit(1)).alias("n"))
+    rn = F.row_number().over(Window.orderBy("cents", "day"))
+    ranked = daily.withColumn("rn", rn).crossJoin(F.broadcast(n_agg))
+    mids = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("cents"))
+        ).alias("m_lo"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 2) / 2), F.col("cents"))
+        ).alias("m_hi"),
+    )
+    flagged = daily.crossJoin(F.broadcast(mids)).select(
+        "day",
+        (F.col("cents") * 2 > F.col("m_lo") + F.col("m_hi")).cast("int").alias("s"),
+    )
+    lagged = flagged.withColumn("prev", F.lag("s").over(Window.orderBy("day")))
+    agg = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("n1"),
+        (
+            F.lit(1)
+            + F.sum((F.col("prev").isNotNull() & (F.col("s") != F.col("prev"))).cast("int"))
+        ).alias("runs"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = (F.col("n") - F.col("n1")).cast("double")
+    nd = F.col("n").cast("double")
+    p = F.lit(2.0) * n1d * n2d
+    mu = F.lit(1.0) + p / nd
+    var = (p * (p - nd)) / (nd * nd * (nd - F.lit(1.0)))
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        (F.col("n") - F.col("n1")).cast("bigint").alias("n_below"),
+        F.col("runs").cast("bigint").alias("runs"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(F.try_divide(F.col("runs").cast("double") - mu, F.sqrt(var)), 6).alias(
+            "z_score"
+        ),
+    )

@@ -5647,6 +5647,91 @@ FROM (SELECT l, MAX(c) AS mx, SUM(c) AS n_l FROM
         )
         + "\n) ORDER BY fd",
     ),
+    "market_basket_rules": QuerySpec(
+        relational.q_market_basket_rules,
+        f"""WITH baskets AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand AS brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM baskets),
+item AS (SELECT brand, COUNT(*) AS n_item FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.brand AS x, b.brand AS y, COUNT(*) AS n_pair
+  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY 1, 2),
+rules AS (
+  SELECT x AS antecedent, y AS consequent, n_pair FROM pairs
+  UNION ALL
+  SELECT y AS antecedent, x AS consequent, n_pair FROM pairs),
+j AS (
+  SELECT r.antecedent, r.consequent, r.n_pair,
+    ia.n_item AS n_ant, ic.n_item AS n_cons, nb.n_baskets
+  FROM rules r
+  JOIN item ia ON r.antecedent = ia.brand
+  JOIN item ic ON r.consequent = ic.brand, nb)
+SELECT antecedent, consequent, CAST(n_pair AS BIGINT) AS n_pair,
+  ROUND(CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6) AS support,
+  ROUND(CAST(n_pair AS DOUBLE) / CAST(n_ant AS DOUBLE), 6) AS confidence,
+  ROUND((CAST(n_pair AS DOUBLE) * CAST(n_baskets AS DOUBLE))
+        / (CAST(n_ant AS DOUBLE) * CAST(n_cons AS DOUBLE)), 6) AS lift
+FROM j
+WHERE CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE) >= {relational.MB_MIN_SUPPORT}
+ORDER BY lift DESC, antecedent, consequent LIMIT {relational.MB_TOP}""",
+    ),
+    "pmi_collocations": QuerySpec(
+        corpus.q_pmi_collocations,
+        f"""WITH tk AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+bg AS (
+  SELECT p[1] AS w1, p[2] AS w2
+  FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM tk)),
+uni AS (SELECT w, COUNT(*) AS cu FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+nu AS (SELECT CAST(SUM(cu) AS BIGINT) AS nu FROM uni),
+nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS nb FROM big)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS n_bigram,
+  ROUND(ln(((CAST(c12 AS DOUBLE) / CAST(nb AS DOUBLE))
+            * (CAST(nu AS DOUBLE) / CAST(u1.cu AS DOUBLE)))
+           * (CAST(nu AS DOUBLE) / CAST(u2.cu AS DOUBLE))), 6) AS pmi
+FROM big
+JOIN uni u1 ON big.w1 = u1.w
+JOIN uni u2 ON big.w2 = u2.w, nu, nb
+WHERE c12 >= {corpus.PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2 LIMIT {corpus.PMI_TOP}""",
+    ),
+    "runs_test_daily": QuerySpec(
+        profiling.q_runs_test_daily,
+        """WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+rk AS (
+  SELECT day, cents, ROW_NUMBER() OVER (ORDER BY cents, day) AS rn,
+    COUNT(*) OVER () AS n
+  FROM daily),
+mids AS (
+  SELECT MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS m_lo,
+    MAX(CASE WHEN rn = (n + 2) // 2 THEN cents END) AS m_hi
+  FROM rk),
+fl AS (
+  SELECT day, CASE WHEN cents * 2 > m_lo + m_hi THEN 1 ELSE 0 END AS s
+  FROM daily, mids),
+lg AS (SELECT s, LAG(s) OVER (ORDER BY day) AS prev FROM fl),
+agg AS (
+  SELECT COUNT(*) AS n, SUM(s) AS n1,
+    1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev THEN 1 ELSE 0 END) AS runs
+  FROM lg),
+sel AS (
+  SELECT n, n1, runs,
+    2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) AS p,
+    CAST(n AS DOUBLE) AS nd
+  FROM agg)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(n1 AS BIGINT) AS n_above,
+  CAST(n - n1 AS BIGINT) AS n_below, CAST(runs AS BIGINT) AS runs,
+  ROUND(1.0 + p / nd, 6) AS expected_runs,
+  ROUND((CAST(runs AS DOUBLE) - (1.0 + p / nd))
+        / sqrt((p * (p - nd)) / (nd * nd * (nd - 1.0))), 6) AS z_score
+FROM sel""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -937,3 +937,79 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_lift"),
     ).orderBy("decile")
+
+
+MB_MIN_SUPPORT = 0.005  # rule must cover >= 0.5% of baskets
+MB_TOP = 20
+
+
+def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets at the brand grain (the
+    classic support / confidence / lift market-basket mine, Agrawal-style
+    but set-expressed: candidate generation IS the basket self-join, no
+    Apriori iteration needed for pairs): a basket is the distinct set of
+    part brands in one order; a rule x -> y reports
+    support = n(x,y)/N, confidence = n(x,y)/n(x), lift = conf/(n(y)/N).
+
+    Exactness: every count is an exact integer (distinct brand-pairs per
+    order, distinct orders per brand, total baskets); support and
+    confidence are single divisions of exact ints rounded to 6; lift is
+    the fixed chain (pair*N)/(ant*cons) in one double division. The
+    support floor is a FRACTION (scale-free -- an absolute count floor
+    would silently pass everything at 100 TB).
+
+    Plan: part is a tiny dim (broadcast into the lineitem scan); baskets
+    are one distinct shuffle keyed on (order, brand); the pair self-join
+    is keyed on orderkey so the blow-up is bounded by (brands/order
+    choose 2) -- a per-order constant, never data x data; pair counts are
+    one keyed shuffle; brand supports and the total are broadcast back.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_b = baskets.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    item = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n_item"))
+    a = baskets.select(F.col("l_orderkey").alias("k"), F.col("brand").alias("x"))
+    b = baskets.select(F.col("l_orderkey").alias("k"), F.col("brand").alias("y"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    # both rule directions from each unordered pair
+    rules = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "n_pair"
+    ).unionAll(
+        pairs.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "n_pair"
+        )
+    )
+    ant = item.select(F.col("brand").alias("antecedent"), F.col("n_item").alias("n_ant"))
+    cons = item.select(F.col("brand").alias("consequent"), F.col("n_item").alias("n_cons"))
+    j = (
+        rules.join(F.broadcast(ant), "antecedent")
+        .join(F.broadcast(cons), "consequent")
+        .crossJoin(F.broadcast(n_b))
+    )
+    nd = F.col("n_baskets").cast("double")
+    support = F.col("n_pair").cast("double") / nd
+    out = j.filter(support >= F.lit(MB_MIN_SUPPORT)).select(
+        "antecedent",
+        "consequent",
+        F.col("n_pair").cast("bigint").alias("n_pair"),
+        F.round(support, 6).alias("support"),
+        F.round(F.col("n_pair").cast("double") / F.col("n_ant").cast("double"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            (F.col("n_pair").cast("double") * nd)
+            / (F.col("n_ant").cast("double") * F.col("n_cons").cast("double")),
+            6,
+        ).alias("lift"),
+    )
+    return out.orderBy(F.col("lift").desc(), "antecedent", "consequent").limit(MB_TOP)

@@ -192,6 +192,9 @@ REPRESENTATIVE = [
     "topk_stability_audit",  # half-split top-k over zero docs
     "calinski_harabasz_index",  # variance ratio over zero vectors
     "silhouette_panel",  # panel distances over zero vectors
+    "market_basket_rules",  # basket self-join over zero lineitems
+    "pmi_collocations",  # bigram zip over zero documents
+    "runs_test_daily",  # run-length lag over an empty day spine
 ]
 
 

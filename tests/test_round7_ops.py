@@ -244,3 +244,80 @@ class TestKendall:
     def test_tau_range(self, spark):
         row = profiling.q_kendall_tau_daily(spark, SF).collect()[0]
         assert row.tau_b is None or -1.0 <= row.tau_b <= 1.0
+
+
+class TestMarketBasket:
+    def test_rule_identities(self, spark):
+        from pgsf_spark.analytics import relational
+
+        rows = relational.q_market_basket_rules(spark, SF).collect()
+        assert 0 < len(rows) <= relational.MB_TOP
+        for r in rows:
+            # support can never exceed confidence (n_pair/N vs n_pair/n_ant)
+            assert 0.0 < r.support <= r.confidence <= 1.0
+            assert r.support >= relational.MB_MIN_SUPPORT - 1e-9
+            assert r.lift > 0.0
+            assert r.antecedent != r.consequent
+        lifts = [r.lift for r in rows]
+        assert lifts == sorted(lifts, reverse=True)
+
+    def test_direction_pairing(self, spark):
+        from pgsf_spark.analytics import relational
+
+        # both directions of a pair share n_pair and support
+        rows = relational.q_market_basket_rules(spark, SF).collect()
+        by_pair = {}
+        for r in rows:
+            by_pair.setdefault(frozenset((r.antecedent, r.consequent)), []).append(r)
+        for pair_rows in by_pair.values():
+            assert len({r.n_pair for r in pair_rows}) == 1
+
+
+class TestPmi:
+    def test_counts_respect_floor_and_order(self, spark):
+        rows = corpus.q_pmi_collocations(spark, SF).collect()
+        assert 0 < len(rows) <= corpus.PMI_TOP
+        assert all(r.n_bigram >= corpus.PMI_MIN_COUNT for r in rows)
+        pmis = [r.pmi for r in rows]
+        assert pmis == sorted(pmis, reverse=True)
+
+    def test_pmi_matches_handcount(self, spark):
+        # hand-check one reported bigram against direct counts
+        from pgsf_spark.tables import load_table
+        import math
+
+        rows = corpus.q_pmi_collocations(spark, SF).collect()
+        r = rows[0]
+        d = load_table(spark, SF, "documents")
+        toks = d.select(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+        )
+        uni = toks.select(F.explode("t").alias("w"))
+        nu = uni.count()
+        c1 = uni.filter(F.col("w") == r.w1).count()
+        c2 = uni.filter(F.col("w") == r.w2).count()
+        pmi = math.log(
+            ((r.n_bigram / rows_total_bigrams(toks)) * (nu / c1)) * (nu / c2)
+        )
+        assert abs(pmi - r.pmi) < 1e-5
+
+
+def rows_total_bigrams(toks):
+    return (
+        toks.select((F.greatest(F.size("t") - 1, F.lit(0))).alias("k"))
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+
+
+class TestRunsTest:
+    def test_counts_and_bounds(self, spark):
+        row = profiling.q_runs_test_daily(spark, SF).collect()[0]
+        assert row.n_days == row.n_above + row.n_below
+        # runs are bounded by 1..n and by the two-class structure
+        assert 1 <= row.runs <= row.n_days
+        assert row.runs <= 2 * min(row.n_above, row.n_below) + 1
+        # strict > median split: above <= below (ties go below)
+        assert row.n_above <= row.n_below
+        # null (random) series: |z| beyond 10 would be absurd
+        assert row.z_score is None or abs(row.z_score) < 10.0
