@@ -772,3 +772,39 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(PMI_TOP)
     )
+
+
+def q_yule_k_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source -- the length-invariant lexical
+    richness constant (K rises as vocabulary use gets more repetitive;
+    unlike type-token ratio it does not collapse as the corpus grows, so
+    it compares sources of very different sizes honestly):
+    K = 10^4 * (sum_w c_w^2 - N) / N^2 over the per-source token counts.
+
+    Exactness: N and sum c^2 are exact integers (counts and DECIMAL
+    squares); K is a fixed double chain on the two exact aggregates,
+    rounded to 6 -- no per-face accumulation risk at all.
+
+    Plan: one (source, token) keyed shuffle with map-side partial aggs,
+    one per-source rollup; output is one row per source."""
+    d = load_table(spark, sf_dir, "documents")
+    per_tok = (
+        d.select("source", F.explode(_toks(F.lower(F.col("text")))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cd = F.col("c").cast("decimal(19,0)")
+    per_src = per_tok.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(cd * cd).alias("s2"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return per_src.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.round(
+            F.lit(10000.0) * ((F.col("s2").cast("double") - nd) / (nd * nd)), 6
+        ).alias("yule_k"),
+    ).orderBy("source")

@@ -2627,3 +2627,144 @@ def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+def q_jackknife_se_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error of the mean order value,
+    leaving out one NATION at a time -- the cluster-robust uncertainty
+    number the plain s/sqrt(n) understates when orders within a nation
+    are correlated (the survey-statistics companion to bootstrap_ci,
+    which resamples rows and so assumes independence):
+    m_i = mean with nation i removed, se = sqrt((g-1)/g * sum (m_i-m.)^2)
+    plus the jackknife bias estimate (g-1)(m. - theta_hat).
+
+    Exactness: per-nation counts and cent sums are exact integers, so
+    every leave-one-out mean is ONE double division of exact ints (then
+    /100.0 to dollars), rounded to 6 and accumulated with its square in
+    DECIMAL -- the sum-order-proof device; the variance combination is a
+    fixed double chain on the two exact decimal aggregates, clamped at 0
+    before sqrt so 6dp rounding can never produce NaN on one face only.
+
+    Plan: one orders->nation rollup shuffle (customer is broadcast);
+    the jackknife algebra runs on the 25-row nation table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("s_i"),
+        )
+    )
+    tot = per_nation.agg(
+        F.sum("n_i").alias("n"), F.sum("s_i").alias("s"), F.count(F.lit(1)).alias("g")
+    )
+    loo = per_nation.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (
+                (F.col("s") - F.col("s_i")).cast("double")
+                / (F.col("n") - F.col("n_i")).cast("double")
+            )
+            / F.lit(100.0),
+            6,
+        )
+        .cast("decimal(14,6)")
+        .alias("m"),
+        "n",
+        "s",
+        "g",
+    )
+    agg = loo.groupBy("n", "s", "g").agg(
+        F.sum("m").alias("m1"),
+        F.sum(F.col("m") * F.col("m")).alias("m2"),
+    )
+    gd = F.col("g").cast("double")
+    m1d = F.col("m1").cast("double")
+    theta = (F.col("s").cast("double") / F.col("n").cast("double")) / F.lit(100.0)
+    md = F.col("m2").cast("double") - (m1d * m1d) / gd
+    return agg.select(
+        F.col("g").cast("bigint").alias("n_nations"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(theta, 6).alias("mean_order_value"),
+        F.round(F.sqrt(((gd - F.lit(1.0)) / gd) * F.greatest(md, F.lit(0.0))), 6).alias(
+            "jackknife_se"
+        ),
+        F.round((gd - F.lit(1.0)) * (m1d / gd - theta), 6).alias("jackknife_bias"),
+    )
+
+
+LB_LAGS = 6  # Ljung-Box over lags 1..6 (even df -> closed-form chi2 CDF)
+LB_CRIT = 12.591587  # chi2(6) 95th percentile; locked by property test
+
+
+def q_ljung_box_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test on daily revenue -- the
+    JOINT autocorrelation gate that goes with q_acf_daily_revenue (the
+    ACF reports 7 separate r_k; Ljung-Box asks whether the first 6 are
+    collectively zero): Q = n(n+2) sum_k r_k^2/(n-k), compared against
+    the chi-square(6) 95% critical value (a python literal, kept out of
+    gated columns and locked by the closed-form even-df CDF property
+    test in test_literal_constants.py).
+
+    Exactness: r_k reuses the ACF's division-free device (y_t = n*x_t-s
+    exact BIGINT, numerators/denominator exact DECIMAL products), so
+    each r_k is one double division; each per-lag term r_k^2/(n-k)
+    rounds to 12dp into DECIMAL before the cross-lag sum -- accumulation
+    order cannot move the hash -- and Q is a fixed double chain on that
+    exact sum.
+
+    Plan: identical to the ACF -- one orders rollup shuffle, then the
+    bounded day spine."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("rev")
+    )
+    stats = daily.agg(F.sum("rev").alias("s"), F.count(F.lit(1)).alias("n"))
+    y = daily.crossJoin(F.broadcast(stats)).select(
+        "day", "n", (F.col("n") * F.col("rev") - F.col("s")).alias("y")
+    )
+    w = Window.orderBy("day")
+    dec = "decimal(19,0)"
+    lagged = y.select(
+        "n",
+        "y",
+        *[F.lag("y", k).over(w).alias(f"y{k}") for k in range(1, LB_LAGS + 1)],
+    )
+    terms = lagged.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        (F.col("y").cast(dec) * F.col(f"y{k}").cast(dec)).alias("yy"),
+                    )
+                    for k in range(1, LB_LAGS + 1)
+                ]
+            )
+        ).alias("t"),
+    )
+    den = y.agg(F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("den"))
+    per_lag = (
+        terms.filter(F.col("t.yy").isNotNull())
+        .groupBy("n", F.col("t.lag").alias("lag"))
+        .agg(F.sum(F.col("t.yy")).alias("num"))
+        .crossJoin(F.broadcast(den))
+    )
+    rho = F.col("num").cast("double") / F.col("den").cast("double")
+    term = F.round((rho * rho) / (F.col("n") - F.col("lag")).cast("double"), 12).cast(
+        "decimal(18,12)"
+    )
+    agg = per_lag.groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_lags"), F.sum(term).alias("tsum")
+    )
+    nd = F.col("n").cast("double")
+    q = (nd * (nd + F.lit(2.0))) * F.col("tsum").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("n_lags").cast("bigint").alias("n_lags"),
+        F.round(q, 6).alias("q_stat"),
+        F.lit(LB_CRIT).alias("chi2_crit_95"),
+        (q > F.lit(LB_CRIT)).alias("reject_whiteness"),
+    )

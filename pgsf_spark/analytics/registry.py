@@ -5732,6 +5732,86 @@ SELECT CAST(n AS BIGINT) AS n_days, CAST(n1 AS BIGINT) AS n_above,
         / sqrt((p * (p - nd)) / (nd * nd * (nd - 1.0))), 6) AS z_score
 FROM sel""",
     ),
+    "jackknife_se_nation": QuerySpec(
+        profiling.q_jackknife_se_nation,
+        """WITH pn AS (
+  SELECT c.c_nationkey, COUNT(*) AS n_i,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_i
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(s_i) AS BIGINT) AS s,
+    COUNT(*) AS g
+  FROM pn),
+loo AS (
+  SELECT n, s, g,
+    CAST(ROUND((CAST(s - s_i AS DOUBLE) / CAST(n - n_i AS DOUBLE)) / 100.0, 6)
+      AS DECIMAL(14,6)) AS m
+  FROM pn, tot),
+agg AS (SELECT n, s, g, SUM(m) AS m1,
+  SUM(CAST(m AS DECIMAL(20,6)) * m) AS m2 FROM loo GROUP BY 1, 2, 3)
+SELECT CAST(g AS BIGINT) AS n_nations, CAST(n AS BIGINT) AS n_orders,
+  ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) AS mean_order_value,
+  ROUND(sqrt(((CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE))
+             * GREATEST(CAST(m2 AS DOUBLE)
+                        - (CAST(m1 AS DOUBLE) * CAST(m1 AS DOUBLE)) / CAST(g AS DOUBLE),
+                        0.0)), 6) AS jackknife_se,
+  ROUND((CAST(g AS DOUBLE) - 1.0)
+        * (CAST(m1 AS DOUBLE) / CAST(g AS DOUBLE)
+           - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0), 6) AS jackknife_bias
+FROM agg""",
+    ),
+    "ljung_box_stat": QuerySpec(
+        profiling.q_ljung_box_stat,
+        f"""WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+st AS (SELECT SUM(rev) AS s, COUNT(*) AS n FROM daily),
+y AS (SELECT day, n, n * rev - s AS y FROM daily, st),
+lagged AS (
+  SELECT n, y,
+    {', '.join(f'lag(y, {k}) OVER (ORDER BY day) AS y{k}' for k in range(1, profiling.LB_LAGS + 1))}
+  FROM y),
+terms AS (
+  {' UNION ALL '.join(f'SELECT n, {k} AS lag, CAST(y AS DECIMAL(19,0)) * CAST(y{k} AS DECIMAL(19,0)) AS yy FROM lagged' for k in range(1, profiling.LB_LAGS + 1))}),
+den AS (SELECT SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS den FROM y),
+per_lag AS (
+  SELECT n, lag, SUM(yy) AS num, MIN(den) AS den
+  FROM terms, den WHERE yy IS NOT NULL
+  GROUP BY 1, 2),
+tm AS (
+  SELECT n, lag,
+    CAST(ROUND(((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)))
+               / CAST(n - lag AS DOUBLE), 12) AS DECIMAL(18,12)) AS term
+  FROM per_lag),
+agg AS (SELECT n, COUNT(*) AS n_lags, SUM(term) AS tsum FROM tm GROUP BY 1)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(n_lags AS BIGINT) AS n_lags,
+  ROUND((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)) * CAST(tsum AS DOUBLE), 6)
+    AS q_stat,
+  CAST({profiling.LB_CRIT!r} AS DOUBLE) AS chi2_crit_95,
+  (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)) * CAST(tsum AS DOUBLE)
+    > {profiling.LB_CRIT!r} AS reject_whiteness
+FROM agg""",
+    ),
+    "yule_k_lexical": QuerySpec(
+        corpus.q_yule_k_lexical,
+        """WITH pt AS (
+  SELECT source, w, COUNT(*) AS c
+  FROM (SELECT source,
+          unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+  GROUP BY 1, 2),
+ps AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+    SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS s2
+  FROM pt GROUP BY 1)
+SELECT source, n_tokens, CAST(n_types AS BIGINT) AS n_types,
+  ROUND(10000.0 * ((CAST(s2 AS DOUBLE) - CAST(n_tokens AS DOUBLE))
+                   / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))), 6)
+    AS yule_k
+FROM ps ORDER BY source""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

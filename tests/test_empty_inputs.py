@@ -195,6 +195,9 @@ REPRESENTATIVE = [
     "market_basket_rules",  # basket self-join over zero lineitems
     "pmi_collocations",  # bigram zip over zero documents
     "runs_test_daily",  # run-length lag over an empty day spine
+    "jackknife_se_nation",  # leave-one-out means over zero nations
+    "ljung_box_stat",  # portmanteau terms over an empty day spine
+    "yule_k_lexical",  # frequency-spectrum moments over zero tokens
 ]
 
 

@@ -54,3 +54,20 @@ class TestHurstWeights:
 class TestGumbelFactor:
     def test_return_level_factor(self):
         assert abs(GUMBEL_RL_FACTOR - (-math.log(-math.log(1 - 1 / GUMBEL_RL_T)))) < 1e-12
+
+
+class TestLjungBoxCritical:
+    def test_chi2_even_df_closed_form(self):
+        from pgsf_spark.analytics.profiling import LB_CRIT, LB_LAGS
+
+        # even df=2m: P(X <= x) = 1 - exp(-x/2) * sum_{k<m} (x/2)^k / k!
+        assert LB_LAGS % 2 == 0
+        m = LB_LAGS // 2
+        h = LB_CRIT / 2.0
+        term, s = 1.0, 0.0
+        for k in range(m):
+            if k:
+                term *= h / k
+            s += term
+        p = 1.0 - math.exp(-h) * s
+        assert abs(p - 0.95) < 1e-6

@@ -321,3 +321,44 @@ class TestRunsTest:
         assert row.n_above <= row.n_below
         # null (random) series: |z| beyond 10 would be absurd
         assert row.z_score is None or abs(row.z_score) < 10.0
+
+
+class TestJackknife:
+    def test_se_nonnegative_and_mean_sane(self, spark):
+        row = profiling.q_jackknife_se_nation(spark, SF).collect()[0]
+        assert row.n_nations == 25
+        assert row.jackknife_se >= 0.0
+        # grouped jackknife bias of a linear statistic is ~0
+        assert abs(row.jackknife_bias) < row.mean_order_value * 0.1
+        assert row.mean_order_value > 0
+
+
+class TestLjungBox:
+    def test_q_nonnegative_and_flag_consistent(self, spark):
+        row = profiling.q_ljung_box_stat(spark, SF).collect()[0]
+        assert row.n_lags == profiling.LB_LAGS
+        assert row.q_stat >= 0.0
+        assert row.reject_whiteness == (row.q_stat > profiling.LB_CRIT)
+
+    def test_matches_acf_by_hand(self, spark):
+        # Q recomputed from the ACF gate's own rho values (lags 1..6)
+        acf = {
+            r.lag: r.acf
+            for r in profiling.q_acf_daily_revenue(spark, SF).collect()
+        }
+        row = profiling.q_ljung_box_stat(spark, SF).collect()[0]
+        n = row.n_days
+        q = n * (n + 2) * sum(
+            acf[k] ** 2 / (n - k) for k in range(1, profiling.LB_LAGS + 1)
+        )
+        assert abs(q - row.q_stat) < 0.01
+
+
+class TestYuleK:
+    def test_k_positive_and_per_source(self, spark):
+        rows = corpus.q_yule_k_lexical(spark, SF).collect()
+        assert len(rows) == 20  # the synthetic corpus's source count
+        for r in rows:
+            assert r.n_types <= r.n_tokens
+            # K > 0 whenever any token repeats
+            assert r.yule_k > 0.0
