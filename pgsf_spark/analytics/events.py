@@ -1800,3 +1800,167 @@ def q_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("decay_slope"),
         F.round(F.try_divide(F.lit(LN2), -slope), 6).alias("halflife_weeks"),
     )
+
+
+SHAP_CHANNELS = [("click", 1), ("error", 2), ("signup", 4), ("view", 8)]
+# |S|!(n-1-|S|)!/n! * 24 for n=4: coalition sizes 0..3 -> 6, 2, 2, 6
+SHAP_W24 = [6, 2, 2, 6]
+
+
+def _popcount4(col):
+    """Portable 4-bit popcount (plain arithmetic on both faces -- no
+    engine bit_count dependency)."""
+    return (
+        (col.bitwiseAND(F.lit(1)))
+        + (F.shiftright(col, 1).bitwiseAND(F.lit(1)))
+        + (F.shiftright(col, 2).bitwiseAND(F.lit(1)))
+        + (F.shiftright(col, 3).bitwiseAND(F.lit(1)))
+    )
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value conversion attribution over the four
+    non-purchase channels -- the game-theoretic split of credit that
+    last-touch attribution (q_last_touch_attribution) cannot give
+    (Shapley is the unique allocation satisfying efficiency/symmetry/
+    dummy): the coalition value v(S) counts converting users whose
+    touched-channel set is a SUBSET of S, and
+    phi_i = sum_{S not containing i} w(|S|) (v(S+i) - v(S)).
+
+    Exactness: the whole computation is INTEGER until the last step --
+    per-user channel masks, per-mask conversion counts, subset-sum
+    v(S), and phi*24 with the integer weight table {6,2,2,6} (24 = 4!
+    clears the rational Shapley weights); the reported shapley value is
+    one double division by 24.0 and the share one more, both rounded.
+    Efficiency (sum phi = v(full) - v(empty)) is locked in the
+    semantics suite.
+
+    Plan: one events->user shuffle, one 16-row mask rollup; the
+    subset-sum and marginal-gain joins run on broadcast 16-row tables
+    (bounded-dims device) -- nothing downstream of the first two
+    aggregates scales with data."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("event_type") == c, bit).otherwise(0)).alias(f"b{bit}")
+            for c, bit in SHAP_CHANNELS
+        ],
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+    )
+    mask_col = (
+        F.col("b1") + F.col("b2") + F.col("b4") + F.col("b8")
+    )
+    per_mask = flags.select(mask_col.alias("mask"), "conv").groupBy("mask").agg(
+        F.sum("conv").alias("conv")
+    )
+    spine = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        spine.join(
+            F.broadcast(per_mask),
+            F.col("s").bitwiseAND(F.col("mask")) == F.col("mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("conv"), F.lit(0)).alias("v"))
+    )
+    ch = spark.createDataFrame(SHAP_CHANNELS, ["channel", "bit"])
+    v2 = v.select(F.col("s").alias("s2"), F.col("v").alias("v_with"))
+    w24 = F.element_at(
+        F.array(*[F.lit(w) for w in SHAP_W24]), _popcount4(F.col("s")) + 1
+    )
+    gains = (
+        ch.join(F.broadcast(v), F.col("s").bitwiseAND(F.col("bit")) == 0)
+        .join(F.broadcast(v2), F.col("s2") == F.col("s") + F.col("bit"))
+        .select("channel", (w24 * (F.col("v_with") - F.col("v"))).alias("wgain"))
+    )
+    phi = gains.groupBy("channel").agg(F.sum("wgain").alias("phi24"))
+    tot = phi.agg(F.sum("phi24").alias("t24"))
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("phi24").cast("bigint").alias("phi24"),
+            F.round(F.col("phi24").cast("double") / F.lit(24.0), 6).alias("shapley"),
+            F.round(
+                F.try_divide(F.col("phi24").cast("double"), F.col("t24").cast("double")),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of view -> purchase conversion --
+    the estimator pair to Kaplan-Meier (KM carries the survival product
+    in log space; Nelson-Aalen sums the raw hazard increments d/n
+    directly, the better-behaved quantity for small risk sets and the
+    natural input to proportional-hazards eyeballing):
+    H(t) = sum_{s<=t} d_s/n_s, with the Aalen variance sum d_s/n_s^2.
+
+    Exactness: identical risk-set construction to q_kaplan_meier (two
+    keyed user aggregates, day-grain calendar-bounded windows); each
+    day's d/n and d/n^2 are single double divisions of exact integers
+    rounded to DECIMAL(18,9)/(18,12) BEFORE the cumulative sum, so the
+    running totals accumulate exactly on both faces.
+
+    Plan: same as KM -- one events scan, two user-keyed shuffles, then
+    the bounded day spine."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("vday"))
+        .join(
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.min(F.to_date("ts")).alias("pday")),
+            "user_id",
+            "left",
+        )
+        .withColumn("cday", F.when(F.col("pday") >= F.col("vday"), F.col("pday")))
+    )
+    entries = per_user.groupBy(F.col("vday").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_enter")
+    )
+    convs = per_user.filter(F.col("cday").isNotNull()).groupBy(
+        F.col("cday").alias("day")
+    ).agg(F.count(F.lit(1)).alias("d"))
+    days = entries.join(convs, "day", "full").select(
+        "day",
+        F.coalesce("n_enter", F.lit(0)).alias("n_enter"),
+        F.coalesce("d", F.lit(0)).alias("d"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        days.withColumn("cum_enter", F.sum("n_enter").over(w))
+        .withColumn("cum_conv_before", F.coalesce(F.sum("d").over(wprev), F.lit(0)))
+        .withColumn("n_risk", F.col("cum_enter") - F.col("cum_conv_before"))
+    )
+    nd = F.col("n_risk").cast("double")
+    inc = F.when(
+        (F.col("d") > 0) & (F.col("n_risk") > 0),
+        F.round(F.col("d").cast("double") / nd, 9),
+    ).cast("decimal(18,9)")
+    vinc = F.when(
+        (F.col("d") > 0) & (F.col("n_risk") > 0),
+        F.round(F.col("d").cast("double") / (nd * nd), 12),
+    ).cast("decimal(18,12)")
+    curve = (
+        risk.withColumn("inc", inc)
+        .withColumn("vinc", vinc)
+        .withColumn("h", F.sum("inc").over(w))
+        .withColumn("hv", F.sum("vinc").over(w))
+    )
+    return (
+        curve.filter(F.col("d") > 0)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "d",
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.round(F.col("h").cast("double"), 8).alias("cum_hazard"),
+            F.round(F.col("hv").cast("double"), 10).alias("hazard_var"),
+        )
+        .orderBy("day")
+    )

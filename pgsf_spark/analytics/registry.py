@@ -5812,6 +5812,74 @@ SELECT source, n_tokens, CAST(n_types AS BIGINT) AS n_types,
     AS yule_k
 FROM ps ORDER BY source""",
     ),
+    "shapley_attribution": QuerySpec(
+        events.q_shapley_attribution,
+        """WITH fl AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS b1,
+    MAX(CASE WHEN event_type = 'error' THEN 2 ELSE 0 END) AS b2,
+    MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS b4,
+    MAX(CASE WHEN event_type = 'view' THEN 8 ELSE 0 END) AS b8,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1),
+pm AS (SELECT b1 + b2 + b4 + b8 AS mask, SUM(conv) AS conv FROM fl GROUP BY 1),
+sp AS (SELECT CAST(i AS INT) AS s FROM range(0, 16) r(i)),
+v AS (
+  SELECT s, COALESCE(SUM(conv), 0) AS v
+  FROM sp LEFT JOIN pm ON (s & mask) = mask GROUP BY 1),
+ch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)) c(channel, bit)),
+gains AS (
+  SELECT ch.channel,
+    ([6, 2, 2, 6])[((v1.s & 1) + ((v1.s >> 1) & 1) + ((v1.s >> 2) & 1) + ((v1.s >> 3) & 1)) + 1]
+      * (v2.v - v1.v) AS wgain
+  FROM ch
+  JOIN v v1 ON (v1.s & ch.bit) = 0
+  JOIN v v2 ON v2.s = v1.s + ch.bit),
+phi AS (SELECT channel, CAST(SUM(wgain) AS BIGINT) AS phi24 FROM gains GROUP BY 1),
+tot AS (SELECT SUM(phi24) AS t24 FROM phi)
+SELECT channel, phi24,
+  ROUND(CAST(phi24 AS DOUBLE) / 24.0, 6) AS shapley,
+  ROUND(CAST(phi24 AS DOUBLE) / CAST(t24 AS DOUBLE), 6) AS share
+FROM phi, tot ORDER BY channel""",
+    ),
+    "nelson_aalen_hazard": QuerySpec(
+        events.q_nelson_aalen_hazard,
+        """WITH pu AS (
+  SELECT v.user_id, v.vday,
+    CASE WHEN p.pday >= v.vday THEN p.pday END AS cday
+  FROM (SELECT user_id, MIN(CAST(ts AS DATE)) AS vday FROM events
+        WHERE event_type = 'view' GROUP BY 1) v
+  LEFT JOIN (SELECT user_id, MIN(CAST(ts AS DATE)) AS pday FROM events
+             WHERE event_type = 'purchase' GROUP BY 1) p
+  ON v.user_id = p.user_id),
+en AS (SELECT vday AS day, COUNT(*) AS n_enter FROM pu GROUP BY 1),
+cv AS (SELECT cday AS day, COUNT(*) AS d FROM pu WHERE cday IS NOT NULL GROUP BY 1),
+days AS (
+  SELECT COALESCE(en.day, cv.day) AS day,
+    COALESCE(n_enter, 0) AS n_enter, COALESCE(d, 0) AS d
+  FROM en FULL JOIN cv ON en.day = cv.day),
+risk AS (
+  SELECT day, d,
+    SUM(n_enter) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+      - COALESCE(SUM(d) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM days),
+curve AS (
+  SELECT day, d, n_risk,
+    SUM(CASE WHEN d > 0 AND n_risk > 0 THEN
+      CAST(ROUND(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 9) AS DECIMAL(18,9))
+      END) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS h,
+    SUM(CASE WHEN d > 0 AND n_risk > 0 THEN
+      CAST(ROUND(CAST(d AS DOUBLE)
+        / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)), 12) AS DECIMAL(18,12))
+      END) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS hv
+  FROM risk)
+SELECT strftime(day, '%Y-%m-%d') AS day, CAST(d AS BIGINT) AS d,
+  CAST(n_risk AS BIGINT) AS n_risk,
+  ROUND(CAST(h AS DOUBLE), 8) AS cum_hazard,
+  ROUND(CAST(hv AS DOUBLE), 10) AS hazard_var
+FROM curve WHERE d > 0 ORDER BY day""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -198,6 +198,8 @@ REPRESENTATIVE = [
     "jackknife_se_nation",  # leave-one-out means over zero nations
     "ljung_box_stat",  # portmanteau terms over an empty day spine
     "yule_k_lexical",  # frequency-spectrum moments over zero tokens
+    "shapley_attribution",  # coalition table over zero users
+    "nelson_aalen_hazard",  # hazard increments over zero users
 ]
 
 

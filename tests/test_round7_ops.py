@@ -362,3 +362,44 @@ class TestYuleK:
             assert r.n_types <= r.n_tokens
             # K > 0 whenever any token repeats
             assert r.yule_k > 0.0
+
+
+class TestShapley:
+    def test_efficiency_axiom(self, spark):
+        # sum of Shapley values == v(full) - v(empty), exactly (x24 ints)
+        from pgsf_spark.tables import load_table
+
+        rows = events.q_shapley_attribution(spark, SF).collect()
+        assert len(rows) == 4
+        total24 = sum(r.phi24 for r in rows)
+        ev = load_table(spark, SF, "events")
+        flags = ev.groupBy("user_id").agg(
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+            F.max((F.col("event_type") != "purchase").cast("int")).alias("touched"),
+        )
+        v_full = flags.filter(F.col("conv") == 1).count()
+        v_empty = (
+            flags.filter((F.col("conv") == 1) & (F.col("touched") == 0)).count()
+        )
+        assert total24 == 24 * (v_full - v_empty)
+
+    def test_shares_sum_to_one(self, spark):
+        rows = events.q_shapley_attribution(spark, SF).collect()
+        shares = [r.share for r in rows if r.share is not None]
+        if shares:
+            assert abs(sum(shares) - 1.0) < 1e-4
+
+
+class TestNelsonAalen:
+    def test_monotone_and_bounds_km(self, spark):
+        rows = events.q_nelson_aalen_hazard(spark, SF).collect()
+        assert rows
+        hz = [r.cum_hazard for r in rows]
+        assert hz == sorted(hz)
+        assert all(h > 0 for h in hz)
+        vs = [r.hazard_var for r in rows]
+        assert vs == sorted(vs)
+        # -ln S_KM(t) >= H_NA(t) pointwise (ln(1-x) <= -x)
+        km = {r.day: r.km_log_survival for r in events.q_kaplan_meier(spark, SF).collect()}
+        for r in rows:
+            assert -km[r.day] >= r.cum_hazard - 1e-6
