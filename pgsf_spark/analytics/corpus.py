@@ -808,3 +808,146 @@ def q_yule_k_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(10000.0) * ((F.col("s2").cast("double") - nd) / (nd * nd)), 6
         ).alias("yule_k"),
     ).orderBy("source")
+
+
+MCRT_K = 32  # Monte-Carlo randomization replicates (deterministic md5 arms)
+
+
+def q_randomization_test_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo randomization test for the English-vs-rest difference
+    in mean document length -- the distribution-free companion to the
+    parametric z/t gates (no normality, no variance formula: the null
+    is built by RELABELING, the same md5 bucketing service the A/B gates
+    use, so the whole reference distribution is deterministic and
+    engine-portable): for k = 1..MCRT_K, each doc is reassigned to a
+    pseudo-arm by md5 parity with seed k and the mean-length difference
+    recomputed; p = (1 + #{k : |diff_k| >= |observed|}) / (K + 1), the
+    standard add-one Monte-Carlo estimate.
+
+    Exactness: every replicate's sums/counts are exact integers from one
+    keyed aggregate; each diff is the identical fixed double chain on
+    both faces, and the |diff_k| >= |obs| comparisons are double
+    compares of identically-computed values -- no accumulation anywhere.
+
+    Plan: one documents scan exploding a K-element replicate spine
+    (map-side partial agg bounds the shuffle at K x 2 groups), one
+    2-group observed aggregate, then scalar algebra."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    obs = d.groupBy((F.col("lang") == "en").cast("int").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    obs_w = obs.groupBy().agg(
+        F.max(F.when(F.col("arm") == 1, mean)).alias("m1"),
+        F.max(F.when(F.col("arm") == 0, mean)).alias("m0"),
+        F.sum("n").alias("n_docs"),
+    )
+    reps = d.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(1), F.lit(MCRT_K))).alias("k"),
+    ).select(
+        "k",
+        "n_chars",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("mcrt"),
+                            F.col("k").cast("string"),
+                            F.lit(":"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    per_rep = reps.groupBy("k").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("n_chars"))).alias("s1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_chars"))).alias("s0"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    diff_k = F.col("s1").cast("double") / F.col("n1").cast("double") - F.col(
+        "s0"
+    ).cast("double") / F.col("n0").cast("double")
+    tail = per_rep.crossJoin(F.broadcast(obs_w)).agg(
+        F.sum(
+            (F.abs(diff_k) >= F.abs(F.col("m1") - F.col("m0"))).cast("int")
+        ).alias("n_extreme")
+    )
+    return obs_w.crossJoin(F.broadcast(tail)).select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.lit(MCRT_K).cast("bigint").alias("n_replicates"),
+        F.round(F.col("m1") - F.col("m0"), 6).alias("obs_diff"),
+        F.col("n_extreme").cast("bigint").alias("n_extreme"),
+        F.round(
+            (F.lit(1.0) + F.col("n_extreme").cast("double"))
+            / F.lit(float(MCRT_K + 1)),
+            6,
+        ).alias("p_value"),
+    )
+
+
+def q_readability_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per source -- the
+    classic readability screen a corpus-quality pipeline runs next to
+    the Gopher heuristics (too-hard and too-easy sources are both
+    quality signals): words/sentence and syllables/word from exact
+    counts, with the standard vowel-group syllable proxy
+    (max(1, runs of [aeiouy]) per token) and sentence proxy
+    (max(1, runs of [.!?]) per doc).
+
+    Exactness: word, sentence, and syllable totals are exact integers
+    (in-row array algebra, summed per source); both scores are fixed
+    double chains on the three exact totals with the published literal
+    coefficients, rounded to 6.
+
+    Plan: everything per-doc is in-row (no explode shuffle); one
+    per-source rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.greatest(F.regexp_count(t, F.lit("[aeiouy]+")), F.lit(1)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per_doc = d.select(
+        "source",
+        F.size(toks).cast("long").alias("w"),
+        F.greatest(F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1))
+        .cast("long")
+        .alias("st"),
+        syl.alias("sy"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("st").alias("sentences"),
+        F.sum("sy").alias("syllables"),
+    )
+    wps = F.col("words").cast("double") / F.col("sentences").cast("double")
+    spw = F.col("syllables").cast("double") / F.col("words").cast("double")
+    return per_src.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("words").cast("bigint").alias("words"),
+        F.col("sentences").cast("bigint").alias("sentences"),
+        F.col("syllables").cast("bigint").alias("syllables"),
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6).alias(
+            "flesch_reading_ease"
+        ),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    ).orderBy("source")

@@ -5880,6 +5880,62 @@ SELECT strftime(day, '%Y-%m-%d') AS day, CAST(d AS BIGINT) AS d,
   ROUND(CAST(hv AS DOUBLE), 10) AS hazard_var
 FROM curve WHERE d > 0 ORDER BY day""",
     ),
+    "randomization_test_chars": QuerySpec(
+        corpus.q_randomization_test_chars,
+        f"""WITH d AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM documents),
+obs AS (
+  SELECT MAX(CASE WHEN arm = 1 THEN m END) AS m1,
+    MAX(CASE WHEN arm = 0 THEN m END) AS m0,
+    CAST(SUM(n) AS BIGINT) AS n_docs
+  FROM (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS arm,
+          COUNT(*) AS n,
+          CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m
+        FROM d GROUP BY 1)),
+reps AS (
+  SELECT CAST(i AS INT) AS k, n_chars,
+    ('0x' || substr(md5('mcrt' || CAST(i AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm
+  FROM d, range(1, {corpus.MCRT_K + 1}) r(i)),
+pr AS (
+  SELECT k,
+    SUM(CASE WHEN arm = 1 THEN n_chars END) AS s1,
+    SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN arm = 0 THEN n_chars END) AS s0,
+    SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0
+  FROM reps GROUP BY 1),
+tail AS (
+  SELECT SUM(CASE WHEN abs(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                           - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       >= abs(m1 - m0) THEN 1 ELSE 0 END) AS n_extreme
+  FROM pr, obs)
+SELECT n_docs, CAST({corpus.MCRT_K} AS BIGINT) AS n_replicates,
+  ROUND(m1 - m0, 6) AS obs_diff,
+  CAST(n_extreme AS BIGINT) AS n_extreme,
+  ROUND((1.0 + CAST(n_extreme AS DOUBLE)) / {float(corpus.MCRT_K + 1)!r}, 6) AS p_value
+FROM obs, tail""",
+    ),
+    "readability_panel": QuerySpec(
+        corpus.q_readability_panel,
+        """WITH pd AS (
+  SELECT source,
+    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w,
+    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS st,
+    list_sum(list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+      x -> GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS sy
+  FROM documents),
+ps AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS words,
+    CAST(SUM(st) AS BIGINT) AS sentences, CAST(SUM(sy) AS BIGINT) AS syllables
+  FROM pd GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, words, sentences, syllables,
+  ROUND(CAST(206.835 AS DOUBLE)
+        - CAST(1.015 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        - CAST(84.6 AS DOUBLE) * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)), 6)
+    AS flesch_reading_ease,
+  ROUND(CAST(0.39 AS DOUBLE) * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+        + CAST(11.8 AS DOUBLE) * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+        - CAST(15.59 AS DOUBLE), 6) AS fk_grade
+FROM ps ORDER BY source""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -200,6 +200,8 @@ REPRESENTATIVE = [
     "yule_k_lexical",  # frequency-spectrum moments over zero tokens
     "shapley_attribution",  # coalition table over zero users
     "nelson_aalen_hazard",  # hazard increments over zero users
+    "randomization_test_chars",  # replicate spine over zero docs
+    "readability_panel",  # in-row syllable algebra over zero docs
 ]
 
 

@@ -403,3 +403,27 @@ class TestNelsonAalen:
         km = {r.day: r.km_log_survival for r in events.q_kaplan_meier(spark, SF).collect()}
         for r in rows:
             assert -km[r.day] >= r.cum_hazard - 1e-6
+
+
+class TestRandomizationTest:
+    def test_p_value_bounds_and_tail(self, spark):
+        row = corpus.q_randomization_test_chars(spark, SF).collect()[0]
+        assert row.n_replicates == corpus.MCRT_K
+        assert 0 <= row.n_extreme <= corpus.MCRT_K
+        lo = 1.0 / (corpus.MCRT_K + 1)
+        assert lo - 1e-9 <= row.p_value <= 1.0
+        # add-one identity
+        assert abs(row.p_value - (1 + row.n_extreme) / (corpus.MCRT_K + 1)) < 1e-6
+
+
+class TestReadability:
+    def test_count_identities_and_score_ranges(self, spark):
+        rows = corpus.q_readability_panel(spark, SF).collect()
+        assert len(rows) == 20
+        for r in rows:
+            # >= 1 sentence and >= 1 syllable per word by construction
+            assert r.sentences >= r.n_docs
+            assert r.syllables >= r.words
+            # sane screen range for English-ish synthetic text
+            assert -200.0 < r.flesch_reading_ease < 207.0
+            assert -16.0 < r.fk_grade < 60.0
