@@ -951,3 +951,107 @@ def q_readability_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
         ).alias("fk_grade"),
     ).orderBy("source")
+
+
+MCN_CHARS = 300  # filter A: document length floor (chars)
+MCN_TOKS = 55  # filter B: document length floor (tokens)
+
+
+def q_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on two document-quality filters -- the
+    right way to compare two filters evaluated on the SAME corpus
+    (independent-sample tests double-count the shared docs; McNemar
+    looks only at the DISAGREEMENT cells): with b = docs passing only
+    the char-length filter and c = docs passing only the token-count
+    filter, chi2 = (b - c)^2 / (b + c) (no continuity correction,
+    stated), plus the raw 2x2 table and the agreement rate.
+
+    Exactness: the four cells are exact integers from one scan (the
+    token count is in-row array length, no explode); chi2 and agreement
+    are single fixed double chains with try_divide for the b = c = 0
+    degenerate corpus.
+
+    Plan: one documents scan, one global 1-row aggregate -- no joins,
+    no shuffle beyond the final combine."""
+    d = load_table(spark, sf_dir, "documents")
+    fa = (F.col("n_chars") >= MCN_CHARS).cast("int")
+    fb = (F.size(_toks(F.col("text"))) >= MCN_TOKS).cast("int")
+    cells = d.select(fa.alias("a_"), fb.alias("b_")).agg(
+        F.sum((F.col("a_") * F.col("b_"))).alias("both_pass"),
+        F.sum(F.col("a_") * (1 - F.col("b_"))).alias("only_chars"),
+        F.sum((1 - F.col("a_")) * F.col("b_")).alias("only_tokens"),
+        F.sum((1 - F.col("a_")) * (1 - F.col("b_"))).alias("both_fail"),
+    )
+    b = F.col("only_chars").cast("double")
+    c = F.col("only_tokens").cast("double")
+    n = (
+        F.col("both_pass") + F.col("only_chars") + F.col("only_tokens") + F.col("both_fail")
+    ).cast("double")
+    return cells.select(
+        F.col("both_pass").cast("bigint").alias("both_pass"),
+        F.col("only_chars").cast("bigint").alias("only_chars"),
+        F.col("only_tokens").cast("bigint").alias("only_tokens"),
+        F.col("both_fail").cast("bigint").alias("both_fail"),
+        F.round(
+            F.try_divide((b - c) * (b - c), b + c), 6
+        ).alias("mcnemar_chi2"),
+        F.round(
+            F.try_divide((F.col("both_pass") + F.col("both_fail")).cast("double"), n), 6
+        ).alias("agreement"),
+    )
+
+
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit across sources -- the companion
+    constant to Zipf (V = K N^beta: how fast new vocabulary appears as a
+    source grows; beta near 0.5 is natural text, near 1 is id-like
+    noise, near 0 is template boilerplate): OLS of ln(types) on
+    ln(tokens) over the per-source (N, V) points.
+
+    Exactness: each source's token and type counts are exact integers;
+    ln x / ln y are single libm calls rounded to 9, the OLS moments
+    decimal-sum those rounded terms (the zipf_fit device), and
+    slope / intercept / r^2 are fixed double chains with try_divide
+    degeneracy guards. K itself is deliberately NOT emitted (exp is
+    libm-unsafe across faces; consumers exponentiate heaps_lnk).
+
+    Plan: one (source, token) keyed shuffle, one per-source rollup,
+    then 20-point algebra."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", F.explode(_toks(F.lower(F.col("text")))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_types"))
+    )
+    pts = per_src.select(
+        F.round(F.log(F.col("n_tokens").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("n_types").cast("double")), 9).alias("y"),
+    )
+    dx = "decimal(18,9)"
+    dxy = "decimal(38,18)"
+    m = pts.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum(F.col("x").cast(dx)).alias("sx"),
+        F.sum(F.col("y").cast(dx)).alias("sy"),
+        F.sum((F.col("x").cast(dx) * F.col("x").cast(dx)).cast(dxy)).alias("sxx"),
+        F.sum((F.col("x").cast(dx) * F.col("y").cast(dx)).cast(dxy)).alias("sxy"),
+        F.sum((F.col("y").cast(dx) * F.col("y").cast(dx)).cast(dxy)).alias("syy"),
+    )
+    gd = F.col("g").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    vxx = gd * sxx - sx * sx
+    vxy = gd * sxy - sx * sy
+    vyy = gd * syy - sy * sy
+    beta = F.try_divide(vxy, vxx)
+    return m.select(
+        F.col("g").cast("bigint").alias("n_sources"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round((sy - beta * sx) / gd, 6).alias("heaps_lnk"),
+        F.round(F.try_divide(vxy * vxy, vxx * vyy), 6).alias("r_squared"),
+    )

@@ -1964,3 +1964,58 @@ def q_nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy of the next event given the current one --
+    the information-theoretic predictability number on top of
+    q_event_transitions' matrix (H(Y|X) in nats: 0 = the next action is
+    fully determined, ln(5) = it is uniform noise), reported with the
+    marginal next-event entropy H(Y) and Theil's uncertainty coefficient
+    U = (H(Y) - H(Y|X)) / H(Y), the normalized "how much does knowing
+    the current event help" share.
+
+    Exactness: transition and marginal counts are exact integers from
+    ONE user-keyed shuffle; each cell's -(c_xy/N) ln(c_xy/c_x) term is
+    a fixed double chain rounded to 12 into DECIMAL before the <= 25-row
+    sum (the house sum-order-proof device), likewise the marginal terms;
+    U is two rounded-input doubles with try_divide degeneracy.
+
+    Plan: identical to markov_stationary -- one event-log shuffle, then
+    bounded |event_types|^2 algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+        )
+        .filter(F.col("e2").isNotNull())
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row_tot = pairs.groupBy("e1").agg(F.sum("c").alias("cx"))
+    col_tot = pairs.groupBy("e2").agg(F.sum("c").alias("cy"))
+    tot = pairs.agg(F.sum("c").alias("nt"))
+    cell = pairs.join(F.broadcast(row_tot), "e1").crossJoin(F.broadcast(tot))
+    term = F.round(
+        -(F.col("c").cast("double") / F.col("nt").cast("double"))
+        * F.log(F.col("c").cast("double") / F.col("cx").cast("double")),
+        12,
+    ).cast("decimal(18,12)")
+    hyx = cell.agg(F.sum(term).alias("hyx"), F.max("nt").alias("nt"))
+    mterm = F.round(
+        -(F.col("cy").cast("double") / F.col("nt").cast("double"))
+        * F.log(F.col("cy").cast("double") / F.col("nt").cast("double")),
+        12,
+    ).cast("decimal(18,12)")
+    hy = col_tot.crossJoin(F.broadcast(tot)).agg(F.sum(mterm).alias("hy"))
+    j = hyx.crossJoin(F.broadcast(hy))
+    hyxd = F.col("hyx").cast("double")
+    hyd = F.col("hy").cast("double")
+    return j.select(
+        F.col("nt").cast("bigint").alias("n_transitions"),
+        F.round(hyxd, 9).alias("h_next_given_current"),
+        F.round(hyd, 9).alias("h_next"),
+        F.round(F.try_divide(hyd - hyxd, hyd), 6).alias("uncertainty_coefficient"),
+    )

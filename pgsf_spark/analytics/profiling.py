@@ -2768,3 +2768,44 @@ def q_ljung_box_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(LB_CRIT).alias("chi2_crit_95"),
         (q > F.lit(LB_CRIT)).alias("reject_whiteness"),
     )
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson first-order autocorrelation statistic on the
+    mean-centered daily revenue series -- the regression-residual
+    whiteness number (DW ~ 2 means no lag-1 correlation, -> 0 positive,
+    -> 4 negative) completing the ACF/Ljung-Box shelf with the classic
+    d = sum (y_t - y_{t-1})^2 / sum y_t^2 form.
+
+    Exactness: reuses the ACF's division-free centering (y_t = n*x_t - s
+    exact BIGINT; the n^2 factors cancel in the ratio), so BOTH sums are
+    exact DECIMAL(38,0) integer accumulations and d is one double
+    division, rounded to 6.
+
+    Plan: one orders rollup shuffle, one lag window on the bounded day
+    spine."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("rev")
+    )
+    stats = daily.agg(F.sum("rev").alias("s"), F.count(F.lit(1)).alias("n"))
+    y = daily.crossJoin(F.broadcast(stats)).select(
+        "day", (F.col("n") * F.col("rev") - F.col("s")).alias("y")
+    )
+    dec = "decimal(19,0)"
+    lagged = y.select(
+        "y", F.lag("y").over(Window.orderBy("day")).alias("yp")
+    )
+    agg = lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(
+            (F.col("y") - F.col("yp")).cast(dec) * (F.col("y") - F.col("yp")).cast(dec)
+        ).alias("num"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("den"),
+    )
+    return agg.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(
+            F.try_divide(F.col("num").cast("double"), F.col("den").cast("double")), 6
+        ).alias("durbin_watson"),
+    )

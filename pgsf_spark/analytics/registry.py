@@ -5936,6 +5936,108 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs, words, sentences, syllables,
         - CAST(15.59 AS DOUBLE), 6) AS fk_grade
 FROM ps ORDER BY source""",
     ),
+    "durbin_watson": QuerySpec(
+        profiling.q_durbin_watson,
+        """WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SUM(CAST(round(o_totalprice) AS BIGINT)) AS rev
+  FROM orders GROUP BY 1),
+st AS (SELECT SUM(rev) AS s, COUNT(*) AS n FROM daily),
+y AS (SELECT day, n * rev - s AS y FROM daily, st),
+lg AS (SELECT y, LAG(y) OVER (ORDER BY day) AS yp FROM y),
+agg AS (
+  SELECT COUNT(*) AS n_days,
+    SUM(CAST(y - yp AS DECIMAL(19,0)) * CAST(y - yp AS DECIMAL(19,0))) AS num,
+    SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS den
+  FROM lg)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+  ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS durbin_watson
+FROM agg""",
+    ),
+    "transition_entropy": QuerySpec(
+        events.q_transition_entropy,
+        """WITH pr AS (
+  SELECT e1, e2, COUNT(*) AS c FROM (
+    SELECT event_type AS e1,
+      LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+    FROM events)
+  WHERE e2 IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT e1, SUM(c) AS cx FROM pr GROUP BY 1),
+ct AS (SELECT e2, SUM(c) AS cy FROM pr GROUP BY 1),
+tt AS (SELECT SUM(c) AS nt FROM pr),
+hyx AS (
+  SELECT SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+      * ln(CAST(c AS DOUBLE) / CAST(cx AS DOUBLE)), 12) AS DECIMAL(18,12))) AS hyx,
+    MAX(nt) AS nt
+  FROM pr JOIN rt USING (e1), tt),
+hy AS (
+  SELECT SUM(CAST(ROUND(-(CAST(cy AS DOUBLE) / CAST(nt AS DOUBLE))
+      * ln(CAST(cy AS DOUBLE) / CAST(nt AS DOUBLE)), 12) AS DECIMAL(18,12))) AS hy
+  FROM ct, tt)
+SELECT CAST(nt AS BIGINT) AS n_transitions,
+  ROUND(CAST(hyx AS DOUBLE), 9) AS h_next_given_current,
+  ROUND(CAST(hy AS DOUBLE), 9) AS h_next,
+  ROUND((CAST(hy AS DOUBLE) - CAST(hyx AS DOUBLE)) / CAST(hy AS DOUBLE), 6)
+    AS uncertainty_coefficient
+FROM hyx, hy""",
+    ),
+    "mcnemar_filters": QuerySpec(
+        corpus.q_mcnemar_filters,
+        f"""WITH cl AS (
+  SELECT CASE WHEN n_chars >= {corpus.MCN_CHARS} THEN 1 ELSE 0 END AS a_,
+    CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= {corpus.MCN_TOKS}
+      THEN 1 ELSE 0 END AS b_
+  FROM documents),
+cells AS (
+  SELECT CAST(SUM(a_ * b_) AS BIGINT) AS both_pass,
+    CAST(SUM(a_ * (1 - b_)) AS BIGINT) AS only_chars,
+    CAST(SUM((1 - a_) * b_) AS BIGINT) AS only_tokens,
+    CAST(SUM((1 - a_) * (1 - b_)) AS BIGINT) AS both_fail
+  FROM cl)
+SELECT both_pass, only_chars, only_tokens, both_fail,
+  ROUND((CAST(only_chars AS DOUBLE) - CAST(only_tokens AS DOUBLE))
+        * (CAST(only_chars AS DOUBLE) - CAST(only_tokens AS DOUBLE))
+        / (CAST(only_chars AS DOUBLE) + CAST(only_tokens AS DOUBLE)), 6)
+    AS mcnemar_chi2,
+  ROUND(CAST(both_pass + both_fail AS DOUBLE)
+        / CAST(both_pass + only_chars + only_tokens + both_fail AS DOUBLE), 6)
+    AS agreement
+FROM cells""",
+    ),
+    "heaps_law_fit": QuerySpec(
+        corpus.q_heaps_law_fit,
+        """WITH pt AS (
+  SELECT source, w, COUNT(*) AS c
+  FROM (SELECT source,
+          unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+  GROUP BY 1, 2),
+ps AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types
+  FROM pt GROUP BY 1),
+pts AS (
+  SELECT CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+    CAST(ROUND(ln(CAST(n_types AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+  FROM ps),
+m AS (
+  SELECT COUNT(*) AS g, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx,
+    SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy,
+    SUM(CAST(y * y AS DECIMAL(38,18))) AS syy
+  FROM pts),
+v AS (
+  SELECT CAST(g AS BIGINT) AS g, CAST(g AS DOUBLE) AS gd,
+    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+    CAST(g AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vxx,
+    CAST(g AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS vxy,
+    CAST(g AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vyy
+  FROM m)
+SELECT g AS n_sources,
+  ROUND(vxy / vxx, 6) AS heaps_beta,
+  ROUND((syd - (vxy / vxx) * sxd) / gd, 6) AS heaps_lnk,
+  ROUND((vxy * vxy) / (vxx * vyy), 6) AS r_squared
+FROM v""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -202,6 +202,10 @@ REPRESENTATIVE = [
     "nelson_aalen_hazard",  # hazard increments over zero users
     "randomization_test_chars",  # replicate spine over zero docs
     "readability_panel",  # in-row syllable algebra over zero docs
+    "durbin_watson",  # lag-diff ratio over an empty day spine
+    "transition_entropy",  # entropy terms over zero transitions
+    "mcnemar_filters",  # 2x2 cells over zero docs
+    "heaps_law_fit",  # log-log OLS over zero sources
 ]
 
 

@@ -427,3 +427,47 @@ class TestReadability:
             # sane screen range for English-ish synthetic text
             assert -200.0 < r.flesch_reading_ease < 207.0
             assert -16.0 < r.fk_grade < 60.0
+
+
+class TestDurbinWatson:
+    def test_range_and_acf_consistency(self, spark):
+        row = profiling.q_durbin_watson(spark, SF).collect()[0]
+        assert 0.0 <= row.durbin_watson <= 4.0
+        # DW ~ 2(1 - r1): check against the ACF gate's lag-1 value
+        acf1 = {
+            r.lag: r.acf for r in profiling.q_acf_daily_revenue(spark, SF).collect()
+        }[1]
+        assert abs(row.durbin_watson - 2.0 * (1.0 - acf1)) < 0.05
+
+
+class TestTransitionEntropy:
+    def test_information_inequalities(self, spark):
+        import math
+
+        row = events.q_transition_entropy(spark, SF).collect()[0]
+        # 0 <= H(Y|X) <= H(Y) <= ln(5 event types)
+        assert 0.0 <= row.h_next_given_current <= row.h_next + 1e-9
+        assert row.h_next <= math.log(5) + 1e-9
+        assert 0.0 <= row.uncertainty_coefficient <= 1.0
+
+
+class TestMcnemar:
+    def test_table_and_chi2(self, spark):
+        from pgsf_spark.tables import load_table
+
+        row = corpus.q_mcnemar_filters(spark, SF).collect()[0]
+        n = row.both_pass + row.only_chars + row.only_tokens + row.both_fail
+        assert n == load_table(spark, SF, "documents").count()
+        b, c = row.only_chars, row.only_tokens
+        if b + c:
+            assert abs(row.mcnemar_chi2 - (b - c) ** 2 / (b + c)) < 1e-6
+        assert 0.0 <= row.agreement <= 1.0
+
+
+class TestHeapsLaw:
+    def test_beta_in_sublinear_band(self, spark):
+        row = corpus.q_heaps_law_fit(spark, SF).collect()[0]
+        assert row.n_sources == 20
+        # vocabulary growth must be positive and sub-linear
+        assert 0.0 < row.heaps_beta <= 1.0
+        assert 0.0 <= row.r_squared <= 1.0
