@@ -1055,3 +1055,45 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - beta * sx) / gd, 6).alias("heaps_lnk"),
         F.round(F.try_divide(vxy * vxy, vxx * vyy), 6).alias("r_squared"),
     )
+
+
+def q_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of the corpus across sources
+    -- the one-number diversity gate a corpus datasheet leads with (HHI
+    of token share: 1/n_sources = perfectly balanced, 1.0 = one source
+    is the whole corpus), with the effective-source count 1/HHI (the
+    "how many equal sources is this really" reading) for both token and
+    document shares.
+
+    Exactness: per-source token/doc counts are exact integers; each
+    share^2 term is a fixed double chain rounded to 12 and
+    decimal-summed over the bounded source list; the reciprocals are
+    single divisions of those exact sums.
+
+    Plan: one in-row token count (no explode), one source rollup,
+    then 20-row algebra."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("long")
+    per_src = d.select("source", toks.alias("t")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("t").alias("toks")
+    )
+    tot = per_src.agg(
+        F.sum("docs").alias("td"), F.sum("toks").alias("tt"), F.count(F.lit(1)).alias("g")
+    )
+    j = per_src.crossJoin(F.broadcast(tot))
+    shd = F.col("docs").cast("double") / F.col("td").cast("double")
+    sht = F.col("toks").cast("double") / F.col("tt").cast("double")
+    d12 = "decimal(18,12)"
+    agg = j.groupBy("g").agg(
+        F.sum(F.round(shd * shd, 12).cast(d12)).alias("hd"),
+        F.sum(F.round(sht * sht, 12).cast(d12)).alias("ht"),
+    )
+    hdd = F.col("hd").cast("double")
+    htd = F.col("ht").cast("double")
+    return agg.select(
+        F.col("g").cast("bigint").alias("n_sources"),
+        F.round(hdd, 6).alias("hhi_docs"),
+        F.round(htd, 6).alias("hhi_tokens"),
+        F.round(F.try_divide(F.lit(1.0), hdd), 6).alias("effective_sources_docs"),
+        F.round(F.try_divide(F.lit(1.0), htd), 6).alias("effective_sources_tokens"),
+    )

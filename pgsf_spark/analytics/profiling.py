@@ -2809,3 +2809,118 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("num").cast("double"), F.col("den").cast("double")), 6
         ).alias("durbin_watson"),
     )
+
+
+def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint test on daily revenue -- the
+    nonparametric single-changepoint locator that pairs with CUSUM /
+    binary segmentation (those are mean-shift-in-variance detectors;
+    Pettitt is the Mann-Whitney form, robust to heavy tails):
+    U_t = sum_{i<=t} sum_{j>t} sign(x_i - x_j), K = max_t |U_t|, with
+    the changepoint at the argmax day.
+
+    Exactness: by antisymmetry U_t collapses to the cumulative sum of
+    each day's Mann-Kendall row score s_i = sum_j sign(x_i - x_j) -- an
+    EXACT integer cumsum, no doubles until the reported ln p
+    approximation -ln p ~ 6K^2/(n^3 + n^2) (emitted in LOG form; exp is
+    libm-unsafe across faces, per the KM/classifier precedent).
+
+    Plan: one orders rollup shuffle; the pairwise sign pass is the
+    bounded-calendar BroadcastNestedLoop over the ~2.4k-day spine (the
+    mann_kendall device), then one day-ordered cumsum."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    a = daily.select(F.col("day").alias("d1"), F.col("x").alias("x1"))
+    b = daily.select(F.col("day").alias("d2"), F.col("x").alias("x2"))
+    s = (
+        a.join(b, F.col("d1") != F.col("d2"))
+        .groupBy("d1")
+        .agg(
+            F.sum(
+                F.signum((F.col("x1") - F.col("x2")).cast("double")).cast("long")
+            ).alias("s")
+        )
+    )
+    u = s.select(
+        "d1",
+        F.sum("s").over(Window.orderBy("d1").rowsBetween(Window.unboundedPreceding, 0)).alias("u"),
+    )
+    n_agg = daily.agg(F.count(F.lit(1)).alias("n"))
+    best = (
+        u.orderBy(F.abs(F.col("u")).desc(), "d1")
+        .limit(1)
+        .crossJoin(F.broadcast(n_agg))
+    )
+    nd = F.col("n").cast("double")
+    k2 = F.col("u").cast("double") * F.col("u").cast("double")
+    return best.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.date_format("d1", "yyyy-MM-dd").alias("change_day"),
+        F.abs(F.col("u")).cast("bigint").alias("k_stat"),
+        F.round(-(F.lit(6.0) * k2) / (nd * nd * nd + nd * nd), 9).alias(
+            "ln_approx_p"
+        ),
+    )
+
+
+JB_CRIT = 5.991465  # chi2(2) 95th percentile; locked by property test
+
+
+def q_jarque_bera_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test of daily revenue -- the
+    moment-based gate (skewness and excess kurtosis jointly zero under
+    normality) that completes the distribution shelf next to KS (which
+    compares two samples) and Benford (which checks digits):
+    JB = n/6 (S^2 + K^2/4) vs the chi-square(2) 95% literal.
+
+    Exactness: the series' first two moments are exact integer sums, so
+    mean and sd are fixed double chains; each day's standardized
+    z = round((x - mean)/sd, 6) is an identically-computed double, and
+    z^3 / z^4 are double products of those ROUNDED values re-rounded to
+    9 and decimal-summed -- bounded magnitudes at any corpus scale
+    (|z| <~ 10), so no decimal overflow at 100 TB, unlike raw x^4 sums.
+
+    Plan: one orders rollup shuffle, two passes over the bounded day
+    spine (moments, then standardized powers)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).alias("x")
+    )
+    dec0 = "decimal(38,0)"
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x").cast(dec0) * F.col("x").cast(dec0)).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - mean * mean
+    mz = m.select("n", mean.alias("mean"), F.sqrt(var).alias("sd"))
+    z = daily.crossJoin(F.broadcast(mz)).select(
+        "n",
+        F.round((F.col("x").cast("double") - F.col("mean")) / F.col("sd"), 6).alias(
+            "z"
+        ),
+    )
+    d9 = "decimal(18,9)"
+    p = z.groupBy("n").agg(
+        F.sum(F.round(F.col("z") * F.col("z"), 9).cast(d9)).alias("z2"),
+        F.sum(F.round(F.col("z") * F.col("z") * F.col("z"), 9).cast(d9)).alias("z3"),
+        F.sum(
+            F.round(F.col("z") * F.col("z") * F.col("z") * F.col("z"), 9).cast(d9)
+        ).alias("z4"),
+    )
+    m2 = F.col("z2").cast("double") / nd
+    skew = (F.col("z3").cast("double") / nd) / F.sqrt(m2 * m2 * m2)
+    kurt = (F.col("z4").cast("double") / nd) / (m2 * m2) - F.lit(3.0)
+    jb = (nd / F.lit(6.0)) * (skew * skew + (kurt * kurt) / F.lit(4.0))
+    return p.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+        F.lit(JB_CRIT).alias("chi2_crit_95"),
+        (jb > F.lit(JB_CRIT)).alias("reject_normality"),
+    )

@@ -6038,6 +6038,97 @@ SELECT g AS n_sources,
   ROUND((vxy * vxy) / (vxx * vyy), 6) AS r_squared
 FROM v""",
     ),
+    "pettitt_changepoint": QuerySpec(
+        profiling.q_pettitt_changepoint,
+        """WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT a.day AS d1,
+    CAST(SUM(CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END)
+      AS BIGINT) AS s
+  FROM daily a JOIN daily b ON a.day <> b.day GROUP BY 1),
+u AS (SELECT d1, SUM(s) OVER (ORDER BY d1 ROWS UNBOUNDED PRECEDING) AS u FROM s),
+n AS (SELECT COUNT(*) AS n FROM daily),
+best AS (SELECT d1, u FROM u ORDER BY abs(u) DESC, d1 LIMIT 1)
+SELECT CAST(n AS BIGINT) AS n_days, strftime(d1, '%Y-%m-%d') AS change_day,
+  CAST(abs(u) AS BIGINT) AS k_stat,
+  ROUND(-(6.0 * CAST(u AS DOUBLE) * CAST(u AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+           + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 9) AS ln_approx_p
+FROM best, n""",
+    ),
+    "jarque_bera_daily": QuerySpec(
+        profiling.q_jarque_bera_daily,
+        f"""WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    SUM(CAST(round(o_totalprice) AS BIGINT)) AS x
+  FROM orders GROUP BY 1),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS s1,
+    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
+  FROM daily),
+mz AS (
+  SELECT n,
+    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+    sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS sd
+  FROM m),
+z AS (
+  SELECT n, ROUND((CAST(x AS DOUBLE) - mean) / sd, 6) AS z
+  FROM daily, mz),
+p AS (
+  SELECT n,
+    SUM(CAST(ROUND(z * z, 9) AS DECIMAL(18,9))) AS z2,
+    SUM(CAST(ROUND(z * z * z, 9) AS DECIMAL(18,9))) AS z3,
+    SUM(CAST(ROUND(z * z * z * z, 9) AS DECIMAL(18,9))) AS z4
+  FROM z GROUP BY 1),
+f AS (
+  SELECT n,
+    (CAST(z3 AS DOUBLE) / CAST(n AS DOUBLE))
+      / sqrt((CAST(z2 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(z2 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(z2 AS DOUBLE) / CAST(n AS DOUBLE))) AS skew,
+    (CAST(z4 AS DOUBLE) / CAST(n AS DOUBLE))
+      / ((CAST(z2 AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(z2 AS DOUBLE) / CAST(n AS DOUBLE))) - 3.0 AS kurt
+  FROM p)
+SELECT CAST(n AS BIGINT) AS n_days,
+  ROUND(skew, 6) AS skewness,
+  ROUND(kurt, 6) AS excess_kurtosis,
+  ROUND((CAST(n AS DOUBLE) / 6.0) * (skew * skew + (kurt * kurt) / 4.0), 6)
+    AS jb_stat,
+  CAST({profiling.JB_CRIT!r} AS DOUBLE) AS chi2_crit_95,
+  (CAST(n AS DOUBLE) / 6.0) * (skew * skew + (kurt * kurt) / 4.0)
+    > {profiling.JB_CRIT!r} AS reject_normality
+FROM f""",
+    ),
+    "source_hhi": QuerySpec(
+        corpus.q_source_hhi,
+        """WITH ps AS (
+  SELECT source, COUNT(*) AS docs,
+    CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT)
+      AS toks
+  FROM documents GROUP BY 1),
+tot AS (SELECT SUM(docs) AS td, SUM(toks) AS tt, COUNT(*) AS g FROM ps),
+agg AS (
+  SELECT g,
+    SUM(CAST(ROUND((CAST(docs AS DOUBLE) / CAST(td AS DOUBLE))
+                   * (CAST(docs AS DOUBLE) / CAST(td AS DOUBLE)), 12)
+        AS DECIMAL(18,12))) AS hd,
+    SUM(CAST(ROUND((CAST(toks AS DOUBLE) / CAST(tt AS DOUBLE))
+                   * (CAST(toks AS DOUBLE) / CAST(tt AS DOUBLE)), 12)
+        AS DECIMAL(18,12))) AS ht
+  FROM ps, tot GROUP BY 1)
+SELECT CAST(g AS BIGINT) AS n_sources,
+  ROUND(CAST(hd AS DOUBLE), 6) AS hhi_docs,
+  ROUND(CAST(ht AS DOUBLE), 6) AS hhi_tokens,
+  ROUND(1.0 / CAST(hd AS DOUBLE), 6) AS effective_sources_docs,
+  ROUND(1.0 / CAST(ht AS DOUBLE), 6) AS effective_sources_tokens
+FROM agg""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -206,6 +206,9 @@ REPRESENTATIVE = [
     "transition_entropy",  # entropy terms over zero transitions
     "mcnemar_filters",  # 2x2 cells over zero docs
     "heaps_law_fit",  # log-log OLS over zero sources
+    "pettitt_changepoint",  # pairwise signs over an empty day spine
+    "jarque_bera_daily",  # standardized powers over an empty series
+    "source_hhi",  # share squares over zero sources
 ]
 
 

@@ -71,3 +71,11 @@ class TestLjungBoxCritical:
             s += term
         p = 1.0 - math.exp(-h) * s
         assert abs(p - 0.95) < 1e-6
+
+
+class TestJarqueBeraCritical:
+    def test_chi2_df2_closed_form(self):
+        from pgsf_spark.analytics.profiling import JB_CRIT
+
+        # df=2: P(X <= x) = 1 - exp(-x/2)
+        assert abs((1.0 - math.exp(-JB_CRIT / 2.0)) - 0.95) < 1e-6

@@ -471,3 +471,57 @@ class TestHeapsLaw:
         # vocabulary growth must be positive and sub-linear
         assert 0.0 < row.heaps_beta <= 1.0
         assert 0.0 <= row.r_squared <= 1.0
+
+
+class TestPettitt:
+    def test_k_bounds_and_logp(self, spark):
+        row = profiling.q_pettitt_changepoint(spark, SF).collect()[0]
+        n = row.n_days
+        # |U_t| is bounded by the total pair count
+        assert 0 <= row.k_stat <= n * (n - 1)
+        assert row.ln_approx_p <= 0.0
+        assert row.change_day is not None
+
+    def test_u_is_cumsum_of_mk_scores(self, spark):
+        # the antisymmetry collapse: U_t == cumsum(s_i); re-derive K at
+        # a coarse month grain to keep the check cheap and independent
+        from pgsf_spark.tables import load_table
+
+        daily = (
+            load_table(spark, SF, "orders")
+            .groupBy(F.to_date("o_orderdate").alias("day"))
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+            .collect()
+        )
+        xs = [r.x for r in sorted(daily, key=lambda r: r.day)]
+        n = len(xs)
+        cum = 0
+        sgn = lambda a, b: (a > b) - (a < b)
+        row_scores = [sum(sgn(xi, xj) for xj in xs) for xi in xs]
+        ks = []
+        for t in range(n):
+            cum += row_scores[t]
+            ks.append(abs(cum))
+        row = profiling.q_pettitt_changepoint(spark, SF).collect()[0]
+        assert row.k_stat == max(ks)
+
+
+class TestJarqueBera:
+    def test_flag_and_moment_sanity(self, spark):
+        row = profiling.q_jarque_bera_daily(spark, SF).collect()[0]
+        assert row.jb_stat >= 0.0
+        assert row.reject_normality == (row.jb_stat > profiling.JB_CRIT)
+        assert abs(row.skewness) < 10 and row.excess_kurtosis > -3.0
+
+
+class TestSourceHhi:
+    def test_bounds_and_reciprocal(self, spark):
+        row = corpus.q_source_hhi(spark, SF).collect()[0]
+        g = row.n_sources
+        for hhi, eff in (
+            (row.hhi_docs, row.effective_sources_docs),
+            (row.hhi_tokens, row.effective_sources_tokens),
+        ):
+            assert 1.0 / g - 1e-9 <= hhi <= 1.0
+            assert 1.0 <= eff <= g + 1e-6
+            assert abs(eff - 1.0 / hhi) < 1e-3
