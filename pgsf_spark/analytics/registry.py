@@ -6583,13 +6583,20 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # degree_assortativity, bfs_reachability_probe, dedup_loss_weights,
 # retention_halflife, price_elasticity_proxy, topk_stability_audit,
 # calinski_harabasz_index, silhouette_panel -- FORTY-SIX total; they fill
-# 46 of the 50 slots), then the first FOUR of the r02 remainder
-# (kmv_distinct_users, value_stddev, price_quantity_corr,
-# soql_projection).  ROUND 9 FRONT: the rest of the r02 remainder
-# (repetition_stats, boilerplate_ngrams, benchmark_contamination,
-# token_diversity, temperature_sample, sequence_pack, event_funnel,
-# weekly_retention), then the r03-last-green set, then anything new in
-# rounds 8-9.
+# 46 of the 50 slots), then the first FOUR of the seventeen late-round-7
+# additions (batches 20-25, landing order: market_basket_rules,
+# pmi_collocations, runs_test_daily, jackknife_se_nation).
+# ROUND 9 FRONT MUST START WITH the remaining THIRTEEN late-round-7
+# additions (ljung_box_stat, yule_k_lexical, shapley_attribution,
+# nelson_aalen_hazard, randomization_test_chars, readability_panel,
+# durbin_watson, transition_entropy, mcnemar_filters, heaps_law_fit,
+# pettitt_changepoint, jarque_bera_daily, source_hhi, plus anything added
+# after this comment -- grep '# late round 7' markers below), then the
+# r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
+# soql_projection, repetition_stats, boilerplate_ngrams,
+# benchmark_contamination, token_diversity, temperature_sample,
+# sequence_pack, event_funnel, weekly_retention), then the r03-last-green
+# set, then anything new in rounds 8-9.
 _ROUND7_FRONT = [
     # r6 driver-red, DECIMAL output cast to DOUBLE on both faces -- re-gate
     "hits_hubs_authorities",
