@@ -1097,3 +1097,70 @@ def q_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(F.lit(1.0), hdd), 6).alias("effective_sources_docs"),
         F.round(F.try_divide(F.lit(1.0), htd), 6).alias("effective_sources_tokens"),
     )
+
+
+NOVELTY_BUCKETS = 10
+NOVELTY_N = 3  # token trigrams
+
+
+def q_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram novelty curve across ingestion order -- the saturation
+    diagnostic a corpus build watches to decide when more of a source
+    stops adding information (each ingestion decile reports what
+    fraction of its distinct trigrams were never seen in any earlier
+    decile; a healthy growing corpus decays slowly, a recycled one
+    falls off a cliff): buckets are doc_id deciles (ingestion order on
+    this corpus), novelty = grams whose FIRST bucket is this bucket.
+
+    Exactness: bucket assignment is the identical floor(id*10/(max+1))
+    double chain on both faces; everything else is exact integer
+    counting (distinct (bucket, gram) pairs, min-bucket per gram) and
+    one rounded division per row.
+
+    Plan: gram explosion feeds two keyed shuffles ((bucket, gram)
+    distinct, then per-gram min); all joins after are on the 10-row
+    bucket spine."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    bucket = F.floor(
+        (F.col("doc_id") * NOVELTY_BUCKETS).cast("double")
+        / (F.col("mx") + 1).cast("double")
+    ).cast("int")
+    base = d.crossJoin(F.broadcast(mx))
+    grams = base.select(
+        bucket.alias("bucket"),
+        F.explode(ngram_array(_toks(F.lower(F.col("text"))), NOVELTY_N)).alias(
+            "gram"
+        ),
+    )
+    bg = grams.distinct()
+    per_bucket = bg.groupBy("bucket").agg(F.count(F.lit(1)).alias("distinct_grams"))
+    novel = (
+        bg.groupBy("gram")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("novel_grams"))
+    )
+    ndocs = base.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        ndocs.join(per_bucket, "bucket", "left")
+        .join(novel, "bucket", "left")
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("distinct_grams", F.lit(0)).cast("bigint").alias(
+                "distinct_grams"
+            ),
+            F.coalesce("novel_grams", F.lit(0)).cast("bigint").alias("novel_grams"),
+            F.round(
+                F.try_divide(
+                    F.coalesce("novel_grams", F.lit(0)).cast("double"),
+                    F.coalesce("distinct_grams", F.lit(0)).cast("double"),
+                ),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("bucket")
+    )

@@ -2019,3 +2019,43 @@ def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hyd, 9).alias("h_next"),
         F.round(F.try_divide(hyd - hyxd, hyd), 6).alias("uncertainty_coefficient"),
     )
+
+
+def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Barabasi burstiness of per-user inter-event gaps -- the temporal
+    texture number for the event stream (B = (sigma - mu)/(sigma + mu):
+    -1 = metronome, 0 = Poisson, -> 1 = heavy-tailed bursts), with the
+    squared coefficient of variation CV^2 the queueing literature uses.
+
+    Exactness: gaps are exact integer MICROSECONDS from per-user lead
+    windows (sub-second timestamps truncate differently across engines
+    at second grain); the global count/sum/sum-of-squares accumulate in
+    BIGINT/DECIMAL, and mu, sigma, B, CV^2 are fixed double chains with
+    try_divide for the single-event degenerate stream.
+
+    Plan: one user-keyed shuffle for the lead window, one global 1-row
+    moment aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("ts", F.lead("ts", 1).over(w).alias("nxt"))
+        .select(F.expr("timestampdiff(MICROSECOND, ts, nxt)").alias("gap"))
+        .filter(F.col("gap").isNotNull())
+    )
+    dec = "decimal(38,0)"
+    m = gaps.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap").cast(dec) * F.col("gap").cast(dec)).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd  # microseconds
+    var = F.col("s2").cast("double") / nd - mu * mu
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return m.select(
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(mu / F.lit(1000000.0), 6).alias("mean_gap_s"),
+        F.round(sd / F.lit(1000000.0), 6).alias("sd_gap_s"),
+        F.round(F.try_divide(var, mu * mu), 6).alias("cv_squared"),
+        F.round(F.try_divide(sd - mu, sd + mu), 6).alias("burstiness_b"),
+    )

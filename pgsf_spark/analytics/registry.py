@@ -6129,6 +6129,119 @@ SELECT CAST(g AS BIGINT) AS n_sources,
   ROUND(1.0 / CAST(ht AS DOUBLE), 6) AS effective_sources_tokens
 FROM agg""",
     ),
+    "price_index_fisher": QuerySpec(
+        relational.q_price_index_fisher,
+        f"""WITH py AS (
+  SELECT l_partkey, EXTRACT(YEAR FROM o_orderdate) AS yr,
+    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE EXTRACT(YEAR FROM o_orderdate) IN ({relational.PIDX_BASE_YEAR}, {relational.PIDX_COMP_YEAR})
+  GROUP BY 1, 2 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 0),
+b AS (SELECT l_partkey AS pk, q AS qb, r AS rb FROM py WHERE yr = {relational.PIDX_BASE_YEAR}),
+c AS (SELECT l_partkey AS pk, q AS qc, r AS rc FROM py WHERE yr = {relational.PIDX_COMP_YEAR}),
+j AS (SELECT * FROM b JOIN c USING (pk)),
+agg AS (
+  SELECT COUNT(*) AS n_parts,
+    SUM(CAST(ROUND((CAST(rc AS DOUBLE) / CAST(qc AS DOUBLE)) * CAST(qb AS DOUBLE), 6) AS DECIMAL(27,6))) AS cb,
+    SUM(CAST(ROUND((CAST(rb AS DOUBLE) / CAST(qb AS DOUBLE)) * CAST(qb AS DOUBLE), 6) AS DECIMAL(27,6))) AS bb,
+    SUM(CAST(ROUND((CAST(rc AS DOUBLE) / CAST(qc AS DOUBLE)) * CAST(qc AS DOUBLE), 6) AS DECIMAL(27,6))) AS cc,
+    SUM(CAST(ROUND((CAST(rb AS DOUBLE) / CAST(qb AS DOUBLE)) * CAST(qc AS DOUBLE), 6) AS DECIMAL(27,6))) AS bc
+  FROM j)
+SELECT CAST(n_parts AS BIGINT) AS n_parts,
+  ROUND(CAST(cb AS DOUBLE) / CAST(bb AS DOUBLE), 6) AS laspeyres,
+  ROUND(CAST(cc AS DOUBLE) / CAST(bc AS DOUBLE), 6) AS paasche,
+  ROUND(sqrt((CAST(cb AS DOUBLE) / CAST(bb AS DOUBLE))
+             * (CAST(cc AS DOUBLE) / CAST(bc AS DOUBLE))), 6) AS fisher
+FROM agg""",
+    ),
+    "interarrival_burstiness": QuerySpec(
+        events.q_interarrival_burstiness,
+        """WITH g AS (
+  SELECT CAST(epoch_us(nxt) - epoch_us(ts) AS BIGINT) AS gap
+  FROM (SELECT ts, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events)
+  WHERE nxt IS NOT NULL),
+m AS (
+  SELECT COUNT(*) AS n, SUM(gap) AS s1,
+    SUM(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0))) AS s2
+  FROM g),
+f AS (
+  SELECT n,
+    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+    sqrt(GREATEST(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS sd,
+    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n_gaps,
+  ROUND(mu / 1000000.0, 6) AS mean_gap_s,
+  ROUND(sd / 1000000.0, 6) AS sd_gap_s,
+  ROUND(var / (mu * mu), 6) AS cv_squared,
+  ROUND((sd - mu) / (sd + mu), 6) AS burstiness_b
+FROM f""",
+    ),
+    "embedding_effective_rank": QuerySpec(
+        similarity.q_embedding_effective_rank,
+        """WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+pos AS (SELECT vec_id, CAST(i AS INT) AS i, v[CAST(i AS INT)] AS x
+        FROM e, range(1, 65) r(i)),
+mom AS (
+  SELECT a.i AS i, b.i AS j, SUM(CAST(a.x * b.x AS DECIMAL(27,10))) AS s
+  FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+mu AS (SELECT i, SUM(CAST(x AS DECIMAL(27,10))) AS m FROM pos GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM e),
+cells AS (
+  SELECT mom.i, mom.j, nn.n,
+    ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(mi.m AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(mj.m AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS c
+  FROM mom
+  JOIN mu mi ON mom.i = mi.i
+  JOIN mu mj ON mom.j = mj.i, nn),
+agg AS (
+  SELECT n,
+    SUM(CASE WHEN i = j THEN CAST(c AS DECIMAL(18,9)) END) AS tr,
+    SUM(CAST(ROUND(c * c, 12) * CAST(CASE WHEN i = j THEN 1 ELSE 2 END AS DOUBLE)
+        AS DECIMAL(18,12))) AS fr
+  FROM cells GROUP BY 1)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+  ROUND(CAST(tr AS DOUBLE), 6) AS trace,
+  ROUND(CAST(fr AS DOUBLE), 9) AS frobenius_sq,
+  ROUND((CAST(tr AS DOUBLE) * CAST(tr AS DOUBLE)) / CAST(fr AS DOUBLE), 6)
+    AS effective_rank
+FROM agg""",
+    ),
+    "corpus_novelty_curve": QuerySpec(
+        corpus.q_corpus_novelty_curve,
+        rf"""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+bk AS (
+  SELECT doc_id,
+    CAST(FLOOR(CAST(doc_id * {corpus.NOVELTY_BUCKETS} AS DOUBLE)
+               / CAST(mx + 1 AS DOUBLE)) AS INT) AS bucket
+  FROM t, mx),
+grams AS (
+  SELECT bk.bucket, array_to_string(toks[i:i+{corpus.NOVELTY_N - 1}], ' ') AS gram
+  FROM t JOIN bk USING (doc_id), range(1, 10000) r(i)
+  WHERE i <= len(toks) - {corpus.NOVELTY_N - 1}),
+bg AS (SELECT DISTINCT bucket, gram FROM grams),
+pb AS (SELECT bucket, COUNT(*) AS distinct_grams FROM bg GROUP BY 1),
+nv AS (
+  SELECT bucket, COUNT(*) AS novel_grams
+  FROM (SELECT gram, MIN(bucket) AS bucket FROM bg GROUP BY 1) GROUP BY 1),
+nd AS (SELECT bucket, COUNT(*) AS n_docs FROM bk GROUP BY 1)
+SELECT CAST(nd.bucket AS BIGINT) AS bucket, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(COALESCE(distinct_grams, 0) AS BIGINT) AS distinct_grams,
+  CAST(COALESCE(novel_grams, 0) AS BIGINT) AS novel_grams,
+  ROUND(CAST(COALESCE(novel_grams, 0) AS DOUBLE)
+        / CAST(COALESCE(distinct_grams, 0) AS DOUBLE), 6) AS novelty_rate
+FROM nd LEFT JOIN pb ON nd.bucket = pb.bucket
+LEFT JOIN nv ON nd.bucket = nv.bucket
+ORDER BY bucket""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -1013,3 +1013,66 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lift"),
     )
     return out.orderBy(F.col("lift").desc(), "antecedent", "consequent").limit(MB_TOP)
+
+
+PIDX_BASE_YEAR = 1995
+PIDX_COMP_YEAR = 2000
+
+
+def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between the base and
+    comparison years at the part grain -- the index-number economics the
+    plain yearly revenue trend cannot give (it confounds price and
+    volume; Laspeyres holds the BASE basket fixed, Paasche the current
+    one, Fisher is their geometric mean): unit prices are per-part
+    revenue/quantity within each year, over parts transacted in both.
+
+    Exactness: per-part-year quantity and cent-revenue sums are exact
+    integers; each part's p*q cross terms are fixed double chains
+    rounded to 6 and decimal-summed (sum-order-proof); the three indices
+    are single divisions (and one sqrt) of those exact aggregates.
+
+    Plan: one lineitem+orders join keyed on orderkey (both sides big:
+    shuffle hash join -- unavoidable and linear), one (part, year)
+    rollup, a self-join on the part key, then scalar algebra."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    py = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("yr").isin(PIDX_BASE_YEAR, PIDX_COMP_YEAR))
+        .groupBy("l_partkey", "yr")
+        .agg(
+            F.sum(F.round(F.col("l_quantity")).cast("long")).alias("q"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("r"),
+        )
+        .filter(F.col("q") > 0)
+    )
+    b = py.filter(F.col("yr") == PIDX_BASE_YEAR).select(
+        F.col("l_partkey").alias("pk"), F.col("q").alias("qb"), F.col("r").alias("rb")
+    )
+    c = py.filter(F.col("yr") == PIDX_COMP_YEAR).select(
+        F.col("l_partkey").alias("pk"), F.col("q").alias("qc"), F.col("r").alias("rc")
+    )
+    j = b.join(c, "pk")
+    pb = F.col("rb").cast("double") / F.col("qb").cast("double")
+    pc = F.col("rc").cast("double") / F.col("qc").cast("double")
+    d6 = "decimal(27,6)"
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.round(pc * F.col("qb").cast("double"), 6).cast(d6)).alias("cb"),
+        F.sum(F.round(pb * F.col("qb").cast("double"), 6).cast(d6)).alias("bb"),
+        F.sum(F.round(pc * F.col("qc").cast("double"), 6).cast(d6)).alias("cc"),
+        F.sum(F.round(pb * F.col("qc").cast("double"), 6).cast(d6)).alias("bc"),
+    )
+    lasp = F.col("cb").cast("double") / F.col("bb").cast("double")
+    paas = F.col("cc").cast("double") / F.col("bc").cast("double")
+    return agg.select(
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

@@ -1536,3 +1536,95 @@ def q_silhouette_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.crossJoin(F.broadcast(mean))
         .orderBy("vec_id")
     )
+
+
+def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective rank (participation ratio) of the embedding covariance
+    -- the representation-collapse diagnostic (RankMe-family: how many
+    directions does the embedding space REALLY use; 64 = isotropic,
+    ~1 = collapsed to a line) computed without any eigensolve:
+    PR = (sum_i lambda_i)^2 / sum_i lambda_i^2 = trace(C)^2 / ||C||_F^2,
+    both invariants read directly off the covariance cells.
+
+    Exactness: raw second moments and dim means accumulate in exact
+    DECIMAL via the PCA outer-product device; each covariance cell is
+    the fixed chain round(s_ij/n - (m_i/n)(m_j/n), 9) -> DECIMAL; the
+    trace is an exact decimal sum of diagonal cells and the Frobenius
+    term decimal-sums round(c^2, 12); PR is one double division.
+
+    Plan: one embeddings scan exploding the UPPER-TRIANGLE outer
+    product (2080 structs/row; map-side combine bounds the shuffle at
+    2080 cells), then bounded cell algebra -- the vectors themselves
+    never shuffle. Deliberately linear in n_vectors x dim^2 (this IS
+    the covariance computation)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.col("embedding").alias("v"))
+    # upper triangle only (j >= i): 2080 cells instead of 4096 -- the
+    # symmetric half is reconstructed by the weight-2 Frobenius terms
+    pairs = x.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "v",
+                    lambda xi, i: F.transform(
+                        F.slice(F.col("v"), i + 1, F.size("v") - i),
+                        lambda xj, jj: F.struct(
+                            i.alias("i"),
+                            (i + jj).alias("j"),
+                            (xi.cast("double") * xj.cast("double")).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    )
+    dec = "decimal(27,10)"
+    moments = pairs.select("c.i", "c.j", "c.p").groupBy("i", "j").agg(
+        F.sum(F.col("p").cast(dec)).alias("s")
+    )
+    mu = x.select(F.posexplode("v").alias("i", "xi")).groupBy("i").agg(
+        F.sum(F.col("xi").cast(dec)).alias("m")
+    )
+    n_agg = x.agg(F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("double")
+    cells = (
+        moments.join(
+            F.broadcast(mu.select(F.col("i").alias("i_"), F.col("m").alias("mi"))),
+            F.col("i") == F.col("i_"),
+        )
+        .join(
+            F.broadcast(mu.select(F.col("i").alias("j_"), F.col("m").alias("mj"))),
+            F.col("j") == F.col("j_"),
+        )
+        .crossJoin(F.broadcast(n_agg))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("s").cast("double") / nd
+                - (F.col("mi").cast("double") / nd)
+                * (F.col("mj").cast("double") / nd),
+                9,
+            ).alias("c"),
+            "n",
+        )
+    )
+    w2 = F.when(F.col("i") == F.col("j"), F.lit(1)).otherwise(F.lit(2))
+    agg = cells.groupBy("n").agg(
+        F.sum(F.when(F.col("i") == F.col("j"), F.col("c").cast("decimal(18,9)"))).alias(
+            "tr"
+        ),
+        F.sum(
+            (F.round(F.col("c") * F.col("c"), 12) * w2.cast("double")).cast(
+                "decimal(18,12)"
+            )
+        ).alias("fr"),
+    )
+    trd = F.col("tr").cast("double")
+    frd = F.col("fr").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(trd, 6).alias("trace"),
+        F.round(frd, 9).alias("frobenius_sq"),
+        F.round(F.try_divide(trd * trd, frd), 6).alias("effective_rank"),
+    )

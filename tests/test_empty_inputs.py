@@ -209,6 +209,10 @@ REPRESENTATIVE = [
     "pettitt_changepoint",  # pairwise signs over an empty day spine
     "jarque_bera_daily",  # standardized powers over an empty series
     "source_hhi",  # share squares over zero sources
+    "price_index_fisher",  # two-year basket join over zero lineitems
+    "interarrival_burstiness",  # gap moments over zero events
+    "embedding_effective_rank",  # covariance cells from zero vectors
+    "corpus_novelty_curve",  # gram first-buckets over zero docs
 ]
 
 

@@ -525,3 +525,43 @@ class TestSourceHhi:
             assert 1.0 / g - 1e-9 <= hhi <= 1.0
             assert 1.0 <= eff <= g + 1e-6
             assert abs(eff - 1.0 / hhi) < 1e-3
+
+
+class TestPriceIndex:
+    def test_index_identities(self, spark):
+        from pgsf_spark.analytics import relational
+
+        row = relational.q_price_index_fisher(spark, SF).collect()[0]
+        assert row.n_parts > 0
+        for v in (row.laspeyres, row.paasche, row.fisher):
+            assert v > 0.0
+        # Fisher is the geometric mean: strictly between (or equal to) both
+        lo, hi = sorted((row.laspeyres, row.paasche))
+        assert lo - 1e-6 <= row.fisher <= hi + 1e-6
+
+
+class TestInterarrivalBurstiness:
+    def test_bounds(self, spark):
+        row = events.q_interarrival_burstiness(spark, SF).collect()[0]
+        assert row.n_gaps > 0
+        assert row.mean_gap_s > 0 and row.sd_gap_s >= 0
+        assert -1.0 <= row.burstiness_b <= 1.0
+        assert row.cv_squared >= 0.0
+
+
+class TestEffectiveRank:
+    def test_rank_bounds(self, spark):
+        row = similarity.q_embedding_effective_rank(spark, SF).collect()[0]
+        # PR is between 1 and the ambient dimension
+        assert 1.0 - 1e-6 <= row.effective_rank <= 64.0 + 1e-6
+        assert row.trace > 0 and row.frobenius_sq > 0
+
+
+class TestNoveltyCurve:
+    def test_monotone_structure(self, spark):
+        rows = corpus.q_corpus_novelty_curve(spark, SF).collect()
+        assert [r.bucket for r in rows] == list(range(corpus.NOVELTY_BUCKETS))
+        # bucket 0 is 100% novel by construction
+        assert rows[0].novelty_rate == 1.0
+        for r in rows:
+            assert 0 <= r.novel_grams <= r.distinct_grams
