@@ -2059,3 +2059,37 @@ def q_interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.try_divide(var, mu * mu), 6).alias("cv_squared"),
         F.round(F.try_divide(sd - mu, sd + mu), 6).alias("burstiness_b"),
     )
+
+
+def q_negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit of per-user event counts
+    -- the modeling step the overdispersion gate points at (once
+    variance > mean rules Poisson out, NB(r, p) is the standard heavy
+    model for user activity; r is the "heterogeneity" shape, small r =
+    a few superusers dominate): r = mu^2/(var - mu), p = mu/var.
+
+    Exactness: per-user counts are integers; the global moments
+    accumulate in BIGINT/DECIMAL; mu, var, r, p are fixed double chains,
+    NULL when the sample is actually underdispersed (var <= mu -- NB
+    undefined, the gate must say so rather than emit garbage).
+
+    Plan: one user-keyed count shuffle, one 1-row moment aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("k"))
+    dec = "decimal(38,0)"
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("s1"),
+        F.sum(F.col("k").cast(dec) * F.col("k").cast(dec)).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    var = F.col("s2").cast("double") / nd - mu * mu
+    defined = var > mu
+    return m.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(mu, 6).alias("mean_events"),
+        F.round(var, 6).alias("var_events"),
+        F.round(F.when(defined, (mu * mu) / (var - mu)), 6).alias("nb_r"),
+        F.round(F.when(defined, mu / var), 6).alias("nb_p"),
+    )

@@ -2924,3 +2924,127 @@ def q_jarque_bera_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(JB_CRIT).alias("chi2_crit_95"),
         (jb > F.lit(JB_CRIT)).alias("reject_normality"),
     )
+
+
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises statistic between first-half and
+    second-half order values -- the INTEGRATED distribution-drift test
+    that completes the two-sample family (KS reacts to the single worst
+    ECDF gap; CvM accumulates the whole squared gap, so it sees broad
+    small shifts KS misses): T = (n1 n2 / (n1+n2)^2) * sum_k w_k
+    (F1(x_k) - F2(x_k))^2 over the pooled sample (w_k = pooled
+    multiplicity at the k-th distinct value).
+
+    Exactness: the ECDF gap at each pooled value is the exact integer
+    c1*n2 - c2*n1 over the common denominator n1*n2 (the KS device);
+    w*(gap)^2 accumulates in DECIMAL(38,0), and T is one fixed double
+    chain on three exact integers.
+
+    Plan: identical to KS -- one orders scan, one sort of the pooled
+    distinct-value spine with running counts."""
+    orders = load_table(spark, sf_dir, "orders")
+    # the SAME median-day split as q_ks_test_gate, so KS and CvM gate the
+    # same comparison
+    sided = orders.crossJoin(
+        F.broadcast(
+            orders.agg(
+                F.expr(
+                    "percentile(datediff(to_date(o_orderdate), '1970-01-01'), 0.5D)"
+                ).alias("mid")
+            )
+        )
+    ).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) <= F.col("mid")
+        ).cast("int").alias("s1"),
+    )
+    per_v = sided.groupBy("v").agg(
+        F.sum("s1").alias("w1"), F.sum(1 - F.col("s1")).alias("w2")
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = per_v.select(
+        "v",
+        (F.col("w1") + F.col("w2")).alias("w"),
+        F.sum("w1").over(wcum).alias("c1"),
+        F.sum("w2").over(wcum).alias("c2"),
+    )
+    tot = sided.agg(
+        F.sum("s1").alias("n1"), F.sum(1 - F.col("s1")).alias("n2")
+    )
+    dec = "decimal(38,0)"
+    j = ecdf.crossJoin(F.broadcast(tot))
+    gap = (F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).cast(dec)
+    agg = j.groupBy("n1", "n2").agg(F.sum(F.col("w").cast(dec) * gap * gap).alias("u"))
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    t = (
+        (n1d * n2d / (nd * nd))
+        * (F.col("u").cast("double") / ((n1d * n2d) * (n1d * n2d)))
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_first_half"),
+        F.col("n2").cast("bigint").alias("n_second_half"),
+        F.round(t, 6).alias("cvm_stat"),
+    )
+
+
+HAMPEL_K = 3.0  # flag beyond 3 robust sigmas
+HAMPEL_HALF = 3  # +-3-day window
+
+
+def q_hampel_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over daily revenue -- the ROBUST outlier-day screen
+    (the EWMA/anomaly charts use mean/stddev, which an outlier itself
+    inflates; Hampel compares each day against its +-3-day window MEDIAN
+    with an MAD yardstick, so a single spike cannot hide itself):
+    flag |x_t - med_t| > K * 1.4826 * mad_t, interior days only (full
+    7-day windows; edges are excluded, stated).
+
+    Exactness: revenue is integer cents; window median and MAD are
+    odd-count order statistics (or exact .5 averages), identical
+    doubles on both faces; the flag compare and the max deviation ratio
+    are fixed chains with try_divide for the zero-MAD flat window.
+
+    Plan: one orders rollup shuffle; the +-3-day neighborhood pairing is
+    the bounded-calendar join on the ~2.4k-day spine, then two keyed
+    7-row aggregates."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    a = daily.select(F.col("day").alias("t"), F.col("x").alias("xt"))
+    b = daily.select(F.col("day").alias("j"), F.col("x").alias("xj"))
+    pairs = a.join(
+        b,
+        (F.datediff(F.col("j"), F.col("t")) >= -HAMPEL_HALF)
+        & (F.datediff(F.col("j"), F.col("t")) <= HAMPEL_HALF),
+    )
+    med = pairs.groupBy("t", "xt").agg(
+        F.expr("percentile(xj, 0.5)").alias("med"), F.count(F.lit(1)).alias("cnt")
+    )
+    mad = (
+        pairs.join(med.select("t", "med"), "t")
+        .select("t", F.abs(F.col("xj").cast("double") - F.col("med")).alias("dev"))
+        .groupBy("t")
+        .agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    )
+    flagged = (
+        med.filter(F.col("cnt") == 2 * HAMPEL_HALF + 1)
+        .join(mad, "t")
+        .select(
+            "t",
+            F.try_divide(
+                F.abs(F.col("xt").cast("double") - F.col("med")),
+                F.lit(1.4826) * F.col("mad"),
+            ).alias("ratio"),
+        )
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_checked"),
+        F.sum((F.col("ratio") > HAMPEL_K).cast("int")).cast("bigint").alias(
+            "n_outliers"
+        ),
+        F.round(F.max("ratio"), 6).alias("max_deviation_ratio"),
+    )

@@ -6242,6 +6242,87 @@ FROM nd LEFT JOIN pb ON nd.bucket = pb.bucket
 LEFT JOIN nv ON nd.bucket = nv.bucket
 ORDER BY bucket""",
     ),
+    "cramer_von_mises": QuerySpec(
+        profiling.q_cramer_von_mises,
+        """WITH sp AS (
+  SELECT median(datediff('day', DATE '1970-01-01', CAST(date_trunc('day', o_orderdate) AS DATE))) AS mid
+  FROM orders),
+vals AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+    CASE WHEN datediff('day', DATE '1970-01-01', CAST(date_trunc('day', o_orderdate) AS DATE)) <= mid
+      THEN 1 ELSE 0 END AS s1
+  FROM orders, sp),
+pv AS (
+  SELECT v, SUM(s1) AS w1, SUM(1 - s1) AS w2 FROM vals GROUP BY v),
+cum AS (
+  SELECT v, w1 + w2 AS w,
+    SUM(w1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+    SUM(w2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+  FROM pv),
+n AS (SELECT SUM(s1) AS n1, SUM(1 - s1) AS n2 FROM vals),
+agg AS (
+  SELECT n1, n2,
+    SUM(CAST(w AS DECIMAL(38,0))
+        * CAST(c1 * n2 - c2 * n1 AS DECIMAL(38,0))
+        * CAST(c1 * n2 - c2 * n1 AS DECIMAL(38,0))) AS u
+  FROM cum, n GROUP BY 1, 2)
+SELECT CAST(n1 AS BIGINT) AS n_first_half, CAST(n2 AS BIGINT) AS n_second_half,
+  ROUND((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+            * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+        * (CAST(u AS DOUBLE)
+           / ((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+              * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))), 6) AS cvm_stat
+FROM agg""",
+    ),
+    "hampel_outlier_days": QuerySpec(
+        profiling.q_hampel_outlier_days,
+        f"""WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT a.day AS t, a.x AS xt, b.x AS xj
+  FROM daily a JOIN daily b
+  ON datediff('day', a.day, b.day) BETWEEN -{profiling.HAMPEL_HALF} AND {profiling.HAMPEL_HALF}),
+med AS (
+  SELECT t, MAX(xt) AS xt, quantile_cont(xj, 0.5) AS med, COUNT(*) AS cnt
+  FROM pairs GROUP BY t),
+mad AS (
+  SELECT p.t, quantile_cont(abs(CAST(p.xj AS DOUBLE) - m.med), 0.5) AS mad
+  FROM pairs p JOIN med m ON p.t = m.t GROUP BY 1),
+fl AS (
+  SELECT med.t,
+    abs(CAST(xt AS DOUBLE) - med) / (1.4826 * mad) AS ratio
+  FROM med JOIN mad ON med.t = mad.t
+  WHERE cnt = {2 * profiling.HAMPEL_HALF + 1})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days_checked,
+  CAST(SUM(CASE WHEN ratio > {profiling.HAMPEL_K!r} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  ROUND(MAX(ratio), 6) AS max_deviation_ratio
+FROM fl""",
+    ),
+    "negative_binomial_fit": QuerySpec(
+        events.q_negative_binomial_fit,
+        """WITH pu AS (SELECT user_id, COUNT(*) AS k FROM events GROUP BY 1),
+m AS (
+  SELECT COUNT(*) AS n, SUM(k) AS s1,
+    SUM(CAST(k AS DECIMAL(38,0)) * CAST(k AS DECIMAL(38,0))) AS s2
+  FROM pu),
+f AS (
+  SELECT n,
+    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n_users,
+  ROUND(mu, 6) AS mean_events,
+  ROUND(var, 6) AS var_events,
+  ROUND(CASE WHEN var > mu THEN (mu * mu) / (var - mu) END, 6) AS nb_r,
+  ROUND(CASE WHEN var > mu THEN mu / var END, 6) AS nb_p
+FROM f""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -213,6 +213,9 @@ REPRESENTATIVE = [
     "interarrival_burstiness",  # gap moments over zero events
     "embedding_effective_rank",  # covariance cells from zero vectors
     "corpus_novelty_curve",  # gram first-buckets over zero docs
+    "cramer_von_mises",  # pooled ECDF gaps over zero orders
+    "hampel_outlier_days",  # window medians over an empty day spine
+    "negative_binomial_fit",  # count moments over zero users
 ]
 
 

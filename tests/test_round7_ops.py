@@ -565,3 +565,42 @@ class TestNoveltyCurve:
         assert rows[0].novelty_rate == 1.0
         for r in rows:
             assert 0 <= r.novel_grams <= r.distinct_grams
+
+
+class TestCramerVonMises:
+    def test_nonnegative_and_null_small(self, spark):
+        row = profiling.q_cramer_von_mises(spark, SF).collect()[0]
+        assert row.cvm_stat >= 0.0
+        # null (time-split) comparison on a stationary synthetic series:
+        # E[T] ~ 1/6 + 1/(6(m+n)); > 5 would be an absurd drift claim
+        assert row.cvm_stat < 5.0
+        assert row.n_first_half > 0 and row.n_second_half > 0
+
+
+class TestHampel:
+    def test_counts_and_ratio(self, spark):
+        row = profiling.q_hampel_outlier_days(spark, SF).collect()[0]
+        assert row.n_outliers <= row.n_days_checked
+        assert row.max_deviation_ratio is None or row.max_deviation_ratio >= 0.0
+        # interior days only: checked = n_days - 2 * HALF on a gapless spine
+        from pgsf_spark.tables import load_table
+
+        n_days = (
+            load_table(spark, SF, "orders")
+            .select(F.to_date("o_orderdate").alias("d"))
+            .distinct()
+            .count()
+        )
+        assert row.n_days_checked <= n_days
+
+
+class TestNegativeBinomial:
+    def test_moment_identities(self, spark):
+        row = events.q_negative_binomial_fit(spark, SF).collect()[0]
+        assert row.n_users > 0
+        assert row.var_events >= 0.0
+        if row.nb_r is not None:
+            assert row.nb_r > 0 and 0.0 < row.nb_p < 1.0
+            # MoM identity: mu == r(1-p)/p
+            mu_back = row.nb_r * (1 - row.nb_p) / row.nb_p
+            assert abs(mu_back - row.mean_events) / row.mean_events < 0.01
