@@ -1164,3 +1164,50 @@ def q_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+LN2 = 0.6931471805599453  # literal, keeps log2 out of gated columns
+
+
+def q_char_entropy_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level entropy per source in bits/char -- the
+    compressibility screen (a gzip-ratio proxy with zero codec
+    dependencies: low-entropy sources are template/boilerplate, outlier
+    high entropy is often encoded junk), next to the token-level
+    JS/Yule gates but at the raw-byte granularity quality filters
+    actually act on.
+
+    Exactness: per-(source, char) counts are exact integers from one
+    position-exploded scan; each -(c/N) ln(c/N) term is a fixed double
+    chain rounded to 12 into DECIMAL before the per-source sum (bounded
+    alphabet), and bits divide by the ln2 LITERAL -- no log2 libm call.
+
+    Plan: the explode multiplies rows by chars/doc but the groupBy key
+    is (source, char), so map-side partial aggregation bounds shuffle
+    volume by the alphabet, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "source",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    per = chars.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = per.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+    )
+    j = per.join(tot, "source")
+    term = F.round(
+        -(F.col("c").cast("double") / F.col("n").cast("double"))
+        * F.log(F.col("c").cast("double") / F.col("n").cast("double")),
+        12,
+    ).cast("decimal(18,12)")
+    h = j.groupBy("source", "n", "k").agg(F.sum(term).alias("h"))
+    return h.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.col("k").cast("bigint").alias("n_distinct_chars"),
+        F.round(F.col("h").cast("double") / F.lit(LN2), 6).alias(
+            "entropy_bits_per_char"
+        ),
+    ).orderBy("source")

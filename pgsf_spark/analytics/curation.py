@@ -625,3 +625,48 @@ def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_e, 6).alias("p_e"),
         F.round(F.try_divide(p_bar - p_e, 1 - p_e), 6).alias("fleiss_kappa"),
     )
+
+
+WILSON_Z = 1.959964  # two-sided 95% normal quantile; locked by erf test
+
+
+def q_wilson_pass_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for the char-length filter
+    pass-rate per source -- the uncertainty-aware version of the raw
+    pass-rate every curation dashboard shows (the naive Wald interval
+    collapses at extreme rates and small sources; Wilson stays honest):
+    center = (p + z^2/2n) / (1 + z^2/n), half-width =
+    z sqrt(p(1-p)/n + z^2/4n^2) / (1 + z^2/n).
+
+    Exactness: pass counts are exact integers; the interval is one fixed
+    double chain per source on (k, n) with the z LITERAL (same constant
+    family as the BH threshold table, locked by the erf property test);
+    try_divide guards the empty source.
+
+    Plan: one documents scan, one source rollup, then per-row algebra."""
+    from pgsf_spark.analytics.corpus import MCN_CHARS
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_chars") >= MCN_CHARS).cast("int")).alias("k"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    z = F.lit(WILSON_Z)
+    z2 = z * z
+    denom = F.lit(1.0) + z2 / nd
+    center = (p + z2 / (F.lit(2.0) * nd)) / denom
+    half = (
+        z
+        * F.sqrt(p * (F.lit(1.0) - p) / nd + z2 / (F.lit(4.0) * nd * nd))
+        / denom
+    )
+    return per.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("k").cast("bigint").alias("n_pass"),
+        F.round(p, 6).alias("pass_rate"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("source")

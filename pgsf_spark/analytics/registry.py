@@ -6323,6 +6323,76 @@ SELECT CAST(n AS BIGINT) AS n_users,
   ROUND(CASE WHEN var > mu THEN mu / var END, 6) AS nb_p
 FROM f""",
     ),
+    "char_entropy_bits": QuerySpec(
+        corpus.q_char_entropy_bits,
+        f"""WITH ch AS (
+  SELECT source, substr(text, CAST(i AS INT), 1) AS ch
+  FROM documents, range(1, 100000) r(i) WHERE i <= len(text)),
+per AS (SELECT source, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+tot AS (SELECT source, SUM(c) AS n, COUNT(*) AS k FROM per GROUP BY 1),
+h AS (
+  SELECT per.source, MAX(n) AS n, MAX(k) AS k,
+    SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(18,12))) AS h
+  FROM per JOIN tot ON per.source = tot.source GROUP BY 1)
+SELECT source, CAST(n AS BIGINT) AS n_chars, CAST(k AS BIGINT) AS n_distinct_chars,
+  ROUND(CAST(h AS DOUBLE) / {corpus.LN2!r}, 6) AS entropy_bits_per_char
+FROM h ORDER BY source""",
+    ),
+    "ship_latency_profile": QuerySpec(
+        relational.q_ship_latency_profile,
+        f"""WITH lat AS (
+  SELECT o_orderpriority AS priority,
+    datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+per AS (SELECT priority, lat, COUNT(*) AS c FROM lat GROUP BY 1, 2),
+cum AS (
+  SELECT priority, lat, c,
+    SUM(c) OVER (PARTITION BY priority ORDER BY lat ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per),
+tot AS (
+  SELECT priority, SUM(c) AS n,
+    SUM(CAST(c AS DECIMAL(38,0)) * lat) AS s, MAX(lat) AS max_days
+  FROM per GROUP BY 1),
+j AS (
+  SELECT cum.priority, n, s, max_days,
+    MIN(CASE WHEN cum >= CEIL({relational.LAT_P50!r} * n) THEN lat END) AS p50_days,
+    MIN(CASE WHEN cum >= CEIL({relational.LAT_P90!r} * n) THEN lat END) AS p90_days
+  FROM cum JOIN tot ON cum.priority = tot.priority
+  GROUP BY 1, 2, 3, 4)
+SELECT priority, CAST(n AS BIGINT) AS n_lineitems,
+  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_days,
+  CAST(p50_days AS BIGINT) AS p50_days, CAST(p90_days AS BIGINT) AS p90_days,
+  CAST(max_days AS BIGINT) AS max_days
+FROM j ORDER BY priority""",
+    ),
+    "wilson_pass_rate_ci": QuerySpec(
+        curation.q_wilson_pass_rate_ci,
+        f"""WITH per AS (
+  SELECT source, COUNT(*) AS n,
+    SUM(CASE WHEN n_chars >= {corpus.MCN_CHARS} THEN 1 ELSE 0 END) AS k
+  FROM documents GROUP BY 1),
+f AS (
+  SELECT source, n, k,
+    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+    CAST(n AS DOUBLE) AS nd
+  FROM per)
+SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(k AS BIGINT) AS n_pass,
+  ROUND(p, 6) AS pass_rate,
+  ROUND((p + {curation.WILSON_Z!r} * {curation.WILSON_Z!r} / (2.0 * nd))
+          / (1.0 + {curation.WILSON_Z!r} * {curation.WILSON_Z!r} / nd)
+        - {curation.WILSON_Z!r}
+          * sqrt(p * (1.0 - p) / nd
+                 + {curation.WILSON_Z!r} * {curation.WILSON_Z!r} / (4.0 * nd * nd))
+          / (1.0 + {curation.WILSON_Z!r} * {curation.WILSON_Z!r} / nd), 6) AS wilson_lo,
+  ROUND((p + {curation.WILSON_Z!r} * {curation.WILSON_Z!r} / (2.0 * nd))
+          / (1.0 + {curation.WILSON_Z!r} * {curation.WILSON_Z!r} / nd)
+        + {curation.WILSON_Z!r}
+          * sqrt(p * (1.0 - p) / nd
+                 + {curation.WILSON_Z!r} * {curation.WILSON_Z!r} / (4.0 * nd * nd))
+          / (1.0 + {curation.WILSON_Z!r} * {curation.WILSON_Z!r} / nd), 6) AS wilson_hi
+FROM f ORDER BY source""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -1076,3 +1076,65 @@ def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+LAT_P50 = 0.5
+LAT_P90 = 0.9
+
+
+def q_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order priority -- the
+    operational SLA panel (does URGENT actually ship faster?): mean and
+    EXACT type-1 p50/p90 day latencies from the integer day-diff
+    distribution.
+
+    Exactness: latency is an integer day difference; per-(priority,
+    latency) counts are exact, the mean is one division of exact sums,
+    and the percentiles are ORDER STATISTICS -- smallest latency whose
+    cumulative count reaches ceil(q*n) -- so no interpolation anywhere.
+
+    Plan: one orderkey shuffle join (both sides big, linear), one
+    (priority, latency) rollup; the percentile windows ride the bounded
+    latency spine (~hundreds of distinct day values) per priority."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("lat"),
+    )
+    per = lat.groupBy("priority", "lat").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("priority").orderBy("lat").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        "priority", "lat", "c", F.sum("c").over(w).alias("cum")
+    )
+    tot = per.groupBy("priority").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("lat")).alias("s"),
+        F.max("lat").alias("max_days"),
+    )
+    j = cum.join(tot, "priority")
+    p50 = F.min(
+        F.when(F.col("cum") >= F.ceil(F.lit(LAT_P50) * F.col("n")), F.col("lat"))
+    )
+    p90 = F.min(
+        F.when(F.col("cum") >= F.ceil(F.lit(LAT_P90) * F.col("n")), F.col("lat"))
+    )
+    return (
+        j.groupBy("priority", "n", "s", "max_days")
+        .agg(p50.alias("p50_days"), p90.alias("p90_days"))
+        .select(
+            "priority",
+            F.col("n").cast("bigint").alias("n_lineitems"),
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double"), 6
+            ).alias("mean_days"),
+            F.col("p50_days").cast("bigint").alias("p50_days"),
+            F.col("p90_days").cast("bigint").alias("p90_days"),
+            F.col("max_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("priority")
+    )

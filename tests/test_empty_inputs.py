@@ -216,6 +216,9 @@ REPRESENTATIVE = [
     "cramer_von_mises",  # pooled ECDF gaps over zero orders
     "hampel_outlier_days",  # window medians over an empty day spine
     "negative_binomial_fit",  # count moments over zero users
+    "char_entropy_bits",  # alphabet rollup over zero docs
+    "ship_latency_profile",  # latency spine over zero lineitems
+    "wilson_pass_rate_ci",  # interval algebra over zero sources
 ]
 
 

@@ -604,3 +604,36 @@ class TestNegativeBinomial:
             # MoM identity: mu == r(1-p)/p
             mu_back = row.nb_r * (1 - row.nb_p) / row.nb_p
             assert abs(mu_back - row.mean_events) / row.mean_events < 0.01
+
+
+class TestCharEntropy:
+    def test_entropy_bounds(self, spark):
+        import math
+
+        rows = corpus.q_char_entropy_bits(spark, SF).collect()
+        assert len(rows) == 20
+        for r in rows:
+            # 0 <= H <= log2(alphabet size)
+            assert 0.0 <= r.entropy_bits_per_char <= math.log2(r.n_distinct_chars) + 1e-6
+            assert r.n_distinct_chars <= r.n_chars
+
+
+class TestShipLatency:
+    def test_order_statistics(self, spark):
+        from pgsf_spark.analytics import relational
+
+        rows = relational.q_ship_latency_profile(spark, SF).collect()
+        assert len(rows) == 5  # five priorities
+        for r in rows:
+            assert 0 <= r.p50_days <= r.p90_days <= r.max_days
+            assert 0.0 <= r.mean_days <= r.max_days
+
+
+class TestWilson:
+    def test_interval_contains_rate(self, spark):
+        rows = curation.q_wilson_pass_rate_ci(spark, SF).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert 0.0 <= r.wilson_lo <= r.pass_rate <= r.wilson_hi <= 1.0
+            # Wilson interval is never degenerate on a finite sample
+            assert r.wilson_hi - r.wilson_lo > 0.0
