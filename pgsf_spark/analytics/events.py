@@ -2093,3 +2093,51 @@ def q_negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(defined, (mu * mu) / (var - mu)), 6).alias("nb_r"),
         F.round(F.when(defined, mu / var), 6).alias("nb_p"),
     )
+
+
+def q_hourly_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity test of event volume across the 24 hours
+    of day -- the load-shape gate (a pipeline scheduled off 'events are
+    roughly uniform' must KNOW when that stops holding; diurnal skew is
+    also the first symptom of a timezone bug in ingestion):
+    chi2 = sum (o_h - n/24)^2 / (n/24) over the fixed 24-bin spine,
+    with every hour reported against its expected share.
+
+    Exactness: hour counts are exact integers from one scan; each
+    cell's contribution is a fixed double chain rounded to 6 and
+    decimal-summed over the 24-row spine (missing hours contribute the
+    full expected mass via the left join from the literal spine).
+
+    Plan: one 24-key rollup; everything after is 24-row algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy(F.hour("ts").alias("h")).agg(F.count(F.lit(1)).alias("o"))
+    spine = spark.range(24).select(F.col("id").cast("int").alias("h"))
+    tot = per.agg(F.sum("o").alias("n"))
+    full = (
+        spine.join(per, "h", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("h", F.coalesce("o", F.lit(0)).alias("o"), "n")
+    )
+    e = F.col("n").cast("double") / F.lit(24.0)
+    contrib = F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).cast(
+        "decimal(27,6)"
+    )
+    agg = full.groupBy("n").agg(
+        F.sum(contrib).alias("chi2"),
+        F.max("o").alias("peak_count"),
+        F.min("o").alias("trough_count"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("chi2").cast("double"), 6).alias("chi_square"),
+        F.lit(23).cast("bigint").alias("dof"),
+        F.col("peak_count").cast("bigint").alias("peak_count"),
+        F.col("trough_count").cast("bigint").alias("trough_count"),
+        F.round(
+            F.try_divide(
+                F.col("peak_count").cast("double"),
+                F.col("trough_count").cast("double"),
+            ),
+            6,
+        ).alias("peak_trough_ratio"),
+    )

@@ -3048,3 +3048,109 @@ def q_hampel_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("ratio"), 6).alias("max_deviation_ratio"),
     )
+
+
+def q_theil_atkinson_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and Atkinson(eps=2) inequality of customer spend -- the
+    DECOMPOSABLE inequality indices next to the Gini gate (Theil splits
+    cleanly into within/between-group terms, Atkinson has an explicit
+    aversion dial; eps=2 is chosen because its equally-distributed
+    equivalent is the HARMONIC mean -- no exp/geomean libm in gated
+    columns): T = sum (x/X) ln(n x / X), A2 = 1 - harmonic_mean/mean.
+
+    Exactness: spend is integer cents; each Theil term is a fixed
+    double chain rounded to 12 and decimal-summed (order-proof); the
+    harmonic mean needs sum(1/x) -- each reciprocal rounds to 15 into
+    DECIMAL, same device; zero-spend customers are excluded from both
+    indices (stated; ln and 1/x are undefined there).
+
+    Plan: one orders->customer rollup shuffle, one global 1-row
+    aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+        .filter(F.col("x") > 0)
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    j = per.crossJoin(F.broadcast(tot))
+    xd = F.col("x").cast("double")
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    theil_term = F.round((xd / sd) * F.log(nd * xd / sd), 12).cast("decimal(18,12)")
+    recip = F.round(F.lit(1.0) / xd, 15).cast("decimal(18,15)")
+    agg = j.groupBy("n", "s").agg(
+        F.sum(theil_term).alias("t"), F.sum(recip).alias("r")
+    )
+    mean = F.col("s").cast("double") / F.col("n").cast("double")
+    hmean = F.col("n").cast("double") / F.col("r").cast("double")
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(F.col("t").cast("double"), 6).alias("theil_t"),
+        F.round(F.lit(1.0) - hmean / mean, 6).alias("atkinson_2"),
+        F.round(mean / F.lit(100.0), 6).alias("mean_spend"),
+        F.round(hmean / F.lit(100.0), 6).alias("harmonic_mean_spend"),
+    )
+
+
+def q_daily_growth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue growth profile + maximum drawdown -- the
+    finance-style risk panel on the revenue series (median growth and
+    up-day share describe the typical day; max drawdown is the
+    worst peak-to-trough slide, the number a forecaster's SLA quotes):
+    g_t = (x_t - x_{t-1}) / x_{t-1}, dd_t = 1 - x_t / max_{s<=t} x_s.
+
+    Exactness: revenue is integer cents; each growth/drawdown value is
+    ONE double division of exact ints rounded to 9; the median growth
+    is the two-middle-order-statistics SUM compare (integer-rank exact,
+    interpolation-free), up-share an integer ratio, max drawdown a
+    plain max of identically-rounded doubles.
+
+    Plan: one orders rollup shuffle; lag/rank/running-max windows all
+    ride the bounded day spine."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    wd = Window.orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    base = daily.select(
+        "day",
+        "x",
+        F.lag("x").over(wd).alias("xp"),
+        F.max("x").over(wcum).alias("peak"),
+    )
+    g = base.filter(F.col("xp").isNotNull()).select(
+        "day",
+        F.round(
+            (F.col("x") - F.col("xp")).cast("double") / F.col("xp").cast("double"), 9
+        ).alias("g"),
+    )
+    rn = F.row_number().over(Window.orderBy("g", "day"))
+    cnt = g.agg(F.count(F.lit(1)).alias("m"))
+    ranked = g.withColumn("rn", rn).crossJoin(F.broadcast(cnt))
+    mids = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("m") + 1) / 2), F.col("g"))
+        ).alias("g_lo"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("m") + 2) / 2), F.col("g"))
+        ).alias("g_hi"),
+        F.sum((F.col("g") > 0).cast("int")).alias("n_up"),
+        F.max("m").alias("m"),
+    )
+    dd = base.select(
+        F.round(
+            F.lit(1.0) - F.col("x").cast("double") / F.col("peak").cast("double"), 9
+        ).alias("dd")
+    ).agg(F.max("dd").alias("max_dd"))
+    return mids.crossJoin(F.broadcast(dd)).select(
+        F.col("m").cast("bigint").alias("n_growth_days"),
+        F.round((F.col("g_lo") + F.col("g_hi")) / F.lit(2.0), 6).alias(
+            "median_growth"
+        ),
+        F.round(
+            F.col("n_up").cast("double") / F.col("m").cast("double"), 6
+        ).alias("up_share"),
+        F.round(F.col("max_dd"), 6).alias("max_drawdown"),
+    )

@@ -6393,6 +6393,82 @@ SELECT source, CAST(n AS BIGINT) AS n_docs, CAST(k AS BIGINT) AS n_pass,
           / (1.0 + {curation.WILSON_Z!r} * {curation.WILSON_Z!r} / nd), 6) AS wilson_hi
 FROM f ORDER BY source""",
     ),
+    "theil_atkinson_inequality": QuerySpec(
+        profiling.q_theil_atkinson_inequality,
+        """WITH per AS (
+  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1 HAVING SUM(CAST(round(o_totalprice * 100) AS BIGINT)) > 0),
+tot AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM per),
+agg AS (
+  SELECT n, s,
+    SUM(CAST(ROUND((CAST(x AS DOUBLE) / CAST(s AS DOUBLE))
+        * ln(CAST(n AS DOUBLE) * CAST(x AS DOUBLE) / CAST(s AS DOUBLE)), 12)
+        AS DECIMAL(18,12))) AS t,
+    SUM(CAST(ROUND(1.0 / CAST(x AS DOUBLE), 15) AS DECIMAL(18,15))) AS r
+  FROM per, tot GROUP BY 1, 2)
+SELECT CAST(n AS BIGINT) AS n_customers,
+  ROUND(CAST(t AS DOUBLE), 6) AS theil_t,
+  ROUND(1.0 - (CAST(n AS DOUBLE) / CAST(r AS DOUBLE))
+              / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS atkinson_2,
+  ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6) AS mean_spend,
+  ROUND((CAST(n AS DOUBLE) / CAST(r AS DOUBLE)) / 100.0, 6) AS harmonic_mean_spend
+FROM agg""",
+    ),
+    "daily_growth_profile": QuerySpec(
+        profiling.q_daily_growth_profile,
+        """WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+base AS (
+  SELECT day, x,
+    LAG(x) OVER (ORDER BY day) AS xp,
+    MAX(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+  FROM daily),
+g AS (
+  SELECT day, ROUND(CAST(x - xp AS DOUBLE) / CAST(xp AS DOUBLE), 9) AS g
+  FROM base WHERE xp IS NOT NULL),
+rk AS (
+  SELECT g, ROW_NUMBER() OVER (ORDER BY g, day) AS rn, COUNT(*) OVER () AS m
+  FROM g),
+mids AS (
+  SELECT MAX(CASE WHEN rn = (m + 1) // 2 THEN g END) AS g_lo,
+    MAX(CASE WHEN rn = (m + 2) // 2 THEN g END) AS g_hi,
+    SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS n_up,
+    MAX(m) AS m
+  FROM rk),
+dd AS (
+  SELECT MAX(ROUND(1.0 - CAST(x AS DOUBLE) / CAST(peak AS DOUBLE), 9)) AS max_dd
+  FROM base)
+SELECT CAST(m AS BIGINT) AS n_growth_days,
+  ROUND((g_lo + g_hi) / 2.0, 6) AS median_growth,
+  ROUND(CAST(n_up AS DOUBLE) / CAST(m AS DOUBLE), 6) AS up_share,
+  ROUND(max_dd, 6) AS max_drawdown
+FROM mids, dd""",
+    ),
+    "hourly_uniformity_chi2": QuerySpec(
+        events.q_hourly_uniformity_chi2,
+        """WITH per AS (
+  SELECT EXTRACT(HOUR FROM ts) AS h, COUNT(*) AS o FROM events GROUP BY 1),
+sp AS (SELECT CAST(i AS INT) AS h FROM range(0, 24) r(i)),
+tot AS (SELECT SUM(o) AS n FROM per),
+fl AS (
+  SELECT sp.h, COALESCE(o, 0) AS o, n FROM sp LEFT JOIN per ON sp.h = per.h, tot),
+agg AS (
+  SELECT n,
+    SUM(CAST(ROUND((o - CAST(n AS DOUBLE) / 24.0) * (o - CAST(n AS DOUBLE) / 24.0)
+                   / (CAST(n AS DOUBLE) / 24.0), 6) AS DECIMAL(27,6))) AS chi2,
+    MAX(o) AS peak_count, MIN(o) AS trough_count
+  FROM fl GROUP BY 1)
+SELECT CAST(n AS BIGINT) AS n_events,
+  ROUND(CAST(chi2 AS DOUBLE), 6) AS chi_square,
+  CAST(23 AS BIGINT) AS dof,
+  CAST(peak_count AS BIGINT) AS peak_count,
+  CAST(trough_count AS BIGINT) AS trough_count,
+  ROUND(CAST(peak_count AS DOUBLE) / CAST(trough_count AS DOUBLE), 6)
+    AS peak_trough_ratio
+FROM agg""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -219,6 +219,9 @@ REPRESENTATIVE = [
     "char_entropy_bits",  # alphabet rollup over zero docs
     "ship_latency_profile",  # latency spine over zero lineitems
     "wilson_pass_rate_ci",  # interval algebra over zero sources
+    "theil_atkinson_inequality",  # inequality terms over zero customers
+    "daily_growth_profile",  # lag ratios over an empty day spine
+    "hourly_uniformity_chi2",  # 24-bin spine over zero events
 ]
 
 

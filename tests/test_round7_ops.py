@@ -637,3 +637,30 @@ class TestWilson:
             assert 0.0 <= r.wilson_lo <= r.pass_rate <= r.wilson_hi <= 1.0
             # Wilson interval is never degenerate on a finite sample
             assert r.wilson_hi - r.wilson_lo > 0.0
+
+
+class TestInequality:
+    def test_index_bounds_and_mean_order(self, spark):
+        row = profiling.q_theil_atkinson_inequality(spark, SF).collect()[0]
+        assert row.theil_t >= 0.0
+        assert 0.0 <= row.atkinson_2 < 1.0
+        # AM-HM inequality
+        assert row.harmonic_mean_spend <= row.mean_spend + 1e-6
+
+
+class TestGrowthProfile:
+    def test_bounds(self, spark):
+        row = profiling.q_daily_growth_profile(spark, SF).collect()[0]
+        assert row.n_growth_days > 0
+        assert 0.0 <= row.up_share <= 1.0
+        assert 0.0 <= row.max_drawdown < 1.0
+        assert row.median_growth > -1.0
+
+
+class TestHourlyUniformity:
+    def test_chi2_and_counts(self, spark):
+        row = events.q_hourly_uniformity_chi2(spark, SF).collect()[0]
+        assert row.chi_square >= 0.0
+        assert row.dof == 23
+        assert row.trough_count <= row.peak_count
+        assert row.peak_trough_ratio >= 1.0
