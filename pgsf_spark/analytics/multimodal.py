@@ -1017,3 +1017,115 @@ def audio_fingerprint_match(fp: DataFrame) -> DataFrame:
         .filter(F.col("n_matches") >= FP_MIN_MATCHES)
         .orderBy(F.col("n_aligned").desc(), "id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Video: minimal raw container + frame sampling (the brief's frame-sample
+# multimodal op). Container: b"RVID" | u16 w | u16 h | u16 n_frames |
+# u16 fps | n_frames grayscale frames of w*h bytes. Synthetic frames have
+# the closed form pix(f, i) = (base + 3*f + (x + y)) % 256 with
+# base = media_id % 251 and i = y*w + x, so every sampled-frame checksum
+# and temporal-diff sum is reproducible arithmetically by the oracle.
+# --------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"RVID"
+VIDEO_SAMPLE_EVERY = 4  # keep frames 0, 4, 8, ...
+
+
+def make_synthetic_video(media_id: int, w: int, h: int, n_frames: int, fps: int = 10) -> bytes:
+    import numpy as np
+
+    base = media_id % 251
+    y, x = np.mgrid[0:h, 0:w]
+    plane = (x + y).astype(np.int64)
+    frames = [
+        ((base + 3 * f + plane) % 256).astype(np.uint8).tobytes()
+        for f in range(n_frames)
+    ]
+    head = VIDEO_MAGIC + struct.pack("<HHHH", w, h, n_frames, fps)
+    return head + b"".join(frames)
+
+
+def decode_video_header(raw: bytes):
+    """(w, h, n_frames, fps) from the RVID header; raises on bad magic."""
+    if raw[:4] != VIDEO_MAGIC:
+        raise ValueError("not an RVID container")
+    return struct.unpack("<HHHH", raw[4:12])
+
+
+def iter_video_frames(raw: bytes, every: int = 1):
+    """Yield (frame_idx, frame_bytes) for every `every`-th frame."""
+    w, h, n, _fps = decode_video_header(raw)
+    sz = w * h
+    for f in range(0, n, every):
+        off = 12 + f * sz
+        yield f, raw[off : off + sz]
+
+
+def q_video_frame_sample_gate(spark, sf_dir: str) -> DataFrame:
+    """Video frame-sampling gate: synthesize deterministic RVID raw-video
+    containers, parse the header (real struct walk), sample every K-th
+    frame with mapInPandas (bytes never leave the executors, one output
+    row per SAMPLED frame), and emit per-frame positional checksums plus
+    the temporal absolute-diff sum against the previous sampled frame --
+    the plumbing a real video pipeline needs (schema, batching, frame
+    iteration, per-frame features) with a closed-form oracle.
+
+    Every output number is an exact integer (checksums, diff sums,
+    header fields), reproduced by the DuckDB oracle from the synthetic
+    closed form pix = (base + 3f + x + y) % 256 -- a full binary
+    container round-trip as a hash-exact gate.
+
+    Plan: one bounded id scan -> mapInPandas synth+sample (Arrow
+    batches); output is n_sampled_frames rows per video, never the raw
+    frames."""
+    ids = _gate_ids(spark, sf_dir)
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("frame_idx", LongType(), True),
+            StructField("frame_checksum", LongType(), True),
+            StructField("diff_prev_sampled", LongType(), True),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                m = int(mid)
+                w = 16 + m % 16
+                h = 12 + (m * 5) % 12
+                n = 8 + m % 9
+                raw = make_synthetic_video(m, w, h, n)
+                ww, hh, nn, _fps = decode_video_header(raw)
+                prev = None
+                for f, fb in iter_video_frames(raw, VIDEO_SAMPLE_EVERY):
+                    arr = np.frombuffer(fb, dtype=np.uint8).astype(np.int64)
+                    diff = (
+                        int(np.abs(arr - prev).sum()) if prev is not None else None
+                    )
+                    rows.append(
+                        (m, ww, hh, nn, f, _weighted_checksum(fb), diff)
+                    )
+                    prev = arr
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_frames",
+                    "frame_idx",
+                    "frame_checksum",
+                    "diff_prev_sampled",
+                ],
+            )
+
+    return ids.mapInPandas(sample, out_schema).orderBy("media_id", "frame_idx")

@@ -6469,6 +6469,39 @@ SELECT CAST(n AS BIGINT) AS n_events,
     AS peak_trough_ratio
 FROM agg""",
     ),
+    "video_frame_sample_gate": QuerySpec(
+        multimodal.q_video_frame_sample_gate,
+        f"""WITH ids AS (
+  SELECT doc_id AS m, 16 + (doc_id % 16) AS w, 12 + ((doc_id * 5) % 12) AS h,
+    8 + (doc_id % 9) AS n, doc_id % 251 AS base
+  FROM documents WHERE doc_id < {multimodal._GATE_DOCS}),
+fr AS (
+  SELECT m, w, h, n, base, CAST(f AS BIGINT) AS f
+  FROM ids, range(0, 32) r(f)
+  WHERE f < n AND f % {multimodal.VIDEO_SAMPLE_EVERY} = 0),
+px AS (
+  SELECT m, w, h, n, base, f, CAST(i AS BIGINT) AS i
+  FROM fr, range(0, 2048) p(i) WHERE i < w * h),
+vals AS (
+  SELECT m, w, h, n, f, i,
+    (base + 3 * f + ((i % w) + (i // w))) % 256 AS v,
+    CASE WHEN f >= {multimodal.VIDEO_SAMPLE_EVERY}
+      THEN (base + 3 * (f - {multimodal.VIDEO_SAMPLE_EVERY}) + ((i % w) + (i // w))) % 256
+    END AS vp
+  FROM px),
+agg AS (
+  SELECT m AS media_id, MAX(w) AS width, MAX(h) AS height, MAX(n) AS n_frames,
+    f AS frame_idx,
+    SUM(v * ((i % 9973) + 1)) AS frame_checksum,
+    SUM(abs(v - vp)) AS diff_prev_sampled
+  FROM vals GROUP BY m, f)
+SELECT CAST(media_id AS BIGINT) AS media_id, CAST(width AS BIGINT) AS width,
+  CAST(height AS BIGINT) AS height, CAST(n_frames AS BIGINT) AS n_frames,
+  CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(frame_checksum AS BIGINT) AS frame_checksum,
+  CAST(diff_prev_sampled AS BIGINT) AS diff_prev_sampled
+FROM agg ORDER BY media_id, frame_idx""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

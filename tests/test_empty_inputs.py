@@ -222,6 +222,7 @@ REPRESENTATIVE = [
     "theil_atkinson_inequality",  # inequality terms over zero customers
     "daily_growth_profile",  # lag ratios over an empty day spine
     "hourly_uniformity_chi2",  # 24-bin spine over zero events
+    "video_frame_sample_gate",  # zero media ids -> zero sampled frames
 ]
 
 

@@ -507,3 +507,50 @@ class TestAudioFingerprint:
             for r in extract_audio_fingerprints(c).collect()
         )
         assert a == b and len(a) > 0
+
+
+class TestVideoContainer:
+    def test_header_roundtrip(self):
+        from pgsf_spark.analytics.multimodal import (
+            decode_video_header,
+            make_synthetic_video,
+        )
+
+        raw = make_synthetic_video(7, 20, 14, 9, fps=24)
+        assert decode_video_header(raw) == (20, 14, 9, 24)
+        assert len(raw) == 12 + 20 * 14 * 9
+
+    def test_frame_iteration_and_sampling(self):
+        from pgsf_spark.analytics.multimodal import (
+            iter_video_frames,
+            make_synthetic_video,
+        )
+
+        raw = make_synthetic_video(3, 8, 6, 10)
+        frames = list(iter_video_frames(raw, 4))
+        assert [f for f, _ in frames] == [0, 4, 8]
+        assert all(len(b) == 48 for _, b in frames)
+        # closed form: pixel 0 of frame f is (base + 3f) % 256
+        for f, b in frames:
+            assert b[0] == (3 % 251 + 3 * f) % 256
+
+    def test_bad_magic_rejected(self):
+        import pytest as _pytest
+
+        from pgsf_spark.analytics.multimodal import decode_video_header
+
+        with _pytest.raises(ValueError):
+            decode_video_header(b"NOPE" + b"\x00" * 8)
+
+    def test_gate_rows_and_diffs(self, spark):
+        from pgsf_spark.analytics.multimodal import (
+            VIDEO_SAMPLE_EVERY,
+            q_video_frame_sample_gate,
+        )
+
+        rows = q_video_frame_sample_gate(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            assert r.frame_idx % VIDEO_SAMPLE_EVERY == 0
+            assert (r.diff_prev_sampled is None) == (r.frame_idx == 0)
+            assert r.frame_checksum > 0
