@@ -761,3 +761,77 @@ def q_topk_stability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_same_rank"
         ),
     )
+
+
+RBO_P = 0.9  # rank-biased overlap persistence; weights locked by test
+RBO_K = 20
+
+
+def _rbo_weights() -> list:
+    """Truncated RBO weights (1-p) p^(d-1) for d = 1..RBO_K -- python
+    literals so no pow() enters gated columns."""
+    return [round((1 - RBO_P) * RBO_P ** (d - 1), 15) for d in range(1, RBO_K + 1)]
+
+
+def q_rbo_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap between the two md5-half top-k token lists --
+    the PROPER top-weighted list-similarity metric on top of
+    q_topk_stability_audit's flat Jaccard (RBO discounts depth
+    geometrically, so disagreement at rank 19 matters far less than at
+    rank 2 -- the way a human reads a leaderboard): truncated
+    RBO_p = sum_d (1-p) p^(d-1) |prefix_A(d) & prefix_B(d)| / d.
+
+    Determinism: the same split/order devices as the stability audit;
+    prefix-intersection sizes are exact integers (a token enters at
+    depth max(rank_A, rank_B)); the geometric weights are PYTHON
+    LITERALS (locked by a sum-identity property test), each depth term
+    rounds to 12 into DECIMAL before the sum.
+
+    Plan: two bounded top-k lists, a k-row join, 20-row algebra."""
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{TOPK_STAB_SEED}:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    toks = d.select(
+        split.alias("half"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    counts = toks.groupBy("half", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("half").orderBy(F.col("n").desc(), "token")
+    ranked = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RBO_K)
+    )
+    a = ranked.filter(F.col("half") == 0).select("token", F.col("rk").alias("ra"))
+    b = ranked.filter(F.col("half") == 1).select("token", F.col("rk").alias("rb"))
+    entry = a.join(b, "token").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depth = spark.range(1, RBO_K + 1).select(F.col("id").cast("int").alias("d"))
+    inter = depth.join(
+        F.broadcast(entry), F.col("m") <= F.col("d"), "left"
+    ).groupBy("d").agg(F.count("m").alias("x"))
+    wts = F.array(*[F.lit(x) for x in _rbo_weights()])
+    term = F.round(
+        F.element_at(wts, F.col("d"))
+        * (F.col("x").cast("double") / F.col("d").cast("double")),
+        12,
+    ).cast("decimal(18,12)")
+    agg = inter.agg(
+        F.sum(term).alias("rbo"),
+        F.max(F.when(F.col("d") == RBO_K, F.col("x"))).alias("overlap_at_k"),
+    )
+    return agg.select(
+        F.lit(RBO_K).cast("bigint").alias("k"),
+        F.col("overlap_at_k").cast("bigint").alias("overlap_at_k"),
+        F.round(F.col("rbo").cast("double"), 6).alias("rbo"),
+    )

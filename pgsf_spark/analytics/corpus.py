@@ -1211,3 +1211,60 @@ def q_char_entropy_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits_per_char"
         ),
     ).orderBy("source")
+
+
+GT_MAX_R = 5  # smoothed counts reported for r = 1..GT_MAX_R
+
+
+def q_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-mass estimate from the token
+    frequency-of-frequencies -- the coverage number a tokenizer/corpus
+    build quotes ("what probability mass will the NEXT document spend
+    on words we have never seen"): P_unseen = V_1/N, plus the smoothed
+    counts r* = (r+1) V_{r+1}/V_r for r = 1..GT_MAX_R (the adjustment
+    SGT smoothing starts from).
+
+    Exactness: V_r (number of types seen exactly r times) and N are
+    exact integers from two keyed rollups; every reported number is a
+    single division of exact ints rounded to 6.
+
+    Plan: one (token) count shuffle, one tiny frequency-of-frequency
+    rollup, then a GT_MAX_R+1-row literal spine."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(_toks(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    fof = cnt.groupBy("c").agg(F.count(F.lit(1)).alias("v"))
+    tot = cnt.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("types"))
+    spine = spark.range(1, GT_MAX_R + 1).select(F.col("id").cast("long").alias("r"))
+    vr = spine.join(fof.select(F.col("c").alias("r"), F.col("v").alias("vr")), "r", "left")
+    vr1 = fof.select((F.col("c") - 1).alias("r"), F.col("v").alias("vr1"))
+    rows = (
+        vr.join(vr1, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.coalesce("vr", F.lit(0)).cast("bigint").alias("v_r"),
+            F.coalesce("vr1", F.lit(0)).cast("bigint").alias("v_r_plus_1"),
+            F.round(
+                F.try_divide(
+                    (F.col("r") + 1).cast("double")
+                    * F.coalesce("vr1", F.lit(0)).cast("double"),
+                    F.coalesce("vr", F.lit(0)).cast("double"),
+                ),
+                6,
+            ).alias("r_star"),
+            F.round(
+                F.when(F.col("r") == 1, F.coalesce("vr", F.lit(0)).cast("double"))
+                .otherwise(F.lit(None))
+                / F.col("n").cast("double"),
+                9,
+            ).alias("p_unseen"),
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.col("types").cast("bigint").alias("n_types"),
+        )
+        .orderBy("r")
+    )
+    return rows

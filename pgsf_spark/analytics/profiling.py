@@ -3154,3 +3154,79 @@ def q_daily_growth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("up_share"),
         F.round(F.col("max_dd"), 6).alias("max_drawdown"),
     )
+
+
+def q_james_stein_nation_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """James-Stein shrinkage of per-nation mean order values toward the
+    grand mean -- the empirical-Bayes estimator that dominates the raw
+    per-group means whenever 3+ groups are estimated at once (small
+    nations' noisy means get pulled in hard, big nations barely move;
+    the same philosophy as the OOF target encoder but with the CLASSIC
+    closed-form shrinkage factor): theta_i = m. + c (m_i - m.), with
+    c = max(0, 1 - (g-3) sigma2_i.../S) using the positive-part JS form
+    on the equal-variance approximation sigma2/n_i ~ pooled.
+
+    Exactness: group counts/sums and the pooled within-group variance
+    come from exact integer moments; S = sum (m_i - m.)^2 decimal-sums
+    per-group rounded terms; the shrinkage factor and each theta are
+    fixed double chains (GREATEST(0,...) both faces).
+
+    Plan: one orders->nation rollup (customer broadcast), 25-row
+    algebra after."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    dec = "decimal(38,0)"
+    per = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_nationkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_i"),
+            F.sum("cents").alias("s_i"),
+            F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).alias("q_i"),
+        )
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("n_i").alias("n"),
+        F.sum("s_i").alias("s"),
+        F.sum("q_i").alias("q"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    m_i = F.col("s_i").cast("double") / F.col("n_i").cast("double")
+    m_all = F.col("s").cast("double") / F.col("n").cast("double")
+    dev = F.round((m_i - m_all) * (m_i - m_all), 6).cast("decimal(27,6)")
+    harm = F.round(F.lit(1.0) / F.col("n_i").cast("double"), 15).cast(
+        "decimal(18,15)"
+    )
+    agg = j.groupBy("g", "n", "s", "q").agg(
+        F.sum(dev).alias("ss"), F.sum(harm).alias("hh")
+    )
+    # per-group variance of the mean approximated by the total variance
+    # times avg(1/n_i) -- the equal-variance JS form (stated); the
+    # positive-part GREATEST(0, .) guard is on both faces
+    shrunk = j.crossJoin(F.broadcast(agg.select("ss", "hh")))
+    m_i2 = F.col("s_i").cast("double") / F.col("n_i").cast("double")
+    m_all2 = F.col("s").cast("double") / F.col("n").cast("double")
+    var2 = F.col("q").cast("double") / F.col("n").cast("double") - m_all2 * m_all2
+    sig2 = var2 * (
+        F.col("hh").cast("double") / F.col("g").cast("double")
+    )
+    c2 = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0)
+        - ((F.col("g").cast("double") - F.lit(3.0)) * sig2)
+        / F.col("ss").cast("double"),
+    )
+    return shrunk.select(
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.col("n_i").cast("bigint").alias("n_orders"),
+        F.round(m_i2 / F.lit(100.0), 6).alias("raw_mean"),
+        F.round(
+            (m_all2 + c2 * (m_i2 - m_all2)) / F.lit(100.0), 6
+        ).alias("js_mean"),
+        F.round(c2, 6).alias("shrinkage_c"),
+    ).orderBy("nation")

@@ -6502,6 +6502,100 @@ SELECT CAST(media_id AS BIGINT) AS media_id, CAST(width AS BIGINT) AS width,
   CAST(diff_prev_sampled AS BIGINT) AS diff_prev_sampled
 FROM agg ORDER BY media_id, frame_idx""",
     ),
+    "rbo_topk_stability": QuerySpec(
+        advanced.q_rbo_topk_stability,
+        f"""WITH toks AS (
+  SELECT ('0x' || substr(md5('{advanced.TOPK_STAB_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS half,
+    unnest(string_split(lower(trim(text)), ' ')) AS token
+  FROM (SELECT doc_id, regexp_replace(text, '\\s+', ' ', 'g') AS text FROM documents)),
+counts AS (SELECT half, token, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+ra AS (SELECT token, rk AS ra FROM (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk
+  FROM counts WHERE half = 0) WHERE rk <= {advanced.RBO_K}),
+rb AS (SELECT token, rk AS rb FROM (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rk
+  FROM counts WHERE half = 1) WHERE rk <= {advanced.RBO_K}),
+entry AS (SELECT GREATEST(ra, rb) AS m FROM ra JOIN rb USING (token)),
+dep AS (SELECT CAST(i AS INT) AS d FROM range(1, {advanced.RBO_K + 1}) r(i)),
+inter AS (
+  SELECT d, COUNT(m) AS x FROM dep LEFT JOIN entry ON m <= d GROUP BY 1),
+agg AS (
+  SELECT
+    SUM(CAST(ROUND(([{', '.join(repr(x) for x in advanced._rbo_weights())}])[d]
+        * (CAST(x AS DOUBLE) / CAST(d AS DOUBLE)), 12) AS DECIMAL(18,12))) AS rbo,
+    MAX(CASE WHEN d = {advanced.RBO_K} THEN x END) AS overlap_at_k
+  FROM inter)
+SELECT CAST({advanced.RBO_K} AS BIGINT) AS k,
+  CAST(overlap_at_k AS BIGINT) AS overlap_at_k,
+  ROUND(CAST(rbo AS DOUBLE), 6) AS rbo
+FROM agg""",
+    ),
+    "james_stein_nation_means": QuerySpec(
+        profiling.q_james_stein_nation_means,
+        """WITH per AS (
+  SELECT c.c_nationkey, COUNT(*) AS n_i,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_i,
+    SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))
+        * CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS q_i
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1),
+tot AS (
+  SELECT COUNT(*) AS g, CAST(SUM(n_i) AS BIGINT) AS n,
+    CAST(SUM(s_i) AS BIGINT) AS s, SUM(q_i) AS q
+  FROM per),
+agg AS (
+  SELECT g, n, s, q,
+    SUM(CAST(ROUND((CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+                    - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+                      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        AS DECIMAL(27,6))) AS ss,
+    SUM(CAST(ROUND(1.0 / CAST(n_i AS DOUBLE), 15) AS DECIMAL(18,15))) AS hh
+  FROM per, tot GROUP BY 1, 2, 3, 4)
+SELECT CAST(per.c_nationkey AS BIGINT) AS nation,
+  CAST(n_i AS BIGINT) AS n_orders,
+  ROUND((CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)) / 100.0, 6) AS raw_mean,
+  ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         + GREATEST(0.0, 1.0 - ((CAST(g AS DOUBLE) - 3.0)
+             * ((CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                * (CAST(hh AS DOUBLE) / CAST(g AS DOUBLE))))
+             / CAST(ss AS DOUBLE))
+           * (CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+              - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 6) AS js_mean,
+  ROUND(GREATEST(0.0, 1.0 - ((CAST(g AS DOUBLE) - 3.0)
+          * ((CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             * (CAST(hh AS DOUBLE) / CAST(g AS DOUBLE))))
+          / CAST(ss AS DOUBLE)), 6) AS shrinkage_c
+FROM per, agg ORDER BY nation""",
+    ),
+    "good_turing_unseen": QuerySpec(
+        corpus.q_good_turing_unseen,
+        f"""WITH cnt AS (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+  GROUP BY 1),
+fof AS (SELECT c, COUNT(*) AS v FROM cnt GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS types FROM cnt),
+sp AS (SELECT CAST(i AS BIGINT) AS r FROM range(1, {corpus.GT_MAX_R + 1}) x(i)),
+vr AS (SELECT r, v AS vr FROM sp LEFT JOIN fof ON fof.c = sp.r),
+vr1 AS (SELECT c - 1 AS r, v AS vr1 FROM fof)
+SELECT sp.r AS r,
+  CAST(COALESCE(vr, 0) AS BIGINT) AS v_r,
+  CAST(COALESCE(vr1, 0) AS BIGINT) AS v_r_plus_1,
+  ROUND(CAST((sp.r + 1) AS DOUBLE) * CAST(COALESCE(vr1, 0) AS DOUBLE)
+        / CAST(COALESCE(vr, 0) AS DOUBLE), 6) AS r_star,
+  ROUND(CASE WHEN sp.r = 1 THEN CAST(COALESCE(vr, 0) AS DOUBLE) END
+        / CAST(n AS DOUBLE), 9) AS p_unseen,
+  n AS n_tokens, CAST(types AS BIGINT) AS n_types
+FROM sp
+LEFT JOIN vr ON sp.r = vr.r
+LEFT JOIN vr1 ON sp.r = vr1.r, tot
+ORDER BY r""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

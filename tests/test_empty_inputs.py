@@ -223,6 +223,9 @@ REPRESENTATIVE = [
     "daily_growth_profile",  # lag ratios over an empty day spine
     "hourly_uniformity_chi2",  # 24-bin spine over zero events
     "video_frame_sample_gate",  # zero media ids -> zero sampled frames
+    "rbo_topk_stability",  # depth spine over two empty lists
+    "james_stein_nation_means",  # shrinkage over zero nations
+    "good_turing_unseen",  # frequency-of-frequencies over zero tokens
 ]
 
 

@@ -79,3 +79,14 @@ class TestJarqueBeraCritical:
 
         # df=2: P(X <= x) = 1 - exp(-x/2)
         assert abs((1.0 - math.exp(-JB_CRIT / 2.0)) - 0.95) < 1e-6
+
+
+class TestRboWeights:
+    def test_geometric_identity(self):
+        from pgsf_spark.analytics.advanced import RBO_K, RBO_P, _rbo_weights
+
+        w = _rbo_weights()
+        assert len(w) == RBO_K
+        # truncated geometric mass: sum = 1 - p^K
+        assert abs(sum(w) - (1 - RBO_P**RBO_K)) < 1e-12
+        assert all(a > b for a, b in zip(w, w[1:]))

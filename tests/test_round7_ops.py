@@ -664,3 +664,42 @@ class TestHourlyUniformity:
         assert row.dof == 23
         assert row.trough_count <= row.peak_count
         assert row.peak_trough_ratio >= 1.0
+
+
+class TestRbo:
+    def test_rbo_bounds_vs_overlap(self, spark):
+        row = advanced.q_rbo_topk_stability(spark, SF).collect()[0]
+        assert 0.0 <= row.rbo <= 1.0
+        assert 0 <= row.overlap_at_k <= row.k
+        # identical lists would give truncated-RBO = 1 - p^K; any
+        # disagreement keeps it strictly under that ceiling
+        ceiling = 1 - advanced.RBO_P**advanced.RBO_K
+        assert row.rbo <= ceiling + 1e-9
+
+
+class TestJamesStein:
+    def test_shrinkage_direction(self, spark):
+        rows = profiling.q_james_stein_nation_means(spark, SF).collect()
+        assert len(rows) == 25
+        c = rows[0].shrinkage_c
+        assert 0.0 <= c <= 1.0
+        assert all(abs(r.shrinkage_c - c) < 1e-9 for r in rows)
+        # every shrunk mean lies between its raw mean and the grand mean
+        grand = sum(r.raw_mean * r.n_orders for r in rows) / sum(
+            r.n_orders for r in rows
+        )
+        for r in rows:
+            lo, hi = sorted((r.raw_mean, grand))
+            assert lo - 1e-4 <= r.js_mean <= hi + 1e-4
+
+
+class TestGoodTuring:
+    def test_mass_and_smoothing(self, spark):
+        rows = corpus.q_good_turing_unseen(spark, SF).collect()
+        assert [r.r for r in rows] == list(range(1, corpus.GT_MAX_R + 1))
+        r1 = rows[0]
+        assert r1.p_unseen is not None and 0.0 <= r1.p_unseen < 1.0
+        assert abs(r1.p_unseen - r1.v_r / r1.n_tokens) < 1e-6
+        # V_r columns chain: v_r_plus_1 of row r == v_r of row r+1
+        for a, b in zip(rows, rows[1:]):
+            assert a.v_r_plus_1 == b.v_r
