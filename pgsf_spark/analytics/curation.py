@@ -670,3 +670,121 @@ def q_wilson_pass_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     ).orderBy("source")
+
+
+def q_pr_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step-integral PR-AUC) of the length score
+    against the English label -- the imbalanced-data companion to
+    q_roc_auc_quality (ROC is blind to base rate; PR collapses when the
+    positive class is rare, which is exactly the regime quality
+    filtering lives in): AP = sum over descending distinct-score blocks
+    of (delta recall) * (precision at block end).
+
+    Exactness: cumulative TP/ALL per block are exact integers over the
+    distinct-score spine; each block term is a fixed double chain
+    rounded to 12 into DECIMAL before the sum.
+
+    Plan: one score-value rollup (the corpus compresses to distinct
+    n_chars values), one ordered window on that bounded spine."""
+    d = load_table(spark, sf_dir, "documents")
+    by_val = (
+        d.select(
+            F.col("n_chars").alias("score"),
+            (F.col("lang") == "en").cast("long").alias("pos"),
+        )
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("c_all"), F.sum("pos").alias("c_pos"))
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = by_val.select(
+        "score",
+        F.sum("c_pos").over(w).alias("tp"),
+        F.sum("c_all").over(w).alias("all_"),
+        (F.sum("c_pos").over(w) - F.col("c_pos")).alias("tp_prev"),
+    )
+    tot = by_val.agg(
+        F.sum("c_pos").alias("n_pos"), F.sum("c_all").alias("n_all")
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    term = F.round(
+        ((F.col("tp") - F.col("tp_prev")).cast("double") / F.col("n_pos").cast("double"))
+        * (F.col("tp").cast("double") / F.col("all_").cast("double")),
+        12,
+    ).cast("decimal(18,12)")
+    agg = j.groupBy("n_pos", "n_all").agg(F.sum(term).alias("ap"))
+    return agg.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        (F.col("n_all") - F.col("n_pos")).cast("bigint").alias("n_neg"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n_all").cast("double"), 6
+        ).alias("base_rate"),
+        F.round(F.col("ap").cast("double"), 6).alias("average_precision"),
+    )
+
+
+def q_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-F1 operating point of the length score for the English
+    label -- the threshold a deployed filter actually needs (AUC ranks,
+    but production wants ONE cut): sweep every distinct score as the
+    ">= threshold" cut, report the F1-maximizing threshold with its
+    precision/recall (ties broken toward the LOWER threshold, stated).
+
+    Exactness: cumulative TP/ALL are exact integers; F1 at each block
+    is 2TP/(TP + ALL_pred + n_pos... assembled as the fixed chain
+    2tp/(all_pred + n_pos)) -- one double division per block; the
+    argmax is an integer-deterministic orderBy/limit.
+
+    Plan: same distinct-score spine as PR-AUC; the sweep IS the
+    cumulative window, no per-threshold rescan."""
+    d = load_table(spark, sf_dir, "documents")
+    by_val = (
+        d.select(
+            F.col("n_chars").alias("score"),
+            (F.col("lang") == "en").cast("long").alias("pos"),
+        )
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("c_all"), F.sum("pos").alias("c_pos"))
+    )
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = by_val.select(
+        "score",
+        F.sum("c_pos").over(w).alias("tp"),
+        F.sum("c_all").over(w).alias("pred"),
+    )
+    tot = by_val.agg(F.sum("c_pos").alias("n_pos"))
+    j = cum.crossJoin(F.broadcast(tot))
+    f1 = F.round(
+        F.try_divide(
+            F.lit(2.0) * F.col("tp").cast("double"),
+            (F.col("pred") + F.col("n_pos")).cast("double"),
+        ),
+        9,
+    )
+    best = (
+        j.select(
+            "score",
+            "tp",
+            "pred",
+            "n_pos",
+            f1.alias("f1"),
+        )
+        .orderBy(F.col("f1").desc(), F.col("score").asc())
+        .limit(1)
+    )
+    return best.select(
+        F.col("score").cast("bigint").alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("pred").cast("bigint").alias("n_predicted_pos"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.round(
+            F.col("tp").cast("double") / F.col("pred").cast("double"), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.col("n_pos").cast("double"), 6
+        ).alias("recall"),
+        F.round(F.col("f1"), 6).alias("f1"),
+    )

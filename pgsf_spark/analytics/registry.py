@@ -6596,6 +6596,54 @@ LEFT JOIN vr ON sp.r = vr.r
 LEFT JOIN vr1 ON sp.r = vr1.r, tot
 ORDER BY r""",
     ),
+    "pr_auc_quality": QuerySpec(
+        curation.q_pr_auc_quality,
+        """WITH bv AS (
+  SELECT n_chars AS score, COUNT(*) AS c_all,
+    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_pos
+  FROM documents GROUP BY 1),
+cum AS (
+  SELECT score,
+    SUM(c_pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS tp,
+    SUM(c_all) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS all_,
+    SUM(c_pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) - c_pos AS tp_prev
+  FROM bv),
+tot AS (SELECT SUM(c_pos) AS n_pos, SUM(c_all) AS n_all FROM bv),
+agg AS (
+  SELECT n_pos, n_all,
+    SUM(CAST(ROUND((CAST(tp - tp_prev AS DOUBLE) / CAST(n_pos AS DOUBLE))
+        * (CAST(tp AS DOUBLE) / CAST(all_ AS DOUBLE)), 12) AS DECIMAL(18,12))) AS ap
+  FROM cum, tot GROUP BY 1, 2)
+SELECT CAST(n_pos AS BIGINT) AS n_pos,
+  CAST(n_all - n_pos AS BIGINT) AS n_neg,
+  ROUND(CAST(n_pos AS DOUBLE) / CAST(n_all AS DOUBLE), 6) AS base_rate,
+  ROUND(CAST(ap AS DOUBLE), 6) AS average_precision
+FROM agg""",
+    ),
+    "best_f1_threshold": QuerySpec(
+        curation.q_best_f1_threshold,
+        """WITH bv AS (
+  SELECT n_chars AS score, COUNT(*) AS c_all,
+    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_pos
+  FROM documents GROUP BY 1),
+cum AS (
+  SELECT score,
+    SUM(c_pos) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS tp,
+    SUM(c_all) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS pred
+  FROM bv),
+tot AS (SELECT SUM(c_pos) AS n_pos FROM bv),
+j AS (
+  SELECT score, tp, pred, n_pos,
+    ROUND(2.0 * CAST(tp AS DOUBLE) / CAST(pred + n_pos AS DOUBLE), 9) AS f1
+  FROM cum, tot),
+best AS (SELECT * FROM j ORDER BY f1 DESC, score ASC LIMIT 1)
+SELECT CAST(score AS BIGINT) AS threshold, CAST(tp AS BIGINT) AS tp,
+  CAST(pred AS BIGINT) AS n_predicted_pos, CAST(n_pos AS BIGINT) AS n_pos,
+  ROUND(CAST(tp AS DOUBLE) / CAST(pred AS DOUBLE), 6) AS precision,
+  ROUND(CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE), 6) AS recall,
+  ROUND(f1, 6) AS f1
+FROM best""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -226,6 +226,8 @@ REPRESENTATIVE = [
     "rbo_topk_stability",  # depth spine over two empty lists
     "james_stein_nation_means",  # shrinkage over zero nations
     "good_turing_unseen",  # frequency-of-frequencies over zero tokens
+    "pr_auc_quality",  # PR steps over zero docs
+    "best_f1_threshold",  # threshold sweep over zero docs
 ]
 
 

@@ -703,3 +703,22 @@ class TestGoodTuring:
         # V_r columns chain: v_r_plus_1 of row r == v_r of row r+1
         for a, b in zip(rows, rows[1:]):
             assert a.v_r_plus_1 == b.v_r
+
+
+class TestPrAuc:
+    def test_ap_bounds_and_skill(self, spark):
+        row = curation.q_pr_auc_quality(spark, SF).collect()[0]
+        # AP is bounded by [~base_rate for a random ranker, 1.0]
+        assert 0.0 <= row.average_precision <= 1.0
+        assert 0.0 < row.base_rate < 1.0
+        assert row.n_pos > 0 and row.n_neg > 0
+
+
+class TestBestF1:
+    def test_operating_point_identities(self, spark):
+        row = curation.q_best_f1_threshold(spark, SF).collect()[0]
+        assert row.tp <= min(row.n_predicted_pos, row.n_pos)
+        p, r = row.precision, row.recall
+        assert 0.0 < p <= 1.0 and 0.0 < r <= 1.0
+        # F1 is the harmonic mean of the reported precision/recall
+        assert abs(row.f1 - 2 * p * r / (p + r)) < 1e-4
