@@ -1099,8 +1099,9 @@ def q_source_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NOVELTY_BUCKETS = 10
-NOVELTY_N = 3  # token trigrams
+CURVE_BUCKETS = 10
+CURVE_N = 3  # token trigrams (the decile curve; distinct from the
+# 5-gram first-occurrence gate q_ngram_novelty above)
 
 
 def q_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1123,13 +1124,13 @@ def q_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     mx = d.agg(F.max("doc_id").alias("mx"))
     bucket = F.floor(
-        (F.col("doc_id") * NOVELTY_BUCKETS).cast("double")
+        (F.col("doc_id") * CURVE_BUCKETS).cast("double")
         / (F.col("mx") + 1).cast("double")
     ).cast("int")
     base = d.crossJoin(F.broadcast(mx))
     grams = base.select(
         bucket.alias("bucket"),
-        F.explode(ngram_array(_toks(F.lower(F.col("text"))), NOVELTY_N)).alias(
+        F.explode(ngram_array(_toks(F.lower(F.col("text"))), CURVE_N)).alias(
             "gram"
         ),
     )

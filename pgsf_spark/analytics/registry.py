@@ -6220,13 +6220,13 @@ FROM agg""",
 t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
 bk AS (
   SELECT doc_id,
-    CAST(FLOOR(CAST(doc_id * {corpus.NOVELTY_BUCKETS} AS DOUBLE)
+    CAST(FLOOR(CAST(doc_id * {corpus.CURVE_BUCKETS} AS DOUBLE)
                / CAST(mx + 1 AS DOUBLE)) AS INT) AS bucket
   FROM t, mx),
 grams AS (
-  SELECT bk.bucket, array_to_string(toks[i:i+{corpus.NOVELTY_N - 1}], ' ') AS gram
+  SELECT bk.bucket, array_to_string(toks[i:i+{corpus.CURVE_N - 1}], ' ') AS gram
   FROM t JOIN bk USING (doc_id), range(1, 10000) r(i)
-  WHERE i <= len(toks) - {corpus.NOVELTY_N - 1}),
+  WHERE i <= len(toks) - {corpus.CURVE_N - 1}),
 bg AS (SELECT DISTINCT bucket, gram FROM grams),
 pb AS (SELECT bucket, COUNT(*) AS distinct_grams FROM bg GROUP BY 1),
 nv AS (
