@@ -90,3 +90,25 @@ class TestRboWeights:
         # truncated geometric mass: sum = 1 - p^K
         assert abs(sum(w) - (1 - RBO_P**RBO_K)) < 1e-12
         assert all(a > b for a, b in zip(w, w[1:]))
+
+
+class TestNoModuleConstantRedefinition:
+    def test_each_top_level_constant_assigned_once(self):
+        """A module constant assigned twice silently changes every earlier
+        operator that reads it at call time (the NOVELTY_N incident) --
+        ban duplicate top-level CONSTANT bindings per analytics module."""
+        import ast as _ast
+        import glob
+
+        for path in sorted(glob.glob("pgsf_spark/analytics/*.py")):
+            tree = _ast.parse(open(path).read())
+            seen = {}
+            for node in tree.body:
+                if isinstance(node, _ast.Assign):
+                    for t in node.targets:
+                        if isinstance(t, _ast.Name) and t.id.isupper():
+                            assert t.id not in seen, (
+                                f"{path}: constant {t.id} assigned twice "
+                                f"(lines {seen[t.id]} and {node.lineno})"
+                            )
+                            seen[t.id] = node.lineno
