@@ -2141,3 +2141,112 @@ def q_hourly_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("peak_trough_ratio"),
     )
+
+
+BT_ITERS = 5  # unrolled minorize-maximize rounds
+BT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths over the five event types --
+    the pairwise-comparison ranking model (the same family RLHF reward
+    models train on: wins between alternatives -> latent strengths):
+    user u "prefers" type A over type B when cnt_u(A) > cnt_u(B); the
+    win matrix feeds BT_ITERS unrolled MM rounds
+    p_i <- W_i / sum_j n_ij / (p_i + p_j), renormalized each round --
+    the pagerank/kmeans rounds-unrolled iterative template.
+
+    Exactness: the win matrix is exact integers from one user-keyed
+    rollup; every MM round's denominator terms round to 12 into DECIMAL
+    before the per-type sum, and the normalized strengths round to 9,
+    so the DuckDB unrolled-CTE twin matches bit-for-bit.
+
+    Plan: one events->user shuffle, one 5x5 win rollup; each MM round
+    is a join+agg over <= 20 bounded rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("long")).alias(f"c{k}")
+            for k, t in enumerate(BT_TYPES)
+        ]
+    )
+    pairs = [
+        (ki, ti, kj, tj)
+        for ki, ti in enumerate(BT_TYPES)
+        for kj, tj in enumerate(BT_TYPES)
+        if ki != kj
+    ]
+    one = per_user.agg(
+        *[
+            F.sum((F.col(f"c{ki}") > F.col(f"c{kj}")).cast("long")).alias(
+                f"w_{ki}_{kj}"
+            )
+            for ki, _ti, kj, _tj in pairs
+        ]
+    )
+    wins = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ti).alias("i"),
+                        F.lit(tj).alias("j"),
+                        F.col(f"w_{ki}_{kj}").alias("w"),
+                    )
+                    for ki, ti, kj, tj in pairs
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+    rev = wins.select(
+        F.col("i").alias("j_"), F.col("j").alias("i_"), F.col("w").alias("wr")
+    )
+    # tiny (<= 20-row) frames, localCheckpointed so the unrolled rounds do
+    # not replan/rescan the event log (the pagerank exponential-replan fix)
+    n = (
+        wins.join(rev, (wins.i == rev.i_) & (wins.j == rev.j_))
+        .select("i", "j", (F.col("w") + F.col("wr")).alias("n"))
+        .localCheckpoint()
+    )
+    big_w = wins.groupBy("i").agg(F.sum("w").alias("W")).localCheckpoint()
+    p = big_w.select("i", F.lit(0.2).alias("p"))
+    for _ in range(BT_ITERS):
+        pi = p.select(F.col("i").alias("pi_i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("i").alias("pj_j"), F.col("p").alias("p_j"))
+        term = (
+            n.join(F.broadcast(pi), n.i == F.col("pi_i"))
+            .join(F.broadcast(pj), n.j == F.col("pj_j"))
+            .select(
+                "i",
+                F.round(
+                    F.col("n").cast("double") / (F.col("p_i") + F.col("p_j")), 12
+                )
+                .cast("decimal(18,12)")
+                .alias("t"),
+            )
+        )
+        denom = term.groupBy("i").agg(F.sum("t").alias("d"))
+        raw = big_w.join(denom, "i").select(
+            "i",
+            (F.col("W").cast("double") / F.col("d").cast("double")).alias("pr"),
+        )
+        tot = raw.agg(F.sum(F.round(F.col("pr"), 9).cast("decimal(18,9)")).alias("s"))
+        p = (
+            raw.crossJoin(F.broadcast(tot))
+            .select(
+                "i",
+                F.round(
+                    F.round(F.col("pr"), 9) / F.col("s").cast("double"), 9
+                ).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        p.join(big_w, "i")
+        .select(
+            F.col("i").alias("event_type"),
+            F.col("W").cast("bigint").alias("n_wins"),
+            F.col("p").alias("bt_strength"),
+        )
+        .orderBy("event_type")
+    )

@@ -420,3 +420,62 @@ def q_dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+DPO_MARGIN = 100  # minimum chosen-rejected score gap (chars)
+
+
+def q_dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF-style preference-pair mining -- the training-data op
+    that turns a scored corpus into (chosen, rejected) pairs: per
+    source (the 'prompt group' stand-in), pair the highest-scoring doc
+    with the lowest-scoring one and keep pairs whose margin clears
+    DPO_MARGIN (a weak-margin pair teaches a reward model nothing; the
+    floor is the standard mining hygiene).
+
+    Determinism: argmax/argmin are row_number windows over the total
+    order (score desc/asc, doc_id) -- no sampling; the margin filter is
+    integer.
+
+    Plan: one source-keyed window shuffle; output is one row per
+    surviving source."""
+    d = load_table(spark, sf_dir, "documents")
+    wmax = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wmin = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(wmax).alias("rmax"),
+        F.row_number().over(wmin).alias("rmin"),
+    )
+    chosen = ranked.filter(F.col("rmax") == 1).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("n_chars").alias("chosen_chars"),
+    )
+    rejected = ranked.filter(F.col("rmin") == 1).select(
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("n_chars").alias("rejected_chars"),
+    )
+    return (
+        chosen.join(rejected, "source")
+        .withColumn(
+            "margin", (F.col("chosen_chars") - F.col("rejected_chars")).cast("bigint")
+        )
+        .filter(F.col("margin") >= DPO_MARGIN)
+        .select(
+            "source",
+            F.col("chosen_doc").cast("bigint").alias("chosen_doc"),
+            F.col("rejected_doc").cast("bigint").alias("rejected_doc"),
+            F.col("chosen_chars").cast("bigint").alias("chosen_chars"),
+            F.col("rejected_chars").cast("bigint").alias("rejected_chars"),
+            "margin",
+        )
+        .orderBy("source")
+    )

@@ -6644,6 +6644,106 @@ SELECT CAST(score AS BIGINT) AS threshold, CAST(tp AS BIGINT) AS tp,
   ROUND(f1, 6) AS f1
 FROM best""",
     ),
+    "bradley_terry_strengths": QuerySpec(
+        events.q_bradley_terry_strengths,
+        """WITH pu AS MATERIALIZED (
+  SELECT user_id,
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c0,
+    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c1,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2,
+    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c3,
+    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c4
+  FROM events GROUP BY 1),
+wins AS MATERIALIZED (
+  SELECT 'click' AS i, 'error' AS j, SUM(CASE WHEN c0 > c1 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'click' AS i, 'purchase' AS j, SUM(CASE WHEN c0 > c2 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'click' AS i, 'signup' AS j, SUM(CASE WHEN c0 > c3 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'click' AS i, 'view' AS j, SUM(CASE WHEN c0 > c4 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'error' AS i, 'click' AS j, SUM(CASE WHEN c1 > c0 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'error' AS i, 'purchase' AS j, SUM(CASE WHEN c1 > c2 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'error' AS i, 'signup' AS j, SUM(CASE WHEN c1 > c3 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'error' AS i, 'view' AS j, SUM(CASE WHEN c1 > c4 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'purchase' AS i, 'click' AS j, SUM(CASE WHEN c2 > c0 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'purchase' AS i, 'error' AS j, SUM(CASE WHEN c2 > c1 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'purchase' AS i, 'signup' AS j, SUM(CASE WHEN c2 > c3 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'purchase' AS i, 'view' AS j, SUM(CASE WHEN c2 > c4 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'signup' AS i, 'click' AS j, SUM(CASE WHEN c3 > c0 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'signup' AS i, 'error' AS j, SUM(CASE WHEN c3 > c1 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'signup' AS i, 'purchase' AS j, SUM(CASE WHEN c3 > c2 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'signup' AS i, 'view' AS j, SUM(CASE WHEN c3 > c4 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'view' AS i, 'click' AS j, SUM(CASE WHEN c4 > c0 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'view' AS i, 'error' AS j, SUM(CASE WHEN c4 > c1 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'view' AS i, 'purchase' AS j, SUM(CASE WHEN c4 > c2 THEN 1 ELSE 0 END) AS w FROM pu
+  UNION ALL SELECT 'view' AS i, 'signup' AS j, SUM(CASE WHEN c4 > c3 THEN 1 ELSE 0 END) AS w FROM pu),
+n AS (SELECT a.i, a.j, a.w + b.w AS n FROM wins a JOIN wins b ON a.i = b.j AND a.j = b.i),
+bw AS (SELECT i, SUM(w) AS W FROM wins GROUP BY 1),
+p0 AS (SELECT i, CAST(0.2 AS DOUBLE) AS p FROM bw),
+t1 AS (
+  SELECT n.i, CAST(ROUND(CAST(n.n AS DOUBLE) / (pi.p + pj.p), 12) AS DECIMAL(18,12)) AS t
+  FROM n JOIN p0 pi ON n.i = pi.i JOIN p0 pj ON n.j = pj.i),
+d1 AS (SELECT i, SUM(t) AS d FROM t1 GROUP BY 1),
+raw1 AS (
+  SELECT bw.i, CAST(W AS DOUBLE) / CAST(d AS DOUBLE) AS pr
+  FROM bw JOIN d1 ON bw.i = d1.i),
+s1 AS (SELECT SUM(CAST(ROUND(pr, 9) AS DECIMAL(18,9))) AS s FROM raw1),
+p1 AS (SELECT i, ROUND(ROUND(pr, 9) / CAST(s AS DOUBLE), 9) AS p FROM raw1, s1),
+t2 AS (
+  SELECT n.i, CAST(ROUND(CAST(n.n AS DOUBLE) / (pi.p + pj.p), 12) AS DECIMAL(18,12)) AS t
+  FROM n JOIN p1 pi ON n.i = pi.i JOIN p1 pj ON n.j = pj.i),
+d2 AS (SELECT i, SUM(t) AS d FROM t2 GROUP BY 1),
+raw2 AS (
+  SELECT bw.i, CAST(W AS DOUBLE) / CAST(d AS DOUBLE) AS pr
+  FROM bw JOIN d2 ON bw.i = d2.i),
+s2 AS (SELECT SUM(CAST(ROUND(pr, 9) AS DECIMAL(18,9))) AS s FROM raw2),
+p2 AS (SELECT i, ROUND(ROUND(pr, 9) / CAST(s AS DOUBLE), 9) AS p FROM raw2, s2),
+t3 AS (
+  SELECT n.i, CAST(ROUND(CAST(n.n AS DOUBLE) / (pi.p + pj.p), 12) AS DECIMAL(18,12)) AS t
+  FROM n JOIN p2 pi ON n.i = pi.i JOIN p2 pj ON n.j = pj.i),
+d3 AS (SELECT i, SUM(t) AS d FROM t3 GROUP BY 1),
+raw3 AS (
+  SELECT bw.i, CAST(W AS DOUBLE) / CAST(d AS DOUBLE) AS pr
+  FROM bw JOIN d3 ON bw.i = d3.i),
+s3 AS (SELECT SUM(CAST(ROUND(pr, 9) AS DECIMAL(18,9))) AS s FROM raw3),
+p3 AS (SELECT i, ROUND(ROUND(pr, 9) / CAST(s AS DOUBLE), 9) AS p FROM raw3, s3),
+t4 AS (
+  SELECT n.i, CAST(ROUND(CAST(n.n AS DOUBLE) / (pi.p + pj.p), 12) AS DECIMAL(18,12)) AS t
+  FROM n JOIN p3 pi ON n.i = pi.i JOIN p3 pj ON n.j = pj.i),
+d4 AS (SELECT i, SUM(t) AS d FROM t4 GROUP BY 1),
+raw4 AS (
+  SELECT bw.i, CAST(W AS DOUBLE) / CAST(d AS DOUBLE) AS pr
+  FROM bw JOIN d4 ON bw.i = d4.i),
+s4 AS (SELECT SUM(CAST(ROUND(pr, 9) AS DECIMAL(18,9))) AS s FROM raw4),
+p4 AS (SELECT i, ROUND(ROUND(pr, 9) / CAST(s AS DOUBLE), 9) AS p FROM raw4, s4),
+t5 AS (
+  SELECT n.i, CAST(ROUND(CAST(n.n AS DOUBLE) / (pi.p + pj.p), 12) AS DECIMAL(18,12)) AS t
+  FROM n JOIN p4 pi ON n.i = pi.i JOIN p4 pj ON n.j = pj.i),
+d5 AS (SELECT i, SUM(t) AS d FROM t5 GROUP BY 1),
+raw5 AS (
+  SELECT bw.i, CAST(W AS DOUBLE) / CAST(d AS DOUBLE) AS pr
+  FROM bw JOIN d5 ON bw.i = d5.i),
+s5 AS (SELECT SUM(CAST(ROUND(pr, 9) AS DECIMAL(18,9))) AS s FROM raw5),
+p5 AS (SELECT i, ROUND(ROUND(pr, 9) / CAST(s AS DOUBLE), 9) AS p FROM raw5, s5)
+SELECT p5.i AS event_type, CAST(W AS BIGINT) AS n_wins, p AS bt_strength
+FROM p5 JOIN bw ON p5.i = bw.i ORDER BY event_type""",
+    ),
+    "dpo_preference_pairs": QuerySpec(
+        pipeline.q_dpo_preference_pairs,
+        f"""WITH rk AS (
+  SELECT source, doc_id, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rmax,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id) AS rmin
+  FROM documents),
+ch AS (SELECT source, doc_id AS chosen_doc, n_chars AS chosen_chars FROM rk WHERE rmax = 1),
+rj AS (SELECT source, doc_id AS rejected_doc, n_chars AS rejected_chars FROM rk WHERE rmin = 1)
+SELECT ch.source, CAST(chosen_doc AS BIGINT) AS chosen_doc,
+  CAST(rejected_doc AS BIGINT) AS rejected_doc,
+  CAST(chosen_chars AS BIGINT) AS chosen_chars,
+  CAST(rejected_chars AS BIGINT) AS rejected_chars,
+  CAST(chosen_chars - rejected_chars AS BIGINT) AS margin
+FROM ch JOIN rj ON ch.source = rj.source
+WHERE chosen_chars - rejected_chars >= {pipeline.DPO_MARGIN}
+ORDER BY ch.source""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

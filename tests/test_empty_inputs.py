@@ -228,6 +228,8 @@ REPRESENTATIVE = [
     "good_turing_unseen",  # frequency-of-frequencies over zero tokens
     "pr_auc_quality",  # PR steps over zero docs
     "best_f1_threshold",  # threshold sweep over zero docs
+    "bradley_terry_strengths",  # MM rounds over a zero win matrix
+    "dpo_preference_pairs",  # argmax/argmin windows over zero docs
 ]
 
 

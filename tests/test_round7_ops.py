@@ -722,3 +722,28 @@ class TestBestF1:
         assert 0.0 < p <= 1.0 and 0.0 < r <= 1.0
         # F1 is the harmonic mean of the reported precision/recall
         assert abs(row.f1 - 2 * p * r / (p + r)) < 1e-4
+
+
+class TestBradleyTerry:
+    def test_strengths_normalized_and_order(self, spark):
+        rows = events.q_bradley_terry_strengths(spark, SF).collect()
+        assert len(rows) == len(events.BT_TYPES)
+        s = sum(r.bt_strength for r in rows)
+        assert abs(s - 1.0) < 1e-6
+        assert all(r.bt_strength > 0 for r in rows)
+        # MM preserves win-count order on this aggregated design
+        by_wins = sorted(rows, key=lambda r: -r.n_wins)
+        by_strength = sorted(rows, key=lambda r: -r.bt_strength)
+        assert [r.event_type for r in by_wins] == [
+            r.event_type for r in by_strength
+        ]
+
+
+class TestDpoPairs:
+    def test_pair_hygiene(self, spark):
+        rows = pipeline.q_dpo_preference_pairs(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r.chosen_doc != r.rejected_doc
+            assert r.margin == r.chosen_chars - r.rejected_chars
+            assert r.margin >= pipeline.DPO_MARGIN
