@@ -1269,3 +1269,160 @@ def q_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("r")
     )
     return rows
+
+
+KN_MIN = 10  # unigram count floor
+KN_TOP = 20
+
+
+def q_kneser_ney_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation statistics -- the smoothing insight every
+    modern n-gram LM (and tokenizer-vocab debate) rests on: a token's
+    CONTINUATION probability counts its distinct left contexts, not its
+    raw frequency, so corpus-frequent-but-context-bound tokens (the
+    'Francisco' effect) are exposed by a high raw-share /
+    continuation-share ratio. Reports the KN_TOP most context-bound
+    tokens above the count floor.
+
+    Exactness: unigram counts, distinct-left-context counts, and the
+    bigram-type total are exact integers (one in-row bigram zip, two
+    keyed rollups); both shares and their ratio are fixed double chains
+    rounded to 6/9.
+
+    Plan: the PMI bigram device -- no positional self-join; shuffle
+    bounded by distinct grams."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    with_t = d.select(toks.alias("t"))
+    bigrams = with_t.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    btypes = bigrams.distinct()
+    cont = btypes.groupBy("w2").agg(F.count(F.lit(1)).alias("n_contexts"))
+    n_btypes = btypes.agg(F.count(F.lit(1)).alias("nb"))
+    uni = with_t.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cu")
+    )
+    nu = uni.agg(F.sum("cu").alias("nu"))
+    j = (
+        uni.filter(F.col("cu") >= KN_MIN)
+        .join(cont.select(F.col("w2").alias("w"), "n_contexts"), "w")
+        .crossJoin(F.broadcast(n_btypes))
+        .crossJoin(F.broadcast(nu))
+    )
+    raw_share = F.col("cu").cast("double") / F.col("nu").cast("double")
+    cont_share = F.col("n_contexts").cast("double") / F.col("nb").cast("double")
+    return (
+        j.select(
+            F.col("w").alias("token"),
+            F.col("cu").cast("bigint").alias("n_occurrences"),
+            F.col("n_contexts").cast("bigint").alias("n_left_contexts"),
+            F.round(raw_share, 9).alias("raw_share"),
+            F.round(cont_share, 9).alias("continuation_share"),
+            F.round(raw_share / cont_share, 6).alias("context_boundness"),
+        )
+        .orderBy(F.col("context_boundness").desc(), "token")
+        .limit(KN_TOP)
+    )
+
+
+BD_TOP = 30  # marker-token panel size
+BD_PAIRS = 10
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources -- the
+    classic authorship/register metric (z-score each of the BD_TOP most
+    frequent tokens' per-source relative frequencies across sources,
+    then Delta(a,b) = mean |z_a - z_b|): the BD_PAIRS most
+    similar-styled source pairs, the duplicate-PIPELINE signal upstream
+    of content dedup (two 'different' sources with near-zero Delta are
+    usually one crawl wearing two names).
+
+    Exactness: token counts and per-source totals are exact integers;
+    shares round to 12 into DECIMAL, the cross-source mean/std are
+    fixed chains on those exact sums, and each |z_a - z_b| term rounds
+    to 9 before the bounded 30-term mean.
+
+    Plan: one (source, token) rollup; everything after lives on the
+    30-token x 20-source panel."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(_toks(F.lower(F.col("text")))).alias("w")
+    )
+    per = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = per.groupBy("source").agg(F.sum("c").alias("tot"))
+    top = (
+        per.groupBy("w")
+        .agg(F.sum("c").alias("cg"))
+        .orderBy(F.col("cg").desc(), "w")
+        .limit(BD_TOP)
+        .select("w")
+    )
+    # full 30 x n_sources panel: a token absent from a source has share 0,
+    # not a dropped row (dropping would bias the cross-source moments)
+    panel = top.crossJoin(F.broadcast(totals))
+    shares = panel.join(per, ["source", "w"], "left").select(
+        "w",
+        "source",
+        F.round(
+            F.coalesce(F.col("c"), F.lit(0)).cast("double")
+            / F.col("tot").cast("double"),
+            12,
+        )
+        .cast("decimal(18,12)")
+        .alias("f"),
+    )
+    stats = shares.groupBy("w").agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("f").alias("s1"),
+        F.sum(
+            (F.col("f").cast("double") * F.col("f").cast("double")).cast(
+                "decimal(38,24)"
+            )
+        ).alias("s2"),
+    )
+    gd = F.col("g").cast("double")
+    mean = F.col("s1").cast("double") / gd
+    sd = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / gd - mean * mean, F.lit(0.0)
+        )
+    )
+    z = shares.join(F.broadcast(stats), "w").select(
+        "w",
+        "source",
+        F.round(
+            F.try_divide(F.col("f").cast("double") - mean, sd), 9
+        ).alias("z"),
+    )
+    a = z.select("w", F.col("source").alias("sa"), F.col("z").alias("za"))
+    b = z.select("w", F.col("source").alias("sb"), F.col("z").alias("zb"))
+    pair_terms = a.join(b, "w").filter(F.col("sa") < F.col("sb")).select(
+        "sa",
+        "sb",
+        F.round(F.abs(F.col("za") - F.col("zb")), 9)
+        .cast("decimal(18,9)")
+        .alias("t"),
+    )
+    delta = pair_terms.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("t").alias("ts")
+    )
+    return (
+        delta.select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+            F.round(
+                F.col("ts").cast("double") / F.col("n_terms").cast("double"), 6
+            ).alias("delta"),
+        )
+        .orderBy("delta", "source_a", "source_b")
+        .limit(BD_PAIRS)
+    )

@@ -6744,6 +6744,66 @@ FROM ch JOIN rj ON ch.source = rj.source
 WHERE chosen_chars - rejected_chars >= {pipeline.DPO_MARGIN}
 ORDER BY ch.source""",
     ),
+    "kneser_ney_continuation": QuerySpec(
+        corpus.q_kneser_ney_continuation,
+        f"""WITH tk AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+bg AS (
+  SELECT p[1] AS w1, p[2] AS w2
+  FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM tk)),
+bt AS (SELECT DISTINCT w1, w2 FROM bg),
+cont AS (SELECT w2 AS w, COUNT(*) AS n_contexts FROM bt GROUP BY 1),
+nb AS (SELECT COUNT(*) AS nb FROM bt),
+uni AS (SELECT w, COUNT(*) AS cu FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+nu AS (SELECT CAST(SUM(cu) AS BIGINT) AS nu FROM uni)
+SELECT uni.w AS token, CAST(cu AS BIGINT) AS n_occurrences,
+  CAST(n_contexts AS BIGINT) AS n_left_contexts,
+  ROUND(CAST(cu AS DOUBLE) / CAST(nu AS DOUBLE), 9) AS raw_share,
+  ROUND(CAST(n_contexts AS DOUBLE) / CAST(nb AS DOUBLE), 9) AS continuation_share,
+  ROUND((CAST(cu AS DOUBLE) / CAST(nu AS DOUBLE))
+        / (CAST(n_contexts AS DOUBLE) / CAST(nb AS DOUBLE)), 6) AS context_boundness
+FROM uni JOIN cont ON uni.w = cont.w, nb, nu
+WHERE cu >= {corpus.KN_MIN}
+ORDER BY context_boundness DESC, token LIMIT {corpus.KN_TOP}""",
+    ),
+    "burrows_delta": QuerySpec(
+        corpus.q_burrows_delta,
+        f"""WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+per AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+totals AS (SELECT source, SUM(c) AS tot FROM per GROUP BY 1),
+top AS (
+  SELECT w FROM (
+    SELECT w, SUM(c) AS cg FROM per GROUP BY 1
+    ORDER BY cg DESC, w LIMIT {corpus.BD_TOP})),
+panel AS (SELECT top.w, totals.source, totals.tot FROM top, totals),
+shares AS (
+  SELECT panel.w, panel.source,
+    CAST(ROUND(CAST(COALESCE(per.c, 0) AS DOUBLE) / CAST(panel.tot AS DOUBLE), 12)
+      AS DECIMAL(18,12)) AS f
+  FROM panel LEFT JOIN per ON panel.source = per.source AND panel.w = per.w),
+stats AS (
+  SELECT w, COUNT(*) AS g, SUM(f) AS s1,
+    SUM(CAST(CAST(f AS DOUBLE) * CAST(f AS DOUBLE) AS DECIMAL(38,24))) AS s2
+  FROM shares GROUP BY 1),
+z AS (
+  SELECT shares.w, source,
+    ROUND((CAST(f AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(g AS DOUBLE))
+          / sqrt(GREATEST(CAST(s2 AS DOUBLE) / CAST(g AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(g AS DOUBLE))
+                   * (CAST(s1 AS DOUBLE) / CAST(g AS DOUBLE)), 0.0)), 9) AS z
+  FROM shares JOIN stats ON shares.w = stats.w),
+pt AS (
+  SELECT a.source AS sa, b.source AS sb,
+    CAST(ROUND(abs(a.z - b.z), 9) AS DECIMAL(18,9)) AS t
+  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source),
+delta AS (
+  SELECT sa, sb, COUNT(*) AS n_terms, SUM(t) AS ts FROM pt GROUP BY 1, 2)
+SELECT sa AS source_a, sb AS source_b, CAST(n_terms AS BIGINT) AS n_terms,
+  ROUND(CAST(ts AS DOUBLE) / CAST(n_terms AS DOUBLE), 6) AS delta
+FROM delta ORDER BY delta, source_a, source_b LIMIT {corpus.BD_PAIRS}""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

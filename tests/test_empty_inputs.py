@@ -230,6 +230,8 @@ REPRESENTATIVE = [
     "best_f1_threshold",  # threshold sweep over zero docs
     "bradley_terry_strengths",  # MM rounds over a zero win matrix
     "dpo_preference_pairs",  # argmax/argmin windows over zero docs
+    "kneser_ney_continuation",  # context counts over zero bigrams
+    "burrows_delta",  # z-score panel over zero sources
 ]
 
 

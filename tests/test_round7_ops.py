@@ -747,3 +747,27 @@ class TestDpoPairs:
             assert r.chosen_doc != r.rejected_doc
             assert r.margin == r.chosen_chars - r.rejected_chars
             assert r.margin >= pipeline.DPO_MARGIN
+
+
+class TestKneserNey:
+    def test_boundness_and_floors(self, spark):
+        rows = corpus.q_kneser_ney_continuation(spark, SF).collect()
+        assert 0 < len(rows) <= corpus.KN_TOP
+        bounds = [r.context_boundness for r in rows]
+        assert bounds == sorted(bounds, reverse=True)
+        for r in rows:
+            assert r.n_occurrences >= corpus.KN_MIN
+            assert 1 <= r.n_left_contexts
+            assert r.raw_share > 0 and r.continuation_share > 0
+
+
+class TestBurrowsDelta:
+    def test_pairs_and_nonnegativity(self, spark):
+        rows = corpus.q_burrows_delta(spark, SF).collect()
+        assert len(rows) == corpus.BD_PAIRS
+        deltas = [r.delta for r in rows]
+        assert deltas == sorted(deltas)
+        for r in rows:
+            assert r.source_a < r.source_b
+            assert r.n_terms == corpus.BD_TOP
+            assert r.delta >= 0.0
