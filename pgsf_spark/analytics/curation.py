@@ -788,3 +788,156 @@ def q_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall"),
         F.round(F.col("f1"), 6).alias("f1"),
     )
+
+
+QN_Q = 9  # decile cut points 1..9
+
+
+def q_quantile_normalization_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source -> global quantile-normalization map for document
+    length -- the lookup table a feature normalizer applies so every
+    source's length distribution lands on the corpus's (the batch-effect
+    correction borrowed from bioinformatics; length-based quality
+    filters then behave identically across sources): for each decile
+    q/10, the source's type-1 order statistic paired with the global
+    one.
+
+    Exactness: both quantile ladders are ORDER STATISTICS over integer
+    n_chars values (smallest value whose cumulative count reaches
+    ceil(q*n/10)) -- no interpolation; everything is exact integers.
+
+    Plan: one (source, value) rollup; cumulative windows ride the
+    bounded distinct-length spine per source (and once globally)."""
+    d = load_table(spark, sf_dir, "documents")
+    sv = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wsrc = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scum = sv.select(
+        "source",
+        "n_chars",
+        F.sum("c").over(wsrc).alias("cum"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n"),
+    )
+    gv = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wg = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = gv.select(
+        "n_chars",
+        F.sum("c").over(wg).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    spine = spark.range(1, QN_Q + 1).select(F.col("id").cast("int").alias("q"))
+    srcq = (
+        spine.crossJoin(scum)
+        .filter(
+            F.col("cum")
+            >= F.ceil(F.col("q") * F.col("n").cast("double") / F.lit(10.0))
+        )
+        .groupBy("source", "q")
+        .agg(F.min("n_chars").alias("source_value"))
+    )
+    gq = (
+        spine.crossJoin(F.broadcast(gcum))
+        .filter(
+            F.col("cum")
+            >= F.ceil(F.col("q") * F.col("n").cast("double") / F.lit(10.0))
+        )
+        .groupBy("q")
+        .agg(F.min("n_chars").alias("global_value"))
+    )
+    return (
+        srcq.join(F.broadcast(gq), "q")
+        .select(
+            "source",
+            F.col("q").cast("bigint").alias("q"),
+            F.col("source_value").cast("bigint").alias("source_value"),
+            F.col("global_value").cast("bigint").alias("global_value"),
+            (F.col("global_value") - F.col("source_value"))
+            .cast("bigint")
+            .alias("shift"),
+        )
+        .orderBy("source", "q")
+    )
+
+
+AUCF_K = 5
+AUCF_SEED = "aucf7"
+
+
+def q_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC per md5 fold with the cross-fold mean/spread -- the
+    stability check on top of the single-number q_roc_auc_quality (one
+    AUC can ride a lucky subset; five disjoint folds with a tight
+    spread is what 'the score actually ranks' looks like): the same
+    midrank rank-sum identity, computed within each of AUCF_K
+    deterministic md5 folds.
+
+    Exactness: fold assignment is the md5-slot device; per-fold
+    midranks are dyadic rationals over integer counts (the ROC
+    precedent); the cross-fold mean/std round per-fold AUCs to 9 into
+    DECIMAL first.
+
+    Plan: one (fold, score) rollup; windows ride the distinct-score
+    spine per fold; 5-row algebra after."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{AUCF_SEED}:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % AUCF_K
+    )
+    labeled = d.select(
+        fold.alias("fold"),
+        F.col("n_chars").alias("score"),
+        (F.col("lang") == "en").cast("bigint").alias("pos"),
+    )
+    by_val = labeled.groupBy("fold", "score").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("pos").alias("c_pos")
+    )
+    w = Window.partitionBy("fold").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = by_val.withColumn(
+        "cum_less", F.coalesce(F.sum("c_all").over(w), F.lit(0))
+    ).withColumn("midrank", F.col("cum_less") + (F.col("c_all") + 1) / 2.0)
+    per_fold = ranked.groupBy("fold").agg(
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        (F.sum("c_all") - F.sum("c_pos")).cast("bigint").alias("n_neg"),
+        F.round(
+            (F.sum(F.col("c_pos") * F.col("midrank"))
+             - F.sum("c_pos") * (F.sum("c_pos") + 1) / 2.0)
+            / (F.sum("c_pos") * (F.sum("c_all") - F.sum("c_pos"))),
+            9,
+        ).alias("auc"),
+    )
+    dec = "decimal(18,9)"
+    stats = per_fold.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("auc").cast(dec)).alias("s1"),
+        F.sum(
+            (F.col("auc").cast(dec) * F.col("auc").cast(dec)).cast("decimal(38,18)")
+        ).alias("s2"),
+    )
+    kd = F.col("k").cast("double")
+    mean = F.col("s1").cast("double") / kd
+    sd = F.sqrt(
+        F.greatest(F.col("s2").cast("double") / kd - mean * mean, F.lit(0.0))
+    )
+    return (
+        per_fold.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("fold").cast("bigint").alias("fold"),
+            "n_pos",
+            "n_neg",
+            F.round(F.col("auc"), 6).alias("auc"),
+            F.round(mean, 6).alias("mean_auc"),
+            F.round(sd, 6).alias("sd_auc"),
+        )
+        .orderBy("fold")
+    )

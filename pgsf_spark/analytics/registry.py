@@ -6804,6 +6804,74 @@ SELECT sa AS source_a, sb AS source_b, CAST(n_terms AS BIGINT) AS n_terms,
   ROUND(CAST(ts AS DOUBLE) / CAST(n_terms AS DOUBLE), 6) AS delta
 FROM delta ORDER BY delta, source_a, source_b LIMIT {corpus.BD_PAIRS}""",
     ),
+    "quantile_normalization_map": QuerySpec(
+        curation.q_quantile_normalization_map,
+        f"""WITH sv AS (
+  SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+scum AS (
+  SELECT source, n_chars,
+    SUM(c) OVER (PARTITION BY source ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(c) OVER (PARTITION BY source) AS n
+  FROM sv),
+gv AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
+gcum AS (
+  SELECT n_chars,
+    SUM(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(c) OVER () AS n
+  FROM gv),
+sp AS (SELECT CAST(i AS INT) AS q FROM range(1, {curation.QN_Q + 1}) r(i)),
+srcq AS (
+  SELECT source, q, MIN(n_chars) AS source_value
+  FROM sp, scum
+  WHERE cum >= CEIL(q * CAST(n AS DOUBLE) / 10.0)
+  GROUP BY 1, 2),
+gq AS (
+  SELECT q, MIN(n_chars) AS global_value
+  FROM sp, gcum
+  WHERE cum >= CEIL(q * CAST(n AS DOUBLE) / 10.0)
+  GROUP BY 1)
+SELECT source, CAST(srcq.q AS BIGINT) AS q,
+  CAST(source_value AS BIGINT) AS source_value,
+  CAST(global_value AS BIGINT) AS global_value,
+  CAST(global_value - source_value AS BIGINT) AS shift
+FROM srcq JOIN gq ON srcq.q = gq.q
+ORDER BY source, q""",
+    ),
+    "auc_by_fold": QuerySpec(
+        curation.q_auc_by_fold,
+        f"""WITH lb AS (
+  SELECT ('0x' || substr(md5('{curation.AUCF_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % {curation.AUCF_K} AS fold,
+    n_chars AS score,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents),
+bv AS (
+  SELECT fold, score, COUNT(*) AS c_all, SUM(pos) AS c_pos
+  FROM lb GROUP BY 1, 2),
+rk AS (
+  SELECT fold, c_all, c_pos,
+    COALESCE(SUM(c_all) OVER (PARTITION BY fold ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      + (c_all + 1) / 2.0 AS midrank
+  FROM bv),
+pf AS (
+  SELECT fold, CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+    CAST(SUM(c_all) - SUM(c_pos) AS BIGINT) AS n_neg,
+    ROUND((SUM(c_pos * midrank) - SUM(c_pos) * (SUM(c_pos) + 1) / 2.0)
+          / (SUM(c_pos) * (SUM(c_all) - SUM(c_pos))), 9) AS auc
+  FROM rk GROUP BY 1),
+st AS (
+  SELECT COUNT(*) AS k,
+    SUM(CAST(auc AS DECIMAL(18,9))) AS s1,
+    SUM(CAST(CAST(auc AS DECIMAL(18,9)) * CAST(auc AS DECIMAL(18,9)) AS DECIMAL(38,18))) AS s2
+  FROM pf)
+SELECT CAST(fold AS BIGINT) AS fold, n_pos, n_neg,
+  ROUND(auc, 6) AS auc,
+  ROUND(CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE), 6) AS mean_auc,
+  ROUND(sqrt(GREATEST(CAST(s2 AS DOUBLE) / CAST(k AS DOUBLE)
+        - (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+          * (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)), 0.0)), 6) AS sd_auc
+FROM pf, st ORDER BY fold""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -232,6 +232,8 @@ REPRESENTATIVE = [
     "dpo_preference_pairs",  # argmax/argmin windows over zero docs
     "kneser_ney_continuation",  # context counts over zero bigrams
     "burrows_delta",  # z-score panel over zero sources
+    "quantile_normalization_map",  # decile ladders over zero docs
+    "auc_by_fold",  # per-fold midranks over zero docs
 ]
 
 

@@ -771,3 +771,33 @@ class TestBurrowsDelta:
             assert r.source_a < r.source_b
             assert r.n_terms == corpus.BD_TOP
             assert r.delta >= 0.0
+
+
+class TestQuantileNormalization:
+    def test_ladder_monotone(self, spark):
+        rows = curation.q_quantile_normalization_map(spark, SF).collect()
+        assert len(rows) == 20 * curation.QN_Q
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.source, []).append(r)
+        for src, rs in by_src.items():
+            rs.sort(key=lambda r: r.q)
+            sv = [r.source_value for r in rs]
+            gv = [r.global_value for r in rs]
+            assert sv == sorted(sv) and gv == sorted(gv)
+            for r in rs:
+                assert r.shift == r.global_value - r.source_value
+
+
+class TestAucByFold:
+    def test_folds_and_spread(self, spark):
+        rows = curation.q_auc_by_fold(spark, SF).collect()
+        assert len(rows) == curation.AUCF_K
+        aucs = [r.auc for r in rows]
+        assert all(0.0 <= a <= 1.0 for a in aucs)
+        mean = rows[0].mean_auc
+        assert abs(mean - sum(aucs) / len(aucs)) < 1e-4
+        assert rows[0].sd_auc >= 0.0
+        # each fold's AUC should be near the pooled single-number gate
+        pooled = curation.q_roc_auc_quality(spark, SF).collect()[0].auc
+        assert all(abs(a - pooled) < 0.2 for a in aucs)
