@@ -1317,3 +1317,51 @@ def q_jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("bucket", "n_pairs", "avg_jaccard", "pairs_kept_at_threshold")
         .orderBy("bucket")
     )
+
+
+DCP_SMIN = 2  # every LSH cluster has >= 2 members by construction
+
+
+def q_dup_cluster_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law exponent of the near-duplicate CLUSTER-SIZE
+    distribution -- the capacity-planning number for the dedup pipeline
+    itself (alpha near 2 means a few enormous duplicate families
+    dominate and the hot-bucket chunking is load-bearing; alpha > 3
+    means dup mass is scattered small clusters and per-cluster work is
+    flat): alpha_mle = 1 + n / sum ln(s_i / smin) over the LSH
+    component sizes (the Clauset-Shalizi-Newman device shared with
+    q_degree_powerlaw_fit).
+
+    Exactness: cluster sizes are exact integers from the same
+    LSH -> connected-components chain as q_dedup_clusters; each
+    ln(s/smin) rounds to 9 into DECIMAL, alpha is two IEEE ops, NULL
+    when every cluster is exactly smin (ln-sum 0, stated).
+
+    Plan: the (band,bucket) LSH shuffle + O(log n) component rounds,
+    then one size rollup and a 1-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(lsh_banded(d))
+    sizes = (
+        connected_components(pairs)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    lnr = F.round(F.log(F.col("s").cast("double") / float(DCP_SMIN)), 9).cast(
+        "decimal(18,9)"
+    )
+    g = sizes.filter(F.col("s") >= DCP_SMIN).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("s").alias("n_docs_clustered"),
+        F.max("s").cast("bigint").alias("max_size"),
+        F.sum(lnr).cast("double").alias("ln_sum"),
+    )
+    return g.select(
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        F.col("n_docs_clustered").cast("bigint").alias("n_docs_clustered"),
+        "max_size",
+        F.round(
+            F.lit(1.0)
+            + F.try_divide(F.col("n_clusters").cast("double"), F.col("ln_sum")),
+            6,
+        ).alias("alpha_mle"),
+    )

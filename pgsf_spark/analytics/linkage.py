@@ -592,3 +592,73 @@ def q_bfs_reachability_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe", "hop")
     )
+
+
+RC_KS = [2, 4, 8]  # rich-club degree thresholds
+
+
+def q_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients of the co-purchase customer graph -- do
+    the high-degree customers form a densely linked core (phi -> 1,
+    an elite club) or barely touch (phi -> 0, hubs as independent
+    spokes)?  phi(k) = 2 E_>k / (N_>k (N_>k - 1)) over the nodes with
+    degree > k, for the literal threshold panel RC_KS.
+
+    Exactness: the edge set, degrees, N_>k and E_>k are exact integers
+    on the same bounded rare-part pair construction as assortativity;
+    phi is one double division per threshold row.
+
+    Plan: one edge build (rare-part bounded fan-out, checkpointed),
+    one degree rollup, then per-threshold filtered counts over
+    bounded joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cp = (
+        li.select("l_orderkey", "l_partkey")
+        .join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pdeg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("deg"))
+    rare = pdeg.filter((F.col("deg") >= 2) & (F.col("deg") <= AA_MAX_DEG))
+    cpr = cp.join(rare.select("p"), "p")
+    a = cpr.select("p", F.col("c").alias("c1"))
+    b = cpr.select("p", F.col("c").alias("c2"))
+    edges = (
+        a.join(b, "p").filter(F.col("c1") < F.col("c2")).select("c1", "c2").distinct()
+    ).localCheckpoint(eager=True)
+    cdeg = (
+        edges.select(F.col("c1").alias("c"))
+        .unionAll(edges.select(F.col("c2").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    both = edges.join(
+        F.broadcast(cdeg.select(F.col("c").alias("c1"), F.col("d").alias("dx"))), "c1"
+    ).join(
+        F.broadcast(cdeg.select(F.col("c").alias("c2"), F.col("d").alias("dy"))), "c2"
+    )
+    spine = spark.createDataFrame([(k,) for k in RC_KS], ["k"])
+    ek = (
+        spine.join(
+            both, (F.col("dx") > F.col("k")) & (F.col("dy") > F.col("k")), "left"
+        )
+        .groupBy("k")
+        .agg(F.count("c1").alias("e_k"))
+    )
+    nk = (
+        spine.join(cdeg, F.col("d") > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count("c").alias("n_k"))
+    )
+    j = ek.join(nk, "k")
+    nd = F.col("n_k").cast("double")
+    return j.select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("n_k").cast("bigint").alias("n_nodes"),
+        F.col("e_k").cast("bigint").alias("n_edges"),
+        F.round(
+            F.try_divide(F.lit(2.0) * F.col("e_k").cast("double"), nd * (nd - F.lit(1.0))),
+            6,
+        ).alias("phi"),
+    ).orderBy("k")

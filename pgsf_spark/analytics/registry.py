@@ -6872,6 +6872,59 @@ SELECT CAST(fold AS BIGINT) AS fold, n_pos, n_neg,
           * (CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE)), 0.0)), 6) AS sd_auc
 FROM pf, st ORDER BY fold""",
     ),
+    "dup_cluster_powerlaw": QuerySpec(
+        dedup.q_dup_cluster_powerlaw,
+        _minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+        + _lsh_banded_sql()
+        + f""",
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+walk(doc, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.reach FROM edges e JOIN walk w ON e.b = w.doc),
+cl AS (SELECT doc, MIN(reach) AS cluster FROM walk GROUP BY doc),
+sz AS (SELECT cluster, COUNT(*) AS s FROM cl GROUP BY 1),
+g AS (
+  SELECT COUNT(*) AS n_clusters, CAST(SUM(s) AS BIGINT) AS n_docs_clustered,
+    MAX(s) AS max_size,
+    CAST(SUM(CAST(ROUND(ln(CAST(s AS DOUBLE) / {float(dedup.DCP_SMIN)!r}), 9)
+      AS DECIMAL(18,9))) AS DOUBLE) AS ln_sum
+  FROM sz WHERE s >= {dedup.DCP_SMIN})
+SELECT CAST(n_clusters AS BIGINT) AS n_clusters, n_docs_clustered,
+  CAST(max_size AS BIGINT) AS max_size,
+  ROUND(1.0 + CAST(n_clusters AS DOUBLE) / ln_sum, 6) AS alpha_mle
+FROM g""",
+    ),
+    "rich_club_coefficient": QuerySpec(
+        linkage.q_rich_club_coefficient,
+        f"""WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+pdeg AS (SELECT p, COUNT(*) AS deg FROM cp GROUP BY 1),
+rare AS (SELECT p FROM pdeg WHERE deg >= 2 AND deg <= {linkage.AA_MAX_DEG}),
+cpr AS (SELECT cp.c, cp.p FROM cp JOIN rare ON cp.p = rare.p),
+edges AS (
+  SELECT DISTINCT a.c AS c1, b.c AS c2
+  FROM cpr a JOIN cpr b ON a.p = b.p AND a.c < b.c),
+cdeg AS (
+  SELECT c, COUNT(*) AS d
+  FROM (SELECT c1 AS c FROM edges UNION ALL SELECT c2 AS c FROM edges)
+  GROUP BY 1),
+sp AS (SELECT unnest([{', '.join(str(k) for k in linkage.RC_KS)}]) AS k),
+bt AS (
+  SELECT e.c1, d1.d AS dx, d2.d AS dy
+  FROM edges e JOIN cdeg d1 ON e.c1 = d1.c JOIN cdeg d2 ON e.c2 = d2.c),
+ek AS (SELECT k, COUNT(c1) AS e_k FROM sp LEFT JOIN bt ON dx > k AND dy > k GROUP BY 1),
+nk AS (SELECT k, COUNT(c) AS n_k FROM sp LEFT JOIN cdeg ON d > k GROUP BY 1)
+SELECT CAST(ek.k AS BIGINT) AS k, CAST(n_k AS BIGINT) AS n_nodes,
+  CAST(e_k AS BIGINT) AS n_edges,
+  ROUND(2.0 * CAST(e_k AS DOUBLE)
+        / (CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0)), 6) AS phi
+FROM ek JOIN nk ON ek.k = nk.k ORDER BY k""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -234,6 +234,8 @@ REPRESENTATIVE = [
     "burrows_delta",  # z-score panel over zero sources
     "quantile_normalization_map",  # decile ladders over zero docs
     "auc_by_fold",  # per-fold midranks over zero docs
+    "dup_cluster_powerlaw",  # size MLE over zero clusters
+    "rich_club_coefficient",  # threshold panel over zero edges
 ]
 
 

@@ -801,3 +801,28 @@ class TestAucByFold:
         # each fold's AUC should be near the pooled single-number gate
         pooled = curation.q_roc_auc_quality(spark, SF).collect()[0].auc
         assert all(abs(a - pooled) < 0.2 for a in aucs)
+
+
+class TestDupClusterPowerlaw:
+    def test_counts_consistent_with_clusters(self, spark):
+        from pgsf_spark.analytics import dedup
+
+        row = dedup.q_dup_cluster_powerlaw(spark, SF).collect()[0]
+        assert row.n_clusters >= 0
+        if row.n_clusters:
+            assert row.max_size >= dedup.DCP_SMIN
+            assert row.n_docs_clustered >= row.n_clusters * dedup.DCP_SMIN
+            assert row.alpha_mle is None or row.alpha_mle > 1.0
+
+
+class TestRichClub:
+    def test_phi_bounds_and_monotone_nodes(self, spark):
+        rows = linkage.q_rich_club_coefficient(spark, SF).collect()
+        assert [r.k for r in rows] == linkage.RC_KS
+        # node counts shrink as the threshold rises
+        ns = [r.n_nodes for r in rows]
+        assert ns == sorted(ns, reverse=True)
+        for r in rows:
+            assert r.phi is None or 0.0 <= r.phi <= 1.0
+            max_e = r.n_nodes * (r.n_nodes - 1) // 2
+            assert r.n_edges <= max_e or r.n_nodes == 0
