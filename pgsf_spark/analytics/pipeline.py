@@ -479,3 +479,79 @@ def q_dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+SHARD_N1 = 8
+SHARD_N2 = 9  # the resize under audit: add one shard
+SHARD_VNODES = 4
+
+
+def _ring_points(n_shards: int) -> list:
+    """Deterministic md5 ring: (position * 64 + shard) combined literals,
+    sorted. Positions are 32-bit md5 prefixes of 'ring:<shard>:<vnode>';
+    packing shard into the low 6 bits keeps the in-engine lookup a single
+    array_min(filter(...)) -- no 32-way CASE."""
+    import hashlib
+
+    pts = []
+    for s in range(n_shards):
+        for v in range(SHARD_VNODES):
+            pos = int(
+                hashlib.md5(f"ring:{s}:{v}".encode()).hexdigest()[:8], 16
+            )
+            pts.append(pos * 64 + s)
+    return sorted(pts)
+
+
+def q_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-rebalance movement audit: how many documents MOVE when the
+    cluster grows from SHARD_N1 to SHARD_N2 shards, under naive modulo
+    sharding vs an md5 consistent-hash ring -- the infra decision every
+    100 TB layout faces (modulo moves ~(N-1)/N of the corpus on every
+    resize and invalidates all caches/bucketing; a consistent ring moves
+    ~1/N): both assignments computed exactly for every doc, movement
+    fractions reported side by side.
+
+    Determinism: ring vnode positions are python md5 LITERALS (packed
+    pos*64+shard so lookup is array_min(filter(ring, x >= h*64)) with a
+    wrap to the ring minimum); doc hashes are the house md5-prefix
+    device -- bit-identical on both faces.
+
+    Plan: one documents scan, all lookup in-row against broadcast
+    literal arrays, one 1-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+
+    def ring_shard(n):
+        arr = F.array(*[F.lit(p) for p in _ring_points(n)])
+        cand = F.array_min(F.filter(arr, lambda x: x >= h * 64))
+        first = F.array_min(arr)
+        return F.coalesce(cand, first) % 64
+
+    assigned = d.select(
+        (F.col("doc_id") % SHARD_N1 != F.col("doc_id") % SHARD_N2)
+        .cast("int")
+        .alias("mod_moved"),
+        (ring_shard(SHARD_N1) != ring_shard(SHARD_N2)).cast("int").alias("ring_moved"),
+    )
+    agg = assigned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("mod_moved").alias("mod_moved"),
+        F.sum("ring_moved").alias("ring_moved"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return agg.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("mod_moved").cast("bigint").alias("mod_moved"),
+        F.col("ring_moved").cast("bigint").alias("ring_moved"),
+        F.round(F.col("mod_moved").cast("double") / nd, 6).alias("mod_moved_frac"),
+        F.round(F.col("ring_moved").cast("double") / nd, 6).alias("ring_moved_frac"),
+    )

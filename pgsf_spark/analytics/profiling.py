@@ -3230,3 +3230,74 @@ def q_james_stein_nation_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("js_mean"),
         F.round(c2, 6).alias("shrinkage_c"),
     ).orderBy("nation")
+
+
+def q_simpson_paradox_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox probe on the price-quantity relationship -- the
+    aggregation-trap alarm every per-segment dashboard needs (a positive
+    pooled slope can coexist with negative slopes in every nation; acting
+    on the pooled number is then exactly wrong): pooled OLS slope of
+    line-item price on quantity vs the per-nation slopes, reporting how
+    many nations disagree in SIGN with the pooled fit.
+
+    Exactness: all five OLS moments accumulate per nation in exact
+    integer units (cents x quantity products in DECIMAL(38,0)); each
+    slope is one fixed double chain; sign comparison is on identically
+    computed doubles rounded to 9.
+
+    Plan: one orderkey shuffle join (linear), one nation rollup; the
+    pooled moments are the SUM of the per-nation ones -- no second
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_quantity")).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_nationkey", "x", "y")
+    )
+    dec = "decimal(38,0)"
+    per = rows.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+    )
+
+    def slope():
+        nd = F.col("n").cast("double")
+        return F.round(
+            F.try_divide(
+                nd * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double"),
+                nd * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double"),
+            ),
+            9,
+        )
+
+    nation_slopes = per.select("c_nationkey", slope().alias("b"))
+    pooled = per.agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+    ).select(slope().alias("b_pooled"))
+    j = nation_slopes.crossJoin(F.broadcast(pooled))
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        F.max("b_pooled").alias("pooled_slope"),
+        F.sum(
+            (F.signum(F.col("b")) != F.signum(F.col("b_pooled"))).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_opposite_sign"),
+        F.round(F.min("b"), 9).alias("min_nation_slope"),
+        F.round(F.max("b"), 9).alias("max_nation_slope"),
+    )

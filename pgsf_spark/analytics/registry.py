@@ -6925,6 +6925,65 @@ SELECT CAST(ek.k AS BIGINT) AS k, CAST(n_k AS BIGINT) AS n_nodes,
         / (CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0)), 6) AS phi
 FROM ek JOIN nk ON ek.k = nk.k ORDER BY k""",
     ),
+    "shard_rebalance_audit": QuerySpec(
+        pipeline.q_shard_rebalance_audit,
+        f"""WITH d AS (
+  SELECT doc_id,
+    ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents),
+asg AS (
+  SELECT
+    CASE WHEN doc_id % {pipeline.SHARD_N1} <> doc_id % {pipeline.SHARD_N2} THEN 1 ELSE 0 END AS mod_moved,
+    CASE WHEN
+      COALESCE(list_min(list_filter([7443983109, 27545782852, 30642803904, 31751920513, 34107312326, 40017222273, 55901147719, 56947973440, 61681315777, 63737817351, 67190006022, 104240713538, 108601253190, 123821929540, 160435922499, 162575424194, 163255619267, 165140310658, 170849736391, 175103703302, 178783945284, 186710360197, 209398410499, 212205190213, 213859227522, 215602666756, 216789769921, 231058922368, 232038872643, 232243241920, 248740586373, 269832457287], x -> x >= h * 64)),
+               list_min([7443983109, 27545782852, 30642803904, 31751920513, 34107312326, 40017222273, 55901147719, 56947973440, 61681315777, 63737817351, 67190006022, 104240713538, 108601253190, 123821929540, 160435922499, 162575424194, 163255619267, 165140310658, 170849736391, 175103703302, 178783945284, 186710360197, 209398410499, 212205190213, 213859227522, 215602666756, 216789769921, 231058922368, 232038872643, 232243241920, 248740586373, 269832457287])) % 64
+      <>
+      COALESCE(list_min(list_filter([7443983109, 27545782852, 30642803904, 31751920513, 34107312326, 40017222273, 55901147719, 56947973440, 58824528392, 61681315777, 63737817351, 67190006022, 102346262536, 104240713538, 108601253190, 123821929540, 157181198024, 160435922499, 162575424194, 163255619267, 165140310658, 170849736391, 175103703302, 178783945284, 186710360197, 209398410499, 212205190213, 213859227522, 215240203016, 215602666756, 216789769921, 231058922368, 232038872643, 232243241920, 248740586373, 269832457287], x -> x >= h * 64)),
+               list_min([7443983109, 27545782852, 30642803904, 31751920513, 34107312326, 40017222273, 55901147719, 56947973440, 58824528392, 61681315777, 63737817351, 67190006022, 102346262536, 104240713538, 108601253190, 123821929540, 157181198024, 160435922499, 162575424194, 163255619267, 165140310658, 170849736391, 175103703302, 178783945284, 186710360197, 209398410499, 212205190213, 213859227522, 215240203016, 215602666756, 216789769921, 231058922368, 232038872643, 232243241920, 248740586373, 269832457287])) % 64
+    THEN 1 ELSE 0 END AS ring_moved
+  FROM d)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(mod_moved) AS BIGINT) AS mod_moved,
+  CAST(SUM(ring_moved) AS BIGINT) AS ring_moved,
+  ROUND(CAST(SUM(mod_moved) AS DOUBLE) / COUNT(*), 6) AS mod_moved_frac,
+  ROUND(CAST(SUM(ring_moved) AS DOUBLE) / COUNT(*), 6) AS ring_moved_frac
+FROM asg""",
+    ),
+    "simpson_paradox_probe": QuerySpec(
+        profiling.q_simpson_paradox_probe,
+        """WITH rws AS (
+  SELECT c.c_nationkey,
+    CAST(round(l_quantity) AS BIGINT) AS x,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey),
+per AS (
+  SELECT c_nationkey, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+    SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+    SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+  FROM rws GROUP BY 1),
+ns AS (
+  SELECT c_nationkey,
+    ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS b
+  FROM per),
+pl AS (
+  SELECT ROUND((CAST(SUM(n) AS DOUBLE) * CAST(SUM(sxy) AS DOUBLE)
+           - CAST(SUM(sx) AS DOUBLE) * CAST(SUM(sy) AS DOUBLE))
+          / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(sxx) AS DOUBLE)
+             - CAST(SUM(sx) AS DOUBLE) * CAST(SUM(sx) AS DOUBLE)), 9) AS b_pooled
+  FROM per)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nations,
+  MAX(b_pooled) AS pooled_slope,
+  CAST(SUM(CASE WHEN sign(b) <> sign(b_pooled) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_opposite_sign,
+  ROUND(MIN(b), 9) AS min_nation_slope,
+  ROUND(MAX(b), 9) AS max_nation_slope
+FROM ns, pl""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

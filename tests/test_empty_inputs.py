@@ -236,6 +236,8 @@ REPRESENTATIVE = [
     "auc_by_fold",  # per-fold midranks over zero docs
     "dup_cluster_powerlaw",  # size MLE over zero clusters
     "rich_club_coefficient",  # threshold panel over zero edges
+    "shard_rebalance_audit",  # ring lookups over zero docs
+    "simpson_paradox_probe",  # per-nation OLS over zero lineitems
 ]
 
 

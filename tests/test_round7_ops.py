@@ -826,3 +826,36 @@ class TestRichClub:
             assert r.phi is None or 0.0 <= r.phi <= 1.0
             max_e = r.n_nodes * (r.n_nodes - 1) // 2
             assert r.n_edges <= max_e or r.n_nodes == 0
+
+
+class TestShardRebalance:
+    def test_consistent_beats_modulo(self, spark):
+        row = pipeline.q_shard_rebalance_audit(spark, SF).collect()[0]
+        # modulo resize moves ~(N2-1)/N2 of docs; the ring moves ~1/N2
+        assert row.mod_moved_frac > 0.7
+        assert row.ring_moved_frac < 0.4
+        assert row.ring_moved_frac < row.mod_moved_frac
+        assert row.mod_moved + row.ring_moved <= 2 * row.n_docs
+
+    def test_ring_points_structure(self):
+        from pgsf_spark.analytics.pipeline import (
+            SHARD_N1,
+            SHARD_N2,
+            SHARD_VNODES,
+            _ring_points,
+        )
+
+        r1, r2 = _ring_points(SHARD_N1), _ring_points(SHARD_N2)
+        assert len(r1) == SHARD_N1 * SHARD_VNODES
+        assert len(r2) == SHARD_N2 * SHARD_VNODES
+        # growing the cluster only ADDS points: r1 is a subset of r2
+        assert set(r1) <= set(r2)
+        assert all(0 <= p % 64 < SHARD_N2 for p in r2)
+
+
+class TestSimpsonProbe:
+    def test_counts_and_slope_band(self, spark):
+        row = profiling.q_simpson_paradox_probe(spark, SF).collect()[0]
+        assert row.n_nations == 25
+        assert 0 <= row.n_opposite_sign <= row.n_nations
+        assert row.min_nation_slope <= row.pooled_slope <= row.max_nation_slope
