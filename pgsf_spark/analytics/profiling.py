@@ -3301,3 +3301,85 @@ def q_simpson_paradox_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("b"), 9).alias("min_nation_slope"),
         F.round(F.max("b"), 9).alias("max_nation_slope"),
     )
+
+
+def q_hll_merge_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by DAY via HLL register merge -- the
+    mergeability demonstration that is the whole point of sketches at
+    100 TB (registers combine by max(): per-partition sketches merge
+    without ever re-touching raw data, so a month's update cost is one
+    64-row combine): per-day registers are rolled forward with a
+    running max per bucket, each month's estimate is compared against
+    the exact cumulative distinct count.
+
+    Exactness: identical register construction to q_hll_portable (md5
+    low-bits bucket, string-op rho, exact 2^-M double sum, alpha_64
+    literal, unrounded estimate); the exact side is an integer
+    first-month rollup.
+
+    Plan: one events scan -> (day, bucket) rollup; the roll-forward is
+    a bounded-calendar join on the day spine x 64 registers."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = (h % HLL_M).alias("bucket")
+    rest = F.floor(h / HLL_M).cast("long")
+    bits = F.lpad(F.bin(rest), 26, "0")
+    rho = F.when(rest == 0, F.lit(27)).otherwise(F.instr(bits, "1")).alias("rho")
+    month = F.date_format("ts", "yyyy-MM-dd").alias("month")
+    per = (
+        ev.select(month, bucket, rho)
+        .groupBy("month", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    spine = per.select("month").distinct()
+    asof = (
+        spine.select(F.col("month").alias("mo"))
+        .join(per, F.col("month") <= F.col("mo"))
+        .groupBy("mo", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    s_present = F.sum(F.lit(1.0) / F.expr("cast(shiftleft(1L, m) as double)"))
+    est = asof.groupBy("mo").agg(
+        s_present.alias("sp"), F.count(F.lit(1)).alias("np")
+    ).select(
+        "mo",
+        (
+            F.lit(HLL_ALPHA)
+            * F.lit(float(HLL_M * HLL_M))
+            / (F.col("sp") + (F.lit(HLL_M) - F.col("np")).cast("double"))
+        ).alias("hll_estimate"),
+    )
+    first = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("month"), "user_id"
+    ).groupBy("user_id").agg(F.min("month").alias("fm"))
+    fcnt = first.groupBy("fm").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        spine.select(F.col("month").alias("mo"))
+        .join(fcnt, F.col("fm") <= F.col("mo"), "left")
+        .groupBy("mo")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("exact_cumulative"))
+    )
+    return (
+        est.join(exact, "mo")
+        .select(
+            F.col("mo").alias("day"),
+            F.col("exact_cumulative").cast("bigint").alias("exact_cumulative"),
+            "hll_estimate",
+            F.round(
+                F.col("hll_estimate") / F.col("exact_cumulative").cast("double")
+                - F.lit(1.0),
+                4,
+            ).alias("rel_error"),
+            # raw HLL is only quoted above 2.5m (below that, production
+            # uses linear counting -- omitted here for libm-free parity);
+            # the flag marks which rows are in the trustworthy regime
+            (F.col("hll_estimate") >= F.lit(2.5 * HLL_M)).alias("raw_regime"),
+        )
+        .orderBy("day")
+    )

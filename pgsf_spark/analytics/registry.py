@@ -6984,6 +6984,40 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_nations,
   ROUND(MAX(b), 9) AS max_nation_slope
 FROM ns, pl""",
     ),
+    "hll_merge_by_day": QuerySpec(
+        profiling.q_hll_merge_by_day,
+        f"""WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS month,
+    ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h,
+    user_id
+  FROM events),
+br AS (SELECT month, h % {profiling.HLL_M} AS bucket,
+  CAST(h // {profiling.HLL_M} AS BIGINT) AS rest FROM h),
+rr AS (SELECT month, bucket,
+  CASE WHEN rest = 0 THEN 27
+       ELSE strpos(lpad(bin(rest), 26, '0'), '1') END AS rho FROM br),
+per AS (SELECT month, bucket, MAX(rho) AS m FROM rr GROUP BY 1, 2),
+sp AS (SELECT DISTINCT month AS mo FROM per),
+ao AS (
+  SELECT mo, bucket, MAX(m) AS m
+  FROM sp JOIN per ON per.month <= sp.mo GROUP BY 1, 2),
+est AS (
+  SELECT mo,
+    {profiling.HLL_ALPHA} * {float(profiling.HLL_M * profiling.HLL_M)}
+      / (SUM(1.0 / CAST((1::BIGINT << m) AS DOUBLE))
+         + CAST({profiling.HLL_M} - COUNT(*) AS DOUBLE)) AS hll_estimate
+  FROM ao GROUP BY 1),
+fst AS (SELECT user_id, MIN(month) AS fm FROM h GROUP BY 1),
+fc AS (SELECT fm, COUNT(*) AS c FROM fst GROUP BY 1),
+ex AS (
+  SELECT mo, CAST(COALESCE(SUM(c), 0) AS BIGINT) AS exact_cumulative
+  FROM sp LEFT JOIN fc ON fc.fm <= sp.mo GROUP BY 1)
+SELECT est.mo AS day, exact_cumulative, hll_estimate,
+  ROUND(hll_estimate / CAST(exact_cumulative AS DOUBLE) - 1.0, 4) AS rel_error,
+  hll_estimate >= {2.5 * profiling.HLL_M} AS raw_regime
+FROM est JOIN ex ON est.mo = ex.mo
+ORDER BY day""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

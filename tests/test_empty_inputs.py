@@ -238,6 +238,7 @@ REPRESENTATIVE = [
     "rich_club_coefficient",  # threshold panel over zero edges
     "shard_rebalance_audit",  # ring lookups over zero docs
     "simpson_paradox_probe",  # per-nation OLS over zero lineitems
+    "hll_merge_by_day",  # register roll-forward over zero events
 ]
 
 

@@ -859,3 +859,22 @@ class TestSimpsonProbe:
         assert row.n_nations == 25
         assert 0 <= row.n_opposite_sign <= row.n_nations
         assert row.min_nation_slope <= row.pooled_slope <= row.max_nation_slope
+
+
+class TestHllMerge:
+    def test_monotone_and_accurate(self, spark):
+        rows = profiling.q_hll_merge_by_day(spark, SF).collect()
+        assert len(rows) >= 25  # a month of days
+        ex = [r.exact_cumulative for r in rows]
+        est = [r.hll_estimate for r in rows]
+        # cumulative merge: both sides monotone nondecreasing
+        assert ex == sorted(ex)
+        assert all(b >= a - 1e-9 for a, b in zip(est, est[1:]))
+        # 64 registers: ~13% standard error in the raw regime; below
+        # 2.5m the raw estimate is known-biased (flagged, not asserted)
+        for r in rows:
+            if r.raw_regime:
+                assert abs(r.rel_error) < 0.5
+        # the last day must agree with the single-shot HLL gate
+        one = profiling.q_hll_portable(spark, SF).collect()[0]
+        assert abs(rows[-1].hll_estimate - one.hll_estimate) < 1e-6
