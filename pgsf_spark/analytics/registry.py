@@ -7472,20 +7472,33 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # degree_assortativity, bfs_reachability_probe, dedup_loss_weights,
 # retention_halflife, price_elasticity_proxy, topk_stability_audit,
 # calinski_harabasz_index, silhouette_panel -- FORTY-SIX total; they fill
-# 46 of the 50 slots), then the first FOUR of the seventeen late-round-7
-# additions (batches 20-25, landing order: market_basket_rules,
+# 46 of the 50 slots), then the first FOUR of the forty-four late-round-7
+# additions (batches 20-38, landing order: market_basket_rules,
 # pmi_collocations, runs_test_daily, jackknife_se_nation).
-# ROUND 9 FRONT MUST START WITH the remaining THIRTEEN late-round-7
-# additions (ljung_box_stat, yule_k_lexical, shapley_attribution,
+# ROUND 9 FRONT MUST START WITH the remaining FORTY late-round-7
+# additions IN DICT ORDER (everything from ljung_box_stat through
+# hll_merge_by_day -- the dict tail after the round-8 four; the
+# authoritative list is list(QUERIES)[-40:] as of this comment:
+# ljung_box_stat, yule_k_lexical, shapley_attribution,
 # nelson_aalen_hazard, randomization_test_chars, readability_panel,
 # durbin_watson, transition_entropy, mcnemar_filters, heaps_law_fit,
-# pettitt_changepoint, jarque_bera_daily, source_hhi, plus anything added
-# after this comment -- grep '# late round 7' markers below), then the
-# r02 remainder (kmv_distinct_users, value_stddev, price_quantity_corr,
-# soql_projection, repetition_stats, boilerplate_ngrams,
-# benchmark_contamination, token_diversity, temperature_sample,
-# sequence_pack, event_funnel, weekly_retention), then the r03-last-green
-# set, then anything new in rounds 8-9.
+# pettitt_changepoint, jarque_bera_daily, source_hhi, price_index_fisher,
+# interarrival_burstiness, embedding_effective_rank, corpus_novelty_curve,
+# cramer_von_mises, hampel_outlier_days, negative_binomial_fit,
+# char_entropy_bits, ship_latency_profile, wilson_pass_rate_ci,
+# theil_atkinson_inequality, daily_growth_profile, hourly_uniformity_chi2,
+# video_frame_sample_gate, rbo_topk_stability, james_stein_nation_means,
+# good_turing_unseen, pr_auc_quality, best_f1_threshold,
+# bradley_terry_strengths, dpo_preference_pairs, kneser_ney_continuation,
+# burrows_delta, quantile_normalization_map, auc_by_fold,
+# dup_cluster_powerlaw, rich_club_coefficient, shard_rebalance_audit,
+# simpson_paradox_probe, hll_merge_by_day -- that is 43; the round-9
+# window takes the first 40 and the last three spill to round 10's
+# front together with the r02 remainder (kmv_distinct_users,
+# value_stddev, price_quantity_corr, soql_projection, repetition_stats,
+# boilerplate_ngrams, benchmark_contamination, token_diversity,
+# temperature_sample, sequence_pack, event_funnel, weekly_retention)
+# and the r03-last-green set.
 _ROUND7_FRONT = [
     # r6 driver-red, DECIMAL output cast to DOUBLE on both faces -- re-gate
     "hits_hubs_authorities",
