@@ -481,3 +481,91 @@ def start_heavy_hitter_tracking(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_hll_distinct_tracking(
+    spark: SparkSession,
+    feed_dir: str,
+    schema: StructType,
+    store: TableStore,
+    registers_table: str,
+    estimates_table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming cumulative-distinct tracking via HLL register merge
+    (streaming twin of the oracle-gated q_hll_merge_by_day): each
+    micro-batch contributes a per-epoch register DELTA (bucket ->
+    max rho over the batch), the generation's registers so far merge by
+    max() -- a <= HLL_M-row bounded collect -- and the running distinct
+    estimate is appended per epoch.
+
+    max() is idempotent AND commutative, so this is the friendliest
+    possible streaming state: replayed epochs rewrite identical bytes
+    (the start_budget_admission idempotence construction), out-of-order
+    merges cannot change the result, and a 1000-executor ingest reduces
+    to HLL_M rows per epoch. Per-batch cost is O(batch + HLL_M), never
+    O(stream history)."""
+    import hashlib
+
+    from pgsf_spark.analytics.profiling import HLL_ALPHA, HLL_M
+
+    gen = hashlib.md5(str(checkpoint_dir).encode()).hexdigest()[:8]
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        epoch_key = f"{gen}_{int(epoch_id)}"
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        rest = F.floor(h / HLL_M).cast("long")
+        rho = F.when(rest == 0, F.lit(27)).otherwise(
+            F.instr(F.lpad(F.bin(rest), 26, "0"), "1")
+        )
+        delta = (
+            batch_df.select((h % HLL_M).alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").cast("bigint").alias("m"))
+            .withColumn("gen", F.lit(gen))
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .withColumn("epoch_key", F.lit(epoch_key))
+        )
+
+        def _publish(df: DataFrame, table: str) -> None:
+            try:
+                store.write_partial(
+                    df.localCheckpoint(), table, "epoch_key", [epoch_key]
+                )
+            except FileNotFoundError:  # first epoch: no version to carry
+                store.write(df, table, partition_by=["epoch_key"])
+
+        _publish(delta, registers_table)
+        merged = (
+            store.read(registers_table)
+            .filter((F.col("gen") == gen) & (F.col("epoch") <= int(epoch_id)))
+            .groupBy("bucket")
+            .agg(F.max("m").alias("m"))
+        )
+        regs = {r.bucket: r.m for r in merged.collect()}  # <= HLL_M rows
+        s = sum(2.0 ** -m for m in regs.values()) + (HLL_M - len(regs))
+        est = HLL_ALPHA * float(HLL_M * HLL_M) / s
+        est_df = spark.createDataFrame(
+            [(int(epoch_id), len(regs), float(est))],
+            "epoch long, registers_set long, hll_estimate double",
+        ).withColumn("gen", F.lit(gen)).withColumn("epoch_key", F.lit(epoch_key))
+        _publish(est_df, estimates_table)
+
+    writer = (
+        spark.readStream.schema(schema)
+        .parquet(str(feed_dir))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(checkpoint_dir))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

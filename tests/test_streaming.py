@@ -532,3 +532,81 @@ class TestHeavyHitterTracking:
             (r.row, r.col, r.cnt) for r in store.read("hh_sketch").collect()
         )
         assert before == after
+
+
+class TestStreamingHllDistinct:
+    def test_batch_parity_and_monotone(self, spark, tmp_path):
+        from pyspark.sql.types import LongType, StructField as SF_, StructType as ST_
+
+        from pgsf_spark.analytics.profiling import HLL_ALPHA, HLL_M
+        from pgsf_spark.streaming.incremental import start_hll_distinct_tracking
+
+        schema = ST_([SF_("user_id", LongType())])
+        store = TableStore(spark, str(tmp_path / "store"))
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        b1 = spark.createDataFrame([(i,) for i in range(40)], schema)
+        b1.coalesce(1).write.mode("append").parquet(str(feed))
+        q = start_hll_distinct_tracking(
+            spark, str(feed), schema, store, "hll_regs", "hll_est",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        # second slice: overlapping + new users
+        b2 = spark.createDataFrame([(i,) for i in range(20, 90)], schema)
+        b2.coalesce(1).write.mode("append").parquet(str(feed))
+        q = start_hll_distinct_tracking(
+            spark, str(feed), schema, store, "hll_regs", "hll_est",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+        ests = sorted(store.read("hll_est").collect(), key=lambda r: r.epoch)
+        assert len(ests) >= 2
+        vals = [r.hll_estimate for r in ests]
+        assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+        # parity: the final merged estimate equals the one-shot batch HLL
+        # over the union of all users seen
+        import math
+
+        from pyspark.sql import functions as F
+
+        all_users = spark.createDataFrame([(i,) for i in range(90)], schema)
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        rest = F.floor(h / HLL_M).cast("long")
+        rho = F.when(rest == 0, F.lit(27)).otherwise(
+            F.instr(F.lpad(F.bin(rest), 26, "0"), "1")
+        )
+        regs = {
+            r.bucket: r.m
+            for r in all_users.select((h % HLL_M).alias("bucket"), rho.alias("rho"))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("m"))
+            .collect()
+        }
+        s = sum(2.0 ** -m for m in regs.values()) + (HLL_M - len(regs))
+        expected = HLL_ALPHA * float(HLL_M * HLL_M) / s
+        assert abs(vals[-1] - expected) < 1e-9
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from pyspark.sql.types import LongType, StructField as SF_, StructType as ST_
+
+        from pgsf_spark.streaming.incremental import start_hll_distinct_tracking
+
+        schema = ST_([SF_("user_id", LongType())])
+        store = TableStore(spark, str(tmp_path / "store"))
+        feed = tmp_path / "feed"
+        feed.mkdir()
+        spark.createDataFrame([(i,) for i in range(50)], schema).coalesce(
+            1
+        ).write.mode("append").parquet(str(feed))
+        for _ in range(2):  # second run: checkpoint consumed, no new data
+            q = start_hll_distinct_tracking(
+                spark, str(feed), schema, store, "r", "e",
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            )
+            q.awaitTermination(120)
+        assert store.read("e").count() == 1
