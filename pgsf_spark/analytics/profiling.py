@@ -3383,3 +3383,109 @@ def q_hll_merge_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+MCI_Z = 1.959964  # two-sided 95% normal quantile (erf-locked family)
+
+
+def q_median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the median order
+    value -- the binomial order-statistic construction (no normality, no
+    bootstrap: ranks floor((n - z sqrt(n))/2) and ceil(1 + (n + z
+    sqrt(n))/2) bracket the median with 95% coverage for ANY continuous
+    distribution): all three reported values are exact order statistics
+    of the integer cent values.
+
+    Exactness: the two bracket ranks are identical double chains on the
+    exact n (z is the erf-locked literal); the median is the two-middle
+    integer-sum device; the order statistics are rank lookups on the
+    cumulative distinct-value spine -- no interpolation anywhere.
+
+    Plan: one distinct-value rollup (the corpus compresses to distinct
+    cents), one cumulative window on that spine, three rank lookups."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    )
+    per_v = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select("v", F.sum("c").over(w).alias("cum"))
+    n_agg = vals.agg(F.count(F.lit(1)).alias("n"))
+    j = cum.crossJoin(F.broadcast(n_agg))
+    nd = F.col("n").cast("double")
+    lo_rank = F.floor((nd - F.lit(MCI_Z) * F.sqrt(nd)) / F.lit(2.0))
+    hi_rank = F.ceil(F.lit(1.0) + (nd + F.lit(MCI_Z) * F.sqrt(nd)) / F.lit(2.0))
+    m_lo_rank = F.floor((F.col("n") + 1) / 2)
+    m_hi_rank = F.floor((F.col("n") + 2) / 2)
+    agg = j.groupBy("n").agg(
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("v"))).alias("ci_lo"),
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("v"))).alias("ci_hi"),
+        F.min(F.when(F.col("cum") >= m_lo_rank, F.col("v"))).alias("m_lo"),
+        F.min(F.when(F.col("cum") >= m_hi_rank, F.col("v"))).alias("m_hi"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round((F.col("m_lo") + F.col("m_hi")).cast("double") / F.lit(200.0), 6).alias(
+            "median_usd"
+        ),
+        F.round(F.col("ci_lo").cast("double") / F.lit(100.0), 6).alias("ci95_lo_usd"),
+        F.round(F.col("ci_hi").cast("double") / F.lit(100.0), 6).alias("ci95_hi_usd"),
+    )
+
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the four numeric lineitem
+    measures -- the feature-profiling panel (collinear features waste
+    model capacity and break attribution; quantity-price collinearity is
+    also the Simpson probe's raw material): all 6 unordered pairs in ONE
+    scan.
+
+    Exactness: every measure quantizes to exact integers (units, cents,
+    basis points), all sums/cross-products accumulate in DECIMAL(38,0),
+    and each r is one fixed double chain with try_divide for constant
+    columns.
+
+    Plan: one lineitem scan, one 1-row aggregate carrying the 14
+    moments, then a 6-row literal pair spine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round(F.col("l_quantity")).cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    dsc = F.round(F.col("l_discount") * 10000).cast("long")
+    tax = F.round(F.col("l_tax") * 10000).cast("long")
+    cols = {"l_quantity": q, "l_extendedprice": p, "l_discount": dsc, "l_tax": tax}
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name, col in cols.items():
+        aggs.append(F.sum(col).alias(f"s_{name}"))
+        aggs.append(F.sum(col.cast(dec) * col.cast(dec)).alias(f"q_{name}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(CORR_COLS)
+        for b in CORR_COLS[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(cols[a].cast(dec) * cols[b].cast(dec)).alias(f"x_{a}_{b}")
+        )
+    # one-row moment frame, checkpointed so the 6 pair branches do not
+    # re-scan lineitem (the bounded-collect-free union device)
+    m = li.agg(*aggs).localCheckpoint(eager=True)
+    rows = None
+    for a, b in pairs:
+        nd = F.col("n").cast("double")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        num = nd * F.col(f"x_{a}_{b}").cast("double") - sa * sb
+        da = nd * F.col(f"q_{a}").cast("double") - sa * sa
+        db = nd * F.col(f"q_{b}").cast("double") - sb * sb
+        r = m.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round(F.try_divide(num, F.sqrt(da * db)), 6).alias("pearson_r"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows.orderBy("col_a", "col_b")

@@ -7018,6 +7018,82 @@ SELECT est.mo AS day, exact_cumulative, hll_estimate,
 FROM est JOIN ex ON est.mo = ex.mo
 ORDER BY day""",
     ),
+    "median_ci_order_stats": QuerySpec(
+        profiling.q_median_ci_order_stats,
+        f"""WITH vals AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+pv AS (SELECT v, COUNT(*) AS c FROM vals GROUP BY 1),
+cum AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM pv),
+nn AS (SELECT COUNT(*) AS n FROM vals),
+agg AS (
+  SELECT n,
+    MIN(CASE WHEN cum >= FLOOR((CAST(n AS DOUBLE) - {profiling.MCI_Z!r} * sqrt(CAST(n AS DOUBLE))) / 2.0) THEN v END) AS ci_lo,
+    MIN(CASE WHEN cum >= CEIL(1.0 + (CAST(n AS DOUBLE) + {profiling.MCI_Z!r} * sqrt(CAST(n AS DOUBLE))) / 2.0) THEN v END) AS ci_hi,
+    MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS m_lo,
+    MIN(CASE WHEN cum >= (n + 2) // 2 THEN v END) AS m_hi
+  FROM cum, nn GROUP BY 1)
+SELECT CAST(n AS BIGINT) AS n_orders,
+  ROUND(CAST(m_lo + m_hi AS DOUBLE) / 200.0, 6) AS median_usd,
+  ROUND(CAST(ci_lo AS DOUBLE) / 100.0, 6) AS ci95_lo_usd,
+  ROUND(CAST(ci_hi AS DOUBLE) / 100.0, 6) AS ci95_hi_usd
+FROM agg""",
+    ),
+    "lineitem_correlation_matrix": QuerySpec(
+        profiling.q_lineitem_correlation_matrix,
+        """WITH m AS MATERIALIZED (
+  SELECT COUNT(*) AS n,
+    SUM(CAST(round(l_quantity) AS BIGINT)) AS s_l_quantity,
+    SUM(CAST(CAST(round(l_quantity) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(round(l_quantity) AS BIGINT) AS DECIMAL(38,0))) AS q_l_quantity,
+    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s_l_extendedprice,
+    SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS q_l_extendedprice,
+    SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS s_l_discount,
+    SUM(CAST(CAST(round(l_discount * 10000) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(round(l_discount * 10000) AS BIGINT) AS DECIMAL(38,0))) AS q_l_discount,
+    SUM(CAST(round(l_tax * 10000) AS BIGINT)) AS s_l_tax,
+    SUM(CAST(CAST(round(l_tax * 10000) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(round(l_tax * 10000) AS BIGINT) AS DECIMAL(38,0))) AS q_l_tax,
+    SUM(CAST(CAST(round(l_quantity) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS x_l_quantity_l_extendedprice,
+    SUM(CAST(CAST(round(l_quantity) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(round(l_discount * 10000) AS BIGINT) AS DECIMAL(38,0))) AS x_l_quantity_l_discount,
+    SUM(CAST(CAST(round(l_quantity) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(round(l_tax * 10000) AS BIGINT) AS DECIMAL(38,0))) AS x_l_quantity_l_tax,
+    SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(round(l_discount * 10000) AS BIGINT) AS DECIMAL(38,0))) AS x_l_extendedprice_l_discount,
+    SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(round(l_tax * 10000) AS BIGINT) AS DECIMAL(38,0))) AS x_l_extendedprice_l_tax,
+    SUM(CAST(CAST(round(l_discount * 10000) AS BIGINT) AS DECIMAL(38,0)) * CAST(CAST(round(l_tax * 10000) AS BIGINT) AS DECIMAL(38,0))) AS x_l_discount_l_tax
+  FROM lineitem)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, CAST(n AS BIGINT) AS n_rows,
+  ROUND((CAST(n AS DOUBLE) * CAST(x_l_quantity_l_extendedprice AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(q_l_quantity AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_quantity AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(q_l_extendedprice AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE))), 6) AS pearson_r
+FROM m
+UNION ALL
+SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, CAST(n AS BIGINT) AS n_rows,
+  ROUND((CAST(n AS DOUBLE) * CAST(x_l_quantity_l_discount AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_discount AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(q_l_quantity AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_quantity AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(q_l_discount AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_discount AS DOUBLE))), 6) AS pearson_r
+FROM m
+UNION ALL
+SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, CAST(n AS BIGINT) AS n_rows,
+  ROUND((CAST(n AS DOUBLE) * CAST(x_l_quantity_l_tax AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_tax AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(q_l_quantity AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_quantity AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(q_l_tax AS DOUBLE) - CAST(s_l_tax AS DOUBLE) * CAST(s_l_tax AS DOUBLE))), 6) AS pearson_r
+FROM m
+UNION ALL
+SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, CAST(n AS BIGINT) AS n_rows,
+  ROUND((CAST(n AS DOUBLE) * CAST(x_l_extendedprice_l_discount AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_discount AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(q_l_extendedprice AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(q_l_discount AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_discount AS DOUBLE))), 6) AS pearson_r
+FROM m
+UNION ALL
+SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, CAST(n AS BIGINT) AS n_rows,
+  ROUND((CAST(n AS DOUBLE) * CAST(x_l_extendedprice_l_tax AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_tax AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(q_l_extendedprice AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(q_l_tax AS DOUBLE) - CAST(s_l_tax AS DOUBLE) * CAST(s_l_tax AS DOUBLE))), 6) AS pearson_r
+FROM m
+UNION ALL
+SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, CAST(n AS BIGINT) AS n_rows,
+  ROUND((CAST(n AS DOUBLE) * CAST(x_l_discount_l_tax AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_tax AS DOUBLE))
+        / sqrt((CAST(n AS DOUBLE) * CAST(q_l_discount AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_discount AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(q_l_tax AS DOUBLE) - CAST(s_l_tax AS DOUBLE) * CAST(s_l_tax AS DOUBLE))), 6) AS pearson_r
+FROM m
+ORDER BY col_a, col_b""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -239,6 +239,8 @@ REPRESENTATIVE = [
     "shard_rebalance_audit",  # ring lookups over zero docs
     "simpson_paradox_probe",  # per-nation OLS over zero lineitems
     "hll_merge_by_day",  # register roll-forward over zero events
+    "median_ci_order_stats",  # order-stat brackets over zero orders
+    "lineitem_correlation_matrix",  # 14 moments over zero lineitems
 ]
 
 

@@ -878,3 +878,31 @@ class TestHllMerge:
         # the last day must agree with the single-shot HLL gate
         one = profiling.q_hll_portable(spark, SF).collect()[0]
         assert abs(rows[-1].hll_estimate - one.hll_estimate) < 1e-6
+
+
+class TestMedianCi:
+    def test_bracket_contains_median(self, spark):
+        row = profiling.q_median_ci_order_stats(spark, SF).collect()[0]
+        assert row.ci95_lo_usd <= row.median_usd <= row.ci95_hi_usd
+        assert row.n_orders > 0
+        # exact-median cross-check against the refinement gate's device:
+        # bracket width shrinks as ~1/sqrt(n), must be a tight band here
+        assert (row.ci95_hi_usd - row.ci95_lo_usd) / row.median_usd < 0.25
+
+
+class TestCorrelationMatrix:
+    def test_pairs_and_bounds(self, spark):
+        rows = profiling.q_lineitem_correlation_matrix(spark, SF).collect()
+        assert len(rows) == 6
+        seen = set()
+        for r in rows:
+            assert r.pearson_r is None or -1.0 <= r.pearson_r <= 1.0
+            # upper triangle in CORR_COLS order, no dupes
+            ix = profiling.CORR_COLS.index
+            assert ix(r.col_a) < ix(r.col_b)
+            seen.add((r.col_a, r.col_b))
+        assert len(seen) == 6
+        # this synthetic corpus draws the measures independently: every
+        # correlation must be near zero (|r| > 0.3 would mean the moment
+        # algebra is broken, not that the data is interesting)
+        assert all(abs(r.pearson_r) < 0.3 for r in rows)
