@@ -560,7 +560,7 @@ class TestEffectiveRank:
 class TestNoveltyCurve:
     def test_monotone_structure(self, spark):
         rows = corpus.q_corpus_novelty_curve(spark, SF).collect()
-        assert [r.bucket for r in rows] == list(range(corpus.NOVELTY_BUCKETS))
+        assert [r.bucket for r in rows] == list(range(corpus.CURVE_BUCKETS))
         # bucket 0 is 100% novel by construction
         assert rows[0].novelty_rate == 1.0
         for r in rows:
