@@ -7094,6 +7094,43 @@ SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, CAST(n AS BIGINT) AS n_rows,
 FROM m
 ORDER BY col_a, col_b""",
     ),
+    "query_likelihood_topk": QuerySpec(
+        retrieval.q_query_likelihood_topk,
+        f"""WITH toks AS (
+  SELECT doc_id,
+    len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok,
+    unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, n_tok, term, COUNT(*) AS tf
+  FROM toks WHERE term IN ({', '.join(repr(t) for t in retrieval.QUERY_TERMS)})
+  GROUP BY 1, 2, 3),
+cand AS (SELECT DISTINCT doc_id, n_tok FROM tf),
+cf AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1),
+st AS (
+  SELECT CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS BIGINT) AS tot_tok
+  FROM documents),
+sp AS (SELECT unnest([{', '.join(repr(t) for t in retrieval.QUERY_TERMS)}]) AS term),
+panel AS (
+  SELECT c.doc_id, c.n_tok, s.term, tf.tf, cf.cf, st.tot_tok
+  FROM cand c
+  CROSS JOIN sp s
+  LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.term = s.term
+  JOIN cf ON cf.term = s.term
+  CROSS JOIN st),
+scored AS (
+  SELECT doc_id, n_tok,
+    SUM(CAST(ROUND(ln((CAST(COALESCE(tf, 0) AS DOUBLE)
+                       + {retrieval.QL_MU!r} * (CAST(cf AS DOUBLE) / CAST(tot_tok AS DOUBLE)))
+                      / (CAST(n_tok AS DOUBLE) + {retrieval.QL_MU!r})), 12)
+        AS DECIMAL(18,12))) AS ll,
+    SUM(CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END) AS n_matched
+  FROM panel GROUP BY 1, 2)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS doc_tokens,
+  CAST(n_matched AS BIGINT) AS n_matched,
+  ROUND(CAST(ll AS DOUBLE), 6) AS log_likelihood
+FROM scored ORDER BY log_likelihood DESC, doc_id LIMIT {retrieval.QL_TOPN}""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

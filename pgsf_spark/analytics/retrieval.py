@@ -223,3 +223,67 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick = scored.orderBy(F.col("mmr").desc(), "vec_id").limit(1)
         selected = selected.unionByName(pick).localCheckpoint(eager=True)
     return selected.select("rank", "vec_id", "rel", "mmr").orderBy("rank")
+
+
+QL_MU = 200.0  # Dirichlet smoothing mass (standard 'small docs' setting)
+QL_TOPN = 15
+
+
+def q_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top documents by Dirichlet-smoothed query-likelihood -- the
+    language-modeling scorer that completes the retrieval shelf next to
+    BM25/RRF/MMR (QL is the probabilistic face: score =
+    sum_w ln((tf + mu p_c(w)) / (len + mu)); unlike BM25 a MISSING query
+    term still contributes its smoothed corpus mass, so term absence is
+    penalized, not ignored): evaluated over the candidate set with >= 1
+    matching term (the inverted-index candidate semantics, stated).
+
+    Exactness: tf, doc length, corpus term counts and total tokens are
+    exact integers; each term's ln is a fixed chain on those (p_c enters
+    as cf/total inside the single ln argument) rounded to 12 into
+    DECIMAL before the 4-term sum.
+
+    Plan: one term-filtered explode (pushdown keeps the scan lean), one
+    (doc, term) rollup; corpus stats broadcast; the 4-term panel is a
+    literal spine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tokens = d.select(
+        "doc_id", F.size(toks).alias("n_tok"), F.explode(toks).alias("term")
+    ).filter(F.col("term").isin(*QUERY_TERMS))
+    tf = tokens.groupBy("doc_id", "n_tok", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cand = tf.select("doc_id", "n_tok").distinct()
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    stats = d.agg(F.sum(F.size(toks)).alias("tot_tok"))
+    spine = spark.createDataFrame([(t,) for t in QUERY_TERMS], ["term"])
+    panel = (
+        cand.crossJoin(F.broadcast(spine))
+        .join(tf, ["doc_id", "n_tok", "term"], "left")
+        .join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    tfd = F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+    pc = F.col("cf").cast("double") / F.col("tot_tok").cast("double")
+    term_ll = F.round(
+        F.log(
+            (tfd + F.lit(QL_MU) * pc)
+            / (F.col("n_tok").cast("double") + F.lit(QL_MU))
+        ),
+        12,
+    ).cast("decimal(18,12)")
+    scored = panel.groupBy("doc_id", "n_tok").agg(
+        F.sum(term_ll).alias("ll"),
+        F.sum(F.when(F.col("tf").isNotNull(), 1).otherwise(0)).alias("n_matched"),
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("doc_tokens"),
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.round(F.col("ll").cast("double"), 6).alias("log_likelihood"),
+        )
+        .orderBy(F.col("log_likelihood").desc(), "doc_id")
+        .limit(QL_TOPN)
+    )

@@ -241,6 +241,7 @@ REPRESENTATIVE = [
     "hll_merge_by_day",  # register roll-forward over zero events
     "median_ci_order_stats",  # order-stat brackets over zero orders
     "lineitem_correlation_matrix",  # 14 moments over zero lineitems
+    "query_likelihood_topk",  # smoothed LM over zero candidates
 ]
 
 

@@ -136,3 +136,22 @@ class TestSourceSignatureTerms:
             by_source.setdefault(r["source"], []).append(r["rk"])
         for ranks in by_source.values():
             assert sorted(ranks) == [1, 2, 3]
+
+
+class TestQueryLikelihood:
+    def test_smoothing_semantics(self, spark):
+        from pgsf_spark.analytics.retrieval import (
+            QL_TOPN,
+            QUERY_TERMS,
+            q_query_likelihood_topk,
+        )
+
+        rows = q_query_likelihood_topk(spark, "/root/testdata/sf0.001").collect()
+        assert 0 < len(rows) <= QL_TOPN
+        lls = [r.log_likelihood for r in rows]
+        assert lls == sorted(lls, reverse=True)
+        for r in rows:
+            # candidate semantics: at least one matched term
+            assert 1 <= r.n_matched <= len(QUERY_TERMS)
+            # log of a probability product: strictly negative
+            assert r.log_likelihood < 0.0
