@@ -3489,3 +3489,107 @@ def q_lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows.orderBy("col_a", "col_b")
+
+
+def q_g_test_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Likelihood-ratio G-test of segment x nation independence -- the
+    information-theoretic twin of q_chi_square_independence (G = 2 sum
+    o ln(o/e) is additive across partitions of the table, which Pearson
+    chi2 is not -- the property that matters when evidence is combined
+    across shards): same margins, same dof, plus the mutual-information
+    reading G = 2N * MI(nats).
+
+    Exactness: observed counts and margins are integers; each cell's
+    o ln(o/e) is a fixed double chain rounded to 9 into DECIMAL before
+    the <= 125-cell sum (zero cells contribute 0 exactly -- lim x ln x);
+    G and MI are single fixed chains on the exact sum.
+
+    Plan: one customer rollup shuffle; bounded-grid algebra after."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rows_ = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("c_nationkey").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["c_mktsegment", "c_nationkey"], "left")
+        .select(
+            "rt", "ct", "n", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    term = F.when(
+        F.col("o") > 0,
+        F.round(
+            F.col("o").cast("double") * F.log(F.col("o").cast("double") / e), 9
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(27,9)")
+    agg = grid.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum(term).alias("s"),
+    )
+    g = F.lit(2.0) * F.col("s").cast("double")
+    return agg.select(
+        "n_customers",
+        F.round(g, 6).alias("g_stat"),
+        F.round(
+            g / (F.lit(2.0) * F.col("n_customers").cast("double")), 9
+        ).alias("mutual_information_nats"),
+    )
+
+
+CHI2_RES_TOP = 10
+
+
+def q_chi2_residuals_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top standardized residuals of the segment x nation table -- WHERE
+    the association lives (the omnibus chi2/G say 'dependence exists';
+    the residual map (o - e)/sqrt(e) names the cells driving it, the
+    part an analyst actually acts on): the CHI2_RES_TOP largest
+    |residual| cells with sign.
+
+    Exactness: o, margins, N are integers; each residual is one fixed
+    double chain rounded to 6; the top-k order is (abs desc, segment,
+    nation) -- fully deterministic.
+
+    Plan: the chi-square grid device; output is a bounded k-row list."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    rows_ = cells.groupBy("c_mktsegment").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("c_nationkey").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["c_mktsegment", "c_nationkey"], "left")
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "rt",
+            "ct",
+            "n",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    e = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col(
+        "n"
+    ).cast("double")
+    res = F.round((F.col("o").cast("double") - e) / F.sqrt(e), 6)
+    return (
+        grid.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+            F.col("o").cast("bigint").alias("observed"),
+            F.round(e, 6).alias("expected"),
+            res.alias("std_residual"),
+        )
+        .orderBy(F.abs(F.col("std_residual")).desc(), "segment", "nation")
+        .limit(CHI2_RES_TOP)
+    )

@@ -7131,6 +7131,60 @@ SELECT doc_id, CAST(n_tok AS BIGINT) AS doc_tokens,
   ROUND(CAST(ll AS DOUBLE), 6) AS log_likelihood
 FROM scored ORDER BY log_likelihood DESC, doc_id LIMIT {retrieval.QL_TOPN}""",
     ),
+    "g_test_independence": QuerySpec(
+        profiling.q_g_test_independence,
+        """WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2),
+rws AS (SELECT c_mktsegment, SUM(o) AS rt FROM cells GROUP BY 1),
+cls AS (SELECT c_nationkey, SUM(o) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT SUM(o) AS n FROM cells),
+grid AS (
+  SELECT rt, ct, n, COALESCE(o, 0) AS o
+  FROM rws CROSS JOIN cls CROSS JOIN tot
+  LEFT JOIN cells ON cells.c_mktsegment = rws.c_mktsegment
+                 AND cells.c_nationkey = cls.c_nationkey),
+agg AS (
+  SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+    SUM(CAST(CASE WHEN o > 0 THEN
+      ROUND(CAST(o AS DOUBLE)
+            * ln(CAST(o AS DOUBLE)
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+      ELSE 0.0 END AS DECIMAL(27,9))) AS s
+  FROM grid)
+SELECT n_customers,
+  ROUND(2.0 * CAST(s AS DOUBLE), 6) AS g_stat,
+  ROUND(2.0 * CAST(s AS DOUBLE) / (2.0 * CAST(n_customers AS DOUBLE)), 9)
+    AS mutual_information_nats
+FROM agg""",
+    ),
+    "chi2_residuals_topk": QuerySpec(
+        profiling.q_chi2_residuals_topk,
+        f"""WITH cells AS (
+  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2),
+rws AS (SELECT c_mktsegment, SUM(o) AS rt FROM cells GROUP BY 1),
+cls AS (SELECT c_nationkey, SUM(o) AS ct FROM cells GROUP BY 1),
+tot AS (SELECT SUM(o) AS n FROM cells),
+grid AS (
+  SELECT rws.c_mktsegment, cls.c_nationkey, rt, ct, n, COALESCE(o, 0) AS o
+  FROM rws CROSS JOIN cls CROSS JOIN tot
+  LEFT JOIN cells ON cells.c_mktsegment = rws.c_mktsegment
+                 AND cells.c_nationkey = cls.c_nationkey)
+SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nation,
+  CAST(o AS BIGINT) AS observed,
+  ROUND(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS expected,
+  ROUND((CAST(o AS DOUBLE)
+         - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        / sqrt(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+    AS std_residual
+FROM grid
+ORDER BY abs(ROUND((CAST(o AS DOUBLE)
+         - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+        / sqrt(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)) DESC,
+  segment, nation
+LIMIT {profiling.CHI2_RES_TOP}""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

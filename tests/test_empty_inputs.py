@@ -242,6 +242,8 @@ REPRESENTATIVE = [
     "median_ci_order_stats",  # order-stat brackets over zero orders
     "lineitem_correlation_matrix",  # 14 moments over zero lineitems
     "query_likelihood_topk",  # smoothed LM over zero candidates
+    "g_test_independence",  # o ln(o/e) grid over zero customers
+    "chi2_residuals_topk",  # residual map over zero customers
 ]
 
 

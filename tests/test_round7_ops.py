@@ -906,3 +906,24 @@ class TestCorrelationMatrix:
         # correlation must be near zero (|r| > 0.3 would mean the moment
         # algebra is broken, not that the data is interesting)
         assert all(abs(r.pearson_r) < 0.3 for r in rows)
+
+
+class TestGTest:
+    def test_g_close_to_pearson_on_null_grid(self, spark):
+        row = profiling.q_g_test_independence(spark, SF).collect()[0]
+        chi = profiling.q_chi_square_independence(spark, SF).collect()[0]
+        assert row.g_stat >= 0.0
+        assert row.mutual_information_nats >= 0.0
+        # G and Pearson chi2 agree to first order on the same table
+        assert abs(row.g_stat - chi.chi_square) < 0.35 * max(chi.chi_square, 1.0)
+
+
+class TestChi2Residuals:
+    def test_topk_ordering_and_identity(self, spark):
+        rows = profiling.q_chi2_residuals_topk(spark, SF).collect()
+        assert len(rows) == profiling.CHI2_RES_TOP
+        mags = [abs(r.std_residual) for r in rows]
+        assert mags == sorted(mags, reverse=True)
+        for r in rows:
+            got = (r.observed - r.expected) / (r.expected ** 0.5)
+            assert abs(got - r.std_residual) < 1e-4
