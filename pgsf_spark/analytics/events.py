@@ -2250,3 +2250,137 @@ def q_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+TOST_MARGIN_FRAC = 0.02  # equivalence margin: 2% of the pooled mean
+Z_ONE_SIDED_95 = 1.644854  # one-sided 95% normal quantile (erf-locked)
+Z_POWER_80 = 0.841621  # 80% power quantile (erf-locked)
+
+
+def q_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g effect size + the minimum detectable effect
+    for the A/B spend split -- the two numbers a test READOUT needs that
+    the t statistic alone hides (t confounds effect and sample size; d
+    is the scale-free effect, MDE is what this sample could even see at
+    80% power): d = (mA - mB)/s_pooled, g = J*d with the small-sample
+    correction J = 1 - 3/(4 df - 1), MDE = (z_a + z_b) * se_welch.
+
+    Exactness: the same decimal spend moments as q_ab_test_zscore; d, J,
+    g, and MDE are fixed double chains with the erf-locked z literals.
+
+    Plan: one per-user shuffle, 2-arm algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(27,6)"
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).cast(dec)
+                ),
+                F.lit(0).cast(dec),
+            ).alias("spend")
+        )
+        .withColumn("arm", _ab_arm(F.col("user_id")))
+    )
+    sq = F.col("spend").cast("decimal(18,6)")
+    g = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend").cast("double").alias("s1"),
+        F.sum(sq * sq).cast("double").alias("s2"),
+    )
+    a = g.filter(F.col("arm") == "A").select(
+        F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("qa")
+    )
+    b = g.filter(F.col("arm") == "B").select(
+        F.col("n").alias("nb"), F.col("s1").alias("sb"), F.col("s2").alias("qb")
+    )
+    j = a.crossJoin(b)
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - F.lit(1.0))
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - F.lit(1.0))
+    sp = F.sqrt(
+        ((na - F.lit(1.0)) * va + (nb - F.lit(1.0)) * vb)
+        / (na + nb - F.lit(2.0))
+    )
+    d = (ma - mb) / sp
+    df = na + nb - F.lit(2.0)
+    jcorr = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * df - F.lit(1.0))
+    se = F.sqrt(va / na + vb / nb)
+    return j.select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(jcorr * d, 6).alias("hedges_g"),
+        F.round(
+            (F.lit(1.959964) + F.lit(Z_POWER_80)) * se, 6
+        ).alias("mde_spend"),
+    )
+
+
+def q_ab_equivalence_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test for the A/B spend split -- the test that
+    can CONCLUDE 'no meaningful difference' (a non-significant t never
+    can; two one-sided tests against a +-margin do): with margin =
+    TOST_MARGIN_FRAC of the pooled mean, z_lower = (diff + m)/se and
+    z_upper = (m - diff)/se must BOTH clear the one-sided 95% quantile.
+    On this hash-null split the gate locks the pipeline by concluding
+    equivalence.
+
+    Exactness: same moments as the z gates; margin, both z's and the
+    verdict are fixed double chains with erf-locked literals.
+
+    Plan: one per-user shuffle, 2-arm algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(27,6)"
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value")).cast(dec)
+                ),
+                F.lit(0).cast(dec),
+            ).alias("spend")
+        )
+        .withColumn("arm", _ab_arm(F.col("user_id")))
+    )
+    sq = F.col("spend").cast("decimal(18,6)")
+    g = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend").cast("double").alias("s1"),
+        F.sum(sq * sq).cast("double").alias("s2"),
+    )
+    a = g.filter(F.col("arm") == "A").select(
+        F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("qa")
+    )
+    b = g.filter(F.col("arm") == "B").select(
+        F.col("n").alias("nb"), F.col("s1").alias("sb"), F.col("s2").alias("qb")
+    )
+    j = a.crossJoin(b)
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / na) / (na - F.lit(1.0))
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / nb) / (nb - F.lit(1.0))
+    se = F.sqrt(va / na + vb / nb)
+    pooled_mean = (F.col("sa") + F.col("sb")) / (na + nb)
+    margin = F.lit(TOST_MARGIN_FRAC) * pooled_mean
+    diff = ma - mb
+    z_lo = (diff + margin) / se
+    z_hi = (margin - diff) / se
+    return j.select(
+        F.col("na").cast("bigint").alias("na"),
+        F.col("nb").cast("bigint").alias("nb"),
+        F.round(diff, 6).alias("diff"),
+        F.round(margin, 6).alias("margin"),
+        F.round(z_lo, 6).alias("z_lower"),
+        F.round(z_hi, 6).alias("z_upper"),
+        (
+            (z_lo > F.lit(Z_ONE_SIDED_95)) & (z_hi > F.lit(Z_ONE_SIDED_95))
+        ).alias("equivalent"),
+    )

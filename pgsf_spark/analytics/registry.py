@@ -7185,6 +7185,73 @@ ORDER BY abs(ROUND((CAST(o AS DOUBLE)
   segment, nation
 LIMIT {profiling.CHI2_RES_TOP}""",
     ),
+    "ab_effect_size": QuerySpec(
+        events.q_ab_effect_size,
+        f"""WITH pu AS (
+  SELECT user_id,
+    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(27,6)) END),
+             CAST(0 AS DECIMAL(27,6))) AS spend
+  FROM events GROUP BY user_id),
+pa AS (
+  SELECT spend,
+    CASE WHEN ('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         THEN 'A' ELSE 'B' END AS arm
+  FROM pu),
+g AS (SELECT arm, COUNT(*) AS n, CAST(SUM(spend) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(spend AS DECIMAL(19,6)) * CAST(spend AS DECIMAL(19,6))) AS DOUBLE) AS s2
+      FROM pa GROUP BY 1),
+a AS (SELECT n AS na, s1 AS sa, s2 AS qa FROM g WHERE arm = 'A'),
+b AS (SELECT n AS nb, s1 AS sb, s2 AS qb FROM g WHERE arm = 'B')
+SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+  ROUND((sa / na - sb / nb)
+        / sqrt(((na - 1.0) * ((qa - sa * sa / na) / (na - 1.0))
+                + (nb - 1.0) * ((qb - sb * sb / nb) / (nb - 1.0)))
+               / (na + nb - 2.0)), 6) AS cohens_d,
+  ROUND((1.0 - 3.0 / (4.0 * (na + nb - 2.0) - 1.0))
+        * ((sa / na - sb / nb)
+           / sqrt(((na - 1.0) * ((qa - sa * sa / na) / (na - 1.0))
+                   + (nb - 1.0) * ((qb - sb * sb / nb) / (nb - 1.0)))
+                  / (na + nb - 2.0))), 6) AS hedges_g,
+  ROUND((1.959964 + {events.Z_POWER_80!r})
+        * sqrt(((qa - sa * sa / na) / (na - 1.0)) / na
+               + ((qb - sb * sb / nb) / (nb - 1.0)) / nb), 6) AS mde_spend
+FROM a, b""",
+    ),
+    "ab_equivalence_tost": QuerySpec(
+        events.q_ab_equivalence_tost,
+        f"""WITH pu AS (
+  SELECT user_id,
+    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(27,6)) END),
+             CAST(0 AS DECIMAL(27,6))) AS spend
+  FROM events GROUP BY user_id),
+pa AS (
+  SELECT spend,
+    CASE WHEN ('0x' || substr(md5('ab1:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+         THEN 'A' ELSE 'B' END AS arm
+  FROM pu),
+g AS (SELECT arm, COUNT(*) AS n, CAST(SUM(spend) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(spend AS DECIMAL(19,6)) * CAST(spend AS DECIMAL(19,6))) AS DOUBLE) AS s2
+      FROM pa GROUP BY 1),
+a AS (SELECT n AS na, s1 AS sa, s2 AS qa FROM g WHERE arm = 'A'),
+b AS (SELECT n AS nb, s1 AS sb, s2 AS qb FROM g WHERE arm = 'B')
+SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+  ROUND(sa / na - sb / nb, 6) AS diff,
+  ROUND({events.TOST_MARGIN_FRAC!r} * ((sa + sb) / (na + nb)), 6) AS margin,
+  ROUND(((sa / na - sb / nb) + {events.TOST_MARGIN_FRAC!r} * ((sa + sb) / (na + nb)))
+        / sqrt(((qa - sa * sa / na) / (na - 1.0)) / na
+               + ((qb - sb * sb / nb) / (nb - 1.0)) / nb), 6) AS z_lower,
+  ROUND(({events.TOST_MARGIN_FRAC!r} * ((sa + sb) / (na + nb)) - (sa / na - sb / nb))
+        / sqrt(((qa - sa * sa / na) / (na - 1.0)) / na
+               + ((qb - sb * sb / nb) / (nb - 1.0)) / nb), 6) AS z_upper,
+  (((sa / na - sb / nb) + {events.TOST_MARGIN_FRAC!r} * ((sa + sb) / (na + nb)))
+        / sqrt(((qa - sa * sa / na) / (na - 1.0)) / na
+               + ((qb - sb * sb / nb) / (nb - 1.0)) / nb) > {events.Z_ONE_SIDED_95!r})
+  AND (({events.TOST_MARGIN_FRAC!r} * ((sa + sb) / (na + nb)) - (sa / na - sb / nb))
+        / sqrt(((qa - sa * sa / na) / (na - 1.0)) / na
+               + ((qb - sb * sb / nb) / (nb - 1.0)) / nb) > {events.Z_ONE_SIDED_95!r})
+  AS equivalent
+FROM a, b""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -244,6 +244,8 @@ REPRESENTATIVE = [
     "query_likelihood_topk",  # smoothed LM over zero candidates
     "g_test_independence",  # o ln(o/e) grid over zero customers
     "chi2_residuals_topk",  # residual map over zero customers
+    "ab_effect_size",  # pooled-SD algebra over zero users
+    "ab_equivalence_tost",  # TOST z's over zero users
 ]
 
 

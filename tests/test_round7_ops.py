@@ -927,3 +927,23 @@ class TestChi2Residuals:
         for r in rows:
             got = (r.observed - r.expected) / (r.expected ** 0.5)
             assert abs(got - r.std_residual) < 1e-4
+
+
+class TestAbEffectSize:
+    def test_null_split_small_effect(self, spark):
+        row = events.q_ab_effect_size(spark, SF).collect()[0]
+        # hash-null split with ~15 users at this SF: sd(d) ~ sqrt(4/n),
+        # so |d| beyond ~4 sigma would mean broken moment algebra
+        assert abs(row.cohens_d) < 2.0
+        assert abs(row.hedges_g) <= abs(row.cohens_d) + 1e-9
+        assert row.mde_spend > 0
+
+
+class TestTost:
+    def test_flag_consistent_with_zs(self, spark):
+        row = events.q_ab_equivalence_tost(spark, SF).collect()[0]
+        assert row.margin > 0
+        want = row.z_lower > 1.644854 and row.z_upper > 1.644854
+        assert row.equivalent == want
+        # z_lower + z_upper == 2 * margin / se by construction
+        assert row.z_lower + row.z_upper > 0 or not row.equivalent
