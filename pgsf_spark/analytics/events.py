@@ -2384,3 +2384,60 @@ def q_ab_equivalence_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
             (z_lo > F.lit(Z_ONE_SIDED_95)) & (z_hi > F.lit(Z_ONE_SIDED_95))
         ).alias("equivalent"),
     )
+
+
+PATHS_TOP = 10
+
+
+def q_conversion_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths leading into first purchase -- the product
+    question behind the attribution gates (Shapley/last-touch say which
+    CHANNEL gets credit; this says which SEQUENCES users actually walk):
+    the two events immediately preceding each user's first purchase,
+    counted as 'a -> b -> purchase' paths with their share of all
+    conversions.
+
+    Exactness: path extraction is lag windows over the per-user total
+    order (ts, event_id); counts are integers, the share one rounded
+    division.
+
+    Plan: one user-keyed window shuffle, one bounded path rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_lags = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+        F.row_number().over(
+            Window.partitionBy("user_id")
+            .orderBy(
+                F.when(F.col("event_type") == "purchase", 0).otherwise(1),
+                "ts",
+                "event_id",
+            )
+        ).alias("rn_first_purchase"),
+    )
+    firsts = with_lags.filter(
+        (F.col("event_type") == "purchase") & (F.col("rn_first_purchase") == 1)
+    )
+    paths = firsts.select(
+        F.coalesce(F.col("p2"), F.lit("(start)")).alias("step1"),
+        F.coalesce(F.col("p1"), F.lit("(start)")).alias("step2"),
+    ).groupBy("step1", "step2").agg(F.count(F.lit(1)).alias("n_conversions"))
+    tot = paths.agg(F.sum("n_conversions").alias("t"))
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .select(
+            "step1",
+            "step2",
+            F.col("n_conversions").cast("bigint").alias("n_conversions"),
+            F.round(
+                F.col("n_conversions").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.col("n_conversions").desc(), "step1", "step2")
+        .limit(PATHS_TOP)
+    )

@@ -7252,6 +7252,46 @@ SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
   AS equivalent
 FROM a, b""",
     ),
+    "conversion_paths_topk": QuerySpec(
+        events.q_conversion_paths_topk,
+        f"""WITH wl AS (
+  SELECT user_id, event_type,
+    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+    LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END, ts, event_id) AS rnf
+  FROM events),
+fp AS (
+  SELECT COALESCE(p2, '(start)') AS step1, COALESCE(p1, '(start)') AS step2
+  FROM wl WHERE event_type = 'purchase' AND rnf = 1),
+paths AS (SELECT step1, step2, COUNT(*) AS n_conversions FROM fp GROUP BY 1, 2),
+tot AS (SELECT SUM(n_conversions) AS t FROM paths)
+SELECT step1, step2, CAST(n_conversions AS BIGINT) AS n_conversions,
+  ROUND(CAST(n_conversions AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM paths, tot
+ORDER BY n_conversions DESC, step1, step2 LIMIT {events.PATHS_TOP}""",
+    ),
+    "salted_aggregate_gate": QuerySpec(
+        relational.q_salted_aggregate_gate,
+        f"""WITH direct AS (
+  SELECT l_returnflag,
+    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS direct_cents,
+    COUNT(*) AS n_rows
+  FROM lineitem GROUP BY 1),
+p1 AS (
+  SELECT l_returnflag, l_orderkey % {relational.SALT_N} AS salt,
+    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS partial
+  FROM lineitem GROUP BY 1, 2),
+salted AS (
+  SELECT l_returnflag, CAST(SUM(partial) AS BIGINT) AS salted_cents,
+    COUNT(*) AS n_salts
+  FROM p1 GROUP BY 1)
+SELECT d.l_returnflag AS returnflag, CAST(n_rows AS BIGINT) AS n_rows,
+  CAST(n_salts AS BIGINT) AS n_salts, direct_cents, salted_cents,
+  direct_cents = salted_cents AS match
+FROM direct d JOIN salted s ON d.l_returnflag = s.l_returnflag
+ORDER BY returnflag""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -1138,3 +1138,54 @@ def q_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+SALT_N = 8
+
+
+def q_salted_aggregate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation vs the direct aggregate -- the skew
+    device every 100 TB plan reaches for when one group key carries most
+    of the rows (salt the key, pre-aggregate the (key, salt) partials,
+    then combine), locked here as a CORRECTNESS gate: on exact integer
+    cents the two plans must agree to the last cent, and the gate emits
+    both sides with the match flag so a future refactor that breaks
+    salt-combine associativity goes red instead of silently skewing.
+
+    Exactness: everything is integer cents; match is integer equality.
+
+    Plan: the direct path is one shuffle on the 3-value flag (the skewed
+    shape); the salted path shuffles on (flag, salt) -- SALT_N times the
+    keys, 1/SALT_N the per-reducer load -- then combines SALT_N partials
+    per flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    direct = li.groupBy("l_returnflag").agg(
+        F.sum(cents).alias("direct_cents"), F.count(F.lit(1)).alias("n_rows")
+    )
+    salted = (
+        li.select(
+            "l_returnflag",
+            (F.col("l_orderkey") % SALT_N).alias("salt"),
+            cents.alias("c"),
+        )
+        .groupBy("l_returnflag", "salt")
+        .agg(F.sum("c").alias("partial"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("partial").alias("salted_cents"),
+            F.count(F.lit(1)).alias("n_salts"),
+        )
+    )
+    return (
+        direct.join(salted, "l_returnflag")
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_salts").cast("bigint").alias("n_salts"),
+            F.col("direct_cents").cast("bigint").alias("direct_cents"),
+            F.col("salted_cents").cast("bigint").alias("salted_cents"),
+            (F.col("direct_cents") == F.col("salted_cents")).alias("match"),
+        )
+        .orderBy("returnflag")
+    )

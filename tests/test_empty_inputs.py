@@ -246,6 +246,8 @@ REPRESENTATIVE = [
     "chi2_residuals_topk",  # residual map over zero customers
     "ab_effect_size",  # pooled-SD algebra over zero users
     "ab_equivalence_tost",  # TOST z's over zero users
+    "conversion_paths_topk",  # lag paths over zero events
+    "salted_aggregate_gate",  # two-phase combine over zero lineitems
 ]
 
 

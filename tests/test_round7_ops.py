@@ -947,3 +947,27 @@ class TestTost:
         assert row.equivalent == want
         # z_lower + z_upper == 2 * margin / se by construction
         assert row.z_lower + row.z_upper > 0 or not row.equivalent
+
+
+class TestConversionPaths:
+    def test_shares_and_order(self, spark):
+        rows = events.q_conversion_paths_topk(spark, SF).collect()
+        assert 0 < len(rows) <= events.PATHS_TOP
+        counts = [r.n_conversions for r in rows]
+        assert counts == sorted(counts, reverse=True)
+        assert sum(r.share for r in rows) <= 1.0 + 1e-6
+        # a purchase step cannot precede the FIRST purchase
+        for r in rows:
+            assert r.step1 != "purchase" and r.step2 != "purchase"
+
+
+class TestSaltedAggregate:
+    def test_salting_is_lossless(self, spark):
+        from pgsf_spark.analytics import relational
+
+        rows = relational.q_salted_aggregate_gate(spark, SF).collect()
+        assert len(rows) == 3  # A/N/R
+        for r in rows:
+            assert r.match is True
+            assert r.direct_cents == r.salted_cents
+            assert 1 <= r.n_salts <= relational.SALT_N
