@@ -7292,6 +7292,43 @@ SELECT d.l_returnflag AS returnflag, CAST(n_rows AS BIGINT) AS n_rows,
 FROM direct d JOIN salted s ON d.l_returnflag = s.l_returnflag
 ORDER BY returnflag""",
     ),
+    "reorder_interval_profile": QuerySpec(
+        relational.q_reorder_interval_profile,
+        """WITH gaps AS (
+  SELECT datediff('day',
+    CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+    CAST(o_orderdate AS DATE)) AS gap
+  FROM orders),
+g AS (SELECT gap FROM gaps WHERE gap IS NOT NULL),
+pg AS (SELECT gap, COUNT(*) AS c FROM g GROUP BY 1),
+cum AS (SELECT gap, SUM(c) OVER (ORDER BY gap ROWS UNBOUNDED PRECEDING) AS cum FROM pg),
+tot AS (SELECT COUNT(*) AS n, SUM(gap) AS s, MAX(gap) AS mx FROM g),
+agg AS (
+  SELECT n, s, mx,
+    MIN(CASE WHEN cum >= CEIL(0.5 * CAST(n AS DOUBLE)) THEN gap END) AS p50,
+    MIN(CASE WHEN cum >= CEIL(0.9 * CAST(n AS DOUBLE)) THEN gap END) AS p90
+  FROM cum, tot GROUP BY 1, 2, 3)
+SELECT CAST(n AS BIGINT) AS n_gaps,
+  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_days,
+  CAST(p50 AS BIGINT) AS p50_days, CAST(p90 AS BIGINT) AS p90_days,
+  CAST(mx AS BIGINT) AS max_days
+FROM agg""",
+    ),
+    "revenue_concentration_topk": QuerySpec(
+        relational.q_revenue_concentration_topk,
+        f"""WITH per AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+tot AS (SELECT SUM(cents) AS total, COUNT(*) AS n_customers FROM per),
+top AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS top_cents, COUNT(*) AS k
+  FROM (SELECT cents FROM per ORDER BY cents DESC, o_custkey LIMIT {relational.CONC_TOPK}))
+SELECT CAST(n_customers AS BIGINT) AS n_customers, CAST(k AS BIGINT) AS k,
+  ROUND(CAST(top_cents AS DOUBLE) / 100.0, 2) AS top_revenue_usd,
+  ROUND(CAST(top_cents AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top_share
+FROM top, tot""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

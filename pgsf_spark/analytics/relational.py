@@ -1189,3 +1189,93 @@ def q_salted_aggregate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+def q_reorder_interval_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer reorder-interval profile -- the repeat-purchase tempo
+    (median and p90 days between a customer's consecutive orders: the
+    replenishment clock inventory and CRM both plan against), computed
+    as exact type-1 order statistics over integer day gaps.
+
+    Exactness: gaps are integer day diffs from per-customer lag
+    windows; the percentiles are order statistics on the bounded
+    distinct-gap spine (no interpolation); the mean is one division of
+    exact sums.
+
+    Plan: one customer-keyed window shuffle, one (gap) rollup, rank
+    lookups on the bounded gap spine."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff(
+                F.to_date("o_orderdate"),
+                F.to_date(F.lag("o_orderdate").over(w)),
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    per_g = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_g.select("gap", F.sum("c").over(wc).alias("cum"))
+    tot = gaps.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap").alias("s"),
+        F.max("gap").alias("mx"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    agg = j.groupBy("n", "s", "mx").agg(
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n").cast("double")), F.col("gap"))
+        ).alias("p50"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.lit(0.9) * F.col("n").cast("double")), F.col("gap"))
+        ).alias("p90"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_gaps"),
+        F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6).alias(
+            "mean_days"
+        ),
+        F.col("p50").cast("bigint").alias("p50_days"),
+        F.col("p90").cast("bigint").alias("p90_days"),
+        F.col("mx").cast("bigint").alias("max_days"),
+    )
+
+
+CONC_TOPK = 20
+
+
+def q_revenue_concentration_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share of the top-CONC_TOPK customers -- the key-account
+    concentration number next to the Gini/Theil/HHI curves (those are
+    whole-distribution; this is the question sales actually asks: how
+    much walks out the door if the top 20 leave?): exact integer cent
+    sums, top-k by (revenue, custkey) total order.
+
+    Plan: one customer rollup shuffle; the top-k is a bounded
+    TakeOrdered (per-partition top-k reduce, no full sort); the share is
+    two exact sums."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    tot = per.agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n_customers")
+    )
+    top = (
+        per.orderBy(F.col("cents").desc(), "o_custkey")
+        .limit(CONC_TOPK)
+        .agg(F.sum("cents").alias("top_cents"), F.count(F.lit(1)).alias("k"))
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(F.col("top_cents").cast("double") / F.lit(100.0), 2).alias(
+            "top_revenue_usd"
+        ),
+        F.round(
+            F.col("top_cents").cast("double") / F.col("total").cast("double"), 6
+        ).alias("top_share"),
+    )

@@ -248,6 +248,8 @@ REPRESENTATIVE = [
     "ab_equivalence_tost",  # TOST z's over zero users
     "conversion_paths_topk",  # lag paths over zero events
     "salted_aggregate_gate",  # two-phase combine over zero lineitems
+    "reorder_interval_profile",  # gap spine over zero orders
+    "revenue_concentration_topk",  # bounded top-k over zero customers
 ]
 
 

@@ -971,3 +971,24 @@ class TestSaltedAggregate:
             assert r.match is True
             assert r.direct_cents == r.salted_cents
             assert 1 <= r.n_salts <= relational.SALT_N
+
+
+class TestReorderInterval:
+    def test_order_statistics(self, spark):
+        from pgsf_spark.analytics import relational
+
+        row = relational.q_reorder_interval_profile(spark, SF).collect()[0]
+        assert row.n_gaps > 0
+        assert 0 <= row.p50_days <= row.p90_days <= row.max_days
+        assert 0.0 < row.mean_days <= row.max_days
+
+
+class TestRevenueConcentration:
+    def test_share_bounds(self, spark):
+        from pgsf_spark.analytics import relational
+
+        row = relational.q_revenue_concentration_topk(spark, SF).collect()[0]
+        assert row.k == min(relational.CONC_TOPK, row.n_customers)
+        # top-k share must be at least k/n (top-k beats average) and <= 1
+        lo = row.k / row.n_customers
+        assert lo - 1e-9 <= row.top_share <= 1.0
