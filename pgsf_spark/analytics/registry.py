@@ -7329,6 +7329,67 @@ SELECT CAST(n_customers AS BIGINT) AS n_customers, CAST(k AS BIGINT) AS k,
   ROUND(CAST(top_cents AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top_share
 FROM top, tot""",
     ),
+    "price_variance_decomposition": QuerySpec(
+        relational.q_price_variance_decomposition,
+        """WITH per AS (
+  SELECT p_brand, COUNT(*) AS n,
+    CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS s,
+    SUM(CAST(CAST(round(p_retailprice * 100) AS BIGINT) AS DECIMAL(38,0))
+        * CAST(CAST(round(p_retailprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS q
+  FROM part GROUP BY 1),
+tot AS (
+  SELECT COUNT(*) AS g, CAST(SUM(n) AS BIGINT) AS nt,
+    CAST(SUM(s) AS BIGINT) AS st, SUM(q) AS qt
+  FROM per),
+agg AS (
+  SELECT g, nt, st, qt,
+    SUM(CAST(ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                      - CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                   * CAST(n AS DOUBLE), 6) AS DECIMAL(27,6))) AS ssb
+  FROM per, tot GROUP BY 1, 2, 3, 4)
+SELECT CAST(g AS BIGINT) AS n_brands, nt AS n_parts,
+  ROUND(CAST(ssb AS DOUBLE)
+        / (CAST(qt AS DOUBLE)
+           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)), 6)
+    AS eta_squared,
+  ROUND((CAST(ssb AS DOUBLE) / (CAST(g AS DOUBLE) - 1.0))
+        / (((CAST(qt AS DOUBLE)
+             - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+            - CAST(ssb AS DOUBLE))
+           / (CAST(nt AS DOUBLE) - CAST(g AS DOUBLE))), 6) AS f_stat
+FROM agg""",
+    ),
+    "embedding_dim_correlation_topk": QuerySpec(
+        similarity.q_embedding_dim_correlation_topk,
+        f"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+pos AS (SELECT vec_id, CAST(i AS INT) AS i, v[CAST(i AS INT)] AS x
+        FROM e, range(1, 65) r(i)),
+mom AS (
+  SELECT a.i AS i, b.i AS j, SUM(CAST(a.x * b.x AS DECIMAL(27,10))) AS s
+  FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2),
+mu AS (SELECT i, SUM(CAST(x AS DECIMAL(27,10))) AS m FROM pos GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM e),
+cells AS (
+  SELECT mom.i, mom.j,
+    ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(mi.m AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(mj.m AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS c
+  FROM mom
+  JOIN mu mi ON mom.i = mi.i
+  JOIN mu mj ON mom.j = mj.i, nn),
+diag AS (SELECT i AS d, c AS var FROM cells WHERE i = j),
+offd AS (
+  SELECT cells.i, cells.j,
+    ROUND(c / sqrt(di.var * dj.var), 6) AS corr
+  FROM cells
+  JOIN diag di ON cells.i = di.d
+  JOIN diag dj ON cells.j = dj.d
+  WHERE cells.i <> cells.j)
+SELECT CAST(i - 1 AS BIGINT) AS dim_i, CAST(j - 1 AS BIGINT) AS dim_j, corr
+FROM offd ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT {similarity.DIMCORR_TOP}""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

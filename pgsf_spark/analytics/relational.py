@@ -1279,3 +1279,56 @@ def q_revenue_concentration_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top_cents").cast("double") / F.col("total").cast("double"), 6
         ).alias("top_share"),
     )
+
+
+def q_price_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA decomposition of part retail price by brand --
+    does BRAND explain catalog pricing (eta^2 = SSB/SST), the
+    fixed-effects companion to the time-series seasonality ANOVA:
+    between/within sums of squares from exact per-brand cent moments,
+    with the F statistic.
+
+    Exactness: per-brand counts/sums/square-sums are exact integers
+    (cents, DECIMAL(38,0)); SSB/SSW/eta^2/F are fixed double chains on
+    those aggregates with try_divide degeneracy guards.
+
+    Plan: one part rollup keyed on brand (tiny), 25-row algebra."""
+    p = load_table(spark, sf_dir, "part")
+    dec = "decimal(38,0)"
+    per = p.select(
+        "p_brand", F.round(F.col("p_retailprice") * 100).cast("long").alias("c")
+    ).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("q"),
+    )
+    tot = per.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ssb_term = F.round(
+        (F.col("s").cast("double") / F.col("n").cast("double")
+         - F.col("st").cast("double") / F.col("nt").cast("double"))
+        * (F.col("s").cast("double") / F.col("n").cast("double")
+           - F.col("st").cast("double") / F.col("nt").cast("double"))
+        * F.col("n").cast("double"),
+        6,
+    ).cast("decimal(27,6)")
+    agg = j.groupBy("g", "nt", "st", "qt").agg(F.sum(ssb_term).alias("ssb"))
+    ntd = F.col("nt").cast("double")
+    sst = F.col("qt").cast("double") - (
+        F.col("st").cast("double") * F.col("st").cast("double")
+    ) / ntd
+    ssb = F.col("ssb").cast("double")
+    ssw = sst - ssb
+    gd = F.col("g").cast("double")
+    f_stat = F.try_divide(ssb / (gd - F.lit(1.0)), ssw / (ntd - gd))
+    return agg.select(
+        F.col("g").cast("bigint").alias("n_brands"),
+        F.col("nt").cast("bigint").alias("n_parts"),
+        F.round(F.try_divide(ssb, sst), 6).alias("eta_squared"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )

@@ -1628,3 +1628,94 @@ def q_embedding_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frd, 9).alias("frobenius_sq"),
         F.round(F.try_divide(trd * trd, frd), 6).alias("effective_rank"),
     )
+
+
+DIMCORR_TOP = 10
+
+
+def q_embedding_dim_correlation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most correlated embedding-dimension pairs -- the redundancy map
+    behind the effective-rank number (PR says HOW MANY directions are
+    real; this names WHICH stored dimensions duplicate each other, the
+    input to a Matryoshka-style truncation decision): the DIMCORR_TOP
+    |Pearson| pairs off the covariance cells.
+
+    Exactness: the same upper-triangle decimal moment device as
+    q_embedding_effective_rank; each correlation is one fixed double
+    chain on exact sums, rounded to 6; ordering is (abs desc, i, j).
+
+    Plan: one outer-product scan (2080-cell shuffle), bounded-pair
+    algebra after."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.col("embedding").alias("v"))
+    pairs = x.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "v",
+                    lambda xi, i: F.transform(
+                        F.slice(F.col("v"), i + 1, F.size("v") - i),
+                        lambda xj, jj: F.struct(
+                            i.alias("i"),
+                            (i + jj).alias("j"),
+                            (xi.cast("double") * xj.cast("double")).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("c")
+    )
+    dec = "decimal(27,10)"
+    moments = pairs.select("c.i", "c.j", "c.p").groupBy("i", "j").agg(
+        F.sum(F.col("p").cast(dec)).alias("s")
+    )
+    mu = x.select(F.posexplode("v").alias("i", "xi")).groupBy("i").agg(
+        F.sum(F.col("xi").cast(dec)).alias("m")
+    )
+    n_agg = x.agg(F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("double")
+    cells = (
+        moments.join(
+            F.broadcast(mu.select(F.col("i").alias("i_"), F.col("m").alias("mi"))),
+            F.col("i") == F.col("i_"),
+        )
+        .join(
+            F.broadcast(mu.select(F.col("i").alias("j_"), F.col("m").alias("mj"))),
+            F.col("j") == F.col("j_"),
+        )
+        .crossJoin(F.broadcast(n_agg))
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.col("s").cast("double") / nd
+                - (F.col("mi").cast("double") / nd)
+                * (F.col("mj").cast("double") / nd),
+                9,
+            ).alias("c"),
+        )
+    )
+    diag = cells.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"), F.col("c").alias("var")
+    )
+    offd = (
+        cells.filter(F.col("i") != F.col("j"))
+        .join(F.broadcast(diag.select(F.col("d").alias("i"), F.col("var").alias("vi"))), "i")
+        .join(F.broadcast(diag.select(F.col("d").alias("j"), F.col("var").alias("vj"))), "j")
+        .select(
+            "i",
+            "j",
+            F.round(
+                F.try_divide(F.col("c"), F.sqrt(F.col("vi") * F.col("vj"))), 6
+            ).alias("corr"),
+        )
+    )
+    return (
+        offd.select(
+            F.col("i").cast("bigint").alias("dim_i"),
+            F.col("j").cast("bigint").alias("dim_j"),
+            "corr",
+        )
+        .orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j")
+        .limit(DIMCORR_TOP)
+    )

@@ -250,6 +250,8 @@ REPRESENTATIVE = [
     "salted_aggregate_gate",  # two-phase combine over zero lineitems
     "reorder_interval_profile",  # gap spine over zero orders
     "revenue_concentration_topk",  # bounded top-k over zero customers
+    "price_variance_decomposition",  # brand moments over zero parts
+    "embedding_dim_correlation_topk",  # covariance cells from zero vectors
 ]
 
 

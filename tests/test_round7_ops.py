@@ -992,3 +992,24 @@ class TestRevenueConcentration:
         # top-k share must be at least k/n (top-k beats average) and <= 1
         lo = row.k / row.n_customers
         assert lo - 1e-9 <= row.top_share <= 1.0
+
+
+class TestPriceVarianceDecomposition:
+    def test_eta_bounds(self, spark):
+        from pgsf_spark.analytics import relational
+
+        row = relational.q_price_variance_decomposition(spark, SF).collect()[0]
+        assert row.n_brands == 25
+        assert 0.0 <= row.eta_squared <= 1.0
+        assert row.f_stat is None or row.f_stat >= 0.0
+
+
+class TestDimCorrelation:
+    def test_corr_bounds_and_order(self, spark):
+        rows = similarity.q_embedding_dim_correlation_topk(spark, SF).collect()
+        assert len(rows) == similarity.DIMCORR_TOP
+        mags = [abs(r.corr) for r in rows]
+        assert mags == sorted(mags, reverse=True)
+        for r in rows:
+            assert -1.0 <= r.corr <= 1.0
+            assert 0 <= r.dim_i < r.dim_j < 64
