@@ -7864,10 +7864,16 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # bradley_terry_strengths, dpo_preference_pairs, kneser_ney_continuation,
 # burrows_delta, quantile_normalization_map, auc_by_fold,
 # dup_cluster_powerlaw, rich_club_coefficient, shard_rebalance_audit,
-# simpson_paradox_probe, hll_merge_by_day -- that is 43; the round-9
-# window takes the first 40 and the last three spill to round 10's
-# front together with the r02 remainder (kmv_distinct_users,
-# value_stddev, price_quantity_corr, soql_projection, repetition_stats,
+# simpson_paradox_probe, hll_merge_by_day, median_ci_order_stats,
+# lineitem_correlation_matrix, query_likelihood_topk,
+# g_test_independence, chi2_residuals_topk, ab_effect_size,
+# ab_equivalence_tost, conversion_paths_topk, salted_aggregate_gate,
+# reorder_interval_profile, revenue_concentration_topk,
+# price_variance_decomposition, embedding_dim_correlation_topk -- that
+# is 56 late additions after the round-8 four; the round-9 window takes
+# the first 50 and the remaining 6 spill to round 10's front together
+# with the r02 remainder (kmv_distinct_users, value_stddev,
+# price_quantity_corr, soql_projection, repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,
 # temperature_sample, sequence_pack, event_funnel, weekly_retention)
 # and the r03-last-green set.
