@@ -1365,3 +1365,45 @@ def q_dup_cluster_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha_mle"),
     )
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source -- the per-source face of
+    q_dedup_exact (the survivor-mix gate says where the kept corpus
+    comes from; this says which SOURCES are shipping copies, the number
+    that goes back to the crawler team): share of each source's docs
+    whose content fingerprint appears more than once CORPUS-WIDE, plus
+    the share that are not even their group's canonical keeper.
+
+    Exactness: fingerprints are md5 of the house normalization; all
+    counts are exact integers; the two rates are single rounded
+    divisions.
+
+    Plan: one fingerprint shuffle (the dedup_exact plan) joined back to
+    the doc->source map, one source rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", F.md5(_norm_text(F.col("text"))).alias("fp")
+    )
+    grp = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n_copies")
+    )
+    j = fp.join(grp, "fp")
+    per = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_copies") > 1).cast("int")).alias("n_in_dup_groups"),
+        F.sum(
+            ((F.col("n_copies") > 1) & (F.col("doc_id") != F.col("keep"))).cast("int")
+        ).alias("n_redundant"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return per.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_in_dup_groups").cast("bigint").alias("n_in_dup_groups"),
+        F.col("n_redundant").cast("bigint").alias("n_redundant"),
+        F.round(F.col("n_in_dup_groups").cast("double") / nd, 6).alias("dup_rate"),
+        F.round(F.col("n_redundant").cast("double") / nd, 6).alias(
+            "redundant_rate"
+        ),
+    ).orderBy("source")

@@ -7390,6 +7390,56 @@ offd AS (
 SELECT CAST(i - 1 AS BIGINT) AS dim_i, CAST(j - 1 AS BIGINT) AS dim_j, corr
 FROM offd ORDER BY abs(corr) DESC, dim_i, dim_j LIMIT {similarity.DIMCORR_TOP}""",
     ),
+    "dup_rate_by_source": QuerySpec(
+        dedup.q_dup_rate_by_source,
+        """WITH fp AS (
+  SELECT doc_id, source,
+    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+grp AS (SELECT fp, MIN(doc_id) AS keep, COUNT(*) AS n_copies FROM fp GROUP BY 1),
+j AS (SELECT fp.doc_id, fp.source, grp.keep, grp.n_copies
+      FROM fp JOIN grp ON fp.fp = grp.fp),
+per AS (
+  SELECT source, COUNT(*) AS n_docs,
+    SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_in_dup_groups,
+    SUM(CASE WHEN n_copies > 1 AND doc_id <> keep THEN 1 ELSE 0 END) AS n_redundant
+  FROM j GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_in_dup_groups AS BIGINT) AS n_in_dup_groups,
+  CAST(n_redundant AS BIGINT) AS n_redundant,
+  ROUND(CAST(n_in_dup_groups AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+  ROUND(CAST(n_redundant AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS redundant_rate
+FROM per ORDER BY source""",
+    ),
+    "brand_share_shift": QuerySpec(
+        relational.q_brand_share_shift,
+        f"""WITH sp AS (
+  SELECT median(datediff('day', DATE '1970-01-01', CAST(date_trunc('day', o_orderdate) AS DATE))) AS mid
+  FROM orders),
+rws AS (
+  SELECT p.p_brand,
+    CASE WHEN datediff('day', DATE '1970-01-01', CAST(date_trunc('day', o_orderdate) AS DATE)) <= mid
+      THEN 1 ELSE 0 END AS h1,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey, sp),
+per AS (
+  SELECT p_brand,
+    SUM(CASE WHEN h1 = 1 THEN c ELSE 0 END) AS c1,
+    SUM(CASE WHEN h1 = 0 THEN c ELSE 0 END) AS c2
+  FROM rws GROUP BY 1),
+tot AS (SELECT SUM(c1) AS t1, SUM(c2) AS t2 FROM per)
+SELECT p_brand AS brand,
+  ROUND(CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6) AS share_first_half,
+  ROUND(CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE), 6) AS share_second_half,
+  ROUND(CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+        - CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6) AS share_delta
+FROM per, tot
+ORDER BY abs(ROUND(CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)
+        - CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6)) DESC, brand
+LIMIT {relational.SHIFT_TOP}""",
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -1332,3 +1332,63 @@ def q_price_variance_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.try_divide(ssb, sst), 6).alias("eta_squared"),
         F.round(f_stat, 6).alias("f_stat"),
     )
+
+
+SHIFT_TOP = 10
+
+
+def q_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest brand revenue-share movers between the first and second
+    half of the order history -- the market-share drift panel (a share
+    POINT is vanity; the SHIFT is what category management acts on):
+    per-brand revenue share in each half (the KS median-day split), top
+    SHIFT_TOP absolute changes.
+
+    Exactness: half assignment is the KS split device; per-(brand,
+    half) cent sums and half totals are exact integers; shares and the
+    delta are fixed double chains rounded to 6; ordering is
+    (abs delta desc, brand).
+
+    Plan: one orderkey shuffle join, a broadcast part dim, one
+    (brand, half) rollup, bounded 25-brand algebra."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mid = o.agg(
+        F.expr(
+            "percentile(datediff(to_date(o_orderdate), '1970-01-01'), 0.5D)"
+        ).alias("mid")
+    )
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .crossJoin(F.broadcast(mid))
+        .select(
+            "p_brand",
+            (
+                F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+                <= F.col("mid")
+            ).cast("int").alias("h1"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        )
+    )
+    per = rows.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("h1") == 1, F.col("c")).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("h1") == 0, F.col("c")).otherwise(0)).alias("c2"),
+    )
+    tot = per.agg(F.sum("c1").alias("t1"), F.sum("c2").alias("t2"))
+    j = per.crossJoin(F.broadcast(tot))
+    s1 = F.col("c1").cast("double") / F.col("t1").cast("double")
+    s2 = F.col("c2").cast("double") / F.col("t2").cast("double")
+    return (
+        j.select(
+            F.col("p_brand").alias("brand"),
+            F.round(s1, 6).alias("share_first_half"),
+            F.round(s2, 6).alias("share_second_half"),
+            F.round(s2 - s1, 6).alias("share_delta"),
+        )
+        .orderBy(F.abs(F.col("share_delta")).desc(), "brand")
+        .limit(SHIFT_TOP)
+    )

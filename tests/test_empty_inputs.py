@@ -252,6 +252,8 @@ REPRESENTATIVE = [
     "revenue_concentration_topk",  # bounded top-k over zero customers
     "price_variance_decomposition",  # brand moments over zero parts
     "embedding_dim_correlation_topk",  # covariance cells from zero vectors
+    "dup_rate_by_source",  # fingerprint groups over zero docs
+    "brand_share_shift",  # half-split shares over zero lineitems
 ]
 
 

@@ -1013,3 +1013,28 @@ class TestDimCorrelation:
         for r in rows:
             assert -1.0 <= r.corr <= 1.0
             assert 0 <= r.dim_i < r.dim_j < 64
+
+
+class TestDupRateBySource:
+    def test_rates_and_counts(self, spark):
+        from pgsf_spark.analytics import dedup
+
+        rows = dedup.q_dup_rate_by_source(spark, SF).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert 0 <= r.n_redundant <= r.n_in_dup_groups <= r.n_docs
+            assert 0.0 <= r.redundant_rate <= r.dup_rate <= 1.0
+
+
+class TestBrandShareShift:
+    def test_delta_identity_and_order(self, spark):
+        from pgsf_spark.analytics import relational
+
+        rows = relational.q_brand_share_shift(spark, SF).collect()
+        assert len(rows) == relational.SHIFT_TOP
+        mags = [abs(r.share_delta) for r in rows]
+        assert mags == sorted(mags, reverse=True)
+        for r in rows:
+            assert 0.0 <= r.share_first_half <= 1.0
+            assert 0.0 <= r.share_second_half <= 1.0
+            assert abs(r.share_delta - (r.share_second_half - r.share_first_half)) < 2e-6
