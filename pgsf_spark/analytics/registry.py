@@ -7919,9 +7919,10 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # g_test_independence, chi2_residuals_topk, ab_effect_size,
 # ab_equivalence_tost, conversion_paths_topk, salted_aggregate_gate,
 # reorder_interval_profile, revenue_concentration_topk,
-# price_variance_decomposition, embedding_dim_correlation_topk -- that
-# is 56 late additions after the round-8 four; the round-9 window takes
-# the first 50 and the remaining 6 spill to round 10's front together
+# price_variance_decomposition, embedding_dim_correlation_topk,
+# dup_rate_by_source, brand_share_shift -- that is 58 late additions
+# after the round-8 four; the round-9 window takes the first 50 and the
+# remaining 8 spill to round 10's front together
 # with the r02 remainder (kmv_distinct_users, value_stddev,
 # price_quantity_corr, soql_projection, repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,
