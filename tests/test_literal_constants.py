@@ -112,3 +112,23 @@ class TestNoModuleConstantRedefinition:
                                 f"(lines {seen[t.id]} and {node.lineno})"
                             )
                             seen[t.id] = node.lineno
+
+
+class TestNoDuplicateTestClasses:
+    def test_test_modules_have_unique_class_names(self):
+        """A later class with the same name silently REPLACES the earlier
+        one at module scope -- pytest then never collects the shadowed
+        tests (the TestBurstiness near-miss). Lock uniqueness."""
+        import ast as _ast
+        import glob
+
+        for path in sorted(glob.glob("tests/test_*.py")):
+            tree = _ast.parse(open(path).read())
+            seen = {}
+            for node in tree.body:
+                if isinstance(node, _ast.ClassDef):
+                    assert node.name not in seen, (
+                        f"{path}: class {node.name} defined twice "
+                        f"(lines {seen[node.name]} and {node.lineno})"
+                    )
+                    seen[node.name] = node.lineno
