@@ -2253,6 +2253,7 @@ def q_bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOST_MARGIN_FRAC = 0.02  # equivalence margin: 2% of the pooled mean
+Z_TWO_SIDED_95 = 1.959964  # two-sided 95% normal quantile (erf-locked)
 Z_ONE_SIDED_95 = 1.644854  # one-sided 95% normal quantile (erf-locked)
 Z_POWER_80 = 0.841621  # 80% power quantile (erf-locked)
 
@@ -2316,7 +2317,7 @@ def q_ab_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d, 6).alias("cohens_d"),
         F.round(jcorr * d, 6).alias("hedges_g"),
         F.round(
-            (F.lit(1.959964) + F.lit(Z_POWER_80)) * se, 6
+            (F.lit(Z_TWO_SIDED_95) + F.lit(Z_POWER_80)) * se, 6
         ).alias("mde_spend"),
     )
 

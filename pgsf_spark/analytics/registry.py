@@ -7212,7 +7212,7 @@ SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
            / sqrt(((na - 1.0) * ((qa - sa * sa / na) / (na - 1.0))
                    + (nb - 1.0) * ((qb - sb * sb / nb) / (nb - 1.0)))
                   / (na + nb - 2.0))), 6) AS hedges_g,
-  ROUND((1.959964 + {events.Z_POWER_80!r})
+  ROUND(({events.Z_TWO_SIDED_95!r} + {events.Z_POWER_80!r})
         * sqrt(((qa - sa * sa / na) / (na - 1.0)) / na
                + ((qb - sb * sb / nb) / (nb - 1.0)) / nb), 6) AS mde_spend
 FROM a, b""",

@@ -132,3 +132,17 @@ class TestNoDuplicateTestClasses:
                         f"(lines {seen[node.name]} and {node.lineno})"
                     )
                     seen[node.name] = node.lineno
+
+
+class TestNormalQuantileLiterals:
+    def test_erf_identities(self):
+        from pgsf_spark.analytics.events import (
+            Z_ONE_SIDED_95,
+            Z_POWER_80,
+            Z_TWO_SIDED_95,
+        )
+
+        phi = lambda z: 0.5 * (1 + math.erf(z / math.sqrt(2)))
+        assert abs(phi(Z_TWO_SIDED_95) - 0.975) < 1e-6
+        assert abs(phi(Z_ONE_SIDED_95) - 0.95) < 1e-6
+        assert abs(phi(Z_POWER_80) - 0.8) < 1e-6
