@@ -7440,6 +7440,47 @@ ORDER BY abs(ROUND(CAST(c2 AS DOUBLE) / CAST(t2 AS DOUBLE)
         - CAST(c1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6)) DESC, brand
 LIMIT {relational.SHIFT_TOP}""",
     ),
+    "discount_impact_by_brand": QuerySpec(
+        relational.q_discount_impact_by_brand,
+        """WITH per AS (
+  SELECT p.p_brand, COUNT(*) AS n_lines,
+    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS gross_cents,
+    SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))
+        * CAST(CAST(round(l_discount * 10000) AS BIGINT) AS DECIMAL(38,0))) AS disc_cb
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1)
+SELECT p_brand AS brand, CAST(n_lines AS BIGINT) AS n_lines,
+  ROUND(CAST(gross_cents AS DOUBLE) / 100.0, 2) AS gross_usd,
+  ROUND((CAST(disc_cb AS DOUBLE) / 10000.0) / 100.0, 2) AS discount_usd,
+  ROUND((CAST(gross_cents AS DOUBLE) - CAST(disc_cb AS DOUBLE) / 10000.0) / 100.0, 2)
+    AS net_usd,
+  ROUND((CAST(disc_cb AS DOUBLE) / 10000.0) / CAST(gross_cents AS DOUBLE), 6)
+    AS effective_discount_rate
+FROM per ORDER BY brand""",
+    ),
+    "supplier_hhi_by_nation": QuerySpec(
+        relational.q_supplier_hhi_by_nation,
+        """WITH ps AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+sup AS (
+  SELECT s.s_nationkey, ps.c FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey),
+tot AS (
+  SELECT s_nationkey, SUM(c) AS t, COUNT(*) AS n_suppliers FROM sup GROUP BY 1),
+agg AS (
+  SELECT sup.s_nationkey, n_suppliers,
+    SUM(CAST(ROUND((CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                   * (CAST(c AS DOUBLE) / CAST(t AS DOUBLE)), 12)
+        AS DECIMAL(18,12))) AS hhi
+  FROM sup JOIN tot ON sup.s_nationkey = tot.s_nationkey
+  GROUP BY 1, 2)
+SELECT CAST(s_nationkey AS BIGINT) AS nation,
+  CAST(n_suppliers AS BIGINT) AS n_suppliers,
+  ROUND(CAST(hhi AS DOUBLE), 6) AS hhi,
+  ROUND(1.0 / CAST(hhi AS DOUBLE), 6) AS effective_suppliers
+FROM agg ORDER BY nation""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -7920,9 +7961,10 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # ab_equivalence_tost, conversion_paths_topk, salted_aggregate_gate,
 # reorder_interval_profile, revenue_concentration_topk,
 # price_variance_decomposition, embedding_dim_correlation_topk,
-# dup_rate_by_source, brand_share_shift -- that is 58 late additions
-# after the round-8 four; the round-9 window takes the first 50 and the
-# remaining 8 spill to round 10's front together
+# dup_rate_by_source, brand_share_shift, discount_impact_by_brand,
+# supplier_hhi_by_nation -- that is 60 late additions after the round-8
+# four; the round-9 window takes the first 50 and the remaining 10
+# spill to round 10's front together
 # with the r02 remainder (kmv_distinct_users, value_stddev,
 # price_quantity_corr, soql_projection, repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,

@@ -1392,3 +1392,81 @@ def q_brand_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("share_delta")).desc(), "brand")
         .limit(SHIFT_TOP)
     )
+
+
+def q_discount_impact_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount depth and revenue impact per brand -- the merchandising
+    panel (list revenue, discount dollars given back, net revenue, and
+    the revenue-weighted effective discount rate; a flat avg(discount)
+    over-weights cheap lines, the weighted rate is what finance books):
+    every term from exact integer cents x basis-point products.
+
+    Exactness: price cents and discount basis points are exact
+    integers; their per-line product accumulates in DECIMAL(38,0) (the
+    discount dollars are that sum / 10^4 -- two exact integer scalings);
+    the rate is one double division rounded to 6.
+
+    Plan: one lineitem scan with the part dim broadcast, one brand
+    rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dec = "decimal(38,0)"
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    bp = F.round(F.col("l_discount") * 10000).cast("long")
+    per = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_brand", cents.alias("c"), bp.alias("d"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("c").alias("gross_cents"),
+            F.sum(F.col("c").cast(dec) * F.col("d").cast(dec)).alias("disc_cb"),
+        )
+    )
+    disc_cents = F.col("disc_cb").cast("double") / F.lit(10000.0)
+    gross = F.col("gross_cents").cast("double")
+    return per.select(
+        F.col("p_brand").alias("brand"),
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.round(gross / F.lit(100.0), 2).alias("gross_usd"),
+        F.round(disc_cents / F.lit(100.0), 2).alias("discount_usd"),
+        F.round((gross - disc_cents) / F.lit(100.0), 2).alias("net_usd"),
+        F.round(disc_cents / gross, 6).alias("effective_discount_rate"),
+    ).orderBy("brand")
+
+
+def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-base concentration per supplier nation -- the procurement
+    risk panel (an HHI near 1 means one supplier carries the nation's
+    whole flow; the geographic version of the corpus source-HHI gate):
+    per nation, HHI over its suppliers' revenue shares plus the
+    effective supplier count.
+
+    Exactness: per-supplier cent sums are exact; each share^2 term is a
+    fixed double chain rounded to 12 and decimal-summed per nation; the
+    reciprocal is one division.
+
+    Plan: one lineitem rollup keyed on supplier (supplier dim
+    broadcast), one nation rollup over the bounded supplier table."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    per_sup = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("c"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+    )
+    tot = per_sup.groupBy("s_nationkey").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    j = per_sup.join(tot, "s_nationkey")
+    share = F.col("c").cast("double") / F.col("t").cast("double")
+    agg = j.groupBy("s_nationkey", "n_suppliers").agg(
+        F.sum(F.round(share * share, 12).cast("decimal(18,12)")).alias("hhi")
+    )
+    hd = F.col("hhi").cast("double")
+    return agg.select(
+        F.col("s_nationkey").cast("bigint").alias("nation"),
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        F.round(hd, 6).alias("hhi"),
+        F.round(F.try_divide(F.lit(1.0), hd), 6).alias("effective_suppliers"),
+    ).orderBy("nation")

@@ -254,6 +254,8 @@ REPRESENTATIVE = [
     "embedding_dim_correlation_topk",  # covariance cells from zero vectors
     "dup_rate_by_source",  # fingerprint groups over zero docs
     "brand_share_shift",  # half-split shares over zero lineitems
+    "discount_impact_by_brand",  # cents x bp products over zero lineitems
+    "supplier_hhi_by_nation",  # supplier shares over zero lineitems
 ]
 
 

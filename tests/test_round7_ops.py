@@ -1038,3 +1038,25 @@ class TestBrandShareShift:
             assert 0.0 <= r.share_first_half <= 1.0
             assert 0.0 <= r.share_second_half <= 1.0
             assert abs(r.share_delta - (r.share_second_half - r.share_first_half)) < 2e-6
+
+
+class TestDiscountImpact:
+    def test_accounting_identity(self, spark):
+        from pgsf_spark.analytics import relational
+
+        rows = relational.q_discount_impact_by_brand(spark, SF).collect()
+        assert len(rows) == 25
+        for r in rows:
+            assert abs(r.net_usd - (r.gross_usd - r.discount_usd)) < 0.02
+            assert 0.0 <= r.effective_discount_rate <= 0.2
+
+
+class TestSupplierHhi:
+    def test_bounds(self, spark):
+        from pgsf_spark.analytics import relational
+
+        rows = relational.q_supplier_hhi_by_nation(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert 1.0 / r.n_suppliers - 1e-9 <= r.hhi <= 1.0
+            assert 1.0 <= r.effective_suppliers <= r.n_suppliers + 1e-6
