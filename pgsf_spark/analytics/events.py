@@ -2442,3 +2442,69 @@ def q_conversion_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_conversions").desc(), "step1", "step2")
         .limit(PATHS_TOP)
     )
+
+
+def q_session_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-depth distribution -- the engagement shape on top of
+    q_sessionize's raw sessions (how many events does a session carry;
+    the p50/p90 split one-and-done browsing from deep sessions):
+    exact order-statistic percentiles over the bounded depth spine,
+    plus the bounce share (single-event sessions).
+
+    Exactness: session assignment is the sessionize device verbatim
+    (30-min gap, lag + cumulative start flags); depths are integers;
+    the percentiles are rank lookups, the bounce share one rounded
+    division.
+
+    Plan: one user-keyed window shuffle, one (depth) rollup, rank
+    lookups on the bounded depth spine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(
+        F.col("ts").cast("timestamp").cast("long")
+    ).over(w)
+    sess = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    depths = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("depth")
+    )
+    per_d = depths.groupBy("depth").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_d.select("depth", "c", F.sum("c").over(wc).alias("cum"))
+    tot = depths.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("depth").alias("s"),
+        F.max("depth").alias("mx"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    agg = j.groupBy("n", "s", "mx").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n").cast("double")),
+                F.col("depth"),
+            )
+        ).alias("p50"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(0.9) * F.col("n").cast("double")),
+                F.col("depth"),
+            )
+        ).alias("p90"),
+        F.sum(F.when(F.col("depth") == 1, F.col("c")).otherwise(0)).alias("bounces"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_sessions"),
+        F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6).alias(
+            "mean_depth"
+        ),
+        F.col("p50").cast("bigint").alias("p50_depth"),
+        F.col("p90").cast("bigint").alias("p90_depth"),
+        F.col("mx").cast("bigint").alias("max_depth"),
+        F.round(
+            F.col("bounces").cast("double") / F.col("n").cast("double"), 6
+        ).alias("bounce_share"),
+    )

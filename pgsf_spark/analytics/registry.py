@@ -7481,6 +7481,57 @@ SELECT CAST(s_nationkey AS BIGINT) AS nation,
   ROUND(1.0 / CAST(hhi AS DOUBLE), 6) AS effective_suppliers
 FROM agg ORDER BY nation""",
     ),
+    "session_depth_profile": QuerySpec(
+        events.q_session_depth_profile,
+        """WITH lg AS (
+  SELECT user_id, ts, event_id,
+    CAST(FLOOR(epoch(ts)) AS BIGINT)
+      - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events),
+fl AS (
+  SELECT user_id, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS ns, ts, event_id
+  FROM lg),
+ss AS (
+  SELECT user_id,
+    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM fl),
+dp AS (SELECT user_id, session_id, COUNT(*) AS depth FROM ss GROUP BY 1, 2),
+pd AS (SELECT depth, COUNT(*) AS c FROM dp GROUP BY 1),
+cum AS (SELECT depth, c, SUM(c) OVER (ORDER BY depth ROWS UNBOUNDED PRECEDING) AS cum FROM pd),
+tot AS (SELECT COUNT(*) AS n, SUM(depth) AS s, MAX(depth) AS mx FROM dp),
+agg AS (
+  SELECT n, s, mx,
+    MIN(CASE WHEN cum >= CEIL(0.5 * CAST(n AS DOUBLE)) THEN depth END) AS p50,
+    MIN(CASE WHEN cum >= CEIL(0.9 * CAST(n AS DOUBLE)) THEN depth END) AS p90,
+    SUM(CASE WHEN depth = 1 THEN c ELSE 0 END) AS bounces
+  FROM cum, tot GROUP BY 1, 2, 3)
+SELECT CAST(n AS BIGINT) AS n_sessions,
+  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_depth,
+  CAST(p50 AS BIGINT) AS p50_depth, CAST(p90 AS BIGINT) AS p90_depth,
+  CAST(mx AS BIGINT) AS max_depth,
+  ROUND(CAST(bounces AS DOUBLE) / CAST(n AS DOUBLE), 6) AS bounce_share
+FROM agg""",
+    ),
+    "basket_size_profile": QuerySpec(
+        relational.q_basket_size_profile,
+        """WITH sizes AS (SELECT l_orderkey, COUNT(*) AS sz FROM lineitem GROUP BY 1),
+ps AS (SELECT sz, COUNT(*) AS c FROM sizes GROUP BY 1),
+cum AS (SELECT sz, c, SUM(c) OVER (ORDER BY sz ROWS UNBOUNDED PRECEDING) AS cum FROM ps),
+tot AS (SELECT COUNT(*) AS n, SUM(sz) AS s, MAX(sz) AS mx FROM sizes),
+agg AS (
+  SELECT n, s, mx,
+    MIN(CASE WHEN cum >= CEIL(0.5 * CAST(n AS DOUBLE)) THEN sz END) AS p50,
+    MIN(CASE WHEN cum >= CEIL(0.9 * CAST(n AS DOUBLE)) THEN sz END) AS p90,
+    SUM(CASE WHEN sz = 1 THEN c ELSE 0 END) AS singles
+  FROM cum, tot GROUP BY 1, 2, 3)
+SELECT CAST(n AS BIGINT) AS n_orders,
+  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_lines,
+  CAST(p50 AS BIGINT) AS p50_lines, CAST(p90 AS BIGINT) AS p90_lines,
+  CAST(mx AS BIGINT) AS max_lines,
+  ROUND(CAST(singles AS DOUBLE) / CAST(n AS DOUBLE), 6) AS single_line_share
+FROM agg""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -7962,9 +8013,10 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # reorder_interval_profile, revenue_concentration_topk,
 # price_variance_decomposition, embedding_dim_correlation_topk,
 # dup_rate_by_source, brand_share_shift, discount_impact_by_brand,
-# supplier_hhi_by_nation -- that is 60 late additions after the round-8
-# four; the round-9 window takes the first 50 and the remaining 10
-# spill to round 10's front together
+# supplier_hhi_by_nation, session_depth_profile, basket_size_profile --
+# that is 62 late additions after the round-8 four; the round-9 window
+# takes the first 50 and the remaining 12 spill to round 10's front
+# together
 # with the r02 remainder (kmv_distinct_users, value_stddev,
 # price_quantity_corr, soql_projection, repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,

@@ -1470,3 +1470,54 @@ def q_supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hd, 6).alias("hhi"),
         F.round(F.try_divide(F.lit(1.0), hd), 6).alias("effective_suppliers"),
     ).orderBy("nation")
+
+
+def q_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size (lines per order) distribution -- the order-shape
+    number everything from picking cost to co-purchase graph density
+    keys off: exact order-statistic p50/p90 over the bounded size
+    spine, the mean, and the single-line share.
+
+    Exactness: sizes are integer counts; percentiles are rank lookups;
+    the two ratios are single rounded divisions.
+
+    Plan: one lineitem rollup keyed on orderkey, one size rollup, rank
+    lookups on the bounded size spine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("sz"))
+    per_s = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("sz").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_s.select("sz", "c", F.sum("c").over(wc).alias("cum"))
+    tot = sizes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sz").alias("s"),
+        F.max("sz").alias("mx"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    agg = j.groupBy("n", "s", "mx").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n").cast("double")),
+                F.col("sz"),
+            )
+        ).alias("p50"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(0.9) * F.col("n").cast("double")),
+                F.col("sz"),
+            )
+        ).alias("p90"),
+        F.sum(F.when(F.col("sz") == 1, F.col("c")).otherwise(0)).alias("singles"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6).alias(
+            "mean_lines"
+        ),
+        F.col("p50").cast("bigint").alias("p50_lines"),
+        F.col("p90").cast("bigint").alias("p90_lines"),
+        F.col("mx").cast("bigint").alias("max_lines"),
+        F.round(
+            F.col("singles").cast("double") / F.col("n").cast("double"), 6
+        ).alias("single_line_share"),
+    )

@@ -256,6 +256,8 @@ REPRESENTATIVE = [
     "brand_share_shift",  # half-split shares over zero lineitems
     "discount_impact_by_brand",  # cents x bp products over zero lineitems
     "supplier_hhi_by_nation",  # supplier shares over zero lineitems
+    "session_depth_profile",  # depth spine over zero events
+    "basket_size_profile",  # size spine over zero lineitems
 ]
 
 

@@ -1060,3 +1060,26 @@ class TestSupplierHhi:
         for r in rows:
             assert 1.0 / r.n_suppliers - 1e-9 <= r.hhi <= 1.0
             assert 1.0 <= r.effective_suppliers <= r.n_suppliers + 1e-6
+
+
+class TestSessionDepth:
+    def test_consistency_with_sessionize(self, spark):
+        row = events.q_session_depth_profile(spark, SF).collect()[0]
+        n_sessions = events.q_sessionize(spark, SF).count()
+        assert row.n_sessions == n_sessions
+        assert 1 <= row.p50_depth <= row.p90_depth <= row.max_depth
+        assert 0.0 <= row.bounce_share <= 1.0
+
+
+class TestBasketSize:
+    def test_order_statistics(self, spark):
+        from pgsf_spark.analytics import relational
+        from pgsf_spark.tables import load_table
+
+        row = relational.q_basket_size_profile(spark, SF).collect()[0]
+        n_orders = (
+            load_table(spark, SF, "lineitem").select("l_orderkey").distinct().count()
+        )
+        assert row.n_orders == n_orders
+        assert 1 <= row.p50_lines <= row.p90_lines <= row.max_lines
+        assert 0.0 <= row.single_line_share <= 1.0
