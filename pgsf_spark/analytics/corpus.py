@@ -1426,3 +1426,78 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("delta", "source_a", "source_b")
         .limit(BD_PAIRS)
     )
+
+
+def q_orthographic_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthographic character profile per source -- the Gopher-family
+    surface signals the cheap quality pass reads before any model
+    (digit-heavy sources are tables/logs, upper-heavy are headers/spam,
+    punctuation-heavy are code or markup): digit / uppercase /
+    punctuation character shares from exact per-doc regexp counts.
+
+    Exactness: all four counts are exact integers from in-row
+    regexp_count (no explode); each share is one rounded division of
+    exact sums.
+
+    Plan: one documents scan, one source rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.length("text").cast("long").alias("chars"),
+        F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("long").alias("digits"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Z]")).cast("long").alias("uppers"),
+        F.regexp_count(F.col("text"), F.lit(r"[.,;:!?'\"()\[\]{}-]"))
+        .cast("long")
+        .alias("puncts"),
+    )
+    per = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("chars").alias("chars"),
+        F.sum("digits").alias("digits"),
+        F.sum("uppers").alias("uppers"),
+        F.sum("puncts").alias("puncts"),
+    )
+    cd = F.col("chars").cast("double")
+    return per.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("chars").cast("bigint").alias("n_chars"),
+        F.round(F.col("digits").cast("double") / cd, 6).alias("digit_share"),
+        F.round(F.col("uppers").cast("double") / cd, 6).alias("upper_share"),
+        F.round(F.col("puncts").cast("double") / cd, 6).alias("punct_share"),
+    ).orderBy("source")
+
+
+STOPWORDS = (
+    "the", "of", "and", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+)
+
+
+def q_stopword_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-token share per source -- the CCNet/Gopher fluency
+    heuristic (natural English runs ~30-50% stopwords; near-zero means
+    keyword stuffing, code, or another language leaking past langid):
+    share of tokens in the literal 20-word function-word panel.
+
+    Exactness: token and stopword counts are exact integers (one
+    explode with map-side combine on the bounded (source, is_stop)
+    key); the share is one rounded division.
+
+    Plan: one token explode, one source rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(_toks(F.lower(F.col("text")))).alias("w")
+    )
+    per = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("w").isin(*STOPWORDS).cast("long")).alias("n_stop"),
+    )
+    return per.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_stop").cast("bigint").alias("n_stopwords"),
+        F.round(
+            F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("stopword_share"),
+    ).orderBy("source")

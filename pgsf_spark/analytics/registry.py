@@ -7532,6 +7532,38 @@ SELECT CAST(n AS BIGINT) AS n_orders,
   ROUND(CAST(singles AS DOUBLE) / CAST(n AS DOUBLE), 6) AS single_line_share
 FROM agg""",
     ),
+    "orthographic_profile": QuerySpec(
+        corpus.q_orthographic_profile,
+        """WITH pd AS (
+  SELECT source, len(text) AS chars,
+    len(regexp_extract_all(text, '[0-9]')) AS digits,
+    len(regexp_extract_all(text, '[A-Z]')) AS uppers,
+    len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS puncts
+  FROM documents),
+per AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(chars) AS chars,
+    SUM(digits) AS digits, SUM(uppers) AS uppers, SUM(puncts) AS puncts
+  FROM pd GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(chars AS BIGINT) AS n_chars,
+  ROUND(CAST(digits AS DOUBLE) / CAST(chars AS DOUBLE), 6) AS digit_share,
+  ROUND(CAST(uppers AS DOUBLE) / CAST(chars AS DOUBLE), 6) AS upper_share,
+  ROUND(CAST(puncts AS DOUBLE) / CAST(chars AS DOUBLE), 6) AS punct_share
+FROM per ORDER BY source""",
+    ),
+    "stopword_ratio_by_source": QuerySpec(
+        corpus.q_stopword_ratio_by_source,
+        f"""WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+per AS (
+  SELECT source, COUNT(*) AS n_tokens,
+    SUM(CASE WHEN w IN ({', '.join(repr(w) for w in corpus.STOPWORDS)}) THEN 1 ELSE 0 END) AS n_stop
+  FROM toks GROUP BY 1)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_stop AS BIGINT) AS n_stopwords,
+  ROUND(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_share
+FROM per ORDER BY source""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -8013,10 +8045,10 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # reorder_interval_profile, revenue_concentration_topk,
 # price_variance_decomposition, embedding_dim_correlation_topk,
 # dup_rate_by_source, brand_share_shift, discount_impact_by_brand,
-# supplier_hhi_by_nation, session_depth_profile, basket_size_profile --
-# that is 62 late additions after the round-8 four; the round-9 window
-# takes the first 50 and the remaining 12 spill to round 10's front
-# together
+# supplier_hhi_by_nation, session_depth_profile, basket_size_profile,
+# orthographic_profile, stopword_ratio_by_source -- that is 64 late
+# additions after the round-8 four; the round-9 window takes the first
+# 50 and the remaining 14 spill to round 10's front together
 # with the r02 remainder (kmv_distinct_users, value_stddev,
 # price_quantity_corr, soql_projection, repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,

@@ -258,6 +258,8 @@ REPRESENTATIVE = [
     "supplier_hhi_by_nation",  # supplier shares over zero lineitems
     "session_depth_profile",  # depth spine over zero events
     "basket_size_profile",  # size spine over zero lineitems
+    "orthographic_profile",  # regexp counts over zero docs
+    "stopword_ratio_by_source",  # literal panel over zero tokens
 ]
 
 

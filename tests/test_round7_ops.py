@@ -1083,3 +1083,22 @@ class TestBasketSize:
         assert row.n_orders == n_orders
         assert 1 <= row.p50_lines <= row.p90_lines <= row.max_lines
         assert 0.0 <= row.single_line_share <= 1.0
+
+
+class TestOrthographicProfile:
+    def test_shares_bounded(self, spark):
+        rows = corpus.q_orthographic_profile(spark, SF).collect()
+        assert len(rows) == 20
+        for r in rows:
+            for v in (r.digit_share, r.upper_share, r.punct_share):
+                assert 0.0 <= v <= 1.0
+            assert r.digit_share + r.upper_share + r.punct_share <= 1.0
+
+
+class TestStopwordRatio:
+    def test_share_bounds(self, spark):
+        rows = corpus.q_stopword_ratio_by_source(spark, SF).collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert 0 <= r.n_stopwords <= r.n_tokens
+            assert 0.0 <= r.stopword_share <= 1.0
