@@ -555,3 +555,52 @@ def q_shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mod_moved").cast("double") / nd, 6).alias("mod_moved_frac"),
         F.round(F.col("ring_moved").cast("double") / nd, 6).alias("ring_moved_frac"),
     )
+
+
+CTX_LENGTHS = [512, 1024, 2048]
+
+
+def q_context_fill_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budget panel -- the packing planner's first
+    question (at window L, how many tokens survive truncation, what
+    share of docs get cut, and how full do greedy packs run): for each
+    literal L, kept = sum min(len, L), truncated share, and the
+    ceil-packed fill ratio kept / (ceil(kept / L) * L).
+
+    Exactness: token lengths are in-row integers; min/sum/ceil are
+    integer ops (the ceil via (kept + L - 1) div L); the two ratios are
+    single rounded divisions.
+
+    Plan: one documents scan cross the 3-row literal spine (map-side
+    combine; no explode of content)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).cast("long")
+    spine = spark.createDataFrame([(l,) for l in CTX_LENGTHS], ["ctx_len"])
+    j = d.select(n_tok.alias("n_tok")).crossJoin(F.broadcast(spine))
+    per = j.groupBy("ctx_len").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(F.least(F.col("n_tok"), F.col("ctx_len"))).alias("kept_tokens"),
+        F.sum((F.col("n_tok") > F.col("ctx_len")).cast("long")).alias("n_truncated"),
+    )
+    packs = (F.col("kept_tokens") + F.col("ctx_len") - 1) / F.col("ctx_len")
+    n_packs = F.floor(packs).cast("long")
+    return per.select(
+        F.col("ctx_len").cast("bigint").alias("ctx_len"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("kept_tokens").cast("bigint").alias("kept_tokens"),
+        F.round(
+            F.col("kept_tokens").cast("double") / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("kept_share"),
+        F.round(
+            F.col("n_truncated").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("truncated_share"),
+        n_packs.alias("n_packs"),
+        F.round(
+            F.col("kept_tokens").cast("double")
+            / (n_packs * F.col("ctx_len")).cast("double"),
+            6,
+        ).alias("pack_fill_ratio"),
+    ).orderBy("ctx_len")

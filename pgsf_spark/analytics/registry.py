@@ -7564,6 +7564,55 @@ SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
   ROUND(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stopword_share
 FROM per ORDER BY source""",
     ),
+    "context_fill_efficiency": QuerySpec(
+        pipeline.q_context_fill_efficiency,
+        f"""WITH d AS (
+  SELECT len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok
+  FROM documents),
+sp AS (SELECT unnest([{', '.join(str(l) for l in pipeline.CTX_LENGTHS)}]) AS ctx_len),
+per AS (
+  SELECT ctx_len, COUNT(*) AS n_docs,
+    CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+    CAST(SUM(LEAST(n_tok, ctx_len)) AS BIGINT) AS kept_tokens,
+    SUM(CASE WHEN n_tok > ctx_len THEN 1 ELSE 0 END) AS n_truncated
+  FROM d CROSS JOIN sp GROUP BY 1)
+SELECT CAST(ctx_len AS BIGINT) AS ctx_len, CAST(n_docs AS BIGINT) AS n_docs,
+  total_tokens, kept_tokens,
+  ROUND(CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6) AS kept_share,
+  ROUND(CAST(n_truncated AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS truncated_share,
+  CAST((kept_tokens + ctx_len - 1) // ctx_len AS BIGINT) AS n_packs,
+  ROUND(CAST(kept_tokens AS DOUBLE)
+        / CAST(((kept_tokens + ctx_len - 1) // ctx_len) * ctx_len AS DOUBLE), 6)
+    AS pack_fill_ratio
+FROM per ORDER BY ctx_len""",
+    ),
+    "embedding_norm_profile": QuerySpec(
+        similarity.q_embedding_norm_profile,
+        """WITH e AS (
+  SELECT CAST(label AS INT) AS label,
+    ROUND(sqrt(list_sum(list_transform([CAST(x AS DOUBLE) for x in embedding],
+                                       x -> x * x))), 3) AS norm
+  FROM embeddings),
+pb AS (SELECT label, norm, COUNT(*) AS c FROM e GROUP BY 1, 2),
+cum AS (
+  SELECT label, norm,
+    SUM(c) OVER (PARTITION BY label ORDER BY norm ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pb),
+tot AS (
+  SELECT label, COUNT(*) AS n,
+    SUM(CAST(norm AS DECIMAL(18,3))) AS s,
+    MIN(norm) AS mn, MAX(norm) AS mx
+  FROM e GROUP BY 1),
+agg AS (
+  SELECT cum.label, n, s, mn, mx,
+    MIN(CASE WHEN cum >= CEIL(0.5 * CAST(n AS DOUBLE)) THEN norm END) AS p50
+  FROM cum JOIN tot ON cum.label = tot.label
+  GROUP BY 1, 2, 3, 4, 5)
+SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_vectors,
+  ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_norm,
+  p50 AS p50_norm, mn AS min_norm, mx AS max_norm
+FROM agg ORDER BY label""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -8046,9 +8095,10 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # price_variance_decomposition, embedding_dim_correlation_topk,
 # dup_rate_by_source, brand_share_shift, discount_impact_by_brand,
 # supplier_hhi_by_nation, session_depth_profile, basket_size_profile,
-# orthographic_profile, stopword_ratio_by_source -- that is 64 late
+# orthographic_profile, stopword_ratio_by_source,
+# context_fill_efficiency, embedding_norm_profile -- that is 66 late
 # additions after the round-8 four; the round-9 window takes the first
-# 50 and the remaining 14 spill to round 10's front together
+# 50 and the remaining 16 spill to round 10's front together
 # with the r02 remainder (kmv_distinct_users, value_stddev,
 # price_quantity_corr, soql_projection, repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,

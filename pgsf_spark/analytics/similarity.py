@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pgsf_spark.tables import load_table, spread
 
@@ -1719,3 +1720,59 @@ def q_embedding_dim_correlation_topk(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.abs(F.col("corr")).desc(), "dim_i", "dim_j")
         .limit(DIMCORR_TOP)
     )
+
+
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm profile per label cluster -- the normalization audit
+    (cosine retrieval assumes comparable norms; a cluster whose norms
+    run hot dominates dot-product scores): mean/min/max and the
+    3dp-bucketed median norm per label.
+
+    Exactness: the squared norm is the in-row fold of exact double
+    products (the house _dot device shape); norms round to 3dp before
+    the median bucketing, so the order-statistic spine is bounded (a few
+    thousand distinct values at ANY corpus scale); mean uses 6dp-rounded
+    decimal sums.
+
+    Plan: one embeddings scan, one (label, bucket) rollup, rank lookups
+    on the bounded bucket spine per label."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    base = e.select(
+        F.col("label").cast("int").alias("label"),
+        F.round(F.sqrt(sq), 3).alias("norm"),
+    )
+    per_b = base.groupBy("label", "norm").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("label").orderBy("norm").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_b.select("label", "norm", F.sum("c").over(wc).alias("cum"))
+    tot = base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("norm").cast("decimal(18,3)")).alias("s"),
+        F.min("norm").alias("mn"),
+        F.max("norm").alias("mx"),
+    )
+    j = cum.join(tot, "label")
+    agg = j.groupBy("label", "n", "s", "mn", "mx").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n").cast("double")),
+                F.col("norm"),
+            )
+        ).alias("p50")
+    )
+    return agg.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(F.col("s").cast("double") / F.col("n").cast("double"), 6).alias(
+            "mean_norm"
+        ),
+        F.col("p50").alias("p50_norm"),
+        F.col("mn").alias("min_norm"),
+        F.col("mx").alias("max_norm"),
+    ).orderBy("label")

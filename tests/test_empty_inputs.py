@@ -260,6 +260,8 @@ REPRESENTATIVE = [
     "basket_size_profile",  # size spine over zero lineitems
     "orthographic_profile",  # regexp counts over zero docs
     "stopword_ratio_by_source",  # literal panel over zero tokens
+    "context_fill_efficiency",  # budget spine over zero docs
+    "embedding_norm_profile",  # norm buckets over zero vectors
 ]
 
 

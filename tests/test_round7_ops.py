@@ -1102,3 +1102,28 @@ class TestStopwordRatio:
         for r in rows:
             assert 0 <= r.n_stopwords <= r.n_tokens
             assert 0.0 <= r.stopword_share <= 1.0
+
+
+class TestContextFill:
+    def test_budget_identities(self, spark):
+        rows = pipeline.q_context_fill_efficiency(spark, SF).collect()
+        assert [r.ctx_len for r in rows] == pipeline.CTX_LENGTHS
+        for r in rows:
+            assert r.kept_tokens <= r.total_tokens
+            assert 0.0 <= r.truncated_share <= 1.0
+            assert 0.0 < r.pack_fill_ratio <= 1.0
+            # packs must hold exactly the kept tokens
+            assert (r.n_packs - 1) * r.ctx_len < r.kept_tokens <= r.n_packs * r.ctx_len
+        # a larger window keeps at least as many tokens
+        kept = [r.kept_tokens for r in rows]
+        assert kept == sorted(kept)
+
+
+class TestNormProfile:
+    def test_ordering_and_bounds(self, spark):
+        rows = similarity.q_embedding_norm_profile(spark, SF).collect()
+        assert rows
+        for r in rows:
+            assert r.min_norm <= r.p50_norm <= r.max_norm
+            assert r.min_norm <= r.mean_norm <= r.max_norm
+            assert r.min_norm >= 0.0
