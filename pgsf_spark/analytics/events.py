@@ -2508,3 +2508,42 @@ def q_session_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bounces").cast("double") / F.col("n").cast("double"), 6
         ).alias("bounce_share"),
     )
+
+
+ERR_TOP_DAYS = 5
+
+
+def q_error_rate_daily_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst error-rate days -- the SRE monitor view of the event stream
+    (the overall error share is the SLO number; the extreme days are
+    where the postmortems live): daily error-event share with the
+    ERR_TOP_DAYS worst days and the overall rate on every row for
+    context.
+
+    Exactness: daily counts are integers; shares are single rounded
+    divisions; ordering is (rate desc, day).
+
+    Plan: one day-keyed rollup, bounded top-k on the day spine."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errs"),
+    )
+    tot = daily.agg(
+        F.sum("n").alias("tn"), F.sum("errs").alias("te")
+    )
+    j = daily.crossJoin(F.broadcast(tot))
+    rate = F.round(F.col("errs").cast("double") / F.col("n").cast("double"), 6)
+    return (
+        j.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("errs").cast("bigint").alias("n_errors"),
+            rate.alias("error_rate"),
+            F.round(
+                F.col("te").cast("double") / F.col("tn").cast("double"), 6
+            ).alias("overall_rate"),
+        )
+        .orderBy(F.col("error_rate").desc(), "day")
+        .limit(ERR_TOP_DAYS)
+    )

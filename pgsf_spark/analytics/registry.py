@@ -7613,6 +7613,46 @@ SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n_vectors,
   p50 AS p50_norm, mn AS min_norm, mx AS max_norm
 FROM agg ORDER BY label""",
     ),
+    "error_rate_daily_extremes": QuerySpec(
+        events.q_error_rate_daily_extremes,
+        f"""WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+  FROM events GROUP BY 1),
+tot AS (SELECT SUM(n) AS tn, SUM(errs) AS te FROM daily)
+SELECT strftime(day, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n_events,
+  CAST(errs AS BIGINT) AS n_errors,
+  ROUND(CAST(errs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS error_rate,
+  ROUND(CAST(te AS DOUBLE) / CAST(tn AS DOUBLE), 6) AS overall_rate
+FROM daily, tot
+ORDER BY error_rate DESC, day LIMIT {events.ERR_TOP_DAYS}""",
+    ),
+    "order_value_iqr_by_nation": QuerySpec(
+        relational.q_order_value_iqr_by_nation,
+        """WITH vals AS (
+  SELECT c.c_nationkey AS nation,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+pv AS (SELECT nation, v, COUNT(*) AS cn FROM vals GROUP BY 1, 2),
+cum AS (
+  SELECT nation, v,
+    SUM(cn) OVER (PARTITION BY nation ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM pv),
+tot AS (SELECT nation, COUNT(*) AS n FROM vals GROUP BY 1),
+agg AS (
+  SELECT cum.nation, n,
+    MIN(CASE WHEN cum >= CEIL(0.25 * CAST(n AS DOUBLE)) THEN v END) AS p25,
+    MIN(CASE WHEN cum >= CEIL(0.5 * CAST(n AS DOUBLE)) THEN v END) AS p50,
+    MIN(CASE WHEN cum >= CEIL(0.75 * CAST(n AS DOUBLE)) THEN v END) AS p75
+  FROM cum JOIN tot ON cum.nation = tot.nation
+  GROUP BY 1, 2)
+SELECT CAST(nation AS BIGINT) AS nation, CAST(n AS BIGINT) AS n_orders,
+  ROUND(CAST(p25 AS DOUBLE) / 100.0, 2) AS p25_usd,
+  ROUND(CAST(p50 AS DOUBLE) / 100.0, 2) AS p50_usd,
+  ROUND(CAST(p75 AS DOUBLE) / 100.0, 2) AS p75_usd,
+  ROUND(CAST(p75 - p25 AS DOUBLE) / 100.0, 2) AS iqr_usd
+FROM agg ORDER BY nation""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -8096,9 +8136,10 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # dup_rate_by_source, brand_share_shift, discount_impact_by_brand,
 # supplier_hhi_by_nation, session_depth_profile, basket_size_profile,
 # orthographic_profile, stopword_ratio_by_source,
-# context_fill_efficiency, embedding_norm_profile -- that is 66 late
-# additions after the round-8 four; the round-9 window takes the first
-# 50 and the remaining 16 spill to round 10's front together
+# context_fill_efficiency, embedding_norm_profile,
+# error_rate_daily_extremes, order_value_iqr_by_nation -- that is 68
+# late additions after the round-8 four; the round-9 window takes the
+# first 50 and the remaining 18 spill to round 10's front together
 # with the r02 remainder (kmv_distinct_users, value_stddev,
 # price_quantity_corr, soql_projection, repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,

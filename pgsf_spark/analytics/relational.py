@@ -1521,3 +1521,55 @@ def q_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("singles").cast("double") / F.col("n").cast("double"), 6
         ).alias("single_line_share"),
     )
+
+
+def q_order_value_iqr_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation order-value quartiles -- the distribution drill-down
+    under the global percentile gate (same median everywhere can hide
+    wildly different spreads; the IQR is the robust spread the mean/sd
+    panel misses): exact type-1 p25/p50/p75 order statistics per
+    nation over the integer cent spine.
+
+    Exactness: per-(nation, value) counts are exact; quartiles are rank
+    lookups (no interpolation); the IQR is an integer difference.
+
+    Plan: one orders->nation rollup (customer broadcast), cumulative
+    windows per nation over the bounded distinct-value spine."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    vals = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        )
+    )
+    per_v = vals.groupBy("nation", "v").agg(F.count(F.lit(1)).alias("cn"))
+    wc = Window.partitionBy("nation").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_v.select("nation", "v", F.sum("cn").over(wc).alias("cum"))
+    tot = vals.groupBy("nation").agg(F.count(F.lit(1)).alias("n"))
+    j = cum.join(tot, "nation")
+
+    def qtile(q):
+        return F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("n").cast("double")),
+                F.col("v"),
+            )
+        )
+
+    agg = j.groupBy("nation", "n").agg(
+        qtile(0.25).alias("p25"), qtile(0.5).alias("p50"), qtile(0.75).alias("p75")
+    )
+    return agg.select(
+        F.col("nation").cast("bigint").alias("nation"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round(F.col("p25").cast("double") / F.lit(100.0), 2).alias("p25_usd"),
+        F.round(F.col("p50").cast("double") / F.lit(100.0), 2).alias("p50_usd"),
+        F.round(F.col("p75").cast("double") / F.lit(100.0), 2).alias("p75_usd"),
+        F.round(
+            (F.col("p75") - F.col("p25")).cast("double") / F.lit(100.0), 2
+        ).alias("iqr_usd"),
+    ).orderBy("nation")

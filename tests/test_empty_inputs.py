@@ -262,6 +262,8 @@ REPRESENTATIVE = [
     "stopword_ratio_by_source",  # literal panel over zero tokens
     "context_fill_efficiency",  # budget spine over zero docs
     "embedding_norm_profile",  # norm buckets over zero vectors
+    "error_rate_daily_extremes",  # day rollup over zero events
+    "order_value_iqr_by_nation",  # per-nation quartiles over zero orders
 ]
 
 

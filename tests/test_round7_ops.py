@@ -1127,3 +1127,26 @@ class TestNormProfile:
             assert r.min_norm <= r.p50_norm <= r.max_norm
             assert r.min_norm <= r.mean_norm <= r.max_norm
             assert r.min_norm >= 0.0
+
+
+class TestErrorRateExtremes:
+    def test_ordering_and_context(self, spark):
+        rows = events.q_error_rate_daily_extremes(spark, SF).collect()
+        assert 0 < len(rows) <= events.ERR_TOP_DAYS
+        rates = [r.error_rate for r in rows]
+        assert rates == sorted(rates, reverse=True)
+        for r in rows:
+            assert r.n_errors <= r.n_events
+            # the worst days sit at or above the overall rate
+            assert r.error_rate >= r.overall_rate - 1e-9 or len(rows) < events.ERR_TOP_DAYS
+
+
+class TestIqrByNation:
+    def test_quartile_order(self, spark):
+        from pgsf_spark.analytics import relational
+
+        rows = relational.q_order_value_iqr_by_nation(spark, SF).collect()
+        assert len(rows) == 25
+        for r in rows:
+            assert r.p25_usd <= r.p50_usd <= r.p75_usd
+            assert abs(r.iqr_usd - round(r.p75_usd - r.p25_usd, 2)) < 0.02
