@@ -2547,3 +2547,39 @@ def q_error_rate_daily_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("error_rate").desc(), "day")
         .limit(ERR_TOP_DAYS)
     )
+
+
+RECENCY_BANDS = [(7, "active_7d"), (30, "active_30d")]
+
+
+def q_user_recency_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User recency segmentation -- the lifecycle mix every growth
+    dashboard leads with (how many users acted in the last 7 days, the
+    last 30, or have gone dormant, measured against the stream's own
+    horizon): per-user last-activity day bucketed into literal recency
+    bands relative to the corpus max day.
+
+    Exactness: day diffs are integers against the single max-day scalar
+    (broadcast); band edges are literals; shares are rounded divisions.
+
+    Plan: one user-keyed max rollup, one 3-row band aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    last = ev.groupBy("user_id").agg(F.max(F.to_date("ts")).alias("last_day"))
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("h"))
+    j = last.crossJoin(F.broadcast(horizon)).select(
+        F.datediff(F.col("h"), F.col("last_day")).alias("age")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("age") <= RECENCY_BANDS[0][0]).cast("long")).alias("a7"),
+        F.sum((F.col("age") <= RECENCY_BANDS[1][0]).cast("long")).alias("a30"),
+    )
+    nd = F.col("n_users").cast("double")
+    return agg.select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("a7").cast("bigint").alias("active_7d"),
+        F.col("a30").cast("bigint").alias("active_30d"),
+        (F.col("n_users") - F.col("a30")).cast("bigint").alias("dormant"),
+        F.round(F.col("a7").cast("double") / nd, 6).alias("active_7d_share"),
+        F.round(F.col("a30").cast("double") / nd, 6).alias("active_30d_share"),
+    )

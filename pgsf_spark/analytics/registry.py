@@ -7653,6 +7653,41 @@ SELECT CAST(nation AS BIGINT) AS nation, CAST(n AS BIGINT) AS n_orders,
   ROUND(CAST(p75 - p25 AS DOUBLE) / 100.0, 2) AS iqr_usd
 FROM agg ORDER BY nation""",
     ),
+    "part_sourcing_profile": QuerySpec(
+        relational.q_part_sourcing_profile,
+        """WITH pp AS (
+  SELECT l_partkey, COUNT(*) AS n_suppliers
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+  GROUP BY 1),
+hist AS (SELECT n_suppliers, COUNT(*) AS n_parts FROM pp GROUP BY 1),
+tot AS (
+  SELECT COUNT(*) AS tp,
+    SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS singles
+  FROM pp)
+SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+  CAST(n_parts AS BIGINT) AS n_parts,
+  ROUND(CAST(n_parts AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS share,
+  ROUND(CAST(singles AS DOUBLE) / CAST(tp AS DOUBLE), 6) AS single_sourced_share
+FROM hist, tot ORDER BY n_suppliers""",
+    ),
+    "user_recency_segments": QuerySpec(
+        events.q_user_recency_segments,
+        f"""WITH last AS (
+  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day FROM events GROUP BY 1),
+hz AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+ages AS (SELECT datediff('day', last_day, h) AS age FROM last, hz),
+agg AS (
+  SELECT COUNT(*) AS n_users,
+    SUM(CASE WHEN age <= {events.RECENCY_BANDS[0][0]} THEN 1 ELSE 0 END) AS a7,
+    SUM(CASE WHEN age <= {events.RECENCY_BANDS[1][0]} THEN 1 ELSE 0 END) AS a30
+  FROM ages)
+SELECT CAST(n_users AS BIGINT) AS n_users, CAST(a7 AS BIGINT) AS active_7d,
+  CAST(a30 AS BIGINT) AS active_30d,
+  CAST(n_users - a30 AS BIGINT) AS dormant,
+  ROUND(CAST(a7 AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS active_7d_share,
+  ROUND(CAST(a30 AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS active_30d_share
+FROM agg""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -8137,9 +8172,10 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # supplier_hhi_by_nation, session_depth_profile, basket_size_profile,
 # orthographic_profile, stopword_ratio_by_source,
 # context_fill_efficiency, embedding_norm_profile,
-# error_rate_daily_extremes, order_value_iqr_by_nation -- that is 68
-# late additions after the round-8 four; the round-9 window takes the
-# first 50 and the remaining 18 spill to round 10's front together
+# error_rate_daily_extremes, order_value_iqr_by_nation,
+# part_sourcing_profile, user_recency_segments -- that is 70 late
+# additions after the round-8 four; the round-9 window takes the first
+# 50 and the remaining 20 spill to round 10's front together
 # with the r02 remainder (kmv_distinct_users, value_stddev,
 # price_quantity_corr, soql_projection, repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,

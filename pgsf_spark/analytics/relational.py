@@ -1573,3 +1573,43 @@ def q_order_value_iqr_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("p75") - F.col("p25")).cast("double") / F.lit(100.0), 2
         ).alias("iqr_usd"),
     ).orderBy("nation")
+
+
+def q_part_sourcing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part multi-sourcing profile -- the supply-risk histogram (a
+    single-sourced part is a shutdown waiting on one supplier; the
+    distribution of distinct suppliers per part is the first slide of
+    every supply-chain review): parts bucketed by supplier count, with
+    the single-sourced share on each row.
+
+    Exactness: distinct-supplier counts are integers from one
+    (part, supplier) distinct rollup; shares are single rounded
+    divisions.
+
+    Plan: one lineitem distinct shuffle keyed on (part, supplier), one
+    part rollup, one bounded histogram."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    per_part = (
+        li.distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    hist = per_part.groupBy("n_suppliers").agg(F.count(F.lit(1)).alias("n_parts"))
+    tot = per_part.agg(
+        F.count(F.lit(1)).alias("tp"),
+        F.sum((F.col("n_suppliers") == 1).cast("long")).alias("singles"),
+    )
+    j = hist.crossJoin(F.broadcast(tot))
+    return (
+        j.select(
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.round(
+                F.col("n_parts").cast("double") / F.col("tp").cast("double"), 6
+            ).alias("share"),
+            F.round(
+                F.col("singles").cast("double") / F.col("tp").cast("double"), 6
+            ).alias("single_sourced_share"),
+        )
+        .orderBy("n_suppliers")
+    )

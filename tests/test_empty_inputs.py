@@ -264,6 +264,8 @@ REPRESENTATIVE = [
     "embedding_norm_profile",  # norm buckets over zero vectors
     "error_rate_daily_extremes",  # day rollup over zero events
     "order_value_iqr_by_nation",  # per-nation quartiles over zero orders
+    "part_sourcing_profile",  # supplier histogram over zero lineitems
+    "user_recency_segments",  # recency bands over zero users
 ]
 
 

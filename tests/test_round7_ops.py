@@ -1150,3 +1150,26 @@ class TestIqrByNation:
         for r in rows:
             assert r.p25_usd <= r.p50_usd <= r.p75_usd
             assert abs(r.iqr_usd - round(r.p75_usd - r.p25_usd, 2)) < 0.02
+
+
+class TestPartSourcing:
+    def test_histogram_sums(self, spark):
+        from pgsf_spark.analytics import relational
+        from pgsf_spark.tables import load_table
+
+        rows = relational.q_part_sourcing_profile(spark, SF).collect()
+        assert rows
+        n_parts_hist = sum(r.n_parts for r in rows)
+        n_parts = (
+            load_table(spark, SF, "lineitem").select("l_partkey").distinct().count()
+        )
+        assert n_parts_hist == n_parts
+        assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+
+
+class TestUserRecency:
+    def test_band_nesting(self, spark):
+        row = events.q_user_recency_segments(spark, SF).collect()[0]
+        assert 0 <= row.active_7d <= row.active_30d <= row.n_users
+        assert row.dormant == row.n_users - row.active_30d
+        assert row.active_7d_share <= row.active_30d_share
