@@ -2583,3 +2583,52 @@ def q_user_recency_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("a7").cast("double") / nd, 6).alias("active_7d_share"),
         F.round(F.col("a30").cast("double") / nd, 6).alias("active_30d_share"),
     )
+
+
+TLIFT_TOP = 10
+
+
+def q_transition_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most over/under-represented event transitions -- the WHERE of the
+    Markov structure (the stationary vector and conditional entropy are
+    omnibus; lift = p(b|a)/p(b) names the transitions that actually
+    deviate from independence, signed): the TLIFT_TOP transitions by
+    |lift - 1|.
+
+    Exactness: transition and marginal counts are exact integers from
+    the shared lead-window device; lift is one fixed double chain
+    rounded to 6; ordering is (|lift-1| desc, from, to).
+
+    Plan: one user-keyed shuffle, bounded type-matrix algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+        )
+        .filter(F.col("e2").isNotNull())
+        .groupBy("e1", "e2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    row_tot = pairs.groupBy("e1").agg(F.sum("c").alias("cx"))
+    col_tot = pairs.groupBy("e2").agg(F.sum("c").alias("cy"))
+    tot = pairs.agg(F.sum("c").alias("nt"))
+    j = (
+        pairs.join(F.broadcast(row_tot), "e1")
+        .join(F.broadcast(col_tot), "e2")
+        .crossJoin(F.broadcast(tot))
+    )
+    lift = (F.col("c").cast("double") / F.col("cx").cast("double")) / (
+        F.col("cy").cast("double") / F.col("nt").cast("double")
+    )
+    return (
+        j.select(
+            F.col("e1").alias("from_event"),
+            F.col("e2").alias("to_event"),
+            F.col("c").cast("bigint").alias("n_transitions"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.abs(F.col("lift") - 1).desc(), "from_event", "to_event")
+        .limit(TLIFT_TOP)
+    )

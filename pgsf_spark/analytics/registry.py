@@ -7688,6 +7688,57 @@ SELECT CAST(n_users AS BIGINT) AS n_users, CAST(a7 AS BIGINT) AS active_7d,
   ROUND(CAST(a30 AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS active_30d_share
 FROM agg""",
     ),
+    "transition_lift_topk": QuerySpec(
+        events.q_transition_lift_topk,
+        f"""WITH pr AS (
+  SELECT e1, e2, COUNT(*) AS c FROM (
+    SELECT event_type AS e1,
+      LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+    FROM events)
+  WHERE e2 IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT e1, SUM(c) AS cx FROM pr GROUP BY 1),
+ct AS (SELECT e2, SUM(c) AS cy FROM pr GROUP BY 1),
+tt AS (SELECT SUM(c) AS nt FROM pr)
+SELECT e1 AS from_event, e2 AS to_event, CAST(c AS BIGINT) AS n_transitions,
+  ROUND((CAST(c AS DOUBLE) / CAST(cx AS DOUBLE))
+        / (CAST(cy AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS lift
+FROM pr JOIN rt USING (e1) JOIN ct USING (e2), tt
+ORDER BY abs(ROUND((CAST(c AS DOUBLE) / CAST(cx AS DOUBLE))
+        / (CAST(cy AS DOUBLE) / CAST(nt AS DOUBLE)), 6) - 1) DESC,
+  from_event, to_event
+LIMIT {events.TLIFT_TOP}""",
+    ),
+    "customer_spend_drift": QuerySpec(
+        relational.q_customer_spend_drift,
+        """WITH sp AS (
+  SELECT median(datediff('day', DATE '1970-01-01', CAST(date_trunc('day', o_orderdate) AS DATE))) AS mid
+  FROM orders),
+sided AS (
+  SELECT o_custkey,
+    CASE WHEN datediff('day', DATE '1970-01-01', CAST(date_trunc('day', o_orderdate) AS DATE)) <= mid
+      THEN 1 ELSE 0 END AS h1,
+    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders, sp),
+per AS (
+  SELECT o_custkey,
+    SUM(CASE WHEN h1 = 1 THEN c ELSE 0 END) AS c1,
+    SUM(CASE WHEN h1 = 0 THEN c ELSE 0 END) AS c2
+  FROM sided GROUP BY 1),
+agg AS (
+  SELECT COUNT(*) AS n_customers,
+    SUM(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END) AS nb,
+    SUM(CASE WHEN c1 > 0 AND c2 > 0 AND c2 > c1 THEN 1 ELSE 0 END) AS growing,
+    SUM(CASE WHEN c1 > 0 AND c2 = 0 THEN 1 ELSE 0 END) AS fho,
+    SUM(CASE WHEN c1 = 0 AND c2 > 0 THEN 1 ELSE 0 END) AS sho
+  FROM per)
+SELECT CAST(n_customers AS BIGINT) AS n_customers,
+  CAST(nb AS BIGINT) AS active_both_halves,
+  CAST(growing AS BIGINT) AS growing,
+  CAST(fho AS BIGINT) AS first_half_only,
+  CAST(sho AS BIGINT) AS second_half_only,
+  ROUND(CAST(growing AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS growing_share
+FROM agg""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -8173,9 +8224,10 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # orthographic_profile, stopword_ratio_by_source,
 # context_fill_efficiency, embedding_norm_profile,
 # error_rate_daily_extremes, order_value_iqr_by_nation,
-# part_sourcing_profile, user_recency_segments -- that is 70 late
-# additions after the round-8 four; the round-9 window takes the first
-# 50 and the remaining 20 spill to round 10's front together
+# part_sourcing_profile, user_recency_segments, transition_lift_topk,
+# customer_spend_drift -- that is 72 late additions after the round-8
+# four; the round-9 window takes the first 50 and the remaining 22
+# spill to round 10's front together
 # with the r02 remainder (kmv_distinct_users, value_stddev,
 # price_quantity_corr, soql_projection, repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,

@@ -1613,3 +1613,65 @@ def q_part_sourcing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_suppliers")
     )
+
+
+def q_customer_spend_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend drift between halves -- the portfolio-level churn
+    signal (what share of repeat customers spend MORE in the second
+    half of the history; the customer-grain version of the brand share
+    shift): counts of growing / shrinking / one-sided customers over
+    the KS median-day split.
+
+    Exactness: per-customer half cent sums are exact; classification is
+    integer comparison; shares are rounded divisions.
+
+    Plan: one orders rollup keyed on customer, one 1-row classify
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    sided = o.crossJoin(
+        F.broadcast(
+            o.agg(
+                F.expr(
+                    "percentile(datediff(to_date(o_orderdate), '1970-01-01'), 0.5D)"
+                ).alias("mid")
+            )
+        )
+    ).select(
+        "o_custkey",
+        (
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")) <= F.col("mid")
+        ).cast("int").alias("h1"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    per = sided.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("h1") == 1, F.col("c")).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("h1") == 0, F.col("c")).otherwise(0)).alias("c2"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(((F.col("c1") > 0) & (F.col("c2") > 0)).cast("long")).alias("both"),
+        F.sum(
+            ((F.col("c1") > 0) & (F.col("c2") > 0) & (F.col("c2") > F.col("c1"))).cast(
+                "long"
+            )
+        ).alias("growing"),
+        F.sum(((F.col("c1") > 0) & (F.col("c2") == 0)).cast("long")).alias(
+            "first_half_only"
+        ),
+        F.sum(((F.col("c1") == 0) & (F.col("c2") > 0)).cast("long")).alias(
+            "second_half_only"
+        ),
+    )
+    return agg.select(
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("both").cast("bigint").alias("active_both_halves"),
+        F.col("growing").cast("bigint").alias("growing"),
+        F.col("first_half_only").cast("bigint").alias("first_half_only"),
+        F.col("second_half_only").cast("bigint").alias("second_half_only"),
+        F.round(
+            F.try_divide(
+                F.col("growing").cast("double"), F.col("both").cast("double")
+            ),
+            6,
+        ).alias("growing_share"),
+    )

@@ -266,6 +266,8 @@ REPRESENTATIVE = [
     "order_value_iqr_by_nation",  # per-nation quartiles over zero orders
     "part_sourcing_profile",  # supplier histogram over zero lineitems
     "user_recency_segments",  # recency bands over zero users
+    "transition_lift_topk",  # lift matrix over zero transitions
+    "customer_spend_drift",  # half-split classify over zero customers
 ]
 
 

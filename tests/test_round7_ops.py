@@ -1173,3 +1173,25 @@ class TestUserRecency:
         assert 0 <= row.active_7d <= row.active_30d <= row.n_users
         assert row.dormant == row.n_users - row.active_30d
         assert row.active_7d_share <= row.active_30d_share
+
+
+class TestTransitionLift:
+    def test_lift_positive_and_ordered(self, spark):
+        rows = events.q_transition_lift_topk(spark, SF).collect()
+        assert 0 < len(rows) <= events.TLIFT_TOP
+        devs = [abs(r.lift - 1) for r in rows]
+        assert devs == sorted(devs, reverse=True)
+        assert all(r.lift > 0 for r in rows)
+
+
+class TestSpendDrift:
+    def test_partition_of_customers(self, spark):
+        from pgsf_spark.analytics import relational
+
+        row = relational.q_customer_spend_drift(spark, SF).collect()[0]
+        assert (
+            row.active_both_halves + row.first_half_only + row.second_half_only
+            == row.n_customers
+        )
+        assert 0 <= row.growing <= row.active_both_halves
+        assert row.growing_share is None or 0.0 <= row.growing_share <= 1.0
