@@ -1501,3 +1501,37 @@ def q_stopword_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_stop").cast("double") / F.col("n_tokens").cast("double"), 6
         ).alias("stopword_share"),
     ).orderBy("source")
+
+
+TOKLEN_CAP = 15  # lengths above the cap share one overflow bucket
+
+
+def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram -- the tokenizer designer's first plot
+    (the length mix decides merge-table budgets and whether byte
+    fallback will fire; a fat overflow bucket means ids/URLs leaking
+    through normalization): corpus-wide token counts by character
+    length, capped at TOKLEN_CAP with an overflow bucket.
+
+    Exactness: lengths and counts are integers (one explode with the
+    bounded length key); shares are rounded divisions.
+
+    Plan: one token explode, one <= TOKLEN_CAP+1-key rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_toks(F.lower(F.col("text")))).alias("w"))
+    bucket = F.least(F.length("w"), F.lit(TOKLEN_CAP + 1))
+    per = toks.groupBy(bucket.alias("length")).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("length").cast("bigint").alias("length"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("t").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("length")
+    )

@@ -1407,3 +1407,42 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "redundant_rate"
         ),
     ).orderBy("source")
+
+
+def q_dup_quality_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do duplicates differ in quality? -- the interaction check that
+    decides whether dedup SHIFTS the quality mix (if copies are
+    systematically short/low-quality, dropping them silently raises the
+    corpus bar; if not, dedup is quality-neutral): duplicated vs unique
+    docs compared on mean length and the char-length filter pass rate.
+
+    Exactness: group membership comes from the exact fingerprint
+    rollup; counts/sums are integers, the two rates and two means are
+    rounded divisions.
+
+    Plan: one fingerprint shuffle, one doc-level join back, one 2-row
+    rollup."""
+    from pgsf_spark.analytics.corpus import MCN_CHARS
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "n_chars", F.md5(_norm_text(F.col("text"))).alias("fp")
+    )
+    grp = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    j = fp.join(grp, "fp").select(
+        (F.col("n_copies") > 1).alias("is_dup"),
+        "n_chars",
+        (F.col("n_chars") >= MCN_CHARS).cast("long").alias("passes"),
+    )
+    per = j.groupBy("is_dup").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("passes").alias("n_pass"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return per.select(
+        F.col("is_dup").alias("is_duplicated"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("chars").cast("double") / nd, 6).alias("mean_chars"),
+        F.round(F.col("n_pass").cast("double") / nd, 6).alias("filter_pass_rate"),
+    ).orderBy("is_duplicated")

@@ -7739,6 +7739,38 @@ SELECT CAST(n_customers AS BIGINT) AS n_customers,
   ROUND(CAST(growing AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS growing_share
 FROM agg""",
     ),
+    "dup_quality_interaction": QuerySpec(
+        dedup.q_dup_quality_interaction,
+        f"""WITH fp AS (
+  SELECT doc_id, n_chars,
+    md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+grp AS (SELECT fp, COUNT(*) AS n_copies FROM fp GROUP BY 1),
+j AS (
+  SELECT grp.n_copies > 1 AS is_dup, fp.n_chars,
+    CASE WHEN fp.n_chars >= {corpus.MCN_CHARS} THEN 1 ELSE 0 END AS passes
+  FROM fp JOIN grp ON fp.fp = grp.fp),
+per AS (
+  SELECT is_dup, COUNT(*) AS n_docs, SUM(n_chars) AS chars, SUM(passes) AS n_pass
+  FROM j GROUP BY 1)
+SELECT is_dup AS is_duplicated, CAST(n_docs AS BIGINT) AS n_docs,
+  ROUND(CAST(chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_chars,
+  ROUND(CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS filter_pass_rate
+FROM per ORDER BY is_duplicated""",
+    ),
+    "token_length_histogram": QuerySpec(
+        corpus.q_token_length_histogram,
+        f"""WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents),
+per AS (
+  SELECT LEAST(len(w), {corpus.TOKLEN_CAP + 1}) AS length, COUNT(*) AS n_tokens
+  FROM toks GROUP BY 1),
+tot AS (SELECT SUM(n_tokens) AS t FROM per)
+SELECT CAST(length AS BIGINT) AS length, CAST(n_tokens AS BIGINT) AS n_tokens,
+  ROUND(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
+FROM per, tot ORDER BY length""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -8225,9 +8257,10 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # context_fill_efficiency, embedding_norm_profile,
 # error_rate_daily_extremes, order_value_iqr_by_nation,
 # part_sourcing_profile, user_recency_segments, transition_lift_topk,
-# customer_spend_drift -- that is 72 late additions after the round-8
-# four; the round-9 window takes the first 50 and the remaining 22
-# spill to round 10's front together
+# customer_spend_drift, dup_quality_interaction, token_length_histogram
+# -- that is 74 late additions after the round-8 four; the round-9
+# window takes the first 50 and the remaining 24 spill to round 10's
+# front together
 # with the r02 remainder (kmv_distinct_users, value_stddev,
 # price_quantity_corr, soql_projection, repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,

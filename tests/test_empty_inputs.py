@@ -268,6 +268,8 @@ REPRESENTATIVE = [
     "user_recency_segments",  # recency bands over zero users
     "transition_lift_topk",  # lift matrix over zero transitions
     "customer_spend_drift",  # half-split classify over zero customers
+    "dup_quality_interaction",  # fingerprint join over zero docs
+    "token_length_histogram",  # bounded length buckets over zero tokens
 ]
 
 

@@ -1195,3 +1195,25 @@ class TestSpendDrift:
         )
         assert 0 <= row.growing <= row.active_both_halves
         assert row.growing_share is None or 0.0 <= row.growing_share <= 1.0
+
+
+class TestDupQualityInteraction:
+    def test_partition_and_rates(self, spark):
+        from pgsf_spark.analytics import dedup
+        from pgsf_spark.tables import load_table
+
+        rows = dedup.q_dup_quality_interaction(spark, SF).collect()
+        assert 1 <= len(rows) <= 2
+        total = sum(r.n_docs for r in rows)
+        assert total == load_table(spark, SF, "documents").count()
+        for r in rows:
+            assert 0.0 <= r.filter_pass_rate <= 1.0
+            assert r.mean_chars > 0
+
+
+class TestTokenLengthHistogram:
+    def test_shares_and_cap(self, spark):
+        rows = corpus.q_token_length_histogram(spark, SF).collect()
+        assert rows
+        assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+        assert max(r.length for r in rows) <= corpus.TOKLEN_CAP + 1
