@@ -1535,3 +1535,58 @@ def q_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("length")
     )
+
+
+GRAM_COV_THRESHOLDS = [2, 5, 10]
+
+
+def q_gram_frequency_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram frequency-coverage panel -- the vocabulary-truncation
+    planner (keep only grams seen >= c times: how much of the bigram
+    STREAM is still covered, and how many table entries survive; the
+    sort-free cousin of a top-K coverage curve, which is what scales --
+    a threshold needs no global rank): one row per literal threshold.
+
+    Exactness: gram counts are integers (the in-row zip bigram device);
+    per-threshold covered occurrences and retained types are integer
+    conditional sums; shares are rounded divisions.
+
+    Plan: one gram-keyed shuffle, then a 3-row literal threshold panel
+    over the count table (map-side combine; no sort anywhere)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = d.select(toks.alias("t")).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("g")
+    )
+    cnt = bigrams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    spine = spark.createDataFrame(
+        [(t,) for t in GRAM_COV_THRESHOLDS], ["threshold"]
+    )
+    j = cnt.crossJoin(F.broadcast(spine))
+    per = j.groupBy("threshold").agg(
+        F.sum("c").alias("total_occ"),
+        F.count(F.lit(1)).alias("total_types"),
+        F.sum(F.when(F.col("c") >= F.col("threshold"), F.col("c")).otherwise(0)).alias(
+            "covered_occ"
+        ),
+        F.sum((F.col("c") >= F.col("threshold")).cast("long")).alias("kept_types"),
+    )
+    return per.select(
+        F.col("threshold").cast("bigint").alias("threshold"),
+        F.col("total_types").cast("bigint").alias("total_types"),
+        F.col("kept_types").cast("bigint").alias("kept_types"),
+        F.round(
+            F.col("covered_occ").cast("double") / F.col("total_occ").cast("double"),
+            6,
+        ).alias("occurrence_coverage"),
+        F.round(
+            F.col("kept_types").cast("double") / F.col("total_types").cast("double"),
+            6,
+        ).alias("type_retention"),
+    ).orderBy("threshold")

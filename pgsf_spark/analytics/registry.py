@@ -7771,6 +7771,47 @@ SELECT CAST(length AS BIGINT) AS length, CAST(n_tokens AS BIGINT) AS n_tokens,
   ROUND(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share
 FROM per, tot ORDER BY length""",
     ),
+    "gram_frequency_coverage": QuerySpec(
+        corpus.q_gram_frequency_coverage,
+        f"""WITH tk AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS t FROM documents),
+bg AS (
+  SELECT p[1] || ' ' || p[2] AS g
+  FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p FROM tk)),
+cnt AS (SELECT g, COUNT(*) AS c FROM bg GROUP BY 1),
+sp AS (SELECT unnest([{', '.join(str(t) for t in corpus.GRAM_COV_THRESHOLDS)}]) AS threshold),
+per AS (
+  SELECT threshold, SUM(c) AS total_occ, COUNT(*) AS total_types,
+    SUM(CASE WHEN c >= threshold THEN c ELSE 0 END) AS covered_occ,
+    SUM(CASE WHEN c >= threshold THEN 1 ELSE 0 END) AS kept_types
+  FROM cnt CROSS JOIN sp GROUP BY 1)
+SELECT CAST(threshold AS BIGINT) AS threshold,
+  CAST(total_types AS BIGINT) AS total_types,
+  CAST(kept_types AS BIGINT) AS kept_types,
+  ROUND(CAST(covered_occ AS DOUBLE) / CAST(total_occ AS DOUBLE), 6)
+    AS occurrence_coverage,
+  ROUND(CAST(kept_types AS DOUBLE) / CAST(total_types AS DOUBLE), 6)
+    AS type_retention
+FROM per ORDER BY threshold""",
+    ),
+    "above_mean_concentration": QuerySpec(
+        relational.q_above_mean_concentration,
+        """WITH per AS (
+  SELECT o_custkey,
+    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1),
+tot AS (SELECT SUM(cents) AS total, COUNT(*) AS n FROM per),
+agg AS (
+  SELECT MAX(n) AS n_customers, MAX(total) AS total,
+    SUM(CASE WHEN cents * n > total THEN 1 ELSE 0 END) AS n_above,
+    SUM(CASE WHEN cents * n > total THEN cents ELSE 0 END) AS cents_above
+  FROM per, tot)
+SELECT CAST(n_customers AS BIGINT) AS n_customers,
+  CAST(n_above AS BIGINT) AS n_above_mean,
+  ROUND(CAST(n_above AS DOUBLE) / CAST(n_customers AS DOUBLE), 6) AS customer_share,
+  ROUND(CAST(cents_above AS DOUBLE) / CAST(total AS DOUBLE), 6) AS revenue_share
+FROM agg""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -8257,10 +8298,11 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # context_fill_efficiency, embedding_norm_profile,
 # error_rate_daily_extremes, order_value_iqr_by_nation,
 # part_sourcing_profile, user_recency_segments, transition_lift_topk,
-# customer_spend_drift, dup_quality_interaction, token_length_histogram
-# -- that is 74 late additions after the round-8 four; the round-9
-# window takes the first 50 and the remaining 24 spill to round 10's
-# front together
+# customer_spend_drift, dup_quality_interaction,
+# token_length_histogram, gram_frequency_coverage,
+# above_mean_concentration -- that is 76 late additions after the
+# round-8 four; the round-9 window takes the first 50 and the
+# remaining 26 spill to round 10's front together
 # with the r02 remainder (kmv_distinct_users, value_stddev,
 # price_quantity_corr, soql_projection, repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,

@@ -1675,3 +1675,41 @@ def q_customer_spend_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("growing_share"),
     )
+
+
+def q_above_mean_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-mean revenue concentration -- the sort-free Pareto check
+    (what share of revenue sits with customers spending above the mean,
+    and how few they are; the exact 80/20 curve needs a global sort,
+    this threshold form needs only two passes and scales anywhere):
+    counts and cent sums above/below the grand-mean spend.
+
+    Exactness: per-customer cent sums are integers; the mean threshold
+    compare is cents*n > total (all-integer, no division); shares are
+    rounded divisions of exact sums.
+
+    Plan: one customer rollup, one broadcast total, one 1-row
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    tot = per.agg(F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n"))
+    j = per.crossJoin(F.broadcast(tot))
+    above = (F.col("cents") * F.col("n")) > F.col("total")
+    agg = j.agg(
+        F.max("n").alias("n_customers"),
+        F.max("total").alias("total"),
+        F.sum(above.cast("long")).alias("n_above"),
+        F.sum(F.when(above, F.col("cents")).otherwise(0)).alias("cents_above"),
+    )
+    return agg.select(
+        F.col("n_customers").cast("bigint").alias("n_customers"),
+        F.col("n_above").cast("bigint").alias("n_above_mean"),
+        F.round(
+            F.col("n_above").cast("double") / F.col("n_customers").cast("double"), 6
+        ).alias("customer_share"),
+        F.round(
+            F.col("cents_above").cast("double") / F.col("total").cast("double"), 6
+        ).alias("revenue_share"),
+    )

@@ -270,6 +270,8 @@ REPRESENTATIVE = [
     "customer_spend_drift",  # half-split classify over zero customers
     "dup_quality_interaction",  # fingerprint join over zero docs
     "token_length_histogram",  # bounded length buckets over zero tokens
+    "gram_frequency_coverage",  # threshold panel over zero bigrams
+    "above_mean_concentration",  # integer threshold over zero customers
 ]
 
 

@@ -1217,3 +1217,26 @@ class TestTokenLengthHistogram:
         assert rows
         assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
         assert max(r.length for r in rows) <= corpus.TOKLEN_CAP + 1
+
+
+class TestGramCoverage:
+    def test_monotone_in_threshold(self, spark):
+        rows = corpus.q_gram_frequency_coverage(spark, SF).collect()
+        assert [r.threshold for r in rows] == corpus.GRAM_COV_THRESHOLDS
+        covs = [r.occurrence_coverage for r in rows]
+        rets = [r.type_retention for r in rows]
+        # raising the floor can only shrink coverage and retention
+        assert covs == sorted(covs, reverse=True)
+        assert rets == sorted(rets, reverse=True)
+        for r in rows:
+            assert 0.0 <= r.type_retention <= r.occurrence_coverage <= 1.0
+
+
+class TestAboveMeanConcentration:
+    def test_pareto_direction(self, spark):
+        from pgsf_spark.analytics import relational
+
+        row = relational.q_above_mean_concentration(spark, SF).collect()[0]
+        # above-mean customers hold MORE revenue share than head share
+        assert row.revenue_share >= row.customer_share
+        assert 0 < row.n_above_mean < row.n_customers
