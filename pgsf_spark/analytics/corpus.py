@@ -1590,3 +1590,41 @@ def q_gram_frequency_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("type_retention"),
     ).orderBy("threshold")
+
+
+def q_language_mix_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language mix per source -- the routing table the multilingual
+    pipeline branches on (a source that is 95% one language gets the
+    fast path; a mixed one needs per-doc language routing): per source,
+    the language count, the dominant language, and its share.
+
+    Determinism: the dominant language is the (count desc, lang) argmax
+    via the max-struct device -- no window, no tie ambiguity.
+
+    Exactness: counts are integers; the share is one rounded division.
+
+    Plan: one (source, lang) rollup, one source rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = per.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.max(
+            F.struct(
+                F.col("c").alias("c"),
+                # invert lang bytes would be needed for desc ties; the
+                # (count, lang) max picks the LEXICALLY LAST lang on a
+                # tie -- deterministic on both faces (documented)
+                F.col("lang").alias("lang"),
+            )
+        ).alias("top"),
+    )
+    return tot.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("top.lang").alias("dominant_lang"),
+        F.round(
+            F.col("top.c").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("dominant_share"),
+    ).orderBy("source")

@@ -7812,6 +7812,36 @@ SELECT CAST(n_customers AS BIGINT) AS n_customers,
   ROUND(CAST(cents_above AS DOUBLE) / CAST(total AS DOUBLE), 6) AS revenue_share
 FROM agg""",
     ),
+    "language_mix_by_source": QuerySpec(
+        corpus.q_language_mix_by_source,
+        """WITH per AS (
+  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+tot AS (
+  SELECT source, SUM(c) AS n_docs, COUNT(*) AS n_langs,
+    MAX(struct_pack(c := c, lang := lang)) AS top
+  FROM per GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_langs AS BIGINT) AS n_langs,
+  top.lang AS dominant_lang,
+  ROUND(CAST(top.c AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dominant_share
+FROM tot ORDER BY source""",
+    ),
+    "label_balance_audit": QuerySpec(
+        similarity.q_label_balance_audit,
+        """WITH per AS (
+  SELECT CAST(label AS INT) AS label, COUNT(*) AS c FROM embeddings GROUP BY 1),
+tot AS (
+  SELECT SUM(c) AS n, COUNT(*) AS k, MAX(c) AS mx, MIN(c) AS mn FROM per),
+ent AS (
+  SELECT SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(18,12))) AS h
+  FROM per, tot)
+SELECT CAST(label AS BIGINT) AS label, CAST(c AS BIGINT) AS n_vectors,
+  ROUND(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+  ROUND(CAST(h AS DOUBLE) / ln(CAST(k AS DOUBLE)), 6) AS normalized_entropy,
+  ROUND(CAST(mx AS DOUBLE) / CAST(mn AS DOUBLE), 6) AS max_min_ratio
+FROM per, tot, ent ORDER BY label""",
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -8300,9 +8330,10 @@ assert set(_ROUND6_FRONT) <= set(QUERIES), set(_ROUND6_FRONT) - set(QUERIES)
 # part_sourcing_profile, user_recency_segments, transition_lift_topk,
 # customer_spend_drift, dup_quality_interaction,
 # token_length_histogram, gram_frequency_coverage,
-# above_mean_concentration -- that is 76 late additions after the
-# round-8 four; the round-9 window takes the first 50 and the
-# remaining 26 spill to round 10's front together
+# above_mean_concentration, language_mix_by_source, label_balance_audit
+# -- that is 78 late additions after the round-8 four; the round-9
+# window takes the first 50 and the remaining 28 spill to round 10's
+# front together
 # with the r02 remainder (kmv_distinct_users, value_stddev,
 # price_quantity_corr, soql_projection, repetition_stats,
 # boilerplate_ngrams, benchmark_contamination, token_diversity,

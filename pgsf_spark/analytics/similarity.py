@@ -1776,3 +1776,45 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").alias("min_norm"),
         F.col("mx").alias("max_norm"),
     ).orderBy("label")
+
+
+def q_label_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-balance audit of the embedding corpus -- the class-imbalance
+    check every classifier/clustering gate upstream assumes (normalized
+    entropy near 1 = balanced; a dominant class silently inflates
+    accuracy-style metrics): per-label counts with share, plus the
+    corpus-wide normalized entropy and max/min ratio on every row.
+
+    Exactness: counts are integers; each share's entropy term rounds to
+    12 into DECIMAL before the bounded sum; the normalization divides by
+    the ln(k) of the exact class count.
+
+    Plan: one label rollup, bounded class algebra."""
+    e = load_table(spark, sf_dir, "embeddings")
+    per = e.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = per.agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.max("c").alias("mx"),
+        F.min("c").alias("mn"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(-share * F.log(share), 12).cast("decimal(18,12)")
+    ent = j.groupBy("n", "k", "mx", "mn").agg(F.sum(term).alias("h"))
+    j2 = j.join(F.broadcast(ent.select("n", "h")), "n")
+    norm_ent = F.col("h").cast("double") / F.log(F.col("k").cast("double"))
+    return (
+        j2.select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("c").cast("bigint").alias("n_vectors"),
+            F.round(share, 6).alias("share"),
+            F.round(norm_ent, 6).alias("normalized_entropy"),
+            F.round(
+                F.col("mx").cast("double") / F.col("mn").cast("double"), 6
+            ).alias("max_min_ratio"),
+        )
+        .orderBy("label")
+    )

@@ -272,6 +272,8 @@ REPRESENTATIVE = [
     "token_length_histogram",  # bounded length buckets over zero tokens
     "gram_frequency_coverage",  # threshold panel over zero bigrams
     "above_mean_concentration",  # integer threshold over zero customers
+    "language_mix_by_source",  # argmax structs over zero docs
+    "label_balance_audit",  # entropy terms over zero labels
 ]
 
 

@@ -1240,3 +1240,23 @@ class TestAboveMeanConcentration:
         # above-mean customers hold MORE revenue share than head share
         assert row.revenue_share >= row.customer_share
         assert 0 < row.n_above_mean < row.n_customers
+
+
+class TestLanguageMix:
+    def test_dominant_share_bounds(self, spark):
+        rows = corpus.q_language_mix_by_source(spark, SF).collect()
+        assert len(rows) == 20
+        for r in rows:
+            # dominant at least 1/n_langs of docs, at most all
+            assert 1.0 / r.n_langs - 1e-9 <= r.dominant_share <= 1.0
+            assert r.dominant_lang
+
+
+class TestLabelBalance:
+    def test_entropy_and_shares(self, spark):
+        rows = similarity.q_label_balance_audit(spark, SF).collect()
+        assert rows
+        assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+        ne = rows[0].normalized_entropy
+        assert 0.0 <= ne <= 1.0 + 1e-9
+        assert rows[0].max_min_ratio >= 1.0
