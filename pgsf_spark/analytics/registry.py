@@ -8402,3 +8402,74 @@ QUERIES = {
     name: QUERIES[name]
     for name in (*_ROUND7_FRONT, *(n for n in QUERIES if n not in set(_ROUND7_FRONT)))
 }
+
+# Round 8: REGISTRY FROZEN (VERDICT r7 ask #1 -- no new q_* until the
+# never-driver-checked backlog is <= 28).  The window is exactly the list
+# the round-7 comment promised: the FORTY-SIX round-7 additions that
+# landed after _ROUND7_FRONT froze (never driver-gated, landing order),
+# then the first FOUR of the late-round-7 additions (market_basket_rules,
+# pmi_collocations, runs_test_daily, jackknife_se_nation).  After this
+# round 78 never-checked remain; ROUND 9 takes the next 50 in dict order
+# (ljung_box_stat .. basket_size_profile) and ROUND 10 the final 28
+# (orthographic_profile .. label_balance_audit) -- see the round-7
+# comment above for the authoritative name-by-name list.
+_ROUND8_FRONT = [
+    # the 46 round-7 post-freeze additions, landing order
+    "t_closeness_audit",
+    "log_rank_test",
+    "cliffs_delta",
+    "fd_violation_audit",
+    "brier_decomposition",
+    "fleiss_kappa",
+    "mrr_gate",
+    "benjamini_hochberg",
+    "heavy_hitters_cms_verified",
+    "ewma_control_chart",
+    "degree_powerlaw_fit",
+    "embedding_outlier_mahalanobis",
+    "graph_modularity",
+    "conformal_interval_gate",
+    "knn_label_accuracy",
+    "mad_robust_scale",
+    "obrien_fleming_looks",
+    "kcenter_coreset",
+    "markov_next_event_accuracy",
+    "gumbel_maxima_fit",
+    "revenue_var_es",
+    "cross_source_leakage",
+    "jaccard_threshold_histogram",
+    "sq_mse_by_bits",
+    "overdispersion_check",
+    "categorical_mutual_information",
+    "hurst_exponent",
+    "difference_in_differences",
+    "wald_iv_estimate",
+    "regression_discontinuity",
+    "dedup_source_shift",
+    "split_balance_ks",
+    "geo_nearest_neighbor",
+    "geo_density_grid",
+    "langid_macro_f1",
+    "ecod_outliers",
+    "kendall_tau_daily",
+    "token_burstiness",
+    "degree_assortativity",
+    "bfs_reachability_probe",
+    "dedup_loss_weights",
+    "retention_halflife",
+    "price_elasticity_proxy",
+    "topk_stability_audit",
+    "calinski_harabasz_index",
+    "silhouette_panel",
+    # the first 4 late-round-7 additions (batches 20-38, landing order)
+    "market_basket_rules",
+    "pmi_collocations",
+    "runs_test_daily",
+    "jackknife_se_nation",
+]
+assert len(_ROUND8_FRONT) == 50, len(_ROUND8_FRONT)
+assert set(_ROUND8_FRONT) <= set(QUERIES), set(_ROUND8_FRONT) - set(QUERIES)
+QUERIES = {
+    name: QUERIES[name]
+    for name in (*_ROUND8_FRONT, *(n for n in QUERIES if n not in set(_ROUND8_FRONT)))
+}
