@@ -424,12 +424,14 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c_all"),
         F.sum((F.col("source") == "src0").cast("bigint")).alias("c_a"),
     )
-    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = by_val.withColumn(
-        "cum_less", F.coalesce(F.sum("c_all").over(w), F.lit(0))
-    ).withColumn(
-        "avg_rank", F.col("cum_less") + (F.col("c_all") + 1) / 2.0
-    )
+    # scale-safe cumulative count: the value grid is distinct n_chars --
+    # bounded-ish but data-derived, so it rides the range-partitioned
+    # global_cumsum, not a single-partition window
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    ranked = global_cumsum(
+        by_val, [F.col("n_chars").asc()], {"cum_less": (F.col("c_all"), False)}
+    ).withColumn("avg_rank", F.col("cum_less") + (F.col("c_all") + 1) / 2.0)
     return ranked.agg(
         F.sum("c_a").cast("bigint").alias("n1"),
         (F.sum("c_all") - F.sum("c_a")).cast("bigint").alias("n2"),
@@ -875,23 +877,25 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting decisions in corpus curation): G = 2*sum(i*x_i)/(n*sum(x))
     - (n+1)/n over spend-sorted customers, exact in decimal cents.
 
-    The global rank window rides one partition here; at scale the rank
-    comes from Spark's range-partitioned sort plus per-partition offsets
-    (the training_shard_order pattern) -- the formula only needs (i, x_i)
-    products, which that decomposition preserves. Deterministic tiebreak
-    (spend, custkey) pins the hash."""
+    The global rank comes from operators.ranking.global_rank (range
+    partition + per-partition offsets, the training_shard_order pattern
+    promoted to a shared operator) -- NO single-partition window, so the
+    customer grain scales. Deterministic tiebreak (spend, custkey) pins
+    the hash; the i*x products go through decimal so the sum is exact at
+    any n."""
+    from pgsf_spark.operators.ranking import global_rank
+
     o = load_table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = spend.withColumn("i", F.row_number().over(w))
+    ranked = global_rank(spend, [F.col("cents").asc(), F.col("o_custkey").asc()], "i")
     return ranked.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("cents").alias("total_cents"),
         F.round(
             F.lit(2.0)
-            * F.sum((F.col("i") * F.col("cents")).cast("decimal(38,0)")).cast("double")
+            * F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).cast("double")
             / (F.count(F.lit(1)) * F.sum(F.col("cents").cast("decimal(38,0)")).cast("double"))
             - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
             6,
@@ -962,18 +966,21 @@ def q_ks_test_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s1"
         ),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     # per distinct value: cumulative counts AFTER the value (last row of the
-    # tie group) -- groupBy value first so the window rides distinct values
+    # tie group) -- groupBy value first so the cumsum rides distinct values;
+    # the grid is data-derived (distinct cents), so the running counts come
+    # from the range-partitioned global_cumsum, not a one-partition window
+    from pgsf_spark.operators.ranking import global_cumsum
+
     per_v = vals.groupBy("v").agg(
         F.sum(F.col("s1").cast("long")).alias("d1"),
         F.sum((~F.col("s1")).cast("long")).alias("d2"),
     )
-    cum = per_v.select(
-        "v",
-        F.sum("d1").over(w).alias("c1"),
-        F.sum("d2").over(w).alias("c2"),
-    )
+    cum = global_cumsum(
+        per_v,
+        [F.col("v").asc()],
+        {"c1": (F.col("d1"), True), "c2": (F.col("d2"), True)},
+    ).select("v", "c1", "c2")
     n = vals.agg(
         F.sum(F.col("s1").cast("long")).alias("n1"),
         F.sum((~F.col("s1")).cast("long")).alias("n2"),
@@ -1207,14 +1214,21 @@ def q_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("source") == "src0").cast("bigint")).alias("d1"),
         F.sum((F.col("source") == "src1").cast("bigint")).alias("d2"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    wn = Window.orderBy("v")
-    cum = by_val.select(
-        "v",
-        F.sum("d1").over(w).alias("c1"),
-        F.sum("d2").over(w).alias("c2"),
-        (F.lead("v", 1).over(wn) - F.col("v")).alias("dv"),
-    ).filter(F.col("dv").isNotNull())
+    # running counts + grid step over the data-derived value grid: one
+    # range-partitioned pass (global_order_stats handles the lead's
+    # cross-partition seam), no single-partition window
+    from pgsf_spark.operators.ranking import global_order_stats
+
+    cum = (
+        global_order_stats(
+            by_val,
+            [F.col("v").asc()],
+            cumsums={"c1": (F.col("d1"), True), "c2": (F.col("d2"), True)},
+            lead_col=("v", "__nxt"),
+        )
+        .select("v", "c1", "c2", (F.col("__nxt") - F.col("v")).alias("dv"))
+        .filter(F.col("dv").isNotNull())
+    )
     tot = by_val.agg(F.sum("d1").alias("n1"), F.sum("d2").alias("n2"))
     return (
         cum.crossJoin(F.broadcast(tot))
@@ -1855,9 +1869,11 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_val = two.groupBy("cents").agg(
         F.count(F.lit(1)).alias("c_all"), F.sum("is_a").alias("c_a")
     )
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = by_val.withColumn(
-        "cum_less", F.coalesce(F.sum("c_all").over(w), F.lit(0))
+    # data-derived cents grid -> range-partitioned cumulative counts
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    ranked = global_cumsum(
+        by_val, [F.col("cents").asc()], {"cum_less": (F.col("c_all"), False)}
     ).withColumn("avg_rank", F.col("cum_less") + (F.col("c_all") + 1) / 2.0)
     g = ranked.agg(
         F.sum("c_a").cast("bigint").alias("n_urgent"),

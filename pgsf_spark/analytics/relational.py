@@ -846,10 +846,10 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (metric, then custkey), so the gate is hash-exact despite ranking.
 
     Plan: one groupBy(custkey) builds the per-customer triple (shuffle on
-    custkey); the three ntile windows share ONE all-rows partition each --
-    acceptable because the windowed relation is one row per customer, the
-    aggregate's output, not the fact table; the final rollup is keyed by
-    125 segment combinations."""
+    custkey); the three quintile scores come from operators.ranking
+    .global_ntile (range partition + per-partition offsets -- NO
+    single-partition window, so customer grain scales); the final rollup
+    is keyed by 125 segment combinations."""
     o = load_table(spark, sf_dir, "orders")
     anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
     per_cust = (
@@ -867,16 +867,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("monetary_dec").cast("double").alias("monetary"),
         )
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
-    scored = per_cust.select(
-        "o_custkey",
-        F.ntile(5).over(wr).alias("r_score"),
-        F.ntile(5).over(wf).alias("f_score"),
-        F.ntile(5).over(wm).alias("m_score"),
-        "monetary",
+    from pgsf_spark.operators.ranking import global_ntile
+
+    scored = global_ntile(
+        per_cust, 5, [F.col("recency_days").asc(), F.col("o_custkey").asc()], "r_score"
     )
+    scored = global_ntile(
+        scored, 5, [F.col("frequency").desc(), F.col("o_custkey").asc()], "f_score"
+    )
+    scored = global_ntile(
+        scored, 5, [F.col("monetary").desc(), F.col("o_custkey").asc()], "m_score"
+    ).select("o_custkey", "r_score", "f_score", "m_score", "monetary")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum(F.col("monetary").cast("decimal(27,4)")).cast("double"), 2).alias(
@@ -899,8 +900,10 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks (the RFM device); response flags, decile counts and
     cumulative sums are integers; rates and lifts are single double
     divisions rounded to 6. Plan: one orders rollup shuffle to customer
-    grain (score + response in the same pass), one ntile window over the
-    customer table, a 10-row aggregate + 10-row cumulative windows."""
+    grain (score + response in the same pass), a scale-safe global_ntile
+    over the customer table (range partition + offsets, no
+    single-partition window), then a 10-row aggregate + 10-row cumulative
+    windows (bounded decile spine -- whitelisted in the plan lint)."""
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf_dir, "orders")
@@ -908,12 +911,14 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("score"),
         F.max((F.col("o_orderpriority") == "1-URGENT").cast("int")).alias("resp"),
     )
-    ranked = cust.select(
-        "resp",
-        F.ntile(LIFT_DECILES)
-        .over(Window.orderBy(F.col("score").desc(), F.col("o_custkey").asc()))
-        .alias("decile"),
-    )
+    from pgsf_spark.operators.ranking import global_ntile
+
+    ranked = global_ntile(
+        cust,
+        LIFT_DECILES,
+        [F.col("score").desc(), F.col("o_custkey").asc()],
+        "decile",
+    ).select("resp", "decile")
     dec = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("resp").cast("bigint").alias("n_resp"),

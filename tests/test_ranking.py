@@ -1,0 +1,133 @@
+"""operators.ranking: the scale-safe global rank/ntile/cumsum/lead
+decomposition must reproduce the naive single-partition window BIT-FOR-BIT
+(VERDICT r7 ask #2) -- these tests diff the two on real-ish data, including
+the edge shapes (N < n tiles, ties broken by key, empty input, skew)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pgsf_spark.operators.ranking import (
+    global_cumsum,
+    global_ntile,
+    global_order_stats,
+    global_rank,
+)
+
+
+def _sample(spark, n=997, seed=7):
+    # deterministic pseudo-random values with heavy ties on v
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit(f"s{seed}:"), F.col("id"))), 1, 6), 16, 10).cast("long") % 37).alias("v"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit("w:"), F.col("id"))), 1, 6), 16, 10).cast("long") % 1000).alias("amt"),
+    )
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestGlobalRank:
+    def test_matches_naive_row_number(self, spark):
+        d = _sample(spark)
+        order = [F.col("v").asc(), F.col("k").asc()]
+        got = global_rank(d, order, "i")
+        want = d.withColumn("i", F.row_number().over(Window.orderBy(*order)).cast("long"))
+        assert _rows(got, "k", "i") == _rows(want, "k", "i")
+
+    def test_desc_order(self, spark):
+        d = _sample(spark)
+        order = [F.col("amt").desc(), F.col("k").asc()]
+        got = global_rank(d, order, "i")
+        want = d.withColumn("i", F.row_number().over(Window.orderBy(*order)).cast("long"))
+        assert _rows(got, "k", "i") == _rows(want, "k", "i")
+
+    def test_empty_input(self, spark):
+        d = _sample(spark).filter(F.lit(False))
+        assert global_rank(d, [F.col("v"), F.col("k")], "i").count() == 0
+
+    def test_single_row(self, spark):
+        d = _sample(spark, n=1)
+        assert global_rank(d, [F.col("v"), F.col("k")], "i").collect()[0]["i"] == 1
+
+
+class TestGlobalNtile:
+    @pytest.mark.parametrize("n_tiles", [2, 5, 10, 32])
+    def test_matches_naive_ntile(self, spark, n_tiles):
+        d = _sample(spark)
+        order = [F.col("amt").desc(), F.col("k").asc()]
+        got = global_ntile(d, n_tiles, order, "t")
+        want = d.withColumn("t", F.ntile(n_tiles).over(Window.orderBy(*order)))
+        assert _rows(got, "k", "t") == _rows(want, "k", "t")
+
+    def test_fewer_rows_than_tiles(self, spark):
+        d = _sample(spark, n=3)
+        got = global_ntile(d, 5, [F.col("k").asc()], "t")
+        want = d.withColumn("t", F.ntile(5).over(Window.orderBy(F.col("k").asc())))
+        assert _rows(got, "k", "t") == _rows(want, "k", "t")
+
+
+class TestGlobalCumsum:
+    def test_inclusive_and_exclusive(self, spark):
+        d = _sample(spark)
+        order = [F.col("v").asc(), F.col("k").asc()]
+        got = global_cumsum(
+            d, order, {"c_in": (F.col("amt"), True), "c_ex": (F.col("amt"), False)}
+        )
+        w = Window.orderBy(*order)
+        want = d.withColumn(
+            "c_in", F.sum("amt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).withColumn(
+            "c_ex",
+            F.coalesce(
+                F.sum("amt").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+            ),
+        )
+        assert _rows(got, "k", "c_in", "c_ex") == _rows(want, "k", "c_in", "c_ex")
+
+
+class TestGlobalLead:
+    def test_lead_matches_naive(self, spark):
+        # distinct-value grid (the Wasserstein dv use case)
+        d = _sample(spark).groupBy("v").agg(F.sum("amt").alias("s"))
+        got = global_order_stats(d, [F.col("v").asc()], lead_col=("v", "nxt"))
+        want = d.withColumn("nxt", F.lead("v", 1).over(Window.orderBy(F.col("v").asc())))
+        assert _rows(got, "v", "nxt") == _rows(want, "v", "nxt")
+
+
+class TestCombined:
+    def test_rank_cumsum_lead_single_pass(self, spark):
+        d = _sample(spark).groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+        order = [F.col("v").asc()]
+        got = global_order_stats(
+            d,
+            order,
+            rank_col="i",
+            cumsums={"cum": (F.col("c"), False)},
+            lead_col=("v", "nxt"),
+        )
+        w = Window.orderBy(*order)
+        want = (
+            d.withColumn("i", F.row_number().over(w).cast("long"))
+            .withColumn(
+                "cum",
+                F.coalesce(
+                    F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                    F.lit(0),
+                ),
+            )
+            .withColumn("nxt", F.lead("v", 1).over(w))
+        )
+        assert _rows(got, "v", "i", "cum", "nxt") == _rows(want, "v", "i", "cum", "nxt")
+
+    def test_no_partitionless_window_in_plan(self, spark):
+        d = _sample(spark)
+        got = global_ntile(d, 5, [F.col("amt").desc(), F.col("k").asc()], "t")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            s = line.strip().lstrip("+-: *")
+            if s.startswith("Window "):
+                # partitioned Window prints 3 top-level bracket groups;
+                # partition-less prints 2
+                assert s.count("], [") >= 2, line
