@@ -114,30 +114,45 @@ def q_quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = _gd_step(feat, w)
 
     scored = feat.crossJoin(F.broadcast(w)).select(
-        "doc_id", "y", _softsign(_z("w")).alias("s"), *[f"w{j}" for j in range(4)]
+        "doc_id", "y", _softsign(_z("w")).alias("s")
     )
-    # exact midranks: rank() + (count(same score) - 1)/2
-    rk = F.rank().over(Window.orderBy("s")) + (
-        F.count(F.lit(1)).over(Window.partitionBy("s")) - F.lit(1)
-    ) / F.lit(2.0)
-    ranked = scored.withColumn("midrank", rk)
-    return ranked.agg(
-        *[F.round(F.max(f"w{j}"), 6).alias(f"w{j}") for j in range(4)],
-        F.sum("y").alias("n_pos"),
-        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
-        F.round(
-            F.sum(((F.col("s") >= 0.5).cast("int") == F.col("y")).cast("int"))
-            / F.count(F.lit(1)),
-            4,
-        ).alias("train_acc"),
+    # exact midranks on the DISTINCT-score grid: midrank(s) = cum_less(s)
+    # + (ties(s)+1)/2, identical to rank() + (ties-1)/2 per row (rank at s
+    # = cum_less+1) but computed over the compressed score table with a
+    # range-partitioned cumsum (operators.ranking) -- the doc-grain global
+    # sort the naive window form would pay is gone. Midranks are dyadic
+    # rationals, so c_pos*midrank is the exact per-row sum.
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    by_s = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum("y").alias("c_pos"),
+        F.sum(((F.col("s") >= 0.5).cast("int") == F.col("y")).cast("int")).alias(
+            "c_correct"
+        ),
+    )
+    ranked = global_cumsum(
+        by_s, [F.col("s").asc()], {"cum_less": (F.col("c_all"), False)}
+    ).withColumn("midrank", F.col("cum_less") + (F.col("c_all") + 1) / 2.0)
+    agg = ranked.agg(
+        F.sum("c_pos").alias("n_pos"),
+        (F.sum("c_all") - F.sum("c_pos")).alias("n_neg"),
+        F.round(F.sum("c_correct") / F.sum("c_all"), 4).alias("train_acc"),
         F.round(
             (
-                F.sum(F.when(F.col("y") == 1, F.col("midrank")).otherwise(F.lit(0.0)))
-                - F.sum("y") * (F.sum("y") + F.lit(1)) / F.lit(2.0)
+                F.sum(F.col("c_pos") * F.col("midrank"))
+                - F.sum("c_pos") * (F.sum("c_pos") + F.lit(1)) / F.lit(2.0)
             )
-            / (F.sum("y") * (F.count(F.lit(1)) - F.sum("y"))),
+            / (F.sum("c_pos") * (F.sum("c_all") - F.sum("c_pos"))),
             6,
         ).alias("auc"),
+    )
+    return agg.crossJoin(F.broadcast(w)).select(
+        *[F.round(F.col(f"w{j}"), 6).alias(f"w{j}") for j in range(4)],
+        "n_pos",
+        "n_neg",
+        "train_acc",
+        "auc",
     )
 
 
@@ -267,9 +282,12 @@ def q_roc_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_val = labeled.groupBy("score").agg(
         F.count(F.lit(1)).alias("c_all"), F.sum("pos").alias("c_pos")
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = by_val.withColumn(
-        "cum_less", F.coalesce(F.sum("c_all").over(w), F.lit(0))
+    # data-derived distinct-score grid -> range-partitioned cumulative
+    # counts (operators.ranking), not a single-partition window
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    ranked = global_cumsum(
+        by_val, [F.col("score").asc()], {"cum_less": (F.col("c_all"), False)}
     ).withColumn("midrank", F.col("cum_less") + (F.col("c_all") + 1) / 2.0)
     return ranked.agg(
         F.sum("c_pos").cast("bigint").alias("n_pos"),
@@ -695,14 +713,18 @@ def q_pr_auc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("score")
         .agg(F.count(F.lit(1)).alias("c_all"), F.sum("pos").alias("c_pos"))
     )
-    w = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = by_val.select(
-        "score",
-        F.sum("c_pos").over(w).alias("tp"),
-        F.sum("c_all").over(w).alias("all_"),
-        (F.sum("c_pos").over(w) - F.col("c_pos")).alias("tp_prev"),
+    # descending distinct-score grid is data-derived: range-partitioned
+    # running sums (operators.ranking), not a single-partition window
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    cum = (
+        global_cumsum(
+            by_val,
+            [F.col("score").desc()],
+            {"tp": (F.col("c_pos"), True), "all_": (F.col("c_all"), True)},
+        )
+        .withColumn("tp_prev", F.col("tp") - F.col("c_pos"))
+        .select("score", "tp", "all_", "tp_prev")
     )
     tot = by_val.agg(
         F.sum("c_pos").alias("n_pos"), F.sum("c_all").alias("n_all")
@@ -747,14 +769,13 @@ def q_best_f1_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("score")
         .agg(F.count(F.lit(1)).alias("c_all"), F.sum("pos").alias("c_pos"))
     )
-    w = Window.orderBy(F.col("score").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = by_val.select(
-        "score",
-        F.sum("c_pos").over(w).alias("tp"),
-        F.sum("c_all").over(w).alias("pred"),
-    )
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    cum = global_cumsum(
+        by_val,
+        [F.col("score").desc()],
+        {"tp": (F.col("c_pos"), True), "pred": (F.col("c_all"), True)},
+    ).select("score", "tp", "pred")
     tot = by_val.agg(F.sum("c_pos").alias("n_pos"))
     j = cum.crossJoin(F.broadcast(tot))
     f1 = F.round(
@@ -820,11 +841,14 @@ def q_quantile_normalization_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(Window.partitionBy("source")).alias("n"),
     )
     gv = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
-    wg = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
-    gcum = gv.select(
-        "n_chars",
-        F.sum("c").over(wg).alias("cum"),
-        F.sum("c").over(Window.partitionBy()).alias("n"),
+    # global distinct-length grid is data-derived: range-partitioned
+    # cumsum + broadcast total, not partition-less windows
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    gcum = (
+        global_cumsum(gv, [F.col("n_chars").asc()], {"cum": (F.col("c"), True)})
+        .crossJoin(F.broadcast(gv.agg(F.sum("c").alias("n"))))
+        .select("n_chars", "cum", "n")
     )
     spine = spark.range(1, QN_Q + 1).select(F.col("id").cast("int").alias("q"))
     srcq = (

@@ -345,10 +345,15 @@ def q_split_balance_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s1").cast("long")).alias("d1"),
         F.sum((~F.col("s1")).cast("long")).alias("d2"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        "v", F.sum("d1").over(w).alias("c1"), F.sum("d2").over(w).alias("c2")
-    )
+    # pooled distinct-length grid is data-derived: range-partitioned
+    # running counts (operators.ranking), not a single-partition window
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    cum = global_cumsum(
+        per_v,
+        [F.col("v").asc()],
+        {"c1": (F.col("d1"), True), "c2": (F.col("d2"), True)},
+    ).select("v", "c1", "c2")
     n = vals.agg(
         F.sum(F.col("s1").cast("long")).alias("n1"),
         F.sum((~F.col("s1")).cast("long")).alias("n2"),

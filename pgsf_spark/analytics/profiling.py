@@ -2978,13 +2978,15 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_v = sided.groupBy("v").agg(
         F.sum("s1").alias("w1"), F.sum(1 - F.col("s1")).alias("w2")
     )
-    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    ecdf = per_v.select(
-        "v",
-        (F.col("w1") + F.col("w2")).alias("w"),
-        F.sum("w1").over(wcum).alias("c1"),
-        F.sum("w2").over(wcum).alias("c2"),
-    )
+    # pooled distinct-cents grid is data-derived: range-partitioned
+    # running counts (operators.ranking), not a single-partition window
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    ecdf = global_cumsum(
+        per_v,
+        [F.col("v").asc()],
+        {"c1": (F.col("w1"), True), "c2": (F.col("w2"), True)},
+    ).select("v", (F.col("w1") + F.col("w2")).alias("w"), "c1", "c2")
     tot = sided.agg(
         F.sum("s1").alias("n1"), F.sum(1 - F.col("s1")).alias("n2")
     )
@@ -3424,8 +3426,12 @@ def q_median_ci_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
     )
     per_v = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select("v", F.sum("c").over(w).alias("cum"))
+    # distinct-cents grid is data-derived: range-partitioned cumsum
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    cum = global_cumsum(
+        per_v, [F.col("v").asc()], {"cum": (F.col("c"), True)}
+    ).select("v", "cum")
     n_agg = vals.agg(F.count(F.lit(1)).alias("n"))
     j = cum.crossJoin(F.broadcast(n_agg))
     nd = F.col("n").cast("double")

@@ -548,9 +548,14 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(_tokens(F.lower(F.col("text")))).alias("token"))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    # TakeOrdered FIRST (per-partition top-K + driver merge), THEN rank the
+    # <= ZIPF_TOP survivors -- the window never sees the full vocabulary
+    # (the previous form ranked every token through one partition)
     w = Window.orderBy(F.col("freq").desc(), F.col("token"))
-    top = freq.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= ZIPF_TOP
+    top = (
+        freq.orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(ZIPF_TOP)
+        .withColumn("rank", F.row_number().over(w))
     )
     pts = top.select(
         F.log(F.col("rank").cast("double")).alias("x"),

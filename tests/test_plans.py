@@ -9,6 +9,7 @@ benchmark."""
 import pytest
 
 from pgsf_spark.analytics.registry import QUERIES
+from pgsf_spark.planlint import partitionless_windows
 
 SF = "/root/testdata/sf0.001"
 
@@ -38,6 +39,102 @@ class TestNoPythonInHotPath:
         # row-at-a-time Python UDFs (BatchEvalPython) must never appear;
         # whole-stage JVM execution is the contract (SURVEY §2.9)
         assert "BatchEvalPython" not in plan_of(spark, name)
+
+
+# Bounded-spine whitelist for the partition-less-window lint (VERDICT r7
+# item 3). A Window with an EMPTY partition spec funnels its whole input
+# through ONE task, so it is banned unless the windowed relation is bounded
+# by something other than data volume. Every entry names its bound:
+#
+# day-grain calendar spine (orders span ~2.4k days; grows with TIME, never
+# with corpus size -- 100 TB of orders still has the same day count):
+_DAY_SPINE = {
+    "acf_daily_revenue",
+    "binary_segmentation_split",
+    "conformal_interval_gate",
+    "conversion_hazard",
+    "cusum_changepoints",
+    "daily_growth_profile",
+    "durbin_watson",
+    "ewma_control_chart",
+    "kaplan_meier",
+    "ljung_box_stat",
+    "log_rank_test",
+    "mase_seasonal_naive",
+    "nelson_aalen_hazard",
+    "pettitt_changepoint",
+    "revenue_anomaly_days",
+    "revenue_var_es",
+    "rolling_median_revenue",
+    "runs_test_daily",
+    "spearman_trend",
+    "sprt_decision",
+    "stl_decomposition",
+    "hourly_gap_interpolation",  # hour grain: calendar-bounded like days
+}
+# literal/tiny domain spines (compile-time constant row counts):
+_LITERAL_SPINE = {
+    "benford_audit",  # 9 leading-digit rows
+    "benjamini_hochberg",  # 25 nation p-values
+    "event_type_share",  # 5 event types
+    "feature_psi",  # fixed-width score bins (literal bin count)
+    "jaccard_threshold_histogram",  # 10 literal similarity buckets
+    "decile_lift_table",  # 10 deciles (ntile itself is global_ntile now)
+    "bootstrap_ci",  # BOOT_B literal bootstrap replicas
+    "ivfpq_recall_at_5",  # IVFPQ_C=8 literal coarse centroids
+}
+# post-LIMIT pools: the window's input is the output of TakeOrdered(K), so
+# it holds <= K literal rows no matter the corpus:
+_POST_LIMIT = {
+    "zipf_fit",  # rank over limit(ZIPF_TOP)
+    "weighted_sample_topk",  # rank over limit(WSAMPLE_K)
+    "hybrid_rrf_topk",  # per-leg rank over limit(LEG_TOPN)
+    "ann_ndcg_gate",  # ranks over the two top-k candidate lists
+}
+# small-integer domain spines (distinct values of a count/gap quantity,
+# bounded by the domain's max, not by row volume):
+_SMALL_DOMAIN = {
+    "basket_size_profile",  # distinct lines-per-order values
+    "session_depth_profile",  # distinct session depths
+    "reorder_interval_profile",  # distinct day gaps (<= calendar span)
+}
+GLOBAL_WINDOW_OK = _DAY_SPINE | _LITERAL_SPINE | _POST_LIMIT | _SMALL_DOMAIN
+
+
+class TestNoGlobalWindow:
+    @pytest.mark.parametrize(
+        "name", sorted(n for n in QUERIES if n not in GLOBAL_WINDOW_OK)
+    )
+    def test_no_partitionless_window(self, spark, name):
+        # data-grain global sorts must go through operators/ranking.py
+        # (range partition + per-partition offsets), never one WindowExec
+        hits = partitionless_windows(plan_of(spark, name))
+        assert not hits, f"partition-less window(s) in {name}: {hits}"
+
+    def test_detector_catches_global_window(self, spark):
+        # the lint must actually fire on the shape it bans
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        df = (
+            spark.range(100)
+            .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert partitionless_windows(plan)
+
+    def test_detector_accepts_partitioned_window(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        df = spark.range(100).withColumn("g", F.col("id") % 7)
+        # partitionBy WITH order, and partitionBy WITHOUT order (the shape
+        # the naive bracket-count heuristic misread as global)
+        w1 = df.withColumn("rn", F.row_number().over(Window.partitionBy("g").orderBy("id")))
+        w2 = df.withColumn("mx", F.max("id").over(Window.partitionBy("g")))
+        for d in (w1, w2):
+            plan = d._jdf.queryExecution().executedPlan().toString()
+            assert not partitionless_windows(plan)
 
 
 class TestKeyPlans:
