@@ -1520,11 +1520,18 @@ SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies FROM t GROUP BY fp""
     ),
     "jaccard_pairs": QuerySpec(
         dedup.q_jaccard_pairs,
-        f"""WITH t AS (SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM documents)
+        # hash-chunked source blocks: mirrors the Spark face's md5 chunk
+        # assignment exactly (seed prefix 's7:', first 8 md5 hex chars)
+        f"""WITH t AS (SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM documents),
+nc AS (SELECT source, CAST(CEIL(COUNT(*) / {dedup.MAX_BUCKET}.0) AS BIGINT) AS n_chunks
+       FROM t GROUP BY source),
+c AS (SELECT t.doc_id, t.source, t.toks,
+        ('0x' || substr(md5('s7:' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % nc.n_chunks AS chunk
+      FROM t JOIN nc ON t.source = nc.source)
 SELECT * FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
     ROUND(len(list_intersect(a.toks, b.toks)) / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id)
+  FROM c a JOIN c b ON a.source = b.source AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
 WHERE jaccard >= 0.2""",
     ),
     "minhash_signatures": QuerySpec(

@@ -78,6 +78,27 @@ def build_scaled(spark, src: str, dst: str, n: int, skew: bool = False) -> None:
         big = d.crossJoin(reps)
         for c in cols:
             big = big.withColumn(c, F.col(c).cast("long") + F.col("__rep") * _OFFSET)
+        if skew and t == "documents":
+            # zipfian-hot near-dup families: 20% of replicated docs have
+            # their text REDIRECTED to one of 10 shared hot texts (key k
+            # with mass ~2^-(k+1), shared across replicas), so the hottest
+            # family is ~10% of the whole corpus with IDENTICAL text. Every
+            # hot doc lands in one LSH bucket per band and fans out far past
+            # the 256 hot-doc threshold in q_lsh_jaccard_verified -- the
+            # stress for the MAX_BUCKET chunk cap + skew_hedged_join pair:
+            # if they work, skewed-Nx wall-clock stays near plain-Nx.
+            h = F.abs(F.xxhash64("doc_id", F.lit("docskew7")))
+            j = F.pmod(h, F.lit(1023)) + 1
+            hot_key = (F.lit(9) - F.floor(F.log2(j.cast("double")))).cast("long")
+            hot_text = F.concat(
+                F.lit("shared hot family text number "),
+                hot_key.cast("string"),
+                F.lit(" the quick brown fox jumps over the lazy dog again and again"),
+            )
+            big = big.withColumn(
+                "text",
+                F.when(F.pmod(h, F.lit(5)) == 0, hot_text).otherwise(F.col("text")),
+            )
         if skew and t == "lineitem":
             # zipfian-hot head: 20% of rows land on 10 global part keys,
             # key k with mass ~2^-(k+1) (k = 9 - floor(log2(j)), j uniform
