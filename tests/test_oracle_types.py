@@ -87,7 +87,14 @@ def test_round_front_is_the_first_fifty():
     # front list must BE that prefix or the rotation plan silently skews
     import pgsf_spark.analytics.registry as reg
 
-    front = getattr(reg, "_ROUND7_FRONT")
+    # always gate on the LATEST round's front (highest-numbered list), so
+    # this test can't silently pin a stale rotation
+    rounds = sorted(
+        int(a[len("_ROUND") : -len("_FRONT")])
+        for a in dir(reg)
+        if a.startswith("_ROUND") and a.endswith("_FRONT")
+    )
+    front = getattr(reg, f"_ROUND{rounds[-1]}_FRONT")
     assert list(reg.QUERIES)[: len(front)] == front
 
 
