@@ -2473,8 +2473,12 @@ def q_session_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("depth")
     )
     per_d = depths.groupBy("depth").agg(F.count(F.lit(1)).alias("c"))
-    wc = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_d.select("depth", "c", F.sum("c").over(wc).alias("cum"))
+    # distinct-depth spine is data-derived: range-partitioned cumsum
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    cum = global_cumsum(
+        per_d, [F.col("depth").asc()], {"cum": (F.col("c"), True)}
+    ).select("depth", "c", "cum")
     tot = depths.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("depth").alias("s"),

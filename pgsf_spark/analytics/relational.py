@@ -1222,8 +1222,12 @@ def q_reorder_interval_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gap").isNotNull())
     )
     per_g = gaps.groupBy("gap").agg(F.count(F.lit(1)).alias("c"))
-    wc = Window.orderBy("gap").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_g.select("gap", F.sum("c").over(wc).alias("cum"))
+    # distinct-gap spine is data-derived: range-partitioned cumsum
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    cum = global_cumsum(
+        per_g, [F.col("gap").asc()], {"cum": (F.col("c"), True)}
+    ).select("gap", "cum")
     tot = gaps.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("gap").alias("s"),
@@ -1491,8 +1495,12 @@ def q_basket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("sz"))
     per_s = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("c"))
-    wc = Window.orderBy("sz").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_s.select("sz", "c", F.sum("c").over(wc).alias("cum"))
+    # distinct-size spine is data-derived: range-partitioned cumsum
+    from pgsf_spark.operators.ranking import global_cumsum
+
+    cum = global_cumsum(
+        per_s, [F.col("sz").asc()], {"cum": (F.col("c"), True)}
+    ).select("sz", "c", "cum")
     tot = sizes.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("sz").alias("s"),

@@ -91,14 +91,7 @@ _POST_LIMIT = {
     "hybrid_rrf_topk",  # per-leg rank over limit(LEG_TOPN)
     "ann_ndcg_gate",  # ranks over the two top-k candidate lists
 }
-# small-integer domain spines (distinct values of a count/gap quantity,
-# bounded by the domain's max, not by row volume):
-_SMALL_DOMAIN = {
-    "basket_size_profile",  # distinct lines-per-order values
-    "session_depth_profile",  # distinct session depths
-    "reorder_interval_profile",  # distinct day gaps (<= calendar span)
-}
-GLOBAL_WINDOW_OK = _DAY_SPINE | _LITERAL_SPINE | _POST_LIMIT | _SMALL_DOMAIN
+GLOBAL_WINDOW_OK = _DAY_SPINE | _LITERAL_SPINE | _POST_LIMIT
 
 
 class TestNoGlobalWindow:
