@@ -125,9 +125,67 @@ class TestCombined:
         d = _sample(spark)
         got = global_ntile(d, 5, [F.col("amt").desc(), F.col("k").asc()], "t")
         plan = got._jdf.queryExecution().executedPlan().toString()
-        for line in plan.splitlines():
-            s = line.strip().lstrip("+-: *")
-            if s.startswith("Window "):
-                # partitioned Window prints 3 top-level bracket groups;
-                # partition-less prints 2
-                assert s.count("], [") >= 2, line
+        from pgsf_spark.planlint import partitionless_windows
+
+        assert not partitionless_windows(plan)
+
+
+def _truth(vals, n_tiles):
+    """Pure-Python rank/ntile/cumsums/lead over (k, v, amt) rows sorted by
+    (v asc, k asc) -- an implementation independent of any Spark window."""
+    order = sorted(vals, key=lambda r: (r[1], r[0]))
+    n = len(order)
+    q, r = divmod(n, n_tiles)
+    out = {}
+    run = 0
+    for i, (k, v, amt) in enumerate(order, start=1):
+        cut = r * (q + 1)
+        if q == 0:
+            tile = i  # N < n_tiles: one row per leading tile
+        elif i <= cut:
+            tile = (i + q) // (q + 1)
+        else:
+            tile = r + (i - cut + q - 1) // q
+        nxt = order[i][1] if i < n else None
+        out[k] = (i, tile, run, run + amt, nxt)
+        run += amt
+    return out
+
+
+ADVERSARIAL = [
+    [(0, 5, 5)],  # single row
+    [(i, 2, 3) for i in range(9)],  # all-ties: order is the k tiebreak
+    [(i, -(i % 3), 10**12) for i in range(7)],  # negatives + huge cumsums
+    [(i, i, 1) for i in range(4)],  # N < n_tiles
+    [(i, i % 2, i) for i in range(10)],  # N == 2*n_tiles exactly
+    [(i, (7 * i) % 13, (11 * i) % 5 - 2) for i in range(97)],  # mixed signs
+]
+
+
+class TestAdversarialTruth:
+    @pytest.mark.parametrize(
+        "vals", ADVERSARIAL, ids=[f"adv{i}" for i in range(len(ADVERSARIAL))]
+    )
+    def test_matches_python_truth(self, spark, vals):
+        n_tiles = 5
+        d = spark.createDataFrame(vals, "k long, v long, amt long")
+        order = [F.col("v").asc(), F.col("k").asc()]
+        got = global_order_stats(
+            global_ntile(d, n_tiles, order, "t"),
+            order,
+            rank_col="i",
+            cumsums={"cx": (F.col("amt"), False), "ci": (F.col("amt"), True)},
+            lead_col=("v", "nxt"),
+        )
+        truth = _truth(vals, n_tiles)
+        rows = got.collect()
+        assert len(rows) == len(vals)
+        for row in rows:
+            i, t, cx, ci, nxt = truth[row["k"]]
+            assert (row["i"], row["t"], row["cx"], row["ci"], row["nxt"]) == (
+                i,
+                t,
+                cx,
+                ci,
+                nxt,
+            ), f"k={row['k']}"
