@@ -35,10 +35,14 @@ bit-for-bit -- ranks are integer arithmetic, ntile is the exact SQL bucket
 formula over (rank, N), and the cumulative offsets are integer sums -- so
 DuckDB-oracle hashes are unchanged by migrating a query to this operator.
 
-Cost: two distributed shuffles (range exchange + the pid hash exchange the
-local window needs) and one checkpoint materialization, versus ONE shuffle
-into ONE task for the naive global window.  At sf0.1 both are milliseconds;
-at 100 TB only this shape finishes.
+Cost: the pure-rank path (global_rank / global_ntile) pays ONE distributed
+shuffle -- the range exchange -- plus a checkpoint materialization: after
+``sortWithinPartitions``, ``monotonically_increasing_id``'s low 33 bits ARE
+the within-partition row number, so the rank is arithmetic, not a window.
+Running sums / lead still need the per-partition window and its pid hash
+exchange (two shuffles total).  Versus ONE shuffle into ONE task for the
+naive global window: at sf0.1 both are milliseconds; at 100 TB only this
+shape finishes.
 """
 
 from __future__ import annotations
@@ -48,6 +52,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _PID = "__gr_pid"
+_MID = "__gr_mid"
+_ORD_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid<<33 | ordinal
 
 
 def _pid_offset_expr(offsets: dict[int, int]) -> Column:
@@ -67,9 +73,19 @@ def _pid_offset_expr(offsets: dict[int, int]) -> Column:
 
 
 def _range_tagged(df: DataFrame, order_by: list[Column]) -> DataFrame:
-    """Range-partition by the sort expressions and freeze partition ids."""
+    """Range-partition AND locally sort by the sort expressions, then freeze
+    each row's (partition id, within-partition ordinal).
+
+    ``monotonically_increasing_id`` encodes the partition index in the upper
+    31 bits and the physical row position in the lower 33; after
+    ``sortWithinPartitions`` that position IS the local row_number-1, so the
+    rank path needs no window (and no second exchange) at all. The eager
+    ``localCheckpoint`` freezes both the range partitioner's sampled
+    boundaries and the ids."""
     return (
         df.repartitionByRange(*order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn(_MID, F.monotonically_increasing_id())
         .withColumn(_PID, F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -122,9 +138,12 @@ def global_order_stats(
         for r in part_rows:
             rank_offsets[r[_PID]] = run
             run += r["__n"]
+        # rank needs NO window: the checkpointed id's low 33 bits are the
+        # within-partition ordinal in sort order (see _range_tagged), so the
+        # global rank is pure arithmetic -- zero extra shuffles
         out = out.withColumn(
             rank_col,
-            (F.row_number().over(w).cast("long") + _pid_offset_expr(rank_offsets)),
+            (F.col(_MID).bitwiseAND(F.lit(_ORD_MASK)) + 1 + _pid_offset_expr(rank_offsets)).cast("long"),
         )
     for out_col, (expr, inclusive) in cumsums.items():
         run = 0
@@ -153,7 +172,7 @@ def global_order_stats(
         out = out.withColumn(
             out_col, F.coalesce(F.lead(src, 1).over(w), seam_expr)
         )
-    return out.drop(_PID)
+    return out.drop(_PID, _MID)
 
 
 def global_rank(df: DataFrame, order_by: list[Column], out_col: str) -> DataFrame:
