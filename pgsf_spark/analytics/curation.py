@@ -104,8 +104,6 @@ def q_quality_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     The AUC midranks reuse the Mann-Whitney construction
     (profiling.q_mann_whitney_u): rank + (ties-1)/2 from one sort-shuffle.
     """
-    from pyspark.sql.window import Window
-
     feat = _features(spark, sf_dir)
     w = feat.sparkSession.range(1).select(
         *[F.lit(0.0).alias(f"w{j}") for j in range(4)]
@@ -842,14 +840,16 @@ def q_quantile_normalization_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gv = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
     # global distinct-length grid is data-derived: range-partitioned
-    # cumsum + broadcast total, not partition-less windows
-    from pgsf_spark.operators.ranking import global_cumsum
+    # cumsum; the grand total rides along as a driver literal (the
+    # per-partition sums are already collected for the offsets)
+    from pgsf_spark.operators.ranking import global_order_stats
 
-    gcum = (
-        global_cumsum(gv, [F.col("n_chars").asc()], {"cum": (F.col("c"), True)})
-        .crossJoin(F.broadcast(gv.agg(F.sum("c").alias("n"))))
-        .select("n_chars", "cum", "n")
-    )
+    gcum = global_order_stats(
+        gv,
+        [F.col("n_chars").asc()],
+        cumsums={"cum": (F.col("c"), True)},
+        totals={"cum": "n"},
+    ).select("n_chars", "cum", "n")
     spine = spark.range(1, QN_Q + 1).select(F.col("id").cast("int").alias("q"))
     srcq = (
         spine.crossJoin(scum)

@@ -98,6 +98,8 @@ def global_order_stats(
     rank_col: str | None = None,
     cumsums: dict[str, tuple[Column, bool]] | None = None,
     lead_col: tuple[str, str] | None = None,
+    total_rows_col: str | None = None,
+    totals: dict[str, str] | None = None,
 ) -> DataFrame:
     """One range pass computing any combination of global order statistics.
 
@@ -113,10 +115,19 @@ def global_order_stats(
                   the cross-partition seam value is each partition's MINIMUM
                   of src_col, valid precisely because the ordering is
                   ascending on that column.
+    total_rows_col -- emit the GLOBAL row count as a literal long column:
+                  the per-partition counts are already on the driver for
+                  the rank offsets, so this costs no extra Spark job (the
+                  naive ``agg(count)+crossJoin`` alternative re-scans).
+    totals     -- cumsum out_col -> total-column name: likewise emit each
+                  named cumsum's grand total as a literal long column.
 
     All other columns pass through unchanged.
     """
     cumsums = cumsums or {}
+    totals = totals or {}
+    unknown = set(totals) - set(cumsums)
+    assert not unknown, f"totals for absent cumsums: {unknown}"
     tagged = _range_tagged(df, order_by)
 
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -145,6 +156,9 @@ def global_order_stats(
             rank_col,
             (F.col(_MID).bitwiseAND(F.lit(_ORD_MASK)) + 1 + _pid_offset_expr(rank_offsets)).cast("long"),
         )
+    if total_rows_col is not None:
+        n_total = sum(r["__n"] for r in part_rows)
+        out = out.withColumn(total_rows_col, F.lit(n_total).cast("long"))
     for out_col, (expr, inclusive) in cumsums.items():
         run = 0
         sum_offsets = {}
@@ -154,6 +168,8 @@ def global_order_stats(
         frame = w.rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
         local = F.coalesce(F.sum(expr.cast("long")).over(frame), F.lit(0))
         out = out.withColumn(out_col, local + _pid_offset_expr(sum_offsets))
+        if out_col in totals:
+            out = out.withColumn(totals[out_col], F.lit(run).cast("long"))
     if lead_col is not None:
         src, out_col = lead_col
         # seam: the last row of partition i leads into the FIRST value of
@@ -192,8 +208,9 @@ def global_ntile(
                   r + ceil((i-cut)/q)      otherwise
     -- pure integer arithmetic, so it hash-matches the engines' ntile.
     """
-    ranked = global_order_stats(df, order_by, rank_col="__gr_i")
-    total = ranked.agg(F.count(F.lit(1)).alias("__gr_n"))
+    ranked = global_order_stats(
+        df, order_by, rank_col="__gr_i", total_rows_col="__gr_n"
+    )
     # pure LONG arithmetic via SQL DIV (double division could misround near
     # 2^53); ceil(a/b) = (a+b-1) DIV b; greatest(q,1) guards the never-taken
     # otherwise branch when N < n under ANSI div-by-zero
@@ -205,11 +222,7 @@ def global_ntile(
         f"     + greatest(__gr_n DIV {n}, 1L) - 1) DIV greatest(__gr_n DIV {n}, 1L)"
         f" END"
     )
-    return (
-        ranked.crossJoin(F.broadcast(total))
-        .withColumn(out_col, tile.cast("int"))
-        .drop("__gr_i", "__gr_n")
-    )
+    return ranked.withColumn(out_col, tile.cast("int")).drop("__gr_i", "__gr_n")
 
 
 def global_cumsum(

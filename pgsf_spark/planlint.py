@@ -116,6 +116,9 @@ def partitionless_windows(plan: str) -> list[str]:
         s = raw.strip().lstrip("+-: *").strip()
         if s.startswith("WindowGroupLimit "):
             groups = _bracket_groups(s)
-            if not groups or _is_sort_spec(_toplevel_args(groups[0])[0]):
+            first_args = _toplevel_args(groups[0]) if groups else []
+            # missing partition group, an EMPTY '[]' partition group, or a
+            # first group that is already the sort spec all mean global
+            if not first_args or _is_sort_spec(first_args[0]):
                 hits.append(s[:140])
     return hits

@@ -31,8 +31,11 @@ def test_perf_close_block_matches_registry():
     # the LATEST close block must certify len(QUERIES)/len(QUERIES);
     # earlier blocks are historical records and may name older totals
     latest = closes[-1]
-    counts = re.findall(r"(\d+)/(\d+) hash-green", latest)
-    assert counts, f"latest close block has no N/N hash-green line: {latest[:200]}"
+    # match BOTH certification figures ('N/N hash-green at sf0.001' and
+    # 'N/N at sf0.01'), not just the first -- a hand-edited red or stale
+    # total in either must fail
+    counts = re.findall(r"(\d+)/(\d+) (?:hash-green|at sf[\d.]+)", latest)
+    assert len(counts) >= 2, f"latest close block lost a certification figure: {latest[:300]}"
     for got, total in counts:
         assert got == total, f"latest close block records a red: {got}/{total}"
         assert int(total) == len(QUERIES), (
