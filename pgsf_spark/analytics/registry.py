@@ -8473,12 +8473,81 @@ _ROUND8_FRONT = [
 assert len(_ROUND8_FRONT) == 50, len(_ROUND8_FRONT)
 assert set(_ROUND8_FRONT) <= set(QUERIES), set(_ROUND8_FRONT) - set(QUERIES)
 
+# Round 9: REGISTRY STILL FROZEN (VERDICT r8 ask #1).  The window is the
+# next FIFTY never-driver-checked names in dict order after the round-8
+# rotation -- exactly the first 50 of the 78-name backlog enumerated in
+# the round-7 comment above, ljung_box_stat .. ab_equivalence_tost.
+# (VERDICT r8 quoted the range end as basket_size_profile; that was a
+# miscount of the same list -- the authoritative order is dict order,
+# recomputed from the cumulative CORRECTNESS_r01-r08 ledger, and the
+# 50th backlog name is ab_equivalence_tost.)  After this round 28
+# never-checked remain (conversion_paths_topk .. label_balance_audit);
+# ROUND 10's front takes those 28 PLUS post-migration re-checks for the
+# operators/ranking.py consumers rfm_segments and gini_spend (VERDICT r8
+# ask #5: their driver rows predate the round-8 ranking migration; the
+# round-9 front stays never-checked-only so CORRECTNESS_r09 is 50/50 on
+# virgin names, per ask #1's "Done" criterion).
+_ROUND9_FRONT = [
+    "ljung_box_stat",
+    "yule_k_lexical",
+    "shapley_attribution",
+    "nelson_aalen_hazard",
+    "randomization_test_chars",
+    "readability_panel",
+    "durbin_watson",
+    "transition_entropy",
+    "mcnemar_filters",
+    "heaps_law_fit",
+    "pettitt_changepoint",
+    "jarque_bera_daily",
+    "source_hhi",
+    "price_index_fisher",
+    "interarrival_burstiness",
+    "embedding_effective_rank",
+    "corpus_novelty_curve",
+    "cramer_von_mises",
+    "hampel_outlier_days",
+    "negative_binomial_fit",
+    "char_entropy_bits",
+    "ship_latency_profile",
+    "wilson_pass_rate_ci",
+    "theil_atkinson_inequality",
+    "daily_growth_profile",
+    "hourly_uniformity_chi2",
+    "video_frame_sample_gate",
+    "rbo_topk_stability",
+    "james_stein_nation_means",
+    "good_turing_unseen",
+    "pr_auc_quality",
+    "best_f1_threshold",
+    "bradley_terry_strengths",
+    "dpo_preference_pairs",
+    "kneser_ney_continuation",
+    "burrows_delta",
+    "quantile_normalization_map",
+    "auc_by_fold",
+    "dup_cluster_powerlaw",
+    "rich_club_coefficient",
+    "shard_rebalance_audit",
+    "simpson_paradox_probe",
+    "hll_merge_by_day",
+    "median_ci_order_stats",
+    "lineitem_correlation_matrix",
+    "query_likelihood_topk",
+    "g_test_independence",
+    "chi2_residuals_topk",
+    "ab_effect_size",
+    "ab_equivalence_tost",
+]
+assert len(_ROUND9_FRONT) == 50, len(_ROUND9_FRONT)
+assert set(_ROUND9_FRONT) <= set(QUERIES), set(_ROUND9_FRONT) - set(QUERIES)
+
 # Apply the rotations in round order (one top-level QUERIES binding: the
 # duplicate-constant lint treats a second bare reassignment as the
 # NOVELTY_N shadowing hazard). Each pass moves that round's front to the
 # dict head; later passes see the previous rotation's tail order, which is
 # what the round-9/10 name-by-name plan above was written against.
-for _front in (_ROUND7_FRONT, _ROUND8_FRONT):
+for _front in (_ROUND7_FRONT, _ROUND8_FRONT, _ROUND9_FRONT):
     QUERIES = {
         name: QUERIES[name]
         for name in (*_front, *(n for n in QUERIES if n not in set(_front)))
