@@ -42,7 +42,36 @@ the within-partition row number, so the rank is arithmetic, not a window.
 Running sums / lead still need the per-partition window and its pid hash
 exchange (two shuffles total).  Versus ONE shuffle into ONE task for the
 naive global window: at sf0.1 both are milliseconds; at 100 TB only this
-shape finishes.
+shape finishes the RANKING WORK distributed -- see the checkpoint
+tradeoff below for the fault-tolerance fine print.
+
+Checkpoint footprint and fault tolerance (the operator's one real at-scale
+cost, so choose the mode deliberately via ``checkpoint=``):
+
+* ``"local"`` (default) -- ``localCheckpoint``: materializes the ENTIRE
+  tagged relation once to executor-local block-manager storage
+  (MEMORY_AND_DISK) and SEVERS LINEAGE.  The severing is deliberate and
+  load-bearing: the range partitioner samples its boundaries, so a lineage
+  recompute could legally re-derive DIFFERENT (pid, ordinal) tags, and the
+  driver-side offsets would then silently mismatch the data.  The price is
+  (a) a full second copy of the input in executor memory/disk for the
+  operator's lifetime, and (b) NO recompute path -- on a 1000-executor
+  cluster, losing any executor that holds checkpoint blocks fails the
+  query (Spark resubmits nothing; rerun the query).  Acceptable for
+  rank-grain analytics (idempotent, retried by the caller), wrong for
+  long multi-hour pipelines that must survive node churn.
+* ``"local_disk"`` -- ``localCheckpoint(storageLevel=DISK_ONLY)``: same
+  semantics, but the copy bypasses executor memory entirely -- the right
+  default for WIDE inputs (100s of columns) where a cached second copy
+  would evict working memory.  Still executor-local, still no recompute.
+* ``"reliable"`` -- ``DataFrame.checkpoint``: writes the tagged relation
+  to ``spark.sparkContext.setCheckpointDir`` (HDFS/object store), which
+  SURVIVES executor loss -- the at-scale choice when the job must ride
+  through node failures.  Costs one distributed write+read of the
+  relation; requires the checkpoint dir to be configured.
+
+All three freeze the tags exactly once, so results are identical; only
+the storage residence and failure behavior differ.
 """
 
 from __future__ import annotations
@@ -50,10 +79,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 _PID = "__gr_pid"
 _MID = "__gr_mid"
 _ORD_MASK = (1 << 33) - 1  # monotonically_increasing_id: pid<<33 | ordinal
+_CHECKPOINT_MODES = ("local", "local_disk", "reliable")
 
 
 def _pid_offset_expr(offsets: dict[int, int]) -> Column:
@@ -64,15 +95,34 @@ def _pid_offset_expr(offsets: dict[int, int]) -> Column:
     for pid, off in offsets.items():
         pairs.append(F.lit(pid))
         pairs.append(F.lit(off))
-    # try_element_at: ANSI-safe if a pid were ever absent (it cannot be --
-    # the map is built from the same checkpointed rows -- but a silent NULL
-    # beats an ANSI error in a plan invariant)
-    return F.coalesce(
-        F.try_element_at(F.create_map(*pairs), F.col(_PID)), F.lit(0)
+    looked = F.try_element_at(F.create_map(*pairs), F.col(_PID))
+    # fail LOUDLY on a missing pid: the map is built from the same
+    # checkpointed rows, so a miss means the checkpoint invariant broke
+    # (e.g. evicted blocks forcing a recompute that resampled the range
+    # boundaries) and every rank/cumsum downstream would be silently wrong.
+    # assert_true returns NULL when the predicate holds and raises a
+    # runtime error when it does not, so the WHEN branch is pure pass-through
+    # on the healthy path.
+    return F.when(
+        F.assert_true(
+            looked.isNotNull(),
+            F.concat(
+                F.lit(
+                    "global_order_stats: range-partition id absent from the "
+                    "frozen offset map (checkpoint invariant violated; "
+                    "pid="
+                ),
+                F.col(_PID).cast("string"),
+                F.lit(")"),
+            ),
+        ).isNull(),
+        looked,
     ).cast("long")
 
 
-def _range_tagged(df: DataFrame, order_by: list[Column]) -> DataFrame:
+def _range_tagged(
+    df: DataFrame, order_by: list[Column], *, checkpoint: str = "local"
+) -> DataFrame:
     """Range-partition AND locally sort by the sort expressions, then freeze
     each row's (partition id, within-partition ordinal).
 
@@ -80,15 +130,40 @@ def _range_tagged(df: DataFrame, order_by: list[Column]) -> DataFrame:
     31 bits and the physical row position in the lower 33; after
     ``sortWithinPartitions`` that position IS the local row_number-1, so the
     rank path needs no window (and no second exchange) at all. The eager
-    ``localCheckpoint`` freezes both the range partitioner's sampled
-    boundaries and the ids."""
-    return (
+    checkpoint freezes both the range partitioner's sampled boundaries and
+    the ids -- see the module docstring for the mode tradeoffs."""
+    if checkpoint not in _CHECKPOINT_MODES:
+        raise ValueError(
+            f"checkpoint must be one of {_CHECKPOINT_MODES}, got {checkpoint!r}"
+        )
+    tagged = (
         df.repartitionByRange(*order_by)
         .sortWithinPartitions(*order_by)
         .withColumn(_MID, F.monotonically_increasing_id())
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=True)
     )
+    if checkpoint == "reliable":
+        return tagged.checkpoint(eager=True)
+    if checkpoint == "local_disk":
+        return tagged.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    return tagged.localCheckpoint(eager=True)
+
+
+def _lead_order_head_ok(order_by: list[Column], src: str) -> bool:
+    """True iff the PRIMARY sort expression is a plain ascending reference to
+    ``src``.  The lead seam patches each partition's last row with the next
+    partition's ``min(src)``, which equals that partition's FIRST value only
+    when the total order's leading key is ``src`` ascending (secondary
+    tiebreaks don't affect the min).  Parsed from the Column repr -- e.g.
+    ``Column<'v ASC NULLS FIRST'>`` / ``Column<'v'>`` -- which is stable
+    across the classic PySpark API."""
+    if not order_by:
+        return False
+    inner = str(order_by[0])
+    if inner.startswith("Column<'") and inner.endswith("'>"):
+        inner = inner[len("Column<'") : -2]
+    parts = inner.split(" ")
+    return parts[0] == src and (len(parts) == 1 or parts[1] == "ASC")
 
 
 def global_order_stats(
@@ -100,6 +175,7 @@ def global_order_stats(
     lead_col: tuple[str, str] | None = None,
     total_rows_col: str | None = None,
     totals: dict[str, str] | None = None,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """One range pass computing any combination of global order statistics.
 
@@ -110,17 +186,23 @@ def global_order_stats(
                   driver-side prefix offsets stay exact.  inclusive=False
                   gives the rowsBetween(unboundedPreceding, -1) form
                   (0 for the first row).
-    lead_col   -- (src_col, out_col): global lead(src_col, 1).  Supported for
-                  ascending plain-column orderings (the grid-step use case);
-                  the cross-partition seam value is each partition's MINIMUM
-                  of src_col, valid precisely because the ordering is
-                  ascending on that column.
+    lead_col   -- (src_col, out_col): global lead(src_col, 1).  Supported
+                  ONLY when the PRIMARY order expression is a plain
+                  ascending reference to src_col (the grid-step use case) --
+                  ENFORCED, not just documented: the cross-partition seam
+                  value is each partition's MINIMUM of src_col, which is the
+                  partition's first value precisely because the leading sort
+                  key is src_col ascending.  A desc() or computed leading
+                  key raises instead of producing silently wrong seams.
     total_rows_col -- emit the GLOBAL row count as a literal long column:
                   the per-partition counts are already on the driver for
                   the rank offsets, so this costs no extra Spark job (the
                   naive ``agg(count)+crossJoin`` alternative re-scans).
     totals     -- cumsum out_col -> total-column name: likewise emit each
                   named cumsum's grand total as a literal long column.
+    checkpoint -- "local" (default) | "local_disk" | "reliable": where the
+                  tag-freezing materialization lives; see the module
+                  docstring for the footprint / fault-tolerance tradeoff.
 
     All other columns pass through unchanged.
     """
@@ -128,7 +210,15 @@ def global_order_stats(
     totals = totals or {}
     unknown = set(totals) - set(cumsums)
     assert not unknown, f"totals for absent cumsums: {unknown}"
-    tagged = _range_tagged(df, order_by)
+    if lead_col is not None and not _lead_order_head_ok(order_by, lead_col[0]):
+        raise ValueError(
+            f"lead_col={lead_col!r} requires the primary order expression to "
+            f"be a plain ascending reference to {lead_col[0]!r} (got "
+            f"{str(order_by[0]) if order_by else 'no order_by'}): the "
+            f"cross-partition seam uses each partition's min({lead_col[0]}), "
+            f"which is the first row's value only under that ordering"
+        )
+    tagged = _range_tagged(df, order_by, checkpoint=checkpoint)
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for out, (expr, _inclusive) in cumsums.items():

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from pgsf_spark.analytics import dedup
 from pgsf_spark.tables import spread
 
+SF_DIR = "/root/testdata/sf0.001"
+
 
 class TestSpread:
     def test_spread_noop_when_wide(self, spark):
@@ -39,6 +41,89 @@ class TestSpread:
         )
         sig = dedup.doc_minhash(docs)
         assert "Exchange" not in sig._jdf.queryExecution().executedPlan().toString()
+
+
+class TestChunkAssignmentCrossEngine:
+    """The jaccard_pairs hash-chunk split (``_md5_hash_int(doc_id, 7) %
+    n_chunks``) only activates when a source block exceeds MAX_BUCKET -- at
+    both oracle test scales every source fits ONE chunk, so a Spark-vs-DuckDB
+    divergence in the chunk expression would surface only at real scale as
+    silently different pairs.  These tests pin the cross-engine contract with
+    n_chunks > 1 forced (ADVICE r8 #4)."""
+
+    def test_chunk_expression_matches_duckdb(self, spark):
+        import duckdb
+
+        from pgsf_spark.analytics.dedup import _md5_hash_int
+
+        ids = spark.range(0, 500).select(F.col("id").cast("string").alias("doc_id"))
+        got = {
+            (r["doc_id"], n): r[f"c{n}"]
+            for n in (2, 3, 7, 20)
+            for r in ids.select(
+                "doc_id",
+                *[
+                    (_md5_hash_int(F.col("doc_id"), 7) % F.lit(n)).alias(f"c{n}")
+                    for n in (2, 3, 7, 20)
+                ],
+            ).collect()
+        }
+        want_rows = duckdb.sql(
+            """
+            SELECT CAST(i AS VARCHAR) AS doc_id,
+                   ('0x' || substr(md5('s7:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2 AS c2,
+                   ('0x' || substr(md5('s7:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 3 AS c3,
+                   ('0x' || substr(md5('s7:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 7 AS c7,
+                   ('0x' || substr(md5('s7:' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 20 AS c20
+            FROM range(500) t(i)
+            """
+        ).fetchall()
+        assert len(want_rows) == 500
+        for doc_id, c2, c3, c7, c20 in want_rows:
+            for n, want in ((2, c2), (3, c3), (7, c7), (20, c20)):
+                assert got[(doc_id, n)] == want, (doc_id, n)
+
+    def test_multi_chunk_pairs_match_duckdb(self, spark, monkeypatch):
+        # force n_chunks > 1 on the real query faces: MAX_BUCKET=8 over the
+        # sf0.001 documents table makes every source span multiple chunks,
+        # then the Spark face and a mirrored DuckDB query must emit the
+        # IDENTICAL pair set (not just the same count)
+        import duckdb
+
+        from pgsf_spark.tables import load_table
+
+        monkeypatch.setattr(dedup, "MAX_BUCKET", 8)
+        n_chunk_probe = (
+            load_table(spark, SF_DIR, "documents")
+            .groupBy("source")
+            .agg(F.ceil(F.count(F.lit(1)) / dedup.MAX_BUCKET).cast("long").alias("n"))
+            .agg(F.min("n"))
+            .collect()[0][0]
+        )
+        assert n_chunk_probe > 1, "MAX_BUCKET override failed to force chunking"
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.q_jaccard_pairs(spark, SF_DIR).collect()
+        )
+        norm = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+        toks = f"string_split({norm}, ' ')"
+        want = duckdb.sql(
+            f"""
+            WITH t AS (SELECT doc_id, source, list_distinct({toks}) AS toks
+                       FROM read_parquet('{SF_DIR}/documents.parquet')),
+            nc AS (SELECT source, CAST(CEIL(COUNT(*) / 8.0) AS BIGINT) AS n_chunks
+                   FROM t GROUP BY source),
+            c AS (SELECT t.doc_id, t.source, t.toks,
+                    ('0x' || substr(md5('s7:' || CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % nc.n_chunks AS chunk
+                  FROM t JOIN nc ON t.source = nc.source)
+            SELECT * FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                ROUND(len(list_intersect(a.toks, b.toks)) / len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+              FROM c a JOIN c b ON a.source = b.source AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+            WHERE jaccard >= 0.2
+            """
+        ).fetchall()
+        assert got == sorted(want)
 
 
 class TestHotBucketCap:

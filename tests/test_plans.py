@@ -92,6 +92,11 @@ _POST_LIMIT = {
     "ann_ndcg_gate",  # ranks over the two top-k candidate lists
 }
 GLOBAL_WINDOW_OK = _DAY_SPINE | _LITERAL_SPINE | _POST_LIMIT
+# every whitelist entry must name a LIVE query: a renamed/removed query
+# would otherwise leave a stale exemption behind (and the renamed query
+# would silently lose its earned one) -- module-level so a violation fails
+# collection, not one test among 1100
+assert GLOBAL_WINDOW_OK <= set(QUERIES), GLOBAL_WINDOW_OK - set(QUERIES)
 
 
 class TestNoGlobalWindow:

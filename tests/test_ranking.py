@@ -96,6 +96,81 @@ class TestGlobalLead:
         assert _rows(got, "v", "nxt") == _rows(want, "v", "nxt")
 
 
+class TestLeadOrderGuard:
+    """The lead seam is only valid when the leading sort key is the lead
+    source ascending -- the operator must REJECT other orderings instead of
+    emitting silently wrong cross-partition seams (VERDICT r8 ask #4a)."""
+
+    def test_desc_order_lead_raises(self, spark):
+        d = _sample(spark).groupBy("v").agg(F.sum("amt").alias("s"))
+        with pytest.raises(ValueError, match="plain ascending reference"):
+            global_order_stats(d, [F.col("v").desc()], lead_col=("v", "nxt"))
+
+    def test_computed_leading_key_raises(self, spark):
+        d = _sample(spark).groupBy("v").agg(F.sum("amt").alias("s"))
+        with pytest.raises(ValueError, match="plain ascending reference"):
+            global_order_stats(
+                d, [(F.col("v") * -1).asc()], lead_col=("v", "nxt")
+            )
+
+    def test_wrong_leading_column_raises(self, spark):
+        d = _sample(spark)
+        with pytest.raises(ValueError, match="plain ascending reference"):
+            global_order_stats(
+                d, [F.col("amt").asc(), F.col("v").asc()], lead_col=("v", "nxt")
+            )
+
+    def test_secondary_tiebreaks_still_allowed(self, spark):
+        # tiebreak columns after the ascending lead source don't affect the
+        # seam min -- they must keep working (the grid-step callers use them)
+        d = _sample(spark)
+        got = global_order_stats(
+            d, [F.col("v").asc(), F.col("k").asc()], lead_col=("v", "nxt")
+        )
+        w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+        want = d.withColumn("nxt", F.lead("v", 1).over(w))
+        assert _rows(got, "k", "nxt") == _rows(want, "k", "nxt")
+
+
+class TestCheckpointModes:
+    """The tag freeze can live in executor memory (default), executor disk
+    (wide inputs), or the reliable checkpoint dir (survives executor loss);
+    all three must produce identical results (VERDICT r8 ask #4b)."""
+
+    def test_local_disk_matches_naive(self, spark):
+        d = _sample(spark)
+        order = [F.col("v").asc(), F.col("k").asc()]
+        got = global_order_stats(
+            d, order, rank_col="i", checkpoint="local_disk"
+        )
+        want = d.withColumn(
+            "i", F.row_number().over(Window.orderBy(*order)).cast("long")
+        )
+        assert _rows(got, "k", "i") == _rows(want, "k", "i")
+
+    def test_reliable_checkpoint_matches_naive(self, spark, tmp_path):
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        d = _sample(spark)
+        order = [F.col("v").asc(), F.col("k").asc()]
+        got = global_order_stats(
+            d,
+            order,
+            rank_col="i",
+            cumsums={"c": (F.col("amt"), True)},
+            checkpoint="reliable",
+        )
+        w = Window.orderBy(*order)
+        want = d.withColumn("i", F.row_number().over(w).cast("long")).withColumn(
+            "c", F.sum("amt").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        assert _rows(got, "k", "i", "c") == _rows(want, "k", "i", "c")
+
+    def test_unknown_mode_raises(self, spark):
+        d = _sample(spark, n=5)
+        with pytest.raises(ValueError, match="checkpoint must be one of"):
+            global_order_stats(d, [F.col("k").asc()], rank_col="i", checkpoint="hdfs")
+
+
 class TestCombined:
     def test_rank_cumsum_lead_single_pass(self, spark):
         d = _sample(spark).groupBy("v").agg(F.count(F.lit(1)).alias("c"))
