@@ -543,23 +543,15 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", "source", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
     )
-    tok = toks.select("doc_id", F.explode("toks").alias("token"))
-    df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        tok.join(F.broadcast(df_), "token")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "token"))), lambda s: s.token
-            ).alias("rtoks")
-        )
-    )
-    pre = ranked.select(
-        "doc_id",
-        F.size("rtoks").alias("sz"),
-        F.expr(
-            f"slice(rtoks, 1, cast(size(rtoks) - ceil({PREFIX_T} * size(rtoks)) + 1 as int))"
-        ).alias("prefix"),
+    # tokenize ONCE: every downstream consumer (vocab probe, doc masks /
+    # prefix ranking, doc frequencies) reads the checkpointed skinny
+    # (doc_id, token) table instead of re-scanning + re-splitting the text
+    # column per consumer (the tokenize scan was the query's single biggest
+    # repeated cost). One materialized copy of ~|tokens| narrow rows --
+    # at 100 TB this is the tokenized projection any set-similarity join
+    # materializes anyway.
+    tok = toks.select("doc_id", F.explode("toks").alias("token")).localCheckpoint(
+        eager=True
     )
     # Verification and (for small vocabularies) candidate generation: when
     # the vocabulary fits in a long (<= 62 tokens, true for this synthetic
@@ -571,13 +563,16 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabularies use PPJoin prefix blocking + the array-intersect join.
     # Both paths are exact; the vocab count is a tiny driver scalar (like
     # pagerank's node count).
-    # One bounded job decides the branch AND fetches the rarity-ordered
-    # vocabulary when it is small: take(63) is a TakeOrdered over the
-    # df-aggregate -- 63 rows back means "vocabulary exceeds the bitmask
-    # width", fewer means we hold the whole (df, token) order driver-side
-    # and can assign tids as a literal map (no broadcast join, no window,
-    # no second aggregate over the token table).
-    vocab_rows = df_.orderBy("df", "token").take(63)
+    # One bounded job decides the branch AND fetches the vocabulary when it
+    # is small: take(63) over the distinct tokens -- 63 rows back means
+    # "vocabulary exceeds the bitmask width", fewer means we hold the whole
+    # vocabulary driver-side and can assign tids as a literal map.  tid
+    # order is IRRELEVANT to the bitmask path's exactness (the pigeonhole
+    # argument needs only a fixed assignment into contiguous ranges and the
+    # verify is exact bit arithmetic), so the cheap distinct replaces the
+    # doc-frequency aggregate + TakeOrdered the rarity ranking needed --
+    # rarity ordering only matters for the PPJoin prefix branch below.
+    vocab_rows = tok.select("token").distinct().orderBy("token").take(63)
     if len(vocab_rows) <= 62:
         n_vocab = len(vocab_rows)
         tid_map = F.create_map(
@@ -702,6 +697,26 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "jaccard"
         )
     else:
+        # rarity ranking (needed only here): doc frequencies over the
+        # checkpointed token table, prefix = the rarest tokens
+        df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            tok.join(F.broadcast(df_), "token")
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("df", "token"))),
+                    lambda s: s.token,
+                ).alias("rtoks")
+            )
+        )
+        pre = ranked.select(
+            "doc_id",
+            F.size("rtoks").alias("sz"),
+            F.expr(
+                f"slice(rtoks, 1, cast(size(rtoks) - ceil({PREFIX_T} * size(rtoks)) + 1 as int))"
+            ).alias("prefix"),
+        )
         # PPJoin prefix blocking (Xiao et al. 2008) for general
         # vocabularies, with the standard exact-preserving filters applied
         # BEFORE the distinct shuffle:

@@ -276,3 +276,38 @@ class TestPigeonholeSubmaskBanding:
             for r in q_prefix_filter_pairs(spark, str(tmp_path)).collect()
         }
         assert got == want and sum(want.values()) > 0
+
+    def test_matches_bruteforce_on_large_vocab(self, spark, tmp_path):
+        # > 62 distinct tokens forces the PPJoin prefix-blocking branch
+        # (rarity-ranked prefixes + array-intersect verify) -- the branch no
+        # oracle scale exercises (the synthetic corpus vocabulary is 31
+        # words), so it needs its own brute-force gate
+        import itertools
+
+        from pgsf_spark.analytics.dedup import PREFIX_T, q_prefix_filter_pairs
+
+        vocab = [f"w{i:02d}" for i in range(70)]
+        rng_docs = []
+        for i in range(50):
+            # large shared core + tiny per-doc drops: pairs straddle the
+            # jaccard threshold from both sides
+            drop = {i % 70, (i * 7 + 3) % 70} if i % 3 else {i % 70}
+            toks = [w for j, w in enumerate(vocab) if j not in drop]
+            rng_docs.append((i, " ".join(toks), "en", f"s{i % 4}", len(toks)))
+        spark.createDataFrame(
+            rng_docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+        sets = {i: frozenset(t.split()) for i, t, *_ in rng_docs}
+        srcs = {i: s for i, _, _, s, _ in rng_docs}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if round(j, 4) >= PREFIX_T:
+                src = srcs[a]
+                want[src] = want.get(src, 0) + 1
+        got = {
+            r["source"]: r["n_pairs"]
+            for r in q_prefix_filter_pairs(spark, str(tmp_path)).collect()
+        }
+        assert got == want and sum(want.values()) > 0
