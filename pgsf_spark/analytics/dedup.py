@@ -155,48 +155,62 @@ def lsh_candidate_pairs(banded: DataFrame, max_bucket: int = MAX_BUCKET) -> Data
     n_chunks = F.ceil(F.size("ids") / max_bucket).cast("int")
     # keep size-1 tail chunks here: they emit no in-chunk pairs, but their
     # doc must still appear in the recovery chain (a 513-doc bucket's last
-    # doc would otherwise silently lose every pair)
+    # doc would otherwise silently lose every pair).
+    # Each chunk row also carries rep_next = the FIRST doc of the next
+    # chunk (null on the last chunk), so the recovery chain is emitted from
+    # the SAME rows as the in-chunk pairs: one consumer tree. The previous
+    # shape derived the chain from `buckets` in a second union branch, and
+    # without exchange reuse that re-ran the whole scan -> minhash -> band
+    # -> groupBy pipeline a second time -- a full duplicate corpus pass at
+    # any scale.
     chunked = buckets.select(
         "band",
         "bucket",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.slice(F.col("ids"), i * max_bucket + 1, max_bucket),
+                lambda i: F.struct(
+                    F.slice(F.col("ids"), i * max_bucket + 1, max_bucket).alias("ids"),
+                    F.get(F.col("ids"), (i + 1) * max_bucket).alias("rep_next"),
+                ),
             )
-        ).alias("chunk", "ids"),
-    )
+        ).alias("chunk", "c"),
+    ).select("band", "bucket", "chunk", "c.ids", "c.rep_next")
     # spread hot-bucket chunks across tasks: the exchange moves one array row
     # per chunk (~= the groupBy's own volume), not the generated pairs
     chunked = chunked.repartition("band", "bucket", "chunk")
-    # upper triangle directly: pair doc i only with ids[i+1:] (the arrays are
-    # sorted) -- emits b(b-1)/2 rows instead of exploding the full b^2 cross
-    # product and filtering half away
-    in_chunk = (
-        chunked.filter(F.size("ids") > 1)
-        .select(F.posexplode("ids").alias("i", "doc_a"), "ids")
-        .select(
-            "doc_a",
-            F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias("doc_b"),
+    # upper triangle directly: pair doc i only with ids[i+1:] (the arrays
+    # are sorted) -- b(b-1)/2 pairs, never the b^2 cross product -- plus the
+    # chain pair (first-of-this-chunk, first-of-next-chunk) when a next
+    # chunk exists; rep(c) < rep(c+1) keeps the doc_a < doc_b invariant.
+    # Chain volume is LINEAR in chunk count (a rep x rep cross pairing
+    # would re-create the quadratic blowup the cap exists to stop), and
+    # connected_components closes the chain transitively.
+    tri = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
     )
-    # chain adjacent chunk representatives, computed directly from the
-    # sorted bucket array (rep of chunk c = ids[c*max_bucket]): no window,
-    # no extra shuffle, and rep(c) < rep(c+1) keeps the doc_a < doc_b pair
-    # invariant
-    rep_chain = (
-        buckets.filter(F.size("ids") > max_bucket)
-        .select(
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, cast(ceil(size(ids) / {max_bucket}.0) as int) - 2),"
-                    f" c -> struct(ids[c*{max_bucket}] as doc_a, ids[(c+1)*{max_bucket}] as doc_b))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
+    # slice-to-0 keeps the empty branch's element type identical to tri's
+    # regardless of the caller's doc_id type (no hard-coded cast)
+    chain = F.slice(
+        F.array(
+            F.struct(
+                F.get(F.col("ids"), 0).alias("doc_a"),
+                F.col("rep_next").alias("doc_b"),
+            )
+        ),
+        F.lit(1),
+        F.when(F.col("rep_next").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
     )
-    return in_chunk.union(rep_chain).distinct()
+    pairs = chunked.select(F.explode(F.concat(tri, chain)).alias("p")).select(
+        "p.doc_a", "p.doc_b"
+    )
+    return pairs.distinct()
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
