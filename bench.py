@@ -70,6 +70,13 @@ def main():
                     while fh.read(1 << 24):
                         pass
 
+    # contamination evidence (the round-8 official bench was ~1.5x inflated
+    # by a loaded box, uniformly across queries untouched for 7 rounds):
+    # record the 1-minute load average before and after, so a contaminated
+    # sample is diagnosable from the artifact itself. On this 32-core box
+    # an isolated bench should start near 0 and end near the bench's own
+    # footprint; a start value >> 1 means something else was running.
+    load_start = round(os.getloadavg()[0], 2)
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
@@ -78,6 +85,7 @@ def main():
         n = df.count() if name != "cosine_topk" else len(df.collect())
         times[name] = round(time.time() - t0, 3)
         _ = n
+    load_end = round(os.getloadavg()[0], 2)
     total = round(sum(times.values()), 3)
     # the original round-1 headline ten, so the cross-round trend number
     # stays comparable after the round-4 additions to HEADLINE
@@ -90,6 +98,8 @@ def main():
                 "unit": "sec",
                 "original10_total": orig10,
                 "queries": times,
+                "load_avg_1m_start": load_start,
+                "load_avg_1m_end": load_end,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
