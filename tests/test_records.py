@@ -1,0 +1,148 @@
+"""Single-record CRUD surface (operators/records.py): REST-verb parity with
+the reference client library (api.py:591-713) over a versioned TableStore --
+create/get/get_by_custom_id/update/upsert/delete, PATCH merge semantics,
+404/300/400 error mapping, and the point-lookup pushdown."""
+
+import pytest
+
+from pgsf_spark.operators.records import (
+    InvalidField,
+    MultipleRecordsFound,
+    RecordApi,
+    RecordNotFound,
+)
+
+
+@pytest.fixture()
+def api(tmp_store):
+    return RecordApi(tmp_store, "contacts", pk="Id")
+
+
+def _seed(api, n=3):
+    made = [api.create({"name": f"n{i}", "ext": f"e{i}", "amount": i * 10}) for i in range(n)]
+    return [m["id"] for m in made]
+
+
+class TestCreateGet:
+    def test_create_then_get_roundtrip(self, api):
+        out = api.create({"name": "ada", "ext": "x1", "amount": 5})
+        assert out["success"] is True and out["errors"] == []
+        got = api.get(out["id"])
+        assert got["name"] == "ada" and got["amount"] == 5 and got["Id"] == out["id"]
+
+    def test_create_rejects_pk_in_payload(self, api):
+        with pytest.raises(InvalidField, match="cannot be specified on create"):
+            api.create({"Id": "boom", "name": "x"})
+
+    def test_create_on_existing_table_rejects_unknown_field(self, api):
+        _seed(api, 1)
+        with pytest.raises(InvalidField, match="no column"):
+            api.create({"name": "y", "nope": 1})
+
+    def test_ids_are_reference_width(self, api):
+        out = api.create({"name": "w", "ext": "e", "amount": 0})
+        assert len(out["id"]) == 18
+
+    def test_get_missing_raises_404(self, api):
+        _seed(api, 1)
+        with pytest.raises(RecordNotFound):
+            api.get("absent-id")
+
+    def test_each_mutation_publishes_a_version(self, api, tmp_store):
+        ids = _seed(api, 2)
+        v1 = tmp_store.current_version("contacts")
+        api.update(ids[0], {"amount": 99})
+        assert tmp_store.current_version("contacts") != v1
+
+
+class TestGetByCustomId:
+    def test_unique_match(self, api):
+        ids = _seed(api)
+        got = api.get_by_custom_id("ext", "e1")
+        assert got["Id"] == ids[1] and got["amount"] == 10
+
+    def test_missing_raises_404(self, api):
+        _seed(api)
+        with pytest.raises(RecordNotFound):
+            api.get_by_custom_id("ext", "zz")
+
+    def test_ambiguous_raises_300(self, api):
+        _seed(api)
+        api.create({"name": "dup", "ext": "e1", "amount": 7})
+        with pytest.raises(MultipleRecordsFound):
+            api.get_by_custom_id("ext", "e1")
+
+    def test_unknown_field_raises_400(self, api):
+        _seed(api, 1)
+        with pytest.raises(InvalidField):
+            api.get_by_custom_id("nope", "v")
+
+
+class TestUpdate:
+    def test_patch_merges_named_fields_only(self, api):
+        ids = _seed(api)
+        assert api.update(ids[0], {"amount": 77}) == 204
+        got = api.get(ids[0])
+        # untouched fields survive the PATCH
+        assert got["amount"] == 77 and got["name"] == "n0" and got["ext"] == "e0"
+
+    def test_other_rows_untouched(self, api):
+        ids = _seed(api)
+        api.update(ids[0], {"amount": 77})
+        assert api.get(ids[2])["amount"] == 20
+
+    def test_update_missing_raises_404(self, api):
+        _seed(api, 1)
+        with pytest.raises(RecordNotFound):
+            api.update("absent", {"amount": 1})
+
+    def test_update_unknown_field_raises_400(self, api):
+        ids = _seed(api, 1)
+        with pytest.raises(InvalidField):
+            api.update(ids[0], {"nope": 1})
+
+
+class TestUpsert:
+    def test_creates_when_absent(self, api):
+        _seed(api, 1)
+        assert api.upsert("ext", "fresh", {"name": "new", "amount": 3}) == 201
+        got = api.get_by_custom_id("ext", "fresh")
+        assert got["name"] == "new" and len(got["Id"]) == 18
+
+    def test_updates_when_present(self, api):
+        ids = _seed(api)
+        assert api.upsert("ext", "e2", {"amount": 555}) == 204
+        got = api.get(ids[2])
+        # same identity, patched fields, kept fields
+        assert got["amount"] == 555 and got["name"] == "n2" and got["ext"] == "e2"
+
+    def test_ambiguous_raises_300(self, api):
+        _seed(api)
+        api.create({"name": "dup", "ext": "e1", "amount": 7})
+        with pytest.raises(MultipleRecordsFound):
+            api.upsert("ext", "e1", {"amount": 1})
+
+
+class TestDelete:
+    def test_delete_removes_only_that_row(self, api):
+        ids = _seed(api)
+        assert api.delete(ids[1]) == 204
+        with pytest.raises(RecordNotFound):
+            api.get(ids[1])
+        assert api.get(ids[0])["name"] == "n0"
+        assert api.get(ids[2])["name"] == "n2"
+
+    def test_delete_missing_raises_404(self, api):
+        _seed(api, 1)
+        with pytest.raises(RecordNotFound):
+            api.delete("absent")
+
+
+class TestPointLookupPushdown:
+    def test_get_pushes_id_filter_to_scan(self, api, tmp_store):
+        ids = _seed(api)
+        from pyspark.sql import functions as F
+
+        df = tmp_store.read("contacts").filter(F.col("Id") == F.lit(ids[0])).limit(2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "Id" in plan.split("PushedFilters")[1][:120]
