@@ -27,10 +27,18 @@ from pyspark.sql import functions as F
 
 
 class EntitySource:
-    def __init__(self, spark: SparkSession, base_dir: str, fmt: str = "parquet"):
+    def __init__(self, spark: SparkSession, base_dir: str, fmt: str = "parquet", usage=None):
         self.spark = spark
         self.base_dir = base_dir
         self.fmt = fmt
+        # optional sources.usage.UsageTracker: every scan op records one
+        # logical request, the way each reference REST call updates
+        # ``sf.api_usage`` from the Sforce-Limit-Info header (api.py:472-500)
+        self.usage = usage
+
+    def _record(self, table: str, op: str) -> None:
+        if self.usage is not None:
+            self.usage.record(table, op)
 
     def path(self, table: str) -> str:
         p = os.path.join(self.base_dir, f"{table}.parquet")
@@ -55,6 +63,30 @@ class EntitySource:
         SQL boolean expression (the reference passes the condition string
         through verbatim too).
         """
+        self._record(table, "load")
+        return self._load(
+            table,
+            fields=fields,
+            where=where,
+            limit=limit,
+            include_deleted=include_deleted,
+            pk_buckets=pk_buckets,
+            pk=pk,
+        )
+
+    def _load(
+        self,
+        table: str,
+        fields: list[str] | None = None,
+        where: str | None = None,
+        limit: int | None = None,
+        include_deleted: bool = False,
+        pk_buckets: int | None = None,
+        pk: str | None = None,
+    ) -> DataFrame:
+        # un-recorded scan builder: the public ops above/below each record
+        # their OWN logical request (count is one API call in the
+        # reference, not a query plus a count)
         df = self.spark.read.format(self.fmt).load(self.path(table))
         if not include_deleted and "IsDeleted" in df.columns:
             # REST `query` hides soft-deleted rows; `queryAll` keeps them
@@ -76,20 +108,23 @@ class EntitySource:
         """COUNT()-only query (S4). Catalyst turns this into a
         column-pruned scan + partial counts; for parquet with no filter it
         is answered from footer metadata."""
-        return self.load(table, where=where, include_deleted=include_deleted).count()
+        self._record(table, "count")
+        return self._load(table, where=where, include_deleted=include_deleted).count()
 
     def updated_ids(self, table: str, start, end, pk: str = "Id", ts_field: str = "SystemModstamp") -> DataFrame:
         """S5: ids modified in a window (REST `updated/?start=&end=`,
         simple_salesforce api.py:735-754). Window is [start, end] inclusive
         like the endpoint; returns the id column only."""
-        df = self.load(table, include_deleted=True)
+        self._record(table, "updated_ids")
+        df = self._load(table, include_deleted=True)
         return df.filter((F.col(ts_field) >= F.lit(start)) & (F.col(ts_field) <= F.lit(end))).select(pk)
 
     def deleted_ids(self, table: str, start, end, pk: str = "Id", ts_field: str = "SystemModstamp") -> DataFrame:
         """S6: ids soft-deleted in a window (REST `deleted/?start=&end=`,
         api.py:715-733). The reference itself uses IsDeleted+queryAll
         instead; both surfaces are exposed."""
-        df = self.load(table, include_deleted=True)
+        self._record(table, "deleted_ids")
+        df = self._load(table, include_deleted=True)
         return (
             df.filter(F.coalesce(F.col("IsDeleted"), F.lit(False)))
             .filter((F.col(ts_field) >= F.lit(start)) & (F.col(ts_field) <= F.lit(end)))
@@ -114,7 +149,8 @@ class EntitySource:
         from pgsf_spark.functions import truncate_to_second
 
         wm = truncate_to_second(watermark)
-        df = self.load(table, include_deleted=True)
+        self._record(table, "incremental")
+        df = self._load(table, include_deleted=True)
         df = df.filter(F.col(ts_field) > F.lit(wm))
         if fields:
             df = df.select(*fields)
