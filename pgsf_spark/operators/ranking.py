@@ -281,13 +281,15 @@ def global_order_stats(
     return out.drop(_PID, _MID)
 
 
-def global_rank(df: DataFrame, order_by: list[Column], out_col: str) -> DataFrame:
+def global_rank(
+    df: DataFrame, order_by: list[Column], out_col: str, *, checkpoint: str = "local"
+) -> DataFrame:
     """Global ``row_number`` (1-based, long) in the given total order."""
-    return global_order_stats(df, order_by, rank_col=out_col)
+    return global_order_stats(df, order_by, rank_col=out_col, checkpoint=checkpoint)
 
 
 def global_ntile(
-    df: DataFrame, n: int, order_by: list[Column], out_col: str
+    df: DataFrame, n: int, order_by: list[Column], out_col: str, *, checkpoint: str = "local"
 ) -> DataFrame:
     """Exact SQL ``ntile(n)`` over a total order, scale-safely.
 
@@ -299,7 +301,7 @@ def global_ntile(
     -- pure integer arithmetic, so it hash-matches the engines' ntile.
     """
     ranked = global_order_stats(
-        df, order_by, rank_col="__gr_i", total_rows_col="__gr_n"
+        df, order_by, rank_col="__gr_i", total_rows_col="__gr_n", checkpoint=checkpoint
     )
     # pure LONG arithmetic via SQL DIV (double division could misround near
     # 2^53); ceil(a/b) = (a+b-1) DIV b; greatest(q,1) guards the never-taken
@@ -319,6 +321,8 @@ def global_cumsum(
     df: DataFrame,
     order_by: list[Column],
     values: dict[str, tuple[Column, bool]],
+    *,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Global running sums (see ``global_order_stats.cumsums``)."""
-    return global_order_stats(df, order_by, cumsums=values)
+    return global_order_stats(df, order_by, cumsums=values, checkpoint=checkpoint)
