@@ -43,6 +43,13 @@ HEADLINE = [
 
 
 def main():
+    # contamination evidence (the round-8 official bench was ~1.5x inflated
+    # by a loaded box, uniformly across queries untouched for 7 rounds):
+    # sample the 1-minute load average BEFORE the session/warmup spin up --
+    # an isolated bench starts near 0; a value >> 1 here means something
+    # else was running when the bench launched. The end sample includes the
+    # bench's own footprint and is only useful relative to other runs.
+    load_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("pgsf_spark_bench")
@@ -70,13 +77,6 @@ def main():
                     while fh.read(1 << 24):
                         pass
 
-    # contamination evidence (the round-8 official bench was ~1.5x inflated
-    # by a loaded box, uniformly across queries untouched for 7 rounds):
-    # record the 1-minute load average before and after, so a contaminated
-    # sample is diagnosable from the artifact itself. On this 32-core box
-    # an isolated bench should start near 0 and end near the bench's own
-    # footprint; a start value >> 1 means something else was running.
-    load_start = round(os.getloadavg()[0], 2)
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn

@@ -179,37 +179,27 @@ def lsh_candidate_pairs(banded: DataFrame, max_bucket: int = MAX_BUCKET) -> Data
     # spread hot-bucket chunks across tasks: the exchange moves one array row
     # per chunk (~= the groupBy's own volume), not the generated pairs
     chunked = chunked.repartition("band", "bucket", "chunk")
-    # upper triangle directly: pair doc i only with ids[i+1:] (the arrays
-    # are sorted) -- b(b-1)/2 pairs, never the b^2 cross product -- plus the
-    # chain pair (first-of-this-chunk, first-of-next-chunk) when a next
-    # chunk exists; rep(c) < rep(c+1) keeps the doc_a < doc_b invariant.
+    # upper triangle, streamed through two generators (posexplode then
+    # explode -- never a materialized per-row pair array, which at a full
+    # 512-chunk would be a ~131k-struct single value in task memory): doc i
+    # pairs only with ids[i+1:] (the arrays are sorted), b(b-1)/2 pairs,
+    # never the b^2 cross product. The recovery-chain pair rides the SAME
+    # generator: the i==0 row of a chunk with a successor appends rep_next
+    # to its partner list -- (first-of-this-chunk, first-of-next-chunk),
+    # and rep(c) < every id of chunk c+1 keeps the doc_a < doc_b invariant.
     # Chain volume is LINEAR in chunk count (a rep x rep cross pairing
     # would re-create the quadratic blowup the cap exists to stop), and
     # connected_components closes the chain transitively.
-    tri = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    partners = F.concat(
+        F.slice(F.col("ids"), F.col("i") + 2, F.size("ids")),
+        F.when(
+            (F.col("i") == 0) & F.col("rep_next").isNotNull(),
+            F.array(F.col("rep_next")),
+        ).otherwise(F.slice(F.col("ids"), 1, 0)),  # typed empty, no cast
     )
-    # slice-to-0 keeps the empty branch's element type identical to tri's
-    # regardless of the caller's doc_id type (no hard-coded cast)
-    chain = F.slice(
-        F.array(
-            F.struct(
-                F.get(F.col("ids"), 0).alias("doc_a"),
-                F.col("rep_next").alias("doc_b"),
-            )
-        ),
-        F.lit(1),
-        F.when(F.col("rep_next").isNotNull(), F.lit(1)).otherwise(F.lit(0)),
-    )
-    pairs = chunked.select(F.explode(F.concat(tri, chain)).alias("p")).select(
-        "p.doc_a", "p.doc_b"
-    )
+    pairs = chunked.select(
+        F.posexplode("ids").alias("i", "doc_a"), "ids", "rep_next"
+    ).select("doc_a", F.explode(partners).alias("doc_b"))
     return pairs.distinct()
 
 

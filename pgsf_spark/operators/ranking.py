@@ -162,8 +162,9 @@ def _lead_order_head_ok(order_by: list[Column], src: str) -> bool:
     inner = str(order_by[0])
     if inner.startswith("Column<'") and inner.endswith("'>"):
         inner = inner[len("Column<'") : -2]
-    parts = inner.split(" ")
-    return parts[0] == src and (len(parts) == 1 or parts[1] == "ASC")
+    # exact-string forms (not a token split, so column names containing
+    # spaces parse correctly); DESC and computed expressions match none
+    return inner in (src, f"{src} ASC NULLS FIRST", f"{src} ASC NULLS LAST")
 
 
 def global_order_stats(

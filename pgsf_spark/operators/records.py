@@ -144,9 +144,29 @@ class RecordApi:
         )
         return {"id": rid, "success": True, "errors": []}
 
+    def _reject_rekey(self, data: dict, current_id) -> None:
+        # the reference API errors when the body names the Id on a PATCH; a
+        # silently-dropped re-key would 204 while leaving the old key in
+        # place (and a silently-HONORED one on the upsert create path was
+        # worse: it could mint a duplicate pk)
+        if self.pk in data and data[self.pk] != current_id:
+            raise InvalidField(
+                f"{self.pk} cannot be changed through a record write "
+                f"(payload says {data[self.pk]!r})"
+            )
+
+    def _keep_others(self, cur, record_id):
+        # eqNullSafe: plain ~(pk == id) is NULL for NULL-pk rows under
+        # three-valued logic, and a filter silently DROPS them -- a
+        # single-record mutation must never destroy unrelated rows the
+        # bulk paths may have written with missing keys
+        return cur.filter(~F.col(self.pk).eqNullSafe(F.lit(record_id)))
+
     def update(self, record_id, data: dict) -> int:
         """api.py:671 -- PATCH by id: named fields change, the rest is
-        kept; 204 on success, 404 if the id is absent."""
+        kept; 204 on success, 404 if the id is absent, 400 on a re-key
+        attempt."""
+        self._reject_rekey(data, record_id)
         expect = self.store.current_version(self.table)
         rows = self._lookup(self.pk, record_id)
         if not rows:
@@ -155,7 +175,7 @@ class RecordApi:
         row = self._aligned_row(
             cur.schema, {**data, self.pk: record_id}, base=rows[0].asDict()
         )
-        keep = cur.filter(~(F.col(self.pk) == F.lit(record_id)))
+        keep = self._keep_others(cur, record_id)
         self.store.write(
             keep.unionByName(self._one_row_df(cur.schema, row)),
             self.table,
@@ -165,7 +185,22 @@ class RecordApi:
 
     def upsert(self, custom_id_field: str, custom_id, data: dict) -> int:
         """api.py:647 -- PATCH by external id: 201 created, 204 updated,
-        300 if the external id is not unique."""
+        300 if the external id is not unique, 400 if the payload tries to
+        set the pk. Bootstraps the table like ``create`` when it does not
+        exist yet (an upsert-first workflow is the verb's whole point)."""
+        if self.pk in data:
+            # on the create path an honored payload pk could mint a
+            # DUPLICATE key; on the update path it is a re-key -- both 400
+            raise InvalidField(
+                f"{self.pk} cannot be specified on upsert (addressed by "
+                f"{custom_id_field})"
+            )
+        if not self.store.exists(self.table):
+            df = self.store.spark.createDataFrame(
+                [{self.pk: self._new_id(), **data, custom_id_field: custom_id}]
+            )
+            self.store.write(df, self.table, expect_version=None)
+            return 201
         expect = self.store.current_version(self.table)
         rows = self._lookup(custom_id_field, custom_id)
         if len(rows) > 1:
@@ -180,7 +215,7 @@ class RecordApi:
                 {**data, custom_id_field: custom_id, self.pk: base[self.pk]},
                 base=base,
             )
-            keep = cur.filter(~(F.col(self.pk) == F.lit(base[self.pk])))
+            keep = self._keep_others(cur, base[self.pk])
             status = 204
         else:
             row = self._aligned_row(
@@ -204,7 +239,7 @@ class RecordApi:
             raise RecordNotFound(f"{self.table}/{record_id}")
         cur = self._scan()
         self.store.write(
-            cur.filter(~(F.col(self.pk) == F.lit(record_id))),
+            self._keep_others(cur, record_id),
             self.table,
             expect_version=expect,
         )

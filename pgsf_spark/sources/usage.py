@@ -121,15 +121,25 @@ class UsageTracker:
 
     @property
     def api_usage(self) -> Usage:
-        """The reference's post-call ``sf.api_usage`` shape."""
-        return Usage(self.used, self.quota if self.quota is not None else -1)
+        """The reference's post-call ``sf.api_usage`` shape (total is None
+        for an unmetered tracker -- there is no numeric sentinel that could
+        be mistaken for a real quota)."""
+        return Usage(self.used, self.quota)
 
     def remaining(self) -> int | None:
         return None if self.quota is None else max(0, self.quota - self.used)
 
     def header(self) -> str:
-        """Round-trippable ``Sforce-Limit-Info``-dialect rendering."""
-        usage = Usage(self.used, self.quota if self.quota is not None else 0)
+        """Round-trippable ``Sforce-Limit-Info``-dialect rendering.
+
+        Requires a quota: the dialect has no unmetered form, and rendering
+        ``N/0`` would read to any consumer as an exhausted zero quota."""
+        if self.quota is None:
+            raise ValueError(
+                "unmetered tracker (quota=None) has no limit header; "
+                "construct with a quota to render one"
+            )
+        usage = Usage(self.used, self.quota)
         per_app = (
             PerAppUsage(usage.used, usage.total, self.app) if self.app else None
         )

@@ -120,6 +120,22 @@ class TestLeadOrderGuard:
                 d, [F.col("amt").asc(), F.col("v").asc()], lead_col=("v", "nxt")
             )
 
+    def test_space_in_column_name_allowed(self, spark):
+        # the guard matches exact repr strings, not space-split tokens, so
+        # a legal name containing a space must pass
+        d = (
+            _sample(spark)
+            .groupBy("v")
+            .agg(F.sum("amt").alias("s"))
+            .withColumnRenamed("v", "my col")
+        )
+        got = global_order_stats(
+            d, [F.col("my col").asc()], lead_col=("my col", "nxt")
+        )
+        w = Window.orderBy(F.col("my col").asc())
+        want = d.withColumn("nxt", F.lead("my col", 1).over(w))
+        assert _rows(got, "my col", "nxt") == _rows(want, "my col", "nxt")
+
     def test_secondary_tiebreaks_still_allowed(self, spark):
         # tiebreak columns after the ascending lead source don't affect the
         # seam min -- they must keep working (the grid-step callers use them)

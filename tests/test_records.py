@@ -122,6 +122,51 @@ class TestUpsert:
         with pytest.raises(MultipleRecordsFound):
             api.upsert("ext", "e1", {"amount": 1})
 
+    def test_upsert_bootstraps_missing_table(self, api, tmp_store):
+        # upsert-first workflow: the verb must create the table like create
+        assert not tmp_store.exists("contacts")
+        assert api.upsert("ext", "first", {"name": "a", "amount": 1}) == 201
+        assert api.get_by_custom_id("ext", "first")["name"] == "a"
+
+    def test_upsert_rejects_pk_in_payload(self, api):
+        # an honored payload pk on the create path could mint a DUPLICATE
+        # key (the corruption class: get returns either row, delete removes
+        # both); on the update path it is a silent re-key -- both 400
+        ids = _seed(api, 1)
+        with pytest.raises(InvalidField, match="cannot be specified on upsert"):
+            api.upsert("ext", "fresh", {"Id": ids[0], "name": "dup"})
+
+
+class TestRekeyAndNullPk:
+    def test_update_rejects_rekey(self, api):
+        ids = _seed(api, 2)
+        with pytest.raises(InvalidField, match="cannot be changed"):
+            api.update(ids[0], {"Id": ids[1], "amount": 1})
+
+    def test_update_accepts_matching_pk_in_payload(self, api):
+        ids = _seed(api, 1)
+        assert api.update(ids[0], {"Id": ids[0], "amount": 42}) == 204
+        assert api.get(ids[0])["amount"] == 42
+
+    def test_mutations_preserve_null_pk_rows(self, api, tmp_store, spark):
+        # bulk paths can land rows with a missing key; a single-record
+        # mutation must never silently drop them (three-valued logic:
+        # ~(NULL == id) filters the row out unless eqNullSafe is used)
+        ids = _seed(api, 2)
+        cur = tmp_store.read("contacts")
+        vals = {"Id": None, "name": "orphan", "ext": "eo", "amount": 0}
+        orphan = spark.createDataFrame(
+            [tuple(vals[f.name] for f in cur.schema.fields)], schema=cur.schema
+        )
+        tmp_store.write(cur.unionByName(orphan), "contacts")
+        api.delete(ids[0])
+        api.update(ids[1], {"amount": 1})
+        api.upsert("ext", "eo2", {"name": "new", "amount": 2})
+        left = tmp_store.read("contacts")
+        from pyspark.sql import functions as F
+
+        assert left.filter(F.col("Id").isNull()).count() == 1
+
 
 class TestDelete:
     def test_delete_removes_only_that_row(self, api):

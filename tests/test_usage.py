@@ -76,6 +76,13 @@ class TestTracker:
         t.record("a", "load")  # over quota, reference-style report-only
         assert t.remaining() == 0 and t.used == 2
 
+    def test_unmetered_header_raises(self):
+        t = UsageTracker()  # quota=None: the dialect has no unmetered form
+        t.record("a", "load")
+        with pytest.raises(ValueError, match="unmetered"):
+            t.header()
+        assert t.api_usage == Usage(1, None)
+
     def test_header_round_trips_through_parser(self):
         t = UsageTracker(quota=50, app="pgsf-sync")
         t.record("orders", "load")
