@@ -234,8 +234,26 @@ def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("event_type", h.alias("h"))
     )
-    a = seg.filter(F.col("event_type") == "view").select("h").orderBy("h").limit(K)
-    b = seg.filter(F.col("event_type") == "purchase").select("h").orderBy("h").limit(K)
+    # materialize the two K-row sketches: a and b each feed their own
+    # estimator AND the union sketch (and rho reads u against both), so
+    # without this every reference re-runs the corpus distinct -- the whole
+    # point of a KMV sketch is that downstream algebra touches K rows, and
+    # now the plan matches the docstring's "events table is scanned once
+    # (per segment)" claim
+    a = (
+        seg.filter(F.col("event_type") == "view")
+        .select("h")
+        .orderBy("h")
+        .limit(K)
+        .localCheckpoint(eager=True)
+    )
+    b = (
+        seg.filter(F.col("event_type") == "purchase")
+        .select("h")
+        .orderBy("h")
+        .limit(K)
+        .localCheckpoint(eager=True)
+    )
     u = a.union(b).distinct().orderBy("h").limit(K)
 
     def est(df):

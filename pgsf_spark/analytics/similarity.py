@@ -331,7 +331,12 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bit in every engine; the Lloyd chain is the deterministic
     broadcast template of q_kmeans_clusters."""
     assigned = _kmeans_assigned(spark, sf_dir)
-    m = assigned.select("cluster", "vec_id", "v")
+    # materialize the assignment once: it feeds three consumers (both join
+    # sides + the per-cluster totals), and each reference would otherwise
+    # re-run the entire Lloyd chain -- the SemDeDup paper materializes the
+    # cluster assignment for exactly this reason; the copy is (id, vector,
+    # cluster), the same order as the input
+    m = assigned.select("cluster", "vec_id", "v").localCheckpoint(eager=True)
     a = m.select("cluster", F.col("vec_id").alias("ka"), F.col("v").alias("va"))
     b = m.select("cluster", F.col("vec_id").alias("kb"), F.col("v").alias("vb"))
     cos = _dot(F.col("va"), F.col("vb")) / (
@@ -1695,6 +1700,13 @@ def q_embedding_dim_correlation_topk(spark: SparkSession, sf_dir: str) -> DataFr
                 9,
             ).alias("c"),
         )
+        # bounded materialization (2080 covariance cells): the relation is
+        # referenced four times below (off-diagonal base + the diagonal
+        # joined per side), and WITHOUT this each reference re-executes the
+        # whole outer-product + mean + count subtree -- 12 corpus scans
+        # where the docstring's "one outer-product scan" is the contract
+        # (plan-pinned in tests/test_plans.py SCAN_BUDGET)
+        .localCheckpoint(eager=True)
     )
     diag = cells.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("d"), F.col("c").alias("var")

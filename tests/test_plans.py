@@ -18,15 +18,174 @@ SF = "/root/testdata/sf0.001"
 CARTESIAN_OK = {"cosine_topk", "ann_lsh_topk"}
 
 
+_PLAN_CACHE: dict[str, str] = {}
+
+
 def plan_of(spark, name):
-    df = QUERIES[name].fn(spark, SF)
-    return df._jdf.queryExecution().executedPlan().toString()
+    # one plan build per query per session: four parametrized lint classes
+    # read every registry plan, and planning is the whole cost of this file
+    if name not in _PLAN_CACHE:
+        df = QUERIES[name].fn(spark, SF)
+        _PLAN_CACHE[name] = df._jdf.queryExecution().executedPlan().toString()
+    return _PLAN_CACHE[name]
 
 
 class TestNoCartesian:
     @pytest.mark.parametrize("name", sorted(n for n in QUERIES if n not in CARTESIAN_OK))
     def test_no_cartesian_product(self, spark, name):
         assert "CartesianProduct" not in plan_of(spark, name)
+
+
+# Duplicate-pipeline lint (round 9): lsh_candidate_pairs derived its
+# recovery chain from the bucket aggregate in a second union branch, and
+# without exchange reuse the whole scan->minhash->band->groupBy pipeline ran
+# TWICE -- a full duplicate corpus pass hidden in a one-line union. The
+# plan-level signature of the class: the same source table scanned more
+# times than the query's semantics need. An ABSOLUTE threshold is the wrong
+# lint: the round-9 audit of all 382 plans found three DELIBERATE multi-scan
+# patterns --
+#   (a) unrolled bounded iterations (quality_classifier_gate's CLF_STEPS
+#       gradient rounds, semantic_dedup / kmeans recompute passes) where
+#       each pass re-reads the pruned feature columns by design,
+#   (b) scalar-broadcast re-reads (a 1-row aggregate of the table crossJoined
+#       back: mean-then-variance two-pass shapes like huber_mean),
+#   (c) skew_hedged_join's hot/cold union, which scans its build side twice
+#       ON PURPOSE, and per-check audit reports unioning independent checks
+#       of the same table (referential_integrity_audit).
+# So the lint is a DRIFT PIN, doc-counts style: the 88 queries whose plans
+# read one table more than twice are recorded below with their audited
+# max-scans-per-table (default budget 2 = plain self-join); a new query or
+# an edit that pushes a plan past its budget fails here and must either
+# restructure (the r9 fixes: lsh_candidate_pairs chain emission,
+# embedding_dim_correlation_topk / semantic_dedup / kmv_set_algebra
+# bounded-aggregate checkpoints) or raise its pin WITH a reason from the
+# three patterns above. The largest remaining pins (mrr_gate 12,
+# burrows_delta 12, silhouette_panel 10, source_js_divergence 9) are the
+# natural next audit targets: each is either pattern (a) by construction
+# or a candidate for the same bounded-checkpoint fix.
+SCAN_BUDGET = {
+    "acf_daily_revenue": 4,
+    "adamic_adar_links": 4,
+    "ann_ndcg_gate": 4,
+    "ann_recall_at_5": 4,
+    "basket_lift": 5,
+    "bigram_lift": 5,
+    "bloom_membership": 4,
+    "bm25_topk": 3,
+    "brand_share_shift": 4,
+    "brier_decomposition": 4,
+    "burrows_delta": 12,
+    "calinski_harabasz_index": 3,
+    "cascade_erasure_audit": 4,
+    "categorical_mutual_information": 8,
+    "chi2_residuals_topk": 4,
+    "chi_square_independence": 4,
+    "cohens_kappa": 4,
+    "cohort_ltv": 3,
+    "conversion_hazard": 3,
+    "corpus_novelty_curve": 6,
+    "cross_source_leakage": 8,
+    "daily_growth_profile": 3,
+    "dau_wau_stickiness": 3,
+    "dedup_pipeline_summary": 3,
+    "dedup_source_shift": 6,
+    "difference_in_differences": 4,
+    "doc_perplexity": 4,
+    "dsir_weights": 5,
+    "embedding_effective_rank": 4,
+    "event_funnel": 6,
+    "feature_psi": 8,
+    "fleiss_kappa": 4,
+    "g_test_independence": 4,
+    "geo_nearest_neighbor": 7,
+    "good_turing_unseen": 3,
+    "hampel_outlier_days": 6,
+    "hll_merge_by_day": 4,
+    "huber_mean": 7,
+    "hybrid_rrf_topk": 3,
+    "incremental_dedup": 5,
+    "incremental_lsh_dedup": 7,
+    "ivf_topk": 4,
+    "ivfpq_recall_at_5": 4,
+    "jaccard_pairs": 4,
+    "james_stein_nation_means": 4,
+    "kaplan_meier": 3,
+    "kendall_tau_daily": 5,
+    "kmeans_clusters": 3,
+    "kneser_ney_continuation": 4,
+    "label_balance_audit": 4,
+    "langid_macro_f1": 8,
+    "ljung_box_stat": 4,
+    "log_rank_test": 3,
+    "lsh_containment": 3,
+    "lsh_jaccard_verified": 6,
+    "mann_kendall_trend": 4,
+    "market_basket_rules": 7,
+    "markov_next_event_accuracy": 4,
+    "merge_upsert_customer": 7,
+    "minhash_jaccard_estimate": 4,
+    "mrr_gate": 12,
+    "nelson_aalen_hazard": 3,
+    "obrien_fleming_looks": 4,
+    "pettitt_changepoint": 3,
+    "pmi_collocations": 5,
+    "quality_classifier_gate": 15,
+    "query_likelihood_topk": 4,
+    "randomization_test_chars": 3,
+    "referential_integrity_audit": 6,
+    "retention_halflife": 3,
+    "revenue_anomaly_days": 3,
+    "runs_test_daily": 3,
+    "segment_overlap_matrix": 4,
+    "shapley_attribution": 4,
+    "silhouette_panel": 10,
+    "snapshot_diff_gate": 3,
+    "soft_delete_split": 3,
+    "source_js_divergence": 9,
+    "source_signature_terms": 4,
+    "split_leakage": 8,
+    "sq_mse_by_bits": 6,
+    "sq_recall_at_5": 6,
+    "t_closeness_audit": 4,
+    "time_to_convert": 3,
+    "transition_entropy": 5,
+    "transition_lift_topk": 4,
+    "value_outliers": 4,
+    "wau_hll_gate": 4,
+}
+assert set(SCAN_BUDGET) <= set(QUERIES), set(SCAN_BUDGET) - set(QUERIES)
+
+
+class TestNoDuplicatePipelines:
+    @staticmethod
+    def _scan_counts(plan):
+        # attribute each FileScan to its table via the Location path (the
+        # scan node itself prints `FileScan parquet [cols]` with no path,
+        # so a node-line regex matches NOTHING -- the canary below guards
+        # exactly this blindness)
+        import re
+        from collections import Counter
+
+        return Counter(re.findall(r"(\w+)\.parquet", plan))
+
+    @pytest.mark.parametrize("name", sorted(QUERIES))
+    def test_scan_count_within_budget(self, spark, name):
+        counts = self._scan_counts(plan_of(spark, name))
+        budget = SCAN_BUDGET.get(name, 2)
+        excess = {t: n for t, n in counts.items() if n > budget}
+        assert not excess, (
+            f"{name} scans {excess} more than its audited budget "
+            f"({budget}) -- a duplicated pipeline crept in (the r9 LSH "
+            f"class: checkpoint the shared subtree or emit all outputs "
+            f"from one consumer tree), or raise the pin with a reason "
+            f"from the three audited patterns"
+        )
+
+    def test_detector_sees_scans(self, spark):
+        # canary: the regex must actually count parquet scans, so a Spark
+        # plan-format change can't silently blind the lint
+        counts = self._scan_counts(plan_of(spark, "revenue_by_nation"))
+        assert sum(counts.values()) >= 2  # star join reads >= 2 tables
 
 
 # the pandas variants are the only sanctioned Python (Arrow-batched)
