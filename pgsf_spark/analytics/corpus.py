@@ -498,18 +498,29 @@ def q_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(F.split(_norm_text(F.col("text")), " ")).alias("token"))
+    # bounded materialization (JS_TOP rows): the probe vocabulary feeds the
+    # mapping join AND the support grid; without it each reference re-runs
+    # the corpus token count
     vocab = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "token")
         .limit(JS_TOP)
         .select("token")
+        .localCheckpoint(eager=True)
     )
     mapped = tok.join(F.broadcast(vocab).withColumn("in_vocab", F.lit(1)), "token", "left").select(
         "source",
         F.when(F.col("in_vocab").isNotNull(), F.col("token")).otherwise(F.lit("__oov__")).alias("tk"),
     )
-    per_src = mapped.groupBy("source", "tk").agg(F.count(F.lit(1)).alias("c"))
+    # bounded materialization (sources x (JS_TOP+1) rows): three consumers
+    # (per-source totals, global counts, the grid join) would otherwise each
+    # re-run the corpus explode+map pass
+    per_src = (
+        mapped.groupBy("source", "tk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     src_tot = per_src.groupBy("source").agg(F.sum("c").alias("tot"))
     glob = per_src.groupBy("tk").agg(F.sum("c").alias("gc"))
     glob_tot = glob.agg(F.sum("gc").alias("gtot"))
@@ -1356,7 +1367,14 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "source", F.explode(_toks(F.lower(F.col("text")))).alias("w")
     )
-    per = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    # bounded materialization (sources x vocabulary rows -- the rollup the
+    # plan note below lives on): totals, the top-token cut, and the shares
+    # join would otherwise each re-run the corpus explode
+    per = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     totals = per.groupBy("source").agg(F.sum("c").alias("tot"))
     top = (
         per.groupBy("w")

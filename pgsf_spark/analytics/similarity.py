@@ -1030,10 +1030,17 @@ def q_mrr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", F.col("label").alias("cluster"))
     )
-    queries = assigned.filter(F.col("vec_id") < MRR_Q).select(
-        F.col("vec_id").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("cluster").alias("qcluster"),
+    # bounded materialization (MRR_Q rows): the query panel feeds the brute
+    # pass, the candidate pass, and the broadcast -- without it each
+    # reference re-runs the full centroid-assignment scan
+    queries = (
+        assigned.filter(F.col("vec_id") < MRR_Q)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("cluster").alias("qcluster"),
+        )
+        .localCheckpoint(eager=True)
     )
     cos_q = F.round(
         _dot(F.col("v"), F.col("qv"))
@@ -1049,11 +1056,15 @@ def q_mrr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", cos_q.alias("cos"))
     )
     mx = brute.groupBy("qid").agg(F.max("cos").alias("mc"))
+    # bounded materialization (one row per query): the exact-baseline
+    # answer set is joined into the candidate scoring below; without it
+    # the brute corpus pass re-runs per consumer
     top1 = (
         brute.join(F.broadcast(mx), "qid")
         .filter(F.col("cos") == F.col("mc"))
         .groupBy("qid")
         .agg(F.min("vec_id").alias("rel_id"), F.first("mc").alias("rel_cos"))
+        .localCheckpoint(eager=True)
     )
     cand = (
         assigned.join(F.broadcast(queries), F.col("cluster") == F.col("qcluster"))
@@ -1495,10 +1506,17 @@ def q_silhouette_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = e.select(
         "vec_id", F.col("label").cast("int").alias("label"), _to_double(F.col("embedding")).alias("v")
     )
-    panel = emb.filter(F.col("vec_id") < SIL_PANEL).select(
-        F.col("vec_id").alias("pid"),
-        F.col("label").alias("plabel"),
-        F.col("v").alias("pv"),
+    # bounded materialization (SIL_PANEL rows): the probe panel is crossed
+    # with the corpus AND re-read by the final projection; without it each
+    # reference re-scans embeddings
+    panel = (
+        emb.filter(F.col("vec_id") < SIL_PANEL)
+        .select(
+            F.col("vec_id").alias("pid"),
+            F.col("label").alias("plabel"),
+            F.col("v").alias("pv"),
+        )
+        .localCheckpoint(eager=True)
     )
     dist = F.round(F.sqrt(_sqdist(F.col("v"), F.col("pv"))), 6)
     pairs = (
@@ -1506,8 +1524,13 @@ def q_silhouette_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("pid"))
         .select("pid", "plabel", "label", dist.cast("decimal(18,6)").alias("d"))
     )
-    per_cluster = pairs.groupBy("pid", "plabel", "label").agg(
-        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("md")
+    # bounded materialization (SIL_PANEL x clusters rows): the own-cluster
+    # and closest-other consumers would otherwise each re-run the corpus
+    # cross pass
+    per_cluster = (
+        pairs.groupBy("pid", "plabel", "label")
+        .agg((F.sum("d").cast("double") / F.count(F.lit(1))).alias("md"))
+        .localCheckpoint(eager=True)
     )
     own = per_cluster.filter(F.col("label") == F.col("plabel")).select(
         "pid", F.col("md").alias("a")

@@ -52,17 +52,18 @@ class TestNoCartesian:
 #   (c) skew_hedged_join's hot/cold union, which scans its build side twice
 #       ON PURPOSE, and per-check audit reports unioning independent checks
 #       of the same table (referential_integrity_audit).
-# So the lint is a DRIFT PIN, doc-counts style: the 88 queries whose plans
-# read one table more than twice are recorded below with their audited
+# So the lint is a DRIFT PIN, doc-counts style: every query whose plan
+# reads one table more than twice is recorded below with its audited
 # max-scans-per-table (default budget 2 = plain self-join); a new query or
 # an edit that pushes a plan past its budget fails here and must either
 # restructure (the r9 fixes: lsh_candidate_pairs chain emission,
 # embedding_dim_correlation_topk / semantic_dedup / kmv_set_algebra
 # bounded-aggregate checkpoints) or raise its pin WITH a reason from the
-# three patterns above. The largest remaining pins (mrr_gate 12,
-# burrows_delta 12, silhouette_panel 10, source_js_divergence 9) are the
-# natural next audit targets: each is either pattern (a) by construction
-# or a candidate for the same bounded-checkpoint fix.
+# three patterns above. The four largest pins found by the first audit
+# (mrr_gate 12, burrows_delta 12, silhouette_panel 10,
+# source_js_divergence 9) all turned out to be the bounded-checkpoint
+# class and were FIXED, not pinned -- when raising a pin, check that
+# first.
 SCAN_BUDGET = {
     "acf_daily_revenue": 4,
     "adamic_adar_links": 4,
@@ -74,7 +75,6 @@ SCAN_BUDGET = {
     "bm25_topk": 3,
     "brand_share_shift": 4,
     "brier_decomposition": 4,
-    "burrows_delta": 12,
     "calinski_harabasz_index": 3,
     "cascade_erasure_audit": 4,
     "categorical_mutual_information": 8,
@@ -124,7 +124,6 @@ SCAN_BUDGET = {
     "markov_next_event_accuracy": 4,
     "merge_upsert_customer": 7,
     "minhash_jaccard_estimate": 4,
-    "mrr_gate": 12,
     "nelson_aalen_hazard": 3,
     "obrien_fleming_looks": 4,
     "pettitt_changepoint": 3,
@@ -138,10 +137,8 @@ SCAN_BUDGET = {
     "runs_test_daily": 3,
     "segment_overlap_matrix": 4,
     "shapley_attribution": 4,
-    "silhouette_panel": 10,
     "snapshot_diff_gate": 3,
     "soft_delete_split": 3,
-    "source_js_divergence": 9,
     "source_signature_terms": 4,
     "split_leakage": 8,
     "sq_mse_by_bits": 6,
