@@ -841,7 +841,12 @@ def q_feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("dayi"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    split = vals.agg(F.expr("percentile(dayi, 0.5D)").alias("mid"))
+    # bounded materializations (1-row split date / 1-row edge vector /
+    # 10-row bin counts): each is referenced by multiple downstream passes
+    # and would otherwise re-run its whole upstream pass per reference
+    split = vals.agg(F.expr("percentile(dayi, 0.5D)").alias("mid")).localCheckpoint(
+        eager=True
+    )
     tagged = vals.crossJoin(split).select(
         "cents", (F.col("dayi") <= F.col("mid")).alias("is_ref")
     )
@@ -853,6 +858,7 @@ def q_feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for k in range(1, PSI_BINS)
             ]
         )
+        .localCheckpoint(eager=True)
     )
     bin_expr = F.lit(1)
     for k in range(1, PSI_BINS):
@@ -865,6 +871,7 @@ def q_feature_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
             F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
         )
+        .localCheckpoint(eager=True)
     )
     tot = counts.agg(
         F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
@@ -2308,8 +2315,12 @@ def q_categorical_mutual_information(spark: SparkSession, sf_dir: str) -> DataFr
     parts = []
     for pair_name, table, xc, yc in MI_PAIRS:
         t = load_table(spark, sf_dir, table)
-        cells = t.groupBy(F.col(xc).alias("x"), F.col(yc).alias("y")).agg(
-            F.count(F.lit(1)).alias("c")
+        # bounded materialization (<= |X| x |Y| cells): margins, total, and
+        # the term join would otherwise each re-run the table rollup
+        cells = (
+            t.groupBy(F.col(xc).alias("x"), F.col(yc).alias("y"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .localCheckpoint(eager=True)
         )
         rx = cells.groupBy("x").agg(F.sum("c").alias("rx"))
         ry = cells.groupBy("y").agg(F.sum("c").alias("ry"))

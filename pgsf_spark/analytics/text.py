@@ -794,8 +794,14 @@ def q_langid_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one projection scan + one (lang, guess) rollup; everything
     after lives on <= |labels|^2 rows."""
     d = load_table(spark, sf_dir, "documents")
-    conf = _lang_guessed(d).groupBy("lang", "lang_guess").agg(
-        F.count(F.lit(1)).alias("n")
+    # bounded materialization (<= |labels|^2 confusion cells): the class
+    # list and the tp/fp/fn rollups would otherwise each re-run the corpus
+    # scan + classifier
+    conf = (
+        _lang_guessed(d)
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     classes = conf.select(F.col("lang").alias("cls")).distinct()
     tp = conf.filter(F.col("lang") == F.col("lang_guess")).select(

@@ -77,14 +77,13 @@ SCAN_BUDGET = {
     "brier_decomposition": 4,
     "calinski_harabasz_index": 3,
     "cascade_erasure_audit": 4,
-    "categorical_mutual_information": 8,
     "chi2_residuals_topk": 4,
     "chi_square_independence": 4,
     "cohens_kappa": 4,
     "cohort_ltv": 3,
     "conversion_hazard": 3,
     "corpus_novelty_curve": 6,
-    "cross_source_leakage": 8,
+    "cross_source_leakage": 8,  # inherits lsh_jaccard_verified's hedged-union legs + two source projections
     "daily_growth_profile": 3,
     "dau_wau_stickiness": 3,
     "dedup_pipeline_summary": 3,
@@ -94,7 +93,6 @@ SCAN_BUDGET = {
     "dsir_weights": 5,
     "embedding_effective_rank": 4,
     "event_funnel": 6,
-    "feature_psi": 8,
     "fleiss_kappa": 4,
     "g_test_independence": 4,
     "geo_nearest_neighbor": 7,
@@ -114,7 +112,6 @@ SCAN_BUDGET = {
     "kmeans_clusters": 3,
     "kneser_ney_continuation": 4,
     "label_balance_audit": 4,
-    "langid_macro_f1": 8,
     "ljung_box_stat": 4,
     "log_rank_test": 3,
     "lsh_containment": 3,
