@@ -42,6 +42,43 @@ HEADLINE = [
 ]
 
 
+LOAD_GATE = 0.5  # pre-launch 1-min load above this = contaminated box
+LOAD_WAIT_S = 45  # idle wait between resamples (1-min load decays slowly)
+LOAD_MAX_WAITS = 6  # cap total wait at ~4.5 min so a busy driver still benches
+
+
+def _gated_load_start() -> tuple[float, str]:
+    """Sample the pre-launch 1-minute load, waiting for an idle box.
+
+    BENCH_r09 recorded load_avg_1m_start=2.25 -- the contamination flag
+    fired on its first official use but nothing acted on it (VERDICT r9
+    item 2). Act on it here: if the box is busy, warn loudly on stderr,
+    sleep, and resample, up to LOAD_MAX_WAITS times. If it never settles,
+    proceed anyway (the driver needs a number) but tag the run
+    "contaminated" so the artifact is self-describing.
+    """
+    load = round(os.getloadavg()[0], 2)
+    for attempt in range(LOAD_MAX_WAITS):
+        if load <= LOAD_GATE:
+            return load, "idle"
+        print(
+            f"WARNING: pre-launch 1-min load {load} > {LOAD_GATE} -- box is not "
+            f"idle; waiting {LOAD_WAIT_S}s and resampling "
+            f"({attempt + 1}/{LOAD_MAX_WAITS})",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(LOAD_WAIT_S)
+        load = round(os.getloadavg()[0], 2)
+    print(
+        f"WARNING: load still {load} > {LOAD_GATE} after {LOAD_MAX_WAITS} waits; "
+        f"benching anyway -- treat this sample as CONTAMINATED",
+        file=sys.stderr,
+        flush=True,
+    )
+    return load, "contaminated"
+
+
 def main():
     # contamination evidence (the round-8 official bench was ~1.5x inflated
     # by a loaded box, uniformly across queries untouched for 7 rounds):
@@ -49,7 +86,7 @@ def main():
     # an isolated bench starts near 0; a value >> 1 here means something
     # else was running when the bench launched. The end sample includes the
     # bench's own footprint and is only useful relative to other runs.
-    load_start = round(os.getloadavg()[0], 2)
+    load_start, load_gate = _gated_load_start()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("pgsf_spark_bench")
@@ -100,6 +137,7 @@ def main():
                 "queries": times,
                 "load_avg_1m_start": load_start,
                 "load_avg_1m_end": load_end,
+                "load_gate": load_gate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -8542,12 +8542,88 @@ _ROUND9_FRONT = [
 assert len(_ROUND9_FRONT) == 50, len(_ROUND9_FRONT)
 assert set(_ROUND9_FRONT) <= set(QUERIES), set(_ROUND9_FRONT) - set(QUERIES)
 
+# Round 10: REGISTRY STILL FROZEN (unfreeze criteria in PERF.md apply at
+# the r10 close).  This is the backlog-zero window (VERDICT r9 ask #1):
+#   * the FINAL 28 never-driver-checked names, in dict order after the
+#     round-9 rotation (conversion_paths_topk .. label_balance_audit --
+#     recomputed from the cumulative CORRECTNESS_r01-r09 ledger, which
+#     matches the round-7 comment's enumeration exactly);
+#   * the 10 re-checks VERDICT r9 names: rfm_segments + gini_spend (rows
+#     predate the round-8 operators/ranking.py migration) and the 8
+#     checkpoint-fixed queries whose rows predate the round-9 plan
+#     rewrites and were not in the r9 window (mrr_gate, silhouette_panel,
+#     source_js_divergence, semantic_dedup, kmv_set_algebra,
+#     categorical_mutual_information, langid_macro_f1, feature_psi);
+#   * 12 more re-checks filling the 50-slot window: consumers of the
+#     lsh_candidate_pairs chain rewrite and the prefix_filter tokenize-
+#     once rewrite (dedup.py r9) whose driver rows all predate those plan
+#     changes (the r9 window was virgin-names-only).
+# After this round the never-checked backlog is ZERO: every one of the
+# 382 registry queries has a driver CORRECTNESS row.
+_ROUND10_FRONT = [
+    # -- the final 28 never-driver-checked, dict order ------------------
+    "conversion_paths_topk",
+    "salted_aggregate_gate",
+    "reorder_interval_profile",
+    "revenue_concentration_topk",
+    "price_variance_decomposition",
+    "embedding_dim_correlation_topk",
+    "dup_rate_by_source",
+    "brand_share_shift",
+    "discount_impact_by_brand",
+    "supplier_hhi_by_nation",
+    "session_depth_profile",
+    "basket_size_profile",
+    "orthographic_profile",
+    "stopword_ratio_by_source",
+    "context_fill_efficiency",
+    "embedding_norm_profile",
+    "error_rate_daily_extremes",
+    "order_value_iqr_by_nation",
+    "part_sourcing_profile",
+    "user_recency_segments",
+    "transition_lift_topk",
+    "customer_spend_drift",
+    "dup_quality_interaction",
+    "token_length_histogram",
+    "gram_frequency_coverage",
+    "above_mean_concentration",
+    "language_mix_by_source",
+    "label_balance_audit",
+    # -- the 10 VERDICT-named re-checks ---------------------------------
+    "rfm_segments",
+    "gini_spend",
+    "mrr_gate",
+    "silhouette_panel",
+    "source_js_divergence",
+    "semantic_dedup",
+    "kmv_set_algebra",
+    "categorical_mutual_information",
+    "langid_macro_f1",
+    "feature_psi",
+    # -- 12 LSH-chain / tokenize-once consumers (r9 plan rewrites) ------
+    "minhash_lsh_pairs",
+    "lsh_jaccard_verified",
+    "prefix_filter_pairs",
+    "incremental_lsh_dedup",
+    "dedup_clusters",
+    "dedup_canonical",
+    "pagerank_neardup",
+    "jaccard_threshold_histogram",
+    "dedup_source_shift",
+    "dedup_loss_weights",
+    "neardup_triangles",
+    "lsh_recall_audit",
+]
+assert len(_ROUND10_FRONT) == 50, len(_ROUND10_FRONT)
+assert set(_ROUND10_FRONT) <= set(QUERIES), set(_ROUND10_FRONT) - set(QUERIES)
+
 # Apply the rotations in round order (one top-level QUERIES binding: the
 # duplicate-constant lint treats a second bare reassignment as the
 # NOVELTY_N shadowing hazard). Each pass moves that round's front to the
 # dict head; later passes see the previous rotation's tail order, which is
 # what the round-9/10 name-by-name plan above was written against.
-for _front in (_ROUND7_FRONT, _ROUND8_FRONT, _ROUND9_FRONT):
+for _front in (_ROUND7_FRONT, _ROUND8_FRONT, _ROUND9_FRONT, _ROUND10_FRONT):
     QUERIES = {
         name: QUERIES[name]
         for name in (*_front, *(n for n in QUERIES if n not in set(_front)))

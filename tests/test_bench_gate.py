@@ -1,0 +1,60 @@
+"""bench.py load gating (VERDICT r9 ask #2).
+
+BENCH_r09 recorded load_avg_1m_start=2.25 against an idle-box protocol and
+nothing acted on the field. The gate must (a) pass an idle box straight
+through, (b) wait-and-resample a busy box until it settles, and (c) give
+up after LOAD_MAX_WAITS and tag the sample contaminated rather than hang
+the driver.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(_REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _load_bench()
+
+
+def test_idle_box_passes_immediately(monkeypatch):
+    monkeypatch.setattr(os, "getloadavg", lambda: (0.12, 0.3, 0.4))
+    monkeypatch.setattr(bench.time, "sleep", lambda s: (_ for _ in ()).throw(AssertionError("slept")))
+    load, gate = bench._gated_load_start()
+    assert (load, gate) == (0.12, "idle")
+
+
+def test_busy_box_waits_then_settles(monkeypatch, capsys):
+    samples = iter([2.25, 1.1, 0.4])
+    monkeypatch.setattr(os, "getloadavg", lambda: (next(samples), 0.0, 0.0))
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    load, gate = bench._gated_load_start()
+    assert (load, gate) == (0.4, "idle")
+    assert slept == [bench.LOAD_WAIT_S] * 2
+    err = capsys.readouterr().err
+    assert "not idle" in err and "2.25" in err
+
+
+def test_never_settles_tags_contaminated(monkeypatch, capsys):
+    monkeypatch.setattr(os, "getloadavg", lambda: (3.0, 0.0, 0.0))
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", slept.append)
+    load, gate = bench._gated_load_start()
+    assert (load, gate) == (3.0, "contaminated")
+    assert len(slept) == bench.LOAD_MAX_WAITS
+    assert "CONTAMINATED" in capsys.readouterr().err
+
+
+def test_gate_threshold_is_the_verdict_value():
+    # the ask names ~0.5; pin it so a silent loosening is loud
+    assert bench.LOAD_GATE == 0.5
