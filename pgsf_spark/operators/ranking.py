@@ -156,7 +156,13 @@ def _lead_order_head_ok(order_by: list[Column], src: str) -> bool:
     when the total order's leading key is ``src`` ascending (secondary
     tiebreaks don't affect the min).  Parsed from the Column repr -- e.g.
     ``Column<'v ASC NULLS FIRST'>`` / ``Column<'v'>`` -- which is stable
-    across the classic PySpark API."""
+    across the classic PySpark API.  The exact repr forms this guard
+    depends on are pinned by
+    ``tests/test_ranking.py::TestLeadGuard::test_column_repr_format_canary``
+    so a PySpark upgrade that changes ``Column.__repr__`` fails loudly
+    there instead of silently rejecting valid orderings here (the guard
+    fails CLOSED -- never wrong seams, but legitimate callers would start
+    raising)."""
     if not order_by:
         return False
     inner = str(order_by[0])

