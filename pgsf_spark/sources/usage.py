@@ -54,7 +54,9 @@ def parse_api_usage(sforce_limit_info: str) -> dict:
     Accepts the same two shapes the reference documents:
       ``api-usage=18/5000``
       ``api-usage=25/5000; per-app-api-usage=17/250(appName=sample-app)``
-    Unknown clauses are ignored, like the reference's targeted regexes.
+    Unknown AND malformed clauses are ignored, like the reference's
+    targeted regexes: ``api-usage=18`` or ``api-usage=18/abc`` simply
+    don't match there, so they must not raise here either (ADVICE r9).
     """
     result: dict = {}
     for clause in sforce_limit_info.split(";"):
@@ -63,18 +65,21 @@ def parse_api_usage(sforce_limit_info: str) -> dict:
             continue
         key, _, val = clause.partition("=")
         key = key.strip()
-        if key == "api-usage":
-            result["api-usage"] = Usage(*_parse_frac(val.strip()))
-        elif key == "per-app-api-usage":
-            frac, _, app = val.partition("(")
-            name = ""
-            if app.endswith(")"):
-                inner = app[:-1]
-                if inner.startswith("appName="):
-                    name = inner[len("appName=") :]
-            result["per-app-api-usage"] = PerAppUsage(
-                *_parse_frac(frac.strip()), name
-            )
+        try:
+            if key == "api-usage":
+                result["api-usage"] = Usage(*_parse_frac(val.strip()))
+            elif key == "per-app-api-usage":
+                frac, _, app = val.partition("(")
+                name = ""
+                if app.endswith(")"):
+                    inner = app[:-1]
+                    if inner.startswith("appName="):
+                        name = inner[len("appName=") :]
+                result["per-app-api-usage"] = PerAppUsage(
+                    *_parse_frac(frac.strip()), name
+                )
+        except ValueError:
+            continue  # non-matching fraction: skip the clause, keep the rest
     return result
 
 

@@ -55,6 +55,68 @@ class TestCreateGet:
         assert tmp_store.current_version("contacts") != v1
 
 
+class TestTypedBootstrap:
+    """First-ever write with an explicit schema (VERDICT r9 ask #5): a
+    None-valued field must land as a typed NULL instead of blowing up
+    single-dict inference, and an int field must get the DECLARED type,
+    not inference's LongType."""
+
+    @staticmethod
+    def _schema():
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        return StructType(
+            [
+                StructField("Id", StringType(), False),
+                StructField("name", StringType(), True),
+                StructField("ext", StringType(), True),
+                StructField("amount", IntegerType(), True),
+            ]
+        )
+
+    def test_create_with_none_valued_field(self, tmp_store):
+        api = RecordApi(tmp_store, "typed", pk="Id", bootstrap_schema=self._schema())
+        out = api.create({"name": None, "ext": "e0", "amount": None})
+        got = api.get(out["id"])
+        assert got["name"] is None and got["amount"] is None
+        # absent fields become typed NULLs too
+        out2 = api.create({"ext": "e1"})
+        assert api.get(out2["id"])["amount"] is None
+
+    def test_declared_type_beats_inference(self, tmp_store):
+        api = RecordApi(tmp_store, "typed2", pk="Id", bootstrap_schema=self._schema())
+        api.create({"name": "a", "ext": "e", "amount": 7})
+        [f] = [f for f in tmp_store.read("typed2").schema.fields if f.name == "amount"]
+        assert f.dataType.simpleString() == "int"  # inference would say bigint
+
+    def test_bootstrap_schema_validates_unknown_fields(self, tmp_store):
+        api = RecordApi(tmp_store, "typed3", pk="Id", bootstrap_schema=self._schema())
+        with pytest.raises(InvalidField, match="no column"):
+            api.create({"nope": 1})
+
+    def test_bootstrap_schema_must_contain_pk(self, tmp_store):
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        with pytest.raises(InvalidField, match="must contain the pk"):
+            RecordApi(
+                tmp_store,
+                "typed4",
+                pk="Id",
+                bootstrap_schema=StructType([StructField("name", StringType())]),
+            )
+
+    def test_upsert_bootstrap_is_typed_too(self, tmp_store):
+        api = RecordApi(tmp_store, "typed5", pk="Id", bootstrap_schema=self._schema())
+        assert api.upsert("ext", "e9", {"name": None, "amount": None}) == 201
+        got = api.get_by_custom_id("ext", "e9")
+        assert got["name"] is None and got["amount"] is None
+
+
 class TestGetByCustomId:
     def test_unique_match(self, api):
         ids = _seed(api)

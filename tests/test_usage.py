@@ -40,6 +40,16 @@ class TestHeaderDialect:
         got = parse_api_usage("api-usage=1/10; something-else=5; junk")
         assert got == {"api-usage": Usage(1, 10)}
 
+    def test_malformed_fractions_ignored(self):
+        # the reference's targeted regexes simply don't match these -- no
+        # exception, surviving clauses still parse (ADVICE r9)
+        got = parse_api_usage("api-usage=18/abc; per-app-api-usage=17/250(appName=a)")
+        assert got == {"per-app-api-usage": PerAppUsage(17, 250, "a")}
+        assert parse_api_usage("api-usage=18") == {}
+        assert parse_api_usage("per-app-api-usage=x/y(appName=a); api-usage=1/2") == {
+            "api-usage": Usage(1, 2)
+        }
+
     def test_round_trip(self):
         header = format_limit_info(Usage(42, 100), PerAppUsage(7, 50, "etl"))
         got = parse_api_usage(header)
