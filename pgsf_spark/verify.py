@@ -44,14 +44,20 @@ def verify_queries(
     sf_dir: str,
     only: Iterable[str] = (),
     log=print,
+    queries=None,
 ) -> dict[str, bool]:
     """Run every (or ``only`` the named) registry queries against their
     DuckDB oracles over the parquet tables in ``sf_dir``. Returns
     name -> passed; rows-only entries (no oracle) map to True if the Spark
-    side ran."""
+    side ran. ``queries`` overrides the live registry dict -- used to gate
+    STAGED batches (registry_r11) with the exact driver comparison before
+    they are registered."""
     import duckdb
 
-    from pgsf_spark.analytics.registry import QUERIES
+    if queries is None:
+        from pgsf_spark.analytics.registry import QUERIES
+    else:
+        QUERIES = queries
 
     only = set(only)
     con = duckdb.connect()
