@@ -17,7 +17,42 @@ shapes (8). 25 names total.
 from __future__ import annotations
 
 from pgsf_spark.analytics import media_analysis, shapes
-from pgsf_spark.analytics.registry import _NORM, QuerySpec
+from pgsf_spark.analytics.registry import _NORM, QUERIES as _LIVE, QuerySpec
+from pgsf_spark.streaming import faces
+
+# --- A. streaming oracle fragments -------------------------------------------
+# Batch-equivalent SQL for the bounded streaming runs in streaming/faces.py.
+# The emission/late-drop rules encoded here are the MEASURED semantics of
+# this engine's micro-batch watermarking (see faces.py module docstring):
+# eviction watermark during batch k = max_ts(batches < k) - delay; the
+# late filter lags one batch; windows/timers resolve against the final
+# no-data batch's watermark. Timer comparisons happen at MILLISECOND
+# grain (Spark tracks watermarks in ms and setTimeoutTimestamp truncates
+# to ms), hence epoch_ms below.
+
+_SESS_GAP_US = int(faces.SESSION_GAP_S * 1_000_000)
+_SESS_GAP_MS = int(faces.SESSION_GAP_S * 1000)
+
+# gap-and-islands sessions over events, with per-session batch metadata
+_SESSIONS_CTE = f"""e AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us, epoch_ms(ts) AS ms,
+    NTILE({faces.N_BATCHES}) OVER (ORDER BY ts, event_id) AS tile
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > {_SESS_GAP_US}
+    THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, us, ms, tile, value,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+sess AS (
+  SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us,
+    MAX(ms) AS end_ms, COUNT(*) AS n,
+    SUM(CAST(value AS DECIMAL(27,4))) AS val
+  FROM s GROUP BY 1, 2),
+mx AS (SELECT MAX(epoch_ms(ts)) AS maxms FROM events)"""
 
 # --- B. multimodal oracle fragments ------------------------------------------
 # (closed forms of the synthetic media in media_analysis.py; the integer
@@ -122,6 +157,117 @@ vhashes AS (
 _CENTS = "CAST(SUM(CAST(round({expr} * 100) AS BIGINT)) AS BIGINT)"
 
 STAGED_QUERIES: dict[str, QuerySpec] = {
+    # --- A. streaming-stateful (8) ----------------------------------------
+    "stream_sessionize_gate": QuerySpec(
+        faces.q_stream_sessionize_gate,
+        f"""WITH {_SESSIONS_CTE},
+emitted AS (
+  SELECT sess.* FROM sess, mx
+  WHERE sid < (SELECT MAX(sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+     OR mx.maxms > end_ms + {_SESS_GAP_MS})
+SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+  CAST(SUM(end_us - start_us) AS BIGINT) AS sum_dur_us,
+  ROUND(CAST(SUM(val) AS DOUBLE), 4) AS sum_value
+FROM emitted GROUP BY user_id ORDER BY user_id""",
+    ),
+    "stream_tumbling_revenue": QuerySpec(
+        faces.q_stream_tumbling_revenue,
+        f"""WITH b AS (SELECT event_id % {faces.N_BATCHES} AS bk, ts, value FROM events),
+m0 AS (SELECT MAX(ts) AS t FROM b WHERE bk = 0),
+mall AS (SELECT MAX(ts) AS t FROM b),
+inc AS (
+  SELECT date_trunc('hour', ts) AS wstart, value FROM b
+  WHERE bk < 2
+     OR date_trunc('hour', ts) + INTERVAL 1 HOUR
+        > (SELECT t FROM m0) - INTERVAL 30 MINUTE),
+agg AS (
+  SELECT wstart, COUNT(*) AS n_events,
+    ROUND(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE), 4) AS revenue
+  FROM inc GROUP BY 1)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start, n_events, revenue
+FROM agg, mall WHERE wstart + INTERVAL 1 HOUR <= mall.t - INTERVAL 30 MINUTE
+ORDER BY window_start""",
+    ),
+    "stream_dedup_watermark": QuerySpec(
+        faces.q_stream_dedup_watermark,
+        """SELECT event_type, COUNT(*) AS n_events,
+  COUNT(DISTINCT event_id) AS n_distinct,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1 ORDER BY 1""",
+    ),
+    "stream_cdc_merge_parity": QuerySpec(
+        faces.q_stream_cdc_merge_parity,
+        """WITH c AS (
+  SELECT c_custkey AS k, c_nationkey,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer),
+final AS (
+  SELECT k, c_nationkey,
+    CASE WHEN k % 7 = 0 THEN cents + 700000
+         WHEN k % 5 = 0 THEN cents + 100000
+         ELSE cents END AS cents
+  FROM c WHERE NOT (k % 11 = 3))
+SELECT c_nationkey, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY 1 ORDER BY 1""",
+    ),
+    "stream_static_enrich": QuerySpec(
+        faces.q_stream_static_enrich,
+        """SELECT COALESCE(c_nationkey, -1) AS nationkey, COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE), 4) AS sum_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY 1 ORDER BY 1""",
+    ),
+    "stream_interval_join_gate": QuerySpec(
+        faces.q_stream_interval_join_gate,
+        """WITH c AS (SELECT user_id, event_id AS click_id, ts AS cts
+  FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.user_id, purchase_id, click_id,
+    epoch_us(pts) - epoch_us(cts) AS lead_us
+  FROM c JOIN p ON c.user_id = p.user_id
+    AND cts >= pts - INTERVAL 30 MINUTE AND cts < pts)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, COUNT(DISTINCT user_id) AS n_users,
+  COUNT(DISTINCT purchase_id) AS n_purchases_matched,
+  CAST(SUM(lead_us) AS BIGINT) AS sum_lead_us
+FROM j""",
+    ),
+    # register merge is max(): streamed sketch == batch sketch, so the
+    # batch HLL oracle applies VERBATIM (reused from the live registry)
+    "stream_running_hll": QuerySpec(
+        faces.q_stream_running_hll, _LIVE["hll_portable"].oracle
+    ),
+    "stream_state_timeout_audit": QuerySpec(
+        faces.q_stream_state_timeout_audit,
+        f"""WITH {_SESSIONS_CTE},
+tm AS (
+  SELECT tile, MAX(MAX(ms)) OVER (ORDER BY tile ROWS UNBOUNDED PRECEDING) AS cmms
+  FROM s GROUP BY tile),
+heads AS (
+  SELECT user_id, sid, tile AS stile FROM (
+    SELECT user_id, sid, tile,
+      ROW_NUMBER() OVER (PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+    FROM s) WHERE rn = 1),
+lab AS (
+  SELECT sess.*, heads.stile,
+    CASE
+      WHEN heads.stile IS NOT NULL THEN
+        CASE WHEN heads.stile >= 3
+              AND (SELECT cmms FROM tm WHERE tile = heads.stile - 2)
+                  > sess.end_ms + {_SESS_GAP_MS}
+             THEN 'timeout' ELSE 'gap' END
+      WHEN (SELECT maxms FROM mx) > sess.end_ms + {_SESS_GAP_MS} THEN 'timeout'
+    END AS close_reason
+  FROM sess LEFT JOIN heads
+    ON heads.user_id = sess.user_id AND heads.sid = sess.sid + 1)
+SELECT close_reason, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(end_us - start_us) AS BIGINT) AS sum_dur_us
+FROM lab WHERE close_reason IS NOT NULL
+GROUP BY 1 ORDER BY 1""",
+    ),
     "range_join_bucketed": QuerySpec(
         shapes.q_range_join_bucketed,
         f"""WITH win AS (
