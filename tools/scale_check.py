@@ -123,10 +123,13 @@ def main() -> int:
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     work = os.environ.get("PGSF_SCALE_DIR", "/tmp/pgsf_scale_check")
 
-    from pgsf_spark.analytics.registry import QUERIES
+    from pgsf_spark.analytics.registry import QUERIES as _LIVE
+    from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES
     from pgsf_spark.session import get_spark
     from pgsf_spark.tables import load_table
 
+    # staged round-11 queries are trend-checkable before registration
+    QUERIES = {**_LIVE, **STAGED_QUERIES}
     unknown = [q for q in names if q not in QUERIES]
     if unknown:
         print(json.dumps({"error": f"unknown queries {unknown}"}))
