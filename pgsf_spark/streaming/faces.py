@@ -584,19 +584,31 @@ def _audit_sessions(
         state.remove()
         yield row(start, last, n, "timeout")
         return
+    import numpy as np
+
     rows = pd.concat(list(pdfs)).sort_values("ts_sec")
+    ts = rows["ts_sec"].to_numpy(dtype=np.float64)
     if state.exists:
         start, last, n = state.get
     else:
-        start = last = float(rows.iloc[0]["ts_sec"])
-        n = 0
-    for _, r in rows.iterrows():
-        ts = float(r["ts_sec"])
-        if ts - last > gap:
-            yield row(start, last, n, "gap")
-            start, n = ts, 0
-        last = ts
-        n += 1
+        start, last, n = float(ts[0]), float(ts[0]), 0
+    # vectorized fold, same shape as stateful._update_sessions
+    brk = set((np.flatnonzero(np.diff(ts) > gap) + 1).tolist())
+    if ts[0] - last > gap:
+        brk.add(0)
+    bounds = [0, *sorted(brk - {0}), len(ts)]
+    closed = []
+    for s, e in zip(bounds, bounds[1:]):
+        if s in brk:
+            closed.append((start, last, n))
+            start, n = float(ts[s]), 0
+        n += e - s
+        last = float(ts[e - 1])
+    if closed:
+        yield pd.DataFrame(
+            [(key[0], s, e, cnt, "gap") for s, e, cnt in closed],
+            columns=["user_id", "session_start", "session_end", "n_events", "close_reason"],
+        )
     state.update((start, last, n))
     state.setTimeoutTimestamp(int((last + gap) * 1000))
 

@@ -54,6 +54,67 @@ class TestStagedOracleParity:
         assert results == {name: True}
 
 
+class TestStagedLintReadiness:
+    """The staged batch must already pass the LIVE registry's plan lints
+    (tests/test_plans.py), so round-11 registration is a dict update, not
+    a lint-triage session. Streaming faces return a bounded
+    localCheckpoint (their feed plumbing never appears in the returned
+    plan); batch queries are asserted on their real plans."""
+
+    _PLANS: dict = {}
+
+    @classmethod
+    def _plan(cls, spark, name):
+        if name not in cls._PLANS:
+            df = _staged()[name].fn(spark, SF_DIR)
+            cls._PLANS[name] = df._jdf.queryExecution().executedPlan().toString()
+        return cls._PLANS[name]
+
+    # the streaming faces execute a full stream per plan build; lint the
+    # batch families (the streaming plans are checkpoint scans by
+    # construction -- asserted once in test_stream_faces_return_checkpoints)
+    _BATCH = sorted(
+        n
+        for n in _staged()
+        if not n.startswith("stream_")
+    )
+
+    @pytest.mark.parametrize("name", _BATCH)
+    def test_no_cartesian_no_python_eval_no_global_window(self, spark, name):
+        from pgsf_spark.planlint import partitionless_windows
+
+        plan = self._plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name  # no row-at-a-time UDFs
+        assert not partitionless_windows(plan), name
+
+    @pytest.mark.parametrize("name", _BATCH)
+    def test_scan_budget_default_two(self, spark, name):
+        # no staged query needs a SCAN_BUDGET pin: all fit the default
+        import re
+        from collections import Counter
+
+        counts = Counter(re.findall(r"(\w+)\.parquet", self._plan(spark, name)))
+        excess = {t: n for t, n in counts.items() if n > 2}
+        assert not excess, (name, excess)
+
+    def test_stream_faces_return_checkpoints(self, spark):
+        # one streaming representative: the returned plan is a bounded
+        # local-checkpoint scan -- no parquet scans, no windows, nothing
+        # for the registry lints to flag at registration
+        from pgsf_spark.streaming.faces import q_stream_static_enrich
+
+        plan = (
+            q_stream_static_enrich(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+        assert ".parquet" not in plan
+
+
 class TestStagedPlanShapes:
     def test_range_join_never_nested_loop(self, spark):
         from pgsf_spark.analytics.shapes import q_range_join_bucketed
