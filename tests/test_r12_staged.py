@@ -1,0 +1,235 @@
+"""Round-12 STAGED batch: semi-structured + Python-engine surfaces.
+
+Same staging discipline as tests/test_r11_staged.py: the batch ships in
+pgsf_spark/analytics/registry_r12.py, is gated here with the SAME
+comparison the round driver runs (pgsf_spark.verify.verify_queries), and
+must already pass the live registry's plan lints, so round-12
+registration is a dict update, not a lint-triage session.
+
+Also covers pgsf_spark/streaming/tws.py -- the transformWithStateInPandas
+surface (Spark 4 StatefulProcessor). The tws engine itself is
+ENVIRONMENT-GATED (the worker protocol needs google.protobuf, absent
+here); the classic fallback engine runs everywhere and both engines share
+one output contract, so the parity leg activates automatically in an
+environment that has the runtime.
+"""
+
+import importlib.util
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # not even the "google" namespace package
+    _HAS_PROTOBUF = False
+
+from tests.conftest import SF_DIR
+
+
+def _staged():
+    from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12
+
+    return STAGED_QUERIES_R12
+
+
+class TestStagingDisciplineR12:
+    def test_batch_size_and_no_collisions(self):
+        from pgsf_spark.analytics.registry import QUERIES
+        from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES
+
+        staged = _staged()
+        assert len(staged) == 7
+        assert not set(staged) & set(QUERIES)
+        assert not set(staged) & set(STAGED_QUERIES)
+
+    def test_staged_specs_shaped_like_registry_specs(self):
+        from pgsf_spark.analytics.registry import QuerySpec
+
+        for name, spec in _staged().items():
+            assert isinstance(spec, QuerySpec), name
+            assert callable(spec.fn), name
+            # the whole r12 batch is full-oracle (no rows-only entries)
+            assert isinstance(spec.oracle, str) and spec.oracle.strip(), name
+
+
+class TestStagedOracleParityR12:
+    """Each staged query through the driver-identical comparison."""
+
+    @pytest.mark.parametrize("name", sorted(_staged()))
+    def test_oracle_parity_sf0001(self, spark, name):
+        from pgsf_spark.verify import verify_queries
+
+        results = verify_queries(
+            spark, SF_DIR, only={name}, log=lambda s: None, queries=_staged()
+        )
+        assert results == {name: True}
+
+
+class TestStagedLintReadinessR12:
+    """The staged batch must already pass the live plan lints."""
+
+    _PLANS: dict = {}
+
+    @classmethod
+    def _plan(cls, spark, name):
+        if name not in cls._PLANS:
+            df = _staged()[name].fn(spark, SF_DIR)
+            cls._PLANS[name] = df._jdf.queryExecution().executedPlan().toString()
+        return cls._PLANS[name]
+
+    @pytest.mark.parametrize("name", sorted(_staged()))
+    def test_no_cartesian_no_row_udf_no_global_window(self, spark, name):
+        from pgsf_spark.planlint import partitionless_windows
+
+        plan = self._plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # no row-at-a-time Python evaluation. The two deliberate Python
+        # surfaces in this batch use the Arrow batch paths and appear as
+        # ArrowEvalPythonUDTF / PythonMapInArrow (asserted positively in
+        # test_python_surfaces_are_arrow_batched); BatchEvalPython* (the
+        # pickled row path, scalar or UDTF) must appear nowhere.
+        assert "BatchEvalPython" not in plan, name
+        assert not partitionless_windows(plan), name
+
+    @pytest.mark.parametrize("name", sorted(_staged()))
+    def test_scan_budget_default_two(self, spark, name):
+        import re
+        from collections import Counter
+
+        counts = Counter(re.findall(r"(\w+)\.parquet", self._plan(spark, name)))
+        excess = {t: n for t, n in counts.items() if n > 2}
+        assert not excess, (name, excess)
+
+    def test_python_surfaces_are_arrow_batched(self, spark):
+        """The UDTF runs Arrow-optimized and mapInArrow never converts to
+        pandas -- pin the physical node names so a silent fallback to the
+        pickled row path fails here."""
+        udtf_plan = self._plan(spark, "udtf_bigram_topk")
+        assert "ArrowEvalPythonUDTF" in udtf_plan
+        arrow_plan = self._plan(spark, "arrow_map_profile")
+        assert "MapInArrow" in arrow_plan  # physical node: MapInArrow
+
+
+class TestTwsGate:
+    """transformWithStateInPandas surface: capability gate + fallback parity."""
+
+    def _feed(self, spark, tmp_path, n_batches=3):
+        feed = os.path.join(str(tmp_path), "feed")
+        os.makedirs(feed)
+        base = spark.range(120).select(
+            (F.col("id") % 7).alias("user_id"),
+            (F.col("id") * 1.5).alias("value"),
+            (F.col("id") % n_batches).alias("b"),
+        )
+        for k in range(n_batches):
+            base.filter(F.col("b") == k).drop("b").coalesce(1).write.parquet(
+                os.path.join(feed, f"b{k}")
+            )
+        return feed, base.drop("b")
+
+    def _run_stream(self, spark, out_df, tmp_path, name):
+        q = (
+            out_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def test_classic_engine_matches_batch(self, spark, tmp_path):
+        from pgsf_spark.streaming.tws import running_user_totals
+
+        feed, batch = self._feed(spark, tmp_path)
+        stream = spark.readStream.schema("user_id long, value double").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(feed + "/*")
+        self._run_stream(
+            spark, running_user_totals(stream, engine="classic"), tmp_path, "tws_classic"
+        )
+        # update-mode emits a row per user per batch the user appears in;
+        # the memory sink keeps every update, so reduce to the max-n row
+        # per user -- the final running total must equal the batch aggregate
+        final = {}
+        for r in spark.sql("SELECT * FROM tws_classic").collect():
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                final[r["user_id"]] = (r["n_events"], r["total_value"])
+        want = {
+            r["user_id"]: (r["n"], r["t"])
+            for r in batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+            .collect()
+        }
+        assert final == want
+
+    def test_auto_selects_classic_without_runtime(self, spark, tmp_path):
+        from pgsf_spark.streaming import tws
+
+        if tws.HAS_TWS_RUNTIME:
+            pytest.skip("environment has the tws runtime; auto picks tws")
+        feed, _ = self._feed(spark, tmp_path)
+        stream = spark.readStream.schema("user_id long, value double").parquet(
+            feed + "/*"
+        )
+        df = tws.running_user_totals(stream, engine="auto")
+        plan = df._jdf.queryExecution().logical().toString()
+        assert "WithState" in plan and "TransformWithState" not in plan, plan
+
+    def test_tws_engine_raises_clear_error_when_unavailable(self, spark, tmp_path):
+        from pgsf_spark.streaming import tws
+
+        if tws.HAS_TWS_RUNTIME:
+            pytest.skip("environment has the tws runtime")
+        feed, _ = self._feed(spark, tmp_path)
+        stream = spark.readStream.schema("user_id long, value double").parquet(
+            feed + "/*"
+        )
+        with pytest.raises(RuntimeError, match="protobuf"):
+            tws.running_user_totals(stream, engine="tws")
+
+    def test_unknown_engine_rejected(self, spark, tmp_path):
+        from pgsf_spark.streaming import tws
+
+        feed, _ = self._feed(spark, tmp_path)
+        stream = spark.readStream.schema("user_id long, value double").parquet(
+            feed + "/*"
+        )
+        with pytest.raises(ValueError, match="unknown engine"):
+            tws.running_user_totals(stream, engine="rocksdb")
+
+    @pytest.mark.skipif(
+        not _HAS_PROTOBUF,
+        reason="ENV-GATED: transformWithState needs google.protobuf in the "
+        "worker Python (not installed here); this leg activates automatically "
+        "in an environment that has it",
+    )
+    def test_tws_engine_matches_classic(self, spark, tmp_path):
+        from pgsf_spark.streaming import tws
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", tws.ROCKSDB_PROVIDER
+        )
+        feed, batch = self._feed(spark, tmp_path)
+        stream = spark.readStream.schema("user_id long, value double").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(feed + "/*")
+        self._run_stream(
+            spark, tws.running_user_totals(stream, engine="tws"), tmp_path, "tws_real"
+        )
+        final = {}
+        for r in spark.sql("SELECT * FROM tws_real").collect():
+            cur = final.get(r["user_id"])
+            if cur is None or r["n_events"] > cur[0]:
+                final[r["user_id"]] = (r["n_events"], r["total_value"])
+        want = {
+            r["user_id"]: (r["n"], r["t"])
+            for r in batch.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+            .collect()
+        }
+        assert final == want
