@@ -113,6 +113,32 @@ class TestStagedLintReadinessR12:
         assert "MapInArrow" in arrow_plan  # physical node: MapInArrow
 
 
+@pytest.fixture(scope="module")
+def empty_sf_dir_r12(spark, tmp_path_factory):
+    """A sf dir whose tables all have the right schema and ZERO rows
+    (same harness as tests/test_empty_inputs.py)."""
+    from pgsf_spark.tables import TABLES, load_table
+
+    root = tmp_path_factory.mktemp("sf_empty_r12")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            str(root / f"{t}.parquet")
+        )
+    return str(root)
+
+
+class TestStagedEmptyInputsR12:
+    """Every staged query must run (not crash) on zero-row tables -- the
+    VARIANT/JSON constructors, map folds, lateral UDTF fan-out, and Arrow
+    batch iterator all see an empty partition at some point at 100 TB."""
+
+    @pytest.mark.parametrize("name", sorted(_staged()))
+    def test_runs_on_empty_tables(self, spark, empty_sf_dir_r12, name):
+        df = _staged()[name].fn(spark, empty_sf_dir_r12)
+        assert len(df.schema) > 0
+        assert isinstance(df.collect(), list)  # must not raise
+
+
 class TestTwsGate:
     """transformWithStateInPandas surface: capability gate + fallback parity."""
 
