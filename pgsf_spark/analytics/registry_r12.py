@@ -9,8 +9,9 @@ Verified by tests/test_r12_staged.py through the same
 ``pgsf_spark.verify.verify_queries`` machinery the round driver uses.
 
 Batch plan: PERF.md "Round-12 plan" -- semi-structured data (VARIANT,
-from_json, maps, higher-order arrays) and the Python engine surfaces
-(Arrow UDTF, mapInArrow). 7 names, all full-oracle.
+XML, from_json, maps, higher-order arrays), the Python engine surfaces
+(Arrow UDTF, mapInArrow), and the state-store reader (checkpoint state
+as a DataFrame). 9 names, all full-oracle.
 
 Oracle design notes:
   - the JSON gates' oracles compute from the BASE columns the JSON was
@@ -30,6 +31,7 @@ from __future__ import annotations
 from pgsf_spark.analytics import semistructured
 from pgsf_spark.analytics.registry import _NORM, QUERIES as _LIVE, QuerySpec
 from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES as _R11
+from pgsf_spark.streaming import faces as _faces
 
 STAGED_QUERIES_R12: dict[str, QuerySpec] = {
     "variant_shred": QuerySpec(
@@ -110,9 +112,22 @@ GROUP BY 1 ORDER BY n DESC, gram LIMIT {semistructured._BIGRAM_TOPK}""",
   CAST(MAX(length(text)) AS BIGINT) AS max_chars
 FROM documents GROUP BY 1 ORDER BY 1""",
     ),
+    "xml_shred_gate": QuerySpec(
+        semistructured.q_xml_shred_gate,
+        """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_total,
+  COUNT(DISTINCT year(o_orderdate) * 100 + month(o_orderdate)) AS n_year_months
+FROM orders GROUP BY 1 ORDER BY 1""",
+    ),
+    "statestore_read_gate": QuerySpec(
+        _faces.q_statestore_read_gate,
+        """SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events""",
+    ),
 }
 
-assert len(STAGED_QUERIES_R12) == 7, len(STAGED_QUERIES_R12)
+assert len(STAGED_QUERIES_R12) == 9, len(STAGED_QUERIES_R12)
 # staged names must collide with neither the live registry nor the r11 batch
 assert not (set(STAGED_QUERIES_R12) & set(_LIVE)), set(STAGED_QUERIES_R12) & set(_LIVE)
 assert not (set(STAGED_QUERIES_R12) & set(_R11)), set(STAGED_QUERIES_R12) & set(_R11)

@@ -1,7 +1,9 @@
 """Round-12 staged batch: semi-structured data + Python-engine surfaces.
 
-Seven queries, each locking an API surface the registry does not yet
-exercise behind the usual DuckDB-oracle gate:
+Eight of the batch's nine queries live here (the ninth,
+``statestore_read_gate``, is a streaming-checkpoint face in
+``streaming/faces.py``), each locking an API surface the registry does
+not yet exercise behind the usual DuckDB-oracle gate:
 
   1. VARIANT shredding        -- parse_json -> try_variant_get typed paths
                                  (Spark 4 VARIANT: the open-ended-schema
@@ -292,6 +294,52 @@ def q_higher_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         npos.alias("n_pos"),
         F.round(l1, 6).alias("l1_norm"),
     ).orderBy("vec_id")
+
+
+# --- 5b. xml_shred_gate ---------------------------------------------------------
+
+
+def q_xml_shred_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML shredding round trip (Spark 4 to_xml / from_xml).
+
+    Same round-trip-identity design as the VARIANT gate, over the OTHER
+    semi-structured wire format enterprise feeds actually arrive in:
+    each order renders to an XML fragment (nested element included),
+    from_xml parses it back against an explicit schema, and the
+    aggregate pins every extracted field to base-column math. Escaping,
+    element nesting, and numeric round-tripping all hash-gated."""
+    o = load_table(spark, sf_dir, "orders")
+    x = o.select(
+        F.to_xml(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("total"),
+                F.struct(
+                    F.year("o_orderdate").alias("y"),
+                    F.month("o_orderdate").alias("m"),
+                ).alias("d"),
+            )
+        ).alias("xml")
+    )
+    p = x.select(
+        F.from_xml(
+            "xml", "status string, total double, d struct<y: int, m: int>"
+        ).alias("p")
+    )
+    return (
+        p.select(
+            F.col("p.status").alias("status"),
+            F.col("p.total").alias("total"),
+            (F.col("p.d.y") * 100 + F.col("p.d.m")).alias("ym"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("total")).alias("sum_total"),
+            F.countDistinct("ym").alias("n_year_months"),
+        )
+        .orderBy("status")
+    )
 
 
 # --- 6. udtf_bigram_topk --------------------------------------------------------

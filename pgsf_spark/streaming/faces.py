@@ -672,3 +672,52 @@ def q_stream_state_timeout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("close_reason")
     )
     return _collect_and_clean(spark, res, tmp)
+
+
+# --- round-12 staged: statestore_read_gate ------------------------------------
+
+
+def q_statestore_read_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store READER: audit a live checkpoint's state as a DataFrame.
+
+    Runs a per-user streaming aggregation (count + exact-DECIMAL value
+    sum -- decimal BEFORE the agg so partial-combine order can't move
+    the double) over the 3-batch events replay into a noop sink, then
+    reads the query's own checkpoint back through the Spark 4 state
+    data source (format "statestore") and pins the recovered state to
+    the batch aggregate. This is the at-scale operations surface: state
+    debugging/auditing WITHOUT replaying the stream -- at 100 TB the
+    checkpoint is the only place the running aggregate exists."""
+    tmp = tempfile.mkdtemp(prefix="pgsf_ss_read_")
+    feed, schema = _events_feed(
+        spark, sf_dir, tmp, ["event_id", "ts", "user_id", "value"]
+    )
+    agg = (
+        _read_stream(spark, feed, schema)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,4)")).alias("t"),
+        )
+    )
+    _run(
+        spark,
+        agg.writeStream.format("noop").outputMode("complete"),
+        os.path.join(tmp, "ck"),
+    )
+    state = spark.read.format("statestore").load(os.path.join(tmp, "ck"))
+    # state value fields carry the agg BUFFER's internal layout: count,
+    # sum, isEmpty (the decimal-sum buffer tracks emptiness separately);
+    # select by buffer name and let the oracle hash catch any upgrade
+    # that reshapes the layout
+    vals = state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n"),
+        F.col("value.sum").alias("t"),
+    )
+    res = vals.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.sum("t").cast("double").alias("total_value"),
+    )
+    return _collect_and_clean(spark, res, tmp)

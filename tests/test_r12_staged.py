@@ -40,7 +40,7 @@ class TestStagingDisciplineR12:
         from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES
 
         staged = _staged()
-        assert len(staged) == 7
+        assert len(staged) == 9
         assert not set(staged) & set(QUERIES)
         assert not set(staged) & set(STAGED_QUERIES)
 
