@@ -34,6 +34,14 @@ table columns inside the query, so each gate pins the full round trip
 straight from the base columns; parse bugs, escaping bugs, and cast
 bugs all surface as hash mismatches.
 
+Measured fidelity boundaries (pinned by
+tests/test_r12_staged.py::TestSemiStructuredEscaping on pyspark 4.1.2):
+JSON/VARIANT round-trips every string exactly, control characters
+included; XML 1.0 cannot represent control chars (< 0x20 except
+tab/newline/CR) and to_xml FAILS LOUDLY on them, and from_xml trims
+surrounding whitespace unless ignoreSurroundingSpaces=false -- a
+mixed-format pipeline routes control-char payloads over JSON/VARIANT.
+
 Reference parity note: the reference engine has no semi-structured or
 Python-engine surface (reference soql.py / api.py are flat SOQL
 projections); everything here is beyond-reference training-pipeline
