@@ -125,13 +125,17 @@ def q_variant_typeof_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     OBJECT<k: BIGINT>) so an engine upgrade that renames them fails this
     gate loudly instead of silently downstream."""
     d = load_table(spark, sf_dir, "documents")
+    # a bare JSON string literal with REAL escaping: to_json(array(lang))
+    # renders '["<escaped>"]'; stripping the brackets leaves the quoted
+    # scalar (string concat alone would break on a quote/backslash in the
+    # value -- the failure mode TestSemiStructuredEscaping pins)
+    bare_str = F.expr(
+        "substring(to_json(array(lang)), 2, length(to_json(array(lang))) - 2)"
+    )
     js = d.select(
         "doc_id",
         F.when(F.col("doc_id") % 4 == 0, F.col("n_chars").cast("string"))
-        .when(
-            F.col("doc_id") % 4 == 1,
-            F.concat(F.lit('"'), F.col("lang"), F.lit('"')),
-        )
+        .when(F.col("doc_id") % 4 == 1, bare_str)
         .when(
             F.col("doc_id") % 4 == 2,
             F.concat(

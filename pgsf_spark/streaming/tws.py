@@ -31,12 +31,11 @@ Capability probe: ``HAS_TWS_RUNTIME``.
 from __future__ import annotations
 
 import importlib.util
-from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from pgsf_spark.streaming import stateful
 
 def _has_protobuf() -> bool:
     # find_spec on a dotted name imports the PARENT package first and
@@ -56,30 +55,10 @@ ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
 
-OUTPUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
-    ]
-)
-
-_STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
-)
-
-
-def _classic_update(
-    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
-    )
+# one output contract for both engines: the classic engine IS
+# stateful.running_user_stats, so its schema is the contract
+OUTPUT_SCHEMA = stateful.OUTPUT_SCHEMA
+_STATE_SCHEMA = stateful.STATE_SCHEMA
 
 
 def _tws_processor():
@@ -125,13 +104,9 @@ def running_user_totals(events: DataFrame, engine: str = "auto") -> DataFrame:
     if engine == "auto":
         engine = "tws" if HAS_TWS_RUNTIME else "classic"
     if engine == "classic":
-        return events.groupBy("user_id").applyInPandasWithState(
-            _classic_update,
-            outputStructType=OUTPUT_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+        # the classic engine IS the existing operator -- one
+        # implementation, so the two engines cannot drift apart
+        return stateful.running_user_stats(events)
     if engine != "tws":
         raise ValueError(f"unknown engine {engine!r}: want 'auto'|'tws'|'classic'")
     if not HAS_TWS_RUNTIME:

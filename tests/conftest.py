@@ -22,3 +22,17 @@ def tmp_store(spark, tmp_path):
 
 
 SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(spark, tmp_path_factory):
+    """A sf dir whose tables all have the right schema and ZERO rows
+    (shared by test_empty_inputs.py and the staged-batch suites)."""
+    from pgsf_spark.tables import TABLES, load_table
+
+    root = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            str(root / f"{t}.parquet")
+        )
+    return str(root)

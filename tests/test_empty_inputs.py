@@ -277,17 +277,7 @@ REPRESENTATIVE = [
 ]
 
 
-@pytest.fixture(scope="module")
-def empty_sf_dir(spark, tmp_path_factory):
-    """A sf dir whose tables all have the right schema and ZERO rows."""
-    root = tmp_path_factory.mktemp("sf_empty")
-    real = "/root/testdata/sf0.001"
-    from pgsf_spark.tables import load_table
-
-    for t in TABLES:
-        df = load_table(spark, real, t).limit(0)
-        df.write.mode("overwrite").parquet(str(root / f"{t}.parquet"))
-    return str(root)
+# empty_sf_dir is the shared session fixture in tests/conftest.py
 
 
 class TestEmptyInputs:

@@ -14,17 +14,13 @@ one output contract, so the parity leg activates automatically in an
 environment that has the runtime.
 """
 
-import importlib.util
 import os
 
 import pytest
 from pyspark.sql import functions as F
 
-try:
-    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
-except ModuleNotFoundError:  # not even the "google" namespace package
-    _HAS_PROTOBUF = False
-
+# the ONE capability probe -- the skip gate must match the runtime gate
+from pgsf_spark.streaming.tws import HAS_TWS_RUNTIME as _HAS_PROTOBUF
 from tests.conftest import SF_DIR
 
 
@@ -72,6 +68,13 @@ class TestStagedLintReadinessR12:
 
     _PLANS: dict = {}
 
+    # statestore_read_gate executes a full bounded stream and returns a
+    # localCheckpoint scan -- its returned plan is lint-trivial by
+    # construction (asserted once in test_statestore_face_returns_checkpoint,
+    # same discipline as test_r11_staged's streaming exclusion), so the
+    # batch lints cover the eight genuine batch plans
+    _BATCH = sorted(n for n in _staged() if n != "statestore_read_gate")
+
     @classmethod
     def _plan(cls, spark, name):
         if name not in cls._PLANS:
@@ -79,7 +82,7 @@ class TestStagedLintReadinessR12:
             cls._PLANS[name] = df._jdf.queryExecution().executedPlan().toString()
         return cls._PLANS[name]
 
-    @pytest.mark.parametrize("name", sorted(_staged()))
+    @pytest.mark.parametrize("name", _BATCH)
     def test_no_cartesian_no_row_udf_no_global_window(self, spark, name):
         from pgsf_spark.planlint import partitionless_windows
 
@@ -94,7 +97,7 @@ class TestStagedLintReadinessR12:
         assert "BatchEvalPython" not in plan, name
         assert not partitionless_windows(plan), name
 
-    @pytest.mark.parametrize("name", sorted(_staged()))
+    @pytest.mark.parametrize("name", _BATCH)
     def test_scan_budget_default_two(self, spark, name):
         import re
         from collections import Counter
@@ -102,6 +105,13 @@ class TestStagedLintReadinessR12:
         counts = Counter(re.findall(r"(\w+)\.parquet", self._plan(spark, name)))
         excess = {t: n for t, n in counts.items() if n > 2}
         assert not excess, (name, excess)
+
+    def test_statestore_face_returns_checkpoint(self, spark):
+        # the streaming face's returned plan is a bounded local-checkpoint
+        # scan: no parquet scans, nothing for the registry lints to flag
+        plan = self._plan(spark, "statestore_read_gate")
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+        assert ".parquet" not in plan
 
     def test_python_surfaces_are_arrow_batched(self, spark):
         """The UDTF runs Arrow-optimized and mapInArrow never converts to
@@ -188,28 +198,15 @@ class TestSemiStructuredEscaping:
             df.select(F.to_xml(F.struct("s")).alias("x")).collect()
 
 
-@pytest.fixture(scope="module")
-def empty_sf_dir_r12(spark, tmp_path_factory):
-    """A sf dir whose tables all have the right schema and ZERO rows
-    (same harness as tests/test_empty_inputs.py)."""
-    from pgsf_spark.tables import TABLES, load_table
-
-    root = tmp_path_factory.mktemp("sf_empty_r12")
-    for t in TABLES:
-        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
-            str(root / f"{t}.parquet")
-        )
-    return str(root)
-
-
 class TestStagedEmptyInputsR12:
     """Every staged query must run (not crash) on zero-row tables -- the
     VARIANT/JSON constructors, map folds, lateral UDTF fan-out, and Arrow
-    batch iterator all see an empty partition at some point at 100 TB."""
+    batch iterator all see an empty partition at some point at 100 TB.
+    (empty_sf_dir is the shared session fixture in tests/conftest.py.)"""
 
     @pytest.mark.parametrize("name", sorted(_staged()))
-    def test_runs_on_empty_tables(self, spark, empty_sf_dir_r12, name):
-        df = _staged()[name].fn(spark, empty_sf_dir_r12)
+    def test_runs_on_empty_tables(self, spark, empty_sf_dir, name):
+        df = _staged()[name].fn(spark, empty_sf_dir)
         assert len(df.schema) > 0
         assert isinstance(df.collect(), list)  # must not raise
 
@@ -240,7 +237,9 @@ class TestTwsGate:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(180):  # stop-and-raise, like faces._run
+            q.stop()
+            raise TimeoutError(f"stream {name} did not finish in 180s")
 
     def test_classic_engine_matches_batch(self, spark, tmp_path):
         from pgsf_spark.streaming.tws import running_user_totals
