@@ -10,8 +10,9 @@ Verified by tests/test_r12_staged.py through the same
 
 Batch plan: PERF.md "Round-12 plan" -- semi-structured data (VARIANT,
 XML, from_json, maps, higher-order arrays), the Python engine surfaces
-(Arrow UDTF, mapInArrow), and the state-store reader (checkpoint state
-as a DataFrame). 9 names, all full-oracle.
+(Arrow UDTF, mapInArrow), the state-store reader (checkpoint state
+as a DataFrame), and the Python DataSource API (sources/pyds.py paged
+entity source with typed filter pushdown). 10 names, all full-oracle.
 
 Oracle design notes:
   - the JSON gates' oracles compute from the BASE columns the JSON was
@@ -125,9 +126,15 @@ FROM orders GROUP BY 1 ORDER BY 1""",
   CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
 FROM events""",
     ),
+    "python_datasource_gate": QuerySpec(
+        semistructured.q_python_datasource_gate,
+        """SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
+FROM documents WHERE n_chars > 300 GROUP BY 1 ORDER BY 1""",
+    ),
 }
 
-assert len(STAGED_QUERIES_R12) == 9, len(STAGED_QUERIES_R12)
+assert len(STAGED_QUERIES_R12) == 10, len(STAGED_QUERIES_R12)
 # staged names must collide with neither the live registry nor the r11 batch
 assert not (set(STAGED_QUERIES_R12) & set(_LIVE)), set(STAGED_QUERIES_R12) & set(_LIVE)
 assert not (set(STAGED_QUERIES_R12) & set(_R11)), set(STAGED_QUERIES_R12) & set(_R11)

@@ -398,6 +398,47 @@ def q_udtf_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- 6b. python_datasource_gate -------------------------------------------------
+
+
+def q_python_datasource_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 Python DataSource API, with real pushdown.
+
+    Reads documents through the custom ``entity_pages`` source
+    (sources/pyds.py: the reference's paged REST cursor re-expressed as
+    partition-parallel row-group pages) with column pruning via the
+    ``fields`` option and a typed filter consumed by ``pushFilters`` --
+    the plan's BatchScan carries no n_chars post-filter because the
+    source handled it (stats skip + Arrow batch filter). The oracle
+    recomputes from the plain table, so the whole custom read path --
+    schema derivation, pagination, pruning, pushdown, Arrow batches --
+    is hash-pinned."""
+    import os
+
+    from pgsf_spark.sources import pyds
+
+    pyds.register(spark)
+    # Python-source filter pushdown ships conf-gated; the source asserts
+    # loudly if pushFilters is implemented while the conf is off
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("entity_pages")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .option("fields", "doc_id,source,n_chars")
+        .load()
+    )
+    return (
+        df.filter(F.col("n_chars") > 300)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("source")
+    )
+
+
 # --- 7. arrow_map_profile -------------------------------------------------------
 
 

@@ -1,0 +1,213 @@
+"""Python DataSource API: paged entity reads as a REAL custom Spark source.
+
+The reference pages through REST result sets with a serial cursor
+(reference download.py `fetch_batches`, query_bulk.py locator loop --
+SURVEY S3 "paged query iterator"); this source re-expresses that contract
+on the Spark 4 Python DataSource API (``pyspark.sql.datasource``), where
+every page is an ``InputPartition``: 1000 executors pull 1000 pages
+concurrently instead of one cursor walking them in sequence.
+
+Spark-first design, all three pushdowns a source can honor:
+
+  - **pages = parquet row groups** (the storage's native page): each
+    partition reads exactly one row group, nothing rescans the file;
+  - **column pruning**: the ``fields`` option (mapping-file projection,
+    reference mapping P1) reaches the page read -- unreferenced columns
+    are never decoded;
+  - **typed filter pushdown** (``pushFilters``): EqualTo / GreaterThan /
+    LessThan / In on scalar columns are (a) applied to row-group STATS to
+    skip whole pages at planning time and (b) re-applied per batch at
+    read time; unsupported filters are handed back to Spark for
+    post-filtering, per the API contract.
+
+Reads are vectorized end to end: ``read`` yields pyarrow RecordBatches
+(the Arrow fast path), never per-row tuples.
+
+Registered as ``spark.dataSource.register(EntityPagesSource)`` under the
+format name ``entity_pages``; see analytics/semistructured.py
+``q_python_datasource_gate`` for the oracle-gated face and
+tests/test_r12_staged.py::TestPythonDataSource for the pushdown pins.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    In,
+    InputPartition,
+    LessThan,
+)
+
+_ARROW_TO_DDL = {
+    "int64": "bigint",
+    "int32": "int",
+    "double": "double",
+    "float": "float",
+    "bool": "boolean",
+    "string": "string",
+    "large_string": "string",
+}
+
+
+def _files(path: str) -> list[str]:
+    """A parquet 'entity' is a single file OR a Spark-written directory of
+    part files; either way, a deterministic file list."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise ValueError(f"entity_pages: no parquet files under {path}")
+        return parts
+    return [path]
+
+
+def _ddl_of(path: str, fields: list[str] | None) -> str:
+    """Spark DDL for the requested columns, from the parquet arrow schema."""
+    import pyarrow.parquet as pq
+
+    arrow = pq.ParquetFile(_files(path)[0]).schema_arrow
+    names = fields if fields else arrow.names
+    parts = []
+    for n in names:
+        if n not in arrow.names:
+            raise ValueError(f"entity_pages: no column {n!r} in {path}")
+        t = str(arrow.field(n).type)
+        if t not in _ARROW_TO_DDL:
+            raise ValueError(
+                f"entity_pages: column {n!r} has unsupported type {t}; "
+                f"supported: {sorted(_ARROW_TO_DDL)} (project it away with "
+                f"the 'fields' option)"
+            )
+        parts.append(f"{n} {_ARROW_TO_DDL[t]}")
+    return ", ".join(parts)
+
+
+class EntityPage(InputPartition):
+    """One page == one parquet row group."""
+
+    def __init__(self, path: str, row_group: int, columns: list[str], filters):
+        self.path = path
+        self.row_group = row_group
+        self.columns = columns
+        self.filters = filters  # [(name, op, value)] -- plain picklable
+
+
+_OPS = {EqualTo: "=", GreaterThan: ">", LessThan: "<", In: "in"}
+
+
+class EntityPagesReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+        f = options.get("fields")
+        self.columns = [c.strip() for c in f.split(",")] if f else None
+        self.pushed: list[tuple[str, str, object]] = []
+
+    # --- filter pushdown ---------------------------------------------------
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: N802
+        for flt in filters:
+            op = _OPS.get(type(flt))
+            if op is None or len(flt.attribute) != 1:
+                yield flt  # not ours -- Spark post-filters it
+                continue
+            name = flt.attribute[0]
+            if self.columns is not None and name not in self.columns:
+                yield flt
+                continue
+            self.pushed.append((name, op, flt.value))
+            # NOT yielded: fully handled here (stats skip + batch filter)
+
+    # --- planning: row-group pages, stats-skipped --------------------------
+    def _rg_may_match(self, meta, rg: int, names: list[str]) -> bool:
+        """Row-group stats vs the pushed filters: False == provably empty."""
+        row_group = meta.row_group(rg)
+        stats = {}
+        for i in range(row_group.num_columns):
+            col = row_group.column(i)
+            s = col.statistics
+            if s is not None and s.has_min_max:
+                stats[col.path_in_schema] = (s.min, s.max)
+        for name, op, value in self.pushed:
+            if name not in stats:
+                continue  # no stats -> cannot skip
+            lo, hi = stats[name]
+            if op == "=" and not (lo <= value <= hi):
+                return False
+            if op == ">" and not (hi > value):
+                return False
+            if op == "<" and not (lo < value):
+                return False
+            if op == "in" and not any(lo <= v <= hi for v in value):
+                return False
+        return True
+
+    def partitions(self) -> list[EntityPage]:
+        import pyarrow.parquet as pq
+
+        names = self.columns or []
+        pages = []
+        for f in _files(self.path):
+            meta = pq.ParquetFile(f).metadata
+            pages.extend(
+                EntityPage(f, rg, self.columns, self.pushed)
+                for rg in range(meta.num_row_groups)
+                if self._rg_may_match(meta, rg, names)
+            )
+        # zero surviving pages (all stats-skipped, or an empty entity):
+        # one empty page keeps the scan schema-correct with zero rows
+        return pages or [EntityPage(_files(self.path)[0], -1, self.columns, [])]
+
+    # --- execution: one row group, pruned + filtered, Arrow out ------------
+    def read(self, part: EntityPage) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(part.path)
+        if part.row_group < 0:  # the empty-entity sentinel page
+            table = pf.schema_arrow.empty_table()
+            if part.columns:
+                table = table.select(part.columns)
+            yield from table.to_batches()
+            return
+        table = pf.read_row_group(part.row_group, columns=part.columns)
+        for name, op, value in part.filters:
+            col = table[name]
+            if op == "=":
+                mask = pc.equal(col, value)
+            elif op == ">":
+                mask = pc.greater(col, value)
+            elif op == "<":
+                mask = pc.less(col, value)
+            else:  # "in"
+                mask = pc.is_in(col, value_set=pa.array(value))
+            table = table.filter(mask)
+        yield from table.to_batches()
+
+
+class EntityPagesSource(DataSource):
+    """format("entity_pages"): options path, fields (csv, optional)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "entity_pages"
+
+    def schema(self) -> str:
+        f = self.options.get("fields")
+        fields = [c.strip() for c in f.split(",")] if f else None
+        return _ddl_of(self.options["path"], fields)
+
+    def reader(self, schema) -> EntityPagesReader:
+        return EntityPagesReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the entity_pages format."""
+    spark.dataSource.register(EntityPagesSource)

@@ -36,7 +36,7 @@ class TestStagingDisciplineR12:
         from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES
 
         staged = _staged()
-        assert len(staged) == 9
+        assert len(staged) == 10
         assert not set(staged) & set(QUERIES)
         assert not set(staged) & set(STAGED_QUERIES)
 
@@ -121,6 +121,86 @@ class TestStagedLintReadinessR12:
         assert "ArrowEvalPythonUDTF" in udtf_plan
         arrow_plan = self._plan(spark, "arrow_map_profile")
         assert "MapInArrow" in arrow_plan  # physical node: MapInArrow
+
+
+class TestPythonDataSource:
+    """sources/pyds.py: the paged entity source's three pushdowns, pinned
+    on a purpose-built multi-row-group file."""
+
+    @pytest.fixture(scope="class")
+    def paged_file(self, spark, tmp_path_factory):
+        """Documents sorted by doc_id in 100-row row groups -> 5 pages
+        with disjoint doc_id stats, so range pushdown can skip pages."""
+        import pyarrow.parquet as pq
+        from pgsf_spark.tables import load_table
+
+        src = (
+            load_table(spark, SF_DIR, "documents")
+            .select("doc_id", "source", "n_chars")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        path = str(tmp_path_factory.mktemp("pyds") / "docs.parquet")
+        import pyarrow as pa
+
+        pq.write_table(pa.Table.from_pandas(src, preserve_index=False), path,
+                       row_group_size=100)
+        assert pq.ParquetFile(path).metadata.num_row_groups == 5
+        return path
+
+    def _read(self, spark, path, fields="doc_id,source,n_chars"):
+        from pgsf_spark.sources import pyds
+
+        pyds.register(spark)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        return (
+            spark.read.format("entity_pages")
+            .option("path", path)
+            .option("fields", fields)
+            .load()
+        )
+
+    def test_row_group_stats_skip_pages(self, spark, paged_file):
+        df = self._read(spark, paged_file).filter(F.col("doc_id") < 50)
+        # pushdown reaches partition planning: 1 of 5 pages survives
+        assert df.rdd.getNumPartitions() == 1
+        assert df.count() == 50
+
+    def test_pushed_filter_is_consumed_not_post_filtered(self, spark, paged_file):
+        df = self._read(spark, paged_file).filter(F.col("n_chars") > 300)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the typed predicate was fully handled by pushFilters: Spark's
+        # only remaining filter is the null guard
+        assert "(n_chars" not in plan.replace("isnotnull(n_chars", ""), plan
+
+    def test_unsupported_filter_falls_back_to_spark(self, spark, paged_file):
+        # != has no typed pushdown form in _OPS -> yielded back to Spark;
+        # correctness must be unaffected
+        df = self._read(spark, paged_file).filter(F.col("source") != "src0")
+        base = self._read(spark, paged_file)
+        assert df.count() == base.count() - base.filter(
+            F.col("source") == "src0"
+        ).count()
+
+    def test_in_filter_pushdown_parity(self, spark, paged_file):
+        df = self._read(spark, paged_file).filter(
+            F.col("source").isin("src1", "src2")
+        )
+        got = {r["source"] for r in df.select("source").distinct().collect()}
+        assert got == {"src1", "src2"}
+
+    def test_column_pruning_schema(self, spark, paged_file):
+        df = self._read(spark, paged_file, fields="doc_id,n_chars")
+        assert df.columns == ["doc_id", "n_chars"]
+
+    def test_unsupported_type_fails_loudly(self, spark):
+        from pgsf_spark.sources import pyds
+
+        pyds.register(spark)
+        with pytest.raises(Exception, match="unsupported type"):
+            spark.read.format("entity_pages").option(
+                "path", f"{SF_DIR}/events.parquet"  # ts: timestamp[ns]
+            ).load()
 
 
 class TestSemiStructuredEscaping:
