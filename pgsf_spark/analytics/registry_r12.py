@@ -132,9 +132,17 @@ FROM events""",
   CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
 FROM documents WHERE n_chars > 300 GROUP BY 1 ORDER BY 1""",
     ),
+    "python_cdc_stream_gate": QuerySpec(
+        _faces.q_python_cdc_stream_gate,
+        """SELECT event_type, COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value,
+  MAX(epoch_us(ts)) AS max_ts_us
+FROM events GROUP BY 1 ORDER BY 1""",
+    ),
 }
 
-assert len(STAGED_QUERIES_R12) == 10, len(STAGED_QUERIES_R12)
+assert len(STAGED_QUERIES_R12) == 11, len(STAGED_QUERIES_R12)
 # staged names must collide with neither the live registry nor the r11 batch
 assert not (set(STAGED_QUERIES_R12) & set(_LIVE)), set(STAGED_QUERIES_R12) & set(_LIVE)
 assert not (set(STAGED_QUERIES_R12) & set(_R11)), set(STAGED_QUERIES_R12) & set(_R11)

@@ -36,6 +36,7 @@ from typing import Iterable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -211,3 +212,170 @@ class EntityPagesSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the entity_pages format."""
     spark.dataSource.register(EntityPagesSource)
+
+
+# --- streaming: watermark-polling CDC source ---------------------------------
+
+
+def _ts_us(value) -> int:
+    """Epoch microseconds from a parquet stat value (datetime or int)."""
+    import datetime
+
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is None:
+            value = value.replace(tzinfo=datetime.timezone.utc)
+        return int(value.timestamp() * 1_000_000)
+    return int(value)
+
+
+class CdcSlice(InputPartition):
+    """One row group restricted to the (start, end] watermark window."""
+
+    def __init__(self, path, row_group, columns, ts_field, start_us, end_us):
+        self.path = path
+        self.row_group = row_group
+        self.columns = columns
+        self.ts_field = ts_field
+        self.start_us = start_us
+        self.end_us = end_us
+
+
+class EntityCdcStreamReader(DataSourceStreamReader):
+    """Incremental watermark polling as a Spark 4 Python STREAMING source.
+
+    The reference's steady-state sync re-reads rows with
+    ``SystemModstamp > last_watermark`` each cycle (reference
+    query_poll_table.py, SURVEY P4/C1: strict ``>``, watermark persisted
+    between runs); here the watermark IS the streaming offset
+    ({"watermark_us": N}), Spark persists it in the query checkpoint
+    (exactly-once across restarts, C3), and each micro-batch reads only
+    the row groups whose stats overlap the (start, end] window --
+    partition-parallel, stats-pruned, Arrow-vectorized like the batch
+    source above. The ts column is emitted as BIGINT epoch-microseconds
+    (``<ts_field>_us``) alongside the pruned scalar fields."""
+
+    def __init__(self, options) -> None:
+        self.path = options["path"]
+        self.ts_field = options.get("ts_field", "ts")
+        f = options.get("fields")
+        self.columns = [c.strip() for c in f.split(",")] if f else None
+
+    # offsets are JSON dicts; -2^62 predates any real timestamp
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"watermark_us": -(2**62)}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        import pyarrow.parquet as pq
+
+        hi = -(2**62)
+        for f in _files(self.path):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                row_group = meta.row_group(rg)
+                for i in range(row_group.num_columns):
+                    col = row_group.column(i)
+                    if col.path_in_schema != self.ts_field:
+                        continue
+                    s = col.statistics
+                    if s is not None and s.has_min_max:
+                        hi = max(hi, _ts_us(s.max))
+        return {"watermark_us": hi}
+
+    def partitions(self, start: dict, end: dict) -> list:
+        import pyarrow.parquet as pq
+
+        lo, hi = start["watermark_us"], end["watermark_us"]
+        out = []
+        for f in _files(self.path):
+            meta = pq.ParquetFile(f).metadata
+            for rg in range(meta.num_row_groups):
+                row_group = meta.row_group(rg)
+                keep = True
+                for i in range(row_group.num_columns):
+                    col = row_group.column(i)
+                    if col.path_in_schema != self.ts_field:
+                        continue
+                    s = col.statistics
+                    if s is not None and s.has_min_max:
+                        # strict >: a group wholly <= lo, or wholly > hi, is out
+                        keep = _ts_us(s.max) > lo and _ts_us(s.min) <= hi
+                if keep:
+                    out.append(
+                        CdcSlice(f, rg, self.columns, self.ts_field, lo, hi)
+                    )
+        # Spark requires >= 1 partition per batch; an empty slice of the
+        # first file keeps the no-new-data batch schema-correct
+        return out or [
+            CdcSlice(_files(self.path)[0], -1, self.columns, self.ts_field, 0, 0)
+        ]
+
+    def read(self, part: CdcSlice):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(part.path)
+        cols = list(part.columns) if part.columns else None
+        if cols is not None and part.ts_field not in cols:
+            cols.append(part.ts_field)
+        if part.row_group < 0:
+            table = pf.schema_arrow.empty_table()
+        else:
+            table = pf.read_row_group(part.row_group, columns=cols)
+        ts = table[part.ts_field]
+        if pa.types.is_timestamp(ts.type):
+            ts_us = pc.cast(pc.cast(ts, pa.timestamp("us", tz=ts.type.tz)), pa.int64())
+        else:
+            ts_us = pc.cast(ts, pa.int64())
+        if part.row_group >= 0:
+            mask = pc.and_(
+                pc.greater(ts_us, part.start_us),
+                pc.less_equal(ts_us, part.end_us),
+            )
+        else:
+            mask = pc.equal(ts_us, pa.scalar(1, pa.int64()))  # all-false
+        keep = [n for n in table.column_names if n != part.ts_field]
+        out = (
+            table.select(keep)
+            .append_column(f"{part.ts_field}_us", ts_us)
+            .filter(mask)
+        )
+        yield from out.to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # the watermark lives in the query checkpoint
+
+    def stop(self) -> None:
+        pass
+
+
+class EntityCdcSource(DataSource):
+    """format("entity_cdc"): streaming watermark-polling reads.
+
+    options: path, ts_field (default "ts"), fields (csv, optional --
+    scalar columns only; the ts column arrives as <ts_field>_us bigint).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "entity_cdc"
+
+    def schema(self) -> str:
+        f = self.options.get("fields")
+        ts_field = self.options.get("ts_field", "ts")
+        fields = [c.strip() for c in f.split(",")] if f else None
+        if fields is None:
+            import pyarrow.parquet as pq
+
+            arrow = pq.ParquetFile(_files(self.options["path"])[0]).schema_arrow
+            fields = [n for n in arrow.names if n != ts_field]
+        base = _ddl_of(self.options["path"], [c for c in fields if c != ts_field])
+        return f"{base}, {ts_field}_us bigint"
+
+    def streamReader(self, schema) -> EntityCdcStreamReader:  # noqa: N802
+        return EntityCdcStreamReader(self.options)
+
+
+def register_cdc(spark) -> None:
+    """Idempotent registration of the entity_cdc streaming format."""
+    spark.dataSource.register(EntityCdcSource)

@@ -721,3 +721,82 @@ def q_statestore_read_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").cast("double").alias("total_value"),
     )
     return _collect_and_clean(spark, res, tmp)
+
+
+# --- round-12 staged: python_cdc_stream_gate ----------------------------------
+
+
+def q_python_cdc_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-polling CDC via the PYTHON STREAMING DataSource.
+
+    The events table is split into two tie-free arrival waves (cutoff =
+    median distinct timestamp, so no cross-wave ts collisions hit the
+    strict-> boundary) and consumed by TWO availableNow runs of the
+    ``entity_cdc`` source (sources/pyds.py) sharing one checkpoint: the
+    first run lands wave 1 and commits its max-ts offset; wave 2 then
+    arrives and the second run delivers EXACTLY the new rows -- the
+    reference's steady-state polling cycle (query_poll_table.py strict
+    ``SystemModstamp >`` watermark, persisted between runs) with Spark's
+    checkpoint as the watermark store. The final aggregate equals the
+    plain batch aggregate over all events iff delivery was exactly-once."""
+    from pgsf_spark.sources import pyds
+
+    pyds.register_cdc(spark)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tmp = tempfile.mkdtemp(prefix="pgsf_cdc_src_")
+    data = os.path.join(tmp, "entity")
+    os.makedirs(data)
+    out = os.path.join(tmp, "out")
+    ck = os.path.join(tmp, "ck")
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+    uniq = sorted(x for x in pc.unique(ts_us).to_pylist() if x is not None)
+    cutoff = uniq[len(uniq) // 2] if uniq else 0
+
+    def deliver(wave_name: str, mask) -> None:
+        pq.write_table(t.filter(mask), os.path.join(data, wave_name))
+        stream = (
+            spark.readStream.format("entity_cdc")
+            .option("path", data)
+            .option("ts_field", "ts")
+            .load()
+        )
+        _run(
+            spark,
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append"),
+            ck,
+        )
+
+    deliver("wave1.parquet", pc.less_equal(ts_us, cutoff))
+    deliver("wave2.parquet", pc.greater(ts_us, cutoff))
+
+    if os.path.isdir(out):
+        landed = spark.read.parquet(out)
+    else:  # zero-row entity: no batch ever ran, no sink dir was created
+        landed = spark.createDataFrame(
+            [], "event_id bigint, user_id bigint, event_type string, "
+            "value double, ts_us bigint"
+        )
+    res = (
+        landed
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double").alias(
+                "sum_value"
+            ),
+            F.max("ts_us").alias("max_ts_us"),
+        )
+        .orderBy("event_type")
+    )
+    return _collect_and_clean(spark, res, tmp)

@@ -30,13 +30,17 @@ def _staged():
     return STAGED_QUERIES_R12
 
 
+# faces that execute a bounded stream and return a localCheckpoint scan
+_STREAMING_FACES = {"statestore_read_gate", "python_cdc_stream_gate"}
+
+
 class TestStagingDisciplineR12:
     def test_batch_size_and_no_collisions(self):
         from pgsf_spark.analytics.registry import QUERIES
         from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES
 
         staged = _staged()
-        assert len(staged) == 10
+        assert len(staged) == 11
         assert not set(staged) & set(QUERIES)
         assert not set(staged) & set(STAGED_QUERIES)
 
@@ -68,12 +72,12 @@ class TestStagedLintReadinessR12:
 
     _PLANS: dict = {}
 
-    # statestore_read_gate executes a full bounded stream and returns a
-    # localCheckpoint scan -- its returned plan is lint-trivial by
-    # construction (asserted once in test_statestore_face_returns_checkpoint,
+    # the two streaming faces execute a full bounded stream and return a
+    # localCheckpoint scan -- their returned plans are lint-trivial by
+    # construction (asserted once in test_streaming_faces_return_checkpoints,
     # same discipline as test_r11_staged's streaming exclusion), so the
-    # batch lints cover the eight genuine batch plans
-    _BATCH = sorted(n for n in _staged() if n != "statestore_read_gate")
+    # batch lints cover the nine genuine batch plans
+    _BATCH = sorted(n for n in _staged() if n not in _STREAMING_FACES)
 
     @classmethod
     def _plan(cls, spark, name):
@@ -106,10 +110,11 @@ class TestStagedLintReadinessR12:
         excess = {t: n for t, n in counts.items() if n > 2}
         assert not excess, (name, excess)
 
-    def test_statestore_face_returns_checkpoint(self, spark):
-        # the streaming face's returned plan is a bounded local-checkpoint
+    @pytest.mark.parametrize("name", sorted(_STREAMING_FACES))
+    def test_streaming_faces_return_checkpoints(self, spark, name):
+        # each streaming face's returned plan is a bounded local-checkpoint
         # scan: no parquet scans, nothing for the registry lints to flag
-        plan = self._plan(spark, "statestore_read_gate")
+        plan = self._plan(spark, name)
         assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
         assert ".parquet" not in plan
 
@@ -201,6 +206,103 @@ class TestPythonDataSource:
             spark.read.format("entity_pages").option(
                 "path", f"{SF_DIR}/events.parquet"  # ts: timestamp[ns]
             ).load()
+
+
+class TestPythonCdcSource:
+    """sources/pyds.py entity_cdc: the reference's watermark-polling sync
+    (strict >, checkpoint-persisted offset) as a Python streaming source."""
+
+    def _wave(self, data_dir, name, lo, hi, base_us=1_700_000_000_000_000):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ts = [base_us + i * 1_000_000 for i in range(lo, hi)]
+        t = pa.table(
+            {
+                "id": pa.array(range(lo, hi), pa.int64()),
+                "v": pa.array([float(i) for i in range(lo, hi)], pa.float64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, os.path.join(data_dir, name), row_group_size=20)
+
+    def _run(self, spark, data_dir, out, ck):
+        from pgsf_spark.sources import pyds
+
+        pyds.register_cdc(spark)
+        stream = (
+            spark.readStream.format("entity_cdc")
+            .option("path", data_dir)
+            .option("ts_field", "ts")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError("entity_cdc run did not finish in 180s")
+
+    def test_exactly_once_across_restarts(self, spark, tmp_path):
+        data = str(tmp_path / "entity")
+        os.makedirs(data)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._wave(data, "w1.parquet", 0, 100)
+        self._run(spark, data, out, ck)
+        assert spark.read.parquet(out).count() == 100
+        self._wave(data, "w2.parquet", 100, 150)
+        self._run(spark, data, out, ck)
+        df = spark.read.parquet(out)
+        # second run delivered EXACTLY the 50 new rows, none re-delivered
+        assert df.count() == 150
+        assert df.select("id").distinct().count() == 150
+
+    def test_strict_gt_boundary_skips_watermark_ties(self, spark, tmp_path):
+        """A later wave carrying a row with ts == the committed watermark
+        is NOT re-delivered -- the strict-> contract the reference's
+        second-truncated watermark shares (SURVEY P4). This pins the
+        documented at-least-once hazard explicitly: ties at the boundary
+        are the producer's responsibility, exactly as in the reference."""
+        data = str(tmp_path / "entity")
+        os.makedirs(data)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._wave(data, "w1.parquet", 0, 10)  # max ts = base + 9s
+        self._run(spark, data, out, ck)
+        # wave 2: one row AT the committed watermark (id=9 duplicate ts),
+        # plus genuinely newer rows
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        base = 1_700_000_000_000_000
+        t = pa.table(
+            {
+                "id": pa.array([999, 10, 11], pa.int64()),
+                "v": pa.array([9.5, 10.0, 11.0], pa.float64()),
+                "ts": pa.array(
+                    [base + 9_000_000, base + 10_000_000, base + 11_000_000],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        pq.write_table(t, os.path.join(data, "w2.parquet"))
+        self._run(spark, data, out, ck)
+        ids = {r["id"] for r in spark.read.parquet(out).select("id").collect()}
+        assert 10 in ids and 11 in ids
+        assert 999 not in ids  # tie at the watermark: skipped by strict >
+
+    def test_no_new_data_run_is_clean(self, spark, tmp_path):
+        data = str(tmp_path / "entity")
+        os.makedirs(data)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._wave(data, "w1.parquet", 0, 30)
+        self._run(spark, data, out, ck)
+        self._run(spark, data, out, ck)  # nothing new arrived
+        assert spark.read.parquet(out).count() == 30
 
 
 class TestSemiStructuredEscaping:
