@@ -228,8 +228,14 @@ def main(argv: list[str] | None = None) -> int:
             from pgsf_spark.analytics.registry import QUERIES
             from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES
             from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12
+            from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
 
-            queries = {**QUERIES, **STAGED_QUERIES, **STAGED_QUERIES_R12}
+            queries = {
+                **QUERIES,
+                **STAGED_QUERIES,
+                **STAGED_QUERIES_R12,
+                **STAGED_QUERIES_R13,
+            }
         results = verify_queries(
             get_spark("pgsf_spark_verify"), args.sf_dir, only=args.queries, queries=queries
         )

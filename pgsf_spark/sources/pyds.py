@@ -37,6 +37,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
     EqualTo,
     Filter,
     GreaterThan,
@@ -379,3 +381,107 @@ class EntityCdcSource(DataSource):
 def register_cdc(spark) -> None:
     """Idempotent registration of the entity_cdc streaming format."""
     spark.dataSource.register(EntityCdcSource)
+
+
+# --- writer: chunked reverse-ETL sink ----------------------------------------
+
+
+class ChunkCommit(WriterCommitMessage):
+    """Picklable commit message: the chunk files one task produced."""
+
+    def __init__(self, files, rows):
+        self.files = files  # [(path, n_rows)]
+        self.rows = rows
+
+
+class EntityChunkWriter(DataSourceWriter):
+    """The reference's chunked bulk upload as a Python DataSource SINK.
+
+    Reference upload_table.py splits the outgoing record stream into
+    bulk-API chunks capped at 10k records / 10 MB and lands a per-chunk
+    result ledger (SURVEY K4); here each Spark task streams its
+    partition into parquet chunk files capped at ``max_records`` rows
+    (executor-side, bounded memory), returns the file list as its
+    commit message, and the DRIVER writes the `_MANIFEST.json` ledger
+    only in ``commit()`` -- so a failed job leaves data files at worst,
+    never a manifest: readers keyed on the manifest see exactly-once
+    output (the reference's job-artifact contract, K5/C3)."""
+
+    def __init__(self, options) -> None:
+        self.dir = options["path"]
+        self.cap = int(options.get("max_records", "10000"))
+        self.fail_tag = options.get("fail_if_over")  # test hook: poison pill
+
+    def write(self, iterator) -> ChunkCommit:
+        import os
+        import uuid
+
+        import pyarrow as pa
+
+        os.makedirs(self.dir, exist_ok=True)
+        files: list[tuple[str, int]] = []
+        total = 0
+        buf: list = []
+        schema = None
+
+        def flush() -> None:
+            nonlocal buf
+            if not buf:
+                return
+            import pyarrow.parquet as pq
+
+            cols = list(zip(*buf))
+            t = pa.table(
+                {f: pa.array(list(c)) for f, c in zip(schema, cols)}
+            )
+            f = os.path.join(self.dir, f"chunk-{uuid.uuid4().hex}.parquet")
+            pq.write_table(t, f)
+            files.append((f, len(buf)))
+            buf = []
+
+        for row in iterator:
+            if schema is None:
+                schema = list(row.__fields__)
+            if self.fail_tag is not None and row[0] >= int(self.fail_tag):
+                raise RuntimeError("poisoned row (test hook fail_if_over)")
+            buf.append(tuple(row))
+            total += 1
+            if len(buf) >= self.cap:
+                flush()
+        flush()
+        return ChunkCommit(files, total)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = [
+            {"file": os.path.basename(f), "rows": n}
+            for m in messages
+            for f, n in m.files
+        ]
+        tmp = os.path.join(self.dir, "_MANIFEST.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(sorted(manifest, key=lambda e: e["file"]), fh)
+        os.replace(tmp, os.path.join(self.dir, "_MANIFEST.json"))
+
+    def abort(self, messages) -> None:
+        # chunk files without a manifest are invisible to readers; leave
+        # them for diagnosis, exactly like the reference's failed jobs
+        pass
+
+
+class EntityChunkSink(DataSource):
+    """format("entity_chunks") writer: options path, max_records."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "entity_chunks"
+
+    def writer(self, schema, overwrite):
+        return EntityChunkWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    """Idempotent registration of the entity_chunks sink format."""
+    spark.dataSource.register(EntityChunkSink)

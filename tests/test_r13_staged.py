@@ -1,0 +1,154 @@
+"""Round-13 STAGED batch: Spark 4 SQL-language surfaces + the sink leg.
+
+Same staging discipline as tests/test_r11_staged.py / test_r12_staged.py:
+the batch ships in pgsf_spark/analytics/registry_r13.py, is gated here
+with the SAME comparison the round driver runs, and must already pass
+the live plan lints.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _staged():
+    from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
+
+    return STAGED_QUERIES_R13
+
+
+# the sink face executes a write job and returns a localCheckpoint scan
+_SINK_FACES = {"chunked_sink_gate"}
+
+
+class TestStagingDisciplineR13:
+    def test_batch_size_and_no_collisions(self):
+        from pgsf_spark.analytics.registry import QUERIES
+        from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES
+        from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12
+
+        staged = _staged()
+        assert len(staged) == 6
+        for other in (QUERIES, STAGED_QUERIES, STAGED_QUERIES_R12):
+            assert not set(staged) & set(other)
+
+    def test_staged_specs_shaped_like_registry_specs(self):
+        from pgsf_spark.analytics.registry import QuerySpec
+
+        for name, spec in _staged().items():
+            assert isinstance(spec, QuerySpec), name
+            assert callable(spec.fn), name
+            assert isinstance(spec.oracle, str) and spec.oracle.strip(), name
+
+
+class TestStagedOracleParityR13:
+    """Each staged query through the driver-identical comparison."""
+
+    @pytest.mark.parametrize("name", sorted(_staged()))
+    def test_oracle_parity_sf0001(self, spark, name):
+        from pgsf_spark.verify import verify_queries
+
+        results = verify_queries(
+            spark, SF_DIR, only={name}, log=lambda s: None, queries=_staged()
+        )
+        assert results == {name: True}
+
+
+class TestStagedLintReadinessR13:
+    """The staged batch must already pass the live plan lints."""
+
+    _PLANS: dict = {}
+
+    _BATCH = sorted(n for n in _staged() if n not in _SINK_FACES)
+
+    @classmethod
+    def _plan(cls, spark, name):
+        if name not in cls._PLANS:
+            df = _staged()[name].fn(spark, SF_DIR)
+            cls._PLANS[name] = df._jdf.queryExecution().executedPlan().toString()
+        return cls._PLANS[name]
+
+    @pytest.mark.parametrize("name", _BATCH)
+    def test_no_cartesian_no_row_udf_no_global_window(self, spark, name):
+        from pgsf_spark.planlint import partitionless_windows
+
+        plan = self._plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert not partitionless_windows(plan), name
+
+    @pytest.mark.parametrize("name", _BATCH)
+    def test_scan_budget_default_two(self, spark, name):
+        import re
+        from collections import Counter
+
+        counts = Counter(re.findall(r"(\w+)\.parquet", self._plan(spark, name)))
+        excess = {t: n for t, n in counts.items() if n > 2}
+        assert not excess, (name, excess)
+
+    def test_sink_face_returns_checkpoint(self, spark):
+        plan = self._plan(spark, "chunked_sink_gate")
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+        assert ".parquet" not in plan
+
+
+class TestStagedEmptyInputsR13:
+    @pytest.mark.parametrize("name", sorted(_staged()))
+    def test_runs_on_empty_tables(self, spark, empty_sf_dir, name):
+        df = _staged()[name].fn(spark, empty_sf_dir)
+        assert len(df.schema) > 0
+        assert isinstance(df.collect(), list)  # must not raise
+
+
+class TestChunkedSink:
+    """sources/pyds.py entity_chunks: the reference's capped bulk upload
+    as a Python DataSource writer with a driver-side commit manifest."""
+
+    def _write(self, spark, out, rows=100, parts=4, cap=16, fail_if_over=None):
+        from pgsf_spark.sources import pyds
+
+        pyds.register_sink(spark)
+        w = (
+            spark.range(rows)
+            .selectExpr("id AS doc_id", "CAST(id % 7 AS STRING) AS source")
+            .repartition(parts, "doc_id")
+            .write.format("entity_chunks")
+            .option("path", out)
+            .option("max_records", str(cap))
+        )
+        if fail_if_over is not None:
+            w = w.option("fail_if_over", str(fail_if_over))
+        w.mode("append").save()
+
+    def test_chunks_respect_record_cap_and_round_trip(self, spark, tmp_path):
+        out = str(tmp_path / "up")
+        self._write(spark, out, rows=100, parts=4, cap=16)
+        man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert man and all(e["rows"] <= 16 for e in man)
+        assert sum(e["rows"] for e in man) == 100
+        files = [os.path.join(out, e["file"]) for e in man]
+        got = spark.read.parquet(*files)
+        assert got.count() == 100
+        assert got.select("doc_id").distinct().count() == 100
+
+    def test_failed_job_leaves_no_manifest(self, spark, tmp_path):
+        """The commit barrier: a task failure means commit() never runs,
+        so readers keyed on the manifest see NOTHING -- the reference's
+        job-artifact exactly-once contract (SURVEY K5/C3)."""
+        out = str(tmp_path / "up")
+        with pytest.raises(Exception):
+            self._write(spark, out, rows=100, parts=4, cap=16, fail_if_over=50)
+        assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+
+    def test_manifest_is_sorted_and_relative(self, spark, tmp_path):
+        out = str(tmp_path / "up")
+        self._write(spark, out, rows=40, parts=2, cap=16)
+        man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        names = [e["file"] for e in man]
+        assert names == sorted(names)
+        assert all(os.sep not in n for n in names)  # basenames only
