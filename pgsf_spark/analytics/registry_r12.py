@@ -12,7 +12,8 @@ Batch plan: PERF.md "Round-12 plan" -- semi-structured data (VARIANT,
 XML, from_json, maps, higher-order arrays), the Python engine surfaces
 (Arrow UDTF, mapInArrow), the state-store reader (checkpoint state
 as a DataFrame), and the Python DataSource API (sources/pyds.py paged
-entity source with typed filter pushdown). 10 names, all full-oracle.
+entity source with typed filter pushdown, batch and streaming-CDC legs).
+11 names, all full-oracle.
 
 Oracle design notes:
   - the JSON gates' oracles compute from the BASE columns the JSON was

@@ -124,11 +124,18 @@ class EntityPagesReader(DataSourceReader):
             if self.columns is not None and name not in self.columns:
                 yield flt
                 continue
+            # a NULL in the comparison value breaks both the stats
+            # compare (TypeError vs None) and SQL semantics (IN with
+            # NULL must not match NULL rows) -- give those back to Spark
+            values = flt.value if op == "in" else (flt.value,)
+            if any(v is None for v in values):
+                yield flt
+                continue
             self.pushed.append((name, op, flt.value))
             # NOT yielded: fully handled here (stats skip + batch filter)
 
     # --- planning: row-group pages, stats-skipped --------------------------
-    def _rg_may_match(self, meta, rg: int, names: list[str]) -> bool:
+    def _rg_may_match(self, meta, rg: int) -> bool:
         """Row-group stats vs the pushed filters: False == provably empty."""
         row_group = meta.row_group(rg)
         stats = {}
@@ -154,14 +161,13 @@ class EntityPagesReader(DataSourceReader):
     def partitions(self) -> list[EntityPage]:
         import pyarrow.parquet as pq
 
-        names = self.columns or []
         pages = []
         for f in _files(self.path):
             meta = pq.ParquetFile(f).metadata
             pages.extend(
                 EntityPage(f, rg, self.columns, self.pushed)
                 for rg in range(meta.num_row_groups)
-                if self._rg_may_match(meta, rg, names)
+                if self._rg_may_match(meta, rg)
             )
         # zero surviving pages (all stats-skipped, or an empty entity):
         # one empty page keeps the scan schema-correct with zero rows
@@ -220,13 +226,19 @@ def register(spark) -> None:
 
 
 def _ts_us(value) -> int:
-    """Epoch microseconds from a parquet stat value (datetime or int)."""
+    """Epoch microseconds from a parquet stat value (datetime or int).
+
+    INTEGER arithmetic only: float .timestamp() * 1e6 rounds down by 1 us
+    for a measurable fraction of real timestamps, which would understate
+    the watermark and permanently drop the rows carrying a row group's
+    max timestamp (pinned by test_ts_us_is_exact_to_the_microsecond)."""
     import datetime
 
     if isinstance(value, datetime.datetime):
         if value.tzinfo is None:
             value = value.replace(tzinfo=datetime.timezone.utc)
-        return int(value.timestamp() * 1_000_000)
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        return (value - epoch) // datetime.timedelta(microseconds=1)
     return int(value)
 
 
@@ -261,6 +273,23 @@ class EntityCdcStreamReader(DataSourceStreamReader):
         self.ts_field = options.get("ts_field", "ts")
         f = options.get("fields")
         self.columns = [c.strip() for c in f.split(",")] if f else None
+        self._ts_checked = False
+
+    def _check_ts_field(self) -> None:
+        """A mistyped ts_field would find no stats, return the initial
+        offset forever, and 'succeed' having synced nothing -- fail
+        loudly instead (once, driver-side)."""
+        if self._ts_checked:
+            return
+        import pyarrow.parquet as pq
+
+        arrow = pq.ParquetFile(_files(self.path)[0]).schema_arrow
+        if self.ts_field not in arrow.names:
+            raise ValueError(
+                f"entity_cdc: ts_field {self.ts_field!r} not in "
+                f"{sorted(arrow.names)} ({self.path})"
+            )
+        self._ts_checked = True
 
     # offsets are JSON dicts; -2^62 predates any real timestamp
     def initialOffset(self) -> dict:  # noqa: N802
@@ -269,6 +298,7 @@ class EntityCdcStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:  # noqa: N802
         import pyarrow.parquet as pq
 
+        self._check_ts_field()
         hi = -(2**62)
         for f in _files(self.path):
             meta = pq.ParquetFile(f).metadata
@@ -407,10 +437,35 @@ class EntityChunkWriter(DataSourceWriter):
     never a manifest: readers keyed on the manifest see exactly-once
     output (the reference's job-artifact contract, K5/C3)."""
 
-    def __init__(self, options) -> None:
+    # Spark type -> arrow factory name; the EXPLICIT arrow schema (built
+    # from the writer's Spark schema, not inferred from values) keeps an
+    # all-NULL chunk column typed instead of arrow `null` -- inferred
+    # typing would give chunk files conflicting parquet schemas
+    _SPARK_TO_ARROW = {
+        "long": "int64",
+        "integer": "int32",
+        "double": "float64",
+        "float": "float32",
+        "boolean": "bool_",
+        "string": "string",
+    }
+
+    def __init__(self, options, schema) -> None:
         self.dir = options["path"]
         self.cap = int(options.get("max_records", "10000"))
         self.fail_tag = options.get("fail_if_over")  # test hook: poison pill
+        import pyarrow as pa
+
+        fields = []
+        for f in schema.fields:
+            name = f.dataType.typeName()
+            if name not in self._SPARK_TO_ARROW:
+                raise ValueError(
+                    f"entity_chunks: column {f.name!r} has unsupported type "
+                    f"{name}; supported: {sorted(self._SPARK_TO_ARROW)}"
+                )
+            fields.append((f.name, getattr(pa, self._SPARK_TO_ARROW[name])()))
+        self.arrow_schema = pa.schema(fields)
 
     def write(self, iterator) -> ChunkCommit:
         import os
@@ -422,7 +477,6 @@ class EntityChunkWriter(DataSourceWriter):
         files: list[tuple[str, int]] = []
         total = 0
         buf: list = []
-        schema = None
 
         def flush() -> None:
             nonlocal buf
@@ -432,7 +486,11 @@ class EntityChunkWriter(DataSourceWriter):
 
             cols = list(zip(*buf))
             t = pa.table(
-                {f: pa.array(list(c)) for f, c in zip(schema, cols)}
+                {
+                    field.name: pa.array(list(c), field.type)
+                    for field, c in zip(self.arrow_schema, cols)
+                },
+                schema=self.arrow_schema,
             )
             f = os.path.join(self.dir, f"chunk-{uuid.uuid4().hex}.parquet")
             pq.write_table(t, f)
@@ -440,8 +498,6 @@ class EntityChunkWriter(DataSourceWriter):
             buf = []
 
         for row in iterator:
-            if schema is None:
-                schema = list(row.__fields__)
             if self.fail_tag is not None and row[0] >= int(self.fail_tag):
                 raise RuntimeError("poisoned row (test hook fail_if_over)")
             buf.append(tuple(row))
@@ -460,10 +516,18 @@ class EntityChunkWriter(DataSourceWriter):
             for m in messages
             for f, n in m.files
         ]
+        # append semantics: later jobs EXTEND the committed dataset (the
+        # reference's upload ledger accumulates jobs); a manifest that
+        # listed only the latest job would make earlier committed chunks
+        # invisible to manifest-keyed readers -- silent data loss
+        final = os.path.join(self.dir, "_MANIFEST.json")
+        if os.path.exists(final):
+            with open(final) as fh:
+                manifest.extend(json.load(fh))
         tmp = os.path.join(self.dir, "_MANIFEST.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(sorted(manifest, key=lambda e: e["file"]), fh)
-        os.replace(tmp, os.path.join(self.dir, "_MANIFEST.json"))
+        os.replace(tmp, final)
 
     def abort(self, messages) -> None:
         # chunk files without a manifest are invisible to readers; leave
@@ -479,7 +543,15 @@ class EntityChunkSink(DataSource):
         return "entity_chunks"
 
     def writer(self, schema, overwrite):
-        return EntityChunkWriter(self.options)
+        if overwrite:
+            # append accumulates jobs into one manifest-keyed dataset;
+            # true overwrite (clear + replace) is not implemented, and
+            # pretending otherwise would silently keep the old rows
+            raise ValueError(
+                "entity_chunks supports mode('append') only -- the manifest "
+                "accumulates committed jobs; clear the directory to reset"
+            )
+        return EntityChunkWriter(self.options, schema)
 
 
 def register_sink(spark) -> None:

@@ -194,6 +194,14 @@ class TestPythonDataSource:
         got = {r["source"] for r in df.select("source").distinct().collect()}
         assert got == {"src1", "src2"}
 
+    def test_in_filter_with_null_falls_back(self, spark, paged_file):
+        # IN (.., NULL) must neither crash planning (None vs int in the
+        # stats compare) nor match NULL rows -- it is yielded back to
+        # Spark, whose post-filter keeps SQL three-valued semantics
+        df = self._read(spark, paged_file).filter(F.col("doc_id").isin(5, None))
+        rows = df.collect()
+        assert {r["doc_id"] for r in rows} == {5}
+
     def test_column_pruning_schema(self, spark, paged_file):
         df = self._read(spark, paged_file, fields="doc_id,n_chars")
         assert df.columns == ["doc_id", "n_chars"]
@@ -294,6 +302,70 @@ class TestPythonCdcSource:
         ids = {r["id"] for r in spark.read.parquet(out).select("id").collect()}
         assert 10 in ids and 11 in ids
         assert 999 not in ids  # tie at the watermark: skipped by strict >
+
+    def test_ts_us_is_exact_to_the_microsecond(self):
+        """Float .timestamp()*1e6 rounds 1125455508104307 us down by one;
+        the integer form must not -- a 1-us-low watermark permanently
+        drops the row carrying a row group's max timestamp."""
+        import datetime
+
+        from pgsf_spark.sources.pyds import _ts_us
+
+        dt = datetime.datetime(
+            2005, 8, 31, 2, 31, 48, 104307, tzinfo=datetime.timezone.utc
+        )
+        assert _ts_us(dt) == 1_125_455_508_104_307
+        assert int(dt.timestamp() * 1_000_000) == 1_125_455_508_104_306  # the bug
+
+    def test_max_ts_row_survives_fractional_microseconds(self, spark, tmp_path):
+        """End-to-end pin of the same defect: a wave whose max timestamp
+        float-rounds down must still deliver ALL its rows."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        data = str(tmp_path / "entity")
+        os.makedirs(data)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        ts = [1_125_455_508_104_305, 1_125_455_508_104_306, 1_125_455_508_104_307]
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "v": pa.array([1.0, 2.0, 3.0], pa.float64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, os.path.join(data, "w1.parquet"))
+        self._run(spark, data, out, ck)
+        assert spark.read.parquet(out).count() == 3
+
+    def test_bad_ts_field_fails_loudly(self, spark, tmp_path):
+        data = str(tmp_path / "entity")
+        os.makedirs(data)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        self._wave(data, "w1.parquet", 0, 10)
+        from pgsf_spark.sources import pyds
+
+        pyds.register_cdc(spark)
+        # with fields set, a mistyped ts_field passes schema() cleanly and
+        # would previously sync NOTHING forever; _check_ts_field turns
+        # that silent-empty loop into a first-trigger error
+        stream = (
+            spark.readStream.format("entity_cdc")
+            .option("path", data)
+            .option("fields", "id,v")
+            .option("ts_field", "modstamp")  # no such column
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="ts_field|modstamp"):
+            q.awaitTermination(120)
 
     def test_no_new_data_run_is_clean(self, spark, tmp_path):
         data = str(tmp_path / "entity")

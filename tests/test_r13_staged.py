@@ -145,6 +145,71 @@ class TestChunkedSink:
             self._write(spark, out, rows=100, parts=4, cap=16, fail_if_over=50)
         assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
 
+    def test_append_accumulates_across_jobs(self, spark, tmp_path):
+        """Two append jobs into one path: the manifest must list BOTH
+        jobs' chunks -- a manifest holding only the latest job would
+        silently drop the earlier committed rows from readers."""
+        out = str(tmp_path / "up")
+        self._write(spark, out, rows=30, parts=2, cap=16)
+        self._write(spark, out, rows=20, parts=2, cap=16)
+        man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        assert sum(e["rows"] for e in man) == 50
+        files = [os.path.join(out, e["file"]) for e in man]
+        assert spark.read.parquet(*files).count() == 50
+
+    def test_overwrite_mode_rejected_loudly(self, spark, tmp_path):
+        from pgsf_spark.sources import pyds
+
+        pyds.register_sink(spark)
+        out = str(tmp_path / "up")
+        with pytest.raises(Exception, match="append"):
+            (
+                spark.range(5)
+                .selectExpr("id AS doc_id", "'x' AS source")
+                .write.format("entity_chunks")
+                .option("path", out)
+                .mode("overwrite")
+                .save()
+            )
+
+    def test_all_null_column_chunk_keeps_its_type(self, spark, tmp_path):
+        """A chunk whose string column is entirely NULL must still be
+        written as a STRING column (explicit arrow schema from the Spark
+        schema), or the chunk files disagree on the parquet type."""
+        from pgsf_spark.sources import pyds
+
+        pyds.register_sink(spark)
+        out = str(tmp_path / "up")
+        (
+            spark.range(10)
+            .selectExpr("id AS doc_id", "CAST(NULL AS STRING) AS source")
+            .coalesce(1)
+            .write.format("entity_chunks")
+            .option("path", out)
+            .option("max_records", "4")
+            .mode("append")
+            .save()
+        )
+        man = json.load(open(os.path.join(out, "_MANIFEST.json")))
+        files = [os.path.join(out, e["file"]) for e in man]
+        got = spark.read.parquet(*files)
+        assert dict(got.dtypes)["source"] == "string"
+        assert got.count() == 10
+
+    def test_unsupported_write_type_fails_loudly(self, spark, tmp_path):
+        from pgsf_spark.sources import pyds
+
+        pyds.register_sink(spark)
+        out = str(tmp_path / "up")
+        with pytest.raises(Exception, match="unsupported type"):
+            (
+                spark.sql("SELECT 1 AS a, to_date('2024-01-01') AS d")
+                .write.format("entity_chunks")
+                .option("path", out)
+                .mode("append")
+                .save()
+            )
+
     def test_manifest_is_sorted_and_relative(self, spark, tmp_path):
         out = str(tmp_path / "up")
         self._write(spark, out, rows=40, parts=2, cap=16)
