@@ -42,6 +42,15 @@ HEADLINE = [
 ]
 
 
+N_SAMPLES = 3  # official artifact = median of three same-process passes
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
 LOAD_GATE = 0.5  # pre-launch 1-min load above this = contaminated box
 LOAD_WAIT_S = 45  # idle wait between resamples (1-min load decays slowly)
 LOAD_MAX_WAITS = 6  # cap total wait at ~4.5 min so a busy driver still benches
@@ -114,19 +123,32 @@ def main():
                     while fh.read(1 << 24):
                         pass
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name].fn
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count() if name != "cosine_topk" else len(df.collect())
-        times[name] = round(time.time() - t0, 3)
-        _ = n
+    # Median of three passes (VERDICT r10 "What's wrong" #1): this host's
+    # idle-box noise band is +-25%, so a single-sample artifact cannot
+    # distinguish host noise from a real regression -- three same-process
+    # passes cost ~2 extra headline runs and make the OFFICIAL artifact
+    # carry the median plus the per-sample spread.
+    samples: list[dict[str, float]] = []
+    for _ in range(N_SAMPLES):
+        times: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = QUERIES[name].fn
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count() if name != "cosine_topk" else len(df.collect())
+            times[name] = round(time.time() - t0, 3)
+            _ = n
+        samples.append(times)
     load_end = round(os.getloadavg()[0], 2)
-    total = round(sum(times.values()), 3)
-    # the original round-1 headline ten, so the cross-round trend number
-    # stays comparable after the round-4 additions to HEADLINE
-    orig10 = round(sum(times[q] for q in HEADLINE[:10]), 3)
+    # per-query medians (the "queries" dict keeps its historical shape);
+    # headline totals are medians of PER-SAMPLE totals, not sums of
+    # per-query medians, so "value" is a number one real pass produced
+    med_times = {q: round(_median([s[q] for s in samples]), 3) for q in HEADLINE}
+    totals = [round(sum(s.values()), 3) for s in samples]
+    orig10s = [round(sum(s[q] for q in HEADLINE[:10]), 3) for s in samples]
+    total = round(_median(totals), 3)
+    orig10 = round(_median(orig10s), 3)
+    spread_pct = round(100.0 * (max(orig10s) - min(orig10s)) / orig10, 1) if orig10 else 0.0
     print(
         json.dumps(
             {
@@ -134,7 +156,11 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "original10_total": orig10,
-                "queries": times,
+                "queries": med_times,
+                "n_samples": N_SAMPLES,
+                "samples_total": totals,
+                "samples_original10": orig10s,
+                "spread_pct": spread_pct,
                 "load_avg_1m_start": load_start,
                 "load_avg_1m_end": load_end,
                 "load_gate": load_gate,

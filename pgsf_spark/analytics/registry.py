@@ -8618,12 +8618,76 @@ _ROUND10_FRONT = [
 assert len(_ROUND10_FRONT) == 50, len(_ROUND10_FRONT)
 assert set(_ROUND10_FRONT) <= set(QUERIES), set(_ROUND10_FRONT) - set(QUERIES)
 
+# --- ROUND 11 REGISTRATION (the first post-unfreeze batch) -------------------
+# The registry froze at 382 through rounds 6-10 while the driver ledger
+# caught up (VERDICT r10: 382/382 ever-checked, backlog zero, unfreeze
+# criteria certified green). The 25-query round-11 batch was BUILT and
+# oracle-verified during round 10 (registry_r11.STAGED_QUERIES: streaming
+# faces, multimodal analysis, relational/at-scale shapes) and registration
+# is the promised one-line promotion -- the specs are already
+# driver-shaped, lint-ready (tests/test_r11_staged.py certified all of
+# test_plans.py's lints pre-registration), and green at sf0.001 AND
+# sf0.01 under the driver-identical comparison. Imported here, at the
+# bottom of the module, so registry_r11's own `from ...registry import`
+# re-entry sees QUERIES/_NORM/QuerySpec already bound.
+from pgsf_spark.analytics.registry_r11 import (  # noqa: E402
+    STAGED_QUERIES as _R11_STAGED,
+)
+
+assert not (set(_R11_STAGED) & set(QUERIES)), set(_R11_STAGED) & set(QUERIES)
+QUERIES.update(_R11_STAGED)
+
+# ROUND 11 FRONT: the 25 newly registered names (their first-ever driver
+# CORRECTNESS rows -- the whole point of the registration round) plus 25
+# re-checks chosen for age-and-importance: the 14 headline bench queries
+# (untouched since r9 but the driver's last official rows are r10) and the
+# 11 SURVEY §2 gate queries that anchor the reference-parity claims.
+_ROUND11_FRONT = [
+    # -- the r11 batch: first driver rows --------------------------------
+    *list(_R11_STAGED),
+    # -- headline re-checks ---------------------------------------------
+    "pricing_summary",
+    "revenue_by_nation",
+    "region_volume",
+    "top_orders_per_customer",
+    "sessionize",
+    "merge_upsert_customer",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "quality_score",
+    "kmeans_clusters",
+    "pagerank_neardup",
+    "prefix_filter_pairs",
+    "lsh_jaccard_verified",
+    # -- SURVEY §2 gate re-checks ---------------------------------------
+    "soql_projection",
+    "count_orders",
+    "csv_roundtrip",
+    "watermark_filter",
+    "soft_delete_split",
+    "top_orders",
+    "latest_event_per_user",
+    "snapshot_projection",
+    "dedup_clusters",
+    "semantic_dedup",
+    "ann_lsh_topk",
+]
+assert len(_ROUND11_FRONT) == 50, len(_ROUND11_FRONT)
+assert set(_ROUND11_FRONT) <= set(QUERIES), set(_ROUND11_FRONT) - set(QUERIES)
+
 # Apply the rotations in round order (one top-level QUERIES binding: the
 # duplicate-constant lint treats a second bare reassignment as the
 # NOVELTY_N shadowing hazard). Each pass moves that round's front to the
 # dict head; later passes see the previous rotation's tail order, which is
 # what the round-9/10 name-by-name plan above was written against.
-for _front in (_ROUND7_FRONT, _ROUND8_FRONT, _ROUND9_FRONT, _ROUND10_FRONT):
+for _front in (
+    _ROUND7_FRONT,
+    _ROUND8_FRONT,
+    _ROUND9_FRONT,
+    _ROUND10_FRONT,
+    _ROUND11_FRONT,
+):
     QUERIES = {
         name: QUERIES[name]
         for name in (*_front, *(n for n in QUERIES if n not in set(_front)))

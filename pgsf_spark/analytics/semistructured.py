@@ -419,24 +419,39 @@ def q_python_datasource_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pyds.register(spark)
     # Python-source filter pushdown ships conf-gated; the source asserts
-    # loudly if pushFilters is implemented while the conf is off
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    df = (
-        spark.read.format("entity_pages")
-        .option("path", os.path.join(sf_dir, "documents.parquet"))
-        .option("fields", "doc_id,source,n_chars")
-        .load()
-    )
-    return (
-        df.filter(F.col("n_chars") > 300)
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.min("doc_id").alias("min_doc"),
+    # loudly if pushFilters is implemented while the conf is off. The conf
+    # is session-wide, so run the read EAGERLY under it and restore the
+    # prior value in finally (the faces._run discipline) -- a leaked
+    # conf-set would silently change planning for every later query in
+    # the same session (ADVICE r10).
+    _key = "spark.sql.python.filterPushdown.enabled"
+    _old = spark.conf.get(_key, None)
+    spark.conf.set(_key, "true")
+    try:
+        df = (
+            spark.read.format("entity_pages")
+            .option("path", os.path.join(sf_dir, "documents.parquet"))
+            .option("fields", "doc_id,source,n_chars")
+            .load()
         )
-        .orderBy("source")
-    )
+        # tiny per-source aggregate: the eager checkpoint pins the result
+        # (and the pushdown-planned scan) while the conf is still on
+        return (
+            df.filter(F.col("n_chars") > 300)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc"),
+            )
+            .orderBy("source")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if _old is None:
+            spark.conf.unset(_key)
+        else:
+            spark.conf.set(_key, _old)
 
 
 # --- 7. arrow_map_profile -------------------------------------------------------

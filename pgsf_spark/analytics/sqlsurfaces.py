@@ -216,34 +216,41 @@ def q_chunked_sink_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pyds.register_sink(spark)
     tmp = tempfile.mkdtemp(prefix="pgsf_sink_")
-    out = os.path.join(tmp, "upload")
-    (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "n_chars")
-        .repartition(4, "doc_id")
-        .write.format("entity_chunks")
-        .option("path", out)
-        .option("max_records", str(_SINK_CAP))
-        .mode("append")
-        .save()
-    )
-    with open(os.path.join(out, "_MANIFEST.json")) as fh:
-        manifest = json.load(fh)
-    assert all(e["rows"] <= _SINK_CAP for e in manifest)  # the reference cap
-    files = [os.path.join(out, e["file"]) for e in manifest]
-    landed = spark.read.parquet(*files) if files else spark.createDataFrame(
-        [], "doc_id bigint, source string, n_chars bigint"
-    )
-    res = (
-        landed.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.min("doc_id").alias("min_doc"),
-            F.max("doc_id").alias("max_doc"),
+    try:
+        out = os.path.join(tmp, "upload")
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars")
+            .repartition(4, "doc_id")
+            .write.format("entity_chunks")
+            .option("path", out)
+            .option("max_records", str(_SINK_CAP))
+            .mode("append")
+            .save()
         )
-        .orderBy("source")
-    )
-    res = res.localCheckpoint(eager=True)
-    shutil.rmtree(tmp, ignore_errors=True)
-    return res
+        with open(os.path.join(out, "_MANIFEST.json")) as fh:
+            manifest = json.load(fh)
+        # the reference's per-chunk record cap -- an explicit raise, not an
+        # assert, so the gate cannot silently weaken under python -O
+        over = [e for e in manifest if e["rows"] > _SINK_CAP]
+        if over:
+            raise ValueError(f"chunked_sink_gate: chunks over the {_SINK_CAP}-record cap: {over}")
+        files = [os.path.join(out, e["file"]) for e in manifest]
+        landed = spark.read.parquet(*files) if files else spark.createDataFrame(
+            [], "doc_id bigint, source string, n_chars bigint"
+        )
+        res = (
+            landed.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .orderBy("source")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        # always reclaim the temp chunks, even when the write job or the
+        # manifest read raises
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -112,6 +112,18 @@ class EntityPagesReader(DataSourceReader):
         f = options.get("fields")
         self.columns = [c.strip() for c in f.split(",")] if f else None
         self.pushed: list[tuple[str, str, object]] = []
+        self._float_cols: set[str] | None = None
+
+    def _float_columns(self) -> set[str]:
+        """Column names with float/double parquet type, schema read once."""
+        if self._float_cols is None:
+            import pyarrow.parquet as pq
+
+            arrow = pq.ParquetFile(_files(self.path)[0]).schema_arrow
+            self._float_cols = {
+                n for n in arrow.names if str(arrow.field(n).type) in ("float", "double")
+            }
+        return self._float_cols
 
     # --- filter pushdown ---------------------------------------------------
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:  # noqa: N802
@@ -129,6 +141,14 @@ class EntityPagesReader(DataSourceReader):
             # NULL must not match NULL rows) -- give those back to Spark
             values = flt.value if op == "in" else (flt.value,)
             if any(v is None for v in values):
+                yield flt
+                continue
+            # float/double columns stay with Spark: Spark SQL orders NaN
+            # greater than every value and NaN = NaN true, while the Arrow
+            # re-filter AND parquet min/max stats use IEEE semantics
+            # (writers exclude NaN from stats) -- consuming the filter
+            # here would silently drop NaN rows vs a native Spark read
+            if name in self._float_columns():
                 yield flt
                 continue
             self.pushed.append((name, op, flt.value))
@@ -296,14 +316,19 @@ class EntityCdcStreamReader(DataSourceStreamReader):
         return {"watermark_us": -(2**62)}
 
     def latestOffset(self) -> dict:  # noqa: N802
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         self._check_ts_field()
         hi = -(2**62)
         for f in _files(self.path):
-            meta = pq.ParquetFile(f).metadata
+            pf = pq.ParquetFile(f)
+            meta = pf.metadata
             for rg in range(meta.num_row_groups):
                 row_group = meta.row_group(rg)
+                if row_group.num_rows == 0:
+                    continue
+                got_stats = False
                 for i in range(row_group.num_columns):
                     col = row_group.column(i)
                     if col.path_in_schema != self.ts_field:
@@ -311,6 +336,21 @@ class EntityCdcStreamReader(DataSourceStreamReader):
                     s = col.statistics
                     if s is not None and s.has_min_max:
                         hi = max(hi, _ts_us(s.max))
+                        got_stats = True
+                if not got_stats:
+                    # a writer that omits ts stats would otherwise leave
+                    # the offset frozen at initialOffset forever -- the
+                    # silent-empty failure _check_ts_field guards against.
+                    # Fall back to reading this group's ts column (only
+                    # stats-less groups pay the read; partitions() stays
+                    # safe on its own: no stats -> the group is INCLUDED
+                    # and the read-side window re-filter applies).
+                    ts_col = pf.read_row_group(rg, columns=[self.ts_field])[
+                        self.ts_field
+                    ]
+                    mx = pc.max(ts_col).as_py()
+                    if mx is not None:
+                        hi = max(hi, _ts_us(mx))
         return {"watermark_us": hi}
 
     def partitions(self, start: dict, end: dict) -> list:
@@ -435,7 +475,17 @@ class EntityChunkWriter(DataSourceWriter):
     commit message, and the DRIVER writes the `_MANIFEST.json` ledger
     only in ``commit()`` -- so a failed job leaves data files at worst,
     never a manifest: readers keyed on the manifest see exactly-once
-    output (the reference's job-artifact contract, K5/C3)."""
+    output (the reference's job-artifact contract, K5/C3).
+
+    Concurrency contract: ONE append job per path at a time. ``commit()``
+    merges the new chunk list into the existing manifest with a
+    read-modify-write (atomic only against readers, via os.replace);
+    two jobs committing to the same path concurrently could each read
+    the pre-existing manifest and one job's chunks would vanish from the
+    final ledger. The reference's upload loop has the same shape (one
+    sync job per table at a time, runner-guarded -- sync/state.py's
+    guarded claim is the coordination layer here too); coordinate
+    concurrent appends there, not in the sink."""
 
     # Spark type -> arrow factory name; the EXPLICIT arrow schema (built
     # from the writer's Spark schema, not inferred from values) keeps an

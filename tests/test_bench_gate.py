@@ -58,3 +58,16 @@ def test_never_settles_tags_contaminated(monkeypatch, capsys):
 def test_gate_threshold_is_the_verdict_value():
     # the ask names ~0.5; pin it so a silent loosening is loud
     assert bench.LOAD_GATE == 0.5
+
+
+def test_official_artifact_is_median_of_three():
+    # VERDICT r10 "What's wrong" #1: a single-sample artifact cannot
+    # distinguish this host's +-25% noise band from a real regression --
+    # the official bench now runs three same-process passes and reports
+    # the median with per-sample spread
+    assert bench.N_SAMPLES == 3
+    assert bench._median([3.0, 1.0, 2.0]) == 2.0
+    assert bench._median([4.0, 1.0]) == 2.5
+    src = open(os.path.join(_REPO, "bench.py")).read()
+    for key in ("samples_total", "samples_original10", "spread_pct", "n_samples"):
+        assert f'"{key}"' in src, key

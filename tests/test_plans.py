@@ -17,6 +17,17 @@ SF = "/root/testdata/sf0.001"
 # that's a BroadcastNestedLoopJoin, not a data-sized cartesian product.
 CARTESIAN_OK = {"cosine_topk", "ann_lsh_topk"}
 
+# Streaming faces (registered in round 11) execute a bounded availableNow
+# stream inside fn() and return a localCheckpoint of the sink table -- the
+# returned plan is a checkpoint scan with nothing for these lints to
+# inspect, and building it costs a full stream run (~8-17 s each). The
+# checkpoint shape is asserted once in
+# tests/test_r11_staged.py::test_stream_faces_return_checkpoints; the
+# faces' internal plans are pinned by tests/test_streaming.py.
+STREAMING_FACES = frozenset(n for n in QUERIES if n.startswith("stream_"))
+assert len(STREAMING_FACES) == 8, STREAMING_FACES
+_LINTABLE = sorted(set(QUERIES) - STREAMING_FACES)
+
 
 _PLAN_CACHE: dict[str, str] = {}
 
@@ -31,7 +42,7 @@ def plan_of(spark, name):
 
 
 class TestNoCartesian:
-    @pytest.mark.parametrize("name", sorted(n for n in QUERIES if n not in CARTESIAN_OK))
+    @pytest.mark.parametrize("name", sorted(n for n in _LINTABLE if n not in CARTESIAN_OK))
     def test_no_cartesian_product(self, spark, name):
         assert "CartesianProduct" not in plan_of(spark, name)
 
@@ -169,7 +180,7 @@ class TestNoDuplicatePipelines:
 
         return Counter(re.findall(r"(\w+)\.parquet", plan))
 
-    @pytest.mark.parametrize("name", sorted(QUERIES))
+    @pytest.mark.parametrize("name", _LINTABLE)
     def test_scan_count_within_budget(self, spark, name):
         counts = self._scan_counts(plan_of(spark, name))
         budget = SCAN_BUDGET.get(name, 2)
@@ -219,7 +230,7 @@ PYTHON_OK = {"token_stats_pandas"}
 
 
 class TestNoPythonInHotPath:
-    @pytest.mark.parametrize("name", sorted(n for n in QUERIES if n not in PYTHON_OK))
+    @pytest.mark.parametrize("name", sorted(n for n in _LINTABLE if n not in PYTHON_OK))
     def test_no_python_eval(self, spark, name):
         # row-at-a-time Python UDFs (BatchEvalPython) must never appear;
         # whole-stage JVM execution is the contract (SURVEY §2.9)
@@ -286,7 +297,7 @@ assert GLOBAL_WINDOW_OK <= set(QUERIES), GLOBAL_WINDOW_OK - set(QUERIES)
 
 class TestNoGlobalWindow:
     @pytest.mark.parametrize(
-        "name", sorted(n for n in QUERIES if n not in GLOBAL_WINDOW_OK)
+        "name", sorted(n for n in _LINTABLE if n not in GLOBAL_WINDOW_OK)
     )
     def test_no_partitionless_window(self, spark, name):
         # data-grain global sorts must go through operators/ranking.py

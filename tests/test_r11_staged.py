@@ -1,11 +1,12 @@
-"""Round-11 STAGED batch: oracle parity + plan shapes, pre-registration.
+"""Round-11 batch: oracle parity + plan shapes, now REGISTERED.
 
-The live registry is frozen at 382 until the round-10 close certifies the
-unfreeze (PERF.md); the round-11 batch ships STAGED in
-pgsf_spark/analytics/registry_r11.py and is gated here with the SAME
-comparison the round driver runs (pgsf_spark.verify.verify_queries), so
-promotion in round 11 is a registration flip of already-driver-shaped
-queries, not new code.
+Built and staged during round 10 behind the registry freeze; round 11
+promoted the batch into the live registry (registry.py's ROUND 11
+REGISTRATION block) exactly as the staging docstring promised -- a dict
+update of already-driver-shaped queries. These tests now certify the
+REGISTERED state (the 25 names live in QUERIES, same spec objects) and
+keep the batch's operator-level shape pins; the per-name oracle-parity
+loop runs through the same live-registry path the close sweep uses.
 """
 
 import pytest
@@ -21,16 +22,28 @@ def _staged():
 
 
 class TestStagingDiscipline:
-    def test_registry_still_frozen_at_382(self):
+    def test_r11_batch_registered_at_dict_head(self):
+        # round 11 promoted the staged batch: all 25 names live in the
+        # registry, as the SAME spec objects, rotated to the dict head so
+        # the driver's 50-slot correctness window sees them first
         from pgsf_spark.analytics.registry import QUERIES
 
-        assert len(QUERIES) == 382  # the freeze holds until the r10 close
+        staged = _staged()
+        assert len(QUERIES) == 382 + len(staged)
+        for name, spec in staged.items():
+            assert QUERIES.get(name) is spec, name
+        assert list(QUERIES)[: len(staged)] == list(staged)
 
-    def test_no_name_collisions_with_live_registry(self):
+    def test_r12_r13_batches_still_staged(self):
+        # only the r11 batch registered this round (<=25/round cap);
+        # the r12/r13 batches stay invisible to the driver until their
+        # rounds
         from pgsf_spark.analytics.registry import QUERIES
+        from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12
+        from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
 
-        overlap = set(_staged()) & set(QUERIES)
-        assert not overlap, overlap
+        assert not set(STAGED_QUERIES_R12) & set(QUERIES)
+        assert not set(STAGED_QUERIES_R13) & set(QUERIES)
 
     def test_staged_specs_shaped_like_registry_specs(self):
         from pgsf_spark.analytics.registry import QuerySpec
@@ -46,11 +59,11 @@ class TestStagedOracleParity:
 
     @pytest.mark.parametrize("name", sorted(_staged()))
     def test_oracle_parity_sf0001(self, spark, name):
+        # post-registration this runs through the LIVE registry (default
+        # queries=), the exact path the close sweep and driver exercise
         from pgsf_spark.verify import verify_queries
 
-        results = verify_queries(
-            spark, SF_DIR, only={name}, log=lambda s: None, queries=_staged()
-        )
+        results = verify_queries(spark, SF_DIR, only={name}, log=lambda s: None)
         assert results == {name: True}
 
 

@@ -206,6 +206,50 @@ class TestPythonDataSource:
         df = self._read(spark, paged_file, fields="doc_id,n_chars")
         assert df.columns == ["doc_id", "n_chars"]
 
+    def test_float_filter_keeps_nan_rows_spark_semantics(self, spark, tmp_path):
+        """Comparison filters on float/double columns are YIELDED back to
+        Spark (ADVICE r10): Spark SQL orders NaN greater than every value
+        (NaN > 5.0 is TRUE), while the Arrow re-filter and the parquet
+        stats skip use IEEE semantics (NaN compares false, writers exclude
+        NaN from min/max) -- a consumed float pushdown would silently drop
+        NaN rows relative to a native read."""
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "floats.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(6), pa.int64()),
+                    "score": pa.array(
+                        [1.0, float("nan"), 3.0, float("nan"), 5.0, 7.0],
+                        pa.float64(),
+                    ),
+                }
+            ),
+            path,
+            row_group_size=2,  # the all-NaN middle group has no usable stats
+        )
+        custom = self._read(spark, path, fields="doc_id,score").filter(
+            F.col("score") > 4.0
+        )
+        # ground truth is Spark's own comparison semantics, NOT a native
+        # parquet read of this file: pyarrow writes float min/max stats
+        # that EXCLUDE NaN, so native Spark's row-group pruning drops the
+        # NaN-carrying groups here too -- the in-memory filter is the
+        # unambiguous oracle
+        mem = spark.createDataFrame(
+            [(i, s) for i, s in enumerate([1.0, float("nan"), 3.0, float("nan"), 5.0, 7.0])],
+            "doc_id long, score double",
+        ).filter(F.col("score") > 4.0)
+        got = {r["doc_id"] for r in custom.collect()}
+        want = {r["doc_id"] for r in mem.collect()}
+        assert got == want == {1, 3, 4, 5}  # NaN > 4.0 is TRUE in Spark SQL
+        nan_scores = [r["score"] for r in custom.collect() if r["doc_id"] in (1, 3)]
+        assert all(math.isnan(s) for s in nan_scores)
+
     def test_unsupported_type_fails_loudly(self, spark):
         from pgsf_spark.sources import pyds
 
@@ -337,6 +381,67 @@ class TestPythonCdcSource:
         pq.write_table(t, os.path.join(data, "w1.parquet"))
         self._run(spark, data, out, ck)
         assert spark.read.parquet(out).count() == 3
+
+    def test_offset_advances_without_row_group_stats(self, spark, tmp_path):
+        """A writer that omits column statistics must not freeze the
+        offset at initialOffset (the silent-empty failure mode ADVICE r10
+        flagged): latestOffset falls back to reading the stats-less
+        group's ts column, and every row is delivered."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        data = str(tmp_path / "entity")
+        os.makedirs(data)
+        out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+        base = 1_700_000_000_000_000
+        t = pa.table(
+            {
+                "id": pa.array(range(10), pa.int64()),
+                "v": pa.array([float(i) for i in range(10)], pa.float64()),
+                "ts": pa.array(
+                    [base + i * 1_000_000 for i in range(10)], pa.timestamp("us")
+                ),
+            }
+        )
+        pq.write_table(
+            t, os.path.join(data, "w1.parquet"), write_statistics=False
+        )
+        self._run(spark, data, out, ck)
+        assert spark.read.parquet(out).count() == 10
+
+    def test_ts_us_round_trips_exact_microseconds_property(self):
+        """Hypothesis pin of the fd276fa precision-bug class (VERDICT r10
+        ask #6): for ANY epoch-microsecond value in the parquet timestamp
+        range, tz-aware or naive-UTC datetime stat values round-trip
+        through _ts_us to the exact integer, and integer stat values pass
+        through unchanged."""
+        import datetime
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pgsf_spark.sources.pyds import _ts_us
+
+        us_range = st.integers(
+            min_value=-62_135_510_400_000_000,  # year 1 + 1 day (tz headroom)
+            max_value=253_402_214_399_999_999,  # year 9999 - 1 day
+        )
+        tz_offsets = st.integers(min_value=-14 * 60, max_value=14 * 60)
+
+        @settings(max_examples=300, deadline=None)
+        @given(us=us_range, tz_min=tz_offsets, naive=st.booleans())
+        def check(us, tz_min, naive):
+            epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            dt = epoch + datetime.timedelta(microseconds=us)
+            if naive:
+                dt = dt.replace(tzinfo=None)  # naive stat values mean UTC
+            else:
+                tz = datetime.timezone(datetime.timedelta(minutes=tz_min))
+                dt = dt.astimezone(tz)  # same instant, shifted wall clock
+            assert _ts_us(dt) == us
+            assert _ts_us(us) == us  # integer stats pass through
+
+        check()
 
     def test_bad_ts_field_fails_loudly(self, spark, tmp_path):
         data = str(tmp_path / "entity")

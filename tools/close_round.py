@@ -15,8 +15,18 @@ printed for an all-green certification).
 from __future__ import annotations
 
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
+
+# Sweep-time budget awareness (VERDICT r10 ask #5): the 8 availableNow
+# streaming gates registered in round 11 each run a real bounded stream
+# (~8-17 s), so every full-registry sweep carries a fixed streaming cost.
+# The close ritual now records per-scale wall-clock and the streaming
+# family's share; if the family ever exceeds this fraction of a sweep,
+# run it once (not twice) in the double-certification ritual and note so
+# in the close block.
+STREAM_BUDGET_FRACTION = 0.25
 
 
 def main() -> int:
@@ -27,22 +37,52 @@ def main() -> int:
     from pgsf_spark.verify import verify_queries
 
     n = len(QUERIES)
+    streaming = {name for name in QUERIES if name.startswith("stream_")}
     spark = _vanilla_spark()
     greens = {}
+    timings = {}
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
-        results = verify_queries(spark, sf, log=lambda s: None)
+        t0 = time.time()
+        if streaming:
+            ts0 = time.time()
+            sresults = verify_queries(spark, sf, only=streaming, log=lambda s: None)
+            stream_sec = time.time() - ts0
+            bresults = verify_queries(
+                spark, sf, only=set(QUERIES) - streaming, log=lambda s: None
+            )
+            results = {**sresults, **bresults}
+        else:
+            stream_sec = 0.0
+            results = verify_queries(spark, sf, log=lambda s: None)
+        total_sec = time.time() - t0
         bad = [name for name, ok in results.items() if not ok]
         greens[sf] = n - len(bad)
-        print(f"{sf}: {greens[sf]}/{n} green")
+        timings[sf] = (total_sec, stream_sec)
+        share = stream_sec / total_sec if total_sec else 0.0
+        print(
+            f"{sf}: {greens[sf]}/{n} green in {total_sec:.0f}s "
+            f"(streaming family {stream_sec:.0f}s = {share:.0%})"
+        )
+        if share > STREAM_BUDGET_FRACTION:
+            print(
+                f"  NOTE: streaming share {share:.0%} exceeds the "
+                f"{STREAM_BUDGET_FRACTION:.0%} budget -- run the streaming "
+                f"family once (not twice) in the double-certification ritual"
+            )
         if bad:
             print(f"RED at {sf}: {bad}")
     spark.stop()
     if any(g != n for g in greens.values()):
         return 1
+    sweep_note = "; ".join(
+        f"{sf.rsplit('/', 1)[-1]} {tot:.0f}s (streaming {s:.0f}s)"
+        for sf, (tot, s) in timings.items()
+    )
     print(
         f"\nROUND-{rnd} CLOSE (run after the last code change, counts derived\n"
         f"from len(QUERIES)={n}): registry {n}/{n} hash-green at sf0.001 AND\n"
-        f"{n}/{n} at sf0.01 under the driver-like vanilla session."
+        f"{n}/{n} at sf0.01 under the driver-like vanilla session.\n"
+        f"Sweep wall-clock: {sweep_note}."
     )
     return 0
 
