@@ -5,8 +5,10 @@ Same staging discipline as registry_r11 / registry_r12: mirrors the live
 in its round, never driver-visible before then. Verified by
 tests/test_r13_staged.py through ``pgsf_spark.verify.verify_queries``.
 
-Batch plan: PERF.md "Round-13 seed". 6 names, all full-oracle. The
-recursive-CTE oracle is itself a DuckDB recursive CTE -- the two
+Batch plan: PERF.md "Round-13 seed". 8 names, all full-oracle: the six
+round-10 builds plus the two seed leftovers built in round 11
+(observe_metrics_gate, chunked_stream_sink_gate -- VERDICT r10 ask #4).
+The recursive-CTE oracle is itself a DuckDB recursive CTE -- the two
 engines run the same recursion independently.
 """
 
@@ -77,9 +79,32 @@ FROM m GROUP BY lower(mixed) ORDER BY lang""",
   MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
 FROM documents GROUP BY 1 ORDER BY 1""",
     ),
+    # --- the two round-10-seed leftovers, built in round 11 ---------------
+    "observe_metrics_gate": QuerySpec(
+        sqlsurfaces.q_observe_metrics_gate,
+        """WITH m AS (
+  SELECT COUNT(*) AS n_in,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty_in,
+    COUNT(*) FILTER (WHERE l_quantity < 24) AS n_kept,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(27,4)))
+         FILTER (WHERE l_quantity < 24) AS DOUBLE) AS sum_qty_kept
+  FROM lineitem)
+SELECT CAST(n_in AS BIGINT) AS n_in, CAST(n_kept AS BIGINT) AS n_kept,
+  sum_qty_in, sum_qty_kept,
+  CAST(CASE WHEN n_in = 0 THEN 0 ELSE n_kept * 1000 // n_in END
+       AS BIGINT) AS kept_permille
+FROM m""",
+    ),
+    "chunked_stream_sink_gate": QuerySpec(
+        sqlsurfaces.q_chunked_stream_sink_gate,
+        """SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM documents GROUP BY 1 ORDER BY 1""",
+    ),
 }
 
-assert len(STAGED_QUERIES_R13) == 6, len(STAGED_QUERIES_R13)
+assert len(STAGED_QUERIES_R13) == 8, len(STAGED_QUERIES_R13)
 for _other in (_LIVE, _R11, _R12):
     _overlap = set(STAGED_QUERIES_R13) & set(_other)
     assert not _overlap, _overlap

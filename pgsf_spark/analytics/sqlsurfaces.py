@@ -254,3 +254,112 @@ def q_chunked_sink_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # always reclaim the temp chunks, even when the write job or the
         # manifest read raises
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- 7. observe_metrics_gate ----------------------------------------------------
+
+
+def q_observe_metrics_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.observe`` accumulator metrics surfaced as a result row.
+
+    The reference counts rows as a side effect of the sync pass and
+    reconciles them against the job result (reference download.py row
+    accounting, SURVEY A3); Spark's native form is ``observe``:
+    CollectMetrics nodes accumulate aggregates DURING the single noop
+    write pass -- one scan, no second aggregation job -- at two points
+    (post-scan, post-filter), and the gate emits both observations plus
+    their reconciliation ratio. The oracle states the same aggregates
+    plainly, so the observed metrics are value-pinned, not just
+    smoke-checked. Sums accumulate in DECIMAL and emit as DOUBLE (exact
+    -> correctly-rounded on both engines, no ROUND needed)."""
+    from pyspark.sql import Observation
+
+    scan = Observation()
+    kept = Observation()
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity")
+    flow = li.observe(
+        scan,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(27,4)")).alias("qty"),
+    ).filter(F.col("l_quantity") < 24).observe(
+        kept,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(27,4)")).alias("qty"),
+    )
+    flow.write.format("noop").mode("overwrite").save()
+    s, k = scan.get, kept.get
+    n_in, n_kept = int(s["n"]), int(k["n"])
+    row = (
+        n_in,
+        n_kept,
+        float(s["qty"]) if s["qty"] is not None else None,
+        float(k["qty"]) if k["qty"] is not None else None,
+        n_kept * 1000 // n_in if n_in else 0,
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_in bigint, n_kept bigint, sum_qty_in double, sum_qty_kept double, "
+        "kept_permille bigint",
+    )
+
+
+# --- 8. chunked_stream_sink_gate ------------------------------------------------
+
+
+def q_chunked_stream_sink_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through the STREAMING leg of the chunked sink.
+
+    The reference's scheduler re-runs the chunked upload every sync
+    cycle (reference upload loop + scheduler, SURVEY K4/C2); here each
+    micro-batch is one cycle: documents replay as a 3-batch availableNow
+    stream into ``entity_chunks`` (sources/pyds.py
+    EntityChunkStreamWriter), each epoch's tasks writing capped parquet
+    chunks and each epoch's COMMIT writing its own atomic
+    ``_MANIFEST-<batchId>.json``. Only manifest-listed chunks are read
+    back and aggregated; equality with the base-table oracle pins the
+    per-epoch commit protocol end to end (chunking, cap, epoch ledger,
+    lossless replay)."""
+    from pgsf_spark.sources import pyds
+    from pgsf_spark.streaming import faces
+
+    pyds.register_sink(spark)
+    tmp = tempfile.mkdtemp(prefix="pgsf_ssink_")
+    try:
+        out = os.path.join(tmp, "upload")
+        feed = os.path.join(tmp, "feed")
+        src = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        faces._write_feed(faces._tiles(src, ["doc_id"]), feed)
+        stream = faces._read_stream(spark, feed, src.schema)
+        writer = (
+            stream.writeStream.format("entity_chunks")
+            .option("path", out)
+            .option("max_records", str(_SINK_CAP))
+            .outputMode("append")
+        )
+        faces._run(spark, writer, os.path.join(tmp, "ck"))
+        manifest = pyds.committed_chunks(out)
+        over = [e for e in manifest if e["rows"] > _SINK_CAP]
+        if over:
+            raise ValueError(
+                f"chunked_stream_sink_gate: chunks over the {_SINK_CAP}-record "
+                f"cap: {over}"
+            )
+        files = [os.path.join(out, e["file"]) for e in manifest]
+        landed = spark.read.parquet(*files) if files else spark.createDataFrame(
+            [], "doc_id bigint, source string, n_chars bigint"
+        )
+        res = (
+            landed.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .orderBy("source")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

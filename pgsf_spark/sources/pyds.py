@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
     EqualTo,
@@ -585,8 +586,73 @@ class EntityChunkWriter(DataSourceWriter):
         pass
 
 
+class EntityChunkStreamWriter(EntityChunkWriter, DataSourceStreamWriter):
+    """Streaming leg of the chunked sink (``DataSourceStreamWriter``).
+
+    The reference's reverse-ETL upload loop runs per sync cycle -- each
+    cycle's records chunked and uploaded, each cycle leaving its own job
+    ledger (reference upload_table.py + the scheduler loop, SURVEY
+    K4/C2). Here each MICRO-BATCH is one cycle: executors stream the
+    batch's partitions into capped parquet chunks (the inherited
+    ``write``), and the driver's ``commit(messages, batchId)`` writes an
+    EPOCH manifest ``_MANIFEST-<batchId>.json`` atomically.
+
+    Exactly-once: Spark replays a failed epoch under the SAME batchId;
+    the replayed commit atomically REPLACES that epoch's manifest, so
+    chunks from the failed attempt are orphaned on disk but invisible to
+    manifest-keyed readers (``committed_chunks``) -- never double-counted.
+    ``abort`` writes no manifest at all, the batch-writer contract
+    (K5/C3) per epoch."""
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        import json
+        import os
+
+        manifest = [
+            {"file": os.path.basename(f), "rows": n}
+            for m in messages
+            if m is not None
+            for f, n in m.files
+        ]
+        final = os.path.join(self.dir, f"_MANIFEST-{batchId:09d}.json")
+        tmp = final + ".tmp"
+        os.makedirs(self.dir, exist_ok=True)
+        with open(tmp, "w") as fh:
+            json.dump(sorted(manifest, key=lambda e: e["file"]), fh)
+        os.replace(tmp, final)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        # no manifest for this epoch: its chunks stay invisible; a replay
+        # of the same batchId commits fresh chunks under a fresh manifest
+        pass
+
+
+def committed_chunks(path: str) -> list[dict]:
+    """Union of all committed manifests under ``path``: the batch-job
+    ledger (``_MANIFEST.json``) plus every epoch ledger
+    (``_MANIFEST-<batchId>.json``), in (manifest, file) order. This is
+    the ONLY sanctioned way to enumerate the sink's committed output --
+    chunk files not listed here belong to failed/aborted attempts."""
+    import glob
+    import json
+    import os
+
+    out: list[dict] = []
+    batch = os.path.join(path, "_MANIFEST.json")
+    for mf in ([batch] if os.path.exists(batch) else []) + sorted(
+        glob.glob(os.path.join(path, "_MANIFEST-*.json"))
+    ):
+        with open(mf) as fh:
+            out.extend(json.load(fh))
+    return out
+
+
 class EntityChunkSink(DataSource):
-    """format("entity_chunks") writer: options path, max_records."""
+    """format("entity_chunks") writer: options path, max_records.
+
+    Batch (``writer``) and streaming (``streamWriter``) legs share the
+    executor-side chunking; they differ only in the commit ledger (one
+    accumulating ``_MANIFEST.json`` vs per-epoch manifests)."""
 
     @classmethod
     def name(cls) -> str:
@@ -602,6 +668,9 @@ class EntityChunkSink(DataSource):
                 "accumulates committed jobs; clear the directory to reset"
             )
         return EntityChunkWriter(self.options, schema)
+
+    def streamWriter(self, schema, overwrite):  # noqa: N802
+        return EntityChunkStreamWriter(self.options, schema)
 
 
 def register_sink(spark) -> None:

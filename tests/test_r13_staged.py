@@ -22,7 +22,7 @@ def _staged():
 
 
 # the sink face executes a write job and returns a localCheckpoint scan
-_SINK_FACES = {"chunked_sink_gate"}
+_SINK_FACES = {"chunked_sink_gate", "chunked_stream_sink_gate"}
 
 
 class TestStagingDisciplineR13:
@@ -32,7 +32,7 @@ class TestStagingDisciplineR13:
         from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12
 
         staged = _staged()
-        assert len(staged) == 6
+        assert len(staged) == 8
         for other in (QUERIES, STAGED_QUERIES, STAGED_QUERIES_R12):
             assert not set(staged) & set(other)
 
@@ -91,8 +91,9 @@ class TestStagedLintReadinessR13:
         excess = {t: n for t, n in counts.items() if n > 2}
         assert not excess, (name, excess)
 
-    def test_sink_face_returns_checkpoint(self, spark):
-        plan = self._plan(spark, "chunked_sink_gate")
+    @pytest.mark.parametrize("name", sorted(_SINK_FACES))
+    def test_sink_face_returns_checkpoint(self, spark, name):
+        plan = self._plan(spark, name)
         assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
         assert ".parquet" not in plan
 
@@ -217,3 +218,139 @@ class TestChunkedSink:
         names = [e["file"] for e in man]
         assert names == sorted(names)
         assert all(os.sep not in n for n in names)  # basenames only
+
+
+class TestChunkedStreamSink:
+    """sources/pyds.py entity_chunks STREAMING leg: per-epoch commit
+    manifests, the reference's per-cycle upload ledger (SURVEY K4/C2/C3)."""
+
+    def _stream(self, spark, tmp_path, rows=60, cap=16, files_per_batch=1):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pgsf_spark.sources import pyds
+
+        pyds.register_sink(spark)
+        feed = str(tmp_path / "feed")
+        os.makedirs(feed, exist_ok=True)
+        # three feed files, mtime-ordered -> three availableNow epochs
+        per = rows // 3
+        for i in range(3):
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(i * per, (i + 1) * per), pa.int64()),
+                    "source": pa.array([f"src{j % 7}" for j in range(i * per, (i + 1) * per)]),
+                }
+            )
+            f = os.path.join(feed, f"b{i:03d}.parquet")
+            pq.write_table(t, f)
+            os.utime(f, (1_700_000_000 + 60 * i,) * 2)
+        out = str(tmp_path / "up")
+        q = (
+            spark.readStream.schema("doc_id long, source string")
+            .option("maxFilesPerTrigger", files_per_batch)
+            .parquet(feed)
+            .writeStream.format("entity_chunks")
+            .option("path", out)
+            .option("max_records", str(cap))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return out
+
+    def test_each_epoch_commits_its_own_manifest(self, spark, tmp_path):
+        out = self._stream(spark, tmp_path, rows=60, cap=16)
+        import glob as _glob
+
+        epoch_manifests = sorted(_glob.glob(os.path.join(out, "_MANIFEST-*.json")))
+        assert len(epoch_manifests) == 3  # one ledger per micro-batch
+        assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+
+    def test_committed_chunks_round_trip_with_cap(self, spark, tmp_path):
+        from pgsf_spark.sources import pyds
+
+        out = self._stream(spark, tmp_path, rows=60, cap=16)
+        man = pyds.committed_chunks(out)
+        assert man and all(e["rows"] <= 16 for e in man)
+        assert sum(e["rows"] for e in man) == 60
+        files = [os.path.join(out, e["file"]) for e in man]
+        got = spark.read.parquet(*files)
+        assert got.count() == 60
+        assert got.select("doc_id").distinct().count() == 60
+
+    def test_epoch_replay_replaces_manifest_not_double_counts(self, spark, tmp_path):
+        """Exactly-once across epoch replays: committing the SAME batchId
+        twice (Spark's failure-replay path) must atomically REPLACE that
+        epoch's ledger, so manifest-keyed readers never see the failed
+        attempt's chunks."""
+        from pgsf_spark.sources.pyds import (
+            ChunkCommit,
+            EntityChunkStreamWriter,
+            committed_chunks,
+        )
+
+        class _Schema:
+            fields = []
+
+        w = EntityChunkStreamWriter({"path": str(tmp_path / "up")}, _Schema())
+        os.makedirs(w.dir, exist_ok=True)
+        w.commit([ChunkCommit([("a.parquet", 5), ("b.parquet", 5)], 10)], 7)
+        w.commit([ChunkCommit([("c.parquet", 10)], 10)], 7)  # the replay
+        man = committed_chunks(w.dir)
+        assert [e["file"] for e in man] == ["c.parquet"]
+
+    def test_aborted_epoch_leaves_no_ledger(self, tmp_path):
+        from pgsf_spark.sources.pyds import ChunkCommit, EntityChunkStreamWriter
+
+        class _Schema:
+            fields = []
+
+        w = EntityChunkStreamWriter({"path": str(tmp_path / "up")}, _Schema())
+        w.abort([ChunkCommit([("a.parquet", 5)], 5)], 3)
+        assert not os.path.exists(os.path.join(str(tmp_path / "up"), "_MANIFEST-000000003.json"))
+
+    def test_failed_task_commit_message_none_is_skipped(self, tmp_path):
+        # the API delivers None for a failed task's message; commit must
+        # ledger the successful tasks, not crash
+        from pgsf_spark.sources.pyds import (
+            ChunkCommit,
+            EntityChunkStreamWriter,
+            committed_chunks,
+        )
+
+        class _Schema:
+            fields = []
+
+        w = EntityChunkStreamWriter({"path": str(tmp_path / "up")}, _Schema())
+        os.makedirs(w.dir, exist_ok=True)
+        w.commit([ChunkCommit([("a.parquet", 5)], 5), None], 0)
+        assert [e["file"] for e in committed_chunks(w.dir)] == ["a.parquet"]
+
+
+class TestObserveGate:
+    """sqlsurfaces.q_observe_metrics_gate: CollectMetrics accumulators
+    value-pinned against the plainly-stated aggregates (SURVEY A3)."""
+
+    def test_observed_metrics_match_direct_aggregates(self, spark):
+        from pgsf_spark.analytics.sqlsurfaces import q_observe_metrics_gate
+        from pgsf_spark.tables import load_table
+
+        row = q_observe_metrics_gate(spark, SF_DIR).collect()[0]
+        li = load_table(spark, SF_DIR, "lineitem")
+        n_in = li.count()
+        n_kept = li.filter("l_quantity < 24").count()
+        assert row["n_in"] == n_in
+        assert row["n_kept"] == n_kept
+        assert row["kept_permille"] == n_kept * 1000 // n_in
+
+    def test_single_pass_no_second_aggregation_scan(self, spark):
+        """The metrics come from the ONE noop-write pass -- the returned
+        relation is a driver-local row, not a re-aggregation plan."""
+        from pgsf_spark.analytics.sqlsurfaces import q_observe_metrics_gate
+
+        df = q_observe_metrics_gate(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ".parquet" not in plan
