@@ -71,3 +71,9 @@ def test_official_artifact_is_median_of_three():
     src = open(os.path.join(_REPO, "bench.py")).read()
     for key in ("samples_total", "samples_original10", "spread_pct", "n_samples"):
         assert f'"{key}"' in src, key
+    # samples must be COLD (subprocess-per-sample): a same-session re-run
+    # is ~2x faster (JIT/codegen caches: measured 13.1 s cold vs 6.5 s
+    # warm) and would fake a speedup against every prior round's
+    # single-cold-pass artifact
+    assert "SPARK_GRAFT_BENCH_CHILD" in src
+    assert '"sampling": "cold_subprocess_per_sample"' in src
