@@ -88,6 +88,21 @@ def merge_upsert(
         if req not in changes.columns:
             raise SchemaDriftError(f"change batch missing required column {req!r}")
     helper_cols = {order_col, isdeleted_col} - {None}
+    # a RETYPED column is never auto-mergeable in any mode: unionByName
+    # would either fail opaquely or silently coerce (int->bigint), and a
+    # type change under the replica's readers is the reference's crash
+    # case with extra steps -- fail loudly before touching data
+    _ttypes, _ctypes = dict(target.dtypes), dict(changes.dtypes)
+    retyped = [
+        (c, _ttypes[c], _ctypes[c])
+        for c in _ctypes
+        if c in _ttypes and c not in helper_cols and _ttypes[c] != _ctypes[c]
+    ]
+    if retyped:
+        raise SchemaDriftError(
+            "retyped column(s): "
+            + ", ".join(f"{c} ({a} -> {b})" for c, a, b in retyped)
+        )
     new_cols = [c for c in changes.columns if c not in target.columns and c not in helper_cols]
     dropped_cols = [c for c in target.columns if c not in changes.columns]
     if schema_evolution == "strict" and (new_cols or dropped_cols):

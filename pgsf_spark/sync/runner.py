@@ -63,14 +63,57 @@ class SyncRunner:
         maintenance_every: int | None = None,
         vacuum_keep: int = 2,
         vacuum_ttl_seconds: float | None = None,
+        drift_policy: str = "widen",
     ):
+        if drift_policy not in ("strict", "widen", "allow-removed"):
+            raise ValueError(
+                f"drift_policy must be strict|widen|allow-removed, got {drift_policy!r}"
+            )
         self.source = source
         self.store = store
         self.state = state
         self.maintenance_every = maintenance_every
         self.vacuum_keep = vacuum_keep
         self.vacuum_ttl_seconds = vacuum_ttl_seconds
+        self.drift_policy = drift_policy
         self._merges_since_maintenance: dict[str, int] = {}
+
+    def _classify_drift(self, table: str, changes):
+        """Schema-drift routing (the reference's open TODO,
+        query_poll_table.py:202): classify the batch schema against the
+        replica's BEFORE the merge touches data, and route per
+        ``drift_policy``:
+
+          - retyped columns: ALWAYS a loud failure (never auto-merged);
+          - removed columns: loud failure under strict/widen (silent
+            nulling on every later update is quiet rot), permitted and
+            LEDGERED under allow-removed;
+          - added columns: loud failure under strict, widened and
+            LEDGERED otherwise.
+
+        Returns the manifest audit entry ({} when no drift), so every
+        absorbed drift is visible in the published version's ledger."""
+        from pgsf_spark.operators.merge import SchemaDriftError
+        from pgsf_spark.schema.drift import classify_drift
+
+        drift = classify_drift(
+            self.store.read(table).schema,
+            changes.schema,
+            ignore={PGSF_BUCKET, "_file_order", "IsDeleted"},
+        )
+        if not drift:
+            return {}
+        hard = bool(drift.retyped)
+        hard = hard or (self.drift_policy == "strict")
+        hard = hard or (drift.removed and self.drift_policy != "allow-removed")
+        if hard:
+            raise SchemaDriftError(
+                f"{table}: schema drift ({drift.describe()}) under "
+                f"drift_policy={self.drift_policy!r} -- resolve the source "
+                f"contract (schema/mapping.py) or re-snapshot; the failed "
+                f"cycle advanced nothing"
+            )
+        return {"schema_drift": drift.manifest_entry()}
 
     def maintenance(self, table: str) -> dict:
         """Compact the current version and GC old ones; returns a summary.
@@ -148,6 +191,20 @@ class SyncRunner:
         self.state.insert(table, syncuntil=started, refresh_minutes=refresh_minutes)
         return n
 
+    def _finish_sync(self, table: str, ts_field: str, wm) -> dict:
+        """Post-publish tail of a sync cycle: advance the watermark to
+        max(ts) of the *target* after merge (synctable.py:45-54), run
+        piggybacked maintenance, release the claim."""
+        new_df = self.store.read(table)
+        max_ts = new_df.agg(F.max(ts_field).alias("m")).first()["m"]
+        n = new_df.count()
+        maintained = self._maybe_maintain(table)
+        self.state.release(table, READY, syncuntil=max_ts or wm)
+        out = {"table": table, "rows": n, "watermark": (max_ts or wm).isoformat()}
+        if maintained:
+            out["maintenance"] = True
+        return out
+
     def sync_table(self, table: str, pk: str = "Id", ts_field: str = "SystemModstamp") -> dict:
         """One incremental sync cycle for one table (query_poll_table.py:155-204)."""
         row = self.state.claim(table)  # guarded ready->running
@@ -180,6 +237,12 @@ class SyncRunner:
                 if maintained:
                     out["maintenance"] = True
                 return out
+            # Classify schema drift against the replica BEFORE the merge:
+            # a hard-drift cycle fails here, releases the claim in the
+            # except path below, and advances nothing -- vs the
+            # reference's opaque crash-and-retry-forever (its TODO).
+            # The JDBC leg is excluded above (PG owns its schema there).
+            drift_audit = self._classify_drift(table, changes)
             info = self.store.partition_info(table)
             if info and info.get("partition_buckets") and info["partition_by"] == [PGSF_BUCKET]:
                 # Partition-pruned merge: only buckets containing changed
@@ -196,6 +259,29 @@ class SyncRunner:
                 # dirs (duplicate keys). localCheckpoint pins the batch
                 # (small: one tick's changes) executor-side.
                 changes = changes.withColumn(PGSF_BUCKET, pk_bucket(pk, nb)).localCheckpoint()
+                if drift_audit:
+                    # A widened schema cannot ride write_partial: untouched
+                    # buckets are carried by HARDLINK, so the published
+                    # version would mix old-schema and new-schema parquet
+                    # under one manifest. Widening is rare; pay ONE full
+                    # rewrite that republishes every bucket under the new
+                    # schema, preserving the bucket layout.
+                    target = self.store.read(table, keep_internal=True)
+                    merged = merge_upsert(
+                        target, changes, pk=pk, ts_field=ts_field, order_col="_file_order"
+                    )
+                    self.store.write(
+                        merged,
+                        table,
+                        partition_by=[PGSF_BUCKET],
+                        manifest={
+                            "op": "merge",
+                            "watermark": wm.isoformat(),
+                            "partition_buckets": nb,
+                            **drift_audit,
+                        },
+                    )
+                    return self._finish_sync(table, ts_field, wm)
                 changed_buckets = [
                     r[0] for r in changes.select(PGSF_BUCKET).distinct().collect()
                 ]
@@ -216,23 +302,17 @@ class SyncRunner:
                     table,
                     PGSF_BUCKET,
                     changed_buckets,
-                    manifest={"op": "merge", "watermark": wm.isoformat()},
+                    manifest={"op": "merge", "watermark": wm.isoformat(), **drift_audit},
                 )
             else:
                 target = self.store.read(table)
                 merged = merge_upsert(target, changes, pk=pk, ts_field=ts_field, order_col="_file_order")
-                self.store.write(merged, table, manifest={"op": "merge", "watermark": wm.isoformat()})
-            # Advance watermark to max(ts) of the *target* after merge
-            # (synctable.py:45-54), only after a successful publish.
-            new_df = self.store.read(table)
-            max_ts = new_df.agg(F.max(ts_field).alias("m")).first()["m"]
-            n = new_df.count()
-            maintained = self._maybe_maintain(table)
-            self.state.release(table, READY, syncuntil=max_ts or wm)
-            out = {"table": table, "rows": n, "watermark": (max_ts or wm).isoformat()}
-            if maintained:
-                out["maintenance"] = True
-            return out
+                self.store.write(
+                    merged,
+                    table,
+                    manifest={"op": "merge", "watermark": wm.isoformat(), **drift_audit},
+                )
+            return self._finish_sync(table, ts_field, wm)
         except ClaimError:
             raise
         except Exception:

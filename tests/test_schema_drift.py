@@ -1,0 +1,259 @@
+"""Schema-drift ingest gate (PERF.md round-14 plan item 1, built early).
+
+The reference's sync loop has an OPEN TODO for this exact failure
+(reference query_poll_table.py:202 'detect some errors like a column
+that disapeared'): source schema drift surfaces as an opaque driver
+error from cron and retries forever. pgsf_spark classifies the drift
+BEFORE the merge touches data (schema/drift.py), routes it by policy
+(SyncRunner.sync_table), and ledgers every absorbed drift in the
+published version's manifest.
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from pgsf_spark.operators.merge import SchemaDriftError, merge_upsert
+from pgsf_spark.operators.table_store import TableStore
+from pgsf_spark.schema.drift import classify_drift
+from pgsf_spark.sources.entity import EntitySource
+from pgsf_spark.sync.runner import SyncRunner
+from pgsf_spark.sync.state import SyncState
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+T1 = T0 + timedelta(hours=1)
+
+BASE_SCHEMA = "Id string, name string, bal double, SystemModstamp timestamp, IsDeleted boolean"
+
+
+class TestClassifier:
+    def _schemas(self, spark, a: str, b: str):
+        return (
+            spark.createDataFrame([], a).schema,
+            spark.createDataFrame([], b).schema,
+        )
+
+    def test_no_drift(self, spark):
+        t, b = self._schemas(spark, "a long, b string", "a long, b string")
+        report = classify_drift(t, b)
+        assert not report
+        assert report.describe() == "no drift"
+        assert report.manifest_entry() == {}
+
+    def test_added_removed_retyped_classified(self, spark):
+        t, b = self._schemas(
+            spark, "a long, b string, c double", "a long, b int, d boolean"
+        )
+        report = classify_drift(t, b)
+        assert report.added == (("d", "boolean"),)
+        assert report.removed == (("c", "double"),)
+        assert report.retyped == (("b", "string", "int"),)
+        entry = report.manifest_entry()
+        assert entry["added"] == [{"column": "d", "type": "boolean"}]
+        assert entry["removed"] == [{"column": "c", "type": "double"}]
+        assert entry["retyped"] == [{"column": "b", "from": "string", "to": "int"}]
+
+    def test_ignore_set_excludes_internal_columns(self, spark):
+        t, b = self._schemas(spark, "a long, __pgsf_bucket int", "a long, _file_order long")
+        report = classify_drift(t, b, ignore={"__pgsf_bucket", "_file_order"})
+        assert not report
+
+    def test_decimal_precision_change_is_drift(self, spark):
+        t, b = self._schemas(spark, "a decimal(10,2)", "a decimal(12,2)")
+        report = classify_drift(t, b)
+        assert report.retyped == (("a", "decimal(10,2)", "decimal(12,2)"),)
+
+
+class TestMergeRetypeGuard:
+    def test_retyped_column_always_raises(self, spark):
+        target = spark.createDataFrame([("c1", 10.0, T0)], "Id string, bal double, ts timestamp")
+        changes = spark.createDataFrame([("c1", "11", T1)], "Id string, bal string, ts timestamp")
+        for mode in ("add", "ignore", "strict"):
+            with pytest.raises(SchemaDriftError, match="retyped"):
+                merge_upsert(target, changes, pk="Id", ts_field="ts", schema_evolution=mode)
+
+    def test_silent_widening_coercion_is_blocked_too(self, spark):
+        # int -> bigint would union without error (Spark coerces) -- the
+        # guard must still fire: a type change under the replica's
+        # readers is an operator decision, never an implicit cast
+        target = spark.createDataFrame([("c1", 1, T0)], "Id string, n int, ts timestamp")
+        changes = spark.createDataFrame([("c1", 2, T1)], "Id string, n long, ts timestamp")
+        with pytest.raises(SchemaDriftError, match="retyped"):
+            merge_upsert(target, changes, pk="Id", ts_field="ts")
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    snapshot = spark.createDataFrame(
+        [
+            ("c1", "alice", 10.0, T0, False),
+            ("c2", "bob", 20.0, T0, False),
+        ],
+        BASE_SCHEMA,
+    )
+    snapshot.write.parquet(str(src_dir / "customer.parquet"))
+    source = EntitySource(spark, str(src_dir))
+    store = TableStore(spark, str(tmp_path / "store"))
+    state = SyncState(str(tmp_path / "sync.json"))
+    return spark, source, store, state, src_dir
+
+
+def _drift_source(spark, src_dir, schema: str, rows):
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+        str(src_dir / "customer.parquet")
+    )
+
+
+class TestSyncDriftRouting:
+    """End-to-end: snapshot, then a drifted incremental batch."""
+
+    def _boot(self, env, **runner_kw):
+        spark, source, store, state, src_dir = env
+        runner = SyncRunner(source, store, state, **runner_kw)
+        runner.snapshot_load("customer")
+        # rewind the watermark to T0 so the next poll sees the T1 batch
+        state.release("customer", syncuntil=T0, touch_refresh=False)
+        return spark, source, store, state, src_dir, runner
+
+    def test_added_column_widens_and_ledgers(self, env):
+        spark, source, store, state, src_dir, runner = self._boot(env)
+        _drift_source(
+            spark,
+            src_dir,
+            "Id string, name string, bal double, tier string, SystemModstamp timestamp, IsDeleted boolean",
+            [("c1", "alice", 11.0, "gold", T1, False)],
+        )
+        out = runner.sync_table("customer")
+        assert out["rows"] == 2
+        got = {r["Id"]: r for r in store.read("customer").collect()}
+        assert got["c1"]["tier"] == "gold"
+        assert got["c2"]["tier"] is None  # pre-drift rows widen with NULL
+        drift = store.manifest("customer").get("schema_drift")
+        assert drift == {"added": [{"column": "tier", "type": "string"}]}
+
+    def test_removed_column_fails_loudly_by_default(self, env):
+        spark, source, store, state, src_dir, runner = self._boot(env)
+        _drift_source(
+            spark,
+            src_dir,
+            "Id string, name string, SystemModstamp timestamp, IsDeleted boolean",
+            [("c1", "alice2", T1, False)],
+        )
+        before = state.get("customer").syncuntil_dt()
+        with pytest.raises(SchemaDriftError, match="removed.*bal"):
+            runner.sync_table("customer")
+        row = state.get("customer")
+        assert row.status == "ready"  # claim released for retry
+        assert row.syncuntil_dt() == before  # watermark never advanced
+        # the replica is untouched: still 2 rows with bal intact
+        got = {r["Id"]: r["bal"] for r in store.read("customer").collect()}
+        assert got == {"c1": 10.0, "c2": 20.0}
+
+    def test_removed_column_ledgered_under_allow_removed(self, env):
+        spark, source, store, state, src_dir, runner0 = self._boot(env)
+        runner = SyncRunner(source, store, state, drift_policy="allow-removed")
+        _drift_source(
+            spark,
+            src_dir,
+            "Id string, name string, SystemModstamp timestamp, IsDeleted boolean",
+            [("c1", "alice2", T1, False)],
+        )
+        out = runner.sync_table("customer")
+        assert out["rows"] == 2
+        got = {r["Id"]: r for r in store.read("customer").collect()}
+        assert got["c1"]["bal"] is None  # updated row nulls the dropped col
+        assert got["c2"]["bal"] == 20.0  # untouched row keeps its value
+        drift = store.manifest("customer").get("schema_drift")
+        assert drift == {"removed": [{"column": "bal", "type": "double"}]}
+
+    def test_retyped_column_fails_under_every_policy(self, env):
+        spark, source, store, state, src_dir, _ = self._boot(env)
+        _drift_source(
+            spark,
+            src_dir,
+            "Id string, name string, bal string, SystemModstamp timestamp, IsDeleted boolean",
+            [("c1", "alice2", "11.0", T1, False)],
+        )
+        for policy in ("strict", "widen", "allow-removed"):
+            runner = SyncRunner(
+                EntitySource(spark, str(src_dir)), store, state, drift_policy=policy
+            )
+            with pytest.raises(SchemaDriftError, match="retyped.*bal"):
+                runner.sync_table("customer")
+            assert state.get("customer").status == "ready"
+
+    def test_strict_policy_rejects_additions_too(self, env):
+        spark, source, store, state, src_dir, _ = self._boot(env)
+        runner = SyncRunner(source, store, state, drift_policy="strict")
+        _drift_source(
+            spark,
+            src_dir,
+            "Id string, name string, bal double, tier string, SystemModstamp timestamp, IsDeleted boolean",
+            [("c1", "alice2", 11.0, "gold", T1, False)],
+        )
+        with pytest.raises(SchemaDriftError, match="added.*tier"):
+            runner.sync_table("customer")
+
+    def test_invalid_policy_rejected_at_construction(self, env):
+        spark, source, store, state, _ = env
+        with pytest.raises(ValueError, match="drift_policy"):
+            SyncRunner(source, store, state, drift_policy="yolo")
+
+    def test_no_drift_cycle_has_no_ledger_entry(self, env):
+        spark, source, store, state, src_dir, runner = self._boot(env)
+        _drift_source(spark, src_dir, BASE_SCHEMA, [("c1", "alice2", 11.0, T1, False)])
+        runner.sync_table("customer")
+        assert "schema_drift" not in store.manifest("customer")
+
+
+class TestPartitionedDriftRewrite:
+    """Widening under the bucket-partitioned layout: write_partial would
+    hardlink old-schema buckets into the new version (a mixed-schema
+    publish), so a widened cycle pays one FULL rewrite that keeps the
+    bucket layout."""
+
+    def test_widened_partitioned_table_republishes_all_buckets(self, spark, tmp_path):
+        src_dir = tmp_path / "src"
+        src_dir.mkdir()
+        rows = [(f"c{i}", f"n{i}", float(i), T0, False) for i in range(20)]
+        spark.createDataFrame(rows, BASE_SCHEMA).write.parquet(
+            str(src_dir / "customer.parquet")
+        )
+        source = EntitySource(spark, str(src_dir))
+        store = TableStore(spark, str(tmp_path / "store"))
+        state = SyncState(str(tmp_path / "sync.json"))
+        runner = SyncRunner(source, store, state)
+        runner.snapshot_load("customer", partition_buckets=4)
+        state.release("customer", syncuntil=T0, touch_refresh=False)
+        assert store.partition_info("customer")["partition_buckets"] == 4
+        _drift_source(
+            spark,
+            src_dir,
+            "Id string, name string, bal double, tier string, SystemModstamp timestamp, IsDeleted boolean",
+            [("c1", "n1b", 1.5, "gold", T1, False)],
+        )
+        out = runner.sync_table("customer")
+        assert out["rows"] == 20
+        # layout preserved across the widening rewrite
+        info = store.partition_info("customer")
+        assert info["partition_buckets"] == 4
+        df = store.read("customer")
+        assert "tier" in df.columns
+        # EVERY row readable with the new column (no mixed-schema buckets:
+        # rows from unchanged buckets read as NULL, not as a read error)
+        vals = {r["Id"]: r["tier"] for r in df.collect()}
+        assert vals["c1"] == "gold"
+        assert sum(1 for v in vals.values() if v is None) == 19
+        drift = store.manifest("customer").get("schema_drift")
+        assert drift == {"added": [{"column": "tier", "type": "string"}]}
+        # the next NON-drift cycle goes back to the pruned write_partial path
+        _drift_source(
+            spark,
+            src_dir,
+            "Id string, name string, bal double, tier string, SystemModstamp timestamp, IsDeleted boolean",
+            [("c2", "n2b", 2.5, "silver", T1 + timedelta(hours=1), False)],
+        )
+        runner.sync_table("customer")
+        assert "rewritten_partitions" in store.manifest("customer")
