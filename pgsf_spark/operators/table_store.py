@@ -572,6 +572,30 @@ class TableStore:
         with open(os.path.join(path, "_MANIFEST.json")) as f:
             return json.load(f)
 
+    def verify_integrity(self, table: str):
+        """Footer-validate every parquet file of the CURRENT version
+        (including partition subdirectories) and return the
+        sources/integrity.py IntegrityReport. Driver-cheap (footers
+        only); run it before trusting a version restored from backup or
+        after any out-of-band touch of the store directory. A version
+        published by write()/write_partial() is clean by construction --
+        this catches the world interfering (truncated copies, disk
+        faults, manual edits)."""
+        from pgsf_spark.sources.integrity import IntegrityReport, check_file
+
+        root = self.current_version_path(table)
+        if root is None:
+            raise FileNotFoundError(f"table {table!r} has no published version")
+        good, bad = [], []
+        for dirpath, _dirs, files in os.walk(root):
+            for name in sorted(files):
+                if not name.endswith(".parquet"):
+                    continue
+                f = os.path.join(dirpath, name)
+                reason = check_file(f)
+                (good.append(f) if reason is None else bad.append((f, reason)))
+        return IntegrityReport(good=tuple(good), bad=tuple(bad))
+
     def partition_info(self, table: str) -> dict | None:
         """Partitioning of the current version: {'partition_by': [...],
         'partition_buckets': n} or None for flat tables."""

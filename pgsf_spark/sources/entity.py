@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 
 
 class EntitySource:
-    def __init__(self, spark: SparkSession, base_dir: str, fmt: str = "parquet", usage=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        fmt: str = "parquet",
+        usage=None,
+        integrity_check: bool = False,
+    ):
         self.spark = spark
         self.base_dir = base_dir
         self.fmt = fmt
@@ -35,6 +42,13 @@ class EntitySource:
         # logical request, the way each reference REST call updates
         # ``sf.api_usage`` from the Sforce-Limit-Info header (api.py:472-500)
         self.usage = usage
+        # pre-flight footer validation of every scanned entity
+        # (sources/integrity.py): a truncated landing file fails the
+        # SCAN BUILDER with its filename and reason instead of an
+        # executor stack trace mid-job. Off by default (footer reads per
+        # scan are cheap but not free); the sync loop turns it on for
+        # landing zones it does not own end to end.
+        self.integrity_check = integrity_check
 
     def _record(self, table: str, op: str) -> None:
         if self.usage is not None:
@@ -87,6 +101,15 @@ class EntitySource:
         # un-recorded scan builder: the public ops above/below each record
         # their OWN logical request (count is one API call in the
         # reference, not a query plus a count)
+        if self.integrity_check and self.fmt == "parquet":
+            from pgsf_spark.sources.integrity import scan_parquet_dir
+
+            report = scan_parquet_dir(self.path(table))
+            if report.bad:
+                raise ValueError(
+                    f"{table}: corrupt landing file(s) -- {report.describe()}; "
+                    f"quarantine_corrupt() moves them aside with a ledger"
+                )
         df = self.spark.read.format(self.fmt).load(self.path(table))
         if not include_deleted and "IsDeleted" in df.columns:
             # REST `query` hides soft-deleted rows; `queryAll` keeps them

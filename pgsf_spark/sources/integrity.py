@@ -1,0 +1,115 @@
+"""Parquet landing-zone integrity: detect, name, and quarantine bad files.
+
+A landing directory with one truncated or garbage part file fails a scan
+MID-JOB with an executor stack trace (the reference's equivalent -- a
+half-written CSV from a killed download -- aborts csv_to_postgres the
+same opaque way). Robustness here means three explicit properties:
+
+  1. DETECT cheaply: footer-only validation (magic bytes + metadata
+     parse + schema access) reads a few KB per file, never the data
+     pages, so checking a 10k-file landing zone is driver-cheap and
+     O(files) -- usable as a pre-flight gate before every load.
+  2. NAME the file: the report carries (file, reason) pairs; an operator
+     acts on "part-00042 truncated at byte 1313" -- not on a lost
+     executor.
+  3. QUARANTINE explicitly: bad files are MOVED aside into a
+     ``_quarantine/`` subdirectory with a JSON ledger, then the load
+     proceeds on the good files. This is the loud, audited alternative
+     to ``spark.sql.files.ignoreCorruptFiles`` -- which silently drops
+     whole files' rows and is how replicas quietly diverge.
+
+Spark-first note: validation runs driver-side because parquet footers
+are tiny; for million-file zones, distribute the same check with a
+``spark.createDataFrame(files).mapInPandas(...)`` over this module's
+``check_file`` -- the per-file logic is already a pure function.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+QUARANTINE_DIR = "_quarantine"
+QUARANTINE_LEDGER = "_quarantine/_LEDGER.json"
+
+
+@dataclass(frozen=True)
+class IntegrityReport:
+    good: tuple[str, ...]  # readable part files (absolute paths)
+    bad: tuple[tuple[str, str], ...]  # (absolute path, reason)
+
+    def __bool__(self) -> bool:
+        """Truthy when the directory is CLEAN (all files readable)."""
+        return not self.bad
+
+    def describe(self) -> str:
+        if not self.bad:
+            return f"clean ({len(self.good)} files)"
+        lines = ", ".join(f"{os.path.basename(f)}: {r}" for f, r in self.bad)
+        return f"{len(self.bad)} corrupt of {len(self.good) + len(self.bad)}: {lines}"
+
+
+def check_file(path: str) -> str | None:
+    """Footer-only validation of one parquet file; returns the failure
+    reason or None. Catches the three real-world corruption shapes:
+    truncation (missing/partial footer), zero-byte placeholders from a
+    killed writer, and non-parquet bytes landed under a .parquet name."""
+    import pyarrow.parquet as pq
+
+    try:
+        size = os.path.getsize(path)
+        if size == 0:
+            return "zero-byte file"
+        pf = pq.ParquetFile(path)
+        _ = pf.metadata.num_rows  # forces the footer parse
+        _ = pf.schema_arrow  # and the schema decode
+        return None
+    except Exception as e:  # noqa: BLE001 -- the reason IS the product
+        return f"{type(e).__name__}: {e}"[:200]
+
+
+def scan_parquet_dir(path: str) -> IntegrityReport:
+    """Validate every part file of a parquet file-or-directory entity.
+    Files already quarantined (under ``_quarantine/``) are not re-checked."""
+    import glob
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    good, bad = [], []
+    for f in files:
+        reason = check_file(f)
+        if reason is None:
+            good.append(f)
+        else:
+            bad.append((f, reason))
+    return IntegrityReport(good=tuple(good), bad=tuple(bad))
+
+
+def quarantine_corrupt(path: str, report: IntegrityReport | None = None) -> IntegrityReport:
+    """Move the report's bad files into ``<path>/_quarantine/`` and append
+    them to the JSON ledger there. Returns the (re-scanned, now clean
+    unless new corruption appeared) report. Idempotent: re-running with
+    nothing bad is a no-op. Only meaningful for directory entities."""
+    if not os.path.isdir(path):
+        raise ValueError(f"quarantine requires a directory entity, got file {path}")
+    report = report if report is not None else scan_parquet_dir(path)
+    if report.bad:
+        qdir = os.path.join(path, QUARANTINE_DIR)
+        os.makedirs(qdir, exist_ok=True)
+        ledger_path = os.path.join(path, QUARANTINE_LEDGER)
+        ledger = []
+        if os.path.exists(ledger_path):
+            with open(ledger_path) as fh:
+                ledger = json.load(fh)
+        for f, reason in report.bad:
+            shutil.move(f, os.path.join(qdir, os.path.basename(f)))
+            ledger.append({"file": os.path.basename(f), "reason": reason})
+        tmp = ledger_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(ledger, fh)
+        os.replace(tmp, ledger_path)
+    return scan_parquet_dir(path)

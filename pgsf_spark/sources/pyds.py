@@ -73,11 +73,27 @@ def _files(path: str) -> list[str]:
     return [path]
 
 
-def _ddl_of(path: str, fields: list[str] | None) -> str:
-    """Spark DDL for the requested columns, from the parquet arrow schema."""
+def _open_pf(path: str):
+    """pq.ParquetFile with a loud, filename-carrying failure: a truncated
+    or garbage landing file must surface as "THIS file, THIS reason" at
+    PLANNING time, never as an executor stack trace mid-scan
+    (sources/integrity.py holds the quarantine workflow)."""
     import pyarrow.parquet as pq
 
-    arrow = pq.ParquetFile(_files(path)[0]).schema_arrow
+    try:
+        return pq.ParquetFile(path)
+    except Exception as e:  # noqa: BLE001 -- re-raised with the filename
+        raise ValueError(
+            f"corrupt parquet file {path}: {type(e).__name__}: {e} -- "
+            f"pgsf_spark.sources.integrity.quarantine_corrupt() moves it "
+            f"aside with a ledger"
+        ) from e
+
+
+def _ddl_of(path: str, fields: list[str] | None) -> str:
+    """Spark DDL for the requested columns, from the parquet arrow schema."""
+
+    arrow = _open_pf(_files(path)[0]).schema_arrow
     names = fields if fields else arrow.names
     parts = []
     for n in names:
@@ -118,9 +134,7 @@ class EntityPagesReader(DataSourceReader):
     def _float_columns(self) -> set[str]:
         """Column names with float/double parquet type, schema read once."""
         if self._float_cols is None:
-            import pyarrow.parquet as pq
-
-            arrow = pq.ParquetFile(_files(self.path)[0]).schema_arrow
+            arrow = _open_pf(_files(self.path)[0]).schema_arrow
             self._float_cols = {
                 n for n in arrow.names if str(arrow.field(n).type) in ("float", "double")
             }
@@ -180,11 +194,10 @@ class EntityPagesReader(DataSourceReader):
         return True
 
     def partitions(self) -> list[EntityPage]:
-        import pyarrow.parquet as pq
 
         pages = []
         for f in _files(self.path):
-            meta = pq.ParquetFile(f).metadata
+            meta = _open_pf(f).metadata
             pages.extend(
                 EntityPage(f, rg, self.columns, self.pushed)
                 for rg in range(meta.num_row_groups)
@@ -198,9 +211,8 @@ class EntityPagesReader(DataSourceReader):
     def read(self, part: EntityPage) -> Iterator:
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(part.path)
+        pf = _open_pf(part.path)
         if part.row_group < 0:  # the empty-entity sentinel page
             table = pf.schema_arrow.empty_table()
             if part.columns:
@@ -302,9 +314,8 @@ class EntityCdcStreamReader(DataSourceStreamReader):
         loudly instead (once, driver-side)."""
         if self._ts_checked:
             return
-        import pyarrow.parquet as pq
 
-        arrow = pq.ParquetFile(_files(self.path)[0]).schema_arrow
+        arrow = _open_pf(_files(self.path)[0]).schema_arrow
         if self.ts_field not in arrow.names:
             raise ValueError(
                 f"entity_cdc: ts_field {self.ts_field!r} not in "
@@ -318,12 +329,11 @@ class EntityCdcStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:  # noqa: N802
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
         self._check_ts_field()
         hi = -(2**62)
         for f in _files(self.path):
-            pf = pq.ParquetFile(f)
+            pf = _open_pf(f)
             meta = pf.metadata
             for rg in range(meta.num_row_groups):
                 row_group = meta.row_group(rg)
@@ -355,12 +365,11 @@ class EntityCdcStreamReader(DataSourceStreamReader):
         return {"watermark_us": hi}
 
     def partitions(self, start: dict, end: dict) -> list:
-        import pyarrow.parquet as pq
 
         lo, hi = start["watermark_us"], end["watermark_us"]
         out = []
         for f in _files(self.path):
-            meta = pq.ParquetFile(f).metadata
+            meta = _open_pf(f).metadata
             for rg in range(meta.num_row_groups):
                 row_group = meta.row_group(rg)
                 keep = True
@@ -385,9 +394,8 @@ class EntityCdcStreamReader(DataSourceStreamReader):
     def read(self, part: CdcSlice):
         import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(part.path)
+        pf = _open_pf(part.path)
         cols = list(part.columns) if part.columns else None
         if cols is not None and part.ts_field not in cols:
             cols.append(part.ts_field)
@@ -438,9 +446,8 @@ class EntityCdcSource(DataSource):
         ts_field = self.options.get("ts_field", "ts")
         fields = [c.strip() for c in f.split(",")] if f else None
         if fields is None:
-            import pyarrow.parquet as pq
 
-            arrow = pq.ParquetFile(_files(self.options["path"])[0]).schema_arrow
+            arrow = _open_pf(_files(self.options["path"])[0]).schema_arrow
             fields = [n for n in arrow.names if n != ts_field]
         base = _ddl_of(self.options["path"], [c for c in fields if c != ts_field])
         return f"{base}, {ts_field}_us bigint"

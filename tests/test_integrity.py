@@ -1,0 +1,195 @@
+"""Corrupted-parquet robustness gate (PERF.md round-14 plan item 2).
+
+A landing zone with one truncated/garbage part file must surface as
+"THIS file, THIS reason" -- at planning time, driver-side -- never as an
+executor stack trace mid-scan, and never as silently-skipped rows
+(spark.sql.files.ignoreCorruptFiles is the anti-pattern: whole files'
+rows vanish without a ledger). sources/integrity.py detects (footer-only,
+O(files)), names, and quarantines with a JSON ledger.
+"""
+
+import json
+import os
+
+import pytest
+
+from pgsf_spark.sources.integrity import (
+    QUARANTINE_LEDGER,
+    check_file,
+    quarantine_corrupt,
+    scan_parquet_dir,
+)
+
+
+def _write_dir(spark, path, n=30):
+    spark.range(n).selectExpr("id", "CAST(id AS STRING) AS s").repartition(
+        3
+    ).write.mode("overwrite").parquet(str(path))
+    return sorted(
+        os.path.join(str(path), f)
+        for f in os.listdir(str(path))
+        if f.endswith(".parquet")
+    )
+
+
+def _truncate(path, keep=30):
+    with open(path, "r+b") as fh:
+        data = fh.read(keep)
+        fh.truncate(0)
+        fh.seek(0)
+        fh.write(data)
+
+
+class TestDetection:
+    def test_clean_dir_reports_clean(self, spark, tmp_path):
+        files = _write_dir(spark, tmp_path / "t")
+        report = scan_parquet_dir(str(tmp_path / "t"))
+        assert report and list(report.good) == files and not report.bad
+        assert "clean" in report.describe()
+
+    def test_truncated_file_named_with_reason(self, spark, tmp_path):
+        files = _write_dir(spark, tmp_path / "t")
+        _truncate(files[1])
+        report = scan_parquet_dir(str(tmp_path / "t"))
+        assert not report
+        assert len(report.bad) == 1 and len(report.good) == len(files) - 1
+        bad_file, reason = report.bad[0]
+        assert bad_file == files[1]
+        assert reason  # a parse failure, not a bare crash
+        assert os.path.basename(files[1]) in report.describe()
+
+    def test_zero_byte_and_garbage_files(self, spark, tmp_path):
+        _write_dir(spark, tmp_path / "t")
+        open(tmp_path / "t" / "zzz-empty.parquet", "w").close()
+        with open(tmp_path / "t" / "zzz-garbage.parquet", "wb") as fh:
+            fh.write(b"NOT A PARQUET FILE" * 100)
+        report = scan_parquet_dir(str(tmp_path / "t"))
+        reasons = {os.path.basename(f): r for f, r in report.bad}
+        assert reasons["zzz-empty.parquet"] == "zero-byte file"
+        assert "zzz-garbage.parquet" in reasons
+
+    def test_check_file_is_footer_only_not_a_full_read(self, spark, tmp_path):
+        # corrupt the MIDDLE of a large-ish file but keep the footer: the
+        # footer-only check stays green (cheap by design -- data-page
+        # validation is the scan's job), which is exactly the documented
+        # detect-cheaply contract
+        files = _write_dir(spark, tmp_path / "t", n=200_000)
+        size = os.path.getsize(files[0])
+        with open(files[0], "r+b") as fh:
+            fh.seek(size // 2)
+            fh.write(b"\x00" * 16)
+        assert check_file(files[0]) is None
+
+
+class TestQuarantine:
+    def test_quarantine_moves_and_ledgers(self, spark, tmp_path):
+        files = _write_dir(spark, tmp_path / "t")
+        _truncate(files[0])
+        report = quarantine_corrupt(str(tmp_path / "t"))
+        assert report  # clean after quarantine
+        qfile = tmp_path / "t" / "_quarantine" / os.path.basename(files[0])
+        assert qfile.exists() and not os.path.exists(files[0])
+        ledger = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
+        assert ledger[0]["file"] == os.path.basename(files[0])
+        assert ledger[0]["reason"]
+        # the load now succeeds on the good files (rows of the bad file
+        # are EXPLICITLY absent, with the ledger saying which and why)
+        assert spark.read.parquet(str(tmp_path / "t")).count() > 0
+
+    def test_quarantine_is_idempotent_and_ledger_appends(self, spark, tmp_path):
+        files = _write_dir(spark, tmp_path / "t")
+        _truncate(files[0])
+        quarantine_corrupt(str(tmp_path / "t"))
+        quarantine_corrupt(str(tmp_path / "t"))  # no-op
+        _truncate(files[1])
+        quarantine_corrupt(str(tmp_path / "t"))
+        ledger = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
+        assert [e["file"] for e in ledger] == [
+            os.path.basename(files[0]),
+            os.path.basename(files[1]),
+        ]
+
+    def test_single_file_entity_rejected(self, tmp_path):
+        f = tmp_path / "x.parquet"
+        f.write_bytes(b"junk")
+        with pytest.raises(ValueError, match="directory"):
+            quarantine_corrupt(str(f))
+
+
+class TestEntitySourcePreflight:
+    def test_integrity_check_names_file_at_scan_build(self, spark, tmp_path):
+        from pgsf_spark.sources.entity import EntitySource
+
+        base = tmp_path / "base"
+        files = _write_dir(spark, base / "customer")
+        _truncate(files[2])
+        src = EntitySource(spark, str(base), integrity_check=True)
+        with pytest.raises(ValueError, match=os.path.basename(files[2])):
+            src.load("customer")
+        # after quarantine the same source loads the good rows
+        quarantine_corrupt(str(base / "customer"))
+        assert src.load("customer").count() > 0
+
+    def test_default_source_is_unchanged(self, spark, tmp_path):
+        from pgsf_spark.sources.entity import EntitySource
+
+        base = tmp_path / "base"
+        _write_dir(spark, base / "customer")
+        assert EntitySource(spark, str(base)).load("customer").count() == 30
+
+
+class TestPythonDataSourceLoudCorruption:
+    def test_entity_pages_planning_names_the_file(self, spark, tmp_path):
+        from pgsf_spark.sources import pyds
+
+        pyds.register(spark)
+        files = _write_dir(spark, tmp_path / "t")
+        _truncate(files[1])
+        key = "spark.sql.python.filterPushdown.enabled"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, "true")  # the source implements pushFilters
+        try:
+            # schema derivation reads files[0] (clean); planning walks all
+            # files and must fail with files[1]'s NAME in the message
+            with pytest.raises(Exception, match=os.path.basename(files[1])):
+                (
+                    spark.read.format("entity_pages")
+                    .option("path", str(tmp_path / "t"))
+                    .load()
+                    .count()
+                )
+        finally:
+            spark.conf.unset(key) if old is None else spark.conf.set(key, old)
+
+
+class TestStoreIntegrity:
+    def test_published_version_verifies_clean(self, spark, tmp_path):
+        from pgsf_spark.operators.table_store import TableStore
+
+        store = TableStore(spark, str(tmp_path / "store"))
+        store.write(spark.range(100).selectExpr("id", "id * 2 AS v"), "t")
+        report = store.verify_integrity("t")
+        assert report and report.good and not report.bad
+
+    def test_out_of_band_corruption_detected_with_name(self, spark, tmp_path):
+        from pgsf_spark.operators.table_store import TableStore
+
+        store = TableStore(spark, str(tmp_path / "store"))
+        store.write(
+            spark.range(100).selectExpr(
+                "id", "CAST(id % 4 AS INT) AS b"
+            ),
+            "t",
+            partition_by=["b"],
+        )
+        root = store.current_version_path("t")
+        victims = [
+            os.path.join(dp, f)
+            for dp, _d, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        _truncate(sorted(victims)[0])
+        report = store.verify_integrity("t")
+        assert not report
+        assert report.bad[0][0] == sorted(victims)[0]
