@@ -127,11 +127,18 @@ def main() -> int:
     from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES
     from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12
     from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
+    from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14
     from pgsf_spark.session import get_spark
     from pgsf_spark.tables import load_table
 
     # staged (pre-registration) queries are trend-checkable too
-    QUERIES = {**_LIVE, **STAGED_QUERIES, **STAGED_QUERIES_R12, **STAGED_QUERIES_R13}
+    QUERIES = {
+        **_LIVE,
+        **STAGED_QUERIES,
+        **STAGED_QUERIES_R12,
+        **STAGED_QUERIES_R13,
+        **STAGED_QUERIES_R14,
+    }
     unknown = [q for q in names if q not in QUERIES]
     if unknown:
         print(json.dumps({"error": f"unknown queries {unknown}"}))
