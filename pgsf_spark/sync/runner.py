@@ -96,10 +96,13 @@ class SyncRunner:
         from pgsf_spark.operators.merge import SchemaDriftError
         from pgsf_spark.schema.drift import classify_drift
 
+        # IsDeleted is NOT ignored: a source that stops sending it flips
+        # the merge to upsert-only (deletes silently stop propagating) --
+        # that is drift of the worst kind, and surfaces here as a removal
         drift = classify_drift(
             self.store.read(table).schema,
             changes.schema,
-            ignore={PGSF_BUCKET, "_file_order", "IsDeleted"},
+            ignore={PGSF_BUCKET, "_file_order"},
         )
         if not drift:
             return {}

@@ -257,3 +257,30 @@ class TestPartitionedDriftRewrite:
         )
         runner.sync_table("customer")
         assert "rewritten_partitions" in store.manifest("customer")
+
+
+class TestIsDeletedDrift:
+    def test_dropping_isdeleted_is_loud_removal(self, spark, tmp_path):
+        """A source that stops sending IsDeleted flips the merge to
+        upsert-only -- deletes silently stop propagating. That is drift
+        of the worst kind and must surface as a removal, not be absorbed
+        as 'merge mode changed'."""
+        src_dir = tmp_path / "src"
+        src_dir.mkdir()
+        spark.createDataFrame(
+            [("c1", "alice", 10.0, T0, False)], BASE_SCHEMA
+        ).write.parquet(str(src_dir / "customer.parquet"))
+        source = EntitySource(spark, str(src_dir))
+        store = TableStore(spark, str(tmp_path / "store"))
+        state = SyncState(str(tmp_path / "sync.json"))
+        runner = SyncRunner(source, store, state)
+        runner.snapshot_load("customer")
+        state.release("customer", syncuntil=T0, touch_refresh=False)
+        _drift_source(
+            spark,
+            src_dir,
+            "Id string, name string, bal double, SystemModstamp timestamp",
+            [("c1", "alice2", 11.0, T1)],
+        )
+        with pytest.raises(SchemaDriftError, match="removed.*IsDeleted"):
+            runner.sync_table("customer")
