@@ -354,3 +354,45 @@ class TestObserveGate:
         df = q_observe_metrics_gate(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert ".parquet" not in plan
+
+
+class TestChunkedStreamSinkFailure:
+    def test_failed_epoch_leaves_no_ledger_end_to_end(self, spark, tmp_path):
+        """A real task failure inside an epoch: Spark calls abort, not
+        commit -- the epoch ledger must not exist, so manifest-keyed
+        readers see nothing from the failed attempt (K5/C3 per epoch)."""
+        import glob as _glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pgsf_spark.sources import pyds
+
+        pyds.register_sink(spark)
+        feed = str(tmp_path / "feed")
+        os.makedirs(feed)
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "source": pa.array([f"s{i % 3}" for i in range(40)]),
+            }
+        )
+        pq.write_table(t, os.path.join(feed, "b0.parquet"))
+        out = str(tmp_path / "up")
+        q = (
+            spark.readStream.schema("doc_id long, source string")
+            .parquet(feed)
+            .writeStream.format("entity_chunks")
+            .option("path", out)
+            .option("max_records", "16")
+            .option("fail_if_over", "20")  # poison pill: rows >= 20 fail the task
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception):
+            q.awaitTermination(180)
+            if q.exception() is not None:
+                raise q.exception()
+        assert not _glob.glob(os.path.join(out, "_MANIFEST*"))
