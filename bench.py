@@ -42,7 +42,7 @@ HEADLINE = [
 ]
 
 
-N_SAMPLES = 3  # official artifact = median of three same-process passes
+N_SAMPLES = 3  # official artifact = median of three COLD subprocess samples
 
 
 def _median(vals: list[float]) -> float:
@@ -191,6 +191,9 @@ def main():
                 "spread_pct": spread_pct,
                 "sampling": "cold_subprocess_per_sample",
                 "load_avg_1m_start": load_start,
+                # per-sample end loads: contamination DURING sample k must
+                # be visible even when a later sample's load looks clean
+                "load_avg_1m_ends": load_ends,
                 "load_avg_1m_end": load_ends[-1] if load_ends else None,
                 "load_gate": load_gate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -91,17 +91,20 @@ def merge_upsert(
     # a RETYPED column is never auto-mergeable in any mode: unionByName
     # would either fail opaquely or silently coerce (int->bigint), and a
     # type change under the replica's readers is the reference's crash
-    # case with extra steps -- fail loudly before touching data
-    _ttypes, _ctypes = dict(target.dtypes), dict(changes.dtypes)
-    retyped = [
-        (c, _ttypes[c], _ctypes[c])
-        for c in _ctypes
-        if c in _ttypes and c not in helper_cols and _ttypes[c] != _ctypes[c]
-    ]
-    if retyped:
+    # case with extra steps -- fail loudly before touching data. ONE
+    # implementation and ONE exemption policy (schema/drift.py): only the
+    # caller-injected file-order helper is outside the type contract --
+    # IsDeleted is NOT exempt (a bool->string IsDeleted would otherwise
+    # pass the guard and die later inside the coalesce/~dead routing).
+    from pgsf_spark.schema.drift import classify_drift
+
+    _retyped = classify_drift(
+        target.schema, changes.schema, ignore={order_col} - {None}
+    ).retyped
+    if _retyped:
         raise SchemaDriftError(
             "retyped column(s): "
-            + ", ".join(f"{c} ({a} -> {b})" for c, a, b in retyped)
+            + ", ".join(f"{c} ({a} -> {b})" for c, a, b in _retyped)
         )
     new_cols = [c for c in changes.columns if c not in target.columns and c not in helper_cols]
     dropped_cols = [c for c in target.columns if c not in changes.columns]

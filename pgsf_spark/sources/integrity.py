@@ -71,14 +71,24 @@ def check_file(path: str) -> str | None:
 
 
 def scan_parquet_dir(path: str) -> IntegrityReport:
-    """Validate every part file of a parquet file-or-directory entity.
-    Files already quarantined (under ``_quarantine/``) are not re-checked."""
-    import glob
-
-    if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
-    else:
+    """Validate every part file of a parquet file-or-directory entity,
+    RECURSIVELY -- a hive-partitioned landing zone keeps its part files
+    in subdirectories, and a scan that only checked the top level would
+    report 'clean (0 files)' while the load dies mid-job (the exact
+    blindness this gate exists to prevent). Spark-convention metadata
+    (names starting with ``_`` or ``.``, including ``_quarantine/``) is
+    skipped, matching what the scan itself would read."""
+    if not os.path.isdir(path):
         files = [path]
+    else:
+        files = []
+        for dirpath, dirs, names in os.walk(path):
+            dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+            files.extend(
+                os.path.join(dirpath, n)
+                for n in sorted(names)
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
+            )
     good, bad = [], []
     for f in files:
         reason = check_file(f)
@@ -89,11 +99,29 @@ def scan_parquet_dir(path: str) -> IntegrityReport:
     return IntegrityReport(good=tuple(good), bad=tuple(bad))
 
 
+def _quarantine_name(qdir: str, relpath: str) -> str:
+    """Collision-safe evidence name: the file's zone-relative path with
+    separators flattened; an existing name (a re-landed corrupt file
+    with the same name, or same basename from two partitions) gets a
+    numeric suffix instead of silently REPLACING the earlier incident's
+    evidence."""
+    base = relpath.replace(os.sep, "__")
+    candidate, k = base, 0
+    while os.path.exists(os.path.join(qdir, candidate)):
+        k += 1
+        stem, dot, ext = base.partition(".")
+        candidate = f"{stem}-{k}{dot}{ext}"
+    return candidate
+
+
 def quarantine_corrupt(path: str, report: IntegrityReport | None = None) -> IntegrityReport:
     """Move the report's bad files into ``<path>/_quarantine/`` and append
-    them to the JSON ledger there. Returns the (re-scanned, now clean
-    unless new corruption appeared) report. Idempotent: re-running with
-    nothing bad is a no-op. Only meaningful for directory entities."""
+    them to the JSON ledger there. Each ledger entry records the stored
+    evidence name (``file``), the original zone-relative path
+    (``source``), and the parse ``reason``. Returns the re-scanned
+    (now clean unless new corruption appeared) report. Idempotent:
+    re-running with nothing bad is a no-op. Only meaningful for
+    directory entities."""
     if not os.path.isdir(path):
         raise ValueError(f"quarantine requires a directory entity, got file {path}")
     report = report if report is not None else scan_parquet_dir(path)
@@ -106,8 +134,10 @@ def quarantine_corrupt(path: str, report: IntegrityReport | None = None) -> Inte
             with open(ledger_path) as fh:
                 ledger = json.load(fh)
         for f, reason in report.bad:
-            shutil.move(f, os.path.join(qdir, os.path.basename(f)))
-            ledger.append({"file": os.path.basename(f), "reason": reason})
+            rel = os.path.relpath(f, path)
+            stored = _quarantine_name(qdir, rel)
+            shutil.move(f, os.path.join(qdir, stored))
+            ledger.append({"file": stored, "source": rel, "reason": reason})
         tmp = ledger_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(ledger, fh)

@@ -677,6 +677,16 @@ class EntityChunkSink(DataSource):
         return EntityChunkWriter(self.options, schema)
 
     def streamWriter(self, schema, overwrite):  # noqa: N802
+        if overwrite:
+            # complete/truncate output modes would need each epoch to
+            # REPLACE the full committed dataset (clear all earlier epoch
+            # manifests); accepting the flag and only appending would make
+            # committed_chunks() multiply-count every row -- refuse loudly
+            raise ValueError(
+                "entity_chunks streaming supports append output mode only -- "
+                "each epoch commits its own manifest; complete/truncate "
+                "modes are not implemented"
+            )
         return EntityChunkStreamWriter(self.options, schema)
 
 

@@ -197,13 +197,20 @@ class SyncRunner:
     def _finish_sync(self, table: str, ts_field: str, wm) -> dict:
         """Post-publish tail of a sync cycle: advance the watermark to
         max(ts) of the *target* after merge (synctable.py:45-54), run
-        piggybacked maintenance, release the claim."""
+        piggybacked maintenance, release the claim.
+
+        MONOTONIC guard (same as the JDBC leg): a cycle whose changes are
+        only soft-deletes of the NEWEST rows removes them from the target,
+        so max(ts) of the merged table can be LOWER than the current
+        watermark -- releasing that regressed value would re-read the same
+        tombstone window forever. The watermark never moves backward."""
         new_df = self.store.read(table)
         max_ts = new_df.agg(F.max(ts_field).alias("m")).first()["m"]
         n = new_df.count()
         maintained = self._maybe_maintain(table)
-        self.state.release(table, READY, syncuntil=max_ts or wm)
-        out = {"table": table, "rows": n, "watermark": (max_ts or wm).isoformat()}
+        new_wm = max_ts if (max_ts is not None and max_ts > wm) else wm
+        self.state.release(table, READY, syncuntil=new_wm)
+        out = {"table": table, "rows": n, "watermark": new_wm.isoformat()}
         if maintained:
             out["maintenance"] = True
         return out

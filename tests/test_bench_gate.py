@@ -63,7 +63,7 @@ def test_gate_threshold_is_the_verdict_value():
 def test_official_artifact_is_median_of_three():
     # VERDICT r10 "What's wrong" #1: a single-sample artifact cannot
     # distinguish this host's +-25% noise band from a real regression --
-    # the official bench now runs three same-process passes and reports
+    # the official bench now runs three COLD subprocess samples and reports
     # the median with per-sample spread
     assert bench.N_SAMPLES == 3
     assert bench._median([3.0, 1.0, 2.0]) == 2.0
@@ -77,3 +77,6 @@ def test_official_artifact_is_median_of_three():
     # single-cold-pass artifact
     assert "SPARK_GRAFT_BENCH_CHILD" in src
     assert '"sampling": "cold_subprocess_per_sample"' in src
+    # contamination DURING any sample must be visible: per-sample end
+    # loads ride the artifact next to the per-sample totals
+    assert '"load_avg_1m_ends"' in src

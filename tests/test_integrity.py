@@ -193,3 +193,47 @@ class TestStoreIntegrity:
         report = store.verify_integrity("t")
         assert not report
         assert report.bad[0][0] == sorted(victims)[0]
+
+
+class TestNestedLandingZone:
+    def test_partitioned_zone_is_scanned_recursively(self, spark, tmp_path):
+        """A hive-partitioned landing zone keeps part files in
+        subdirectories; a top-level-only scan would report 'clean
+        (0 files)' -- the exact blindness the gate exists to prevent."""
+        zone = tmp_path / "zone"
+        spark.range(40).selectExpr(
+            "id", "CAST(id % 2 AS INT) AS p"
+        ).write.partitionBy("p").parquet(str(zone))
+        report = scan_parquet_dir(str(zone))
+        assert len(report.good) >= 2 and not report.bad
+        victim = report.good[0]
+        _truncate(victim)
+        report2 = scan_parquet_dir(str(zone))
+        assert report2.bad and report2.bad[0][0] == victim
+        clean = quarantine_corrupt(str(zone), report2)
+        assert clean
+        ledger = json.load(open(zone / QUARANTINE_LEDGER))
+        # evidence name flattens the partition path; source keeps it
+        assert ledger[0]["source"].startswith("p=")
+        assert "__" in ledger[0]["file"]
+        assert spark.read.parquet(str(zone)).count() > 0
+
+    def test_relanded_corrupt_file_never_replaces_evidence(self, spark, tmp_path):
+        """A re-landed corrupt file with the SAME name: the second
+        quarantine must keep BOTH evidence files (suffix, not replace)
+        and ledger both incidents."""
+        files = _write_dir(spark, tmp_path / "t")
+        name = os.path.basename(files[0])
+        _truncate(files[0])
+        quarantine_corrupt(str(tmp_path / "t"))
+        # upstream re-lands the same file name, corrupt again
+        with open(files[0], "wb") as fh:
+            fh.write(b"garbage bytes")
+        quarantine_corrupt(str(tmp_path / "t"))
+        ledger = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
+        assert len(ledger) == 2
+        stored = [e["file"] for e in ledger]
+        assert len(set(stored)) == 2  # distinct evidence names
+        for s in stored:
+            assert os.path.exists(tmp_path / "t" / "_quarantine" / s)
+        assert all(e["source"] == name for e in ledger)

@@ -396,3 +396,15 @@ class TestChunkedStreamSinkFailure:
             if q.exception() is not None:
                 raise q.exception()
         assert not _glob.glob(os.path.join(out, "_MANIFEST*"))
+
+
+class TestChunkedStreamSinkOverwrite:
+    def test_overwrite_output_modes_rejected_loudly(self, tmp_path):
+        """complete/truncate would need each epoch to REPLACE the whole
+        committed dataset; accepting the flag while only appending would
+        make committed_chunks() multiply-count rows -- the sink refuses."""
+        from pgsf_spark.sources.pyds import EntityChunkSink
+
+        sink = EntityChunkSink({"path": str(tmp_path / "up")})
+        with pytest.raises(ValueError, match="append"):
+            sink.streamWriter(None, overwrite=True)

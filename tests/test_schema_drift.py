@@ -284,3 +284,59 @@ class TestIsDeletedDrift:
         )
         with pytest.raises(SchemaDriftError, match="removed.*IsDeleted"):
             runner.sync_table("customer")
+
+
+class TestWatermarkMonotonic:
+    def test_delete_only_cycle_never_regresses_watermark(self, spark, tmp_path):
+        """A cycle whose only changes are soft-deletes of the NEWEST rows:
+        the deleted keys leave the target, so max(ts) of the merged table
+        is LOWER than the current watermark. The release must keep the
+        watermark monotonic (the JDBC leg's guard) -- a regressed value
+        would re-open an ever-growing re-read window."""
+        src_dir = tmp_path / "src"
+        src_dir.mkdir()
+        t2 = T1 + timedelta(hours=1)
+        spark.createDataFrame(
+            [("c1", "alice", 10.0, T0, False), ("c2", "bob", 20.0, T0, False)],
+            BASE_SCHEMA,
+        ).write.parquet(str(src_dir / "customer.parquet"))
+        source = EntitySource(spark, str(src_dir))
+        store = TableStore(spark, str(tmp_path / "store"))
+        state = SyncState(str(tmp_path / "sync.json"))
+        runner = SyncRunner(source, store, state)
+        runner.snapshot_load("customer")
+        state.release("customer", syncuntil=T0, touch_refresh=False)
+        # cycle 1: c2 updated at t2 -- watermark advances to t2
+        _drift_source(
+            spark, src_dir, BASE_SCHEMA, [("c2", "bob2", 21.0, t2, False)]
+        )
+        runner.sync_table("customer")
+        assert state.get("customer").syncuntil_dt() == t2
+        # cycle 2: re-read window replays the t2 row as a SOFT DELETE
+        # (strict > means nothing else qualifies after we rewind 1s)
+        state.release("customer", syncuntil=T1, touch_refresh=False)
+        _drift_source(
+            spark, src_dir, BASE_SCHEMA, [("c2", "bob2", 21.0, t2, True)]
+        )
+        out = runner.sync_table("customer")
+        # target now holds only c1 (ts=T0 < T1): an unguarded release
+        # would REGRESS the watermark to T0
+        assert state.get("customer").syncuntil_dt() == T1
+        assert out["watermark"] == T1.isoformat()
+        assert {r["Id"] for r in store.read("customer").collect()} == {"c1"}
+
+
+class TestIsDeletedRetype:
+    def test_isdeleted_retype_caught_by_merge_guard(self, spark):
+        """IsDeleted is a helper for add/drop routing but NOT exempt from
+        the type contract: a bool->string IsDeleted would pass a
+        helper-exempting guard and die later inside the coalesce/~dead
+        delete routing with an opaque AnalysisException."""
+        target = spark.createDataFrame(
+            [("c1", 10.0, T0, False)], "Id string, bal double, ts timestamp, IsDeleted boolean"
+        )
+        changes = spark.createDataFrame(
+            [("c1", 11.0, T1, "false")], "Id string, bal double, ts timestamp, IsDeleted string"
+        )
+        with pytest.raises(SchemaDriftError, match="retyped.*IsDeleted"):
+            merge_upsert(target, changes, pk="Id", ts_field="ts")
