@@ -18,10 +18,12 @@ same opaque way). Robustness here means three explicit properties:
      to ``spark.sql.files.ignoreCorruptFiles`` -- which silently drops
      whole files' rows and is how replicas quietly diverge.
 
-Spark-first note: validation runs driver-side because parquet footers
-are tiny; for million-file zones, distribute the same check with a
-``spark.createDataFrame(files).mapInPandas(...)`` over this module's
-``check_file`` -- the per-file logic is already a pure function.
+Spark-first note: validation runs driver-side by default because
+parquet footers are tiny; for million-file zones use
+``scan_parquet_dir_distributed`` -- the SAME ``check_file`` pure
+function fanned out over executors with ``mapInPandas`` (file listing
+stays driver-side, O(files) names; footer reads are the distributed
+part). Both produce the identical IntegrityReport.
 """
 
 from __future__ import annotations
@@ -70,25 +72,30 @@ def check_file(path: str) -> str | None:
         return f"{type(e).__name__}: {e}"[:200]
 
 
+def _list_part_files(path: str) -> list[str]:
+    """Recursive part-file listing with Spark's metadata-skip conventions
+    (names starting with ``_`` or ``.``, including ``_quarantine/``) --
+    the shared front half of both scanners."""
+    if not os.path.isdir(path):
+        return [path]
+    files: list[str] = []
+    for dirpath, dirs, names in os.walk(path):
+        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+        files.extend(
+            os.path.join(dirpath, n)
+            for n in sorted(names)
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+    return files
+
+
 def scan_parquet_dir(path: str) -> IntegrityReport:
     """Validate every part file of a parquet file-or-directory entity,
     RECURSIVELY -- a hive-partitioned landing zone keeps its part files
     in subdirectories, and a scan that only checked the top level would
     report 'clean (0 files)' while the load dies mid-job (the exact
-    blindness this gate exists to prevent). Spark-convention metadata
-    (names starting with ``_`` or ``.``, including ``_quarantine/``) is
-    skipped, matching what the scan itself would read."""
-    if not os.path.isdir(path):
-        files = [path]
-    else:
-        files = []
-        for dirpath, dirs, names in os.walk(path):
-            dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
-            files.extend(
-                os.path.join(dirpath, n)
-                for n in sorted(names)
-                if n.endswith(".parquet") and not n.startswith(("_", "."))
-            )
+    blindness this gate exists to prevent)."""
+    files = _list_part_files(path)
     good, bad = [], []
     for f in files:
         reason = check_file(f)
@@ -143,3 +150,39 @@ def quarantine_corrupt(path: str, report: IntegrityReport | None = None) -> Inte
             json.dump(ledger, fh)
         os.replace(tmp, ledger_path)
     return scan_parquet_dir(path)
+
+
+def scan_parquet_dir_distributed(spark, path: str) -> IntegrityReport:
+    """The million-file form of ``scan_parquet_dir``: the same pure
+    ``check_file`` fanned out over executors with Arrow-batched
+    ``mapInPandas``. Listing stays driver-side (O(files) NAMES, no I/O);
+    the footer reads -- the part that touches storage -- run
+    partition-parallel, so a zone the driver would take hours to check
+    serially finishes in one short Spark job. Identical IntegrityReport,
+    so quarantine_corrupt() accepts either scanner's output."""
+    files = _list_part_files(path)
+    if not files:
+        return IntegrityReport(good=(), bad=())
+
+    def _check(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "reason": [check_file(p) for p in pdf["path"]],
+                }
+            )
+
+    n_slices = min(len(files), spark.sparkContext.defaultParallelism * 2)
+    rows = (
+        spark.createDataFrame([(f,) for f in files], "path string")
+        .repartition(n_slices)
+        .mapInPandas(_check, "path string, reason string")
+        .collect()
+    )
+    by_path = {r["path"]: r["reason"] for r in rows}
+    good = tuple(f for f in files if by_path.get(f) is None)
+    bad = tuple((f, by_path[f]) for f in files if by_path.get(f) is not None)
+    return IntegrityReport(good=good, bad=bad)

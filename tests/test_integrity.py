@@ -237,3 +237,44 @@ class TestNestedLandingZone:
         for s in stored:
             assert os.path.exists(tmp_path / "t" / "_quarantine" / s)
         assert all(e["source"] == name for e in ledger)
+
+
+class TestDistributedScan:
+    def test_distributed_matches_driver_side_scan(self, spark, tmp_path):
+        """Same IntegrityReport from both scanners on a nested zone with
+        mixed corruption -- the distributed path is the same pure
+        check_file, just fanned out."""
+        from pgsf_spark.sources.integrity import scan_parquet_dir_distributed
+
+        zone = tmp_path / "zone"
+        spark.range(60).selectExpr(
+            "id", "CAST(id % 3 AS INT) AS p"
+        ).write.partitionBy("p").parquet(str(zone))
+        local = scan_parquet_dir(str(zone))
+        assert len(local.good) >= 3
+        _truncate(local.good[0])
+        open(zone / "zzz-empty.parquet", "w").close()
+        local = scan_parquet_dir(str(zone))
+        dist = scan_parquet_dir_distributed(spark, str(zone))
+        assert dist.good == local.good
+        assert dist.bad == local.bad
+        assert len(dist.bad) == 2
+
+    def test_distributed_empty_zone(self, spark, tmp_path):
+        from pgsf_spark.sources.integrity import scan_parquet_dir_distributed
+
+        zone = tmp_path / "zone"
+        zone.mkdir()
+        report = scan_parquet_dir_distributed(spark, str(zone))
+        assert report and not report.good and not report.bad
+
+    def test_distributed_feeds_quarantine(self, spark, tmp_path):
+        from pgsf_spark.sources.integrity import scan_parquet_dir_distributed
+
+        files = _write_dir(spark, tmp_path / "t")
+        _truncate(files[1])
+        report = scan_parquet_dir_distributed(spark, str(tmp_path / "t"))
+        clean = quarantine_corrupt(str(tmp_path / "t"), report)
+        assert clean
+        ledger = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
+        assert ledger[0]["source"] == os.path.basename(files[1])
