@@ -45,6 +45,25 @@ HEADLINE = [
 N_SAMPLES = 3  # official artifact = median of three COLD subprocess samples
 
 
+def _cpu_steal_ticks() -> tuple[int, int] | None:
+    """(steal ticks, total ticks) from /proc/stat, or None off-Linux.
+
+    Hypervisor STEAL is the contamination signal loadavg cannot see: the
+    1-min load only counts THIS guest's runnable tasks, while a noisy
+    neighbor on the VM host slows every sample uniformly. Measured on
+    this box: ~10% steal under full 32-core load, and same-code protocol
+    medians drifting 12.8 -> 17.1 -> 20.5 s across one afternoon with
+    within-run spread <=11% -- the between-run band is host state, and
+    the per-sample steal fraction makes that attributable in the
+    artifact itself."""
+    try:
+        fields = open("/proc/stat").readline().split()
+        vals = [int(v) for v in fields[1:]]
+        return vals[7], sum(vals)
+    except Exception:  # noqa: BLE001 -- non-Linux: no steal telemetry
+        return None
+
+
 def _median(vals: list[float]) -> float:
     s = sorted(vals)
     mid = len(s) // 2
@@ -119,6 +138,7 @@ def _one_cold_sample():
                     while fh.read(1 << 24):
                         pass
 
+    steal0 = _cpu_steal_ticks()
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name].fn
@@ -128,7 +148,15 @@ def _one_cold_sample():
         times[name] = round(time.time() - t0, 3)
         _ = n
     load_end = round(os.getloadavg()[0], 2)
-    print(json.dumps({"queries": times, "load_avg_1m_end": load_end}))
+    steal1 = _cpu_steal_ticks()
+    steal_pct = None
+    if steal0 and steal1 and steal1[1] > steal0[1]:
+        steal_pct = round(100.0 * (steal1[0] - steal0[0]) / (steal1[1] - steal0[1]), 1)
+    print(
+        json.dumps(
+            {"queries": times, "load_avg_1m_end": load_end, "steal_pct": steal_pct}
+        )
+    )
     spark.stop()
 
 
@@ -152,6 +180,7 @@ def main():
     load_start, load_gate = _gated_load_start()
     samples: list[dict[str, float]] = []
     load_ends: list[float] = []
+    steals: list[float | None] = []
     for i in range(N_SAMPLES):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -166,6 +195,7 @@ def main():
         payload = json.loads(proc.stdout.strip().splitlines()[-1])
         samples.append(payload["queries"])
         load_ends.append(payload["load_avg_1m_end"])
+        steals.append(payload.get("steal_pct"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     # per-query medians (the "queries" dict keeps its historical shape);
@@ -194,6 +224,9 @@ def main():
                 # per-sample end loads: contamination DURING sample k must
                 # be visible even when a later sample's load looks clean
                 "load_avg_1m_ends": load_ends,
+                # hypervisor steal per sample -- the noisy-neighbor signal
+                # loadavg can't see (see _cpu_steal_ticks)
+                "steal_pcts": steals,
                 "load_avg_1m_end": load_ends[-1] if load_ends else None,
                 "load_gate": load_gate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
