@@ -40,18 +40,20 @@ from pgsf_spark.analytics import (
 )
 from pgsf_spark.analytics.oracle_utils import sql_davg, sql_dsum
 
-
-@dataclass
-class QuerySpec:
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # None -> non-SQL-expressible, rows-only check
-
+# QuerySpec and the shared text-normalization fragment live in the LEAF
+# module spec.py (re-exported here for the staged registries and tests
+# that historically import them from registry) -- see spec.py's
+# docstring for the import-order cycle this breaks.
+from pgsf_spark.analytics.spec import (  # noqa: F401
+    HLL_PORTABLE_ORACLE as _HLL_PORTABLE_ORACLE,
+    QuerySpec,
+    _NORM,
+)
 
 # ---------------------------------------------------------------------------
 # SQL fragments
 # ---------------------------------------------------------------------------
 
-_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 _TOKS = f"string_split({_NORM}, ' ')"
 
 
@@ -2791,22 +2793,10 @@ FROM w, t ORDER BY source""",
     ),
     "hll_portable": QuerySpec(
         profiling.q_hll_portable,
-        f"""WITH h AS (
-  SELECT ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
-  FROM events),
-br AS (SELECT h % {profiling.HLL_M} AS bucket,
-  CAST(h // {profiling.HLL_M} AS BIGINT) AS rest FROM h),
-rr AS (SELECT bucket,
-  CASE WHEN rest = 0 THEN 27
-       ELSE strpos(lpad(bin(rest), 26, '0'), '1') END AS rho FROM br),
-regs AS (SELECT bucket, MAX(rho) AS m FROM rr GROUP BY 1),
-agg AS (SELECT SUM(1.0 / CAST((1::BIGINT << m) AS DOUBLE)) AS s_present,
-  COUNT(*) AS n_present FROM regs),
-ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users FROM events)
-SELECT exact_users,
-  {profiling.HLL_ALPHA} * {float(profiling.HLL_M * profiling.HLL_M)} / (s_present + CAST({profiling.HLL_M} - n_present AS DOUBLE)) AS hll_estimate,
-  CAST({profiling.HLL_M} - n_present AS BIGINT) AS empty_buckets
-FROM agg, ex""",
+        # oracle text lives in spec.py: shared VERBATIM with the streaming
+        # face stream_running_hll (registry_r11), whose max() register
+        # merge makes streamed sketch == batch sketch by construction
+        _HLL_PORTABLE_ORACLE,
     ),
     "bloom_membership": QuerySpec(
         profiling.q_bloom_membership,

@@ -17,7 +17,12 @@ shapes (8). 25 names total.
 from __future__ import annotations
 
 from pgsf_spark.analytics import media_analysis, shapes
-from pgsf_spark.analytics.registry import _NORM, QUERIES as _LIVE, QuerySpec
+
+# LEAF imports only (spec.py, not registry): registry.py's ROUND-11
+# REGISTRATION block imports THIS module at its bottom, so importing
+# registry from here would make the module import-order-dependent
+# (registry_r11-first closed a cycle on a partially-initialized module)
+from pgsf_spark.analytics.spec import _NORM, HLL_PORTABLE_ORACLE, QuerySpec
 from pgsf_spark.streaming import faces
 
 # --- A. streaming oracle fragments -------------------------------------------
@@ -235,9 +240,10 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, COUNT(DISTINCT user_id) AS n_users,
 FROM j""",
     ),
     # register merge is max(): streamed sketch == batch sketch, so the
-    # batch HLL oracle applies VERBATIM (reused from the live registry)
+    # batch HLL oracle applies VERBATIM (the shared spec.py text the
+    # live hll_portable also uses)
     "stream_running_hll": QuerySpec(
-        faces.q_stream_running_hll, _LIVE["hll_portable"].oracle
+        faces.q_stream_running_hll, HLL_PORTABLE_ORACLE
     ),
     "stream_state_timeout_audit": QuerySpec(
         faces.q_stream_state_timeout_audit,

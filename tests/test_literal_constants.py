@@ -146,3 +146,27 @@ class TestNormalQuantileLiterals:
         assert abs(phi(Z_TWO_SIDED_95) - 0.975) < 1e-6
         assert abs(phi(Z_ONE_SIDED_95) - 0.95) < 1e-6
         assert abs(phi(Z_POWER_80) - 0.8) < 1e-6
+
+
+class TestRegistryImportOrder:
+    def test_staged_registry_importable_first(self):
+        """registry.py's registration block imports registry_r11 at its
+        bottom; importing registry_r11 BEFORE registry used to close a
+        cycle on the partially-initialized module (ImportError). The
+        staged registries must stay leaf-importable in ANY order --
+        enforced in a clean subprocess so this session's import cache
+        can't mask a regression."""
+        import subprocess
+        import sys
+
+        code = (
+            "import sys; sys.path.insert(0, '.');"
+            "import pgsf_spark.analytics.registry_r11;"
+            "from pgsf_spark.analytics.registry import QUERIES;"
+            "from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES;"
+            "assert set(STAGED_QUERIES) <= set(QUERIES)"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+        )
+        assert r.returncode == 0, r.stderr[-1000:]
