@@ -8666,6 +8666,53 @@ _ROUND11_FRONT = [
 assert len(_ROUND11_FRONT) == 50, len(_ROUND11_FRONT)
 assert set(_ROUND11_FRONT) <= set(QUERIES), set(_ROUND11_FRONT) - set(QUERIES)
 
+# --- ROUND 12 REGISTRATION (second staged batch) ------------------------------
+# The 11-query round-12 batch was BUILT and oracle-verified during round
+# 11 (registry_r12.STAGED_QUERIES_R12: semi-structured VARIANT/JSON/XML/
+# map shapes, the Arrow UDTF + mapInArrow Python-engine surfaces, the
+# state-store reader, and the Python DataSource batch + streaming-CDC
+# legs). Registration is the promised one-line promotion: the specs are
+# driver-shaped, lint-certified pre-registration by tests/
+# test_r12_staged.py, and green at sf0.001 AND sf0.01 under the
+# driver-identical comparison. registry_r12 depends only on leaves
+# (spec.py), so this bottom import is order-independent -- the
+# clean-subprocess pin in tests/test_literal_constants.py covers both
+# import orders.
+from pgsf_spark.analytics.registry_r12 import (  # noqa: E402
+    STAGED_QUERIES_R12 as _R12_STAGED,
+)
+
+assert not (set(_R12_STAGED) & set(QUERIES)), set(_R12_STAGED) & set(QUERIES)
+QUERIES.update(_R12_STAGED)
+
+# ROUND 12 FRONT: the 11 newly registered names (their first-ever driver
+# CORRECTNESS rows) plus 39 re-checks chosen for age-and-importance: the
+# 25 round-11 names (their second driver rows, per the r11 verdict's
+# front plan) and the 14 headline bench queries.
+_ROUND12_FRONT = [
+    # -- the r12 batch: first driver rows --------------------------------
+    *list(_R12_STAGED),
+    # -- the 25 r11 names: second driver rows ----------------------------
+    *list(_R11_STAGED),
+    # -- headline re-checks ----------------------------------------------
+    "pricing_summary",
+    "revenue_by_nation",
+    "region_volume",
+    "top_orders_per_customer",
+    "sessionize",
+    "merge_upsert_customer",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "quality_score",
+    "kmeans_clusters",
+    "pagerank_neardup",
+    "prefix_filter_pairs",
+    "lsh_jaccard_verified",
+]
+assert len(_ROUND12_FRONT) == 50, len(_ROUND12_FRONT)
+assert set(_ROUND12_FRONT) <= set(QUERIES), set(_ROUND12_FRONT) - set(QUERIES)
+
 # Apply the rotations in round order (one top-level QUERIES binding: the
 # duplicate-constant lint treats a second bare reassignment as the
 # NOVELTY_N shadowing hazard). Each pass moves that round's front to the
@@ -8677,6 +8724,7 @@ for _front in (
     _ROUND9_FRONT,
     _ROUND10_FRONT,
     _ROUND11_FRONT,
+    _ROUND12_FRONT,
 ):
     QUERIES = {
         name: QUERIES[name]

@@ -1,9 +1,9 @@
 """Round-12 STAGED query batch: semi-structured + Python-engine surfaces.
 
 Like ``registry_r11``, this mirrors the live registry's ``QUERIES``
-contract (same QuerySpec, same oracle-parity rules) so promotion is a
-one-line ``QUERIES.update(STAGED_QUERIES_R12)`` in round 12, AFTER round
-11 lands the r11 batch; until then the driver never sees these names.
+contract (same QuerySpec, same oracle-parity rules). Round 12 promoted
+the batch exactly as staged: registry.py's ROUND-12 REGISTRATION block
+is the promised one-line ``QUERIES.update(STAGED_QUERIES_R12)``.
 
 Verified by tests/test_r12_staged.py through the same
 ``pgsf_spark.verify.verify_queries`` machinery the round driver uses.
@@ -31,8 +31,12 @@ Oracle design notes:
 from __future__ import annotations
 
 from pgsf_spark.analytics import semistructured
-from pgsf_spark.analytics.registry import _NORM, QUERIES as _LIVE, QuerySpec
-from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES as _R11
+
+# LEAF imports only (spec.py, not registry): registry.py's ROUND-12
+# REGISTRATION block imports THIS module at its bottom, so importing
+# registry from here would make the module import-order-dependent
+# (the same cycle registry_r11-first closed before the spec.py split)
+from pgsf_spark.analytics.spec import _NORM, QuerySpec
 from pgsf_spark.streaming import faces as _faces
 
 STAGED_QUERIES_R12: dict[str, QuerySpec] = {
@@ -144,6 +148,6 @@ FROM events GROUP BY 1 ORDER BY 1""",
 }
 
 assert len(STAGED_QUERIES_R12) == 11, len(STAGED_QUERIES_R12)
-# staged names must collide with neither the live registry nor the r11 batch
-assert not (set(STAGED_QUERIES_R12) & set(_LIVE)), set(STAGED_QUERIES_R12) & set(_LIVE)
-assert not (set(STAGED_QUERIES_R12) & set(_R11)), set(STAGED_QUERIES_R12) & set(_R11)
+# name-collision guards against the live registry run at registration time
+# (registry.py's ROUND-12 block) -- asserting against registry.QUERIES here
+# would re-create the import cycle the leaf-import discipline removes

@@ -161,10 +161,13 @@ class TestRegistryImportOrder:
 
         code = (
             "import sys; sys.path.insert(0, '.');"
+            "import pgsf_spark.analytics.registry_r12;"
             "import pgsf_spark.analytics.registry_r11;"
             "from pgsf_spark.analytics.registry import QUERIES;"
             "from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES;"
-            "assert set(STAGED_QUERIES) <= set(QUERIES)"
+            "from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12;"
+            "assert set(STAGED_QUERIES) <= set(QUERIES);"
+            "assert set(STAGED_QUERIES_R12) <= set(QUERIES)"
         )
         r = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=120

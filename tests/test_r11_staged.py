@@ -22,28 +22,21 @@ def _staged():
 
 
 class TestStagingDiscipline:
-    def test_r11_batch_registered_at_dict_head(self):
+    def test_r11_batch_registered_inside_round12_front(self):
         # round 11 promoted the staged batch: all 25 names live in the
-        # registry, as the SAME spec objects, rotated to the dict head so
-        # the driver's 50-slot correctness window sees them first
-        from pgsf_spark.analytics.registry import QUERIES
-
-        staged = _staged()
-        assert len(QUERIES) == 382 + len(staged)
-        for name, spec in staged.items():
-            assert QUERIES.get(name) is spec, name
-        assert list(QUERIES)[: len(staged)] == list(staged)
-
-    def test_r12_r13_batches_still_staged(self):
-        # only the r11 batch registered this round (<=25/round cap);
-        # the r12/r13 batches stay invisible to the driver until their
-        # rounds
+        # registry, as the SAME spec objects. Round 12's front rotated
+        # the 11-name r12 batch ahead of them, so the r11 names now sit
+        # at positions 11..35 (their second driver rows ride in the
+        # round-12 50-slot window, per the r11 verdict's front plan).
         from pgsf_spark.analytics.registry import QUERIES
         from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12
-        from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
 
-        assert not set(STAGED_QUERIES_R12) & set(QUERIES)
-        assert not set(STAGED_QUERIES_R13) & set(QUERIES)
+        staged = _staged()
+        assert len(QUERIES) == 382 + len(staged) + len(STAGED_QUERIES_R12)
+        for name, spec in staged.items():
+            assert QUERIES.get(name) is spec, name
+        head = list(QUERIES)[len(STAGED_QUERIES_R12) :][: len(staged)]
+        assert head == list(staged)
 
     def test_staged_specs_shaped_like_registry_specs(self):
         from pgsf_spark.analytics.registry import QuerySpec

@@ -1,10 +1,12 @@
-"""Round-12 STAGED batch: semi-structured + Python-engine surfaces.
+"""Round-12 batch: semi-structured + Python-engine surfaces, now REGISTERED.
 
-Same staging discipline as tests/test_r11_staged.py: the batch ships in
-pgsf_spark/analytics/registry_r12.py, is gated here with the SAME
-comparison the round driver runs (pgsf_spark.verify.verify_queries), and
-must already pass the live registry's plan lints, so round-12
-registration is a dict update, not a lint-triage session.
+Built and staged during round 11; round 12 promoted the batch into the
+live registry (registry.py's ROUND-12 REGISTRATION block) exactly as the
+staging docstring promised -- a dict update of already-driver-shaped
+queries. These tests now certify the REGISTERED state (the 11 names live
+in QUERIES at the dict head, same spec objects) and keep the batch's
+operator-level shape pins; the per-name oracle-parity loop runs the SAME
+comparison the round driver runs (pgsf_spark.verify.verify_queries).
 
 Also covers pgsf_spark/streaming/tws.py -- the transformWithStateInPandas
 surface (Spark 4 StatefulProcessor). The tws engine itself is
@@ -35,14 +37,29 @@ _STREAMING_FACES = {"statestore_read_gate", "python_cdc_stream_gate"}
 
 
 class TestStagingDisciplineR12:
-    def test_batch_size_and_no_collisions(self):
+    def test_r12_batch_registered_at_dict_head(self):
+        # round 12 promoted the staged batch: all 11 names live in the
+        # registry, as the SAME spec objects, rotated to the dict head so
+        # the driver's 50-slot correctness window sees them first
         from pgsf_spark.analytics.registry import QUERIES
         from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES
 
         staged = _staged()
         assert len(staged) == 11
-        assert not set(staged) & set(QUERIES)
-        assert not set(staged) & set(STAGED_QUERIES)
+        assert len(QUERIES) == 382 + len(STAGED_QUERIES) + len(staged)
+        for name, spec in staged.items():
+            assert QUERIES.get(name) is spec, name
+        assert list(QUERIES)[: len(staged)] == list(staged)
+
+    def test_r13_r14_batches_still_staged(self):
+        # only the r12 batch registered this round (<=25/round cap);
+        # the r13/r14 batches stay invisible to the driver until round 13
+        from pgsf_spark.analytics.registry import QUERIES
+        from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
+        from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14
+
+        assert not set(STAGED_QUERIES_R13) & set(QUERIES)
+        assert not set(STAGED_QUERIES_R14) & set(QUERIES)
 
     def test_staged_specs_shaped_like_registry_specs(self):
         from pgsf_spark.analytics.registry import QuerySpec
@@ -408,6 +425,65 @@ class TestPythonCdcSource:
         )
         self._run(spark, data, out, ck)
         assert spark.read.parquet(out).count() == 10
+
+    def test_statless_fallback_reads_each_immutable_file_once(
+        self, tmp_path, monkeypatch
+    ):
+        """ADVICE r11 (low): latestOffset runs on EVERY trigger, and the
+        stats-less fallback read must not re-pay O(data) driver I/O each
+        time -- part files are immutable once landed, so the per-(file,
+        size, mtime, row-group) memo caps the cost at one read per file,
+        ever, with new files still picked up."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pgsf_spark.sources.pyds import EntityCdcStreamReader
+
+        data = str(tmp_path / "entity")
+        os.makedirs(data)
+        base = 1_700_000_000_000_000
+
+        def statless_wave(name, lo, hi):
+            t = pa.table(
+                {
+                    "id": pa.array(range(lo, hi), pa.int64()),
+                    "ts": pa.array(
+                        [base + i * 1_000_000 for i in range(lo, hi)],
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+            pq.write_table(
+                t, os.path.join(data, name), write_statistics=False
+            )
+
+        statless_wave("w1.parquet", 0, 10)
+        reader = EntityCdcStreamReader({"path": data, "ts_field": "ts"})
+
+        calls = []
+        orig = pq.ParquetFile.read_row_group
+
+        def spy(pf_self, *a, **k):
+            calls.append(1)
+            return orig(pf_self, *a, **k)
+
+        monkeypatch.setattr(pq.ParquetFile, "read_row_group", spy)
+        o1 = reader.latestOffset()
+        assert o1["watermark_us"] == base + 9 * 1_000_000
+        first_reads = len(calls)
+        assert first_reads >= 1  # the fallback DID read the ts column
+        # steady-state triggers: no new files -> ZERO further reads
+        for _ in range(5):
+            assert reader.latestOffset() == o1
+        assert len(calls) == first_reads
+        # a new landed file is read (once), the old one still is not
+        statless_wave("w2.parquet", 10, 15)
+        o2 = reader.latestOffset()
+        assert o2["watermark_us"] == base + 14 * 1_000_000
+        second_reads = len(calls) - first_reads
+        assert 1 <= second_reads <= first_reads  # only w2's groups
+        assert reader.latestOffset() == o2
+        assert len(calls) == first_reads + second_reads
 
     def test_ts_us_round_trips_exact_microseconds_property(self):
         """Hypothesis pin of the fd276fa precision-bug class (VERDICT r10
