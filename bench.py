@@ -59,7 +59,11 @@ def _cpu_steal_ticks() -> tuple[int, int] | None:
     try:
         fields = open("/proc/stat").readline().split()
         vals = [int(v) for v in fields[1:]]
-        return vals[7], sum(vals)
+        # total = user..steal (fields 1..8) ONLY: guest/guest_nice ticks
+        # are already included in user/nice on Linux, so summing all ten
+        # fields double-counts guest time and understates steal_pct on
+        # guest-running hosts
+        return vals[7], sum(vals[:8])
     except Exception:  # noqa: BLE001 -- non-Linux: no steal telemetry
         return None
 

@@ -580,20 +580,26 @@ class TableStore:
         after any out-of-band touch of the store directory. A version
         published by write()/write_partial() is clean by construction --
         this catches the world interfering (truncated copies, disk
-        faults, manual edits)."""
-        from pgsf_spark.sources.integrity import IntegrityReport, check_file
+        faults, manual edits).
+
+        Listing goes through integrity._list_part_files so BOTH scanners
+        share one skip policy (underscore/dot metadata conventions, the
+        same ones Spark's readers apply): a _quarantine/ dir, _temporary
+        leftovers, or '.'-prefixed sidecars inside a version never mark
+        it bad, because no reader ever touches them."""
+        from pgsf_spark.sources.integrity import (
+            IntegrityReport,
+            _list_part_files,
+            check_file,
+        )
 
         root = self.current_version_path(table)
         if root is None:
             raise FileNotFoundError(f"table {table!r} has no published version")
         good, bad = [], []
-        for dirpath, _dirs, files in os.walk(root):
-            for name in sorted(files):
-                if not name.endswith(".parquet"):
-                    continue
-                f = os.path.join(dirpath, name)
-                reason = check_file(f)
-                (good.append(f) if reason is None else bad.append((f, reason)))
+        for f in _list_part_files(root):
+            reason = check_file(f)
+            (good.append(f) if reason is None else bad.append((f, reason)))
         return IntegrityReport(good=tuple(good), bad=tuple(bad))
 
     def partition_info(self, table: str) -> dict | None:

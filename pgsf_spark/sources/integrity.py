@@ -36,6 +36,21 @@ from dataclasses import dataclass
 QUARANTINE_DIR = "_quarantine"
 QUARANTINE_LEDGER = "_quarantine/_LEDGER.json"
 
+# Reason-string prefix for ENVIRONMENT failures (unreachable/unreadable
+# file: FileNotFoundError, PermissionError, EIO...). These are NOT
+# evidence of corruption -- on a cluster where an executor cannot see a
+# driver-local path, every healthy file fails this way, and a quarantine
+# acting on that signal would move the entire zone aside. check_file
+# tags them; quarantine_corrupt refuses to act on them.
+ENV_REASON_PREFIX = "environment:"
+
+
+def is_env_reason(reason: str) -> bool:
+    """True when a report reason records an I/O/access failure (the file
+    could not be REACHED) rather than a footer-parse failure (the file
+    was read and its bytes are bad)."""
+    return reason.startswith(ENV_REASON_PREFIX)
+
 
 @dataclass(frozen=True)
 class IntegrityReport:
@@ -68,6 +83,15 @@ def check_file(path: str) -> str | None:
         _ = pf.metadata.num_rows  # forces the footer parse
         _ = pf.schema_arrow  # and the schema decode
         return None
+    except OSError as e:
+        # could not REACH the file (missing, permission, I/O error) --
+        # an environment failure, tagged so quarantine never treats it
+        # as corruption evidence. pyarrow's ArrowIOError ALSO subclasses
+        # OSError but fires on footer-parse failures ("Couldn't
+        # deserialize thrift"), so pyarrow-raised errors stay corruption.
+        if type(e).__module__.startswith("pyarrow"):
+            return f"{type(e).__name__}: {e}"[:200]
+        return f"{ENV_REASON_PREFIX}{type(e).__name__}: {e}"[:200]
     except Exception as e:  # noqa: BLE001 -- the reason IS the product
         return f"{type(e).__name__}: {e}"[:200]
 
@@ -128,10 +152,33 @@ def quarantine_corrupt(path: str, report: IntegrityReport | None = None) -> Inte
     (``source``), and the parse ``reason``. Returns the re-scanned
     (now clean unless new corruption appeared) report. Idempotent:
     re-running with nothing bad is a no-op. Only meaningful for
-    directory entities."""
+    directory entities.
+
+    Two safety contracts:
+      * REFUSES environment-failure reasons (``environment:`` prefix --
+        FileNotFoundError, PermissionError, ...): those say the file
+        could not be reached, not that its bytes are bad. A scan run
+        where storage was unreachable tags EVERY file that way, and a
+        quarantine acting on it would move the whole zone aside. Raises
+        before touching anything; fix the environment and re-scan.
+      * The ledger entry is written-and-flushed BEFORE each move, so a
+        crash mid-loop can never leave evidence files in _quarantine/
+        without the audit record. (The reverse window -- a ledgered
+        entry whose move didn't happen -- is self-healing: the re-scan
+        still flags the file and a re-run ledgers it again and completes
+        the move; a duplicate audit record, never a missing one.)
+    """
     if not os.path.isdir(path):
         raise ValueError(f"quarantine requires a directory entity, got file {path}")
     report = report if report is not None else scan_parquet_dir(path)
+    env_failures = [(f, r) for f, r in report.bad if is_env_reason(r)]
+    if env_failures:
+        names = ", ".join(f"{os.path.basename(f)}: {r}" for f, r in env_failures[:5])
+        raise RuntimeError(
+            f"refusing to quarantine: {len(env_failures)} file(s) failed with "
+            f"ENVIRONMENT errors, not corruption ({names}). An unreachable "
+            "zone looks exactly like this -- fix access and re-scan."
+        )
     if report.bad:
         qdir = os.path.join(path, QUARANTINE_DIR)
         os.makedirs(qdir, exist_ok=True)
@@ -143,13 +190,24 @@ def quarantine_corrupt(path: str, report: IntegrityReport | None = None) -> Inte
         for f, reason in report.bad:
             rel = os.path.relpath(f, path)
             stored = _quarantine_name(qdir, rel)
-            shutil.move(f, os.path.join(qdir, stored))
+            # ledger first (atomic replace + fsync), THEN the move
             ledger.append({"file": stored, "source": rel, "reason": reason})
-        tmp = ledger_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(ledger, fh)
-        os.replace(tmp, ledger_path)
+            tmp = ledger_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(ledger, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, ledger_path)
+            shutil.move(f, os.path.join(qdir, stored))
     return scan_parquet_dir(path)
+
+
+def _fanout_slices(n_files: int, default_parallelism: int) -> int:
+    """Executor fan-out width for the distributed scanner: 2 slices per
+    core (round-robin repartition keeps them within one file of even), but
+    never more slices than files. Tested at the multi-thousand-file grain
+    in tests/test_integrity.py."""
+    return max(1, min(n_files, default_parallelism * 2))
 
 
 def scan_parquet_dir_distributed(spark, path: str) -> IntegrityReport:
@@ -175,7 +233,7 @@ def scan_parquet_dir_distributed(spark, path: str) -> IntegrityReport:
                 }
             )
 
-    n_slices = min(len(files), spark.sparkContext.defaultParallelism * 2)
+    n_slices = _fanout_slices(len(files), spark.sparkContext.defaultParallelism)
     rows = (
         spark.createDataFrame([(f,) for f in files], "path string")
         .repartition(n_slices)

@@ -307,6 +307,14 @@ class EntityCdcStreamReader(DataSourceStreamReader):
         f = options.get("fields")
         self.columns = [c.strip() for c in f.split(",")] if f else None
         self._ts_checked = False
+        # stats-less fallback memo: {(path, size, mtime_ns, rg): max_ts_us}.
+        # latestOffset runs on EVERY trigger; without this, a zone whose
+        # writer omits ts statistics would pay a full ts-column read of
+        # each stats-less row group per trigger -- O(data) repeated driver
+        # I/O. Part files are immutable once landed (the landing contract),
+        # and the (size, mtime_ns) key invalidates the memo anyway if one
+        # is ever rewritten in place.
+        self._statless_max_memo: dict = {}
 
     def _check_ts_field(self) -> None:
         """A mistyped ts_field would find no stats, return the initial
@@ -328,6 +336,8 @@ class EntityCdcStreamReader(DataSourceStreamReader):
         return {"watermark_us": -(2**62)}
 
     def latestOffset(self) -> dict:  # noqa: N802
+        import os
+
         import pyarrow.compute as pc
 
         self._check_ts_field()
@@ -353,15 +363,25 @@ class EntityCdcStreamReader(DataSourceStreamReader):
                     # the offset frozen at initialOffset forever -- the
                     # silent-empty failure _check_ts_field guards against.
                     # Fall back to reading this group's ts column (only
-                    # stats-less groups pay the read; partitions() stays
-                    # safe on its own: no stats -> the group is INCLUDED
-                    # and the read-side window re-filter applies).
-                    ts_col = pf.read_row_group(rg, columns=[self.ts_field])[
-                        self.ts_field
-                    ]
-                    mx = pc.max(ts_col).as_py()
-                    if mx is not None:
-                        hi = max(hi, _ts_us(mx))
+                    # stats-less groups pay the read, and only ONCE per
+                    # immutable part file: the (size, mtime) memo below
+                    # caps the per-trigger cost at O(new files), not
+                    # O(data). partitions() stays safe on its own: no
+                    # stats -> the group is INCLUDED and the read-side
+                    # window re-filter applies).
+                    st = os.stat(f)
+                    key = (f, st.st_size, st.st_mtime_ns, rg)
+                    if key not in self._statless_max_memo:
+                        ts_col = pf.read_row_group(rg, columns=[self.ts_field])[
+                            self.ts_field
+                        ]
+                        mx = pc.max(ts_col).as_py()
+                        self._statless_max_memo[key] = (
+                            None if mx is None else _ts_us(mx)
+                        )
+                    memo = self._statless_max_memo[key]
+                    if memo is not None:
+                        hi = max(hi, memo)
         return {"watermark_us": hi}
 
     def partitions(self, start: dict, end: dict) -> list:

@@ -92,3 +92,26 @@ def test_steal_telemetry_in_artifact():
     src = open(os.path.join(_REPO, "bench.py")).read()
     assert '"steal_pcts"' in src
     assert '"steal_pct"' in src  # child payload field
+
+
+def test_steal_total_excludes_guest_ticks(monkeypatch):
+    """ADVICE r11 (low): guest/guest_nice ticks are already inside
+    user/nice on Linux, so the denominator must sum user..steal only --
+    summing all ten fields double-counts guest time and understates
+    steal_pct on guest-running hosts."""
+    import builtins
+    import io
+
+    real_open = builtins.open
+    #        user nice sys idle iowait irq sirq steal guest gnice
+    line = "cpu  100 2 300 4000 50 6 7 80 900 1000\n"
+
+    def fake_open(path, *a, **k):
+        if path == "/proc/stat":
+            return io.StringIO(line)
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", fake_open)
+    steal, total = bench._cpu_steal_ticks()
+    assert steal == 80
+    assert total == 100 + 2 + 300 + 4000 + 50 + 6 + 7 + 80

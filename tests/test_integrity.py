@@ -278,3 +278,197 @@ class TestDistributedScan:
         assert clean
         ledger = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
         assert ledger[0]["source"] == os.path.basename(files[1])
+
+
+class TestEnvErrorClassing:
+    """ADVICE r11 (medium): an I/O/access failure says the file could not
+    be REACHED, not that its bytes are bad -- on a cluster where executors
+    cannot see a driver-local path every healthy file fails that way, and
+    a quarantine acting on the signal would move the whole zone aside."""
+
+    def test_missing_file_is_env_not_corruption(self, tmp_path):
+        from pgsf_spark.sources.integrity import is_env_reason
+
+        reason = check_file(str(tmp_path / "nope.parquet"))
+        assert reason is not None
+        assert is_env_reason(reason)
+        assert "FileNotFoundError" in reason
+
+    def test_corruption_reasons_stay_corruption(self, spark, tmp_path):
+        from pgsf_spark.sources.integrity import is_env_reason
+
+        files = _write_dir(spark, tmp_path / "t")
+        _truncate(files[0])
+        open(tmp_path / "t" / "zzz-garbage.parquet", "wb").write(b"junk" * 64)
+        open(tmp_path / "t" / "zzz-zero.parquet", "w").close()
+        report = scan_parquet_dir(str(tmp_path / "t"))
+        assert len(report.bad) == 3
+        for f, reason in report.bad:
+            assert not is_env_reason(reason), (f, reason)
+
+    def test_quarantine_refuses_env_failures_and_moves_nothing(
+        self, spark, tmp_path
+    ):
+        from pgsf_spark.sources.integrity import ENV_REASON_PREFIX, IntegrityReport
+
+        files = _write_dir(spark, tmp_path / "t")
+        # the unreachable-zone shape: every file "bad" with an env reason
+        rep = IntegrityReport(
+            good=(),
+            bad=tuple(
+                (f, f"{ENV_REASON_PREFIX}PermissionError: denied") for f in files
+            ),
+        )
+        with pytest.raises(RuntimeError, match="ENVIRONMENT"):
+            quarantine_corrupt(str(tmp_path / "t"), rep)
+        for f in files:
+            assert os.path.exists(f), f  # nothing moved
+        assert not os.path.exists(tmp_path / "t" / QUARANTINE_LEDGER)
+
+    def test_mixed_env_and_corruption_refused_before_any_move(
+        self, spark, tmp_path
+    ):
+        # refusal must come BEFORE acting on the genuinely-corrupt entry:
+        # half-acting then raising would leave an ambiguous zone
+        from pgsf_spark.sources.integrity import ENV_REASON_PREFIX, IntegrityReport
+
+        files = _write_dir(spark, tmp_path / "t")
+        _truncate(files[0])
+        rep = IntegrityReport(
+            good=tuple(files[2:]),
+            bad=(
+                (files[0], "ArrowInvalid: truncated"),
+                (files[1], f"{ENV_REASON_PREFIX}OSError: I/O error"),
+            ),
+        )
+        with pytest.raises(RuntimeError, match="ENVIRONMENT"):
+            quarantine_corrupt(str(tmp_path / "t"), rep)
+        assert os.path.exists(files[0])  # corrupt file NOT moved either
+
+
+class TestLedgerBeforeMove:
+    """ADVICE r11 (low): the ledger entry is flushed BEFORE each move, so
+    a crash mid-loop can never leave evidence files in _quarantine/
+    without the audit record the function exists to guarantee."""
+
+    def test_crash_mid_loop_leaves_every_evidence_file_ledgered(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import shutil
+
+        files = _write_dir(spark, tmp_path / "t")
+        _truncate(files[0])
+        _truncate(files[1])
+        moved = []
+        orig_move = shutil.move
+
+        def crashy_move(src, dst):
+            if moved:  # second move crashes
+                raise OSError("disk gone")
+            moved.append(src)
+            return orig_move(src, dst)
+
+        monkeypatch.setattr(shutil, "move", crashy_move)
+        with pytest.raises(OSError, match="disk gone"):
+            quarantine_corrupt(str(tmp_path / "t"))
+        monkeypatch.undo()
+
+        qdir = tmp_path / "t" / "_quarantine"
+        ledger = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
+        evidence = [n for n in os.listdir(qdir) if n.endswith(".parquet")]
+        ledgered = {e["file"] for e in ledger}
+        assert evidence and set(evidence) <= ledgered  # never unledgered
+        # the reverse window (ledgered, move pending) self-heals on re-run
+        clean = quarantine_corrupt(str(tmp_path / "t"))
+        assert clean
+        ledger2 = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
+        evidence2 = {
+            n for n in os.listdir(qdir) if n.endswith(".parquet")
+        }
+        assert evidence2 <= {e["file"] for e in ledger2}
+        assert len(evidence2) == 2  # both corrupt files quarantined
+
+
+class TestVerifyIntegritySkipPolicy:
+    """ADVICE r11 (medium): verify_integrity shares _list_part_files with
+    the zone scanners, so metadata conventions (underscore/dot names --
+    the ones Spark's readers skip) never mark a version bad."""
+
+    def test_metadata_conventions_never_mark_version_bad(self, spark, tmp_path):
+        from pgsf_spark.operators.table_store import TableStore
+
+        store = TableStore(spark, str(tmp_path / "store"))
+        store.write(spark.range(50).selectExpr("id", "id * 2 AS v"), "t")
+        root = store.current_version_path("t")
+        # junk no reader ever touches: a quarantine dir, a temp leftover,
+        # and a hidden sidecar -- all containing garbage "parquet"
+        os.makedirs(os.path.join(root, "_quarantine"))
+        open(os.path.join(root, "_quarantine", "bad.parquet"), "wb").write(b"junk")
+        open(os.path.join(root, "_tmp-leftover.parquet"), "wb").write(b"junk")
+        open(os.path.join(root, ".hidden.parquet"), "wb").write(b"junk")
+        report = store.verify_integrity("t")
+        assert report and report.good and not report.bad
+        # a REAL part file going bad is still caught
+        _truncate(report.good[0])
+        assert not store.verify_integrity("t")
+
+
+class TestDistributedScanAtFileCount:
+    """VERDICT r11 ask #5: the million-file form exercised at a realistic
+    file count -- listing stays O(names) driver-side, the executor
+    fan-out partitions evenly, and quarantine accepts the report."""
+
+    N_FILES = 2048
+
+    def _zone_of_many(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        zone = tmp_path / "zone"
+        zone.mkdir()
+        seed = zone / "part-00000.parquet"
+        pq.write_table(pa.table({"id": pa.array([1, 2, 3], pa.int64())}), seed)
+        data = open(seed, "rb").read()
+        for i in range(1, self.N_FILES):
+            open(zone / f"part-{i:05d}.parquet", "wb").write(data)
+        return zone
+
+    def test_fanout_is_even_and_bounded(self):
+        from pgsf_spark.sources.integrity import _fanout_slices
+
+        # never more slices than files; 2 slices/core otherwise
+        assert _fanout_slices(3, 32) == 3
+        assert _fanout_slices(self.N_FILES, 32) == 64
+        assert _fanout_slices(0, 32) == 1
+        # round-robin repartition puts ceil/floor(n/slices) paths per
+        # slice: with 2048 files over 64 slices, exactly 32 each
+        assert self.N_FILES % _fanout_slices(self.N_FILES, 32) == 0
+
+    def test_two_thousand_file_zone_scan_and_quarantine(self, spark, tmp_path):
+        from pgsf_spark.sources.integrity import (
+            _fanout_slices,
+            _list_part_files,
+            scan_parquet_dir_distributed,
+        )
+
+        zone = self._zone_of_many(tmp_path)
+        files = _list_part_files(str(zone))
+        assert len(files) == self.N_FILES
+        # corrupt three files scattered across the listing
+        for victim in (files[0], files[777], files[-1]):
+            _truncate(victim)
+        report = scan_parquet_dir_distributed(spark, str(zone))
+        assert len(report.bad) == 3
+        assert len(report.good) == self.N_FILES - 3
+        assert {f for f, _ in report.bad} == {files[0], files[777], files[-1]}
+        # the fan-out the scan used: 2 slices/core, capped by file count
+        expected = min(
+            self.N_FILES, spark.sparkContext.defaultParallelism * 2
+        )
+        assert _fanout_slices(
+            self.N_FILES, spark.sparkContext.defaultParallelism
+        ) == expected
+        clean = quarantine_corrupt(str(zone), report)
+        assert clean and len(clean.good) == self.N_FILES - 3
+        ledger = json.load(open(zone / QUARANTINE_LEDGER))
+        assert len(ledger) == 3
