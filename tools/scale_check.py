@@ -128,6 +128,7 @@ def main() -> int:
     from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12
     from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
     from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14
+    from pgsf_spark.analytics.registry_r15 import STAGED_QUERIES_R15
     from pgsf_spark.session import get_spark
     from pgsf_spark.tables import load_table
 
@@ -138,6 +139,7 @@ def main() -> int:
         **STAGED_QUERIES_R12,
         **STAGED_QUERIES_R13,
         **STAGED_QUERIES_R14,
+        **STAGED_QUERIES_R15,
     }
     unknown = [q for q in names if q not in QUERIES]
     if unknown:
