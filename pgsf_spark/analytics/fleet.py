@@ -217,6 +217,210 @@ def q_fleet_scheduler_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+THIRD_MOD = 50  # pk % 50 == 0 rows arrive in the retention gate's wave 2
+V_WAVE3 = 13  # their value = 13 * pk
+CAS_MOD = 7  # the CAS gate's second writer updates pk % 7 == 0
+V_CAS = 5  # to 5 * pk
+
+
+def q_vacuum_retention_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version GC (C7) end-to-end: retention floors, TTL, loud time travel.
+
+    Publish three versions of a customer replica through real sync
+    cycles (snapshot; the ``pk % 10 -> 7*pk`` wave; the ``pk % 50 ->
+    13*pk`` wave -- later wave wins for keys in both). Then GC:
+    ``vacuum(keep=2)`` must drop EXACTLY the oldest version, a
+    time-travel read of the vacuumed version must fail LOUDLY (the
+    FileNotFoundError names the version -- never a silent empty frame),
+    the current read must be byte-identical before/after, and an aged
+    TTL pass (``keep=1, ttl_seconds=5, now=+1h``) must then drop the
+    middle version. Mirrors the reference's retention model
+    (delete_old_jobs_data.sh:6-11, 7 days by mtime) with the stronger
+    always-keep-newest floor.
+
+    Output: final row count and SUM(v), the version-count trajectory
+    (3 -> 2 -> 1) and per-pass victim counts -- all restated by the
+    oracle from ``customer`` arithmetic."""
+    import time as _time
+
+    from pgsf_spark.operators.table_store import TableStore
+    from pgsf_spark.sources.entity import EntitySource
+    from pgsf_spark.sync.runner import SyncRunner
+    from pgsf_spark.sync.state import SyncState
+
+    tmp = tempfile.mkdtemp(prefix="pgsf_vacuum_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        pk = "c_custkey"
+        base = _base_df(spark, sf_dir, "customer", pk)
+        _with_sync_cols(base, pk, V_SNAP, T0).write.parquet(
+            os.path.join(src, "cust.parquet")
+        )
+        source = EntitySource(spark, src)
+        store = TableStore(spark, os.path.join(tmp, "store"))
+        state = SyncState(os.path.join(tmp, "sync.json"))
+        runner = SyncRunner(source, store, state)
+        runner.snapshot_load(
+            "cust", pk=pk, refresh_minutes=0, partition_buckets=PARTITION_BUCKETS
+        )
+        state.release("cust", syncuntil=T0, touch_refresh=False)
+        for mod, factor, ts in ((UPDATE_MOD, V_WAVE1, T1), (THIRD_MOD, V_WAVE3, T2)):
+            _with_sync_cols(
+                base.filter(F.col(pk) % mod == 0), pk, factor, ts
+            ).write.mode("overwrite").parquet(os.path.join(src, "cust.parquet"))
+            runner.sync_table("cust", pk=pk)
+
+        versions = store.versions("cust")
+        n_start = len(versions)
+        if n_start != 3:
+            raise ValueError(f"vacuum gate: want 3 published versions, have {versions}")
+        agg_cols = [F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("sum_v")]
+        before = store.read("cust").agg(*agg_cols).first()
+
+        victims_floor = store.vacuum("cust", keep=2)
+        if victims_floor != [versions[0]]:
+            raise ValueError(
+                f"vacuum gate: keep=2 must drop exactly the oldest, got {victims_floor}"
+            )
+        # time travel to the vacuumed version fails LOUDLY, never empty
+        try:
+            store.read("cust", version=versions[0])
+            raise ValueError("vacuum gate: vacuumed version read did not raise")
+        except FileNotFoundError as e:
+            if versions[0] not in str(e):
+                raise ValueError(f"vacuum gate: error does not name the version: {e}")
+        # TTL pass, clock injected: everything outside keep=1 is now aged out
+        victims_ttl = store.vacuum(
+            "cust", keep=1, ttl_seconds=5, now=_time.time() + 3600
+        )
+        if victims_ttl != [versions[1]]:
+            raise ValueError(
+                f"vacuum gate: TTL pass must drop the middle version, got {victims_ttl}"
+            )
+        after = store.read("cust").agg(*agg_cols).first()
+        if (after["n_rows"], after["sum_v"]) != (before["n_rows"], before["sum_v"]):
+            raise ValueError("vacuum gate: GC changed the CURRENT version's data")
+
+        res = spark.createDataFrame(
+            [
+                (
+                    after["n_rows"],
+                    after["sum_v"],
+                    n_start,
+                    len(victims_floor),
+                    len(victims_ttl),
+                    len(store.versions("cust")),
+                )
+            ],
+            "n_rows bigint, sum_v bigint, n_versions_start int, "
+            "n_victims_keep int, n_victims_ttl int, n_versions_end int",
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_cas_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compare-and-swap publish under two racing writers: no lost update.
+
+    Both writers read version v1 of a bucket-partitioned customer
+    replica and compute a partial merge against it (writer A: ``pk % 10
+    -> 7*pk``; writer B: ``pk % 7 -> 5*pk``). A publishes first. B's
+    stale publish -- CASed on the v1 token it based its carry on --
+    must raise ConcurrentWriteError and flip NOTHING: without the CAS,
+    B's version would hardlink-carry v1's copy of A's buckets, silently
+    erasing A's update (a lost update, the write_partial docstring's
+    exact hazard). B then re-reads the current version and retries; the
+    final state carries BOTH updates (B's wave wins the ``pk % 70``
+    overlap -- it merged after A). The loser's orphan version dir stays
+    behind as documented vacuum garbage, so the dir count is pinned too.
+
+    Output: row count, the state after A alone and after B's retry, and
+    the version-dir count (snapshot + A + B-orphan + B-retry = 4) --
+    restated by the oracle from ``customer`` arithmetic."""
+    from pgsf_spark.operators.merge import merge_upsert
+    from pgsf_spark.operators.table_store import ConcurrentWriteError, TableStore
+    from pgsf_spark.sync.runner import PGSF_BUCKET, pk_bucket
+
+    tmp = tempfile.mkdtemp(prefix="pgsf_cas_")
+    try:
+        pk = "c_custkey"
+        base = _base_df(spark, sf_dir, "customer", pk)
+        store = TableStore(spark, os.path.join(tmp, "store"))
+        snap = _with_sync_cols(base, pk, V_SNAP, T0).withColumn(
+            PGSF_BUCKET, pk_bucket(pk, PARTITION_BUCKETS)
+        )
+        store.write(
+            snap,
+            "cust",
+            partition_by=[PGSF_BUCKET],
+            manifest={"op": "snapshot", "partition_buckets": PARTITION_BUCKETS},
+        )
+        v1 = store.current_version("cust")
+
+        def changes_for(mod: int, factor: int, ts: datetime) -> DataFrame:
+            return _with_sync_cols(
+                base.filter(F.col(pk) % mod == 0), pk, factor, ts
+            ).withColumn(PGSF_BUCKET, pk_bucket(pk, PARTITION_BUCKETS))
+
+        def partial_merge(changes: DataFrame, expect_version) -> None:
+            changes = changes.localCheckpoint()
+            buckets = [r[0] for r in changes.select(PGSF_BUCKET).distinct().collect()]
+            target = store.read("cust", keep_internal=True).filter(
+                F.col(PGSF_BUCKET).isin(buckets)
+            )
+            merged = merge_upsert(
+                target, changes, pk=pk, ts_field="SystemModstamp", order_col="_file_order"
+            )
+            store.write_partial(
+                merged, "cust", PGSF_BUCKET, buckets, expect_version=expect_version
+            )
+
+        # both writers are BASED ON v1; A publishes first
+        changes_a = changes_for(UPDATE_MOD, V_WAVE1, T1)
+        changes_b = changes_for(CAS_MOD, V_CAS, T1)
+        partial_merge(changes_a, expect_version=v1)
+        after_a = (
+            store.read("cust")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .first()
+        )
+        try:
+            partial_merge(changes_b, expect_version=v1)  # stale CAS token
+            raise ValueError("cas gate: stale publish did not raise")
+        except ConcurrentWriteError:
+            pass  # the lost update was refused -- the contract under test
+        mid = (
+            store.read("cust")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .first()
+        )
+        if (mid["n"], mid["s"]) != (after_a["n"], after_a["s"]):
+            raise ValueError("cas gate: refused publish still changed state")
+        # B retries against the CURRENT version (the documented protocol)
+        partial_merge(changes_b, expect_version=store.current_version("cust"))
+        final = (
+            store.read("cust")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .first()
+        )
+        res = spark.createDataFrame(
+            [
+                (
+                    final["n"],
+                    after_a["s"],
+                    final["s"],
+                    len(store.versions("cust")),
+                )
+            ],
+            "n_rows bigint, sum_after_a bigint, sum_final bigint, n_version_dirs int",
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_snapshot_consistency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned snapshot reads under a concurrent merge writer.
 

@@ -1,7 +1,9 @@
 """Round-15 STAGED batch: the fleet-scheduler + snapshot-consistency gates.
 
-The round-11 verdict's post-r13 depth plan (ask #6) named these two as
-the strongest next depth surfaces; round 12 built them. Same staging
+The round-11 verdict's post-r13 depth plan (ask #6) named the fleet
+scheduler and snapshot-consistency surfaces; round 12 built them, plus
+two unprompted siblings from the same family (version GC / C7
+end-to-end, and the CAS no-lost-update publish contract). Same staging
 discipline as registry_r11/r12/r13/r14: mirrors the live ``QUERIES``
 contract, promoted by ``QUERIES.update(STAGED_QUERIES_R15)`` in a later
 round, never driver-visible before then. Verified by
@@ -48,6 +50,39 @@ STAGED_QUERIES_R15: dict[str, QuerySpec] = {
 )
 SELECT tbl, n_rows, sum_v, n_versions, tick1_failed FROM t ORDER BY tbl""",
     ),
+    # later wave wins for keys in both: pk % 50 keys end at 13*pk even
+    # when pk % 10 also matched the earlier wave
+    "vacuum_retention_gate": QuerySpec(
+        fleet.q_vacuum_retention_gate,
+        f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN c_custkey % {fleet.THIRD_MOD} = 0
+           THEN {fleet.V_WAVE3} * c_custkey
+           WHEN c_custkey % {fleet.UPDATE_MOD} = 0
+           THEN {fleet.V_WAVE1} * c_custkey
+           ELSE {fleet.V_SNAP} * c_custkey END) AS BIGINT) AS sum_v,
+  CAST(3 AS INT) AS n_versions_start,
+  CAST(1 AS INT) AS n_victims_keep,
+  CAST(1 AS INT) AS n_victims_ttl,
+  CAST(1 AS INT) AS n_versions_end
+FROM customer""",
+    ),
+    # B merged after A, so B's wave wins the pk % 70 overlap; the dir
+    # count pins the loser's documented orphan (snapshot + A + orphan +
+    # retry = 4)
+    "cas_publish_gate": QuerySpec(
+        fleet.q_cas_publish_gate,
+        f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN c_custkey % {fleet.UPDATE_MOD} = 0
+           THEN {fleet.V_WAVE1} * c_custkey
+           ELSE {fleet.V_SNAP} * c_custkey END) AS BIGINT) AS sum_after_a,
+  CAST(SUM(CASE WHEN c_custkey % {fleet.CAS_MOD} = 0
+           THEN {fleet.V_CAS} * c_custkey
+           WHEN c_custkey % {fleet.UPDATE_MOD} = 0
+           THEN {fleet.V_WAVE1} * c_custkey
+           ELSE {fleet.V_SNAP} * c_custkey END) AS BIGINT) AS sum_final,
+  CAST(4 AS INT) AS n_version_dirs
+FROM customer""",
+    ),
     "snapshot_consistency_gate": QuerySpec(
         fleet.q_snapshot_consistency_gate,
         f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -65,4 +100,4 @@ FROM customer""",
     ),
 }
 
-assert len(STAGED_QUERIES_R15) == 2, len(STAGED_QUERIES_R15)
+assert len(STAGED_QUERIES_R15) == 4, len(STAGED_QUERIES_R15)

@@ -1,4 +1,4 @@
-"""Round-15 STAGED batch: fleet-scheduler + snapshot-consistency gates.
+"""Round-15 STAGED batch: fleet-scheduler, snapshot-consistency, GC, CAS gates.
 
 Same staging discipline as tests/test_r11..r14_staged.py: the batch
 ships in pgsf_spark/analytics/registry_r15.py, is gated here with the
@@ -32,7 +32,7 @@ class TestStagingDisciplineR15:
         from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14
 
         staged = _staged()
-        assert len(staged) == 2
+        assert len(staged) == 4
         for other in (QUERIES, STAGED_QUERIES_R13, STAGED_QUERIES_R14):
             assert not set(staged) & set(other)
 
@@ -170,3 +170,74 @@ class TestSnapshotConsistencySemantics:
         assert row["sum_v3"] == expect["v3"]
         assert row["sum_v1"] < row["sum_v2"] < row["sum_v3"]
         assert row["n_versions"] == 3
+
+
+class TestVacuumRetentionSemantics:
+    def test_gc_trajectory_and_loud_time_travel(self, spark):
+        """keep-floor drops exactly the oldest, the aged TTL pass drops
+        the middle, the surviving current version's data is untouched --
+        and (asserted inside the gate) a time-travel read of a vacuumed
+        version raises with the version named, never an empty frame."""
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.analytics import fleet
+        from pgsf_spark.tables import load_table
+
+        row = _staged()["vacuum_retention_gate"].fn(spark, SF_DIR).first()
+        pk = F.col("c_custkey")
+        expect = (
+            load_table(spark, SF_DIR, "customer")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(pk % fleet.THIRD_MOD == 0, pk * fleet.V_WAVE3)
+                    .when(pk % fleet.UPDATE_MOD == 0, pk * fleet.V_WAVE1)
+                    .otherwise(pk * fleet.V_SNAP)
+                ).alias("s"),
+            )
+            .first()
+        )
+        assert row["n_rows"] == expect["n"]
+        assert row["sum_v"] == expect["s"]
+        assert (
+            row["n_versions_start"],
+            row["n_victims_keep"],
+            row["n_victims_ttl"],
+            row["n_versions_end"],
+        ) == (3, 1, 1, 1)
+
+
+class TestCasPublishSemantics:
+    def test_no_lost_update_and_retry_protocol(self, spark):
+        """The stale writer's publish was refused (asserted in-gate via
+        ConcurrentWriteError) and left the state untouched; the retry
+        merged on top of A, so the final state carries BOTH updates with
+        B winning the pk % 70 overlap; the loser's orphan dir is the
+        documented vacuum garbage (4 dirs)."""
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.analytics import fleet
+        from pgsf_spark.tables import load_table
+
+        row = _staged()["cas_publish_gate"].fn(spark, SF_DIR).first()
+        pk = F.col("c_custkey")
+        expect = (
+            load_table(spark, SF_DIR, "customer")
+            .agg(
+                F.sum(
+                    F.when(pk % fleet.UPDATE_MOD == 0, pk * fleet.V_WAVE1).otherwise(
+                        pk * fleet.V_SNAP
+                    )
+                ).alias("a"),
+                F.sum(
+                    F.when(pk % fleet.CAS_MOD == 0, pk * fleet.V_CAS)
+                    .when(pk % fleet.UPDATE_MOD == 0, pk * fleet.V_WAVE1)
+                    .otherwise(pk * fleet.V_SNAP)
+                ).alias("f"),
+            )
+            .first()
+        )
+        assert row["sum_after_a"] == expect["a"]
+        assert row["sum_final"] == expect["f"]
+        assert row["sum_after_a"] != row["sum_final"]  # B's update landed
+        assert row["n_version_dirs"] == 4
