@@ -66,8 +66,8 @@ FROM v GROUP BY 1 ORDER BY 1""",
     CASE WHEN doc_id % 7 <> 3 THEN n_chars END AS nc,
     CASE WHEN doc_id % 7 <> 3 THEN 1 END AS meta_ok
   FROM documents)
-SELECT valid, COUNT(*) AS n, SUM(nc) AS sum_chars,
-  SUM(meta_ok) AS n_meta_ok, COUNT(DISTINCT source) AS n_sources
+SELECT valid, COUNT(*) AS n, CAST(SUM(nc) AS BIGINT) AS sum_chars,
+  CAST(SUM(meta_ok) AS BIGINT) AS n_meta_ok, COUNT(DISTINCT source) AS n_sources
 FROM p GROUP BY 1 ORDER BY 1""",
     ),
     "map_reshape_gate": QuerySpec(

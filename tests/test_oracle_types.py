@@ -144,3 +144,36 @@ def test_oracle_pandas_dtypes_are_hash_stable(con, name):
                 f"{name}.{col}: oracle materializes Decimal objects in "
                 f"pandas -- cast the output column to DOUBLE"
             )
+
+
+def _staged_with_oracle() -> dict:
+    """All still-staged batches' oracle specs: the live-registry lints
+    above only fire at REGISTRATION, which is how from_json_corrupt_gate
+    reached round 12 with a bare SUM (HUGEINT) -- lint staged batches
+    BEFORE their round so a promotion is never a lint-triage session."""
+    from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
+    from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14
+    from pgsf_spark.analytics.registry_r15 import STAGED_QUERIES_R15
+
+    return {
+        name: spec
+        for batch in (STAGED_QUERIES_R13, STAGED_QUERIES_R14, STAGED_QUERIES_R15)
+        for name, spec in batch.items()
+        if spec.oracle is not None
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_staged_with_oracle()))
+def test_staged_oracle_binds_and_types_are_hashable(con, name):
+    spec = _staged_with_oracle()[name]
+    rel = con.sql(spec.oracle)  # bind only -- no execution
+    offenders = [
+        (col, str(typ))
+        for col, typ in zip(rel.columns, rel.types)
+        if any(b in str(typ).upper() for b in BANNED)
+    ]
+    assert offenders == [], (
+        f"{name} (staged): oracle emits driver-unhashable column types "
+        f"{offenders}; wrap the aggregate in CAST(... AS BIGINT) (ints) "
+        f"or CAST(... AS DOUBLE) (decimals)"
+    )
