@@ -154,10 +154,16 @@ def _staged_with_oracle() -> dict:
     from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
     from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14
     from pgsf_spark.analytics.registry_r15 import STAGED_QUERIES_R15
+    from pgsf_spark.analytics.registry_r16 import STAGED_QUERIES_R16
 
     return {
         name: spec
-        for batch in (STAGED_QUERIES_R13, STAGED_QUERIES_R14, STAGED_QUERIES_R15)
+        for batch in (
+            STAGED_QUERIES_R13,
+            STAGED_QUERIES_R14,
+            STAGED_QUERIES_R15,
+            STAGED_QUERIES_R16,
+        )
         for name, spec in batch.items()
         if spec.oracle is not None
     }

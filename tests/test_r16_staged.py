@@ -1,0 +1,141 @@
+"""Round-16 STAGED batch: the composed curation-funnel gates.
+
+Same staging discipline as tests/test_r11..r15_staged.py: the batch
+ships in pgsf_spark/analytics/registry_r16.py, is gated here with the
+SAME comparison the round driver runs, and must already be lint-ready.
+
+Beyond oracle parity, this file pins the composition properties the
+gates exist to prove: per-stage loss attribution partitions exactly,
+the duplicate wave is the thing exact-dedup removes, and the
+incremental path reproduces the full recompute INCLUDING the
+displacement case (a lower-id newcomer evicting a published survivor).
+"""
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _staged():
+    from pgsf_spark.analytics.registry_r16 import STAGED_QUERIES_R16
+
+    return STAGED_QUERIES_R16
+
+
+class TestStagingDisciplineR16:
+    def test_batch_size_and_no_collisions(self):
+        from pgsf_spark.analytics.registry import QUERIES
+        from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
+        from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14
+        from pgsf_spark.analytics.registry_r15 import STAGED_QUERIES_R15
+
+        staged = _staged()
+        assert len(staged) == 2
+        for other in (
+            QUERIES,
+            STAGED_QUERIES_R13,
+            STAGED_QUERIES_R14,
+            STAGED_QUERIES_R15,
+        ):
+            assert not set(staged) & set(other)
+
+    def test_staged_specs_shaped_like_registry_specs(self):
+        from pgsf_spark.analytics.registry import QuerySpec
+
+        for name, spec in _staged().items():
+            assert isinstance(spec, QuerySpec), name
+            assert callable(spec.fn), name
+            assert isinstance(spec.oracle, str) and spec.oracle.strip(), name
+
+    def test_leaf_importable_first(self):
+        import subprocess
+        import sys
+
+        code = (
+            "import sys; sys.path.insert(0, '.');"
+            "import pgsf_spark.analytics.registry_r16;"
+            "from pgsf_spark.analytics.registry import QUERIES;"
+            "from pgsf_spark.analytics.registry_r16 import STAGED_QUERIES_R16;"
+            "assert not set(STAGED_QUERIES_R16) & set(QUERIES)"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+        )
+        assert r.returncode == 0, r.stderr[-1000:]
+
+
+class TestStagedOracleParityR16:
+    @pytest.mark.parametrize("name", sorted(_staged()))
+    def test_oracle_parity_sf0001(self, spark, name):
+        from pgsf_spark.verify import verify_queries
+
+        results = verify_queries(
+            spark, SF_DIR, only={name}, log=lambda s: None, queries=_staged()
+        )
+        assert results == {name: True}
+
+
+class TestStagedLintReadinessR16:
+    @pytest.mark.parametrize("name", sorted(_staged()))
+    def test_gate_faces_return_checkpoints(self, spark, name):
+        df = _staged()[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+        assert ".parquet" not in plan
+
+
+class TestStagedEmptyInputsR16:
+    @pytest.mark.parametrize("name", sorted(_staged()))
+    def test_runs_on_empty_tables(self, spark, empty_sf_dir, name):
+        df = _staged()[name].fn(spark, empty_sf_dir)
+        assert len(df.schema) > 0
+        assert isinstance(df.collect(), list)  # must not raise
+
+
+class TestFunnelSemantics:
+    def test_loss_attribution_partitions_and_dup_wave_is_removed(self, spark):
+        """ingest - final == sum(drops); the injected duplicate wave's
+        survivors are exactly what exact_dedup removes (natural exact
+        dups are zero in the fixture corpus, asserted separately); the
+        funnel is monotone."""
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.analytics import funnel
+        from pgsf_spark.tables import load_table
+
+        rows = {
+            r["stage"]: r
+            for r in _staged()["curation_funnel_gate"].fn(spark, SF_DIR).collect()
+        }
+        assert list(rows) == list(funnel.STAGES)
+        drops = sum(r["n_dropped"] for r in rows.values())
+        assert rows["ingest"]["n_docs"] - rows["prefix_dedup"]["n_docs"] == drops
+
+        docs = load_table(spark, SF_DIR, "documents")
+        # the corpus has no natural exact duplicates, so exact_dedup's
+        # drop count equals the duplicate wave's survivors at that stage
+        norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+        n_docs, n_norms = docs.agg(
+            F.count(F.lit(1)), F.count_distinct(norm)
+        ).first()
+        assert n_docs == n_norms, "fixture grew natural exact dups"
+        dup_wave_survivors = rows["exact_dedup"]["n_dropped"]
+        n_wave = docs.filter(F.col("doc_id") % funnel.DUP_MOD == 0).count()
+        assert 0 < dup_wave_survivors <= n_wave
+
+    def test_incremental_displacement_is_exercised_not_vacuous(self, spark):
+        """The property only means something if day 2 actually contains
+        keep-min winners: assert some funnel survivors have doc_id % 3
+        == 0 (day-2 docs won groups), so the reconciliation path -- not
+        just the append path -- is what the gate proved."""
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.analytics import funnel
+        from pgsf_spark.analytics.funnel import _featurize, _funnel_survivors, _ingest
+
+        surv = _funnel_survivors(_featurize(_ingest(spark, SF_DIR)))
+        day2_winners = surv.filter(F.col("doc_id") % funnel.INCR_MOD == 0).count()
+        assert day2_winners > 0
+        # and the gate's own in-gate parity assert ran green
+        out = _staged()["curation_funnel_incremental_gate"].fn(spark, SF_DIR)
+        assert out.count() > 0
