@@ -47,6 +47,8 @@ import threading
 import time
 from datetime import datetime, timedelta
 
+from pgsf_spark.sync.state import _utcnow
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -145,7 +147,7 @@ def q_fleet_scheduler_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             cadence.insert(name, syncuntil=T0, refresh_minutes=minutes)
             cadence.claim(name)
             cadence.release(name)  # stamps last_refresh = now
-        clock0 = datetime.utcnow()
+        clock0 = _utcnow()  # the SAME naive-UTC clock SyncState stamps with
         expected_at = [(6, {"cust"}), (12, {"cust", "ords"}), (17, {"cust", "ords", "supp"}), (25, {"cust", "ords", "supp", "prt"})]
         for minutes, want in expected_at:
             got = set(cadence.due_tables(now=clock0 + timedelta(minutes=minutes)))

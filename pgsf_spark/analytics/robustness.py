@@ -115,14 +115,13 @@ def q_integrity_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors as ``doc_id % 4 <> 2`` over ``documents``, plus the
     ledger-derived columns, so detection, quarantine, and the explicit
     (never silent) row loss are all hash-pinned."""
-    import json
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from pgsf_spark.sources.integrity import (
-        QUARANTINE_LEDGER,
         quarantine_corrupt,
+        read_quarantine_ledger,
         scan_parquet_dir,
     )
 
@@ -158,8 +157,7 @@ def q_integrity_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean = quarantine_corrupt(zone, report)
         if not clean:
             raise ValueError(f"integrity gate: quarantine left {clean.describe()}")
-        with open(os.path.join(zone, QUARANTINE_LEDGER)) as fh:
-            ledger = json.load(fh)
+        ledger = read_quarantine_ledger(zone)
         res = (
             spark.read.parquet(zone)
             .groupBy("source")

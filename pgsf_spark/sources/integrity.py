@@ -86,12 +86,17 @@ def check_file(path: str) -> str | None:
     except OSError as e:
         # could not REACH the file (missing, permission, I/O error) --
         # an environment failure, tagged so quarantine never treats it
-        # as corruption evidence. pyarrow's ArrowIOError ALSO subclasses
-        # OSError but fires on footer-parse failures ("Couldn't
-        # deserialize thrift"), so pyarrow-raised errors stay corruption.
-        if type(e).__module__.startswith("pyarrow"):
-            return f"{type(e).__name__}: {e}"[:200]
-        return f"{ENV_REASON_PREFIX}{type(e).__name__}: {e}"[:200]
+        # as corruption evidence. Discriminator: environment failures
+        # carry an OS errno (FileNotFoundError=2, EACCES=13, EIO=5...);
+        # pyarrow surfaces footer-parse failures as a BARE builtins
+        # OSError with errno None ("Couldn't deserialize thrift", its
+        # ArrowIOError is an alias of OSError, not a pyarrow-module
+        # subclass -- verified on pyarrow 16), and those ARE corruption.
+        if e.errno is not None or isinstance(
+            e, (FileNotFoundError, PermissionError, IsADirectoryError)
+        ):
+            return f"{ENV_REASON_PREFIX}{type(e).__name__}: {e}"[:200]
+        return f"{type(e).__name__}: {e}"[:200]
     except Exception as e:  # noqa: BLE001 -- the reason IS the product
         return f"{type(e).__name__}: {e}"[:200]
 
@@ -183,23 +188,68 @@ def quarantine_corrupt(path: str, report: IntegrityReport | None = None) -> Inte
         qdir = os.path.join(path, QUARANTINE_DIR)
         os.makedirs(qdir, exist_ok=True)
         ledger_path = os.path.join(path, QUARANTINE_LEDGER)
-        ledger = []
-        if os.path.exists(ledger_path):
-            with open(ledger_path) as fh:
-                ledger = json.load(fh)
-        for f, reason in report.bad:
-            rel = os.path.relpath(f, path)
-            stored = _quarantine_name(qdir, rel)
-            # ledger first (atomic replace + fsync), THEN the move
-            ledger.append({"file": stored, "source": rel, "reason": reason})
-            tmp = ledger_path + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(ledger, fh)
-                fh.flush()
-                os.fsync(fh.fileno())
-            os.replace(tmp, ledger_path)
-            shutil.move(f, os.path.join(qdir, stored))
+        _convert_legacy_ledger(ledger_path)
+        # append-only JSONL: one fsynced line per file BEFORE its move --
+        # the ledger-before-move ordering at O(bad) cost (a full-array
+        # rewrite per file would be O(bad^2) bytes on a mass-corruption
+        # zone); a crash can leave at most one torn trailing line for a
+        # file that was NOT yet moved, which the reader skips
+        with open(ledger_path, "a") as lg:
+            for f, reason in report.bad:
+                rel = os.path.relpath(f, path)
+                stored = _quarantine_name(qdir, rel)
+                lg.write(
+                    json.dumps({"file": stored, "source": rel, "reason": reason})
+                    + "\n"
+                )
+                lg.flush()
+                os.fsync(lg.fileno())
+                shutil.move(f, os.path.join(qdir, stored))
     return scan_parquet_dir(path)
+
+
+def _convert_legacy_ledger(ledger_path: str) -> None:
+    """One-time migration of a pre-JSONL array-format ledger so appends
+    stay append-only; atomic, idempotent, no-op for JSONL or absent."""
+    if not os.path.exists(ledger_path):
+        return
+    with open(ledger_path) as fh:
+        head = fh.read(1)
+    if head != "[":
+        return
+    with open(ledger_path) as fh:
+        entries = json.load(fh)
+    tmp = ledger_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.writelines(json.dumps(e) + "\n" for e in entries)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, ledger_path)
+
+
+def read_quarantine_ledger(zone_path: str) -> list[dict]:
+    """The quarantine audit trail of a landing zone, oldest first.
+
+    Reads both formats (append-only JSONL, and the legacy JSON array a
+    pre-migration zone may still hold). A torn trailing JSONL line --
+    the only artifact a crash mid-append can leave, always for a file
+    whose move had NOT happened yet -- is skipped."""
+    ledger_path = os.path.join(zone_path, QUARANTINE_LEDGER)
+    if not os.path.exists(ledger_path):
+        return []
+    with open(ledger_path) as fh:
+        text = fh.read()
+    if text.lstrip().startswith("["):
+        return json.loads(text)
+    out: list[dict] = []
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        try:
+            out.append(json.loads(line))
+        except json.JSONDecodeError:
+            break  # torn trailing line from a crash mid-append
+    return out
 
 
 def _fanout_slices(n_files: int, default_parallelism: int) -> int:

@@ -342,7 +342,15 @@ class EntityCdcStreamReader(DataSourceStreamReader):
 
         self._check_ts_field()
         hi = -(2**62)
-        for f in _files(self.path):
+        files = _files(self.path)
+        # evict memo entries for files that left the zone (retention /
+        # compaction): over a weeks-long stream every landed generation
+        # would otherwise pin its entries in driver memory forever
+        live = set(files)
+        self._statless_max_memo = {
+            k: v for k, v in self._statless_max_memo.items() if k[0] in live
+        }
+        for f in files:
             pf = _open_pf(f)
             meta = pf.metadata
             for rg in range(meta.num_row_groups):

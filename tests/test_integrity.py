@@ -8,7 +8,6 @@ rows vanish without a ledger). sources/integrity.py detects (footer-only,
 O(files)), names, and quarantines with a JSON ledger.
 """
 
-import json
 import os
 
 import pytest
@@ -17,6 +16,7 @@ from pgsf_spark.sources.integrity import (
     QUARANTINE_LEDGER,
     check_file,
     quarantine_corrupt,
+    read_quarantine_ledger,
     scan_parquet_dir,
 )
 
@@ -89,7 +89,7 @@ class TestQuarantine:
         assert report  # clean after quarantine
         qfile = tmp_path / "t" / "_quarantine" / os.path.basename(files[0])
         assert qfile.exists() and not os.path.exists(files[0])
-        ledger = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
+        ledger = read_quarantine_ledger(str(tmp_path / "t"))
         assert ledger[0]["file"] == os.path.basename(files[0])
         assert ledger[0]["reason"]
         # the load now succeeds on the good files (rows of the bad file
@@ -103,7 +103,7 @@ class TestQuarantine:
         quarantine_corrupt(str(tmp_path / "t"))  # no-op
         _truncate(files[1])
         quarantine_corrupt(str(tmp_path / "t"))
-        ledger = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
+        ledger = read_quarantine_ledger(str(tmp_path / "t"))
         assert [e["file"] for e in ledger] == [
             os.path.basename(files[0]),
             os.path.basename(files[1]),
@@ -212,7 +212,7 @@ class TestNestedLandingZone:
         assert report2.bad and report2.bad[0][0] == victim
         clean = quarantine_corrupt(str(zone), report2)
         assert clean
-        ledger = json.load(open(zone / QUARANTINE_LEDGER))
+        ledger = read_quarantine_ledger(str(zone))
         # evidence name flattens the partition path; source keeps it
         assert ledger[0]["source"].startswith("p=")
         assert "__" in ledger[0]["file"]
@@ -230,7 +230,7 @@ class TestNestedLandingZone:
         with open(files[0], "wb") as fh:
             fh.write(b"garbage bytes")
         quarantine_corrupt(str(tmp_path / "t"))
-        ledger = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
+        ledger = read_quarantine_ledger(str(tmp_path / "t"))
         assert len(ledger) == 2
         stored = [e["file"] for e in ledger]
         assert len(set(stored)) == 2  # distinct evidence names
@@ -276,7 +276,7 @@ class TestDistributedScan:
         report = scan_parquet_dir_distributed(spark, str(tmp_path / "t"))
         clean = quarantine_corrupt(str(tmp_path / "t"), report)
         assert clean
-        ledger = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
+        ledger = read_quarantine_ledger(str(tmp_path / "t"))
         assert ledger[0]["source"] == os.path.basename(files[1])
 
 
@@ -374,14 +374,14 @@ class TestLedgerBeforeMove:
         monkeypatch.undo()
 
         qdir = tmp_path / "t" / "_quarantine"
-        ledger = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
+        ledger = read_quarantine_ledger(str(tmp_path / "t"))
         evidence = [n for n in os.listdir(qdir) if n.endswith(".parquet")]
         ledgered = {e["file"] for e in ledger}
         assert evidence and set(evidence) <= ledgered  # never unledgered
         # the reverse window (ledgered, move pending) self-heals on re-run
         clean = quarantine_corrupt(str(tmp_path / "t"))
         assert clean
-        ledger2 = json.load(open(tmp_path / "t" / QUARANTINE_LEDGER))
+        ledger2 = read_quarantine_ledger(str(tmp_path / "t"))
         evidence2 = {
             n for n in os.listdir(qdir) if n.endswith(".parquet")
         }
@@ -470,5 +470,73 @@ class TestDistributedScanAtFileCount:
         ) == expected
         clean = quarantine_corrupt(str(zone), report)
         assert clean and len(clean.good) == self.N_FILES - 3
-        ledger = json.load(open(zone / QUARANTINE_LEDGER))
+        ledger = read_quarantine_ledger(str(zone))
         assert len(ledger) == 3
+
+
+class TestThriftCorruptionClassing:
+    """Self-review r12: pyarrow surfaces a corrupt-thrift footer as a
+    BARE builtins OSError with errno None (its ArrowIOError is an alias
+    of OSError, not a pyarrow-module subclass) -- that shape is
+    CORRUPTION and must stay quarantinable; only errno-carrying OS
+    failures are environmental."""
+
+    @staticmethod
+    def _thrift_corrupt(path):
+        data = bytearray(open(path, "rb").read())
+        n = len(data)
+        # garble thrift bytes in the footer, keep the trailing 8 bytes
+        # (footer length + PAR1 magic) intact
+        for i in range(max(0, n - 60), n - 8):
+            data[i] ^= 0xFF
+        open(path, "wb").write(bytes(data))
+
+    def test_thrift_corruption_is_corruption_not_env(self, spark, tmp_path):
+        from pgsf_spark.sources.integrity import is_env_reason
+
+        files = _write_dir(spark, tmp_path / "t")
+        self._thrift_corrupt(files[0])
+        reason = check_file(files[0])
+        assert reason is not None
+        assert not is_env_reason(reason), reason
+
+    def test_thrift_corrupt_file_is_quarantinable(self, spark, tmp_path):
+        files = _write_dir(spark, tmp_path / "t")
+        self._thrift_corrupt(files[1])
+        clean = quarantine_corrupt(str(tmp_path / "t"))
+        assert clean
+        ledger = read_quarantine_ledger(str(tmp_path / "t"))
+        assert len(ledger) == 1
+        assert ledger[0]["source"] == os.path.basename(files[1])
+
+
+class TestLedgerJsonl:
+    def test_legacy_array_ledger_converts_and_appends(self, spark, tmp_path):
+        """A pre-JSONL zone (array-format ledger) keeps its history: the
+        first post-migration quarantine converts it once, then appends."""
+        import json
+
+        files = _write_dir(spark, tmp_path / "t")
+        qdir = tmp_path / "t" / "_quarantine"
+        os.makedirs(qdir)
+        legacy = [{"file": "old.parquet", "source": "old.parquet", "reason": "x"}]
+        with open(tmp_path / "t" / QUARANTINE_LEDGER, "w") as fh:
+            json.dump(legacy, fh)
+        _truncate(files[0])
+        clean = quarantine_corrupt(str(tmp_path / "t"))
+        assert clean
+        ledger = read_quarantine_ledger(str(tmp_path / "t"))
+        assert ledger[0] == legacy[0]  # history preserved, oldest first
+        assert ledger[1]["source"] == os.path.basename(files[0])
+        # and the file is now JSONL (starts with an object, not an array)
+        assert open(tmp_path / "t" / QUARANTINE_LEDGER).read(1) == "{"
+
+    def test_torn_trailing_line_is_skipped(self, spark, tmp_path):
+        files = _write_dir(spark, tmp_path / "t")
+        _truncate(files[0])
+        quarantine_corrupt(str(tmp_path / "t"))
+        ledger_path = tmp_path / "t" / QUARANTINE_LEDGER
+        whole = read_quarantine_ledger(str(tmp_path / "t"))
+        with open(ledger_path, "a") as fh:
+            fh.write('{"file": "torn-no-newline-and-unbal')  # crash artifact
+        assert read_quarantine_ledger(str(tmp_path / "t")) == whole

@@ -484,6 +484,15 @@ class TestPythonCdcSource:
         assert 1 <= second_reads <= first_reads  # only w2's groups
         assert reader.latestOffset() == o2
         assert len(calls) == first_reads + second_reads
+        # eviction: a file leaving the zone (retention/compaction) drops
+        # its memo entries, so a weeks-long stream never grows the memo
+        # beyond the zone's live files
+        os.remove(os.path.join(data, "w1.parquet"))
+        o3 = reader.latestOffset()
+        assert o3["watermark_us"] == base + 14 * 1_000_000  # w2 still wins
+        assert all(
+            k[0].endswith("w2.parquet") for k in reader._statless_max_memo
+        )
 
     def test_ts_us_round_trips_exact_microseconds_property(self):
         """Hypothesis pin of the fd276fa precision-bug class (VERDICT r10
