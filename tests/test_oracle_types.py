@@ -155,6 +155,7 @@ def _staged_with_oracle() -> dict:
     from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14
     from pgsf_spark.analytics.registry_r15 import STAGED_QUERIES_R15
     from pgsf_spark.analytics.registry_r16 import STAGED_QUERIES_R16
+    from pgsf_spark.analytics.registry_r17 import STAGED_QUERIES_R17
 
     return {
         name: spec
@@ -163,6 +164,7 @@ def _staged_with_oracle() -> dict:
             STAGED_QUERIES_R14,
             STAGED_QUERIES_R15,
             STAGED_QUERIES_R16,
+            STAGED_QUERIES_R17,
         )
         for name, spec in batch.items()
         if spec.oracle is not None

@@ -130,6 +130,7 @@ def main() -> int:
     from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14
     from pgsf_spark.analytics.registry_r15 import STAGED_QUERIES_R15
     from pgsf_spark.analytics.registry_r16 import STAGED_QUERIES_R16
+    from pgsf_spark.analytics.registry_r17 import STAGED_QUERIES_R17
     from pgsf_spark.session import get_spark
     from pgsf_spark.tables import load_table
 
@@ -142,6 +143,7 @@ def main() -> int:
         **STAGED_QUERIES_R14,
         **STAGED_QUERIES_R15,
         **STAGED_QUERIES_R16,
+        **STAGED_QUERIES_R17,
     }
     unknown = [q for q in names if q not in QUERIES]
     if unknown:
