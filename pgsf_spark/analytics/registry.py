@@ -8713,6 +8713,81 @@ _ROUND12_FRONT = [
 assert len(_ROUND12_FRONT) == 50, len(_ROUND12_FRONT)
 assert set(_ROUND12_FRONT) <= set(QUERIES), set(_ROUND12_FRONT) - set(QUERIES)
 
+# --- ROUND 13 REGISTRATION (third staged batch: r13+r14+r15+r16+r17) ---------
+# The 20-query round-13 batch (20 <= the 25-per-round cap) was BUILT and
+# oracle-verified across rounds 10-12 and re-verified at both scales in
+# round 12 (builder 2x, judge 2x). Five staged modules promote together,
+# per PERF.md "Round-13 front plan" / VERDICT r12 ask #1:
+#   registry_r13 (8): Spark 4 SQL-language surfaces (recursive CTE, pipe
+#     syntax, SQL scalar/table UDFs, collation, observe metrics) + the
+#     chunked batch/stream sink legs (K4 reverse-ETL cap semantics).
+#   registry_r14 (2): robustness gates (schema drift, parquet quarantine).
+#   registry_r15 (4): fleet/store depth (scheduler isolation, snapshot
+#     consistency under a concurrent writer, vacuum retention, CAS publish).
+#   registry_r16 (2): composed curation funnel + incremental==full parity.
+#   registry_r17 (4): reference API surfaces (SOSL, query-pages, CDC id
+#     windows, compaction) -- the previously pytest-only SURVEY §2 rows.
+# All five modules depend only on leaves (spec.py), so these bottom
+# imports are order-independent; the clean-subprocess pin in
+# tests/test_literal_constants.py covers both import orders for each.
+from pgsf_spark.analytics.registry_r13 import (  # noqa: E402
+    STAGED_QUERIES_R13 as _R13_STAGED,
+)
+from pgsf_spark.analytics.registry_r14 import (  # noqa: E402
+    STAGED_QUERIES_R14 as _R14_STAGED,
+)
+from pgsf_spark.analytics.registry_r15 import (  # noqa: E402
+    STAGED_QUERIES_R15 as _R15_STAGED,
+)
+from pgsf_spark.analytics.registry_r16 import (  # noqa: E402
+    STAGED_QUERIES_R16 as _R16_STAGED,
+)
+from pgsf_spark.analytics.registry_r17 import (  # noqa: E402
+    STAGED_QUERIES_R17 as _R17_STAGED,
+)
+
+_R13_BATCH: dict = {}
+for _staged in (_R13_STAGED, _R14_STAGED, _R15_STAGED, _R16_STAGED, _R17_STAGED):
+    _overlap = (set(_staged) & set(QUERIES)) | (set(_staged) & set(_R13_BATCH))
+    assert not _overlap, _overlap
+    _R13_BATCH.update(_staged)
+assert len(_R13_BATCH) == 20, len(_R13_BATCH)
+QUERIES.update(_R13_BATCH)
+
+# ROUND 13 FRONT: the 20 newly registered names (their first-ever driver
+# CORRECTNESS rows) plus 30 re-checks chosen for age-and-importance: the
+# 11 round-12 names (second driver rows), the 14 headline bench queries,
+# and 5 SURVEY §2 gate anchors.
+_ROUND13_FRONT = [
+    # -- the r13 batch (r13+r14+r15+r16+r17 staged): first driver rows ---
+    *list(_R13_BATCH),
+    # -- the 11 r12 names: second driver rows ----------------------------
+    *list(_R12_STAGED),
+    # -- headline re-checks ----------------------------------------------
+    "pricing_summary",
+    "revenue_by_nation",
+    "region_volume",
+    "top_orders_per_customer",
+    "sessionize",
+    "merge_upsert_customer",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "quality_score",
+    "kmeans_clusters",
+    "pagerank_neardup",
+    "prefix_filter_pairs",
+    "lsh_jaccard_verified",
+    # -- SURVEY §2 gate re-checks ----------------------------------------
+    "soql_projection",
+    "count_orders",
+    "csv_roundtrip",
+    "watermark_filter",
+    "soft_delete_split",
+]
+assert len(_ROUND13_FRONT) == 50, len(_ROUND13_FRONT)
+assert set(_ROUND13_FRONT) <= set(QUERIES), set(_ROUND13_FRONT) - set(QUERIES)
+
 # Apply the rotations in round order (one top-level QUERIES binding: the
 # duplicate-constant lint treats a second bare reassignment as the
 # NOVELTY_N shadowing hazard). Each pass moves that round's front to the
@@ -8725,6 +8800,7 @@ for _front in (
     _ROUND10_FRONT,
     _ROUND11_FRONT,
     _ROUND12_FRONT,
+    _ROUND13_FRONT,
 ):
     QUERIES = {
         name: QUERIES[name]

@@ -14,10 +14,13 @@ engines run the same recursion independently.
 
 from __future__ import annotations
 
+# LEAF imports only (spec.py, never registry): registry.py's ROUND-13
+# REGISTRATION block imports this module at its bottom, so importing
+# registry from here would re-create the import-order cycle the spec.py
+# split removed. Collision asserts against the live registry moved to
+# registry.py's promotion block (and tests/test_r13_staged.py).
 from pgsf_spark.analytics import sqlsurfaces
-from pgsf_spark.analytics.registry import QUERIES as _LIVE, QuerySpec
-from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES as _R11
-from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12 as _R12
+from pgsf_spark.analytics.spec import QuerySpec
 
 STAGED_QUERIES_R13: dict[str, QuerySpec] = {
     "recursive_cte_closure": QuerySpec(
@@ -105,6 +108,3 @@ FROM documents GROUP BY 1 ORDER BY 1""",
 }
 
 assert len(STAGED_QUERIES_R13) == 8, len(STAGED_QUERIES_R13)
-for _other in (_LIVE, _R11, _R12):
-    _overlap = set(STAGED_QUERIES_R13) & set(_other)
-    assert not _overlap, _overlap

@@ -15,10 +15,13 @@ base table alone.
 
 from __future__ import annotations
 
+# LEAF imports only (spec.py, never registry): registry.py's ROUND-13
+# REGISTRATION block imports this module at its bottom, so importing
+# registry from here would re-create the import-order cycle the spec.py
+# split removed. Collision asserts against the live registry moved to
+# registry.py's promotion block (and tests/test_r14_staged.py).
 from pgsf_spark.analytics import robustness
-from pgsf_spark.analytics.registry import QUERIES as _LIVE, QuerySpec
-from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12 as _R12
-from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13 as _R13
+from pgsf_spark.analytics.spec import QuerySpec
 
 STAGED_QUERIES_R14: dict[str, QuerySpec] = {
     "schema_drift_gate": QuerySpec(
@@ -44,6 +47,3 @@ GROUP BY source ORDER BY source""",
 }
 
 assert len(STAGED_QUERIES_R14) == 2, len(STAGED_QUERIES_R14)
-for _other in (_LIVE, _R12, _R13):
-    _overlap = set(STAGED_QUERIES_R14) & set(_other)
-    assert not _overlap, _overlap

@@ -161,13 +161,28 @@ class TestRegistryImportOrder:
 
         code = (
             "import sys; sys.path.insert(0, '.');"
+            "import pgsf_spark.analytics.registry_r17;"
+            "import pgsf_spark.analytics.registry_r16;"
+            "import pgsf_spark.analytics.registry_r15;"
+            "import pgsf_spark.analytics.registry_r14;"
+            "import pgsf_spark.analytics.registry_r13;"
             "import pgsf_spark.analytics.registry_r12;"
             "import pgsf_spark.analytics.registry_r11;"
             "from pgsf_spark.analytics.registry import QUERIES;"
             "from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES;"
             "from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12;"
+            "from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13;"
+            "from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14;"
+            "from pgsf_spark.analytics.registry_r15 import STAGED_QUERIES_R15;"
+            "from pgsf_spark.analytics.registry_r16 import STAGED_QUERIES_R16;"
+            "from pgsf_spark.analytics.registry_r17 import STAGED_QUERIES_R17;"
             "assert set(STAGED_QUERIES) <= set(QUERIES);"
-            "assert set(STAGED_QUERIES_R12) <= set(QUERIES)"
+            "assert set(STAGED_QUERIES_R12) <= set(QUERIES);"
+            "assert set(STAGED_QUERIES_R13) <= set(QUERIES);"
+            "assert set(STAGED_QUERIES_R14) <= set(QUERIES);"
+            "assert set(STAGED_QUERIES_R15) <= set(QUERIES);"
+            "assert set(STAGED_QUERIES_R16) <= set(QUERIES);"
+            "assert set(STAGED_QUERIES_R17) <= set(QUERIES)"
         )
         r = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=120

@@ -22,21 +22,18 @@ def _staged():
 
 
 class TestStagingDiscipline:
-    def test_r11_batch_registered_inside_round12_front(self):
+    def test_r11_batch_registered(self):
         # round 11 promoted the staged batch: all 25 names live in the
-        # registry, as the SAME spec objects. Round 12's front rotated
-        # the 11-name r12 batch ahead of them, so the r11 names now sit
-        # at positions 11..35 (their second driver rows ride in the
-        # round-12 50-slot window, per the r11 verdict's front plan).
+        # registry, as the SAME spec objects. Later fronts (r12's 11,
+        # r13's 20) rotated ahead of them; the r11 names already have two
+        # driver rows (r11 + r12 windows) so they ride in the tail now.
         from pgsf_spark.analytics.registry import QUERIES
         from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12
 
         staged = _staged()
-        assert len(QUERIES) == 382 + len(staged) + len(STAGED_QUERIES_R12)
+        assert len(QUERIES) == 382 + len(staged) + len(STAGED_QUERIES_R12) + 20
         for name, spec in staged.items():
             assert QUERIES.get(name) is spec, name
-        head = list(QUERIES)[len(STAGED_QUERIES_R12) :][: len(staged)]
-        assert head == list(staged)
 
     def test_staged_specs_shaped_like_registry_specs(self):
         from pgsf_spark.analytics.registry import QuerySpec

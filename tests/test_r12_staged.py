@@ -46,20 +46,24 @@ class TestStagingDisciplineR12:
 
         staged = _staged()
         assert len(staged) == 11
-        assert len(QUERIES) == 382 + len(STAGED_QUERIES) + len(staged)
+        assert len(QUERIES) == 382 + len(STAGED_QUERIES) + len(staged) + 20
         for name, spec in staged.items():
             assert QUERIES.get(name) is spec, name
-        assert list(QUERIES)[: len(staged)] == list(staged)
+        # round 13's 20-name batch rotated ahead; the r12 names sit right
+        # behind it (their second driver rows ride in the r13 window)
+        assert list(QUERIES)[20 : 20 + len(staged)] == list(staged)
 
-    def test_r13_r14_batches_still_staged(self):
-        # only the r12 batch registered this round (<=25/round cap);
-        # the r13/r14 batches stay invisible to the driver until round 13
+    def test_r13_r14_batches_registered_in_round_13(self):
+        # round 13 promoted the r13/r14 staged batches (with r15/r16/r17,
+        # 20 <= the 25/round cap) -- they are now driver-visible, as the
+        # SAME spec objects
         from pgsf_spark.analytics.registry import QUERIES
         from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
         from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14
 
-        assert not set(STAGED_QUERIES_R13) & set(QUERIES)
-        assert not set(STAGED_QUERIES_R14) & set(QUERIES)
+        for staged in (STAGED_QUERIES_R13, STAGED_QUERIES_R14):
+            for name, spec in staged.items():
+                assert QUERIES.get(name) is spec, name
 
     def test_staged_specs_shaped_like_registry_specs(self):
         from pgsf_spark.analytics.registry import QuerySpec

@@ -26,15 +26,17 @@ _SINK_FACES = {"chunked_sink_gate", "chunked_stream_sink_gate"}
 
 
 class TestStagingDisciplineR13:
-    def test_batch_size_and_no_collisions(self):
+    def test_batch_registered_at_dict_head(self):
+        # round 13 promoted the batch: all 8 names live in the registry,
+        # as the SAME spec objects, inside the 20-slot r13 head rotation
+        # so the driver's 50-slot correctness window sees them first
         from pgsf_spark.analytics.registry import QUERIES
-        from pgsf_spark.analytics.registry_r11 import STAGED_QUERIES
-        from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12
 
         staged = _staged()
         assert len(staged) == 8
-        for other in (QUERIES, STAGED_QUERIES, STAGED_QUERIES_R12):
-            assert not set(staged) & set(other)
+        for name, spec in staged.items():
+            assert QUERIES.get(name) is spec, name
+        assert set(staged) <= set(list(QUERIES)[:20])
 
     def test_staged_specs_shaped_like_registry_specs(self):
         from pgsf_spark.analytics.registry import QuerySpec

@@ -20,15 +20,16 @@ def _staged():
 
 
 class TestStagingDisciplineR14:
-    def test_batch_size_and_no_collisions(self):
+    def test_batch_registered_at_dict_head(self):
+        # round 13 promoted the batch: both names live in the registry,
+        # as the SAME spec objects, inside the 20-slot r13 head rotation
         from pgsf_spark.analytics.registry import QUERIES
-        from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12
-        from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
 
         staged = _staged()
         assert len(staged) == 2
-        for other in (QUERIES, STAGED_QUERIES_R12, STAGED_QUERIES_R13):
-            assert not set(staged) & set(other)
+        for name, spec in staged.items():
+            assert QUERIES.get(name) is spec, name
+        assert set(staged) <= set(list(QUERIES)[:20])
 
     def test_staged_specs_shaped_like_registry_specs(self):
         from pgsf_spark.analytics.registry import QuerySpec

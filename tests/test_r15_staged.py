@@ -26,15 +26,16 @@ def _staged():
 
 
 class TestStagingDisciplineR15:
-    def test_batch_size_and_no_collisions(self):
+    def test_batch_registered_at_dict_head(self):
+        # round 13 promoted the batch: all 4 names live in the registry,
+        # as the SAME spec objects, inside the 20-slot r13 head rotation
         from pgsf_spark.analytics.registry import QUERIES
-        from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
-        from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14
 
         staged = _staged()
         assert len(staged) == 4
-        for other in (QUERIES, STAGED_QUERIES_R13, STAGED_QUERIES_R14):
-            assert not set(staged) & set(other)
+        for name, spec in staged.items():
+            assert QUERIES.get(name) is spec, name
+        assert set(staged) <= set(list(QUERIES)[:20])
 
     def test_staged_specs_shaped_like_registry_specs(self):
         from pgsf_spark.analytics.registry import QuerySpec
@@ -56,7 +57,7 @@ class TestStagingDisciplineR15:
             "import pgsf_spark.analytics.registry_r15;"
             "from pgsf_spark.analytics.registry import QUERIES;"
             "from pgsf_spark.analytics.registry_r15 import STAGED_QUERIES_R15;"
-            "assert not set(STAGED_QUERIES_R15) & set(QUERIES)"
+            "assert set(STAGED_QUERIES_R15) <= set(QUERIES)"
         )
         r = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=120

@@ -23,21 +23,16 @@ def _staged():
 
 
 class TestStagingDisciplineR16:
-    def test_batch_size_and_no_collisions(self):
+    def test_batch_registered_at_dict_head(self):
+        # round 13 promoted the batch: both names live in the registry,
+        # as the SAME spec objects, inside the 20-slot r13 head rotation
         from pgsf_spark.analytics.registry import QUERIES
-        from pgsf_spark.analytics.registry_r13 import STAGED_QUERIES_R13
-        from pgsf_spark.analytics.registry_r14 import STAGED_QUERIES_R14
-        from pgsf_spark.analytics.registry_r15 import STAGED_QUERIES_R15
 
         staged = _staged()
         assert len(staged) == 2
-        for other in (
-            QUERIES,
-            STAGED_QUERIES_R13,
-            STAGED_QUERIES_R14,
-            STAGED_QUERIES_R15,
-        ):
-            assert not set(staged) & set(other)
+        for name, spec in staged.items():
+            assert QUERIES.get(name) is spec, name
+        assert set(staged) <= set(list(QUERIES)[:20])
 
     def test_staged_specs_shaped_like_registry_specs(self):
         from pgsf_spark.analytics.registry import QuerySpec
@@ -56,7 +51,7 @@ class TestStagingDisciplineR16:
             "import pgsf_spark.analytics.registry_r16;"
             "from pgsf_spark.analytics.registry import QUERIES;"
             "from pgsf_spark.analytics.registry_r16 import STAGED_QUERIES_R16;"
-            "assert not set(STAGED_QUERIES_R16) & set(QUERIES)"
+            "assert set(STAGED_QUERIES_R16) <= set(QUERIES)"
         )
         r = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
