@@ -77,6 +77,8 @@ def _median(vals: list[float]) -> float:
 LOAD_GATE = 0.5  # pre-launch 1-min load above this = contaminated box
 LOAD_WAIT_S = 45  # idle wait between resamples (1-min load decays slowly)
 LOAD_MAX_WAITS = 6  # cap total wait at ~4.5 min so a busy driver still benches
+STEAL_GATE = 1.0  # % hypervisor steal during a sample above this = weather
+EXTRA_SAMPLES_MAX = 3  # bounded replacements for weather-flagged samples
 
 
 def _gated_load_start() -> tuple[float, str]:
@@ -164,8 +166,19 @@ def _one_cold_sample():
     spark.stop()
 
 
+def _sample_is_clean(gate: str, steal_pct: float | None) -> bool:
+    """A sample counts toward the official median only if its pre-launch
+    load gate passed AND the hypervisor steal measured DURING it stayed
+    under STEAL_GATE. VERDICT r12: the official r12 artifact was taken on
+    a visibly non-idle box (three pre-launch warnings, 17.9% spread)
+    because the gate ran ONCE and nothing re-checked mid-run; the judge
+    had to adjudicate the round by per-sample steal by hand. Encode that
+    adjudication here instead."""
+    return gate == "idle" and (steal_pct is None or steal_pct <= STEAL_GATE)
+
+
 def main():
-    """Official artifact = median of N_SAMPLES COLD samples.
+    """Official artifact = median of N_SAMPLES clean COLD samples.
 
     VERDICT r10 "What's wrong" #1: this host's idle-box noise band is
     +-25%, so a single sample cannot distinguish host noise from a real
@@ -176,16 +189,28 @@ def main():
     round's single-cold-pass artifact and with the judge's own
     adjudication protocol (three separate bench.py invocations). Each
     sample therefore runs in a FRESH subprocess (fresh JVM, fresh
-    codegen), serially; the parent gates on box load once, aggregates,
-    and emits the one-line artifact with medians + per-sample spread.
+    codegen), serially.
+
+    VERDICT r12 ask #2 (per-sample gating): the load gate runs before
+    EVERY sample, not once pre-launch, and a sample whose gate gave up
+    ("contaminated") or whose measured steal exceeded STEAL_GATE is
+    weather-flagged: up to EXTRA_SAMPLES_MAX bounded replacements are
+    taken, the official median uses clean samples when >= N_SAMPLES of
+    them exist, and discarded samples stay in the artifact
+    (discarded_totals / discarded_steal_pcts) so adjudication is
+    per-row. If the box never settles, the artifact is tagged
+    "contaminated" and uses everything -- the driver still gets a number.
     """
     import subprocess
 
-    load_start, load_gate = _gated_load_start()
-    samples: list[dict[str, float]] = []
-    load_ends: list[float] = []
-    steals: list[float | None] = []
-    for i in range(N_SAMPLES):
+    all_samples: list[dict] = []  # {queries, load_end, steal, load_start, gate}
+    want = N_SAMPLES
+    max_children = N_SAMPLES + EXTRA_SAMPLES_MAX
+    while (
+        sum(1 for s in all_samples if _sample_is_clean(s["gate"], s["steal"])) < want
+        and len(all_samples) < max_children
+    ):
+        load_start, load_gate = _gated_load_start()
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env={**os.environ, "SPARK_GRAFT_BENCH_CHILD": "1"},
@@ -195,11 +220,37 @@ def main():
         )
         if proc.returncode != 0:
             print(proc.stderr[-4000:], file=sys.stderr)
-            raise RuntimeError(f"bench sample {i} failed (rc={proc.returncode})")
+            raise RuntimeError(
+                f"bench sample {len(all_samples)} failed (rc={proc.returncode})"
+            )
         payload = json.loads(proc.stdout.strip().splitlines()[-1])
-        samples.append(payload["queries"])
-        load_ends.append(payload["load_avg_1m_end"])
-        steals.append(payload.get("steal_pct"))
+        rec = {
+            "queries": payload["queries"],
+            "load_end": payload["load_avg_1m_end"],
+            "steal": payload.get("steal_pct"),
+            "load_start": load_start,
+            "gate": load_gate,
+        }
+        all_samples.append(rec)
+        if not _sample_is_clean(load_gate, rec["steal"]):
+            print(
+                f"WARNING: sample {len(all_samples)} weather-flagged "
+                f"(gate={load_gate}, steal={rec['steal']}%) -- "
+                f"{max_children - len(all_samples)} replacement budget left",
+                file=sys.stderr,
+                flush=True,
+            )
+    clean = [s for s in all_samples if _sample_is_clean(s["gate"], s["steal"])]
+    contaminated = len(clean) < want
+    used = all_samples if contaminated else clean[:want]
+    _used_ids = {id(s) for s in used}
+    discarded = [s for s in all_samples if id(s) not in _used_ids]
+    samples = [s["queries"] for s in used]
+    load_ends = [s["load_end"] for s in used]
+    steals = [s["steal"] for s in used]
+    load_starts = [s["load_start"] for s in used]
+    load_start = load_starts[0]
+    load_gate = "contaminated" if contaminated else "idle"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     # per-query medians (the "queries" dict keeps its historical shape);
@@ -219,12 +270,24 @@ def main():
                 "unit": "sec",
                 "original10_total": orig10,
                 "queries": med_times,
-                "n_samples": N_SAMPLES,
+                "n_samples": len(samples),
                 "samples_total": totals,
                 "samples_original10": orig10s,
                 "spread_pct": spread_pct,
                 "sampling": "cold_subprocess_per_sample",
                 "load_avg_1m_start": load_start,
+                # per-sample pre-launch loads (the gate now runs before
+                # EVERY sample -- VERDICT r12 ask #2)
+                "load_avg_1m_starts": load_starts,
+                "steal_gate": STEAL_GATE,
+                # weather-flagged samples that were replaced: kept in the
+                # artifact so adjudication is per-row, excluded from the
+                # official medians above
+                "n_discarded": len(discarded),
+                "discarded_totals": [
+                    round(sum(s["queries"].values()), 3) for s in discarded
+                ],
+                "discarded_steal_pcts": [s["steal"] for s in discarded],
                 # per-sample end loads: contamination DURING sample k must
                 # be visible even when a later sample's load looks clean
                 "load_avg_1m_ends": load_ends,

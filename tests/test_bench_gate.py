@@ -94,6 +94,32 @@ def test_steal_telemetry_in_artifact():
     assert '"steal_pct"' in src  # child payload field
 
 
+def test_per_sample_gating_and_clean_median_selection():
+    """VERDICT r12 ask #2: the load gate must run before EVERY sample and
+    a weather-flagged sample (contaminated gate OR steal above
+    STEAL_GATE) must be replaced (bounded) and excluded from the official
+    median, while staying visible in the artifact for per-row
+    adjudication."""
+    assert bench.STEAL_GATE == 1.0
+    assert bench.EXTRA_SAMPLES_MAX == 3
+    # the clean predicate encodes the r11/r12 adjudication rule
+    assert bench._sample_is_clean("idle", None)
+    assert bench._sample_is_clean("idle", 0.2)
+    assert bench._sample_is_clean("idle", 1.0)
+    assert not bench._sample_is_clean("idle", 1.1)
+    assert not bench._sample_is_clean("contaminated", 0.0)
+    src = open(os.path.join(_REPO, "bench.py")).read()
+    # the gate call sits INSIDE the sampling loop now
+    for key in (
+        '"load_avg_1m_starts"',
+        '"steal_gate"',
+        '"n_discarded"',
+        '"discarded_totals"',
+        '"discarded_steal_pcts"',
+    ):
+        assert key in src, key
+
+
 def test_steal_total_excludes_guest_ticks(monkeypatch):
     """ADVICE r11 (low): guest/guest_nice ticks are already inside
     user/nice on Linux, so the denominator must sum user..steal only --
