@@ -1,0 +1,136 @@
+"""Cross-table consistent snapshots: a versioned catalog over TableStore.
+
+TableStore gives SINGLE-table snapshot isolation (versioned dirs + an
+atomic pointer flip). A pipeline reading two tables mid-sync can still
+observe a MIXED state -- table A already on its new version, table B
+not yet -- which is exactly the torn read the reference's per-table
+psycopg2 transactions cannot prevent across tables either (each table
+syncs in its own process/transaction, sync:13-20). The CatalogStore
+closes that gap the way Iceberg/Delta-style metastores do at fleet
+scale: a catalog VERSION is one immutable JSON mapping
+``{table: store_version}``, published with the same
+flock-serialized atomic pointer flip (and the same optimistic
+``expect_version`` CAS) as the table pointers themselves. Readers that
+resolve every table through one catalog version get a consistent
+multi-table snapshot regardless of what writers publish meanwhile;
+flipping the catalog pointer is the one atomic "commit" of a
+multi-table sync wave.
+
+Read path cost: one tiny JSON read per query plan -- data files are
+the store's own (hardlinked) version dirs, so a catalog adds zero
+bytes of data and zero shuffle.
+"""
+
+from __future__ import annotations
+
+import fcntl
+import itertools
+import json
+import os
+import time
+
+# Per-process publish sequence: two publishes can land in the same
+# millisecond (a failed CAS runs in microseconds), and a colliding
+# version NAME would make the loser's cleanup unlink the winner's body.
+_PUBLISH_SEQ = itertools.count()
+
+from pyspark.sql import DataFrame
+
+from pgsf_spark.operators.table_store import TableStore, _UNCHECKED, ConcurrentWriteError
+
+
+class CatalogStore:
+    """Versioned ``{table: store_version}`` mappings with atomic publish."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT.json")
+
+    def current_version(self) -> str | None:
+        try:
+            with open(self._pointer()) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            return None
+
+    def versions(self) -> list[str]:
+        """Published catalog versions, oldest first."""
+        return sorted(
+            f[: -len(".json")]
+            for f in os.listdir(self.root)
+            if f.startswith("cat_v") and f.endswith(".json")
+        )
+
+    def mapping(self, version: str | None = None) -> dict[str, str]:
+        version = version or self.current_version()
+        if version is None:
+            raise FileNotFoundError(f"catalog at {self.root} has no published version")
+        path = os.path.join(self.root, f"{version}.json")
+        with open(path) as f:
+            return json.load(f)["tables"]
+
+    def publish(self, tables: dict[str, str], expect_version=_UNCHECKED) -> str:
+        """Publish one immutable mapping; atomic flip, optional CAS.
+
+        Same concurrency contract as TableStore._publish: every flip goes
+        through the kernel flock so an unchecked publish can never land
+        inside a CAS publisher's check-then-replace window (lost update).
+        """
+        version = (
+            f"cat_v{int(time.time() * 1000)}_{os.getpid()}_{next(_PUBLISH_SEQ):06d}"
+        )
+        body = os.path.join(self.root, f"{version}.json")
+        with open(body, "w") as f:
+            json.dump(
+                {"version": version, "written_at": time.time(), "tables": tables}, f
+            )
+        tmp_ptr = self._pointer() + f".{version}.tmp"
+        with open(tmp_ptr, "w") as f:
+            json.dump({"version": version, "written_at": time.time()}, f)
+        with open(os.path.join(self.root, "_PUBLISH_LOCK"), "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                if expect_version is not _UNCHECKED:
+                    cur = self.current_version()
+                    if cur != expect_version:
+                        os.unlink(tmp_ptr)
+                        os.unlink(body)
+                        raise ConcurrentWriteError(
+                            f"catalog: expected current version {expect_version!r} "
+                            f"but found {cur!r} -- another publisher won; re-read "
+                            "and retry"
+                        )
+                os.replace(tmp_ptr, self._pointer())
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+        return version
+
+    def snapshot_current(
+        self, store: TableStore, tables: list[str], expect_version=_UNCHECKED
+    ) -> str:
+        """Capture the store's CURRENT per-table versions as one catalog
+        version -- the commit point of a multi-table sync wave."""
+        mapping: dict[str, str] = {}
+        for t in tables:
+            v = store.current_version(t)
+            if v is None:
+                raise FileNotFoundError(f"table {t!r} has no published version")
+            mapping[t] = v
+        return self.publish(mapping, expect_version=expect_version)
+
+    def read(
+        self, store: TableStore, table: str, version: str | None = None
+    ) -> DataFrame:
+        """Read ``table`` AT the catalog version (current catalog if None).
+
+        Every table resolved through the same catalog version is a
+        consistent multi-table snapshot: the mapping is immutable, so
+        later store publishes cannot tear a multi-table read that
+        resolved its versions here."""
+        mapping = self.mapping(version)
+        if table not in mapping:
+            raise KeyError(f"table {table!r} not in catalog version {version!r}")
+        return store.read(table, version=mapping[table])

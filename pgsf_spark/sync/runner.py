@@ -253,6 +253,21 @@ class SyncRunner:
             # reference's opaque crash-and-retry-forever (its TODO).
             # The JDBC leg is excluded above (PG owns its schema there).
             drift_audit = self._classify_drift(table, changes)
+
+            # Post-tick sync position for the version manifest: max(ts of
+            # the change batch), clamped monotonic. Every row with ts <=
+            # this value is processed by this tick (the window was strictly
+            # > wm), so a ledger recovered from the manifest
+            # (sync/recovery.py) continues incrementally without re-reading
+            # the applied window. Called per publish site so the
+            # partitioned path computes it from the PINNED
+            # (localCheckpoint'ed) batch -- the same evaluation the written
+            # rows come from. The plain "watermark" field stays the window
+            # START for lineage.
+            def _wm_after(batch):
+                mx = batch.agg(F.max(ts_field).alias("m")).first()["m"]
+                return mx if (mx is not None and mx > wm) else wm
+
             info = self.store.partition_info(table)
             if info and info.get("partition_buckets") and info["partition_by"] == [PGSF_BUCKET]:
                 # Partition-pruned merge: only buckets containing changed
@@ -287,6 +302,7 @@ class SyncRunner:
                         manifest={
                             "op": "merge",
                             "watermark": wm.isoformat(),
+                            "watermark_after": _wm_after(changes).isoformat(),
                             "partition_buckets": nb,
                             **drift_audit,
                         },
@@ -312,7 +328,12 @@ class SyncRunner:
                     table,
                     PGSF_BUCKET,
                     changed_buckets,
-                    manifest={"op": "merge", "watermark": wm.isoformat(), **drift_audit},
+                    manifest={
+                        "op": "merge",
+                        "watermark": wm.isoformat(),
+                        "watermark_after": _wm_after(changes).isoformat(),
+                        **drift_audit,
+                    },
                 )
             else:
                 target = self.store.read(table)
@@ -320,7 +341,12 @@ class SyncRunner:
                 self.store.write(
                     merged,
                     table,
-                    manifest={"op": "merge", "watermark": wm.isoformat(), **drift_audit},
+                    manifest={
+                        "op": "merge",
+                        "watermark": wm.isoformat(),
+                        "watermark_after": _wm_after(changes).isoformat(),
+                        **drift_audit,
+                    },
                 )
             return self._finish_sync(table, ts_field, wm)
         except ClaimError:

@@ -157,6 +157,7 @@ def _staged_with_oracle() -> dict:
     from pgsf_spark.analytics.registry_r16 import STAGED_QUERIES_R16
     from pgsf_spark.analytics.registry_r17 import STAGED_QUERIES_R17
     from pgsf_spark.analytics.registry_r18 import STAGED_QUERIES_R18
+    from pgsf_spark.analytics.registry_r19 import STAGED_QUERIES_R19
 
     return {
         name: spec
@@ -167,6 +168,7 @@ def _staged_with_oracle() -> dict:
             STAGED_QUERIES_R16,
             STAGED_QUERIES_R17,
             STAGED_QUERIES_R18,
+            STAGED_QUERIES_R19,
         )
         for name, spec in batch.items()
         if spec.oracle is not None

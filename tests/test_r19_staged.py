@@ -1,0 +1,211 @@
+"""Round-19 STAGED batch: catalog-snapshot + state-recovery gates.
+
+Same staging discipline as tests/test_r11..r18_staged.py. Beyond oracle
+parity, this file pins the operator-level semantics each gate claims:
+the catalog CAS loses loudly and the pinned mapping is immutable; a
+recovered ledger lands on the MERGE manifest's post-tick watermark
+(never the older snapshot seed), the legacy window-start field is a
+safe fallback, and a table with no recoverable position refuses loudly
+instead of full-scanning.
+"""
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def _staged():
+    from pgsf_spark.analytics.registry_r19 import STAGED_QUERIES_R19
+
+    return STAGED_QUERIES_R19
+
+
+class TestStagingDisciplineR19:
+    def test_batch_size_and_no_collisions(self):
+        from pgsf_spark.analytics.registry import QUERIES
+        from pgsf_spark.analytics.registry_r18 import STAGED_QUERIES_R18
+
+        staged = _staged()
+        assert len(staged) == 2
+        for other in (QUERIES, STAGED_QUERIES_R18):
+            assert not set(staged) & set(other)
+
+    def test_staged_specs_shaped_like_registry_specs(self):
+        from pgsf_spark.analytics.registry import QuerySpec
+
+        for name, spec in _staged().items():
+            assert isinstance(spec, QuerySpec), name
+            assert callable(spec.fn), name
+            assert isinstance(spec.oracle, str) and spec.oracle.strip(), name
+
+    def test_leaf_importable_first(self):
+        import subprocess
+        import sys
+
+        code = (
+            "import sys; sys.path.insert(0, '.');"
+            "import pgsf_spark.analytics.registry_r19;"
+            "from pgsf_spark.analytics.registry import QUERIES;"
+            "from pgsf_spark.analytics.registry_r19 import STAGED_QUERIES_R19;"
+            "assert not set(STAGED_QUERIES_R19) & set(QUERIES)"
+        )
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+        )
+        assert r.returncode == 0, r.stderr[-1000:]
+
+
+class TestStagedOracleParityR19:
+    @pytest.mark.parametrize("name", sorted(_staged()))
+    def test_oracle_parity_sf0001(self, spark, name):
+        from pgsf_spark.verify import verify_queries
+
+        results = verify_queries(
+            spark, SF_DIR, only={name}, log=lambda s: None, queries=_staged()
+        )
+        assert results == {name: True}
+
+
+class TestStagedLintReadinessR19:
+    @pytest.mark.parametrize("name", sorted(_staged()))
+    def test_gate_faces_return_checkpoints(self, spark, name):
+        df = _staged()[name].fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+        assert ".parquet" not in plan
+
+
+class TestStagedEmptyInputsR19:
+    @pytest.mark.parametrize("name", sorted(_staged()))
+    def test_runs_on_empty_tables(self, spark, empty_sf_dir, name):
+        df = _staged()[name].fn(spark, empty_sf_dir)
+        assert len(df.schema) > 0
+        assert isinstance(df.collect(), list)  # must not raise
+
+
+class TestCatalogSemantics:
+    def test_cas_and_pin_immutability(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.operators.catalog import CatalogStore
+        from pgsf_spark.operators.table_store import (
+            ConcurrentWriteError,
+            TableStore,
+        )
+
+        store = TableStore(spark, str(tmp_path / "store"))
+        df = spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        store.write(df, "a")
+        store.write(df, "b")
+        catalog = CatalogStore(str(tmp_path / "catalog"))
+        assert catalog.current_version() is None
+        v1 = catalog.snapshot_current(store, ["a", "b"], expect_version=None)
+        assert catalog.current_version() == v1
+        pinned = dict(catalog.mapping(v1))
+
+        # a later store publish + catalog flip does not disturb the pin
+        store.write(df.withColumn("v", F.col("v") * 3), "a")
+        v2 = catalog.snapshot_current(store, ["a", "b"], expect_version=v1)
+        assert catalog.mapping(v1) == pinned
+        assert catalog.mapping(v2)["a"] != pinned["a"]
+        assert catalog.mapping(v2)["b"] == pinned["b"]
+
+        # stale CAS loses loudly, pointer untouched, no body left behind
+        before = catalog.versions()
+        with pytest.raises(ConcurrentWriteError):
+            catalog.publish({"a": "vX"}, expect_version=v1)
+        assert catalog.current_version() == v2
+        assert catalog.versions() == before
+
+    def test_read_through_missing_table_is_loud(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.operators.catalog import CatalogStore
+        from pgsf_spark.operators.table_store import TableStore
+
+        store = TableStore(spark, str(tmp_path / "store"))
+        store.write(spark.range(3).select(F.col("id").alias("k")), "a")
+        catalog = CatalogStore(str(tmp_path / "catalog"))
+        v1 = catalog.snapshot_current(store, ["a"])
+        with pytest.raises(KeyError):
+            catalog.read(store, "zzz", v1)
+
+
+class TestRecoverySemantics:
+    def _store_with_trail(self, spark, tmp_path):
+        import os
+        from datetime import datetime, timedelta
+
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.operators.table_store import TableStore
+        from pgsf_spark.sources.entity import EntitySource
+        from pgsf_spark.sync.runner import SyncRunner
+        from pgsf_spark.sync.state import SyncState
+
+        t0 = datetime(2024, 1, 1)
+        src = str(tmp_path / "src")
+        os.makedirs(src, exist_ok=True)
+        spark.createDataFrame([(i,) for i in range(1, 21)], "Id long").withColumn(
+            "SystemModstamp",
+            F.lit(t0).cast("timestamp")
+            + F.make_interval(hours=(F.col("Id") % 5).cast("int")),
+        ).withColumn("IsDeleted", F.lit(False)).write.mode("overwrite").parquet(
+            os.path.join(src, "e.parquet")
+        )
+        store = TableStore(spark, str(tmp_path / "store"))
+        state = SyncState(str(tmp_path / "sync.json"))
+        runner = SyncRunner(EntitySource(spark, src), store, state)
+        runner.snapshot_load("e", refresh_minutes=0)
+        state.release("e", syncuntil=t0 + timedelta(hours=2), touch_refresh=False)
+        runner.sync_table("e")
+        return store, t0
+
+    def test_recovers_merge_watermark_after_not_snapshot_seed(
+        self, spark, tmp_path
+    ):
+        from datetime import timedelta
+
+        from pgsf_spark.sync.recovery import recover_watermark
+
+        store, t0 = self._store_with_trail(spark, tmp_path)
+        m = store.manifest("e")
+        assert m["op"] == "merge" and "watermark_after" in m
+        # the post-tick position: max(ts) of the applied window
+        assert recover_watermark(store, "e") == t0 + timedelta(hours=4)
+
+    def test_window_start_is_the_fallback_for_old_manifests(
+        self, spark, tmp_path
+    ):
+        import json
+        import os
+        from datetime import timedelta
+
+        from pgsf_spark.sync.recovery import recover_watermark
+
+        store, t0 = self._store_with_trail(spark, tmp_path)
+        # simulate a pre-watermark_after manifest (older engine version)
+        path = os.path.join(store.current_version_path("e"), "_MANIFEST.json")
+        with open(path) as f:
+            m = json.load(f)
+        del m["watermark_after"]
+        with open(path, "w") as f:
+            json.dump(m, f)
+        # falls back to the window START: safe (re-reads one window)
+        assert recover_watermark(store, "e") == t0 + timedelta(hours=2)
+
+    def test_no_recoverable_position_is_loud(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.operators.table_store import TableStore
+        from pgsf_spark.sync.recovery import recover_watermark
+
+        store = TableStore(spark, str(tmp_path / "store"))
+        # a bare store.write has no sync manifest fields at all
+        store.write(spark.range(3).select(F.col("id").alias("k")), "bare")
+        with pytest.raises(FileNotFoundError, match="sync position"):
+            recover_watermark(store, "bare")
+        with pytest.raises(FileNotFoundError, match="no published version"):
+            recover_watermark(store, "never_written")

@@ -132,6 +132,7 @@ def main() -> int:
     from pgsf_spark.analytics.registry_r16 import STAGED_QUERIES_R16
     from pgsf_spark.analytics.registry_r17 import STAGED_QUERIES_R17
     from pgsf_spark.analytics.registry_r18 import STAGED_QUERIES_R18
+    from pgsf_spark.analytics.registry_r19 import STAGED_QUERIES_R19
     from pgsf_spark.session import get_spark
     from pgsf_spark.tables import load_table
 
@@ -146,6 +147,7 @@ def main() -> int:
         **STAGED_QUERIES_R16,
         **STAGED_QUERIES_R17,
         **STAGED_QUERIES_R18,
+        **STAGED_QUERIES_R19,
     }
     unknown = [q for q in names if q not in QUERIES]
     if unknown:
