@@ -36,3 +36,26 @@ def empty_sf_dir(spark, tmp_path_factory):
             str(root / f"{t}.parquet")
         )
     return str(root)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sparklane: test touches a SparkSession (auto-applied; the slow lane)."
+        " Fast lane = `-m 'not sparklane'` -- pure-Python units, lints, and"
+        " doc/protocol pins that run in seconds.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-split the suite into lanes (VERDICT r12 ask #6).
+
+    Any test that requests a Spark-touching fixture (directly or
+    transitively) is marked ``sparklane``; everything else is the fast
+    lane. The close ritual runs the WHOLE suite; mid-round iteration can
+    run ``-m 'not sparklane'`` (~seconds) between Spark-lane runs, which
+    keeps the ritual runnable twice per round as the suite grows."""
+    spark_fixtures = {"spark", "tmp_store", "empty_sf_dir"}
+    for item in items:
+        if spark_fixtures & set(getattr(item, "fixturenames", ())):
+            item.add_marker(pytest.mark.sparklane)
