@@ -34,6 +34,15 @@ import time
 # version NAME would make the loser's cleanup unlink the winner's body.
 _PUBLISH_SEQ = itertools.count()
 
+
+def _version_sort_key(name: str) -> tuple:
+    """(ms, pid, seq) ints from 'cat_v{ms}_{pid}_{seq}'."""
+    try:
+        parts = name[len("cat_v") :].split("_")
+        return tuple(int(p) for p in parts)
+    except ValueError:  # unknown shape: sort after parseable names, by string
+        return (float("inf"), name)
+
 from pyspark.sql import DataFrame
 
 from pgsf_spark.operators.table_store import TableStore, _UNCHECKED, ConcurrentWriteError
@@ -57,12 +66,17 @@ class CatalogStore:
             return None
 
     def versions(self) -> list[str]:
-        """Published catalog versions, oldest first."""
-        return sorted(
+        """Published catalog versions, oldest first.
+
+        Sorted on the parsed (ms, pid, seq) triple, not lexically: an
+        unpadded pid segment would order same-millisecond publishes from
+        different processes by string ('_99' after '_100')."""
+        names = [
             f[: -len(".json")]
             for f in os.listdir(self.root)
             if f.startswith("cat_v") and f.endswith(".json")
-        )
+        ]
+        return sorted(names, key=_version_sort_key)
 
     def mapping(self, version: str | None = None) -> dict[str, str]:
         version = version or self.current_version()
@@ -121,15 +135,26 @@ class CatalogStore:
             mapping[t] = v
         return self.publish(mapping, expect_version=expect_version)
 
-    def read(
-        self, store: TableStore, table: str, version: str | None = None
-    ) -> DataFrame:
-        """Read ``table`` AT the catalog version (current catalog if None).
+    def pin(self) -> str:
+        """Resolve the current catalog version ONCE for a reader.
 
-        Every table resolved through the same catalog version is a
-        consistent multi-table snapshot: the mapping is immutable, so
-        later store publishes cannot tear a multi-table read that
-        resolved its versions here."""
+        Multi-table consistency requires every table of one logical read
+        to resolve through the SAME catalog version -- re-resolving the
+        pointer per table would reintroduce the torn read this class
+        exists to prevent (a publisher can flip the catalog between two
+        read() calls). Pin first, then pass the pin to every read()."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"catalog at {self.root} has no published version")
+        return v
+
+    def read(self, store: TableStore, table: str, version: str) -> DataFrame:
+        """Read ``table`` AT the given catalog version.
+
+        ``version`` is required on purpose: callers must ``pin()`` once
+        and reuse the pin across every table of one logical read. The
+        mapping is immutable, so later store publishes cannot tear a
+        multi-table read that resolved its versions here."""
         mapping = self.mapping(version)
         if table not in mapping:
             raise KeyError(f"table {table!r} not in catalog version {version!r}")

@@ -15,6 +15,7 @@ ready->running claim guarantees one writer, synctable.py:63-73).
 from __future__ import annotations
 
 import datetime as _dt
+import itertools
 import json
 import os
 import shutil
@@ -31,6 +32,28 @@ PGSF_BUCKET = "pgsf_bucket"
 # sentinel: "publish unconditionally" (distinct from None = "expect the
 # table to have no published version yet")
 _UNCHECKED = object()
+
+# Per-process publish sequence in version names: two same-table publishes
+# can land in the same millisecond (an empty hardlink-only tick right
+# after another publish), and a colliding name would let the second
+# write's overwrite clobber the first version's directory and manifest --
+# corrupting the time-travel index and the manifest trail recovery walks.
+_VERSION_SEQ = itertools.count()
+
+
+def _new_version_name() -> str:
+    return f"v{int(time.time() * 1000)}_{os.getpid()}_{next(_VERSION_SEQ):06d}"
+
+
+def _version_sort_key(name: str) -> tuple:
+    """(ms, pid, seq) ints from 'v{ms}_{pid}[_{seq}]' -- lexical sort would
+    mis-order same-millisecond publishes from different processes because
+    the pid segment is unpadded."""
+    try:
+        parts = name[1:].split("_")
+        return (0,) + tuple(int(p) for p in parts)
+    except ValueError:  # unknown shape: after parseable names, by string
+        return (1, name)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -231,7 +254,7 @@ class TableStore:
         """
         tdir = self._tdir(table)
         os.makedirs(tdir, exist_ok=True)
-        version = f"v{int(time.time() * 1000)}_{os.getpid()}"
+        version = _new_version_name()
         path = os.path.join(tdir, version)
         if layout_ready:
             pass
@@ -649,7 +672,7 @@ class TableStore:
             expect_version = os.path.basename(prev)
         prev_manifest = self.manifest(table)
         tdir = self._tdir(table)
-        version = f"v{int(time.time() * 1000)}_{os.getpid()}"
+        version = _new_version_name()
         path = os.path.join(tdir, version)
         df_changed.repartition(partition_col).write.mode("overwrite").partitionBy(
             partition_col
@@ -701,7 +724,10 @@ class TableStore:
         tdir = self._tdir(table)
         if not os.path.isdir(tdir):
             return []
-        return sorted(d for d in os.listdir(tdir) if d.startswith("v") and os.path.isdir(os.path.join(tdir, d)))
+        return sorted(
+            (d for d in os.listdir(tdir) if d.startswith("v") and os.path.isdir(os.path.join(tdir, d))),
+            key=_version_sort_key,
+        )
 
     def read(self, table: str, version: str | None = None, keep_internal: bool = False) -> DataFrame:
         """Read the current version, or any retained one (time travel --
@@ -841,7 +867,7 @@ class TableStore:
         if not os.path.isdir(src):
             raise FileNotFoundError(f"{table}@{version} not found (vacuumed?)")
         prev_manifest = self.manifest(table, version)
-        new_version = f"v{int(time.time() * 1000)}_{os.getpid()}"
+        new_version = _new_version_name()
         path = os.path.join(self._tdir(table), new_version)
         os.makedirs(path)
         meta_files = {"_MANIFEST.json", _STATS_NAME}
@@ -931,7 +957,8 @@ class TableStore:
         tdir = self._tdir(table)
         cur = self.current_version_path(table)
         versions = sorted(
-            d for d in os.listdir(tdir) if d.startswith("v") and os.path.isdir(os.path.join(tdir, d))
+            (d for d in os.listdir(tdir) if d.startswith("v") and os.path.isdir(os.path.join(tdir, d))),
+            key=_version_sort_key,
         )
         candidates = versions[:-keep] if keep else versions
         victims = [v for v in candidates if os.path.join(tdir, v) != cur]

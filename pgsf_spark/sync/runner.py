@@ -336,6 +336,12 @@ class SyncRunner:
                     },
                 )
             else:
+                # Pin the batch for the same reason the partitioned path
+                # does: the manifest's watermark_after agg and the merge
+                # write must see the SAME evaluation of a live source, or
+                # the recovered ledger could claim rows the published
+                # version never received (permanent skip under strict >).
+                changes = changes.localCheckpoint()
                 target = self.store.read(table)
                 merged = merge_upsert(target, changes, pk=pk, ts_field=ts_field, order_col="_file_order")
                 self.store.write(

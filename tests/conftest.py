@@ -55,7 +55,10 @@ def pytest_collection_modifyitems(config, items):
     lane. The close ritual runs the WHOLE suite; mid-round iteration can
     run ``-m 'not sparklane'`` (~seconds) between Spark-lane runs, which
     keeps the ritual runnable twice per round as the suite grows."""
-    spark_fixtures = {"spark", "tmp_store", "empty_sf_dir"}
+    # item.fixturenames is the TRANSITIVE fixture closure, so "spark"
+    # alone catches tests reaching it through tmp_store/empty_sf_dir too;
+    # only a fixture that builds a session WITHOUT requesting `spark`
+    # would need adding here.
     for item in items:
-        if spark_fixtures & set(getattr(item, "fixturenames", ())):
+        if "spark" in set(getattr(item, "fixturenames", ())):
             item.add_marker(pytest.mark.sparklane)

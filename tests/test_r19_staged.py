@@ -119,6 +119,51 @@ class TestCatalogSemantics:
         assert catalog.current_version() == v2
         assert catalog.versions() == before
 
+    def test_pin_resolves_once_and_is_required_by_read(self, spark, tmp_path):
+        """read() takes an explicit catalog version on purpose: per-call
+        re-resolution of the current pointer would reintroduce the torn
+        multi-table read (a publisher can flip the catalog between two
+        read() calls). pin() is the documented resolve-once entry."""
+        import inspect
+
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.operators.catalog import CatalogStore
+        from pgsf_spark.operators.table_store import TableStore
+
+        sig = inspect.signature(CatalogStore.read)
+        assert sig.parameters["version"].default is inspect.Parameter.empty
+
+        catalog = CatalogStore(str(tmp_path / "catalog"))
+        with pytest.raises(FileNotFoundError):
+            catalog.pin()
+        store = TableStore(spark, str(tmp_path / "store"))
+        store.write(spark.range(3).select(F.col("id").alias("k")), "a")
+        v1 = catalog.snapshot_current(store, ["a"])
+        assert catalog.pin() == v1
+
+    def test_version_names_are_collision_free_and_order_parsed(self, tmp_path):
+        """Round-13 review findings: same-millisecond publishes must get
+        DISTINCT version names (store and catalog), and version ordering
+        must parse the name, not compare strings (an unpadded pid
+        segment string-sorts '_99' after '_100')."""
+        from pgsf_spark.operators import catalog as catmod
+        from pgsf_spark.operators import table_store as tsmod
+
+        # same-ms uniqueness: the per-process sequence disambiguates
+        names = {tsmod._new_version_name() for _ in range(100)}
+        assert len(names) == 100
+
+        # parse-based ordering across pids within one millisecond
+        key = tsmod._version_sort_key
+        assert key("v1723800000123_99_000001") < key("v1723800000123_100_000000")
+        # legacy two-segment names still parse and sort by (ms, pid)
+        assert key("v1723800000122_50") < key("v1723800000123_7_000000")
+        ckey = catmod._version_sort_key
+        assert ckey("cat_v1723800000123_99_000001") < ckey(
+            "cat_v1723800000123_100_000000"
+        )
+
     def test_read_through_missing_table_is_loud(self, spark, tmp_path):
         from pyspark.sql import functions as F
 
