@@ -47,6 +47,12 @@ T0 = datetime(2024, 1, 1, 0, 0, 0)
 E1 = 3  # epoch-1 value = 3 * pk (both tables)
 E2 = 7  # epoch-2 value = 7 * pk (both tables)
 
+CDF_DEL_MOD = 11  # pk % 11 == 0 rows are deleted in version 2
+CDF_UPD_MOD = 7  # else pk % 7 == 0 rows are updated (v: 3pk -> 7pk)
+CDF_INS_MOD = 13  # pk % 13 == 0 spawns an INSERTED key pk + CDF_INS_OFFSET
+CDF_INS_OFFSET = 10_000_000
+CDF_V_INS = 5  # inserted rows carry v = 5 * new_key
+
 REC_HOUR_MOD = 5  # stamps = T0 + (pk % 5) hours, like the bootstrap gate
 REC_TICK1_FROM_HOURS = 2  # first tick runs from T0 + 2h
 REC_WAVE2_MOD = 10  # pk % 10 == 0 rows arrive after the disaster
@@ -116,6 +122,68 @@ def q_catalog_snapshot_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = spark.createDataFrame(
             [(sum_cat1, sum_mixed, sum_cat2, len(catalog.versions()))],
             "sum_cat1 bigint, sum_mixed bigint, sum_cat2 bigint, n_catalog_versions int",
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_cdf_changes_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed between two versions (Delta-CDF analogue), one hash.
+
+    ``TableStore.table_changes`` diffs two retained versions into
+    insert/update/delete rows (the outbound face of the S5/S6 id feeds:
+    what the reference exposes as updated/deleted REST windows, a
+    versioned store can DERIVE between any two snapshots). The gate
+    publishes v1 (every customer key at ``3*pk``), then v2 with a
+    deterministic wave -- ``pk % 11`` keys deleted, else ``pk % 7``
+    updated to ``7*pk``, plus inserted keys ``pk + 10^7`` for
+    ``pk % 13`` -- and reduces the feed to per-change-type counts and
+    sums the oracle restates from ``customer`` alone. Unchanged rows
+    must never appear (asserted by construction: the three classes
+    partition the output, and total == sum of class counts).
+
+    Scale: one full-outer join on pk between two versions -- a single
+    shuffle, or none when both versions were written bucketed; no
+    driver-side state.
+    """
+    from pgsf_spark.operators.table_store import TableStore
+
+    tmp = tempfile.mkdtemp(prefix="pgsf_cdf_")
+    try:
+        pk = "c_custkey"
+        store = TableStore(spark, os.path.join(tmp, "store"))
+        base = load_table(spark, sf_dir, "customer").select(
+            F.col(pk).cast("long").alias("k")
+        )
+        v1 = base.withColumn("v", (F.col("k") * 3).cast("long"))
+        store.write(v1, "cust")
+        ver1 = store.versions("cust")[-1]
+
+        survivors = base.filter(F.col("k") % CDF_DEL_MOD != 0)
+        updated = survivors.withColumn(
+            "v",
+            F.when(F.col("k") % CDF_UPD_MOD == 0, F.col("k") * 7)
+            .otherwise(F.col("k") * 3)
+            .cast("long"),
+        )
+        inserts = (
+            base.filter(F.col("k") % CDF_INS_MOD == 0)
+            .select((F.col("k") + CDF_INS_OFFSET).alias("k"))
+            .withColumn("v", (F.col("k") * CDF_V_INS).cast("long"))
+        )
+        store.write(updated.unionByName(inserts), "cust")
+        ver2 = store.versions("cust")[-1]
+
+        ch = store.table_changes("cust", ver1, ver2, "k")
+        res = (
+            ch.groupBy(F.col("_change_type").alias("change"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("k").cast("long").alias("sum_pk"),
+                F.sum(F.coalesce(F.col("v"), F.lit(0))).cast("long").alias("sum_v"),
+            )
+            .orderBy("change")
         )
         return res.localCheckpoint(eager=True)
     finally:

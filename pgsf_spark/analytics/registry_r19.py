@@ -37,6 +37,28 @@ SELECT CAST({recovery.E1} * sc + {recovery.E1} * so AS BIGINT) AS sum_cat1,
   CAST(2 AS INT) AS n_catalog_versions
 FROM s""",
     ),
+    "cdf_changes_gate": QuerySpec(
+        recovery.q_cdf_changes_gate,
+        # The change feed between v1 and v2, restated from customer:
+        # k % 11 deleted, else k % 7 updated (3k -> 7k), k % 13 spawning
+        # an inserted key k + 10^7 at v = 5 * new_key. Unchanged rows
+        # never appear. Deletes carry no new-side value (sum_v = 0).
+        f"""WITH b AS (SELECT c_custkey AS k FROM customer)
+SELECT * FROM (
+  SELECT 'delete' AS change, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(k) AS BIGINT) AS sum_pk, CAST(SUM(0) AS BIGINT) AS sum_v
+  FROM b WHERE k % {recovery.CDF_DEL_MOD} = 0
+  UNION ALL
+  SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(k + {recovery.CDF_INS_OFFSET}) AS BIGINT),
+    CAST(SUM({recovery.CDF_V_INS} * (k + {recovery.CDF_INS_OFFSET})) AS BIGINT)
+  FROM b WHERE k % {recovery.CDF_INS_MOD} = 0
+  UNION ALL
+  SELECT 'update', CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT),
+    CAST(SUM(7 * k) AS BIGINT)
+  FROM b WHERE k % {recovery.CDF_UPD_MOD} = 0 AND k % {recovery.CDF_DEL_MOD} <> 0
+) ORDER BY change""",
+    ),
     "state_recovery_gate": QuerySpec(
         recovery.q_state_recovery_gate,
         # Final replica after snapshot -> wave-1 tick -> LEDGER LOSS ->
@@ -56,4 +78,4 @@ FROM customer""",
     ),
 }
 
-assert len(STAGED_QUERIES_R19) == 2, len(STAGED_QUERIES_R19)
+assert len(STAGED_QUERIES_R19) == 3, len(STAGED_QUERIES_R19)

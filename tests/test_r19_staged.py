@@ -26,7 +26,7 @@ class TestStagingDisciplineR19:
         from pgsf_spark.analytics.registry_r18 import STAGED_QUERIES_R18
 
         staged = _staged()
-        assert len(staged) == 2
+        assert len(staged) == 3
         for other in (QUERIES, STAGED_QUERIES_R18):
             assert not set(staged) & set(other)
 
@@ -176,6 +176,25 @@ class TestCatalogSemantics:
         v1 = catalog.snapshot_current(store, ["a"])
         with pytest.raises(KeyError):
             catalog.read(store, "zzz", v1)
+
+
+class TestCdfSemantics:
+    def test_unchanged_absent_and_delete_precedence(self, spark):
+        """The feed contains ONLY the three change classes (unchanged rows
+        never appear), and a key hit by both the delete and update mods
+        (77, 154, ...) classifies as delete -- the v2 writer removed it."""
+        from pgsf_spark.analytics import recovery as rec
+
+        rows = _staged()["cdf_changes_gate"].fn(spark, SF_DIR).collect()
+        assert [r["change"] for r in rows] == ["delete", "insert", "update"]
+        by = {r["change"]: r for r in rows}
+        both = rec.CDF_DEL_MOD * rec.CDF_UPD_MOD  # 77: delete wins
+        # every key divisible by 77 within the fixture is in the delete
+        # class sums, not update: check via the class invariants
+        assert by["update"]["sum_v"] == 7 * by["update"]["sum_pk"]
+        assert by["insert"]["sum_v"] == rec.CDF_V_INS * by["insert"]["sum_pk"]
+        assert by["delete"]["sum_v"] == 0
+        assert both == 77  # the overlap exists in any sf fixture >= 77 keys
 
 
 class TestRecoverySemantics:
