@@ -128,6 +128,137 @@ def q_catalog_snapshot_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+WAVE_UPDATE_MOD = 10  # pk % 10 == 0 rows carry the epoch-2 wave
+WAVE_V1 = 3  # epoch-1 value = 3 * pk
+WAVE_V2 = 7  # epoch-2 wave value = 7 * pk
+WAVE_FAIL_TABLE = "ords"  # its first wave batch retypes v -> loud drift
+
+
+def q_fleet_catalog_wave_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog commits ride the scheduler; a failed wave holds the line.
+
+    Two tables sync under ``run_wave`` (sync/wave.py): tick 1's wave
+    updates both, but ords' batch RETYPES its value column -- the drift
+    classifier fails that table loudly BEFORE any write, so the wave is
+    partial: cust's table pointer advances (per-table isolation, as in
+    the fleet gate) but the CATALOG does not flip -- readers keep the
+    fully-consistent epoch-1 pair even though the store is mixed. Tick 2
+    syncs the fixed source (the failed claim was auto-released), the
+    wave completes, and ONE catalog flip commits the epoch-2 pair. The
+    gate emits the pinned-after-failed-wave, mixed-store, and committed
+    sums plus the catalog version count (2: bootstrap + the one
+    successful wave), all restated by the oracle from the base tables.
+    """
+    from pgsf_spark.operators.catalog import CatalogStore
+    from pgsf_spark.operators.table_store import TableStore
+    from pgsf_spark.sources.entity import EntitySource
+    from pgsf_spark.sync.runner import SyncRunner
+    from pgsf_spark.sync.state import SyncState
+    from pgsf_spark.sync.wave import run_wave
+
+    tmp = tempfile.mkdtemp(prefix="pgsf_wave_")
+    try:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        tables = (("cust", "customer", "c_custkey"), ("ords", "orders", "o_orderkey"))
+        pks = {n: pk for n, _, pk in tables}
+        bases = {
+            n: load_table(spark, sf_dir, b).select(F.col(pk).cast("long").alias(pk))
+            for n, b, pk in tables
+        }
+
+        def _src_df(name: str, factor_wave: int | None, retyped: bool = False):
+            pk = pks[name]
+            df = bases[name]
+            if factor_wave is None:
+                df = df.withColumn("v", (F.col(pk) * WAVE_V1).cast("long")).withColumn(
+                    "SystemModstamp", F.lit(T0).cast("timestamp")
+                )
+            else:
+                df = df.withColumn(
+                    "v",
+                    F.when(
+                        F.col(pk) % WAVE_UPDATE_MOD == 0, F.col(pk) * factor_wave
+                    )
+                    .otherwise(F.col(pk) * WAVE_V1)
+                    .cast("long"),
+                ).withColumn(
+                    "SystemModstamp",
+                    F.when(
+                        F.col(pk) % WAVE_UPDATE_MOD == 0,
+                        F.lit(T0 + timedelta(hours=1)),
+                    )
+                    .otherwise(F.lit(T0))
+                    .cast("timestamp"),
+                )
+            if retyped:
+                df = df.withColumn("v", F.col("v").cast("string"))
+            df.withColumn("IsDeleted", F.lit(False)).write.mode("overwrite").parquet(
+                os.path.join(src, f"{name}.parquet")
+            )
+
+        for name, _, _ in tables:
+            _src_df(name, None)
+        source = EntitySource(spark, src)
+        store = TableStore(spark, os.path.join(tmp, "store"))
+        state = SyncState(os.path.join(tmp, "sync.json"))
+        runner = SyncRunner(source, store, state)
+        catalog = CatalogStore(os.path.join(tmp, "catalog"))
+        for name, _, pk, in tables:
+            runner.snapshot_load(name, pk=pk, refresh_minutes=0)
+            state.release(name, syncuntil=T0, touch_refresh=False)
+        cat1 = catalog.snapshot_current(store, [n for n, _, _ in tables])
+
+        def _sum(df) -> int:
+            return df.agg(F.sum("v").cast("long").alias("s")).first()["s"] or 0
+
+        def _pair_sum(version: str) -> int:
+            return sum(
+                _sum(catalog.read(store, n, version)) for n, _, _ in tables
+            )
+
+        # wave 1: cust's batch is clean, ords' is RETYPED -> partial wave
+        _src_df("cust", WAVE_V2)
+        _src_df(WAVE_FAIL_TABLE, WAVE_V2, retyped=True)
+        import time as _time
+
+        _time.sleep(1.2)  # refresh_minutes=0 cadence has second granularity
+        w1 = run_wave(runner, catalog, [n for n, _, _ in tables], pks=pks)
+        n_base = bases["cust"].count()
+        if n_base:
+            if w1["failed"] != [WAVE_FAIL_TABLE] or w1["catalog_version"] is not None:
+                raise ValueError(f"partial wave must not flip the catalog: {w1}")
+            if catalog.current_version() != cat1:
+                raise ValueError("catalog moved on a failed wave")
+        sum_cat_held = _pair_sum(cat1)
+        sum_store_mixed = sum(_sum(store.read(n)) for n, _, _ in tables)
+
+        # wave 2: ords fixed; the wave completes and commits ONE flip
+        _src_df(WAVE_FAIL_TABLE, WAVE_V2)
+        _time.sleep(1.2)
+        w2 = run_wave(runner, catalog, [n for n, _, _ in tables], pks=pks)
+        if n_base:
+            if w2["failed"] or w2["catalog_version"] is None:
+                raise ValueError(f"full wave must flip the catalog: {w2}")
+        sum_cat_final = _pair_sum(w2["catalog_version"] or cat1)
+
+        res = spark.createDataFrame(
+            [
+                (
+                    sum_cat_held,
+                    sum_store_mixed,
+                    sum_cat_final,
+                    len(catalog.versions()),
+                )
+            ],
+            "sum_cat_held bigint, sum_store_mixed bigint, "
+            "sum_cat_final bigint, n_catalog_versions int",
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_cdf_changes_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change feed between two versions (Delta-CDF analogue), one hash.
 

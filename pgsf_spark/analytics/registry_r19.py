@@ -37,6 +37,26 @@ SELECT CAST({recovery.E1} * sc + {recovery.E1} * so AS BIGINT) AS sum_cat1,
   CAST(2 AS INT) AS n_catalog_versions
 FROM s""",
     ),
+    "fleet_catalog_wave_gate": QuerySpec(
+        recovery.q_fleet_catalog_wave_gate,
+        # Catalog-committed waves: the partial wave holds the epoch-1
+        # pair (3,3) while the store is mixed (cust's wave landed, ords'
+        # failed on retype drift); the completed wave commits the
+        # epoch-2 pair. Wave rows are pk % 10 == 0 at 7*pk (delta 4*pk
+        # over the 3*pk base). Two catalog versions: bootstrap + the one
+        # successful wave.
+        f"""WITH c AS (SELECT COALESCE(SUM(c_custkey), 0) AS sc,
+  COALESCE(SUM(CASE WHEN c_custkey % {recovery.WAVE_UPDATE_MOD} = 0 THEN c_custkey ELSE 0 END), 0) AS scw
+  FROM customer),
+o AS (SELECT COALESCE(SUM(o_orderkey), 0) AS so,
+  COALESCE(SUM(CASE WHEN o_orderkey % {recovery.WAVE_UPDATE_MOD} = 0 THEN o_orderkey ELSE 0 END), 0) AS sow
+  FROM orders)
+SELECT CAST({recovery.WAVE_V1} * sc + {recovery.WAVE_V1} * so AS BIGINT) AS sum_cat_held,
+  CAST({recovery.WAVE_V1} * sc + {recovery.WAVE_V2 - recovery.WAVE_V1} * scw + {recovery.WAVE_V1} * so AS BIGINT) AS sum_store_mixed,
+  CAST({recovery.WAVE_V1} * sc + {recovery.WAVE_V2 - recovery.WAVE_V1} * scw + {recovery.WAVE_V1} * so + {recovery.WAVE_V2 - recovery.WAVE_V1} * sow AS BIGINT) AS sum_cat_final,
+  CAST(2 AS INT) AS n_catalog_versions
+FROM c, o""",
+    ),
     "cdf_changes_gate": QuerySpec(
         recovery.q_cdf_changes_gate,
         # The change feed between v1 and v2, restated from customer:
@@ -78,4 +98,4 @@ FROM customer""",
     ),
 }
 
-assert len(STAGED_QUERIES_R19) == 3, len(STAGED_QUERIES_R19)
+assert len(STAGED_QUERIES_R19) == 4, len(STAGED_QUERIES_R19)

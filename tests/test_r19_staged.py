@@ -26,7 +26,7 @@ class TestStagingDisciplineR19:
         from pgsf_spark.analytics.registry_r18 import STAGED_QUERIES_R18
 
         staged = _staged()
-        assert len(staged) == 3
+        assert len(staged) == 4
         for other in (QUERIES, STAGED_QUERIES_R18):
             assert not set(staged) & set(other)
 
@@ -176,6 +176,37 @@ class TestCatalogSemantics:
         v1 = catalog.snapshot_current(store, ["a"])
         with pytest.raises(KeyError):
             catalog.read(store, "zzz", v1)
+
+
+class TestWaveSemantics:
+    def test_partial_wave_holds_and_full_wave_commits(self, spark):
+        """The gate's own in-gate asserts cover the protocol (failed wave
+        -> no flip, CAS'd flip on success); here pin the OUTPUT's
+        invariant structure: the held pair is strictly below the mixed
+        store (cust's wave landed), which is strictly below the
+        committed pair (ords' wave landed too), and exactly one wave
+        committed after the bootstrap."""
+        row = _staged()["fleet_catalog_wave_gate"].fn(spark, SF_DIR).first()
+        assert row["sum_cat_held"] < row["sum_store_mixed"] < row["sum_cat_final"]
+        assert row["n_catalog_versions"] == 2
+
+    def test_run_wave_skips_flip_when_nothing_due(self, spark, tmp_path):
+        from pgsf_spark.operators.catalog import CatalogStore
+        from pgsf_spark.operators.table_store import TableStore
+        from pgsf_spark.sources.entity import EntitySource
+        from pgsf_spark.sync.runner import SyncRunner
+        from pgsf_spark.sync.state import SyncState
+        from pgsf_spark.sync.wave import run_wave
+
+        runner = SyncRunner(
+            EntitySource(spark, str(tmp_path / "src")),
+            TableStore(spark, str(tmp_path / "store")),
+            SyncState(str(tmp_path / "sync.json")),
+        )
+        catalog = CatalogStore(str(tmp_path / "catalog"))
+        out = run_wave(runner, catalog, ["cust"])
+        assert out == {"results": [], "failed": [], "catalog_version": None}
+        assert catalog.current_version() is None  # no phantom bootstrap
 
 
 class TestCdfSemantics:
