@@ -51,7 +51,7 @@ CDF_DEL_MOD = 11  # pk % 11 == 0 rows are deleted in version 2
 CDF_UPD_MOD = 7  # else pk % 7 == 0 rows are updated (v: 3pk -> 7pk)
 CDF_INS_MOD = 13  # pk % 13 == 0 spawns an INSERTED key pk + CDF_INS_OFFSET
 CDF_INS_OFFSET = 10_000_000
-CDF_V_INS = 5  # inserted rows carry v = 5 * new_key
+CDF_V_INS = 5  # inserted rows carry v = 5 * new_key; v1/updates use E1/E2
 
 REC_HOUR_MOD = 5  # stamps = T0 + (pk % 5) hours, like the bootstrap gate
 REC_TICK1_FROM_HOURS = 2  # first tick runs from T0 + 2h
@@ -128,9 +128,7 @@ def q_catalog_snapshot_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-WAVE_UPDATE_MOD = 10  # pk % 10 == 0 rows carry the epoch-2 wave
-WAVE_V1 = 3  # epoch-1 value = 3 * pk
-WAVE_V2 = 7  # epoch-2 wave value = 7 * pk
+WAVE_UPDATE_MOD = 10  # pk % 10 == 0 rows carry the epoch-2 wave (E1 -> E2)
 WAVE_FAIL_TABLE = "ords"  # its first wave batch retypes v -> loud drift
 
 
@@ -171,7 +169,7 @@ def q_fleet_catalog_wave_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             pk = pks[name]
             df = bases[name]
             if factor_wave is None:
-                df = df.withColumn("v", (F.col(pk) * WAVE_V1).cast("long")).withColumn(
+                df = df.withColumn("v", (F.col(pk) * E1).cast("long")).withColumn(
                     "SystemModstamp", F.lit(T0).cast("timestamp")
                 )
             else:
@@ -180,7 +178,7 @@ def q_fleet_catalog_wave_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(
                         F.col(pk) % WAVE_UPDATE_MOD == 0, F.col(pk) * factor_wave
                     )
-                    .otherwise(F.col(pk) * WAVE_V1)
+                    .otherwise(F.col(pk) * E1)
                     .cast("long"),
                 ).withColumn(
                     "SystemModstamp",
@@ -218,8 +216,8 @@ def q_fleet_catalog_wave_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         # wave 1: cust's batch is clean, ords' is RETYPED -> partial wave
-        _src_df("cust", WAVE_V2)
-        _src_df(WAVE_FAIL_TABLE, WAVE_V2, retyped=True)
+        _src_df("cust", E2)
+        _src_df(WAVE_FAIL_TABLE, E2, retyped=True)
         import time as _time
 
         _time.sleep(1.2)  # refresh_minutes=0 cadence has second granularity
@@ -234,7 +232,7 @@ def q_fleet_catalog_wave_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_store_mixed = sum(_sum(store.read(n)) for n, _, _ in tables)
 
         # wave 2: ords fixed; the wave completes and commits ONE flip
-        _src_df(WAVE_FAIL_TABLE, WAVE_V2)
+        _src_df(WAVE_FAIL_TABLE, E2)
         _time.sleep(1.2)
         w2 = run_wave(runner, catalog, [n for n, _, _ in tables], pks=pks)
         if n_base:
@@ -287,15 +285,15 @@ def q_cdf_changes_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = load_table(spark, sf_dir, "customer").select(
             F.col(pk).cast("long").alias("k")
         )
-        v1 = base.withColumn("v", (F.col("k") * 3).cast("long"))
+        v1 = base.withColumn("v", (F.col("k") * E1).cast("long"))
         store.write(v1, "cust")
         ver1 = store.versions("cust")[-1]
 
         survivors = base.filter(F.col("k") % CDF_DEL_MOD != 0)
         updated = survivors.withColumn(
             "v",
-            F.when(F.col("k") % CDF_UPD_MOD == 0, F.col("k") * 7)
-            .otherwise(F.col("k") * 3)
+            F.when(F.col("k") % CDF_UPD_MOD == 0, F.col("k") * E2)
+            .otherwise(F.col("k") * E1)
             .cast("long"),
         )
         inserts = (

@@ -51,9 +51,9 @@ FROM s""",
 o AS (SELECT COALESCE(SUM(o_orderkey), 0) AS so,
   COALESCE(SUM(CASE WHEN o_orderkey % {recovery.WAVE_UPDATE_MOD} = 0 THEN o_orderkey ELSE 0 END), 0) AS sow
   FROM orders)
-SELECT CAST({recovery.WAVE_V1} * sc + {recovery.WAVE_V1} * so AS BIGINT) AS sum_cat_held,
-  CAST({recovery.WAVE_V1} * sc + {recovery.WAVE_V2 - recovery.WAVE_V1} * scw + {recovery.WAVE_V1} * so AS BIGINT) AS sum_store_mixed,
-  CAST({recovery.WAVE_V1} * sc + {recovery.WAVE_V2 - recovery.WAVE_V1} * scw + {recovery.WAVE_V1} * so + {recovery.WAVE_V2 - recovery.WAVE_V1} * sow AS BIGINT) AS sum_cat_final,
+SELECT CAST({recovery.E1} * sc + {recovery.E1} * so AS BIGINT) AS sum_cat_held,
+  CAST({recovery.E1} * sc + {recovery.E2 - recovery.E1} * scw + {recovery.E1} * so AS BIGINT) AS sum_store_mixed,
+  CAST({recovery.E1} * sc + {recovery.E2 - recovery.E1} * scw + {recovery.E1} * so + {recovery.E2 - recovery.E1} * sow AS BIGINT) AS sum_cat_final,
   CAST(2 AS INT) AS n_catalog_versions
 FROM c, o""",
     ),
@@ -67,16 +67,16 @@ FROM c, o""",
 SELECT * FROM (
   SELECT 'delete' AS change, CAST(COUNT(*) AS BIGINT) AS n,
     CAST(SUM(k) AS BIGINT) AS sum_pk, CAST(SUM(0) AS BIGINT) AS sum_v
-  FROM b WHERE k % {recovery.CDF_DEL_MOD} = 0
+  FROM b WHERE k % {recovery.CDF_DEL_MOD} = 0 HAVING COUNT(*) > 0
   UNION ALL
   SELECT 'insert', CAST(COUNT(*) AS BIGINT),
     CAST(SUM(k + {recovery.CDF_INS_OFFSET}) AS BIGINT),
     CAST(SUM({recovery.CDF_V_INS} * (k + {recovery.CDF_INS_OFFSET})) AS BIGINT)
-  FROM b WHERE k % {recovery.CDF_INS_MOD} = 0
+  FROM b WHERE k % {recovery.CDF_INS_MOD} = 0 HAVING COUNT(*) > 0
   UNION ALL
   SELECT 'update', CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT),
-    CAST(SUM(7 * k) AS BIGINT)
-  FROM b WHERE k % {recovery.CDF_UPD_MOD} = 0 AND k % {recovery.CDF_DEL_MOD} <> 0
+    CAST(SUM({recovery.E2} * k) AS BIGINT)
+  FROM b WHERE k % {recovery.CDF_UPD_MOD} = 0 AND k % {recovery.CDF_DEL_MOD} <> 0 HAVING COUNT(*) > 0
 ) ORDER BY change""",
     ),
     "state_recovery_gate": QuerySpec(

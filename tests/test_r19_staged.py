@@ -205,27 +205,109 @@ class TestWaveSemantics:
         )
         catalog = CatalogStore(str(tmp_path / "catalog"))
         out = run_wave(runner, catalog, ["cust"])
-        assert out == {"results": [], "failed": [], "catalog_version": None}
-        assert catalog.current_version() is None  # no phantom bootstrap
+        # a never-bootstrapped table is HELD (the wave cannot account for
+        # it), nothing ticked, and no phantom catalog bootstrap happens
+        assert out == {
+            "results": [],
+            "failed": [],
+            "held": ["cust"],
+            "cas_lost": False,
+            "catalog_version": None,
+        }
+        assert catalog.current_version() is None
+
+    def test_run_wave_holds_on_unaccounted_table(self, spark, tmp_path):
+        """The torn-pair hole: a table claimed by a CONCURRENT runner is
+        absent from run_due's results (ClaimError swallowed) -- the wave
+        must HOLD, not commit an epoch around it. Simulated by claiming
+        one table externally before the wave; also covers ERROR/RUNNING
+        states due_tables skips."""
+        import os
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.operators.catalog import CatalogStore
+        from pgsf_spark.operators.table_store import TableStore
+        from pgsf_spark.sources.entity import EntitySource
+        from pgsf_spark.sync.runner import SyncRunner
+        from pgsf_spark.sync.state import SyncState
+        from pgsf_spark.sync.wave import run_wave
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        t0 = datetime(2024, 1, 1)
+        for name in ("a", "b"):
+            spark.createDataFrame([(1,), (2,)], "Id long").withColumn(
+                "SystemModstamp", F.lit(t0).cast("timestamp")
+            ).withColumn("IsDeleted", F.lit(False)).write.parquet(
+                os.path.join(src, f"{name}.parquet")
+            )
+        state = SyncState(str(tmp_path / "sync.json"))
+        runner = SyncRunner(
+            EntitySource(spark, src), TableStore(spark, str(tmp_path / "store")), state
+        )
+        catalog = CatalogStore(str(tmp_path / "catalog"))
+        for name in ("a", "b"):
+            runner.snapshot_load(name, refresh_minutes=0)
+            state.release(name, syncuntil=t0, touch_refresh=False)
+        cat0 = catalog.snapshot_current(runner.store, ["a", "b"])
+
+        state.claim("b")  # a concurrent runner holds b mid-sync
+        import time
+
+        time.sleep(1.2)
+        out = run_wave(runner, catalog, ["a", "b"])
+        assert out["failed"] == []
+        assert "b" in out["held"]
+        assert out["catalog_version"] is None  # the line held
+        assert catalog.current_version() == cat0
+
+        state.release("b")  # the other runner finishes
+        time.sleep(1.2)
+        out2 = run_wave(runner, catalog, ["a", "b"])
+        assert out2["held"] == [] and out2["failed"] == []
+        assert out2["catalog_version"] is not None  # the next wave commits
 
 
 class TestCdfSemantics:
-    def test_unchanged_absent_and_delete_precedence(self, spark):
+    def test_gate_classes_and_invariants(self, spark):
         """The feed contains ONLY the three change classes (unchanged rows
-        never appear), and a key hit by both the delete and update mods
-        (77, 154, ...) classifies as delete -- the v2 writer removed it."""
+        never appear in the grouped output) with the per-class value
+        invariants the oracle also restates."""
         from pgsf_spark.analytics import recovery as rec
 
         rows = _staged()["cdf_changes_gate"].fn(spark, SF_DIR).collect()
         assert [r["change"] for r in rows] == ["delete", "insert", "update"]
         by = {r["change"]: r for r in rows}
-        both = rec.CDF_DEL_MOD * rec.CDF_UPD_MOD  # 77: delete wins
-        # every key divisible by 77 within the fixture is in the delete
-        # class sums, not update: check via the class invariants
-        assert by["update"]["sum_v"] == 7 * by["update"]["sum_pk"]
+        assert by["update"]["sum_v"] == rec.E2 * by["update"]["sum_pk"]
         assert by["insert"]["sum_v"] == rec.CDF_V_INS * by["insert"]["sum_pk"]
         assert by["delete"]["sum_v"] == 0
-        assert both == 77  # the overlap exists in any sf fixture >= 77 keys
+
+    def test_overlap_key_classifies_delete_not_update(self, spark, tmp_path):
+        """Delete precedence, pinned at the OPERATOR level: a key present
+        in v1, absent from v2 but matching the update mod, must classify
+        as delete -- table_changes diffs actual version contents, so a
+        regression in either the diff or the v2 writer would surface as
+        a spurious update row here."""
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.analytics import recovery as rec
+        from pgsf_spark.operators.table_store import TableStore
+
+        both = rec.CDF_DEL_MOD * rec.CDF_UPD_MOD  # 77: delete AND update mods
+        store = TableStore(spark, str(tmp_path / "store"))
+        v1 = spark.createDataFrame(
+            [(both, rec.E1 * both), (1, rec.E1)], "k long, v long"
+        )
+        store.write(v1, "t")
+        ver1 = store.versions("t")[-1]
+        # v2 as the gate's writer builds it: 77 is deleted (del mod wins),
+        # key 1 unchanged
+        store.write(v1.filter(F.col("k") != both), "t")
+        ver2 = store.versions("t")[-1]
+        ch = store.table_changes("t", ver1, ver2, "k").collect()
+        assert [(r["k"], r["_change_type"]) for r in ch] == [(both, "delete")]
 
 
 class TestRecoverySemantics:
