@@ -79,6 +79,13 @@ LOAD_WAIT_S = 45  # idle wait between resamples (1-min load decays slowly)
 LOAD_MAX_WAITS = 6  # cap total wait at ~4.5 min so a busy driver still benches
 STEAL_GATE = 1.0  # % hypervisor steal during a sample above this = weather
 EXTRA_SAMPLES_MAX = 3  # bounded replacements for weather-flagged samples
+# VERDICT r13 ask #2: BENCH_r13 shipped `load_gate: contaminated` after the
+# replacement budget ran out on a box that never settled. Instead of
+# shipping weather as the official number at budget exhaustion, cool down
+# and re-run the whole protocol (clean samples already taken are kept);
+# only after RETRY_ROUNDS_MAX cooldowns does a contaminated tag ship.
+RETRY_COOLDOWN_S = 300  # one 1-min-load decay window + margin
+RETRY_ROUNDS_MAX = 2  # bounded: worst case adds ~10 min before giving up
 
 
 def _gated_load_start() -> tuple[float, str]:
@@ -173,7 +180,14 @@ def _sample_is_clean(gate: str, steal_pct: float | None) -> bool:
     a visibly non-idle box (three pre-launch warnings, 17.9% spread)
     because the gate ran ONCE and nothing re-checked mid-run; the judge
     had to adjudicate the round by per-sample steal by hand. Encode that
-    adjudication here instead."""
+    adjudication here instead.
+
+    Steal telemetry can be unavailable (``/proc/stat`` sampling failed:
+    ``steal_pct is None``). That sample is counted clean -- refusing to
+    bench on such a host would starve the driver of a number -- but it is
+    clean UNVERIFIED, so the caller warns and the artifact records which
+    samples went unmeasured (ADVICE r13 #3) instead of silently passing
+    them off as gated."""
     return gate == "idle" and (steal_pct is None or steal_pct <= STEAL_GATE)
 
 
@@ -205,41 +219,71 @@ def main():
 
     all_samples: list[dict] = []  # {queries, load_end, steal, load_start, gate}
     want = N_SAMPLES
-    max_children = N_SAMPLES + EXTRA_SAMPLES_MAX
-    while (
-        sum(1 for s in all_samples if _sample_is_clean(s["gate"], s["steal"])) < want
-        and len(all_samples) < max_children
-    ):
-        load_start, load_gate = _gated_load_start()
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env={**os.environ, "SPARK_GRAFT_BENCH_CHILD": "1"},
-            capture_output=True,
-            text=True,
-            timeout=1800,
+
+    def _n_clean() -> int:
+        return sum(1 for s in all_samples if _sample_is_clean(s["gate"], s["steal"]))
+
+    retry_rounds_used = 0
+    while True:
+        # per-protocol-round child budget: enough children to complete the
+        # clean quota plus the bounded weather-replacement allowance
+        budget = (want - _n_clean()) + EXTRA_SAMPLES_MAX
+        spawned = 0
+        while _n_clean() < want and spawned < budget:
+            load_start, load_gate = _gated_load_start()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "SPARK_GRAFT_BENCH_CHILD": "1"},
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+            if proc.returncode != 0:
+                print(proc.stderr[-4000:], file=sys.stderr)
+                raise RuntimeError(
+                    f"bench sample {len(all_samples)} failed (rc={proc.returncode})"
+                )
+            payload = json.loads(proc.stdout.strip().splitlines()[-1])
+            rec = {
+                "queries": payload["queries"],
+                "load_end": payload["load_avg_1m_end"],
+                "steal": payload.get("steal_pct"),
+                "load_start": load_start,
+                "gate": load_gate,
+            }
+            all_samples.append(rec)
+            spawned += 1
+            if rec["steal"] is None:
+                print(
+                    f"WARNING: sample {len(all_samples)} has no steal "
+                    "telemetry (/proc/stat sampling unavailable) -- counted "
+                    "clean UNVERIFIED; recorded as unmeasured in the artifact",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            if not _sample_is_clean(load_gate, rec["steal"]):
+                print(
+                    f"WARNING: sample {len(all_samples)} weather-flagged "
+                    f"(gate={load_gate}, steal={rec['steal']}%) -- "
+                    f"{budget - spawned} replacement budget left this round",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        if _n_clean() >= want or retry_rounds_used >= RETRY_ROUNDS_MAX:
+            break
+        # budget exhausted on a box that never settled: cool down and
+        # re-run the protocol instead of shipping weather as the official
+        # number (VERDICT r13 ask #2). Clean samples already taken are
+        # kept; only the weather-flagged ones need replacing.
+        retry_rounds_used += 1
+        print(
+            f"WARNING: replacement budget exhausted with {_n_clean()}/{want} "
+            f"clean samples; cooling down {RETRY_COOLDOWN_S}s and retrying "
+            f"(retry round {retry_rounds_used}/{RETRY_ROUNDS_MAX})",
+            file=sys.stderr,
+            flush=True,
         )
-        if proc.returncode != 0:
-            print(proc.stderr[-4000:], file=sys.stderr)
-            raise RuntimeError(
-                f"bench sample {len(all_samples)} failed (rc={proc.returncode})"
-            )
-        payload = json.loads(proc.stdout.strip().splitlines()[-1])
-        rec = {
-            "queries": payload["queries"],
-            "load_end": payload["load_avg_1m_end"],
-            "steal": payload.get("steal_pct"),
-            "load_start": load_start,
-            "gate": load_gate,
-        }
-        all_samples.append(rec)
-        if not _sample_is_clean(load_gate, rec["steal"]):
-            print(
-                f"WARNING: sample {len(all_samples)} weather-flagged "
-                f"(gate={load_gate}, steal={rec['steal']}%) -- "
-                f"{max_children - len(all_samples)} replacement budget left",
-                file=sys.stderr,
-                flush=True,
-            )
+        time.sleep(RETRY_COOLDOWN_S)
     clean = [s for s in all_samples if _sample_is_clean(s["gate"], s["steal"])]
     contaminated = len(clean) < want
     used = all_samples if contaminated else clean[:want]
@@ -294,6 +338,15 @@ def main():
                 # hypervisor steal per sample -- the noisy-neighbor signal
                 # loadavg can't see (see _cpu_steal_ticks)
                 "steal_pcts": steals,
+                # samples whose steal telemetry was unavailable: they count
+                # clean UNVERIFIED (ADVICE r13 #3) -- flag them so the
+                # artifact never passes an ungated sample off as gated
+                "steal_unmeasured_samples": [
+                    i for i, s in enumerate(steals) if s is None
+                ],
+                # cooldown-retry rounds taken before this artifact settled
+                # (VERDICT r13 ask #2 -- 0 = first protocol round was clean)
+                "retry_rounds_used": retry_rounds_used,
                 "load_avg_1m_end": load_ends[-1] if load_ends else None,
                 "load_gate": load_gate,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -8788,6 +8788,76 @@ _ROUND13_FRONT = [
 assert len(_ROUND13_FRONT) == 50, len(_ROUND13_FRONT)
 assert set(_ROUND13_FRONT) <= set(QUERIES), set(_ROUND13_FRONT) - set(QUERIES)
 
+# --- ROUND 14 REGISTRATION (fourth staged batch: r18+r19) --------------------
+# The 6-query round-14 batch was BUILT and oracle-verified during rounds
+# 12-13 and re-verified at both scales in round 13 (builder 2x, judge 2x
+# -- VERDICT r13 "What's missing" #1 calls registration "a dict update").
+# Two staged modules promote together, per VERDICT r13 ask #1:
+#   registry_r18 (2): C6 bootstrap-seed gate (extract-time watermark seed
+#     + boundary-window re-read, csv_to_postgres.py:94 semantics) and the
+#     K4b upload-results gate (Id/Success/Error row parsing,
+#     salesforce_bulk.py:498-546 semantics).
+#   registry_r19 (4): cross-table catalog snapshots (CatalogStore pin/CAS),
+#     catalog-committed sync waves (run_wave all-or-nothing epoch flips),
+#     the Delta-CDF-analogue change feed (TableStore.table_changes), and
+#     watermark disaster recovery from the manifest trail (recover_state).
+# Both modules depend only on leaves (spec.py), so these bottom imports
+# are order-independent; the clean-subprocess pin in
+# tests/test_literal_constants.py covers both import orders for each.
+from pgsf_spark.analytics.registry_r18 import (  # noqa: E402
+    STAGED_QUERIES_R18 as _R18_STAGED,
+)
+from pgsf_spark.analytics.registry_r19 import (  # noqa: E402
+    STAGED_QUERIES_R19 as _R19_STAGED,
+)
+
+_R14_BATCH: dict = {}
+for _staged in (_R18_STAGED, _R19_STAGED):
+    _overlap = (set(_staged) & set(QUERIES)) | (set(_staged) & set(_R14_BATCH))
+    assert not _overlap, _overlap
+    _R14_BATCH.update(_staged)
+assert len(_R14_BATCH) == 6, len(_R14_BATCH)
+QUERIES.update(_R14_BATCH)
+
+# ROUND 14 FRONT: the 6 newly registered names (their first-ever driver
+# CORRECTNESS rows) plus 44 re-checks chosen for age-and-importance: the
+# 20 round-13 names (second driver rows, per the r13 verdict's front
+# plan), the 14 headline bench queries, and 10 SURVEY §2 gate anchors.
+_ROUND14_FRONT = [
+    # -- the r14 batch (r18+r19 staged): first driver rows ---------------
+    *list(_R14_BATCH),
+    # -- the 20 r13 names: second driver rows ----------------------------
+    *list(_R13_BATCH),
+    # -- headline re-checks ----------------------------------------------
+    "pricing_summary",
+    "revenue_by_nation",
+    "region_volume",
+    "top_orders_per_customer",
+    "sessionize",
+    "merge_upsert_customer",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "cosine_topk",
+    "quality_score",
+    "kmeans_clusters",
+    "pagerank_neardup",
+    "prefix_filter_pairs",
+    "lsh_jaccard_verified",
+    # -- SURVEY §2 gate re-checks ----------------------------------------
+    "soql_projection",
+    "count_orders",
+    "csv_roundtrip",
+    "watermark_filter",
+    "soft_delete_split",
+    "top_orders",
+    "latest_event_per_user",
+    "snapshot_projection",
+    "dedup_clusters",
+    "semantic_dedup",
+]
+assert len(_ROUND14_FRONT) == 50, len(_ROUND14_FRONT)
+assert set(_ROUND14_FRONT) <= set(QUERIES), set(_ROUND14_FRONT) - set(QUERIES)
+
 # Apply the rotations in round order (one top-level QUERIES binding: the
 # duplicate-constant lint treats a second bare reassignment as the
 # NOVELTY_N shadowing hazard). Each pass moves that round's front to the
@@ -8801,6 +8871,7 @@ for _front in (
     _ROUND11_FRONT,
     _ROUND12_FRONT,
     _ROUND13_FRONT,
+    _ROUND14_FRONT,
 ):
     QUERIES = {
         name: QUERIES[name]

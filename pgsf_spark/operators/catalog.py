@@ -29,6 +29,10 @@ import json
 import os
 import time
 
+from pyspark.sql import DataFrame
+
+from pgsf_spark.operators.table_store import TableStore, _UNCHECKED, ConcurrentWriteError
+
 # Per-process publish sequence: two publishes can land in the same
 # millisecond (a failed CAS runs in microseconds), and a colliding
 # version NAME would make the loser's cleanup unlink the winner's body.
@@ -36,16 +40,13 @@ _PUBLISH_SEQ = itertools.count()
 
 
 def _version_sort_key(name: str) -> tuple:
-    """(ms, pid, seq) ints from 'cat_v{ms}_{pid}_{seq}'."""
+    """(ms, pid, seq) ints from 'cat_v{ms}_{pid}_{seq}' -- same
+    (0,)+ints / (1, name) convention as table_store._version_sort_key."""
     try:
         parts = name[len("cat_v") :].split("_")
-        return tuple(int(p) for p in parts)
+        return (0,) + tuple(int(p) for p in parts)
     except ValueError:  # unknown shape: sort after parseable names, by string
-        return (float("inf"), name)
-
-from pyspark.sql import DataFrame
-
-from pgsf_spark.operators.table_store import TableStore, _UNCHECKED, ConcurrentWriteError
+        return (1, name)
 
 
 class CatalogStore:
@@ -96,8 +97,14 @@ class CatalogStore:
         version = (
             f"cat_v{int(time.time() * 1000)}_{os.getpid()}_{next(_PUBLISH_SEQ):06d}"
         )
+        # Stage both files under .tmp names OUTSIDE the lock: versions()
+        # only lists *.json, so a crash anywhere before the in-lock
+        # renames leaves no half-published catalog version behind (a
+        # body committed before the CAS check would read as published
+        # even though the pointer never flipped to it).
         body = os.path.join(self.root, f"{version}.json")
-        with open(body, "w") as f:
+        tmp_body = body + ".tmp"
+        with open(tmp_body, "w") as f:
             json.dump(
                 {"version": version, "written_at": time.time(), "tables": tables}, f
             )
@@ -111,12 +118,16 @@ class CatalogStore:
                     cur = self.current_version()
                     if cur != expect_version:
                         os.unlink(tmp_ptr)
-                        os.unlink(body)
+                        os.unlink(tmp_body)
                         raise ConcurrentWriteError(
                             f"catalog: expected current version {expect_version!r} "
                             f"but found {cur!r} -- another publisher won; re-read "
                             "and retry"
                         )
+                # Commit the body first, then flip the pointer: a crash
+                # between the two leaves an unreferenced (but complete)
+                # version body, never a pointer to a missing body.
+                os.replace(tmp_body, body)
                 os.replace(tmp_ptr, self._pointer())
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)

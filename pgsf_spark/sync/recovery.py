@@ -64,13 +64,28 @@ def recover_state(
     state: SyncState,
     tables: list[str],
     refresh_minutes: int = 10,
+    overwrite: bool = False,
 ) -> dict[str, str]:
     """Re-seed ``state`` for every table from the store's manifests.
 
     Returns {table: recovered watermark ISO}. All-or-nothing per table:
     a table with no recoverable position raises before any ticks run,
     so the caller bulk-loads it instead of silently full-scanning.
+
+    Recovery targets a LOST ledger. ``state`` already holding a row for
+    any requested table means this is not the disaster the tool exists
+    for -- ``insert`` would clobber in-flight state (including a RUNNING
+    claim) and could move a live watermark backward, so that raises
+    unless the caller passes ``overwrite=True`` explicitly.
     """
+    if not overwrite:
+        existing = sorted(t for t in tables if state.get(t) is not None)
+        if existing:
+            raise RuntimeError(
+                f"recover_state: ledger already has rows for {existing} -- "
+                "recovery re-seeds a LOST ledger; pass overwrite=True to "
+                "clobber live state deliberately"
+            )
     recovered: dict[str, datetime] = {
         t: recover_watermark(store, t) for t in tables
     }

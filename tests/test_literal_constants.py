@@ -161,6 +161,8 @@ class TestRegistryImportOrder:
 
         code = (
             "import sys; sys.path.insert(0, '.');"
+            "import pgsf_spark.analytics.registry_r19;"
+            "import pgsf_spark.analytics.registry_r18;"
             "import pgsf_spark.analytics.registry_r17;"
             "import pgsf_spark.analytics.registry_r16;"
             "import pgsf_spark.analytics.registry_r15;"
@@ -176,13 +178,17 @@ class TestRegistryImportOrder:
             "from pgsf_spark.analytics.registry_r15 import STAGED_QUERIES_R15;"
             "from pgsf_spark.analytics.registry_r16 import STAGED_QUERIES_R16;"
             "from pgsf_spark.analytics.registry_r17 import STAGED_QUERIES_R17;"
+            "from pgsf_spark.analytics.registry_r18 import STAGED_QUERIES_R18;"
+            "from pgsf_spark.analytics.registry_r19 import STAGED_QUERIES_R19;"
             "assert set(STAGED_QUERIES) <= set(QUERIES);"
             "assert set(STAGED_QUERIES_R12) <= set(QUERIES);"
             "assert set(STAGED_QUERIES_R13) <= set(QUERIES);"
             "assert set(STAGED_QUERIES_R14) <= set(QUERIES);"
             "assert set(STAGED_QUERIES_R15) <= set(QUERIES);"
             "assert set(STAGED_QUERIES_R16) <= set(QUERIES);"
-            "assert set(STAGED_QUERIES_R17) <= set(QUERIES)"
+            "assert set(STAGED_QUERIES_R17) <= set(QUERIES);"
+            "assert set(STAGED_QUERIES_R18) <= set(QUERIES);"
+            "assert set(STAGED_QUERIES_R19) <= set(QUERIES)"
         )
         r = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=120

@@ -31,7 +31,7 @@ class TestStagingDiscipline:
         from pgsf_spark.analytics.registry_r12 import STAGED_QUERIES_R12
 
         staged = _staged()
-        assert len(QUERIES) == 382 + len(staged) + len(STAGED_QUERIES_R12) + 20
+        assert len(QUERIES) == 382 + len(staged) + len(STAGED_QUERIES_R12) + 20 + 6
         for name, spec in staged.items():
             assert QUERIES.get(name) is spec, name
 

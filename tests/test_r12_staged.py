@@ -46,12 +46,13 @@ class TestStagingDisciplineR12:
 
         staged = _staged()
         assert len(staged) == 11
-        assert len(QUERIES) == 382 + len(STAGED_QUERIES) + len(staged) + 20
+        assert len(QUERIES) == 382 + len(STAGED_QUERIES) + len(staged) + 20 + 6
         for name, spec in staged.items():
             assert QUERIES.get(name) is spec, name
-        # round 13's 20-name batch rotated ahead; the r12 names sit right
-        # behind it (their second driver rows ride in the r13 window)
-        assert list(QUERIES)[20 : 20 + len(staged)] == list(staged)
+        # round 14's 50-name front (6 new + 20 r13-batch + 24 re-checks)
+        # rotated ahead; the r12 names sit right behind it in their r13
+        # rotation order (they already have two driver rows, r12 + r13)
+        assert list(QUERIES)[50 : 50 + len(staged)] == list(staged)
 
     def test_r13_r14_batches_registered_in_round_13(self):
         # round 13 promoted the r13/r14 staged batches (with r15/r16/r17,

@@ -32,7 +32,9 @@ class TestStagingDisciplineR16:
         assert len(staged) == 2
         for name, spec in staged.items():
             assert QUERIES.get(name) is spec, name
-        assert set(staged) <= set(list(QUERIES)[:20])
+        # round 14's 6-name batch rotated ahead; the r13-batch names sit
+        # right behind it (second driver rows ride in the r14 window)
+        assert set(staged) <= set(list(QUERIES)[:26])
 
     def test_staged_specs_shaped_like_registry_specs(self):
         from pgsf_spark.analytics.registry import QuerySpec

@@ -25,12 +25,17 @@ def _staged():
 
 
 class TestStagingDisciplineR18:
-    def test_batch_size_and_no_collisions(self):
+    def test_batch_registered_at_dict_head(self):
+        # round 14 promoted the batch: both names live in the registry,
+        # as the SAME spec objects, inside the 6-slot r14 head rotation
+        # so the driver's 50-slot correctness window sees them first
         from pgsf_spark.analytics.registry import QUERIES
 
         staged = _staged()
         assert len(staged) == 2
-        assert not set(staged) & set(QUERIES)
+        for name, spec in staged.items():
+            assert QUERIES.get(name) is spec, name
+        assert set(staged) <= set(list(QUERIES)[:6])
 
     def test_staged_specs_shaped_like_registry_specs(self):
         from pgsf_spark.analytics.registry import QuerySpec
@@ -49,7 +54,7 @@ class TestStagingDisciplineR18:
             "import pgsf_spark.analytics.registry_r18;"
             "from pgsf_spark.analytics.registry import QUERIES;"
             "from pgsf_spark.analytics.registry_r18 import STAGED_QUERIES_R18;"
-            "assert not set(STAGED_QUERIES_R18) & set(QUERIES)"
+            "assert set(STAGED_QUERIES_R18) <= set(QUERIES)"
         )
         r = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=120

@@ -21,14 +21,19 @@ def _staged():
 
 
 class TestStagingDisciplineR19:
-    def test_batch_size_and_no_collisions(self):
+    def test_batch_registered_at_dict_head(self):
+        # round 14 promoted the batch: all 4 names live in the registry,
+        # as the SAME spec objects, inside the 6-slot r14 head rotation
+        # so the driver's 50-slot correctness window sees them first
         from pgsf_spark.analytics.registry import QUERIES
         from pgsf_spark.analytics.registry_r18 import STAGED_QUERIES_R18
 
         staged = _staged()
         assert len(staged) == 4
-        for other in (QUERIES, STAGED_QUERIES_R18):
-            assert not set(staged) & set(other)
+        assert not set(staged) & set(STAGED_QUERIES_R18)
+        for name, spec in staged.items():
+            assert QUERIES.get(name) is spec, name
+        assert set(staged) <= set(list(QUERIES)[:6])
 
     def test_staged_specs_shaped_like_registry_specs(self):
         from pgsf_spark.analytics.registry import QuerySpec
@@ -47,7 +52,7 @@ class TestStagingDisciplineR19:
             "import pgsf_spark.analytics.registry_r19;"
             "from pgsf_spark.analytics.registry import QUERIES;"
             "from pgsf_spark.analytics.registry_r19 import STAGED_QUERIES_R19;"
-            "assert not set(STAGED_QUERIES_R19) & set(QUERIES)"
+            "assert set(STAGED_QUERIES_R19) <= set(QUERIES)"
         )
         r = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
@@ -386,3 +391,92 @@ class TestRecoverySemantics:
             recover_watermark(store, "bare")
         with pytest.raises(FileNotFoundError, match="no published version"):
             recover_watermark(store, "never_written")
+
+
+class TestPublishCrashSafety:
+    def test_non_cas_exception_leaves_no_orphan_body(self, spark, tmp_path):
+        """ADVICE r13 #1: the version body used to be committed BEFORE the
+        publish lock, so any non-CAS exception between body write and
+        pointer flip left an orphan cat_v*.json that versions()/mapping()
+        treated as published. The body now stages under a .tmp name and
+        commits inside the flock, after the CAS check -- a failed publish
+        must leave versions() and the pointer exactly as they were."""
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.operators.catalog import CatalogStore
+        from pgsf_spark.operators.table_store import TableStore
+
+        store = TableStore(spark, str(tmp_path / "store"))
+        store.write(spark.range(3).select(F.col("id").alias("k")), "a")
+        catalog = CatalogStore(str(tmp_path / "catalog"))
+        v1 = catalog.snapshot_current(store, ["a"])
+
+        # inject a non-CAS failure inside the lock, before the renames
+        orig = CatalogStore.current_version
+        try:
+            CatalogStore.current_version = lambda self: (_ for _ in ()).throw(
+                RuntimeError("simulated crash inside publish")
+            )
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                catalog.publish({"a": "vX"}, expect_version=v1)
+        finally:
+            CatalogStore.current_version = orig
+
+        assert catalog.versions() == [v1]
+        assert catalog.current_version() == v1
+        # no half-published .json body anywhere in the catalog dir
+        import os
+
+        bodies = [
+            f
+            for f in os.listdir(str(tmp_path / "catalog"))
+            if f.startswith("cat_v") and f.endswith(".json")
+        ]
+        assert bodies == [f"{v1}.json"]
+
+
+class TestRecoveryGuardsLiveLedger:
+    def test_recover_state_refuses_non_fresh_ledger(self, spark, tmp_path):
+        """ADVICE r13 #2: recover_state seeds via insert(), which clobbers
+        an existing row -- running recovery against a live ledger could
+        silently overwrite a RUNNING claim or move a watermark backward.
+        It must refuse unless overwrite=True is passed explicitly."""
+        import os
+        from datetime import datetime
+
+        from pyspark.sql import functions as F
+
+        from pgsf_spark.operators.table_store import TableStore
+        from pgsf_spark.sources.entity import EntitySource
+        from pgsf_spark.sync.recovery import recover_state
+        from pgsf_spark.sync.runner import SyncRunner
+        from pgsf_spark.sync.state import SyncState
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        t0 = datetime(2024, 1, 1)
+        spark.createDataFrame([(1,), (2,)], "Id long").withColumn(
+            "SystemModstamp", F.lit(t0).cast("timestamp")
+        ).withColumn("IsDeleted", F.lit(False)).write.parquet(
+            os.path.join(src, "e.parquet")
+        )
+        store = TableStore(spark, str(tmp_path / "store"))
+        state = SyncState(str(tmp_path / "sync.json"))
+        runner = SyncRunner(EntitySource(spark, src), store, state)
+        runner.snapshot_load("e", refresh_minutes=0)
+
+        live = state.get("e")
+        assert live is not None
+        with pytest.raises(RuntimeError, match="overwrite=True"):
+            recover_state(store, state, ["e"])
+        # the refusal touched nothing
+        assert state.get("e") == live
+
+        # the explicit escape hatch still works (deliberate re-seed)
+        out = recover_state(store, state, ["e"], overwrite=True)
+        assert set(out) == {"e"}
+
+        # a genuinely fresh ledger needs no flag -- the disaster path
+        fresh = SyncState(str(tmp_path / "sync2.json"))
+        out2 = recover_state(store, fresh, ["e"])
+        assert set(out2) == {"e"}
