@@ -159,6 +159,25 @@ class CatalogStore:
             raise FileNotFoundError(f"catalog at {self.root} has no published version")
         return v
 
+    def referenced_versions(self, table: str) -> set[str]:
+        """Store versions of ``table`` referenced by ANY published catalog
+        version -- the catalog-aware retention set for ``TableStore.vacuum``.
+
+        ``vacuum`` alone keeps the newest N versions plus the current
+        pointer, but knows nothing of catalog mappings: a published
+        catalog epoch can pin a store version older than that window, and
+        deleting it would make ``catalog.read(store, table, pinned)`` fail
+        on a missing dir -- a torn time-travel read at fleet scale. Pass
+        this set as ``vacuum(..., keep_versions=...)`` so every retained
+        catalog version keeps resolving. O(catalog versions) tiny JSON
+        reads, no data scan."""
+        out: set[str] = set()
+        for v in self.versions():
+            mapping = self.mapping(v)
+            if table in mapping:
+                out.add(mapping[table])
+        return out
+
     def read(self, store: TableStore, table: str, version: str) -> DataFrame:
         """Read ``table`` AT the given catalog version.
 

@@ -38,8 +38,13 @@ def recover_watermark(store: TableStore, table: str) -> datetime:
     window START (a safe fallback for versions published before
     watermark_after existed: re-reads one window, absorbed by the
     idempotent merge); a snapshot manifest's ``extract_started`` is the
-    C6 seed. Maintenance versions (compact/rollback) carry none and are
-    skipped -- they change layout, not sync position.
+    C6 seed. Maintenance versions (compact/rollback) change layout, not
+    sync position, but they CARRY the position forward from the version
+    they rewrite (compact copies the watermark fields, rollback copies
+    its whole source manifest) so sync -> compact -> vacuum down to an
+    all-maintenance trail still recovers; a maintenance version from
+    before that carry-forward existed simply has no position and is
+    skipped.
     """
     versions = store.versions(table)
     if not versions:
