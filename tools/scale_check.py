@@ -133,6 +133,7 @@ def main() -> int:
     from pgsf_spark.analytics.registry_r17 import STAGED_QUERIES_R17
     from pgsf_spark.analytics.registry_r18 import STAGED_QUERIES_R18
     from pgsf_spark.analytics.registry_r19 import STAGED_QUERIES_R19
+    from pgsf_spark.analytics.registry_r20 import STAGED_QUERIES_R20
     from pgsf_spark.session import get_spark
     from pgsf_spark.tables import load_table
 
@@ -148,6 +149,7 @@ def main() -> int:
         **STAGED_QUERIES_R17,
         **STAGED_QUERIES_R18,
         **STAGED_QUERIES_R19,
+        **STAGED_QUERIES_R20,
     }
     unknown = [q for q in names if q not in QUERIES]
     if unknown:
