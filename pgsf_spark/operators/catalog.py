@@ -159,6 +159,29 @@ class CatalogStore:
             raise FileNotFoundError(f"catalog at {self.root} has no published version")
         return v
 
+    def vacuum(self, keep: int = 2) -> list[str]:
+        """Drop old catalog versions (the catalog's own GC).
+
+        Retains the newest ``keep`` versions plus whatever the current
+        pointer names (a pointer must never dangle). Returns the deleted
+        version names. Run ``TableStore.vacuum(...,
+        keep_versions=referenced_versions(table))`` AFTER this, so store
+        versions only the dropped epochs referenced become collectable --
+        the retention pipeline is catalog-GC first, store-GC second.
+        O(versions) unlinks of tiny JSON bodies; no data moves (data dirs
+        belong to the store and its own vacuum)."""
+        versions = self.versions()
+        cur = self.current_version()
+        victims = [
+            v for v in (versions[:-keep] if keep else versions) if v != cur
+        ]
+        for v in victims:
+            try:
+                os.unlink(os.path.join(self.root, f"{v}.json"))
+            except FileNotFoundError:
+                pass
+        return victims
+
     def referenced_versions(self, table: str) -> set[str]:
         """Store versions of ``table`` referenced by ANY published catalog
         version -- the catalog-aware retention set for ``TableStore.vacuum``.

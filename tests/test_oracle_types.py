@@ -159,6 +159,7 @@ def _staged_with_oracle() -> dict:
     from pgsf_spark.analytics.registry_r18 import STAGED_QUERIES_R18
     from pgsf_spark.analytics.registry_r19 import STAGED_QUERIES_R19
     from pgsf_spark.analytics.registry_r20 import STAGED_QUERIES_R20
+    from pgsf_spark.analytics.registry_r21 import STAGED_QUERIES_R21
 
     return {
         name: spec
@@ -171,6 +172,7 @@ def _staged_with_oracle() -> dict:
             STAGED_QUERIES_R18,
             STAGED_QUERIES_R19,
             STAGED_QUERIES_R20,
+            STAGED_QUERIES_R21,
         )
         for name, spec in batch.items()
         if spec.oracle is not None

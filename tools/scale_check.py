@@ -134,6 +134,7 @@ def main() -> int:
     from pgsf_spark.analytics.registry_r18 import STAGED_QUERIES_R18
     from pgsf_spark.analytics.registry_r19 import STAGED_QUERIES_R19
     from pgsf_spark.analytics.registry_r20 import STAGED_QUERIES_R20
+    from pgsf_spark.analytics.registry_r21 import STAGED_QUERIES_R21
     from pgsf_spark.session import get_spark
     from pgsf_spark.tables import load_table
 
@@ -150,6 +151,7 @@ def main() -> int:
         **STAGED_QUERIES_R18,
         **STAGED_QUERIES_R19,
         **STAGED_QUERIES_R20,
+        **STAGED_QUERIES_R21,
     }
     unknown = [q for q in names if q not in QUERIES]
     if unknown:
