@@ -111,6 +111,13 @@ def _gated_load_start() -> tuple[float, str]:
         )
         time.sleep(LOAD_WAIT_S)
         load = round(os.getloadavg()[0], 2)
+    # honor the LAST resample too: the loop above checks the gate at the
+    # top, so the value taken after the final wait was never compared and
+    # a sample could be tagged contaminated at a genuinely idle load
+    # (observed this round: "load still 0.24 > 0.5 after 6 waits").
+    # Same bounded wait, one more comparison (OPTIMIZATION_r14).
+    if load <= LOAD_GATE:
+        return load, "idle"
     print(
         f"WARNING: load still {load} > {LOAD_GATE} after {LOAD_MAX_WAITS} waits; "
         f"benching anyway -- treat this sample as CONTAMINATED",

@@ -46,14 +46,29 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def word_shingles(col, k: int = SHINGLE_K):
-    """Distinct k-word shingles as an array column (pure built-ins:
-    split -> transform over index range -> slice/join -> distinct)."""
-    toks = F.split(_norm_text(col), " ")
+def word_shingles_from_tokens(toks, k: int = SHINGLE_K):
+    """Distinct k-word shingles from a token-array column.
+
+    ``toks`` MUST be a materialized attribute (a column produced by a
+    previous projection), not an inline ``split`` expression: higher-order
+    function lambdas are evaluated per element with NO hoisting of
+    loop-invariant subexpressions, so an inline split re-tokenizes the
+    whole document once per shingle index -- O(len^2) per doc (measured 2x
+    on doc_minhash at sf0.1; guide §4 JVM-boundary analogue for pure-JVM
+    lambdas). Callers stage ``split(_norm_text(text))`` in their own
+    select first; multiple references to the non-cheap split keep
+    CollapseProject from re-inlining it."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(toks, " "))))
+
+
+def word_shingles(col, k: int = SHINGLE_K):
+    """Distinct k-word shingles straight from a text column (pure
+    built-ins). Prefer staging the token split in its own projection and
+    calling word_shingles_from_tokens -- see its docstring."""
+    return word_shingles_from_tokens(F.split(_norm_text(col), " "), k)
 
 
 def _md5_hash_int(col, seed: int):
@@ -83,12 +98,15 @@ def doc_minhash(d: DataFrame, text_col: str = "text", n_hashes: int = N_MINHASH)
     # (single test files) across cores; no-op (no Exchange) when the scan is
     # already wide, i.e. always at real scale.
     d = spread(d.select("doc_id", text_col))
-    sh = word_shingles(F.col(text_col))
+    # stage the token split as its own projection so the shingle lambdas
+    # reference an attribute -- an inline split re-tokenizes per shingle
+    # index (see word_shingles_from_tokens; measured 2x on this function)
+    d = d.select("doc_id", F.split(_norm_text(F.col(text_col)), " ").alias("__toks"))
+    sh = word_shingles_from_tokens(F.col("__toks"))
     base = F.transform(
         sh, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
     )
-    cols = [F.col(text_col), base.alias("__mh_base")]
-    d2 = d.select("doc_id", *cols)
+    d2 = d.select("doc_id", base.alias("__mh_base"))
     def lin(a, b):
         # single-arg lambda on purpose: F.transform feeds the array index to
         # 2-arg callables
@@ -252,6 +270,23 @@ def q_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
     )
+    # Tokenize the corpus ONCE, restricted to docs that appear in a
+    # candidate pair, and materialize that: the two skew_hedged_joins below
+    # each expand into a cold + hot union branch, so the `toks` subtree was
+    # evaluated FOUR times -- the before-plan re-ran the full documents
+    # scan + array_distinct(split(...)) in every branch
+    # (plans/r14/lsh_jaccard_verified_before.txt nodes 22/49/66/...).
+    # Candidate docs are a vanishing fraction of the corpus (the point of
+    # LSH), so the semi-join bounds the checkpoint by the candidate set,
+    # not the corpus: corpus tokenize passes go 4 -> 1 (guide §2.4
+    # duplicated subtrees, §8 decide-with-small-rows). Inner joins on
+    # doc_a/doc_b make the restriction a result no-op.
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    toks = toks.join(cand_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     # doc_b fan-out in the second join == its multiplicity in `pairs` (the
@@ -431,8 +466,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d = spread(d.select("doc_id", "text"))
     toks = F.array_distinct(F.split(_norm_text(F.col("text")), " "))
-    # per token: integer hash; bit j of the hash contributes +1/-1
-    h = F.transform(toks, lambda t: _md5_hash_int(t, 99))
+    # per token: integer hash; bit j of the hash contributes +1/-1.
+    # Materialize the per-token hash array ONCE: the 16 per-bit vote
+    # aggregates below each reference it, and an inline expression would
+    # re-run split + md5-per-token 16 times per row (the same
+    # no-common-subexpression-elimination trap as word_shingles_from_tokens;
+    # measured on doc_minhash). The staged column is a small int array.
+    d2 = d.select(
+        "doc_id", F.transform(toks, lambda t: _md5_hash_int(t, 99)).alias("__h")
+    )
+    h = F.col("__h")
     bits = []
     for j in range(16):
         votes = F.transform(h, lambda x: F.when(x.bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1))
@@ -441,7 +484,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash = bits[0]
     for b in bits[1:]:
         simhash = simhash + b
-    return d.select("doc_id", simhash.cast("long").alias("simhash"))
+    return d2.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 SIMHASH_BANDS = 4  # 16-bit signature -> 4 bands of 4 bits
@@ -499,9 +542,25 @@ def q_lsh_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_jaccard_verified: candidates from the banded equi-join, exact set
     arithmetic only on candidates."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(lsh_banded(d))
-    toks = d.select(
-        "doc_id", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
+    # checkpoint the (bounded) candidate list so it can seed the token
+    # restriction below without re-running the LSH subtree, then tokenize
+    # the corpus ONCE restricted to pair-participating docs: the a/b join
+    # sides each re-ran the full documents scan + tokenize before (2 -> 1
+    # corpus tokenize passes; same shape as q_lsh_jaccard_verified,
+    # guide §2.4 duplicated subtrees). Inner joins make it a result no-op.
+    pairs = lsh_candidate_pairs(lsh_banded(d)).localCheckpoint(eager=True)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    toks = (
+        d.select(
+            "doc_id",
+            F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks"),
+        )
+        .join(cand_ids, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
     )
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
@@ -642,6 +701,14 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         chunk = MAX_BUCKET  # bounded row width; pairs per chunk-pair row <= chunk^2
         n_chunks = F.ceil(F.size("ms") / chunk).cast("int")
+        # materialize the chunk table ONCE: both sides of the chunk-pair
+        # self-join below read it, and without the checkpoint the whole
+        # tokenize -> mask agg -> band explode -> collect_list -> chunk
+        # pipeline (two exchanges) ran TWICE, once per join side
+        # (plan-verified: plans/r14/prefix_filter_pairs_before.txt nodes
+        # 1-15 vs 16-29 are the same subtree). One copy of O(blocks)
+        # chunk rows -- the same bounded intermediate the join shuffles
+        # anyway (OPTIMIZATION_r14, guide §2.4 duplicated subtrees).
         chunks = blocks.select(
             "g",
             "sm",
@@ -651,7 +718,7 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda i: F.slice(F.col("ms"), i * chunk + 1, chunk),
                 )
             ).alias("ci", "cm"),
-        )
+        ).localCheckpoint(eager=True)
         ca = chunks.select("g", "sm", F.col("ci").alias("ci_a"), F.col("cm").alias("ca"))
         cb = chunks.select("g", "sm", F.col("ci").alias("ci_b"), F.col("cm").alias("cb"))
         # members are globally sorted within a block, so chunk i's doc_ids all
@@ -800,7 +867,15 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select("doc_a", "doc_b").union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg"))
+    # materialize the degree table once: n_nodes already forces it (the
+    # count below), and without the checkpoint every iteration's deg join
+    # plus the rank seed re-ran the union+aggregate subtree -- the final
+    # plan computed deg THREE more times (plans/r14/pagerank_neardup_before
+    # .txt nodes 19-22/31-34/48-51 are the same subtree). deg is one row
+    # per graph node -- tiny (OPTIMIZATION_r14, guide §2.4/§5 reuse).
+    deg = edges.groupBy("doc_a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
     n_nodes = deg.count()  # tiny scalar (node count), same literal in the oracle
     base = (1.0 - PR_DAMPING) / n_nodes
     rank = deg.select("doc_a", F.lit(1.0 / n_nodes).alias("pr"))
@@ -958,10 +1033,27 @@ def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(lsh_banded(d)).localCheckpoint(eager=True)
-    mh = doc_minhash(d)
+    # Evaluate the signature and shingle projections ONCE each, restricted
+    # to pair-participating docs: ma/mb and sa/sb are two references apiece,
+    # so the full minhash pipeline and the tokenize+shingle scan each ran
+    # TWICE (4 corpus passes beyond the pair build). The semi-join bounds
+    # both checkpoints by the candidate set; inner joins on doc_a/doc_b
+    # make the restriction a result no-op (same shape as
+    # q_lsh_jaccard_verified; guide §2.4 duplicated subtrees).
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    mh = doc_minhash(d).join(cand_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
     ma = mh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)])
     mb = mh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)])
-    sh = d.select("doc_id", word_shingles(F.col("text")).alias("s"))
+    sh = (
+        d.select("doc_id", F.split(_norm_text(F.col("text")), " ").alias("__toks"))
+        .select("doc_id", word_shingles_from_tokens(F.col("__toks")).alias("s"))
+        .join(cand_ids, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     matches = sum(
@@ -1172,8 +1264,10 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
 
-    sh = sample.select("doc_id", word_shingles(F.col("text")).alias("sh")).localCheckpoint(
-        eager=True
+    sh = (
+        sample.select("doc_id", F.split(_norm_text(F.col("text")), " ").alias("__toks"))
+        .select("doc_id", word_shingles_from_tokens(F.col("__toks")).alias("sh"))
+        .localCheckpoint(eager=True)
     )
     ex = sh.select("doc_id", F.explode("sh").alias("g"))
     tc = (
@@ -1339,8 +1433,22 @@ def q_jaccard_threshold_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
 
     d = load_table(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(lsh_banded(d)).localCheckpoint(eager=True)
-    toks = d.select(
-        "doc_id", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
+    # same single-tokenize shape as q_lsh_jaccard_verified: restrict the
+    # token projection to pair-participating docs (inner-join no-op) and
+    # materialize once, so the a/b join sides don't each re-run the full
+    # documents scan + tokenize (2 -> 1 corpus passes; guide §2.4)
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    toks = (
+        d.select(
+            "doc_id",
+            F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks"),
+        )
+        .join(cand_ids, "doc_id", "left_semi")
+        .localCheckpoint(eager=True)
     )
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))

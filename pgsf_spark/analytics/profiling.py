@@ -1037,9 +1037,13 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-calendar argument every spine query here makes) -- the
     data-sized work is only the daily rollup."""
     orders = load_table(spark, sf_dir, "orders")
+    # materialize the calendar-bounded day-grain rollup ONCE: it feeds four
+    # consumers (both BNL join sides, the tie histogram, the n scalar), and
+    # each reference re-ran the full orders scan + aggregate -- 4 fact
+    # passes for one ~2.4k-row table (OPTIMIZATION_r14, guide §2.4/§5)
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
-    )
+    ).localCheckpoint(eager=True)
     a = daily.select(F.col("day").alias("d1"), F.col("rev").alias("x1"))
     b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("x2"))
     s_agg = (
@@ -1081,9 +1085,11 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division (identical IEEE op in both engines) and the exact
     interpolated median over the pair set is engine-portable."""
     orders = load_table(spark, sf_dir, "orders")
+    # day-grain rollup materialized once (both BNL join sides read it; the
+    # second reference re-ran the full orders scan + aggregate -- guide §2.4)
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev")
-    )
+    ).localCheckpoint(eager=True)
     a = daily.select(F.col("day").alias("d1"), F.col("rev").alias("x1"))
     b = daily.select(F.col("day").alias("d2"), F.col("rev").alias("x2"))
     slopes = a.join(b, F.col("d1") < F.col("d2")).select(

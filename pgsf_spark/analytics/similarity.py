@@ -127,31 +127,55 @@ def _label_centroids(e: DataFrame) -> DataFrame:
     )
 
 
+def _assign_max_cosine(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, v, cluster): per-vector argmax-cosine centroid label, ties
+    to the LOWEST label -- the coarse-quantizer assignment of the IVF
+    family, as a pure map.
+
+    The label centroids fold into ONE array row (collect_list) attached by
+    a 1-row broadcast cross join; the argmax is array_min over
+    (-cosine, label) structs, whose field-by-field ordering reproduces the
+    (cos_c DESC, label ASC) tie-break of the previous row_number window
+    bit-for-bit (negation of a double is exact). The previous shape
+    (crossJoin against the k-row centroid table + row_number window)
+    exploded every vector k-fold and shuffled those wide rows -- each
+    carrying TWO 64-double arrays -- on vec_id; this one computes the same
+    k cosines per row with no Exchange and no Sort (OPTIMIZATION_r14,
+    guide §2.4; same device as _assign_nearest)."""
+    cents = cent.agg(F.array_sort(F.collect_list(F.struct("label", "cv"))).alias("cents"))
+
+    def neg_cos(c):
+        return -(
+            _dot(F.col("v"), c["cv"])
+            / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(c["cv"], c["cv"])))
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(neg_cos(c).alias("nc"), c["label"].alias("label")),
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", best.alias("best"))
+        .select("vec_id", "v", F.col("best.label").alias("cluster"))
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: assign every vector to its nearest centroid (coarse
     quantizer = the 10 label centroids, deterministic -- no RNG), then
     search only the query's cluster with exact cosine.
 
-    The assign step is a broadcast join against the tiny centroid table +
-    a per-vector top-1 window; the search step touches ~1/nlist of the
-    data -- the textbook IVF cost model, expressed as two joins."""
-    from pyspark.sql.window import Window
-
+    The assign step is a broadcast array-fold over the tiny centroid
+    table (_assign_max_cosine -- no shuffle); the search step touches
+    ~1/nlist of the data -- the textbook IVF cost model."""
     e = load_table(spark, sf_dir, "embeddings")
     e = spread(e)  # no-op (no Exchange) when the scan is already wide
     emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
     cent = _label_centroids(e)
-    cos_c = _dot(F.col("v"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("label"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", cos_c)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("label").alias("cluster"))
-    )
+    assigned = _assign_max_cosine(emb, cent)
     q = assigned.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("cluster").alias("qcluster")
     )
@@ -268,17 +292,39 @@ def _sqdist(a, b):
 
 
 def _assign_nearest(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k-row centroid table,
-    argmin by (distance, cluster) -- ties break to the lowest cluster id."""
-    from pyspark.sql.window import Window
+    """Nearest-centroid assignment: argmin by (distance, cluster) -- ties
+    break to the lowest cluster id.
 
-    w = Window.partitionBy("vec_id").orderBy("d", "cluster")
+    The k centroids are folded into ONE array row (collect_list) and
+    attached with a 1-row broadcast cross join; the argmin is then
+    array_min over per-centroid (d, cluster) structs -- struct ordering is
+    field-by-field, exactly the (d ASC, cluster ASC) tie-break the oracle's
+    ROW_NUMBER uses. The previous shape (crossJoin against the k-row
+    table + row_number window) exploded every vector k-fold and shuffled
+    those wide rows on vec_id once per Lloyd round; this one is a pure
+    map over the scan -- no Exchange, no Sort, k distances per row either
+    way (OPTIMIZATION_r14)."""
+    cents = cent.agg(F.array_sort(F.collect_list(F.struct("cluster", "cv"))).alias("cents"))
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _sqdist(F.col("v"), c["cv"]).alias("d"), c["cluster"].alias("cluster")
+            ),
+        )
+    )
+    # two projections on purpose: `best` is referenced twice (d + cluster),
+    # and CollapseProject keeps the boundary rather than duplicating the
+    # non-cheap argmin expression
     return (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("d", _sqdist(F.col("v"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cluster", "d")
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", best.alias("best"))
+        .select(
+            "vec_id",
+            "v",
+            F.col("best.cluster").alias("cluster"),
+            F.col("best.d").alias("d"),
+        )
     )
 
 
@@ -510,7 +556,7 @@ def q_pq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     dec = "decimal(25,12)"
 
-    df = emb.withColumn("__cw", F.lit(cw)).crossJoin(
+    df = emb.crossJoin(
         F.broadcast(emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv")))
     )
     quant_terms = []
@@ -519,20 +565,22 @@ def q_pq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
         off = m * PQ_SUB + 1
         sub = F.slice(F.col("v"), off, PQ_SUB)
         qsub = F.slice(F.col("qv"), off, PQ_SUB)
+        # slice each codeword's subvector in PYTHON and inject it as a
+        # PQ_SUB-element literal: the previous shape carried the whole
+        # codebook as a per-row array column and re-ran element_at + slice
+        # over it 2*PQ_K times per subspace per row -- 128 runtime slices
+        # of a 64x8 literal per row that are all loop-invariant
+        # (OPTIMIZATION_r14, guide §1.2 per-task work; identical operands,
+        # so identical arithmetic and hash)
+        sub_cw = [c[m * PQ_SUB : m * PQ_SUB + PQ_SUB] for c in cw]
         dists_m = F.array(
-            *[
-                _sqdist(sub, F.slice(F.element_at(F.col("__cw"), k + 1), off, PQ_SUB))
-                for k in range(PQ_K)
-            ]
+            *[_sqdist(sub, F.lit(sub_cw[k])) for k in range(PQ_K)]
         )
         # argmin, ties to the lowest code id: array_position returns the
         # FIRST index holding the minimum
         code_m = F.array_position(dists_m, F.array_min(dists_m)).cast("int")
         dq_m = F.array(
-            *[
-                _sqdist(qsub, F.slice(F.element_at(F.col("__cw"), k + 1), off, PQ_SUB))
-                for k in range(PQ_K)
-            ]
+            *[_sqdist(qsub, F.lit(sub_cw[k])) for k in range(PQ_K)]
         )
         quant_terms.append(F.array_min(dists_m).cast(dec))
         adc_terms.append(F.element_at(dq_m, code_m).cast(dec))
@@ -649,13 +697,33 @@ def q_ivfpq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = emb.filter(F.col("vec_id") < IVFPQ_C).select(
         F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    # shuffle-free coarse assignment: fold the C centroids into one array
+    # row, argmin by (d, cid) via array_min over structs -- field-by-field
+    # struct ordering IS the (d ASC, cid ASC) tie-break of the previous
+    # row_number window, and cid is unique so the trailing cv field is
+    # never compared. The previous shape exploded every vector C-fold and
+    # shuffled those wide rows (two 64-double arrays each) on vec_id
+    # (OPTIMIZATION_r14, guide §2.4; same device as _assign_nearest).
+    ccs = cc.agg(F.array_sort(F.collect_list(F.struct("cid", "cv"))).alias("ccs"))
+    best = F.array_min(
+        F.transform(
+            F.col("ccs"),
+            lambda c: F.struct(
+                _sqdist(F.col("v"), c["cv"]).alias("d"),
+                c["cid"].alias("cid"),
+                c["cv"].alias("cv"),
+            ),
+        )
+    )
     assigned = (
-        emb.crossJoin(F.broadcast(cc))
-        .withColumn("d", _sqdist(F.col("v"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid", "cv")
+        emb.crossJoin(F.broadcast(ccs))
+        .select("vec_id", "v", best.alias("best"))
+        .select(
+            "vec_id",
+            "v",
+            F.col("best.cid").alias("cid"),
+            F.col("best.cv").alias("cv"),
+        )
     )
     res = assigned.withColumn("r", F.zip_with("v", "cv", lambda a, b: a - b)).select(
         "vec_id", "cid", "r"
@@ -680,24 +748,23 @@ def q_ivfpq_recall_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = res.join(F.broadcast(probes), "cid").filter(F.col("vec_id") != 0)
     dec = "decimal(25,12)"
-    cand = cand.withColumn("__cw", F.lit(cwr))
     adc_terms = []
     for m in range(PQ_M):
         off = m * PQ_SUB + 1
         sub = F.slice(F.col("r"), off, PQ_SUB)
         qsub = F.slice(F.col("qr"), off, PQ_SUB)
+        # codeword subvectors sliced in PYTHON and injected as literals
+        # instead of carrying the whole residual codebook as a per-row
+        # column and re-slicing it 2*PQ_K times per subspace per row
+        # (same change as q_pq_recall_at_5: identical operands, identical
+        # arithmetic, loop-invariant work hoisted off the per-row path)
+        sub_cw = [c[m * PQ_SUB : m * PQ_SUB + PQ_SUB] for c in cwr]
         dists_m = F.array(
-            *[
-                _sqdist(sub, F.slice(F.element_at(F.col("__cw"), k + 1), off, PQ_SUB))
-                for k in range(PQ_K)
-            ]
+            *[_sqdist(sub, F.lit(sub_cw[k])) for k in range(PQ_K)]
         )
         code_m = F.array_position(dists_m, F.array_min(dists_m)).cast("int")
         dq_m = F.array(
-            *[
-                _sqdist(qsub, F.slice(F.element_at(F.col("__cw"), k + 1), off, PQ_SUB))
-                for k in range(PQ_K)
-            ]
+            *[_sqdist(qsub, F.lit(sub_cw[k])) for k in range(PQ_K)]
         )
         adc_terms.append(F.element_at(dq_m, code_m).cast(dec))
     ad = adc_terms[0]
@@ -1017,19 +1084,10 @@ def q_mrr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(e)  # no-op (no Exchange) when the scan is already wide
     emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
     cent = _label_centroids(e)
-    cos_c = _dot(F.col("v"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("label"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .withColumn("cos_c", cos_c)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("label").alias("cluster"))
-    )
+    # shuffle-free argmax-cosine assignment (see _assign_max_cosine: the
+    # previous crossJoin + row_number window shuffled k wide rows per
+    # vector on vec_id; this is a pure map with the same tie-break)
+    assigned = _assign_max_cosine(emb, cent)
     # bounded materialization (MRR_Q rows): the query panel feeds the brute
     # pass, the candidate pass, and the broadcast -- without it each
     # reference re-runs the full centroid-assignment scan

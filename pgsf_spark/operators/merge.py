@@ -123,10 +123,21 @@ def merge_upsert(
     target_cols = target.columns
     if isdeleted_col and isdeleted_col in changes.columns:
         dead = F.coalesce(F.col(isdeleted_col), F.lit(False))
-        alive = changes.filter(~dead)
-        dead_keys = changes.filter(dead).select(pk).distinct()
-        latest = latest_per_key(alive, pk, ts_field, order_col=order_col)
-        incoming = latest.join(dead_keys, on=pk, how="left_anti").select(*target_cols)
+        # Fold the delete-pass into the SAME window shuffle as the
+        # latest-per-key dedup: an unbounded max-over-key flag marks keys
+        # with any IsDeleted row, sharing the pk partitioning (and its one
+        # Exchange) with the row_number window, instead of a separate
+        # filter -> distinct -> anti-join branch that re-scanned the whole
+        # change batch a third time (OPTIMIZATION_r14, guide §2.4: window
+        # keyed like the preceding shuffle needs no second exchange).
+        # Semantics are unchanged: a key with any dead row never reaches
+        # `incoming` either way, and for surviving keys (no dead rows)
+        # latest-over-all-rows == latest-over-alive-rows.
+        flagged = changes.withColumn(
+            "__any_dead", F.max(dead.cast("int")).over(Window.partitionBy(pk))
+        )
+        latest = latest_per_key(flagged, pk, ts_field, order_col=order_col)
+        incoming = latest.filter(F.col("__any_dead") == 0).select(*target_cols)
         change_keys = changes.select(pk).distinct()
     else:
         latest = latest_per_key(changes, pk, ts_field, order_col=order_col)
