@@ -124,3 +124,58 @@ class TestLatestPerKey:
         df = spark.createDataFrame([("a", 1, TS)], "Id string, v int, SystemModstamp timestamp")
         plan = latest_per_key(df, "Id", "SystemModstamp")._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") <= 1
+
+
+class TestDeleteFoldInternals:
+    """OPTIMIZATION_r14: the soft-delete pass is folded into the
+    latest-per-key window's pk partitioning (one shared Exchange) instead
+    of a separate filter -> distinct -> anti-join branch. Pin the
+    semantics that fold must preserve and the plan shape it buys."""
+
+    def test_delete_wins_over_same_batch_later_update(self, spark):
+        # key-grain delete: ANY dead row removes the key, even when a
+        # strictly newer alive row exists in the same batch (the
+        # reference applies the delete pass after the upsert pass)
+        target = mk_target(spark)
+        changes = spark.createDataFrame(
+            [
+                ("a", "dead", 0.0, TS, True),
+                ("a", "alive-later", 9.0, TS2, False),
+            ],
+            target.schema,
+        )
+        out = collect_map(merge_upsert(target, changes, "Id", "SystemModstamp"))
+        assert "a" not in out
+
+    def test_null_isdeleted_is_not_a_delete(self, spark):
+        target = mk_target(spark)
+        changes = spark.createDataFrame(
+            [("a", "alice2", 10.0, TS2, None)], target.schema
+        )
+        out = collect_map(merge_upsert(target, changes, "Id", "SystemModstamp"))
+        assert out["a"] == ("alice2", 10.0)
+
+    def test_helper_column_never_leaks(self, spark):
+        target = mk_target(spark)
+        changes = spark.createDataFrame(
+            [("a", "alice2", 10.0, TS2, False)], target.schema
+        )
+        out = merge_upsert(target, changes, "Id", "SystemModstamp")
+        assert "__any_dead" not in out.columns
+
+    def test_flag_and_dedup_share_one_pk_exchange(self, spark):
+        # the any-dead window and the row_number window are keyed the same
+        # way, so they must share ONE pk exchange: exactly two Window
+        # nodes in the plan, with no Exchange between them (the old shape
+        # had one window plus a separate dead-keys distinct+anti-join
+        # branch that re-shuffled the change batch)
+        target = mk_target(spark)
+        changes = spark.createDataFrame(
+            [("a", "alice2", 10.0, TS2, False), ("b", "bob", 2.0, TS2, True)],
+            target.schema,
+        )
+        merged = merge_upsert(target, changes, "Id", "SystemModstamp")
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        windows = [i for i in range(len(plan)) if plan.startswith("Window ", i)]
+        assert len(windows) == 2, plan
+        assert "Exchange" not in plan[windows[0] : windows[1]], plan
