@@ -603,19 +603,19 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(1) per pair via a vocab-id bitmask when the vocabulary fits in a
     long (see inline comment), else an array-intersect join."""
     d = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE: every downstream consumer (vocab probe, doc masks /
+    # prefix ranking, doc frequencies) reads the checkpointed
+    # (doc_id, source, toks) table instead of re-scanning + re-splitting
+    # the text column per consumer (the tokenize scan was the query's
+    # single biggest repeated cost). The ARRAY form is kept -- one row per
+    # document, smaller than the exploded (doc_id, token) copy it replaces
+    # (doc_id/source stored once per doc, token bytes identical) -- so the
+    # bitmask branch below can fold masks per row with no shuffle; the
+    # exploded view is derived lazily where a consumer needs it.
     toks = d.select(
         "doc_id", "source", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
-    )
-    # tokenize ONCE: every downstream consumer (vocab probe, doc masks /
-    # prefix ranking, doc frequencies) reads the checkpointed skinny
-    # (doc_id, token) table instead of re-scanning + re-splitting the text
-    # column per consumer (the tokenize scan was the query's single biggest
-    # repeated cost). One materialized copy of ~|tokens| narrow rows --
-    # at 100 TB this is the tokenized projection any set-similarity join
-    # materializes anyway.
-    tok = toks.select("doc_id", F.explode("toks").alias("token")).localCheckpoint(
-        eager=True
-    )
+    ).localCheckpoint(eager=True)
+    tok = toks.select("doc_id", F.explode("toks").alias("token"))
     # Verification and (for small vocabularies) candidate generation: when
     # the vocabulary fits in a long (<= 62 tokens, true for this synthetic
     # corpus and for any small-alphabet domain), each doc's token set
@@ -638,16 +638,32 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab_rows = tok.select("token").distinct().orderBy("token").take(63)
     if len(vocab_rows) <= 62:
         n_vocab = len(vocab_rows)
-        tid_map = F.create_map(
-            *[x for i, r in enumerate(vocab_rows) for x in (F.lit(r.token), F.lit(i))]
+        # per-doc bitmask as a PER-ROW ARRAY FOLD over the checkpointed
+        # token arrays -- the previous shape exploded the corpus to
+        # (doc_id, token) rows and shuffled them through a groupBy(doc_id)
+        # sum just to OR per-doc bits back together (guide §2.4: a corpus-
+        # token Exchange for a value each row already holds). The token ->
+        # bit map is a literal (vocab <= 62), tokens are distinct per doc,
+        # so sum == bitwise OR and the fold reproduces the aggregate's
+        # arithmetic exactly: mask = sum of 1<<tid over the doc's tokens,
+        # sz = token count (cast to the agg's bigint). filter(size > 0)
+        # reproduces explode's row semantics (null/empty token arrays
+        # produced no exploded rows, hence no masked row).
+        mask_map = F.create_map(
+            *[
+                x
+                for i, r in enumerate(vocab_rows)
+                for x in (F.lit(r.token), F.lit(1 << i).cast("bigint"))
+            ]
         )
-        masked = (
-            tok.withColumn("tid", F.element_at(tid_map, F.col("token")))
-            .groupBy("doc_id")
-            .agg(
-                F.sum(F.expr("cast(shiftleft(cast(1 as bigint), tid) as bigint)")).alias("mask"),
-                F.count(F.lit(1)).alias("sz"),
-            )
+        masked = toks.filter(F.size("toks") > 0).select(
+            "doc_id",
+            F.aggregate(
+                F.col("toks"),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + F.element_at(mask_map, t),
+            ).alias("mask"),
+            F.size("toks").cast("bigint").alias("sz"),
         )
         # Candidate generation by EXACT pigeonhole submask banding: on a
         # tiny vocabulary prefix tokens are shared by most of the corpus
@@ -880,11 +896,20 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (1.0 - PR_DAMPING) / n_nodes
     rank = deg.select("doc_a", F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(rank.withColumnRenamed("doc_a", "doc_b").withColumnRenamed("pr", "pr_b"), "doc_b")
-            .join(deg.withColumnRenamed("doc_a", "doc_b").withColumnRenamed("deg", "deg_b"), "doc_b")
-            .select("doc_a", (F.col("pr_b") / F.col("deg_b")).alias("c"))
+        # attach deg to the rank vector FIRST (two node-sized frames keyed
+        # the same way), so the edge list flows through ONE join per round
+        # instead of two -- before, every round probed edges against rank
+        # and then the joined result against deg again on the same key
+        # (guide §3: fewer joins over the big side; rank rows are always
+        # graph nodes, so the inner rank-deg join drops nothing).
+        rd = (
+            rank.join(deg, "doc_a")
+            .select(
+                F.col("doc_a").alias("doc_b"),
+                (F.col("pr") / F.col("deg")).alias("w_b"),
+            )
         )
+        contrib = edges.join(rd, "doc_b").select("doc_a", F.col("w_b").alias("c"))
         rank = contrib.groupBy("doc_a").agg(
             (F.lit(base) + F.lit(PR_DAMPING) * F.sum(F.col("c").cast("decimal(27,18)")).cast("double")).alias("pr")
         )

@@ -311,3 +311,74 @@ class TestPigeonholeSubmaskBanding:
             for r in q_prefix_filter_pairs(spark, str(tmp_path)).collect()
         }
         assert got == want and sum(want.values()) > 0
+
+
+class TestMaskFold:
+    """r14 optimization pins for the bitmask branch of
+    q_prefix_filter_pairs: the per-doc mask is a per-row array fold over
+    the checkpointed token arrays (no corpus-token shuffle), and the fold
+    must keep the exploded-aggregate shape's row semantics exactly."""
+
+    def test_null_and_degenerate_texts_match_bruteforce(self, spark, tmp_path):
+        # NULL text is where fold-vs-explode semantics could diverge: the
+        # old shape dropped NULL-text docs at the explode (no token rows ->
+        # no mask row); the fold's size(toks) > 0 filter must reproduce
+        # that -- a NULL-text doc never pairs, and single/empty-ish texts
+        # still mask correctly.
+        import itertools
+
+        from pgsf_spark.analytics.dedup import PREFIX_T, q_prefix_filter_pairs
+
+        vocab = [f"w{i}" for i in range(10)]
+        rng_docs = []
+        for i in range(30):
+            drop = {i % 10} if i % 2 else {i % 10, (i * 3 + 1) % 10}
+            toks = [w for j, w in enumerate(vocab) if j not in drop]
+            rng_docs.append((i, " ".join(toks), "en", f"s{i % 3}", len(toks)))
+        # degenerate rows: NULL text, one-word text, whitespace-heavy text
+        rng_docs.append((100, None, "en", "s0", 0))
+        rng_docs.append((101, "w0", "en", "s1", 2))
+        rng_docs.append((102, "  w0   w1  ", "en", "s2", 8))
+        spark.createDataFrame(
+            rng_docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+        sets = {
+            i: frozenset(t.split()) for i, t, *_ in rng_docs if t and t.split()
+        }
+        srcs = {i: s for i, _, _, s, _ in rng_docs}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if round(j, 4) >= PREFIX_T:
+                src = srcs[a]
+                want[src] = want.get(src, 0) + 1
+        got = {
+            r["source"]: r["n_pairs"]
+            for r in q_prefix_filter_pairs(spark, str(tmp_path)).collect()
+        }
+        assert got == want and sum(want.values()) > 0
+
+    def test_chunk_build_folds_masks_without_doc_shuffle(self, spark, monkeypatch):
+        # plan pin for the committed evidence pair
+        # (plans/r14/prefix_filter_pairs_ckpt2_{before,after}.txt): the
+        # chunk-table build must contain NO doc_id-keyed Exchange (the old
+        # exploded groupBy(doc_id) mask aggregate) -- its one Exchange is
+        # the (g, sm) blocks groupBy.
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        from pgsf_spark.analytics.dedup import q_prefix_filter_pairs
+
+        plans = []
+        orig = DataFrame.localCheckpoint
+
+        def record(self, eager=True):
+            plans.append(self._jdf.queryExecution().executedPlan().toString())
+            return orig(self, eager=eager)
+
+        monkeypatch.setattr(DataFrame, "localCheckpoint", record)
+        q_prefix_filter_pairs(spark, SF_DIR)
+        assert len(plans) == 2  # token-array checkpoint + chunk table
+        chunk_build = plans[1]
+        assert "hashpartitioning(doc_id" not in chunk_build
+        assert chunk_build.count("Exchange") == 1
