@@ -256,15 +256,21 @@ def q_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scale-safe composition VERDICT r1 asked for: the quadratic
     Jaccard runs ONLY on LSH candidate pairs (a vanishing fraction of n^2),
     joined back to the token sets by doc_id. At 100 TB the two joins shuffle
-    the candidate pair list (small) against the token projection of the
-    corpus; with AQE the pair side broadcasts when it fits. A doc appearing
-    in thousands of pairs would skew those joins (VERDICT r2 ask #9), so
-    they run through skew_hedged_join: hot docs' token rows are broadcast
-    (work stays spread across the pair partitioning), the cold majority
-    joins normally; pairs are checkpointed once so the fan-out count does
-    not recompute the LSH."""
-    from pgsf_spark.operators.skew import skew_hedged_join
-
+    the candidate pair list against the candidate-bounded token table; with
+    AQE the token side broadcasts when it fits (it is checkpointed, so AQE
+    sees its EXACT size). Doc-level skew (a doc in thousands of pairs --
+    VERDICT r2 ask #9) is handled by AQE's runtime skew-join splitting
+    (spark.sql.adaptive.skewJoin, on in session.py), which splits oversized
+    sort-merge partitions where they actually occur. The previous static
+    cold/hot skew_hedged_join fork was measured worse at every scale probed:
+    each of the two nested joins expanded into a cold + hot union branch, so
+    the verify subtree executed FOUR times and the plan carried 56 Exchanges
+    / 34 BroadcastHashJoins (plans/r14/lsh_jaccard_verified_after.txt) for
+    what is semantically TWO joins -- planning cost, broadcast builds and
+    duplicated probes, all to pre-empt a skew AQE already handles at runtime
+    from observed sizes instead of a static threshold (guide §2.5/§3;
+    VERDICT r14 ask #1). Pairs are checkpointed once so the candidate
+    restriction below does not recompute the LSH."""
     d = load_table(spark, sf_dir, "documents")
     pairs = lsh_candidate_pairs(lsh_banded(d)).localCheckpoint(eager=True)
     toks = d.select(
@@ -289,18 +295,7 @@ def q_lsh_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = toks.join(cand_ids, "doc_id", "left_semi").localCheckpoint(eager=True)
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    # doc_b fan-out in the second join == its multiplicity in `pairs` (the
-    # first join matches each pair exactly once), so both hot lists come
-    # from the checkpointed pairs -- no recomputation of the first join.
-    hot_b = (
-        pairs.groupBy("doc_b")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 256)
-        .select("doc_b")
-    )
-    j = skew_hedged_join(
-        skew_hedged_join(pairs, a, "doc_a"), b, "doc_b", hot_keys=hot_b
-    )
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
     return (
@@ -603,18 +598,20 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(1) per pair via a vocab-id bitmask when the vocabulary fits in a
     long (see inline comment), else an array-intersect join."""
     d = load_table(spark, sf_dir, "documents")
-    # tokenize ONCE: every downstream consumer (vocab probe, doc masks /
-    # prefix ranking, doc frequencies) reads the checkpointed
-    # (doc_id, source, toks) table instead of re-scanning + re-splitting
-    # the text column per consumer (the tokenize scan was the query's
-    # single biggest repeated cost). The ARRAY form is kept -- one row per
-    # document, smaller than the exploded (doc_id, token) copy it replaces
-    # (doc_id/source stored once per doc, token bytes identical) -- so the
-    # bitmask branch below can fold masks per row with no shuffle; the
-    # exploded view is derived lazily where a consumer needs it.
+    # (doc_id, source, toks) token-array projection, LAZY here: in the
+    # bitmask branch it has exactly TWO consumers (the vocab probe and the
+    # chunk build -- `source` rides inside the member struct, so no third
+    # consumer joins back for it), and two streaming tokenize passes beat
+    # one corpus-grain localCheckpoint: the checkpoint materializes the
+    # whole corpus's token arrays onto executor storage as a blocking job
+    # (the r14 negative-result class -- corpus-bounded checkpoints are pure
+    # overhead unless >2 expensive re-executions are cut), while the lazy
+    # form keeps each pass a fused scan->split projection with full column
+    # pruning. The PPJoin branch has 3+ consumers of the exploded view and
+    # DOES checkpoint (below).
     toks = d.select(
         "doc_id", "source", F.array_distinct(F.split(_norm_text(F.col("text")), " ")).alias("toks")
-    ).localCheckpoint(eager=True)
+    )
     tok = toks.select("doc_id", F.explode("toks").alias("token"))
     # Verification and (for small vocabularies) candidate generation: when
     # the vocabulary fits in a long (<= 62 tokens, true for this synthetic
@@ -656,6 +653,15 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for x in (F.lit(r.token), F.lit(1 << i).cast("bigint"))
             ]
         )
+        # `sz` (the doc's distinct-token count) is NOT carried: every token
+        # is in the vocab map by construction, so sz == bit_count(mask) and
+        # the verify recomputes it from the mask it already holds -- one
+        # fewer field in every member struct the blocks shuffle. `source`
+        # rides in the struct instead: the verified pair's output needs
+        # doc_a's source only, so carrying it here removes the former
+        # hits-side join (1.7M hit rows probed a broadcast of the corpus
+        # map at sf0.1) from the run entirely (guide §2.3 shuffle fewer
+        # bytes / §2.4 remove the join outright).
         masked = toks.filter(F.size("toks") > 0).select(
             "doc_id",
             F.aggregate(
@@ -663,7 +669,7 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("bigint"),
                 lambda acc, t: acc + F.element_at(mask_map, t),
             ).alias("mask"),
-            F.size("toks").cast("bigint").alias("sz"),
+            "source",
         )
         # Candidate generation by EXACT pigeonhole submask banding: on a
         # tiny vocabulary prefix tokens are shared by most of the corpus
@@ -708,7 +714,10 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             for j, (lo, ln) in enumerate(bounds)
         ]
-        memb = F.struct("doc_id", "mask", "sz")
+        # doc_id leads the struct and is unique, so the sort order (and the
+        # triangle/cross pair partition it guarantees) is identical to the
+        # previous (doc_id, mask, sz) struct's
+        memb = F.struct("doc_id", "mask", "source")
         blocks = (
             masked.select(memb.alias("m"), F.explode(F.array(*grp_structs)).alias("b"))
             .groupBy("b.g", "b.sm")
@@ -768,24 +777,28 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(groups):
             guard = F.when(F.col("g") == j, ~lower_agrees).otherwise(guard)
             lower_agrees = lower_agrees | sub_eq[j]
+        # set sizes recomputed from the masks (sz == bit_count(mask), see
+        # `masked`): int arithmetic on values <= 62, identical quotient
         inter = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
-        union = F.col("a.sz") + F.col("b.sz") - inter
-        hits = (
+        union = F.bit_count(F.col("a.mask")) + F.bit_count(F.col("b.mask")) - inter
+        verified = (
             pairs.filter(guard)
             .select(
-                F.col("a.doc_id").alias("doc_id"),
+                F.col("a.source").alias("source"),
                 F.round(inter / union, 4).alias("jaccard"),
             )
             .filter(F.col("jaccard") >= PREFIX_T)
         )
-        # survivors are a handful of rows; AQE broadcasts them (hits is the
-        # small side at runtime -- don't force-broadcast the corpus map)
-        verified = hits.join(toks.select("doc_id", "source"), "doc_id").select(
-            "source", "jaccard"
-        )
     else:
-        # rarity ranking (needed only here): doc frequencies over the
-        # checkpointed token table, prefix = the rarest tokens
+        # the PPJoin branch reads the token arrays from 3+ consumers (doc
+        # frequencies, rarity ranking, both verify-join sides), so HERE the
+        # tokenize-once checkpoint pays for itself (OPTIMIZATION_r14);
+        # `tok` is a lazy explode of the checkpointed array table and df_
+        # plus the `ranked` join below each re-explode it
+        toks = toks.localCheckpoint(eager=True)
+        tok = toks.select("doc_id", F.explode("toks").alias("token"))
+        # rarity ranking (needed only here): doc frequencies derived by
+        # exploding the checkpointed token-array table
         df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
         ranked = (
             tok.join(F.broadcast(df_), "token")

@@ -348,7 +348,17 @@ def _kmeans_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, v, cluster, d). Used by q_kmeans_clusters and
     q_semantic_dedup so both faces share one oracle CTE chain."""
     e = load_table(spark, sf_dir, "embeddings")
-    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v"))
+    # materialize the (vec_id, v) projection ONCE: every Lloyd round's
+    # assignment pass plus the seed-centroid filter re-read the embeddings
+    # parquet and re-ran the decimal->double conversion (6 scans in the
+    # r14 after-plan, plans/r14/kmeans_clusters_after.txt); rounds now
+    # re-derive from one scan's worth of narrow (id, vector) rows
+    # (VERDICT r14 ask #5, guide §5/§6 -- the projection is the exact
+    # frame each round must read in full, so the checkpoint trades k
+    # redundant corpus scans for one bounded materialization)
+    emb = e.select("vec_id", _to_double(F.col("embedding")).alias("v")).localCheckpoint(
+        eager=True
+    )
     cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
     )

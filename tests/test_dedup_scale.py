@@ -378,7 +378,13 @@ class TestMaskFold:
 
         monkeypatch.setattr(DataFrame, "localCheckpoint", record)
         q_prefix_filter_pairs(spark, SF_DIR)
-        assert len(plans) == 2  # token-array checkpoint + chunk table
-        chunk_build = plans[1]
+        # r15: the bitmask branch no longer checkpoints the token-array
+        # table (two consumers only -- the corpus-grain checkpoint was the
+        # r14 negative-result class), so the chunk table is the branch's
+        # ONLY checkpoint and its build plan now includes the fused
+        # scan -> tokenize -> mask-fold pipeline.
+        assert len(plans) == 1
+        chunk_build = plans[0]
+        # the actual regression being pinned: no doc_id-keyed Exchange
+        # (the old exploded groupBy(doc_id) mask aggregate)
         assert "hashpartitioning(doc_id" not in chunk_build
-        assert chunk_build.count("Exchange") == 1

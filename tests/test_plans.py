@@ -101,7 +101,6 @@ SCAN_BUDGET = {
     "cohort_ltv": 3,  # c: first-activity-week leg joined back to revenue leg
     "conversion_hazard": 3,  # c: entry / convert / risk-set legs over events
     "corpus_novelty_curve": 6,  # b: per-chunk vocab vs cumulative-vocab re-reads
-    "cross_source_leakage": 8,  # c: inherits lsh_jaccard_verified's hedged-union legs + two source projections
     "daily_growth_profile": 3,  # b: series-level growth scalars re-read
     "dau_wau_stickiness": 3,  # c: daily-actives leg self-joined for trailing-7 window
     "dedup_pipeline_summary": 3,  # c: per-stage summary legs over documents
@@ -127,13 +126,11 @@ SCAN_BUDGET = {
     "james_stein_nation_means": 4,  # b: grand-mean shrinkage scalar re-read
     "kaplan_meier": 3,  # c: entry / convert / risk-set legs over events
     "kendall_tau_daily": 5,  # b+c: day-pair self-join + tie-count scalars
-    "kmeans_clusters": 3,  # a: bounded Lloyd rounds re-read pruned features
     "kneser_ney_continuation": 4,  # b: continuation-count scalars re-read
     "label_balance_audit": 4,  # b: per-label shares vs totals re-read
     "ljung_box_stat": 4,  # a+b: unrolled lag rounds + series-mean re-read
     "log_rank_test": 3,  # c: per-arm KM legs over events
     "lsh_containment": 3,  # c: candidate leg + containment-verify leg
-    "lsh_jaccard_verified": 6,  # c: hedged hot/cold union + exact-verify re-read
     "mann_kendall_trend": 4,  # c: day-pair self-join legs
     "market_basket_rules": 7,  # b+c: pair/triple self-joins + support scalars
     "markov_next_event_accuracy": 4,  # b: transition-matrix + holdout legs
@@ -155,7 +152,6 @@ SCAN_BUDGET = {
     "snapshot_diff_gate": 3,  # c: old/new snapshot legs + diff union
     "soft_delete_split": 3,  # c: per-merge-action routing legs
     "source_signature_terms": 4,  # b: corpus df totals re-read under source leg
-    "split_leakage": 8,  # c: inherits lsh_jaccard_verified's legs across split pairs
     "sq_mse_by_bits": 6,  # c: per-bit-width quantization legs unioned
     "sq_recall_at_5": 6,  # c: exact-truth + per-bit quantized legs
     "t_closeness_audit": 4,  # b: global distribution re-read per cohort
